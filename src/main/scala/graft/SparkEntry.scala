@@ -1,13 +1,354 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Cast
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` where the semantics
+ * are ANSI-SQL-expressible (sequential kernels get rows-only checks).
+ *
+ * Numeric determinism policy (oracle is DuckDB on the same parquet):
+ *  - exact-sum trick: per-row values are cast to DECIMAL before SUM so the
+ *    aggregate is exact and engine-order-independent, then cast back to
+ *    DOUBLE (both engines produce the identical nearest-double).
+ *  - per-row arithmetic (interp, masks) is IEEE-deterministic — no rounding.
+ *  - small-window aggregates round(6): assoc-order noise is ~1e-16 relative.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** SUM(CAST(x AS DECIMAL(s))) back as the exact nearest double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+  private def dsumWide(c: Column, scale: Int = 10): Column =
+    sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
+
+  /** Flagship: metadata-style broadcast join + aggregation on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_join_enrich")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core --------------------------------------------------
+    "q01_tpch_q1" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_remove_up_to" -> ((s: SparkSession, dir: String) => {
+      Cast.removeUpTo(t(s, dir, "events"), 5.0, "value")
+        .select(col("event_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q03_remove_above_water" -> ((s: SparkSession, dir: String) => {
+      // signal centered at 100 so the waterline filter is non-trivial
+      val ev = t(s, dir, "events").withColumn("pressure", col("value") - lit(100.0))
+      Cast.removeAboveWater(ev, "pressure")
+        .select(col("event_id"), col("pressure"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q04_join_enrich" -> ((s: SparkSession, dir: String) => {
+      // samples ⋈ broadcast(metadata): revenue per nation
+      val li = t(s, dir, "lineitem")
+      val o  = t(s, dir, "orders")
+      val c  = t(s, dir, "customer")
+      val n  = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q05_topk" -> ((s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
+    "q06_bindata_avg" -> ((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("ord", col("l_orderkey") * 8 + col("l_linenumber"))
+        .withColumn("price", col("l_extendedprice"))
+      Cast.bindataAverage(li, "l_returnflag", "ord", Seq("price"),
+          delta = 5.0, pressure = "l_quantity", keepEmpty = true)
+        .select(col("l_returnflag").as("flag"), col("l_quantity").as("qty_bin"),
+          round(col("price"), 6).as("avg_price"))
+        .orderBy(col("flag"), col("qty_bin"))
+    }),
+
+    "q07_split" -> ((s: SparkSession, dir: String) => {
+      Cast.split(t(s, dir, "events"), "user_id", "event_id", "value")
+        .select(col("user_id"), col("event_id"), col("direction"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q08_moving_average" -> ((s: SparkSession, dir: String) => {
+      Cast.movingAverage(t(s, dir, "events"), "user_id", "event_id", Seq("value"), 5)
+        .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value_ma"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q09_despike" -> ((s: SparkSession, dir: String) => {
+      Cast.despike(t(s, dir, "events"), "user_id", "event_id", Seq("value"),
+          n1 = 2.0, n2 = 20.0, block = 16)
+        .select(col("user_id"), col("event_id"), col("value").as("value_despiked"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q10_interpolate" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .withColumn("pressure", col("event_id").cast(DoubleType))
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null).cast(DoubleType)).otherwise(col("value")))
+      Cast.interpolateIndex(ev, "user_id", "event_id", Seq("value"), "pressure")
+        .select(col("user_id"), col("event_id"), col("value").as("value_interp"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q11_mld_mask" -> ((s: SparkSession, dir: String) => {
+      Cast.mixedLayerMask(t(s, dir, "events"), "user_id", "event_id", "value", 0.5)
+        .select(col("user_id"), col("event_id"), col("mld_mask"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q12_dedup_exact" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      d.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q13_token_count" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast(LongType).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q14_maxdepth" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .withColumn("pressure", col("event_id").cast(DoubleType))
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null).cast(DoubleType)).otherwise(col("value")))
+      Cast.maxDepth(ev, "user_id", Seq("value"), "pressure")
+        .select(col("user_id"), col("value").as("max_valid_depth"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q15_rosette_summary" -> ((s: SparkSession, dir: String) => {
+      // groupBy(nbf).mean() analog (ctd/read.py:540-545 doctest)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linenumber"))
+        .agg(
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_linenumber"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_remove_up_to" ->
+      "SELECT event_id, value FROM events WHERE value >= 5.0 ORDER BY event_id",
+
+    "q03_remove_above_water" ->
+      """SELECT event_id, value - 100.0 AS pressure FROM events
+        |WHERE value - 100.0 >= 0.0 ORDER BY event_id""".stripMargin,
+
+    "q04_join_enrich" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q05_topk" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q06_bindata_avg" ->
+      """WITH ord AS (
+        |  SELECT l_returnflag AS flag, l_quantity AS q, l_extendedprice AS price,
+        |         l_orderkey*8 + l_linenumber AS ord
+        |  FROM lineitem
+        |), edges AS (
+        |  SELECT flag, q, price,
+        |    ceil(first_value(q) OVER (PARTITION BY flag ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS start,
+        |    floor(last_value(q) OVER (PARTITION BY flag ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS stop
+        |  FROM ord
+        |), binned AS (
+        |  SELECT flag, start, price, q,
+        |    CAST(ceil((q - start)/5.0) - 1 AS BIGINT) AS k,
+        |    CAST(ceil((stop - start)/5.0) - 1 AS BIGINT) AS nbins
+        |  FROM edges
+        |), casts AS (
+        |  SELECT flag, min(start) AS start, min(nbins) AS nbins FROM binned GROUP BY flag
+        |), spine AS (
+        |  SELECT flag, start, unnest(generate_series(0, nbins-1)) AS k
+        |  FROM casts WHERE nbins > 0
+        |), agg AS (
+        |  SELECT flag, k, round(avg(price), 6) AS avg_price
+        |  FROM binned WHERE q > start AND k < nbins GROUP BY flag, k
+        |)
+        |SELECT s.flag AS flag, s.start + (s.k + 0.5)*5.0 AS qty_bin, a.avg_price AS avg_price
+        |FROM spine s LEFT JOIN agg a ON s.flag = a.flag AND s.k = a.k
+        |ORDER BY flag, qty_bin""".stripMargin,
+
+    "q07_split" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    max(value) OVER (PARTITION BY user_id) AS mx
+        |  FROM events
+        |), w2 AS (
+        |  SELECT *, min(CASE WHEN value = mx THEN rn END) OVER (PARTITION BY user_id) AS am
+        |  FROM w1
+        |)
+        |SELECT user_id, event_id, CASE WHEN rn <= am THEN 'down' ELSE 'up' END AS direction
+        |FROM w2 ORDER BY user_id, event_id""".stripMargin,
+
+    "q08_moving_average" ->
+      """SELECT user_id, event_id,
+        |  round(coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 0) / 5.0, 6) AS value_ma
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q09_despike" ->
+      """WITH s1 AS (
+        |  SELECT user_id u, event_id i, value x,
+        |    avg(value) OVER wf AS m, stddev_pop(value) OVER wf AS s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY event_id
+        |                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+        |), s2 AS (SELECT *, greatest(1, n - 15) AS rn0 FROM s1
+        |), s3 AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn = rn0 THEN m END) OVER (PARTITION BY u) AS mlast,
+        |    max(CASE WHEN rn = rn0 THEN s END) OVER (PARTITION BY u) AS slast
+        |  FROM s2
+        |), p1 AS (
+        |  SELECT u, i, x,
+        |    CASE WHEN abs(x - (CASE WHEN rn > rn0 THEN mlast ELSE m END))
+        |              > 2.0 * (CASE WHEN rn > rn0 THEN slast ELSE s END)
+        |         THEN NULL ELSE x END AS x1
+        |  FROM s3
+        |), t1 AS (
+        |  SELECT u, i, x,
+        |    avg(x1) OVER wf AS m, stddev_pop(x1) OVER wf AS s,
+        |    row_number() OVER (PARTITION BY u ORDER BY i) AS rn,
+        |    count(*) OVER (PARTITION BY u) AS n
+        |  FROM p1
+        |  WINDOW wf AS (PARTITION BY u ORDER BY i
+        |                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+        |), t2 AS (SELECT *, greatest(1, n - 15) AS rn0 FROM t1
+        |), t3 AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn = rn0 THEN m END) OVER (PARTITION BY u) AS mlast,
+        |    max(CASE WHEN rn = rn0 THEN s END) OVER (PARTITION BY u) AS slast
+        |  FROM t2
+        |)
+        |SELECT u AS user_id, i AS event_id,
+        |  CASE WHEN abs(x - (CASE WHEN rn > rn0 THEN mlast ELSE m END))
+        |            > 20.0 * (CASE WHEN rn > rn0 THEN slast ELSE s END)
+        |       THEN NULL ELSE x END AS value_despiked
+        |FROM t3 ORDER BY user_id, event_id""".stripMargin,
+
+    "q10_interpolate" ->
+      """WITH base AS (
+        |  SELECT user_id u, event_id i, CAST(event_id AS DOUBLE) p,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS x
+        |  FROM events
+        |), w AS (
+        |  SELECT u, i, p, x,
+        |    last_value(x IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN x IS NOT NULL THEN p END IGNORE NULLS) OVER wp AS pp,
+        |    first_value(x IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN x IS NOT NULL THEN p END IGNORE NULLS) OVER wn AS np
+        |  FROM base
+        |  WINDOW
+        |    wp AS (PARTITION BY u ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY u ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT u AS user_id, i AS event_id,
+        |  CASE WHEN x IS NOT NULL THEN x
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         CASE WHEN np = pp THEN pv ELSE pv + (nv - pv) * (p - pp) / (np - pp) END
+        |       ELSE NULL END AS value_interp
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+    "q11_mld_mask" ->
+      """SELECT user_id, event_id,
+        |  (first_value(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) - value) < 0.5 AS mld_mask
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q12_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q13_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q14_maxdepth" ->
+      """SELECT user_id,
+        |  max(CASE WHEN event_id % 7 <> 0 THEN CAST(event_id AS DOUBLE) END) AS max_valid_depth
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q15_rosette_summary" ->
+      """SELECT l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
+  )
 }
