@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{CastHeader, Parsers, RawFile}
+
+/** Mirrors the reference's tests/test_read.py on the same fixture files. */
+class ParserSpec extends AnyFunSuite {
+
+  private val data = "src/test/resources/ctd-data"
+
+  private def load(ftype: String, path: String) =
+    Parsers.parse(ftype, path, RawFile.decode(RawFile.bytes(path)))
+
+  test("compression matrix: zip/gz/bz2/plain EDF all decode to the same cast") {
+    val casts = Seq("XBT.EDF", "XBT.EDF.gz", "XBT.EDF.bz2", "XBT.EDF.zip")
+      .map(f => load("edf", s"$data/$f"))
+    assert(casts.map(_.rows.length).distinct.size == 1)
+    assert(casts.head.rows.nonEmpty)
+    assert(casts.head.schema.fieldNames.toSeq ==
+      Seq("time", "resistance", "depth", "temperature", "sound"))
+  }
+
+  test("EDF lat/lon parsed to 7 decimals; missing positions -> None") {
+    val xbt = load("edf", s"$data/XBT.EDF")
+    assert(math.abs(xbt.meta.lon.get - (-39.8790283)) < 5e-8)
+    assert(math.abs(xbt.meta.lat.get - (-19.7174805)) < 5e-8)
+    assert(xbt.meta.serial.contains("00329250"))
+    val c3 = load("edf", s"$data/C3_00005.edf")
+    assert(c3.meta.lat.isEmpty && c3.meta.lon.isEmpty)
+  }
+
+  test("CNV parses: non-empty, pressure column first, NMEA position + time") {
+    val cnv = load("cnv", s"$data/CTD_with_sigma_e00.cnv")
+    assert(cnv.rows.nonEmpty)
+    assert(cnv.schema.fieldNames.head == "pressure")
+    assert(math.abs(cnv.meta.lat.get - (39.0 + 16.23 / 60)) < 1e-9)
+    assert(math.abs(cnv.meta.lon.get - -(150.0 + 6.34 / 60)) < 1e-9)
+    assert(cnv.meta.time.get.toString.startsWith("2013-07-12 12:59:28"))
+    assert(cnv.meta.prkey.contains("prDM"))
+  }
+
+  test("small.cnv.bz2 decompresses and parses") {
+    val cnv = load("cnv", s"$data/small.cnv.bz2")
+    assert(cnv.rows.nonEmpty)
+    assert(cnv.schema.fieldNames.contains("t090C") || cnv.schema.fieldNames.length > 2)
+  }
+
+  test("pressure-label matrix: press-pass* parse, press-fails raises") {
+    Seq("press-pass-prDE.cnv", "press-pass-prDM.cnv", "press-pass-prdM-atl.cnv")
+      .foreach { f => assert(load("cnv", s"$data/$f").rows.nonEmpty, f) }
+    val e = intercept[IllegalArgumentException](load("cnv", s"$data/press-fails.cnv"))
+    assert(e.getMessage.contains("Expected one pressure/depth column"))
+  }
+
+  test("BTL: statistic rows, date stitching, Bottle ffill, dtypes") {
+    val btl = load("btl", s"$data/btl/bottletest.btl")
+    assert(btl.rows.nonEmpty)
+    val names = btl.schema.fieldNames.toSeq
+    assert(names.contains("Bottle") && names.contains("Date") && names.contains("Statistic"))
+    val statIdx = names.indexOf("Statistic")
+    val stats   = btl.rows.map(_(statIdx)).distinct
+    assert(stats.toSet == Set("avg", "sdev", "min", "max"))
+    // Bottle forward-filled onto every statistic row
+    val bottleIdx = names.indexOf("Bottle")
+    assert(btl.rows.forall(_(bottleIdx) != null))
+    assert(btl.rows.head(bottleIdx) == 1)
+    // date+time stitched from physical rows 1+2 of the first bottle
+    val dateIdx = names.indexOf("Date")
+    assert(btl.rows.head(dateIdx).toString.startsWith("2013-06-27 21:23:18"))
+    // all four statistic rows of bottle 1 share the stitched datetime
+    assert(btl.rows.take(4).map(_(dateIdx).toString).distinct.size == 1)
+  }
+
+  test("BTL cp1252 file with duplicated columns: Bottle and Bottle_") {
+    val btl = load("btl", s"$data/btl/alt_bottletest.BTL")
+    val names = btl.schema.fieldNames.toSeq
+    assert(names.contains("Bottle") && names.contains("Bottle_"))
+    assert(btl.rows.nonEmpty)
+  }
+
+  test("BTL with blank lines in header still finds the Date column") {
+    val btl = load("btl", s"$data/btl/blank_line_header.btl")
+    assert(btl.schema.fieldNames.contains("Date"))
+    assert(btl.rows.nonEmpty)
+  }
+
+  test("BL: columns, first row, time_of_reset") {
+    val bl = load("bl", s"$data/bl/bottletest.bl")
+    assert(bl.schema.fieldNames.toSeq ==
+      Seq("index", "bottle_number", "time", "startscan", "endscan"))
+    assert(bl.meta.timeOfReset.get.toString.startsWith("2018-06-25 20:08:55"))
+    val r0 = bl.rows.head
+    assert(r0(0) == 1 && r0(1) == 1 && r0(3) == 2579 && r0(4) == 2615)
+    assert(r0(2).toString.startsWith("2018-06-25 20:11:39"))
+  }
+
+  test("FSI: pressure index + float channels") {
+    val fsi = load("fsi", s"$data/FSI.txt.gz")
+    assert(fsi.schema.fieldNames.head == "pressure")
+    assert(fsi.schema.fieldNames.contains("TEMP"))
+    assert(fsi.rows.nonEmpty)
+    assert(math.abs(fsi.rows.head(0).asInstanceOf[Double] - 0.4) < 1e-9)
+  }
+
+  test("CastAway: normalized names, last data row dropped, metadata") {
+    val ca = load("castaway", s"$data/castaway_data.csv")
+    assert(ca.schema.fieldNames.toSeq == Seq("pressure", "depth", "temperature",
+      "conductivity", "specific_conductance", "salinity", "sound_velocity", "density"))
+    assert(ca.rows.nonEmpty)
+    assert(math.abs(ca.meta.lat.get - (-36.2199169)) < 1e-9)
+    assert(ca.meta.serial.contains("CC1449004"))
+  }
+
+  test("ROS: rosette golden vector (ctd/read.py:540-545 doctest)") {
+    val ros = load("ros", s"$data/CTD/g01l01s01.ros")
+    val names = ros.schema.fieldNames.toSeq
+    val nbfIdx = names.indexOf("nbf")
+    assert(nbfIdx >= 0, s"nbf column missing; columns = $names")
+    // groupby(nbf).mean().pressure.astype(int) == [835, 806, ..., 1]
+    val byNbf = ros.rows
+      .filter(r => r(nbfIdx) != null && r(0) != null)
+      .groupBy(r => r(nbfIdx).asInstanceOf[Double].toInt)
+      .toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        (rs.map(_(0).asInstanceOf[Double]).sum / rs.length).toInt
+      }
+    assert(byNbf == Seq(835, 806, 705, 604, 503, 404, 303, 201, 151, 100, 51, 1))
+  }
+
+  test("ROS without FileName header -> name 'unknown'") {
+    val ros = load("ros", s"$data/CTD/fixstation_hl_02.ros")
+    assert(ros.meta.name == "unknown")
+    assert(ros.rows.nonEmpty)
+  }
+
+  test("duplicate-column rename helper: >2 raises, 2 renames second") {
+    assert(CastHeader.renameDuplicates(Vector("a", "b", "a")) == Vector("a", "b", "a_"))
+    intercept[IllegalArgumentException] {
+      CastHeader.renameDuplicates(Vector("a", "a", "a"))
+    }
+  }
+}
