@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.Cast
+import graft.sources.CtdRead
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -23,6 +24,13 @@ object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Instrument-file fixtures (copied verbatim from the reference's
+    * tests/data); reader queries ignore the sf dir — file formats have no
+    * parquet/DuckDB oracle, so they get rows-only checks here and exact
+    * golden assertions in the ScalaTest suites. */
+  private def fixtures: String =
+    sys.env.getOrElse("GRAFT_FIXTURES", "/root/repo/src/test/resources/ctd-data")
 
   /** SUM(CAST(x AS DECIMAL(s))) back as the exact nearest double. */
   private def dsum(c: Column, scale: Int = 2): Column =
@@ -168,6 +176,51 @@ object SparkEntry {
           (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("n"))
         .orderBy(col("l_linenumber"))
+    }),
+
+    // ---- instrument-file readers (DataSourceV2, rows-only checks) ---------
+    "q16_cnv_read" -> ((s: SparkSession, _: String) => {
+      CtdRead.cnv(s, s"$fixtures/CTD_with_sigma_e00.cnv")
+        .select(col("cast_id"), col("scan_order"), col("pressure"),
+          round(col("t068C"), 4).as("t068C"), round(col("sal00"), 4).as("sal00"))
+        .orderBy(col("cast_id"), col("scan_order"))
+    }),
+
+    "q17_casts_meta" -> ((s: SparkSession, _: String) => {
+      CtdRead.casts(s, "cnv", s"$fixtures/CTD_with_sigma_e00.cnv")
+        .unionByName(CtdRead.casts(s, "ros", s"$fixtures/CTD/g01l01s01.ros"))
+        .select(col("cast_id"), round(col("lat"), 7).as("lat"),
+          round(col("lon"), 7).as("lon"), col("prkey"), col("n_rows"))
+        .orderBy(col("cast_id"))
+    }),
+
+    "q18_rosette_golden" -> ((s: SparkSession, _: String) => {
+      // the reference doctest vector [835, 806, ..., 1] (ctd/read.py:540-545)
+      CtdRead.rosetteSummary(s, s"$fixtures/CTD/g01l01s01.ros")
+        .groupBy(col("nbf"))
+        .agg(avg(col("pressure")).cast("int").as("mean_pressure_int"))
+        .orderBy(col("nbf"))
+    }),
+
+    "q19_btl_read" -> ((s: SparkSession, _: String) => {
+      CtdRead.btl(s, s"$fixtures/btl/bottletest.btl")
+        .select(col("Bottle"), col("Statistic"), col("Date"),
+          round(col("Sal00"), 4).as("sal00"))
+        .orderBy(col("Bottle"), col("Statistic"))
+    }),
+
+    "q20_multiformat_read" -> ((s: SparkSession, _: String) => {
+      // every remaining format through the same DSv2 (edf/fsi/bl/castaway)
+      val edf = CtdRead.edf(s, s"$fixtures/XBT.EDF.zip")
+        .agg(count(lit(1)).as("n")).withColumn("fmt", lit("edf"))
+      val fsi = CtdRead.fsi(s, s"$fixtures/FSI.txt.gz")
+        .agg(count(lit(1)).as("n")).withColumn("fmt", lit("fsi"))
+      val bl = CtdRead.bl(s, s"$fixtures/bl/bottletest.bl")
+        .agg(count(lit(1)).as("n")).withColumn("fmt", lit("bl"))
+      val ca = CtdRead.castawayCsv(s, s"$fixtures/castaway_data.csv")
+        .agg(count(lit(1)).as("n")).withColumn("fmt", lit("castaway"))
+      edf.unionByName(fsi).unionByName(bl).unionByName(ca)
+        .select(col("fmt"), col("n")).orderBy(col("fmt"))
     }),
   )
 

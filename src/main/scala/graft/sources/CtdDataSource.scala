@@ -1,0 +1,271 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.{CastMetaRow, ParsedCast, Parsers, RawFile}
+
+/**
+ * DataSourceV2 for the seven instrument ASCII formats of the reference
+ * (ctd/read.py). Usage:
+ *
+ *   spark.read.format("ctd")
+ *     .option("ftype", "cnv")        // cnv | ros | btl | edf | fsi | bl | castaway
+ *     .option("view", "data")        // data (default) | meta (one row per cast)
+ *     .load("/path/to/dir-or-file")
+ *
+ * Layout: one `InputPartition` PER FILE — a cast's header and data are one
+ * indivisible unit, so the file is the natural parallelism grain; a 100 TB
+ * corpus is millions of small casts, which spread evenly over executors.
+ * Schema is the by-name union over files (driver parses headers at planning
+ * time; files are KB-scale ASCII). Rows carry `cast_id` and a parse-time
+ * `scan` ordinal — row order is load-bearing in the reference (pandas index
+ * order) but undefined in Spark, so every order-dependent operator sorts by
+ * `scan` within `cast_id` (SURVEY §7.4 item 1).
+ *
+ * Pushdown: required-column pruning always; simple comparison filters are
+ * evaluated during the parse (`SupportsPushDownFilters`), so e.g.
+ * `pressure >= 0` never materializes above-water rows.
+ */
+class CtdDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ctd"
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CtdDataSource.schemaFor(CtdDataSource.conf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    CtdTable(CtdDataSource.conf(opts), schema)
+  }
+}
+
+object CtdDataSource {
+
+  final case class Conf(ftype: String, view: String, files: Seq[String])
+
+  private[sources] def conf(options: CaseInsensitiveStringMap): Conf = {
+    val ftype = options.getOrDefault("ftype", "cnv").toLowerCase
+    val view  = options.getOrDefault("view", "data").toLowerCase
+    val paths = Option(options.get("paths")).map(parseJsonPaths)
+      .orElse(Option(options.get("path")).map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException("ctd source requires a load path"))
+    Conf(ftype, view, paths.flatMap(expand))
+  }
+
+  private def parseJsonPaths(json: String): Seq[String] =
+    // Spark encodes .load(p1, p2) as a JSON array of strings.
+    json.stripPrefix("[").stripSuffix("]").split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+
+  /** A path may be a file or a directory (non-recursive listing, like the
+    * reference's user passing a file at a time — directories are the Spark
+    * convenience). */
+  private def expand(path: String): Seq[String] = {
+    val f = new File(path)
+    if (f.isDirectory) {
+      f.listFiles().filter(_.isFile).map(_.getPath).sorted.toSeq
+    } else if (f.isFile) Seq(f.getPath)
+    else throw new IllegalArgumentException(s"No such file or directory: $path")
+  }
+
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("cast_id", StringType),
+    StructField("name", StringType),
+    StructField("ftype", StringType),
+    StructField("time", TimestampType),
+    StructField("lat", DoubleType),
+    StructField("lon", DoubleType),
+    StructField("serial", StringType),
+    StructField("time_of_reset", TimestampType),
+    StructField("prkey", StringType),
+    StructField("n_rows", LongType),
+    StructField("header", StringType),
+    StructField("config", StringType)))
+
+  private[sources] def parseFile(ftype: String, path: String): ParsedCast =
+    Parsers.parse(ftype, path, RawFile.decode(RawFile.bytes(path)))
+
+  /** Synthetic column names; a file channel with the same name (CNV files DO
+    * have a `scan` channel — hence `scan_order` for the parse ordinal) gets a
+    * trailing underscore, mirroring the duplicate-column rename rule. */
+  val CastIdCol    = "cast_id"
+  val ScanOrderCol = "scan_order"
+
+  private[sources] def fileFieldName(n: String): String =
+    if (n == CastIdCol || n == ScanOrderCol) n + "_" else n
+
+  /** Union-by-name schema over all files, prefixed by (cast_id, scan_order). */
+  private[sources] def schemaFor(c: Conf): StructType = {
+    if (c.view == "meta") return MetaSchema
+    val seen = collection.mutable.LinkedHashMap.empty[String, StructField]
+    c.files.foreach { f =>
+      parseFile(c.ftype, f).schema.fields.foreach { fld =>
+        val n = fileFieldName(fld.name)
+        seen.getOrElseUpdate(n, fld.copy(name = n))
+      }
+    }
+    StructType(
+      StructField(CastIdCol, StringType) +: StructField(ScanOrderCol, LongType) +:
+        seen.values.toSeq)
+  }
+}
+
+final case class CtdTable(conf: CtdDataSource.Conf, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"ctd(${conf.ftype})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CtdScanBuilder(conf, tableSchema)
+}
+
+final class CtdScanBuilder(conf: CtdDataSource.Conf, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition(CtdFilters.supported)
+    pushed = supported
+    rest // Spark evaluates only these post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    CtdScan(conf, fullSchema, required, pushed)
+}
+
+final case class CtdScan(conf: CtdDataSource.Conf, fullSchema: StructType,
+                         required: StructType, filters: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ctd ftype=${conf.ftype} view=${conf.view} files=${conf.files.length} " +
+      s"pushed=[${filters.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    conf.files.map(f => CtdInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CtdReaderFactory(conf.ftype, conf.view, required, filters)
+}
+
+final case class CtdInputPartition(path: String) extends InputPartition
+
+final case class CtdReaderFactory(ftype: String, view: String,
+                                  required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[CtdInputPartition].path
+    new CtdPartitionReader(ftype, view, path, required, filters)
+  }
+}
+
+private object CtdFilters {
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: IsNull | _: IsNotNull => true
+    case _ => false
+  }
+
+  /** Evaluate a pushed filter against a named value lookup. Comparisons on
+    * non-numeric columns or null values are false-y conservative only for
+    * rows we are allowed to drop — standard SQL filter semantics (null
+    * comparison -> row dropped). */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case IsNull(a)    => get(a) == null
+    case IsNotNull(a) => get(a) != null
+    case EqualTo(a, v)            => cmp(get(a), v).contains(0)
+    case GreaterThan(a, v)        => cmp(get(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(get(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(get(a), v).exists(_ <= 0)
+    case _ => true
+  }
+
+  private def cmp(left: Any, right: Any): Option[Int] = (left, right) match {
+    case (null, _) | (_, null) => None
+    case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: java.sql.Timestamp, b: java.sql.Timestamp) => Some(a.compareTo(b))
+    case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+    case _ => None
+  }
+}
+
+final class CtdPartitionReader(ftype: String, view: String, path: String,
+                               required: StructType, filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val parsed: ParsedCast = CtdDataSource.parseFile(ftype, path)
+
+  private val iter: Iterator[InternalRow] =
+    if (view == "meta") metaRows() else dataRows()
+
+  private var current: InternalRow = _
+
+  private def toInternal(v: Any): Any = v match {
+    case null => null
+    case s: String => UTF8String.fromString(s)
+    case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+    case other => other
+  }
+
+  private def metaRows(): Iterator[InternalRow] = {
+    val m: CastMetaRow = parsed.meta
+    val byName: Map[String, Any] = Map(
+      "cast_id" -> m.castId, "name" -> m.name, "ftype" -> m.ftype,
+      "time" -> m.time.orNull, "lat" -> m.lat.map(Double.box).orNull,
+      "lon" -> m.lon.map(Double.box).orNull, "serial" -> m.serial.orNull,
+      "time_of_reset" -> m.timeOfReset.orNull, "prkey" -> m.prkey.orNull,
+      "n_rows" -> Long.box(m.nRows), "header" -> m.header, "config" -> m.config)
+    if (!filters.forall(f => CtdFilters.eval(f, byName.getOrElse(_, null))))
+      return Iterator.empty
+    Iterator.single(InternalRow.fromSeq(
+      required.fieldNames.map(n => toInternal(byName.getOrElse(n, null))).toIndexedSeq))
+  }
+
+  private def dataRows(): Iterator[InternalRow] = {
+    val fileIdx: Map[String, Int] = parsed.schema.fieldNames.zipWithIndex.map {
+      case (n, i) => CtdDataSource.fileFieldName(n) -> i
+    }.toMap
+    val castId = parsed.castId
+    parsed.rows.iterator.zipWithIndex.flatMap { case (row, scan) =>
+      def get(name: String): Any = name match {
+        case CtdDataSource.CastIdCol    => castId
+        case CtdDataSource.ScanOrderCol => Long.box(scan.toLong)
+        case n                          => fileIdx.get(n).map(row(_)).orNull
+      }
+      if (filters.forall(f => CtdFilters.eval(f, get)))
+        Some(InternalRow.fromSeq(
+          required.fieldNames.map(n => toInternal(get(n))).toIndexedSeq))
+      else None
+    }
+  }
+
+  override def next(): Boolean =
+    if (iter.hasNext) { current = iter.next(); true } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

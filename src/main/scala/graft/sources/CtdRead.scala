@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Convenience entry points mirroring the reference's public read API
+  * (ctd/__init__.py:32-49): `from_cnv`, `from_btl`, `from_edf`, `from_fsi`,
+  * `from_bl`, `from_castaway_csv`, `rosette_summary` — each returns a
+  * DataFrame of (cast_id, scan, pressure/depth, channels...); `casts` is the
+  * per-cast metadata table (the reference's `_metadata` dict as data). */
+object CtdRead {
+
+  private def read(spark: SparkSession, ftype: String, path: String): DataFrame =
+    spark.read.format("ctd").option("ftype", ftype).load(path)
+
+  def cnv(spark: SparkSession, path: String): DataFrame = read(spark, "cnv", path)
+  def btl(spark: SparkSession, path: String): DataFrame = read(spark, "btl", path)
+  def edf(spark: SparkSession, path: String): DataFrame = read(spark, "edf", path)
+  def fsi(spark: SparkSession, path: String): DataFrame = read(spark, "fsi", path)
+  def bl(spark: SparkSession, path: String): DataFrame  = read(spark, "bl", path)
+  def castawayCsv(spark: SparkSession, path: String): DataFrame =
+    read(spark, "castaway", path)
+
+  /** Per-cast metadata view: one row per file. */
+  def casts(spark: SparkSession, ftype: String, path: String): DataFrame =
+    spark.read.format("ctd").option("ftype", ftype).option("view", "meta").load(path)
+
+  /** `rosette_summary` (ctd/read.py:528-554): a ROS read with `nbf`
+    * (bottles fired) cast to int, ready for `groupBy("cast_id", "nbf")`. */
+  def rosetteSummary(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("ctd").option("ftype", "ros").load(path)
+      .withColumn("nbf", col("nbf").cast(IntegerType))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.CtdRead
+
+class CtdSourceSpec extends SparkTestBase {
+
+  test("cnv read end-to-end: schema, rows, cast_id") {
+    val df = CtdRead.cnv(spark, s"$dataDir/CTD_with_sigma_e00.cnv")
+    assert(df.columns.take(3).toSeq == Seq("cast_id", "scan_order", "pressure"))
+    val n = df.count()
+    assert(n == 199) // header says "# nvalues = 199"
+    assert(df.select("cast_id").distinct.collect().map(_.getString(0)).toSeq
+      == Seq("km1312_s18_c03_ctd22"))
+  }
+
+  test("meta view: lat/lon/time per cast") {
+    val m = CtdRead.casts(spark, "cnv", s"$dataDir/CTD_with_sigma_e00.cnv").collect()(0)
+    assert(math.abs(m.getAs[Double]("lat") - (39.0 + 16.23 / 60)) < 1e-9)
+    assert(math.abs(m.getAs[Double]("lon") - -(150.0 + 6.34 / 60)) < 1e-9)
+    assert(m.getAs[String]("prkey") == "prDM")
+    assert(m.getAs[Long]("n_rows") == 199)
+  }
+
+  test("directory load unions casts; column pruning reaches the reader") {
+    val df = CtdRead.cnv(spark, s"$dataDir/CTD/g01l01s01.cnv.gz")
+    assert(df.count() > 0)
+    // pruned scan: only 2 columns requested -> reader schema holds 2 fields
+    val pruned = df.select("cast_id", "pressure")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("cast_id") && !scanDesc.contains("t090C"),
+      s"expected pruned scan, got:\n$scanDesc")
+  }
+
+  test("filter pushdown: pressure >= 0 evaluated in the reader") {
+    val df = CtdRead.cnv(spark, s"$dataDir/CTD_with_sigma_e00.cnv")
+    val filtered = df.filter(col("pressure") >= 100.0)
+    val all = df.count()
+    val kept = filtered.count()
+    assert(kept > 0 && kept < all)
+    val desc = filtered.queryExecution.executedPlan.toString
+    assert(desc.contains("GreaterThanOrEqual"), s"pushdown missing in:\n$desc")
+  }
+
+  test("rosette summary reproduces the reference doctest vector") {
+    val ros = CtdRead.rosetteSummary(spark, s"$dataDir/CTD/g01l01s01.ros")
+    val got = ros.groupBy("nbf").agg(avg("pressure").as("p"))
+      .orderBy("nbf").collect().map(_.getAs[Double]("p").toInt).toSeq
+    assert(got == Seq(835, 806, 705, 604, 503, 404, 303, 201, 151, 100, 51, 1))
+  }
+
+  test("btl read: long statistic form with stitched timestamps") {
+    val df = CtdRead.btl(spark, s"$dataDir/btl/bottletest.btl")
+    assert(df.columns.contains("Statistic") && df.columns.contains("Bottle"))
+    val stats = df.select("Statistic").distinct.collect().map(_.getString(0)).toSet
+    assert(stats == Set("avg", "sdev", "min", "max"))
+    val row = df.filter(col("Bottle") === 1 && col("Statistic") === "avg")
+      .select("Date").collect()(0).getTimestamp(0)
+    assert(row.toString.startsWith("2013-06-27 21:23:18"))
+  }
+
+  test("edf/fsi/bl/castaway read through the source") {
+    assert(CtdRead.edf(spark, s"$dataDir/XBT.EDF.zip").count() > 0)
+    assert(CtdRead.fsi(spark, s"$dataDir/FSI.txt.gz").count() > 0)
+    val bl = CtdRead.bl(spark, s"$dataDir/bl/bottletest.bl")
+    assert(bl.select("startscan").collect().head.getInt(0) == 2579)
+    val ca = CtdRead.castawayCsv(spark, s"$dataDir/castaway_data.csv")
+    assert(ca.columns.contains("temperature") && ca.count() > 0)
+  }
+}
