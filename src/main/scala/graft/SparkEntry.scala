@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.Cast
+import graft.ops.{Cast, SeqOps}
 import graft.sources.CtdRead
 
 /**
@@ -222,6 +222,41 @@ object SparkEntry {
       edf.unionByName(fsi).unionByName(bl).unionByName(ca)
         .select(col("fmt"), col("n")).orderBy(col("fmt"))
     }),
+
+    // ---- order-dependent kernels over the events table --------------------
+    "q21_press_check" -> ((s: SparkSession, dir: String) => {
+      // value plays the pressure index; props is the data column masked at
+      // reversals. Exact float compares only — engine-deterministic.
+      Cast.pressCheck(t(s, dir, "events"), "user_id", "event_id",
+          valueCols = Seq("props"), pressure = "value")
+        .select(col("user_id"), col("event_id"), col("props").as("props_checked"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q22_lp_filter" -> ((s: SparkSession, dir: String) => {
+      // Sequential IIR (no SQL oracle): rows-only check; numeric fidelity is
+      // pinned by the SBE golden-file test in KernelSpec.
+      SeqOps.lpFilter(t(s, dir, "events"), "user_id", "event_id",
+          pressure = "value")
+        .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value_lp"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q23_smooth" -> ((s: SparkSession, dir: String) => {
+      SeqOps.smooth(t(s, dir, "events"), "user_id", "event_id",
+          valueCols = Seq("value"), windowLen = 11, window = "hanning")
+        .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value_smooth"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q24_bindata_interp" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .withColumn("pressure", col("event_id").cast(DoubleType))
+      SeqOps.bindataInterpolate(ev, "user_id", "event_id",
+          valueCols = Seq("value"), delta = 100.0)
+        .select(col("user_id"), col("pressure"), round(col("value"), 6).as("value_interp"))
+        .orderBy(col("user_id"), col("pressure"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -403,5 +438,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
+
+    // q16-q20 (file-format readers) and q22-q24 (sequential kernels) have no
+    // SQL-expressible oracle -> rows-only checks; exact semantics are pinned
+    // by golden-fixture ScalaTests (rosette vector, SBE-filtered file).
+
+    "q21_press_check" ->
+      """WITH w AS (
+        |  SELECT user_id u, event_id i, value p, props,
+        |    CASE WHEN lead(value) OVER (PARTITION BY user_id ORDER BY event_id) < value
+        |         THEN value END AS invref
+        |  FROM events
+        |), m AS (
+        |  SELECT u, i, p, props,
+        |    max(invref) OVER (PARTITION BY u ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM w
+        |)
+        |SELECT u AS user_id, i AS event_id,
+        |  CASE WHEN p < runmax THEN NULL ELSE props END AS props_checked
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
   )
 }

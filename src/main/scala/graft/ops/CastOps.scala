@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.DoubleType
  *
  * Every operator is `DataFrame => DataFrame` and purely declarative where
  * possible so that predicate pushdown / column pruning / exchange reuse apply.
- * Sequential kernels (press_check, lp_filter, smooth) live in [[SeqOps]].
+ * Genuinely sequential kernels (lp_filter, smooth, bindata-interpolate) live
+ * in [[SeqOps]]; press_check turned out to be window-expressible (below).
  */
 object Cast {
 
@@ -183,6 +184,34 @@ object Cast {
       val d3 = pass(d2.withColumn(c, col(p1)), p1, orig, n2, c)
       d3.drop(orig, p1)
     }
+  }
+
+  /**
+   * Remove pressure reversals. Reference loop (ctd/processing.py:93-109): at
+   * each inversion (`press[k+1] < press[k]`) set `ref = press[k]`; every
+   * later row with `press < ref` has its DATA columns set to NaN (the
+   * pressure index itself is kept).
+   *
+   * Closed form (equivalent because each inversion contributes its threshold
+   * independently): row j is masked iff
+   * `press[j] < max(press[k] : k < j, press[k+1] < press[k])` — a running
+   * max over inversion starts. One window, no sequential kernel; null/NaN
+   * pressures are never inversion starts and never masked (numpy NaN
+   * comparison semantics, guarded explicitly since Spark orders NaN last).
+   */
+  def pressCheck(df: DataFrame, castCol: String, orderCol: String,
+                 valueCols: Seq[String],
+                 pressure: String = "pressure"): DataFrame = {
+    val wOrd   = Window.partitionBy(castCol).orderBy(col(orderCol))
+    val wPrev  = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val p      = col(pressure)
+    val invRef = when(!isnan(p) && lead(p, 1).over(wOrd) < p, p)
+    val runmax = max(invRef).over(wPrev)
+    val mask   = coalesce(p < runmax, lit(false))
+    val masked = df.withColumn("__pc_mask", mask)
+    valueCols.foldLeft(masked) { (d, c) =>
+      d.withColumn(c, when(col("__pc_mask"), lit(null)).otherwise(col(c)))
+    }.drop("__pc_mask")
   }
 
   /**
