@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Cast, SeqOps}
+import graft.ops.{Cast, DedupOps, MultimodalOps, SeqOps, SimOps, TextOps}
 import graft.sources.CtdRead
 
 /**
@@ -142,10 +142,8 @@ object SparkEntry {
     }),
 
     "q12_dedup_exact" -> ((s: SparkSession, dir: String) => {
-      val d = t(s, dir, "documents")
-      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-      d.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      // digest-keyed (32-byte shuffle keys, never the document body)
+      DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -256,6 +254,92 @@ object SparkEntry {
           valueCols = Seq("value"), delta = 100.0)
         .select(col("user_id"), col("pressure"), round(col("value"), 6).as("value_interp"))
         .orderBy(col("user_id"), col("pressure"))
+    }),
+
+    // ---- training-data pipeline ops ---------------------------------------
+    "q25_near_dup_pairs" -> ((s: SparkSession, dir: String) => {
+      // corpus + perturbed copies of the first 50 docs (guaranteed near-dups)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+      DedupOps.nearDuplicatePairs(d.unionByName(perturbed), "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q26_near_dedup" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+      DedupOps.nearDedup(d.unionByName(perturbed), "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "q27_simhash" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+        .withColumn("sh", DedupOps.simHash64(TextOps.tokens(col("text"))))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), DedupOps.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+        .orderBy(col("id_a"))
+    }),
+
+    "q28_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .filter(col("id_b") < 500)
+      DedupOps.jaccardForPairs(d, pairs, "doc_id", "text", shingleSize = 3)
+        .orderBy(col("id_a"))
+    }),
+
+    "q29_ann_cosine" -> ((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "embeddings")
+      SimOps.cosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q30_ann_lsh" -> ((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "embeddings")
+      SimOps.lshCosineTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nPlanes = 6)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q31_langid" -> ((s: SparkSession, dir: String) => {
+      TextOps.langId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang_pred"), col("lang_pred_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q32_quality" -> ((s: SparkSession, dir: String) => {
+      TextOps.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("alpha_ratio"), col("punct_ratio"),
+          col("mean_tok_len"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q33_fingerprint" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q34_multimodal" -> ((s: SparkSession, dir: String) => {
+      val media = MultimodalOps.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+      val feats = MultimodalOps.extractFeatures(media, dim = 16)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feat"), 1), 6).as("f0"))
+      val frames = MultimodalOps.sampleFrames(media)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+      feats.join(frames, Seq("media_id"), "left")
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("f0"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("media_id"))
     }),
   )
 
@@ -458,5 +542,116 @@ object SparkEntry {
         |SELECT u AS user_id, i AS event_id,
         |  CASE WHEN p < runmax THEN NULL ELSE props END AS props_checked
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+
+    // q25-q27, q30, q34: xxhash64/md5-simhash/LSH-bucket internals are not
+    // reproducible in DuckDB -> rows-only checks; semantics covered by
+    // PipelineOpsSpec.
+
+    "q28_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM tok
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+        |    THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.s, b.s)))
+        |    ELSE 0.0 END, 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |WHERE b.doc_id < 500
+        |ORDER BY id_a""".stripMargin,
+
+    "q29_ann_cosine" ->
+      // CAST to DOUBLE[] so DuckDB's fold runs in double precision like the
+      // Spark-side aggregate — verified bit-identical (incl. ranks) locally.
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(CASE WHEN sqrt(list_inner_product(q.v, q.v))
+        |                  * sqrt(list_inner_product(c.v, c.v)) > 0
+        |      THEN list_inner_product(q.v, c.v)
+        |           / (sqrt(list_inner_product(q.v, q.v))
+        |              * sqrt(list_inner_product(c.v, c.v)))
+        |      ELSE 0.0 END, 6) AS cos_sim
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q31_langid" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t,
+        |      x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS DOUBLE) / len(t) ELSE 0.0 END AS s_de,
+        |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t,
+        |      x -> list_contains(['the','a','of','and','is','to','in','that'], x))) AS DOUBLE) / len(t) ELSE 0.0 END AS s_en,
+        |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t,
+        |      x -> list_contains(['el','la','de','que','y','en','un','por'], x))) AS DOUBLE) / len(t) ELSE 0.0 END AS s_es,
+        |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t,
+        |      x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS DOUBLE) / len(t) ELSE 0.0 END AS s_fr
+        |  FROM tok
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN s_fr > s_es AND s_fr > s_en AND s_fr > s_de THEN 'fr'
+        |       WHEN s_es > s_en AND s_es > s_de THEN 'es'
+        |       WHEN s_en > s_de THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  round(greatest(s_de, s_en, s_es, s_fr), 6) AS lang_pred_score
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q32_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, n, alpha, punct, t,
+        |    CASE WHEN len(t) > 0 THEN
+        |      CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+        |    ELSE 0.0 END AS mtl,
+        |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','mit','the','a','of','and',
+        |       'is','to','in','that','el','la','de','que','y','en','un','por','le',
+        |       'les','et','est','une','dans'], x))) AS DOUBLE) / len(t)
+        |    ELSE 0.0 END AS stop
+        |  FROM base
+        |)
+        |SELECT doc_id,
+        |  round(alpha / greatest(n, 1.0), 6) AS alpha_ratio,
+        |  round(punct / greatest(n, 1.0), 6) AS punct_ratio,
+        |  round(mtl, 6) AS mean_tok_len,
+        |  CASE WHEN n < 20 THEN 0.0 ELSE
+        |    round(least(1.0, (alpha / greatest(n, 1.0)) * 0.5
+        |      + least(stop * 5.0, 1.0) * 0.3
+        |      + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END), 6)
+        |  END AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(array_to_string(
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |    ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

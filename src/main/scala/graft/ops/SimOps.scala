@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ *  - `cosineTopK` — brute-force baseline: broadcast the (small) query set,
+ *    codegen'd dot products over every row, per-query top-k. Exact; cost is
+ *    one scan per query batch. Shuffle = k rows per query.
+ *  - `lshCosineTopK` — the scale path: random-hyperplane signatures bucket
+ *    the corpus (signsketch equi-join), so each query compares against its
+ *    bucket only. Approximate; planes are seeded-deterministic.
+ *
+ * All arithmetic is double-precision left-to-right folds over the array —
+ * the exact same fold DuckDB's list_inner_product performs, which makes the
+ * brute-force path oracle-able bit-for-bit.
+ */
+object SimOps {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  /**
+   * Exact top-k cosine neighbors for each query row. `queries` should be
+   * small (it is broadcast); ties break by neighbor id ascending. Self-match
+   * excluded.
+   */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Deterministic random hyperplanes (Gaussian, fixed seed): `nPlanes` x
+    * `dim`. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-sketch bucket id: bit b = sign(v . plane_b). 32 planes -> int. */
+  def signSketch(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: candidates share the query's bucket
+   * (equi-join on the sketch — at 1e9 rows this is a hash join on a long,
+   * never a cross join). Recall is tunable via plane count; with b planes
+   * the corpus fans into 2^b buckets.
+   */
+  def lshCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 5, nPlanes: Int = 8,
+                    seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__bucket", signSketch(col("__cv"), planes))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__bucket", signSketch(col("__qv"), planes)))
+    val scored = c.join(q, "__bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+}

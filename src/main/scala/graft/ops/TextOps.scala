@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines. All are
+ * pure `org.apache.spark.sql.functions` expressions (codegen'd, no UDFs, no
+ * shuffles) — at 100 TB these run map-side at scan speed.
+ *
+ * Every operator is deterministic arithmetic over the text, so each has an
+ * exact DuckDB-SQL oracle.
+ */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace-ish token count (BPE-ish regex over raw text). */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+")).cast(LongType)
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Real corpora would use larger lists; the mechanism (arrays +
+    * vectorized membership counting) is the scale-relevant part. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"))
+
+  /** Stopword-hit score for one language: fraction of tokens in the marker
+    * set. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val tok = tokens(text)
+    val hits = size(filter(tok, t => array_contains(
+      array(markers.map(lit): _*), t)))
+    when(size(tok) > 0, hits.cast(DoubleType) / size(tok).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Predicted language = argmax marker score (ties -> alphabetically first
+    * language, via the greatest-score/first-match scan). */
+  def langId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
+    val scored = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"__ls_$lang", langScore(col(textCol), markers))
+    }
+    val best = LangMarkers.map(_._1)
+      .foldLeft(lit(null).cast(StringType) -> lit(-1.0)) {
+        case ((bestLang, bestScore), lang) =>
+          val s = col(s"__ls_$lang")
+          (when(s > bestScore, lit(lang)).otherwise(bestLang),
+            when(s > bestScore, s).otherwise(bestScore))
+      }
+    scored.withColumn(out, best._1)
+      .withColumn(out + "_score", round(best._2, 6))
+      .drop(LangMarkers.map { case (l, _) => s"__ls_$l" }: _*)
+  }
+
+  /**
+   * Quality signals: length, alphabetic/digit/punctuation/whitespace ratios,
+   * mean token length, stopword ratio — combined into a [0,1] score with the
+   * usual "too short / too symbol-heavy / no stopwords" penalties.
+   */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast(DoubleType)
+    val alpha = regexp_count(t, lit("[A-Za-z]")).cast(DoubleType)
+    val digit = regexp_count(t, lit("[0-9]")).cast(DoubleType)
+    val punct = regexp_count(t, lit("[.,;:!?]")).cast(DoubleType)
+    val tok = tokens(t)
+    val nTok = size(tok).cast(DoubleType)
+    val meanTokLen = when(nTok > 0,
+      aggregate(tok, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) / nTok)
+      .otherwise(lit(0.0))
+    val stop = langScore(t, TextOps.LangMarkers.flatMap(_._2).distinct)
+    val score =
+      when(n < 20, lit(0.0)).otherwise(
+        round(least(lit(1.0),
+          (alpha / greatest(n, lit(1.0))) * lit(0.5) +
+            least(stop * lit(5.0), lit(1.0)) * lit(0.3) +
+            when(meanTokLen.between(3.0, 10.0), lit(0.2)).otherwise(lit(0.0))), 6))
+    df.withColumn("n_chars_m", n.cast(LongType))
+      .withColumn("alpha_ratio", round(alpha / greatest(n, lit(1.0)), 6))
+      .withColumn("digit_ratio", round(digit / greatest(n, lit(1.0)), 6))
+      .withColumn("punct_ratio", round(punct / greatest(n, lit(1.0)), 6))
+      .withColumn("mean_tok_len", round(meanTokLen, 6))
+      .withColumn("quality", score)
+  }
+
+  /** Content-defined fingerprint: sha2-256 of the token-normalized text
+    * (whitespace/punctuation-insensitive — two docs differing only in
+    * formatting collide, which is the point). */
+  def fingerprint(text: Column): Column =
+    sha2(array_join(tokens(text), " "), 256)
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, MultimodalOps, SimOps, TextOps}
+
+class PipelineOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"), // near-dup of 0
+    (2L, "completely different content about spark window aggregation semantics"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (4L, "der hund ist nicht mit der katze und der maus")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest id per identical text") {
+    val out = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(0L, 1L, 2L, 4L)) // doc 3 (dup of 0) dropped
+  }
+
+  test("nearDuplicatePairs finds the near-dup and the exact dup, not the distinct doc") {
+    val pairs = DedupOps.nearDuplicatePairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)),
+      s"near dup pair missing: $pairs")
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L },
+      s"distinct doc should not pair: $pairs")
+  }
+
+  test("nearDedup drops near/exact dups, keeps distinct docs") {
+    val kept = DedupOps.nearDedup(docs, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.contains(0L) && kept.contains(2L) && kept.contains(4L))
+    assert(!kept.contains(3L))
+  }
+
+  test("simhash: identical texts identical, near-dups close, distinct far") {
+    val sh = docs.withColumn("sh", DedupOps.simHash64(TextOps.tokens(col("text"))))
+      .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(1L)) < 12)
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) > 12)
+  }
+
+  test("langId picks the marker-dense language") {
+    val out = TextOps.langId(docs, "text")
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "de")
+  }
+
+  test("qualityScore: empty-ish text scores 0, normal text in (0, 1]") {
+    val df = Seq((0L, "x"), (1L, "the quick brown fox is a good dog and that is that"))
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityScore(df, "text")
+      .select("doc_id", "quality").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(0L) == 0.0)
+    assert(out(1L) > 0.3 && out(1L) <= 1.0)
+  }
+
+  test("fingerprint is formatting-insensitive") {
+    val df = Seq((0L, "Hello,  World! 42"), (1L, "hello world 42"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("cosineTopK: identical vector ranks first with sim 1") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = SimOps.cosineTopK(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(top(0).getAs[Double]("cos_sim") == 1.0)
+    assert(top(1).getAs[Long]("neighbor_id") == 3L)
+    assert(top(2).getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("lshCosineTopK returns a subset consistent with brute force ranking") {
+    val rng = new scala.util.Random(7)
+    val e = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+    val brute = SimOps.cosineTopK(e, q, "vec_id", "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SimOps.lshCosineTopK(e, q, "vec_id", "embedding", 5, nPlanes = 4)
+    val lshRows = lsh.collect()
+    assert(lshRows.nonEmpty)
+    // every LSH neighbor's sim must equal the brute-force sim for that pair
+    val recall = lshRows.count(r => brute.contains((r.getLong(0), r.getLong(2))))
+    assert(recall > 0, "LSH found none of the true top-5")
+  }
+
+  test("multimodal: feature extraction and frame sampling plumbing") {
+    val d = Seq((0L, "abc"), (1L, "defgh"), (2L, "ijklmnop")).toDF("doc_id", "text")
+    val media = MultimodalOps.syntheticMedia(d, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "kind", "bytes", "meta"))
+    val feats = MultimodalOps.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 3)
+    assert(feats.forall(_.getAs[scala.collection.Seq[Double]]("feat").length == 8))
+    assert(feats.find(_.getLong(0) == 1L).get.getAs[Long]("n_bytes") == 5L)
+    // determinism: same input -> same features
+    val feats2 = MultimodalOps.extractFeatures(media, dim = 8).collect()
+    assert(feats.map(_.getAs[scala.collection.Seq[Double]]("feat")).toSeq ==
+      feats2.map(_.getAs[scala.collection.Seq[Double]]("feat")).toSeq)
+    val frames = MultimodalOps.sampleFrames(media, stride = 30)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx"))
+  }
+}
