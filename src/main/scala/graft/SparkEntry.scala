@@ -341,6 +341,45 @@ object SparkEntry {
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
         .orderBy(col("media_id"))
     }),
+
+    // ---- extras -----------------------------------------------------------
+    "q35_cell_thermal_mass" -> ((s: SparkSession, dir: String) => {
+      // temperature/conductivity stand-ins from events (deterministic
+      // arithmetic; the real-data path is exercised in ExtrasSpec)
+      val ev = t(s, dir, "events")
+        .withColumn("temp", col("value") / 10.0)
+        .withColumn("cond", col("value") / 100.0 + 3.0)
+      graft.ops.Extras.cellThermalMass(ev, "user_id", "event_id", "temp", "cond")
+        .select(col("user_id"), col("event_id"), round(col("ctm"), 6).as("ctm"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q36_barrier_layer" -> ((s: SparkSession, dir: String) => {
+      // SA/CT stand-ins; sigma0 is the TEOS-10 75-term scalar (no DuckDB
+      // equivalent -> rows-only; GswSpec pins the check values)
+      val ev = t(s, dir, "events")
+        .withColumn("sa", col("value") / 4.0 + 20.0)
+        .withColumn("ct", lit(30.0) - col("value") / 10.0)
+      graft.ops.Extras.barrierLayerMask(ev, "user_id", "event_id", "sa", "ct")
+        .select(col("user_id"), col("event_id"),
+          round(col("sigma_theta"), 6).as("sigma_theta"), col("blt_mask"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q37_section" -> ((s: SparkSession, _: String) => {
+      // multi-cast section from real fixtures: ascending downcasts binned
+      // per cast, cumulative station distance from the casts metadata table
+      val raw = CtdRead.cnv(s, s"$fixtures/CTD")
+      val samples = Cast.split(Cast.removeAboveWater(raw), "cast_id", "scan_order")
+        .filter(col("direction") === "down")
+      val meta = CtdRead.casts(s, "cnv", s"$fixtures/CTD")
+      graft.ops.Extras.section(samples, meta, "cast_id", "scan_order",
+          "t090C", delta = 50.0)
+        .select(col("cast_id"), col("pressure"),
+          round(col("t090C"), 6).as("t090C"),
+          round(col("station_dist_m"), 2).as("station_dist_m"))
+        .orderBy(col("cast_id"), col("pressure"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -423,10 +462,16 @@ object SparkEntry {
         |FROM w2 ORDER BY user_id, event_id""".stripMargin,
 
     "q08_moving_average" ->
+      // the CASE guard mirrors Cast.movingAverage's null propagation (a null
+      // inside the window -> null, numpy NaN semantics); events.value has no
+      // nulls today but the oracle must stay equivalent on any data
       """SELECT user_id, event_id,
-        |  round(coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 0) / 5.0, 6) AS value_ma
-        |FROM events ORDER BY user_id, event_id""".stripMargin,
+        |  CASE WHEN count(*) OVER w > count(value) OVER w THEN NULL
+        |       ELSE round(coalesce(sum(value) OVER w, 0) / 5.0, 6) END AS value_ma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q09_despike" ->
       """WITH s1 AS (
@@ -653,5 +698,21 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
         |    ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q35_cell_thermal_mass" ->
+      // a = 2*0.03/((1/15)*(1/7)+2) ; b = 1 - 2a/0.03 ; ctm = -b*C + a*dcdt*dT
+      """WITH base AS (
+        |  SELECT user_id, event_id, value/10.0 AS temp, value/100.0 + 3.0 AS cond
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, event_id, temp, cond,
+        |    temp - lag(temp) OVER (PARTITION BY user_id ORDER BY event_id) AS dt
+        |  FROM base
+        |)
+        |SELECT user_id, event_id,
+        |  round(-1.0 * (1.0 - 2.0*(2.0*0.03/((1.0/15.0)*(1.0/7.0)+2.0))/0.03) * cond
+        |    + (2.0*0.03/((1.0/15.0)*(1.0/7.0)+2.0))
+        |      * (0.1*(1.0 + 0.006*(temp - 20.0))) * dt, 6) AS ctm
+        |FROM d ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -251,7 +251,13 @@ object Cast {
   }
 
   /** Max pressure at which each value column is non-null, per cast.
-    * Reference: ctd/extras.py:36-39 (`get_maxdepth`). */
+    * Reference: ctd/extras.py:36-39 (`get_maxdepth`).
+    *
+    * Intentional divergence from the reference, which multiplies the index
+    * by the validity mask: there an all-null column yields 0.0 (not
+    * null/NaN) and negative pressures clamp toward 0 because invalid rows
+    * contribute literal zeros to the max. Here an all-null column yields
+    * null and only valid rows participate — the SQL-native semantics. */
   def maxDepth(df: DataFrame, castCol: String, valueCols: Seq[String],
                pressure: String = "pressure"): DataFrame = {
     val aggs = valueCols.map(c => max(when(col(c).isNotNull, col(pressure))).as(c))

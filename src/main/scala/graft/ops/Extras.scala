@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * Derived-quantity operators from the reference's extras module
+ * (ctd/extras.py): conductivity thermal-mass correction, barrier-layer
+ * thickness, and the section pivot that backs `plot_section`.
+ */
+object Extras {
+
+  private def sigma0Udf = udf((sa: java.lang.Double, ct: java.lang.Double) =>
+    if (sa == null || ct == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(graft.gsw.Gsw.sigma0(sa, ct)))
+
+  /**
+   * Conductivity cell thermal-mass correction [S/m].
+   *
+   * The reference implementation (ctd/extras.py:262-279) is BROKEN: it wraps
+   * the dc/dt expression in a Python list (`[temperature - 20]`) and uses
+   * `np.diff` whose output is one element short, so it raises on any real
+   * input. This implements the INTENDED SBE formula it documents:
+   * `a = 2*alpha/(si*beta + 2)`, `b = 1 - 2a/alpha`,
+   * `dcdt = 0.1*(1 + 0.006*(T - 20))`, `ctm = -b*C + a*dcdt*dT` with
+   * `dT = T - lag(T)` (first sample -> null). Divergence documented here and
+   * pinned in ExtrasSpec.
+   */
+  def cellThermalMass(df: DataFrame, castCol: String, orderCol: String,
+                      tempCol: String, condCol: String,
+                      alpha: Double = 0.03, beta: Double = 1.0 / 7,
+                      sampleInterval: Double = 1 / 15.0,
+                      out: String = "ctm"): DataFrame = {
+    val a = 2 * alpha / (sampleInterval * beta + 2)
+    val b = 1 - (2 * a / alpha)
+    val w = Window.partitionBy(castCol).orderBy(col(orderCol))
+    val dt = col(tempCol) - lag(col(tempCol), 1).over(w)
+    val dcdt = lit(0.1) * (lit(1.0) + lit(0.006) * (col(tempCol) - lit(20.0)))
+    df.withColumn(out, lit(-1.0) * lit(b) * col(condCol) + lit(a) * dcdt * dt)
+  }
+
+  /**
+   * Barrier-layer mask (ctd/extras.py:293-311): with
+   * `sigma_theta = sigma0(SA, CT)`, the mixed-layer mask `ct[0]-ct < 0.5`,
+   * `mld` = LAST row where the mask holds, the barrier layer is
+   * `sigma_theta - sigma0(sa[0], ct[mld]) < sigma_theta[0] - sigma0(sa[0],
+   * ct[mld])`. First/last-in-cast values come from unbounded windows — fully
+   * relational apart from the sigma0 scalar.
+   */
+  def barrierLayerMask(df: DataFrame, castCol: String, orderCol: String,
+                       saCol: String, ctCol: String,
+                       out: String = "blt_mask"): DataFrame = {
+    val wAll = Window.partitionBy(castCol).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val s0    = sigma0Udf(col(saCol), col(ctCol))
+    val mld   = (first(col(ctCol)).over(wAll) - col(ctCol)) < lit(0.5)
+    val ctMld = last(when(mld, col(ctCol)), ignoreNulls = true).over(wAll)
+    val saSfc = first(col(saCol)).over(wAll)
+    val sigSurface   = first(s0).over(wAll)
+    val sigBottomMld = sigma0Udf(saSfc, ctMld)
+    df.withColumn("sigma_theta", s0)
+      .withColumn(out, (col("sigma_theta") - sigBottomMld) < (sigSurface - sigBottomMld))
+  }
+
+  /**
+   * Section view (the engine half of `plot_section`, ctd/extras.py:155-259):
+   * casts binned onto a shared pressure grid (long form — the matrix is one
+   * `groupBy(pressure).pivot(cast_id)` away, which stays driver-side since
+   * the station count, not the sample count, bounds it). Station distance is
+   * the cumulative haversine between consecutive casts' positions, from the
+   * `casts` metadata table (gsw.distance, extras.py:146,176).
+   */
+  def section(samples: DataFrame, casts: DataFrame, castCol: String,
+              orderCol: String, valueCol: String, delta: Double = 1.0,
+              pressure: String = "pressure"): DataFrame = {
+    val binned = Cast.bindataAverage(samples, castCol, orderCol,
+      Seq(valueCol), delta, pressure, keepEmpty = false)
+    val wOrd = Window.orderBy(col("lon"), col("lat"), col(castCol))
+    val segment = udf((lon1: java.lang.Double, lat1: java.lang.Double,
+                       lon2: java.lang.Double, lat2: java.lang.Double) =>
+      if (lon1 == null || lat1 == null || lon2 == null || lat2 == null)
+        java.lang.Double.valueOf(0.0)
+      else java.lang.Double.valueOf(graft.gsw.Gsw.distance(lon1, lat1, lon2, lat2)))
+    // cumulative along-track distance per cast (stations ordered by position;
+    // callers with a cruise order should pre-sort and pass a station index)
+    val stations = casts
+      .dropDuplicates(castCol) // one station per cast (e.g. ros + cnv of the same cast)
+      .withColumn("__seg", segment(
+        lag(col("lon"), 1).over(wOrd), lag(col("lat"), 1).over(wOrd),
+        col("lon"), col("lat")))
+      .withColumn("station_dist_m",
+        sum(col("__seg")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("cast_id").as(castCol), col("lon"), col("lat"), col("station_dist_m"))
+    binned.join(broadcast(stations), Seq(castCol), "left")
+  }
+
+  /** Data path behind `plot_cast` (ctd/plotting.py:12-58): one channel of
+    * one cast ordered by pressure, ready for the renderer. */
+  def plotCastData(df: DataFrame, castCol: String, valueCol: String,
+                   pressure: String = "pressure"): DataFrame =
+    df.select(col(castCol), col(pressure), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .orderBy(col(castCol), col(pressure))
+}
