@@ -369,9 +369,13 @@ object SparkEntry {
     "q37_section" -> ((s: SparkSession, _: String) => {
       // multi-cast section from real fixtures: ascending downcasts binned
       // per cast, cumulative station distance from the casts metadata table
+      // persist: bindata's edge aggregate + main aggregate each scan the
+      // samples, and a ctd-source scan is a full re-parse (no columnar cache
+      // behind it, unlike parquet)
       val raw = CtdRead.cnv(s, s"$fixtures/CTD")
       val samples = Cast.split(Cast.removeAboveWater(raw), "cast_id", "scan_order")
         .filter(col("direction") === "down")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val meta = CtdRead.casts(s, "cnv", s"$fixtures/CTD")
       graft.ops.Extras.section(samples, meta, "cast_id", "scan_order",
           "t090C", delta = 50.0)

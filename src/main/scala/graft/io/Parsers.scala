@@ -428,6 +428,62 @@ object Parsers {
         header = metaLines.mkString("\n"), config = units.mkString(",")))
   }
 
+  private def btlType(n: String): DataType = n match {
+    case "Bottle" | "Scan" | "bpos" => IntegerType
+    case "pumps" | "flag"           => BooleanType
+    case "Statistic"                => StringType
+    case "Date"                     => TimestampType
+    case _                          => DoubleType
+  }
+
+  /**
+   * Schema WITHOUT materializing data rows — planning-time inference reads
+   * only the header region (plus, for formats with a header row, that row).
+   * The r2 bench showed full driver-side parses serializing multi-MB casts
+   * one by one at plan time; a 100 TB listing must never do that.
+   */
+  def schemaOnly(ftype: String, path: String, text: String): StructType = ftype match {
+    case "cnv" | "ros" =>
+      val hdr   = CastHeader.parse(RawFile.toLines(text), "cnv")
+      val names = hdr.names.map(_.trim)
+      val prkey = PressureKeys.find(names.contains).getOrElse(
+        throw new IllegalArgumentException(
+          "Expected one pressure/depth column, didn't receive any"))
+      val prIdx = names.indexOf(prkey)
+      StructType(StructField("pressure", DoubleType) +:
+        names.zipWithIndex.filter(_._2 != prIdx)
+          .map { case (n, _) => StructField(n, cnvType(n)) })
+    case "btl" =>
+      val hdr = CastHeader.parse(RawFile.toLines(text), "btl")
+      StructType(hdr.names.map(n => StructField(n, btlType(n))))
+    case "edf" =>
+      val names = RawFile.toLines(text).iterator.map(_.trim)
+        .takeWhile(_ != "// Data")
+        .filter(_.startsWith("Field"))
+        .flatMap(_.split(":", 2).lift(1))
+        .map(_.trim.toLowerCase(Locale.ROOT).split("\\s+").headOption.getOrElse(""))
+        .filter(_.nonEmpty).toVector
+      StructType(names.map(n => StructField(n, DoubleType)))
+    case "fsi" =>
+      val header = RawFile.toLines(text).drop(9).headOption.getOrElse("")
+      val names = header.trim.split("\\s+").filter(_.nonEmpty).toVector
+      StructType(StructField("pressure", DoubleType) +:
+        names.filter(_ != "PRES").map(n => StructField(n, DoubleType)))
+    case "bl" =>
+      StructType(Seq(
+        StructField("index", IntegerType), StructField("bottle_number", IntegerType),
+        StructField("time", TimestampType), StructField("startscan", IntegerType),
+        StructField("endscan", IntegerType)))
+    case "castaway" =>
+      val headerRow = RawFile.toLines(text).map(_.trim)
+        .find(l => l.nonEmpty && !l.startsWith("%")).getOrElse("")
+      val names = headerRow.split(",").toVector.map(s =>
+        CastHeader.normalizeName(s.split("\\(")(0)).toLowerCase(Locale.ROOT).replace(" ", "_"))
+      StructType(StructField("pressure", DoubleType) +:
+        names.filter(_ != "pressure").map(n => StructField(n, DoubleType)))
+    case other => throw new IllegalArgumentException(s"Unknown ftype: $other")
+  }
+
   /** Dispatch by ftype string. */
   def parse(ftype: String, path: String, text: String): ParsedCast = ftype match {
     case "cnv"      => cnv(path, text)

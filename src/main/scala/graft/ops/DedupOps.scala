@@ -40,12 +40,35 @@ object DedupOps {
     withDigest.join(keep, Seq("__digest", idCol), "left_semi").drop("__digest")
   }
 
-  /** MinHash signature: element i = min over shingles of xxhash64(shingle,
-    * seed_i). Pure expressions — one pass, no shuffle. */
-  def minHashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column = {
-    val sh = shingles(text, shingleSize)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+  /**
+   * MinHash signature over the shingle set. Uses the standard double-hashing
+   * family `h_i = h1 + i*h2` (Kirsch–Mitzenmacher) so each shingle is
+   * string-hashed ONCE, then k minima accumulate in a single compiled pass —
+   * a per-element Catalyst lambda (`transform`/`array_min` k times) is
+   * interpreted, which benchmarked ~100x slower at k=64. A compiled Scala
+   * UDF is the middle rung of the custom-op ladder (SURVEY §7.3); promote to
+   * a codegen Expression if profiles ever demand.
+   */
+  def minHashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    minhashUdf(lit(numHashes))(shingles(text, shingleSize))
+
+  private def minhashUdf(k: Column) = {
+    val f = udf { (sh: Seq[String], k: Int) =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      sh.foreach { s =>
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong | 1L
+        var i = 0
+        var h = h1
+        while (i < k) {
+          if (h < sig(i)) sig(i) = h
+          h += h2
+          i += 1
+        }
+      }
+      sig
+    }
+    (sh: Column) => f(sh, k)
   }
 
   /** Banded LSH: split the signature into `bands` slices, hash each; emit
@@ -61,32 +84,28 @@ object DedupOps {
 
   /**
    * Candidate near-duplicate pairs (a < b) from shared LSH buckets, verified
-   * with exact shingle Jaccard >= `threshold`. The join is bucket-local:
-   * shuffle keys are (band_id, band_hash) ints, and the shingle arrays
-   * travel only for rows that actually collide.
+   * with exact shingle Jaccard >= `threshold`.
+   *
+   * Candidate generation carries ONLY (band keys, id): the bucket self-join
+   * and the distinct() shuffle two ints + an id per row. Shingle arrays join
+   * in afterwards, once per side, for colliding pairs only — carrying them
+   * through the band explosion (x bands) and deduplicating array payloads
+   * was a 345 s scale bug in the r2 bench at a mere 5k docs.
    */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 64, bands: Int = 16,
                          shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
     val withSig = df.select(col(idCol), col(textCol))
       .withColumn("__sig", minHashSignature(col(textCol), numHashes, shingleSize))
-      .withColumn("__sh", shingles(col(textCol), shingleSize))
     val bandsDf = lshBands(withSig, idCol, "__sig", bands)
-      .join(withSig.select(col(idCol), col("__sh")), idCol)
-    val a = bandsDf.select(col("band_id"), col("band_hash"),
-      col(idCol).as("id_a"), col("__sh").as("sh_a"))
-    val b = bandsDf.select(col("band_id"), col("band_hash"),
-      col(idCol).as("id_b"), col("__sh").as("sh_b"))
-    val pairs = a.join(b, Seq("band_id", "band_hash"))
+    val a = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)
-    pairs
-      .withColumn("jaccard", round(when(union > 0, inter / union).otherwise(lit(0.0)), 6))
+    jaccardForPairs(df, candidates, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Near-dedup: drop every doc that near-duplicates a lower-id doc (one

@@ -108,12 +108,15 @@ object CtdDataSource {
   private[sources] def fileFieldName(n: String): String =
     if (n == CastIdCol || n == ScanOrderCol) n + "_" else n
 
-  /** Union-by-name schema over all files, prefixed by (cast_id, scan_order). */
+  /** Union-by-name schema over all files, prefixed by (cast_id, scan_order).
+    * Planning-time inference is header-only (`Parsers.schemaOnly`) — data
+    * rows are never materialized on the driver. */
   private[sources] def schemaFor(c: Conf): StructType = {
     if (c.view == "meta") return MetaSchema
     val seen = collection.mutable.LinkedHashMap.empty[String, StructField]
     c.files.foreach { f =>
-      parseFile(c.ftype, f).schema.fields.foreach { fld =>
+      val text = RawFile.decode(RawFile.bytes(f))
+      Parsers.schemaOnly(c.ftype, f, text).fields.foreach { fld =>
         val n = fileFieldName(fld.name)
         seen.getOrElseUpdate(n, fld.copy(name = n))
       }
