@@ -384,6 +384,32 @@ object SparkEntry {
           round(col("station_dist_m"), 2).as("station_dist_m"))
         .orderBy(col("cast_id"), col("pressure"))
     }),
+
+    "q38_bottle_stats" -> ((s: SparkSession, _: String) => {
+      // BTL avg/sdev/min/max recomputed from the ROS bottle log
+      // (rows-only: DuckDB cannot read .ros; shape mirrored from the real
+      // .btl fixture in CtdSourceSpec)
+      val ros = CtdRead.rosetteSummary(s, s"$fixtures/CTD/g01l01s01.ros")
+        .filter(col("nbf") > 0)
+        .withColumn("cond", col("`c0S/m`"))
+      graft.ops.Extras.bottleStats(ros, "cast_id", "nbf",
+          Seq("pressure", "t090C", "cond"))
+        .select(col("nbf"), col("Statistic"), round(col("pressure"), 4).as("pressure"),
+          round(col("t090C"), 4).as("t090C"), round(col("cond"), 4).as("cond"))
+        .orderBy(col("nbf"), col("Statistic"))
+    }),
+
+    "q39_set_ops" -> ((s: SparkSession, dir: String) => {
+      // §2.6 set-operation surface: users active in both halves of the
+      // event stream, minus a blocklist (intersect + except)
+      val ev = t(s, dir, "events")
+      val mid = ev.agg(max(col("event_id")) / 2).first().getDouble(0)
+      val early = ev.filter(col("event_id") <= mid).select(col("user_id"))
+      val late  = ev.filter(col("event_id") > mid).select(col("user_id"))
+      val blocked = ev.filter(col("user_id") % 17 === 0).select(col("user_id"))
+      early.intersect(late).except(blocked)
+        .orderBy(col("user_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -718,5 +744,15 @@ object SparkEntry {
         |    + (2.0*0.03/((1.0/15.0)*(1.0/7.0)+2.0))
         |      * (0.1*(1.0 + 0.006*(temp - 20.0))) * dt, 6) AS ctm
         |FROM d ORDER BY user_id, event_id""".stripMargin,
+
+    "q39_set_ops" ->
+      """WITH mid AS (SELECT max(event_id) / 2.0 AS m FROM events)
+        |SELECT user_id FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_id <= (SELECT m FROM mid)
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_id > (SELECT m FROM mid)
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0
+        |) ORDER BY user_id""".stripMargin,
   )
 }

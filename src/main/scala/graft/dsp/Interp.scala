@@ -6,6 +6,10 @@ package graft.dsp
   * xp(last) -> fp(last)). Assumes xp ascending, like np.interp. */
 object Interp {
 
+  /** Single-point np.interp (same clamping semantics as [[linear]]). */
+  def linearOne(x: Double, xp: Array[Double], fp: Array[Double]): Double =
+    linear(Array(x), xp, fp)(0)
+
   def linear(newX: Array[Double], xp: Array[Double], fp: Array[Double]): Array[Double] = {
     require(xp.length == fp.length, "xp and fp must have the same length")
     val n = xp.length

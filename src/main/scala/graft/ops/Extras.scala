@@ -96,6 +96,27 @@ object Extras {
     binned.join(broadcast(stations), Seq(castCol), "left")
   }
 
+  /**
+   * Recompute BTL-style per-bottle statistics from a ROS bottle log
+   * (SURVEY §2.4: the .btl file's avg/sdev/min/max rows, as SBE software
+   * derives them from the scans around each bottle closure). `sdev` is the
+   * SAMPLE standard deviation — SBE convention (stddev_samp, not the
+   * population std despike uses; SURVEY §7.4 item 4). Long output: one row
+   * per (cast, bottle, statistic).
+   */
+  def bottleStats(ros: DataFrame, castCol: String, bottleCol: String,
+                  valueCols: Seq[String]): DataFrame = {
+    def forStat(stat: String, f: Column => Column): DataFrame =
+      ros.groupBy(col(castCol), col(bottleCol))
+        .agg(f(col(valueCols.head)).as(valueCols.head),
+          valueCols.tail.map(c => f(col(c)).as(c)): _*)
+        .withColumn("Statistic", lit(stat))
+    forStat("avg", avg)
+      .unionByName(forStat("sdev", stddev_samp))
+      .unionByName(forStat("min", min))
+      .unionByName(forStat("max", max))
+  }
+
   /** Data path behind `plot_cast` (ctd/plotting.py:12-58): one channel of
     * one cast ordered by pressure, ready for the renderer. */
   def plotCastData(df: DataFrame, castCol: String, valueCol: String,
