@@ -31,4 +31,23 @@ object CtdRead {
   def rosetteSummary(spark: SparkSession, path: String): DataFrame =
     spark.read.format("ctd").option("ftype", "ros").load(path)
       .withColumn("nbf", col("nbf").cast(IntegerType))
+
+  /** In-memory read — the reference accepts `StringIO` streams
+    * (tests/test_read.py:112-114); the Spark analog parses driver-held text
+    * and parallelizes the rows. For files, prefer the `ctd` format (the
+    * parse then runs in executor tasks). */
+  def fromText(spark: SparkSession, ftype: String, name: String,
+               text: String): DataFrame = {
+    val parsed = graft.io.Parsers.parse(ftype, name, text)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("cast_id",
+        org.apache.spark.sql.types.StringType) +:
+      org.apache.spark.sql.types.StructField("scan_order",
+        org.apache.spark.sql.types.LongType) +: parsed.schema.fields.toSeq)
+    val rows = parsed.rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(parsed.castId +: i.toLong +: r.toIndexedSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
 }

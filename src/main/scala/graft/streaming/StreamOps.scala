@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming surface. The reference is batch-only (files), but the
+ * engine's data model — many casts keyed by `cast_id`, ordered by scan —
+ * extends naturally to live instrument feeds: `readStream` -> the same
+ * column expressions -> watermarked windowed aggregation, plus
+ * `mapGroupsWithState` for the inherently sequential QC checks.
+ *
+ * Everything here is micro-batch-agnostic: the same code runs on
+ * `MemoryStream` (tests), Kafka, or file streams.
+ */
+object StreamOps {
+
+  /** One live sample from an instrument feed. */
+  case class Sample(castId: String, ts: Timestamp, scan: Long,
+                    pressure: Double, value: Double)
+
+  /** Per-cast running state for online pressure-reversal detection —
+    * the streaming form of `press_check` (ctd/processing.py:93-109): track
+    * the running max of inversion references; a sample is flagged when its
+    * pressure drops below that max. */
+  case class PressState(lastPressure: Double, runMaxRef: Double)
+
+  case class CheckedSample(castId: String, scan: Long, pressure: Double,
+                           value: Double, reversal: Boolean)
+
+  /**
+   * Watermarked per-cast windowed aggregation: mean/min/max pressure and
+   * value per (cast, time window). Late samples beyond `watermark` are
+   * dropped; state is bounded, so this runs indefinitely.
+   */
+  def windowedCastStats(samples: DataFrame, windowDur: String = "10 seconds",
+                        watermark: String = "30 seconds"): DataFrame =
+    samples
+      .withWatermark("ts", watermark)
+      .groupBy(col("castId"), window(col("ts"), windowDur))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("pressure")).as("mean_pressure"),
+        min(col("pressure")).as("min_pressure"),
+        max(col("pressure")).as("max_pressure"),
+        avg(col("value")).as("mean_value"))
+
+  /**
+   * Online press_check via `mapGroupsWithState`: within each micro-batch the
+   * group's samples are sorted by scan and folded through the running
+   * reversal state, which persists across batches. (flatMapGroupsWithState
+   * variant; Append-mode compatible.)
+   */
+  def streamingPressCheck(samples: Dataset[Sample]): Dataset[CheckedSample] = {
+    import samples.sparkSession.implicits._
+    samples
+      .groupByKey(_.castId)
+      .flatMapGroupsWithState[PressState, CheckedSample](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (castId: String, it: Iterator[Sample], state: GroupState[PressState]) =>
+          var st = state.getOption.getOrElse(
+            PressState(Double.NegativeInfinity, Double.NegativeInfinity))
+          val out = it.toSeq.sortBy(_.scan).map { s =>
+            // inversion start: previous sample was higher than this one ->
+            // previous pressure becomes a reversal reference
+            val ref = if (s.pressure < st.lastPressure)
+              math.max(st.runMaxRef, st.lastPressure) else st.runMaxRef
+            val flagged = s.pressure < ref
+            st = PressState(s.pressure, ref)
+            CheckedSample(castId, s.scan, s.pressure, s.value, flagged)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

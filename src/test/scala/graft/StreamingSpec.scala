@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Sample
+
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("windowedCastStats aggregates a memory stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sample]
+    val agg = StreamOps.windowedCastStats(input.toDF(), "10 seconds", "30 seconds")
+    val q = agg.writeStream.format("memory").queryName("cast_stats")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Sample("c1", ts(0), 0, 1.0, 10.0), Sample("c1", ts(1), 1, 2.0, 20.0),
+        Sample("c1", ts(11), 2, 3.0, 30.0), Sample("c2", ts(2), 0, 5.0, 50.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT castId, n, mean_pressure FROM cast_stats ORDER BY castId, n").collect()
+      assert(rows.nonEmpty)
+      val c1 = rows.filter(_.getString(0) == "c1")
+      assert(c1.map(_.getLong(1)).sum == 3) // all three c1 samples counted
+      assert(rows.exists(_.getString(0) == "c2"))
+    } finally q.stop()
+  }
+
+  test("streamingPressCheck flags reversals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sample]
+    val checked = StreamOps.streamingPressCheck(input.toDS())
+    val q = checked.writeStream.format("memory").queryName("pc_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: ascending then an inversion (5 -> 3)
+      input.addData(
+        Sample("c1", ts(0), 0, 1.0, 0), Sample("c1", ts(1), 1, 5.0, 0),
+        Sample("c1", ts(2), 2, 3.0, 0))
+      q.processAllAvailable()
+      // batch 2: still below the ref (4 < 5 -> flagged), then above (6)
+      input.addData(
+        Sample("c1", ts(3), 3, 4.0, 0), Sample("c1", ts(4), 4, 6.0, 0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT scan, reversal FROM pc_stream ORDER BY scan")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows(0L) == false && rows(1L) == false)
+      assert(rows(2L) == true)  // 3 < ref 5
+      assert(rows(3L) == true)  // state carried across batches: 4 < 5
+      assert(rows(4L) == false) // 6 clears the reference
+    } finally q.stop()
+  }
+
+  test("fromText parses in-memory content (StringIO analog)") {
+    val text = new String(
+      graft.io.RawFile.bytes(s"$dataDir/CTD_with_sigma_e00.cnv"), "UTF-8")
+    val df = graft.sources.CtdRead.fromText(spark, "cnv", "mem-cast", text)
+    assert(df.count() == 199)
+    assert(df.columns.take(3).toSeq == Seq("cast_id", "scan_order", "pressure"))
+  }
+}
