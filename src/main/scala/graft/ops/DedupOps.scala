@@ -21,14 +21,32 @@ import org.apache.spark.sql.types._
  */
 object DedupOps {
 
-  /** Word n-gram shingles (distinct), the unit of Jaccard similarity. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tok = TextOps.tokens(text)
-    array_distinct(
-      when(size(tok) >= n,
-        transform(sequence(lit(0), size(tok) - n),
-          i => array_join(slice(tok, i + 1, lit(n)), " ")))
-        .otherwise(array(array_join(tok, " "))))
+  /** Word n-gram shingles (distinct), the unit of Jaccard similarity.
+    * Compiled UDF over the (codegen'd) token array: per-element Catalyst
+    * lambdas (`transform`+`slice`+`array_join`) are interpreted and
+    * dominated q25's runtime. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesUdf(lit(n))(TextOps.tokens(text))
+
+  private def shinglesUdf(n: Column) = {
+    val f = udf { (tok: Seq[String], n: Int) =>
+      if (tok == null) Seq.empty[String]
+      else if (tok.length < n) Seq(tok.mkString(" "))
+      else {
+        val arr = tok.toArray
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= arr.length - n) {
+          val sb = new java.lang.StringBuilder(arr(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(arr(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        scala.jdk.CollectionConverters.CollectionHasAsScala(seen).asScala.toSeq
+      }
+    }
+    (tok: Column) => f(tok, n)
   }
 
   /** Keep one row per identical `textCol` (lowest `idCol` wins), comparing
