@@ -38,6 +38,23 @@ object Parsers {
   val PressureKeys: Vector[String] =
     Vector("prM", "prE", "prDM", "pr50M", "pr50M1", "prSM", "prdM", "pr", "depSM", "prDE")
 
+  /** Whitespace tokenizer (manual scan — `String.split` regex was the
+    * hottest path when parsing multi-MB casts). */
+  private[io] def fastSplit(line: String): Array[String] = {
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(line.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Character.isWhitespace(line.charAt(i))) i += 1
+        out += line.substring(start, i)
+      }
+    }
+    out.toArray
+  }
+
   private[io] def toDoubleOrNull(tok: String): Any =
     if (tok == null || tok.isEmpty) null
     else try java.lang.Double.valueOf(tok.toDouble) catch { case _: NumberFormatException => null }
@@ -105,7 +122,7 @@ object Parsers {
     val lat = hdr.lat.getOrElse(0.0)
 
     val rows = data.iterator.map { line =>
-      val toks = line.trim.split("\\s+").filter(_.nonEmpty)
+      val toks = fastSplit(line)
       val out  = new Array[Any](fields.length)
       val pTok = if (prIdx < toks.length) toks(prIdx) else null
       out(0) = toDoubleOrNull(pTok) match {
@@ -294,7 +311,7 @@ object Parsers {
     val data = dropTrailingBlank(lines).drop(skiprows).filter(_.trim.nonEmpty)
     val fields = names.map(n => StructField(n, DoubleType))
     val rows = data.iterator.map { line =>
-      val toks = line.trim.split("\\s+")
+      val toks = fastSplit(line)
       names.indices.map(i => toDoubleOrNull(if (i < toks.length) toks(i) else null))
         .toArray[Any]
     }.toVector
@@ -320,7 +337,7 @@ object Parsers {
     val fields = StructField("pressure", DoubleType) +:
       outNames.map(n => StructField(n, DoubleType))
     val rows = lines.tail.iterator.filter(_.trim.nonEmpty).map { line =>
-      val toks = line.trim.split("\\s+")
+      val toks = fastSplit(line)
       val out  = new Array[Any](fields.length)
       out(0) = toDoubleOrNull(if (prIdx < toks.length) toks(prIdx) else null)
       var oi = 1
@@ -482,6 +499,24 @@ object Parsers {
       StructType(StructField("pressure", DoubleType) +:
         names.filter(_ != "pressure").map(n => StructField(n, DoubleType)))
     case other => throw new IllegalArgumentException(s"Unknown ftype: $other")
+  }
+
+  /** Cast metadata WITHOUT materializing data values — header parse + a line
+    * count. The meta view of a 10 MB cast should not pay full tokenization
+    * (it did: the r2 bench's section query spent most of its time here).
+    * Non-Seabird formats fall back to the full parse (their files are KBs). */
+  def metaOnly(ftype: String, path: String, text: String): CastMetaRow = ftype match {
+    case "cnv" | "ros" =>
+      val lines = RawFile.toLines(text)
+      val hdr   = CastHeader.parse(lines, "cnv")
+      val nRows = dropTrailingBlank(lines).length - hdr.skiprows
+      val names = hdr.names.map(_.trim)
+      val prkey = PressureKeys.find(names.contains)
+      val castId = if (hdr.name != "unknown") hdr.name else RawFile.stem(path)
+      CastMetaRow(castId, hdr.name, ftype, hdr.time, hdr.lat, hdr.lon,
+        serial = None, timeOfReset = None, prkey = prkey,
+        nRows = math.max(0, nRows), header = hdr.header, config = hdr.config)
+    case other => parse(other, path, text).meta
   }
 
   /** Dispatch by ftype string. */

@@ -220,7 +220,7 @@ final class CtdPartitionReader(ftype: String, view: String, path: String,
                                required: StructType, filters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private val parsed: ParsedCast = CtdDataSource.parseFile(ftype, path)
+  private lazy val parsed: ParsedCast = CtdDataSource.parseFile(ftype, path)
 
   private val iter: Iterator[InternalRow] =
     if (view == "meta") metaRows() else dataRows()
@@ -235,7 +235,10 @@ final class CtdPartitionReader(ftype: String, view: String, path: String,
   }
 
   private def metaRows(): Iterator[InternalRow] = {
-    val m: CastMetaRow = parsed.meta
+    // header-only parse: the meta view of a multi-MB cast must not tokenize
+    // every data row just to report n_rows
+    val m: CastMetaRow = graft.io.Parsers.metaOnly(ftype, path,
+      RawFile.decode(RawFile.bytes(path)))
     val byName: Map[String, Any] = Map(
       "cast_id" -> m.castId, "name" -> m.name, "ftype" -> m.ftype,
       "time" -> m.time.orNull, "lat" -> m.lat.map(Double.box).orNull,
