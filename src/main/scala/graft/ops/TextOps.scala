@@ -72,8 +72,10 @@ object TextOps {
     val punct = regexp_count(t, lit("[.,;:!?]")).cast(DoubleType)
     val tok = tokens(t)
     val nTok = size(tok).cast(DoubleType)
+    // sum of token lengths == length of the no-separator join (codegen'd;
+    // an aggregate() lambda is interpreted per element)
     val meanTokLen = when(nTok > 0,
-      aggregate(tok, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) / nTok)
+      length(array_join(tok, "")).cast(DoubleType) / nTok)
       .otherwise(lit(0.0))
     val stop = langScore(t, TextOps.LangMarkers.flatMap(_._2).distinct)
     val score =
