@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * Session-extension entry point: ship the engine's native expressions to
+ * every session on a cluster with
+ *
+ *   spark.sql.extensions=graft.GraftExtensions
+ *
+ * (For an already-running session, `org.apache.spark.sql.catalyst.expressions.graftgsw.GswExpressions
+ * .registerInto(spark)` does the same.)
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    org.apache.spark.sql.catalyst.expressions.graftgsw.GswExpressions.all.foreach(ext.injectFunction)
+}

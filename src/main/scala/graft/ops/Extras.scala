@@ -12,9 +12,9 @@ import org.apache.spark.sql.types.DoubleType
  */
 object Extras {
 
-  private def sigma0Udf = udf((sa: java.lang.Double, ct: java.lang.Double) =>
-    if (sa == null || ct == null) null.asInstanceOf[java.lang.Double]
-    else java.lang.Double.valueOf(graft.gsw.Gsw.sigma0(sa, ct)))
+  // native codegen expression (null-intolerant, same math as Gsw.sigma0)
+  private def sigma0Col(sa: Column, ct: Column): Column =
+    org.apache.spark.sql.catalyst.expressions.graftgsw.GswExpressions.sigma0(sa, ct)
 
   /**
    * Conductivity cell thermal-mass correction [S/m].
@@ -54,12 +54,12 @@ object Extras {
                        out: String = "blt_mask"): DataFrame = {
     val wAll = Window.partitionBy(castCol).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val s0    = sigma0Udf(col(saCol), col(ctCol))
+    val s0    = sigma0Col(col(saCol), col(ctCol))
     val mld   = (first(col(ctCol)).over(wAll) - col(ctCol)) < lit(0.5)
     val ctMld = last(when(mld, col(ctCol)), ignoreNulls = true).over(wAll)
     val saSfc = first(col(saCol)).over(wAll)
     val sigSurface   = first(s0).over(wAll)
-    val sigBottomMld = sigma0Udf(saSfc, ctMld)
+    val sigBottomMld = sigma0Col(saSfc, ctMld)
     df.withColumn("sigma_theta", s0)
       .withColumn(out, (col("sigma_theta") - sigBottomMld) < (sigSurface - sigBottomMld))
   }
