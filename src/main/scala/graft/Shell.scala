@@ -21,6 +21,8 @@ object Shell {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.gsw.Gsw.registerAll(spark)
+    // native codegen expressions override the UDF registrations by name
+    org.apache.spark.sql.catalyst.expressions.graftgsw.GswExpressions.registerInto(spark)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       val p = new java.io.File(s"$sfDir/$t.parquet")

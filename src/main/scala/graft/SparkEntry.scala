@@ -399,6 +399,18 @@ object SparkEntry {
         .orderBy(col("nbf"), col("Statistic"))
     }),
 
+    "q40_embedding_near_dup" -> ((s: SparkSession, dir: String) => {
+      // corpus + exact copies of the first 20 vectors under new ids: the
+      // LSH-bucketed pass must find them (cos = 1); rows-only (plane
+      // sketches are not DuckDB-reproducible), semantics in PipelineOpsSpec
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      SimOps.embeddingNearDupPairs(e.unionByName(dups), "vec_id", "embedding",
+          threshold = 0.98, nPlanes = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q39_set_ops" -> ((s: SparkSession, dir: String) => {
       // §2.6 set-operation surface: users active in both halves of the
       // event stream, minus a blocklist (intersect + except)

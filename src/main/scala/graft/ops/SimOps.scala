@@ -70,6 +70,40 @@ object SimOps {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs (a < b): random-hyperplane LSH
+   * buckets the corpus, pairs form only within a bucket, and survive when
+   * cosine >= `threshold`. The self-join key is the long sketch — at 1e9
+   * rows this is a hash join on 8-byte keys carrying the vectors only for
+   * colliding rows, the same candidates-first shape as MinHash near-dup.
+   */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.95, nPlanes: Int = 8,
+                            seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val sketched = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__bucket", signSketch(col(vecCol), planes))
+    val a = sketched.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = sketched.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, "__bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .distinct()
+  }
+
+  /** Embedding near-dedup: drop rows whose vector near-duplicates a
+    * lower-id row (one LSH round, like DedupOps.nearDedup). */
+  def embeddingNearDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.95, nPlanes: Int = 8,
+                         seed: Long = 42L): DataFrame = {
+    val losers = embeddingNearDupPairs(corpus, idCol, vecCol, threshold, nPlanes, seed)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * LSH-bucketed approximate top-k: candidates share the query's bucket
    * (equi-join on the sketch — at 1e9 rows this is a hash join on a long,
    * never a cross join). Recall is tunable via plane count; with b planes

@@ -105,6 +105,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall > 0, "LSH found none of the true top-5")
   }
 
+  test("embeddingNearDupPairs finds exact copies, nearDedup drops them") {
+    val rng = new scala.util.Random(11)
+    val base = (0L until 50L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val withDups = base ++ Seq((100L, base(3)._2), (101L, base(7)._2))
+    val e = withDups.toDF("vec_id", "embedding")
+    val pairs = graft.ops.SimOps.embeddingNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.999, nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)) && pairs.contains((7L, 101L)), s"got $pairs")
+    val kept = graft.ops.SimOps.embeddingNearDedup(e, "vec_id", "embedding",
+        threshold = 0.999, nPlanes = 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(3L) && kept.contains(7L))
+    assert(!kept.contains(100L) && !kept.contains(101L))
+  }
+
   test("multimodal: feature extraction and frame sampling plumbing") {
     val d = Seq((0L, "abc"), (1L, "defgh"), (2L, "ijklmnop")).toDF("doc_id", "text")
     val media = MultimodalOps.syntheticMedia(d, "doc_id", "text")
