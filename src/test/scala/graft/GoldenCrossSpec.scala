@@ -48,6 +48,11 @@ class GoldenCrossSpec extends SparkTestBase {
       "value", "movingaverage")
   }
 
+  test("movingaverage EVEN window (4) matches numpy's 'same' alignment") {
+    compare(Cast.movingAverage(events, "user_id", "event_id", Seq("value"), 4),
+      "value", "movingaverage_even")
+  }
+
   test("smooth matches the reference's _smooth (hanning, window 11)") {
     compare(SeqOps.smooth(events, "user_id", "event_id", Seq("value"), 11, "hanning"),
       "value", "smooth")
