@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cast, DedupOps}
+
+/** Regression tests for the plan shapes the scale design depends on
+  * (SURVEY §9): exchange reuse across chained per-cast ops, digest-keyed
+  * dedup, pruned scans. */
+class PlanShapeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("despike's 8 window stages share ONE hash exchange") {
+    val plan = Cast.despike(events, "user_id", "event_id", Seq("value"), 2, 20, 16)
+      .queryExecution.executedPlan.toString
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1, plan)
+  }
+
+  test("chained per-cast ops (despike -> movingAverage -> interpolate) still one exchange") {
+    val ev = events.withColumn("pressure", col("event_id").cast("double"))
+    val chained = Cast.interpolateIndex(
+      Cast.movingAverage(
+        Cast.despike(ev, "user_id", "event_id", Seq("value"), 2, 20, 16),
+        "user_id", "event_id", Seq("value"), 5),
+      "user_id", "event_id", Seq("value"))
+    val plan = chained.queryExecution.executedPlan.toString
+    // identical partitioning/order on every stage -> EnsureRequirements
+    // inserts exactly one hash exchange for the whole chain
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1, plan)
+  }
+
+  test("exact dedup never shuffles the document body") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
+    val plan = DedupOps.exactDedup(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    // the aggregate/join keys are the digest + id — no partitioning by the
+    // raw text column anywhere
+    plan.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"text column used as shuffle key:\n$plan")
+    }
+  }
+
+  test("ctd scan reports pushed filters and pruned columns in the plan") {
+    val df = graft.sources.CtdRead.cnv(spark, s"$dataDir/CTD_with_sigma_e00.cnv")
+      .filter(col("pressure") >= 100.0)
+      .select("cast_id", "pressure")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[") && plan.contains("GreaterThanOrEqual"), plan)
+  }
+}
