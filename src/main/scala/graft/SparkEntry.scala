@@ -399,6 +399,12 @@ object SparkEntry {
         .orderBy(col("nbf"), col("Statistic"))
     }),
 
+    "q41_token_count_bpe" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCountBpe(col("text")).as("n_tokens_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q40_embedding_near_dup" -> ((s: SparkSession, dir: String) => {
       // corpus + exact copies of the first 20 vectors under new ids: the
       // LSH-bucketed pass must find them (cos = 1); rows-only (plane
@@ -756,6 +762,13 @@ object SparkEntry {
         |    + (2.0*0.03/((1.0/15.0)*(1.0/7.0)+2.0))
         |      * (0.1*(1.0 + 0.006*(temp - 20.0))) * dt, 6) AS ctm
         |FROM d ORDER BY user_id, event_id""".stripMargin,
+
+    "q41_token_count_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS BIGINT)
+        |  + CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) // 8 AS BIGINT)
+        |    AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q39_set_ops" ->
       """WITH mid AS (SELECT max(event_id) / 2.0 AS m FROM events)

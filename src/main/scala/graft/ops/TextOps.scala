@@ -18,9 +18,21 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Whitespace-ish token count (BPE-ish regex over raw text). */
+  /** Whitespace-ish token count. */
   def tokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]+")).cast(LongType)
+
+  /** BPE-ish token estimate: letter runs, digit runs, and punctuation runs
+    * count separately (the pre-tokenization split most BPE vocabularies
+    * apply), plus a length/4 floor for long words that would fragment into
+    * multiple subwords. */
+  def tokenCountBpe(text: Column): Column = {
+    val pieces = regexp_count(text, lit("""\p{L}+|\p{N}+|[^\s\p{L}\p{N}]""")).cast(LongType)
+    val longWordExtra =
+      (length(regexp_replace(text, lit("""[^\p{L}]"""), lit(""))) / lit(8))
+        .cast(LongType)
+    pieces + longWordExtra
+  }
 
   /** Marker stopwords per language for the n-gram/stopword language-ID
     * heuristic. Real corpora would use larger lists; the mechanism (arrays +
