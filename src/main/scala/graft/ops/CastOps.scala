@@ -149,6 +149,9 @@ object Cast {
    * reproduce that by computing per-row forward stats, then substituting the
    * stats of row `min(i, n-block)` via a self-equi-join-free window trick:
    * the stats at fixed row `n-block+1` (1-based) are spread with `max(when(...))`.
+   *
+   * Divergence: a cast SHORTER than `block` crashes the reference (negative
+   * stride-tricks shape); here it degrades to partial-window stats.
    */
   def despike(df: DataFrame, castCol: String, orderCol: String,
               valueCols: Seq[String], n1: Double = 2.0, n2: Double = 20.0,

@@ -32,6 +32,25 @@ object CtdRead {
     spark.read.format("ctd").option("ftype", "ros").load(path)
       .withColumn("nbf", col("nbf").cast(IntegerType))
 
+  /**
+   * Ingest: parse instrument files ONCE and land them as parquet — the
+   * 100 TB operating pattern (ASCII parse is CPU-bound and unsplittable per
+   * file; every downstream query should hit columnar storage instead).
+   * Writes `<outPath>/samples` (bucket-friendly, one row per scan) and
+   * `<outPath>/casts` (the metadata table). Returns the samples DataFrame
+   * re-read from parquet.
+   */
+  def ingest(spark: SparkSession, ftype: String, inPath: String,
+             outPath: String, partitions: Int = 0): DataFrame = {
+    val samples = read(spark, ftype, inPath)
+    val casts   = CtdRead.casts(spark, ftype, inPath)
+    val s = if (partitions > 0) samples.repartition(partitions, col("cast_id"))
+            else samples
+    s.write.mode("overwrite").parquet(s"$outPath/samples")
+    casts.write.mode("overwrite").parquet(s"$outPath/casts")
+    spark.read.parquet(s"$outPath/samples")
+  }
+
   /** In-memory read — the reference accepts `StringIO` streams
     * (tests/test_read.py:112-114); the Spark analog parses driver-held text
     * and parallelizes the rows. For files, prefer the `ctd` format (the

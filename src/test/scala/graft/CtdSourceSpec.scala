@@ -59,6 +59,19 @@ class CtdSourceSpec extends SparkTestBase {
     assert(row.toString.startsWith("2013-06-27 21:23:18"))
   }
 
+  test("ingest lands samples + casts as parquet and re-reads columnar") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val samples = CtdRead.ingest(spark, "cnv", s"$dataDir/CTD_with_sigma_e00.cnv", out)
+    assert(samples.count() == 199)
+    val casts = spark.read.parquet(s"$out/casts")
+    assert(casts.count() == 1)
+    assert(casts.select("prkey").first().getString(0) == "prDM")
+    // downstream query now scans parquet (pushdown shows as PushedFilters)
+    val plan = samples.filter(col("pressure") >= 100.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pushed"), plan)
+  }
+
   test("edf/fsi/bl/castaway read through the source") {
     assert(CtdRead.edf(spark, s"$dataDir/XBT.EDF.zip").count() > 0)
     assert(CtdRead.fsi(spark, s"$dataDir/FSI.txt.gz").count() > 0)
