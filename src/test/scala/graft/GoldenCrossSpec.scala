@@ -58,6 +58,16 @@ class GoldenCrossSpec extends SparkTestBase {
       "value", "smooth")
   }
 
+  test("interpolateIndex matches pandas .interpolate(method=index, inside)") {
+    val ev = events
+      .withColumn("pressure", col("event_id").cast(DoubleType))
+      .withColumn("value",
+        when(col("event_id") % 7 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("value")))
+    compare(Cast.interpolateIndex(ev, "user_id", "event_id", Seq("value"),
+      "pressure"), "value", "interpolate")
+  }
+
   test("press_check matches the reference's press_check loop") {
     val ev = events.withColumn("eid_f", col("event_id").cast(DoubleType))
     compare(Cast.pressCheck(ev, "user_id", "event_id", Seq("eid_f"),
