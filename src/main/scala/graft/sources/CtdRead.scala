@@ -26,6 +26,20 @@ object CtdRead {
   def casts(spark: SparkSession, ftype: String, path: String): DataFrame =
     spark.read.format("ctd").option("ftype", ftype).option("view", "meta").load(path)
 
+  /** Typed metadata view — the one fixed-schema table in the engine, so it
+    * gets a `Dataset[CastMetaRow]` (SURVEY §1.4: typed only where the schema
+    * is static; sample data stays DataFrame because channels are
+    * header-inferred). */
+  def castsTyped(spark: SparkSession, ftype: String,
+                 path: String): org.apache.spark.sql.Dataset[graft.io.CastMetaRow] = {
+    import spark.implicits._
+    casts(spark, ftype, path)
+      .withColumnRenamed("cast_id", "castId")
+      .withColumnRenamed("time_of_reset", "timeOfReset")
+      .withColumnRenamed("n_rows", "nRows")
+      .as[graft.io.CastMetaRow]
+  }
+
   /** `rosette_summary` (ctd/read.py:528-554): a ROS read with `nbf`
     * (bottles fired) cast to int, ready for `groupBy("cast_id", "nbf")`. */
   def rosetteSummary(spark: SparkSession, path: String): DataFrame =

@@ -59,6 +59,16 @@ class CtdSourceSpec extends SparkTestBase {
     assert(row.toString.startsWith("2013-06-27 21:23:18"))
   }
 
+  test("typed casts view: Dataset[CastMetaRow] with lambda filters") {
+    val ds = CtdRead.castsTyped(spark, "cnv", s"$dataDir/CTD")
+    val positioned = ds.filter(m => m.lat.isDefined && m.lon.isDefined).collect()
+    assert(positioned.nonEmpty)
+    positioned.foreach { m =>
+      assert(m.lat.get > 28.0 && m.lat.get < 30.0) // Gulf of Mexico fixtures
+      assert(m.nRows > 0)
+    }
+  }
+
   test("ingest lands samples + casts as parquet and re-reads columnar") {
     val out = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val samples = CtdRead.ingest(spark, "cnv", s"$dataDir/CTD_with_sigma_e00.cnv", out)

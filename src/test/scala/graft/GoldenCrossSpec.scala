@@ -58,6 +58,16 @@ class GoldenCrossSpec extends SparkTestBase {
       "value", "smooth")
   }
 
+  test("smooth with EVEN window (blackman, 8) matches the reference") {
+    compare(SeqOps.smooth(events, "user_id", "event_id", Seq("value"), 8, "blackman"),
+      "value", "smooth_blackman8")
+  }
+
+  test("despike with block=32, n1=1, n2=5 matches the reference") {
+    compare(Cast.despike(events, "user_id", "event_id", Seq("value"),
+      n1 = 1.0, n2 = 5.0, block = 32), "value", "despike_b32")
+  }
+
   test("interpolateIndex matches pandas .interpolate(method=index, inside)") {
     val ev = events
       .withColumn("pressure", col("event_id").cast(DoubleType))
