@@ -95,6 +95,21 @@ class GoldenCrossSpec extends SparkTestBase {
     }
   }
 
+  test("bindata(interpolate) matches the reference's np.interp regridding") {
+    val ev = events.withColumn("pressure", col("event_id").cast(DoubleType))
+    val out = SeqOps.bindataInterpolate(ev, "user_id", "event_id",
+        Seq("value"), delta = 100.0)
+      .select(col("user_id"), col("pressure"), col("value").as("got"))
+    val joined = out.join(golden("bindata_interp"), Seq("user_id", "pressure"), "full")
+      .collect()
+    assert(joined.length == 150, s"grid mismatch: ${joined.length} rows")
+    joined.foreach { r =>
+      val g = r.fieldIndex("got"); val e = r.fieldIndex("expected")
+      assert(!r.isNullAt(g) && !r.isNullAt(e), s"unmatched grid row: $r")
+      assert(math.abs(r.getDouble(g) - r.getDouble(e)) < 1e-9)
+    }
+  }
+
   test("bindata(average) matches the reference's pd.cut binning") {
     val ev = events.withColumn("v2", col("value") * 2.0)
     val out = Cast.bindataAverage(ev, "user_id", "event_id", Seq("v2"),
