@@ -285,7 +285,8 @@ object SparkEntry {
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_b") === col("id_a") + 1)
-        .select(col("id_a"), DedupOps.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+        .select(col("id_a"),
+          DedupOps.hamming64(col("sh_a"), col("sh_b")).cast(LongType).as("hamming"))
         .orderBy(col("id_a"))
     }),
 
@@ -636,9 +637,35 @@ object SparkEntry {
         |  CASE WHEN p < runmax THEN NULL ELSE props END AS props_checked
         |FROM m ORDER BY user_id, event_id""".stripMargin,
 
-    // q25-q27, q30, q34: xxhash64/md5-simhash/LSH-bucket internals are not
+    // q25-q26, q30, q34, q40: murmur-minhash/LSH-bucket internals are not
     // reproducible in DuckDB -> rows-only checks; semantics covered by
     // PipelineOpsSpec.
+
+    "q27_simhash" ->
+      // md5-based simhash votes reproduced bit-for-bit: '0x'+first-16-hex ->
+      // UBIGINT equals the big-endian byte fold the Scala UDF performs;
+      // hamming of consecutive ids is signedness-free
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok
+        |), votes AS (
+        |  SELECT doc_id, b.b, sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+        |  GROUP BY doc_id, b.b
+        |), sh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS sh
+        |  FROM votes GROUP BY doc_id
+        |), sh2 AS (
+        |  SELECT d.doc_id, COALESCE(sh.sh, 0::UBIGINT) AS sh
+        |  FROM documents d LEFT JOIN sh USING (doc_id)
+        |)
+        |SELECT a.doc_id AS id_a, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sh2 a JOIN sh2 b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
 
     "q28_ngram_jaccard" ->
       """WITH tok AS (
