@@ -250,9 +250,12 @@ object SparkEntry {
     "q24_bindata_interp" -> ((s: SparkSession, dir: String) => {
       val ev = t(s, dir, "events")
         .withColumn("pressure", col("event_id").cast(DoubleType))
+      // unrounded: the per-row interpolation arithmetic is bit-identical
+      // across engines, while round(6) would split on exact-half values
+      // (Spark HALF_UP vs DuckDB half-even)
       SeqOps.bindataInterpolate(ev, "user_id", "event_id",
           valueCols = Seq("value"), delta = 100.0)
-        .select(col("user_id"), col("pressure"), round(col("value"), 6).as("value_interp"))
+        .select(col("user_id"), col("pressure"), col("value").as("value_interp"))
         .orderBy(col("user_id"), col("pressure"))
     }),
 
@@ -640,6 +643,41 @@ object SparkEntry {
     // q25-q26, q30, q34, q40: murmur-minhash/LSH-bucket internals are not
     // reproducible in DuckDB -> rows-only checks; semantics covered by
     // PipelineOpsSpec.
+
+    "q24_bindata_interp" ->
+      // np.interp regridding via ASOF joins: prev/next bracketing samples,
+      // clamped at the cast's first/last pressure; arithmetic order matches
+      // the Scala kernel exactly (bit-identical doubles, no rounding)
+      """WITH s AS (
+        |  SELECT user_id u, CAST(event_id AS DOUBLE) x, value y FROM events
+        |), edges AS (
+        |  SELECT u, ceil(min(x)) AS start, floor(max(x)) AS stop,
+        |         min(x) AS xmin, max(x) AS xmax FROM s GROUP BY u
+        |), grid AS (
+        |  SELECT u, start + CAST(k AS DOUBLE) * 100.0 AS g, xmin, xmax
+        |  FROM edges, unnest(range(CAST(ceil((stop - start)/100.0 - 1e-12) AS BIGINT))) t(k)
+        |), prev AS (
+        |  SELECT grid.u, grid.g, grid.xmin, grid.xmax, s.x AS xp, s.y AS yp
+        |  FROM grid ASOF JOIN s ON grid.u = s.u AND grid.g >= s.x
+        |), nxt AS (
+        |  SELECT grid.u, grid.g, s.x AS xn, s.y AS yn
+        |  FROM grid ASOF JOIN s ON grid.u = s.u AND grid.g <= s.x
+        |), j AS (
+        |  SELECT p.u, p.g, p.xmin, p.xmax, p.xp, p.yp, n.xn, n.yn
+        |  FROM prev p JOIN nxt n ON p.u = n.u AND p.g = n.g
+        |), ymin AS (
+        |  SELECT u, y AS y_lo FROM s QUALIFY row_number() OVER (PARTITION BY u ORDER BY x) = 1
+        |), ymax AS (
+        |  SELECT u, y AS y_hi FROM s QUALIFY row_number() OVER (PARTITION BY u ORDER BY x DESC) = 1
+        |)
+        |SELECT j.u AS user_id, j.g AS pressure,
+        |  CASE WHEN j.g <= j.xmin THEN ymin.y_lo
+        |       WHEN j.g >= j.xmax THEN ymax.y_hi
+        |       WHEN j.xn = j.xp THEN j.yp
+        |       ELSE j.yp + (j.yn - j.yp) * (j.g - j.xp) / (j.xn - j.xp)
+        |  END AS value_interp
+        |FROM j JOIN ymin ON j.u = ymin.u JOIN ymax ON j.u = ymax.u
+        |ORDER BY user_id, pressure""".stripMargin,
 
     "q27_simhash" ->
       // md5-based simhash votes reproduced bit-for-bit: '0x'+first-16-hex ->
