@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSessionExtensions
  * .registerInto(spark)` does the same.)
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     org.apache.spark.sql.catalyst.expressions.graftgsw.GswExpressions.all.foreach(ext.injectFunction)
+    org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions.all.foreach(ext.injectFunction)
+  }
 }

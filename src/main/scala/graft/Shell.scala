@@ -23,6 +23,7 @@ object Shell {
     graft.gsw.Gsw.registerAll(spark)
     // native codegen expressions override the UDF registrations by name
     org.apache.spark.sql.catalyst.expressions.graftgsw.GswExpressions.registerInto(spark)
+    org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions.registerInto(spark)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       val p = new java.io.File(s"$sfDir/$t.parquet")

@@ -21,10 +21,12 @@ import org.apache.spark.sql.types._
  */
 object SimOps {
 
-  /** Double-precision dot product of two float-array columns. */
+  /** Double-precision dot product of two array columns. Native codegen
+    * expression — the `aggregate(zip_with(...))` higher-order form is
+    * interpreted per element (~100x slower at embedding dims) but folds in
+    * the same left-to-right double order, so results are bit-identical. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
  */
 object TextOps {
 
-  /** Lowercased alphanumeric tokens. */
+  /** Lowercased alphanumeric tokens. `regexp_extract_all` of the token runs
+    * is fully codegen'd; the equivalent `filter(split(...))` form pays an
+    * interpreted per-element lambda for the empty-string filter. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   /** Whitespace-ish token count. */
   def tokenCount(text: Column): Column =
@@ -43,21 +45,31 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"))
 
-  /** Stopword-hit score for one language: fraction of tokens in the marker
-    * set. */
-  def langScore(text: Column, markers: Seq[String]): Column = {
-    val tok = tokens(text)
-    val hits = size(filter(tok, t => array_contains(
-      array(markers.map(lit): _*), t)))
-    when(size(tok) > 0, hits.cast(DoubleType) / size(tok).cast(DoubleType))
-      .otherwise(lit(0.0))
+  /** Marker-hit count over a token array: compiled UDF (set lookup per
+    * token). The `filter(tok, array_contains(...))` Catalyst form is
+    * interpreted per element — it dominated q31/q32's runtime. */
+  private def hitsUdf(markers: Seq[String]) = {
+    val set = markers.toSet
+    udf { t: Seq[String] => if (t == null) 0 else t.count(set.contains) }
   }
 
+  /** Stopword-hit score over a pre-tokenized column. */
+  def langScoreFromTokens(tok: Column, markers: Seq[String]): Column =
+    when(size(tok) > 0,
+      hitsUdf(markers)(tok).cast(DoubleType) / size(tok).cast(DoubleType))
+      .otherwise(lit(0.0))
+
+  /** Stopword-hit score for one language: fraction of tokens in the marker
+    * set. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    langScoreFromTokens(tokens(text), markers)
+
   /** Predicted language = argmax marker score (ties -> alphabetically first
-    * language, via the greatest-score/first-match scan). */
+    * language, via the greatest-score/first-match scan). Tokenizes once. */
   def langId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
-    val scored = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
-      d.withColumn(s"__ls_$lang", langScore(col(textCol), markers))
+    val withTok = df.withColumn("__tok", tokens(col(textCol)))
+    val scored = LangMarkers.foldLeft(withTok) { case (d, (lang, markers)) =>
+      d.withColumn(s"__ls_$lang", langScoreFromTokens(col("__tok"), markers))
     }
     val best = LangMarkers.map(_._1)
       .foldLeft(lit(null).cast(StringType) -> lit(-1.0)) {
@@ -68,6 +80,7 @@ object TextOps {
       }
     scored.withColumn(out, best._1)
       .withColumn(out + "_score", round(best._2, 6))
+      .drop("__tok")
       .drop(LangMarkers.map { case (l, _) => s"__ls_$l" }: _*)
   }
 
@@ -82,26 +95,28 @@ object TextOps {
     val alpha = regexp_count(t, lit("[A-Za-z]")).cast(DoubleType)
     val digit = regexp_count(t, lit("[0-9]")).cast(DoubleType)
     val punct = regexp_count(t, lit("[.,;:!?]")).cast(DoubleType)
-    val tok = tokens(t)
+    val tok = col("__tok")
     val nTok = size(tok).cast(DoubleType)
     // sum of token lengths == length of the no-separator join (codegen'd;
     // an aggregate() lambda is interpreted per element)
     val meanTokLen = when(nTok > 0,
       length(array_join(tok, "")).cast(DoubleType) / nTok)
       .otherwise(lit(0.0))
-    val stop = langScore(t, TextOps.LangMarkers.flatMap(_._2).distinct)
+    val stop = langScoreFromTokens(tok, TextOps.LangMarkers.flatMap(_._2).distinct)
     val score =
       when(n < 20, lit(0.0)).otherwise(
         round(least(lit(1.0),
           (alpha / greatest(n, lit(1.0))) * lit(0.5) +
             least(stop * lit(5.0), lit(1.0)) * lit(0.3) +
             when(meanTokLen.between(3.0, 10.0), lit(0.2)).otherwise(lit(0.0))), 6))
-    df.withColumn("n_chars_m", n.cast(LongType))
+    df.withColumn("__tok", tokens(t))
+      .withColumn("n_chars_m", n.cast(LongType))
       .withColumn("alpha_ratio", round(alpha / greatest(n, lit(1.0)), 6))
       .withColumn("digit_ratio", round(digit / greatest(n, lit(1.0)), 6))
       .withColumn("punct_ratio", round(punct / greatest(n, lit(1.0)), 6))
       .withColumn("mean_tok_len", round(meanTokLen, 6))
       .withColumn("quality", score)
+      .drop("__tok")
   }
 
   /** Content-defined fingerprint: sha2-256 of the token-normalized text
