@@ -1,0 +1,287 @@
+package graft
+
+import graft.ops.{DedupOps, SimOps}
+
+/**
+ * Generators for the DuckDB oracle SQL of queries whose constants (TEOS-10
+ * polynomial coefficients, LSH hyperplanes, convolution kernels, MinHash
+ * permutation parameters) live in Scala: the SQL is built from the SAME
+ * values the Spark-side operators use, so both engines compute bit-identical
+ * arithmetic. `java.lang.Double.toString` literals round-trip exactly
+ * (shortest-repr doubles parse back to the same bits in DuckDB).
+ */
+object OracleSqlGen {
+
+  private def d(x: Double): String = {
+    val s = java.lang.Double.toString(x)
+    // DuckDB parses 1.0E-5 fine; keep as-is
+    s
+  }
+
+  // --- sigma0 75-term polynomial (p = 0 slice), transliterated from
+  // graft.gsw.Gsw.sigma0 with IDENTICAL association order ------------------
+
+  /** SQL expression for sigma0 given column/expr names for xs and ys
+    * (xs = sqrt(SFac*SA + Offset), ys = CT*0.025, computed by the caller). */
+  def sigma0PolySql(xs: String, ys: String): String =
+    s"""(1.0/(
+       |1.0769995862e-03 + $xs*(-3.1038981976e-04 + $xs*(6.6928067038e-04 +
+       |  $xs*(-8.5047933937e-04 + $xs*(5.8086069943e-04 + $xs*(-2.1092370507e-04 +
+       |  $xs*3.1932457305e-05))))) +
+       |$ys*(-1.5649734675e-05 + $xs*(3.5009599764e-05 + $xs*(-4.3592678561e-05 +
+       |  $xs*(3.4532461828e-05 + $xs*(-1.1959409788e-05 + $xs*1.3864594581e-06)))) +
+       |$ys*(2.7762106484e-05 + $xs*(-3.7435842344e-05 + $xs*(3.5907822760e-05 +
+       |  $xs*(-1.8698584187e-05 + $xs*3.8595339244e-06))) +
+       |$ys*(-1.6521159259e-05 + $xs*(2.4141479483e-05 + $xs*(-1.4353633048e-05 +
+       |  $xs*2.2863324556e-06)) +
+       |$ys*(6.9111322702e-06 + $xs*(-8.7595873154e-06 + $xs*4.3703680598e-06) +
+       |$ys*(-8.0539615540e-07 + $xs*(-3.3052758900e-07) + $ys*2.0543094268e-07)))))
+       |) - 1000.0)""".stripMargin
+
+  private val SFacSql   = "0.0248826675584615"
+  private val OffsetSql = "5.971840214030754e-1"
+
+  def xsSql(sa: String): String = s"sqrt($SFacSql*($sa) + $OffsetSql)"
+  def ysSql(ct: String): String = s"(($ct)*0.025)"
+
+  /** q36: barrier-layer mask over events stand-ins (mirrors
+    * Extras.barrierLayerMask exactly, sigma0 inlined as the polynomial). */
+  def barrierLayerSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id u, event_id i,
+       |         value/4.0 + 20.0 AS sa, 30.0 - value/10.0 AS ct
+       |  FROM events
+       |), w AS (
+       |  SELECT u, i, sa, ct,
+       |    first_value(ct) OVER wa AS ct0,
+       |    first_value(sa) OVER wa AS sa0
+       |  FROM base
+       |  WINDOW wa AS (PARTITION BY u ORDER BY i
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |), m AS (
+       |  SELECT *, last_value(CASE WHEN (ct0 - ct) < 0.5 THEN ct END IGNORE NULLS)
+       |    OVER (PARTITION BY u ORDER BY i
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ct_mld
+       |  FROM w
+       |), pre AS (
+       |  SELECT u, i,
+       |    ${xsSql("sa")} AS xs1, ${ysSql("ct")} AS ys1,
+       |    ${xsSql("sa0")} AS xs2, ${ysSql("ct_mld")} AS ys2
+       |  FROM m
+       |), sig AS (
+       |  SELECT u, i,
+       |    ${sigma0PolySql("xs1", "ys1")} AS s0,
+       |    ${sigma0PolySql("xs2", "ys2")} AS s_bot
+       |  FROM pre
+       |), sig2 AS (
+       |  SELECT *, first_value(s0) OVER (PARTITION BY u ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s_sfc
+       |  FROM sig
+       |)
+       |SELECT u AS user_id, i AS event_id, round(s0, 6) AS sigma_theta,
+       |       (s0 - s_bot) < (s_sfc - s_bot) AS blt_mask
+       |FROM sig2 ORDER BY user_id, event_id""".stripMargin
+
+  // --- LSH sign sketches with the planes embedded as literals -------------
+
+  private def planeLiteral(p: Array[Double]): String =
+    p.map(d).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** VALUES rows (bit, plane) for the hyperplane set. */
+  private def planesValues(planes: Array[Array[Double]]): String =
+    planes.zipWithIndex
+      .map { case (p, i) => s"($i, ${planeLiteral(p)})" }
+      .mkString(",\n    ")
+
+  /** Sign-sketch bucket as DuckDB SQL (same bit convention as
+    * SimOps.signSketch: bit b set iff dot(v, plane_b) >= 0). */
+  private def bucketSql(planes: Array[Array[Double]]): String =
+    s"""SELECT vec_id, sum(CASE WHEN list_inner_product(v, p.plane) >= 0
+       |      THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS bucket
+       |    FROM e CROSS JOIN (VALUES
+       |    ${planesValues(planes)}) p(b, plane)
+       |    GROUP BY vec_id""".stripMargin
+
+  private val cosineSql =
+    """round(CASE WHEN sqrt(list_inner_product(a.v, a.v))
+      |            * sqrt(list_inner_product(b.v, b.v)) > 0
+      |  THEN list_inner_product(a.v, b.v)
+      |       / (sqrt(list_inner_product(a.v, a.v))
+      |          * sqrt(list_inner_product(b.v, b.v)))
+      |  ELSE 0.0 END, 6)""".stripMargin
+
+  /** q30: LSH-bucketed approximate top-k (6 planes, dim 64, seed 42 — the
+    * exact planes SimOps generates; queries = vec_id < 20, k = 5). */
+  def annLshSql: String = {
+    val planes = SimOps.hyperplanes(6, 64, 42L)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), sk AS (
+       |    ${bucketSql(planes)}
+       |), c AS (
+       |  SELECT e.vec_id, e.v, sk.bucket FROM e JOIN sk USING (vec_id)
+       |), scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $cosineSql AS cos_sim
+       |  FROM c a JOIN c b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 20
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q40: embedding near-dup pairs over corpus + exact copies of the first
+    * 20 vectors (8 planes, dim 64, seed 42; threshold 0.98). */
+  def embeddingNearDupSql: String = {
+    val planes = SimOps.hyperplanes(8, 64, 42L)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM read_parquet_union
+       |), sk AS (
+       |    ${bucketSql(planes)}
+       |), c AS (
+       |  SELECT e.vec_id, e.v, sk.bucket FROM e JOIN sk USING (vec_id)
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    $cosineSql AS cos_sim
+       |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, cos_sim FROM pairs
+       |WHERE cos_sim >= 0.98 ORDER BY id_a, id_b"""
+      .stripMargin
+      .replace("FROM read_parquet_union",
+        """FROM (SELECT vec_id, embedding FROM embeddings
+          |        UNION ALL
+          |        SELECT vec_id + 1000000 AS vec_id, embedding
+          |        FROM embeddings WHERE vec_id < 20)""".stripMargin)
+  }
+
+  // --- MinHash + banded LSH, md5-based (engine-portable) ------------------
+
+  /** The q25/q26 corpus: documents plus perturbed copies of the first 50. */
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' perturbed tail token' AS text
+      |  FROM documents WHERE doc_id < 50
+      |)""".stripMargin
+
+  /** Shared CTE chain: shingles -> md5-31 hashes -> k minhashes -> band keys
+    * -> candidate pairs -> exact jaccard. Mirrors DedupOps exactly:
+    * permutation constants and the band fold are the same values/order. */
+  private def minhashChain(numHashes: Int, bands: Int, shingleSize: Int): String = {
+    require(shingleSize == 3, "oracle SQL is written for 3-gram shingles")
+    val perms = DedupOps.permConstants(numHashes)
+    val permValues = perms.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+      .mkString(", ")
+    val r = numHashes / bands
+    val bandFold = (2 to r).foldLeft("bm[1]") { (acc, j) =>
+      s"(($acc)*31 + bm[$j]) % 2147483647"
+    }
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+       |  FROM corpus
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |      ELSE [array_to_string(t, ' ')] END) AS s
+       |  FROM tok
+       |), shx AS (
+       |  SELECT doc_id, unnest(s) AS sg FROM sh
+       |), h AS (
+       |  SELECT doc_id,
+       |    (('0x' || substr(md5(sg), 1, 16))::UBIGINT & 2147483647::UBIGINT)::BIGINT AS h31
+       |  FROM shx
+       |), mh AS (
+       |  SELECT doc_id, p.i, min((p.a * h31 + p.b) % 2147483647) AS m
+       |  FROM h CROSS JOIN (VALUES $permValues) p(i, a, b)
+       |  GROUP BY doc_id, p.i
+       |), bandarr AS (
+       |  SELECT doc_id, i // $r AS band_id, list(m ORDER BY i) AS bm
+       |  FROM mh GROUP BY doc_id, i // $r
+       |), bandk AS (
+       |  SELECT doc_id, band_id, $bandFold AS bk FROM bandarr
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandk a JOIN bandk b
+       |    ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |), jac AS (
+       |  SELECT id_a, id_b,
+       |    round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+       |      THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |           / len(list_distinct(list_concat(sa.s, sb.s)))
+       |      ELSE 0.0 END, 6) AS jaccard
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = id_a
+       |  JOIN sh sb ON sb.doc_id = id_b
+       |)""".stripMargin
+  }
+
+  /** q25: near-duplicate pairs (k=64, 16 bands, threshold 0.5). */
+  def nearDupPairsSql: String =
+    s"""WITH $corpusSql, ${minhashChain(64, 16, 3)}
+       |SELECT id_a, id_b, jaccard FROM jac
+       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** q26: near-dedup survivors (drop id_b of every qualifying pair). */
+  def nearDedupSql: String =
+    s"""WITH $corpusSql, ${minhashChain(64, 16, 3)}
+       |SELECT doc_id FROM corpus
+       |WHERE doc_id NOT IN (SELECT id_b FROM jac WHERE jaccard >= 0.5)
+       |ORDER BY doc_id""".stripMargin
+
+  // --- smooth: mirror-extended convolution as per-user list arithmetic ----
+
+  /**
+   * q23: `smooth(windowLen = 11, hanning)` — the normalized kernel weights
+   * are embedded as literals; each output sample is the ascending-d fold
+   * sum_{d=-5..5} v(k+d) * wn(5-d) over the mirror-extended series, exactly
+   * the fold Kernels.smooth/convolveSame performs (term order and operand
+   * order preserved, so doubles are bit-identical).
+   *
+   * Mirror rule (reference off-by-one replicated): left v(-t) = 2*x(1) -
+   * x(min(n, t+2)), right v(n+e) = 2*x(n) - x(max(1, n-e+1)), 1-based.
+   */
+  def smoothSql: String = {
+    val wl = 11
+    val w  = graft.dsp.Kernels.hanning(wl)
+    val s  = w.sum
+    val wn = w.map(_ / s)
+    // term for offset d (ascending): v(k+d) * wn(5-d)
+    val terms = (-5 to 5).map { dd =>
+      val j = s"(k + ${dd})" // 1-based target position
+      val v =
+        s"""(CASE
+           |  WHEN $j >= 1 AND $j <= n THEN a[$j]
+           |  WHEN $j < 1 THEN 2.0*a[1] - a[least(n, 3 - k - ${dd})]
+           |  ELSE 2.0*a[n] - a[greatest(1, n - (k + ${dd} - n) + 1)]
+           |END)""".stripMargin.replaceAll("\\s+", " ")
+      s"$v * ${d(wn(5 - dd))}"
+    }
+    val foldSum = terms.mkString("(", "\n       + ", ")")
+    s"""WITH s AS (
+       |  SELECT user_id u, event_id i, value x FROM events
+       |), arr AS (
+       |  SELECT u, list(x ORDER BY i) AS a, list(i ORDER BY i) AS ids,
+       |         len(list(x ORDER BY i)) AS n
+       |  FROM s GROUP BY u
+       |), sm AS (
+       |  SELECT u, ids,
+       |    list_transform(range(1, n + 1), k ->
+       |      $foldSum) AS y
+       |  FROM arr
+       |)
+       |SELECT u AS user_id, unnest(ids) AS event_id,
+       |       round(unnest(y), 6) AS value_smooth
+       |FROM sm ORDER BY user_id, event_id""".stripMargin
+  }
+}

@@ -359,8 +359,8 @@ object SparkEntry {
     }),
 
     "q36_barrier_layer" -> ((s: SparkSession, dir: String) => {
-      // SA/CT stand-ins; sigma0 is the TEOS-10 75-term scalar (no DuckDB
-      // equivalent -> rows-only; GswSpec pins the check values)
+      // SA/CT stand-ins; sigma0 is the TEOS-10 75-term polynomial, which the
+      // oracle inlines with identical association order (OracleSqlGen)
       val ev = t(s, dir, "events")
         .withColumn("sa", col("value") / 4.0 + 20.0)
         .withColumn("ct", lit(30.0) - col("value") / 10.0)
@@ -411,8 +411,8 @@ object SparkEntry {
 
     "q40_embedding_near_dup" -> ((s: SparkSession, dir: String) => {
       // corpus + exact copies of the first 20 vectors under new ids: the
-      // LSH-bucketed pass must find them (cos = 1); rows-only (plane
-      // sketches are not DuckDB-reproducible), semantics in PipelineOpsSpec
+      // LSH-bucketed pass must find them (cos = 1); the oracle embeds the
+      // same seed-42 hyperplanes as literals (OracleSqlGen)
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val dups = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
@@ -620,9 +620,11 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
 
-    // q16-q20 (file-format readers) and q22-q24 (sequential kernels) have no
+    // q16-q20 (file-format readers) and q22 (IIR filtfilt) have no
     // SQL-expressible oracle -> rows-only checks; exact semantics are pinned
     // by golden-fixture ScalaTests (rosette vector, SBE-filtered file).
+
+    "q23_smooth" -> OracleSqlGen.smoothSql,
 
     "q21_press_check" ->
       """WITH w AS (
@@ -640,9 +642,16 @@ object SparkEntry {
         |  CASE WHEN p < runmax THEN NULL ELSE props END AS props_checked
         |FROM m ORDER BY user_id, event_id""".stripMargin,
 
-    // q25-q26, q30, q34, q40: murmur-minhash/LSH-bucket internals are not
-    // reproducible in DuckDB -> rows-only checks; semantics covered by
-    // PipelineOpsSpec.
+    // q34 (multimodal stub): the per-byte rolling-hash feature is not
+    // practical to reproduce in SQL -> rows-only check; semantics covered by
+    // PipelineOpsSpec. Everything else sketch-based (minhash LSH, sign
+    // sketches) is generated from the same Scala constants in OracleSqlGen.
+
+    "q25_near_dup_pairs" -> OracleSqlGen.nearDupPairsSql,
+    "q26_near_dedup"     -> OracleSqlGen.nearDedupSql,
+    "q30_ann_lsh"        -> OracleSqlGen.annLshSql,
+    "q36_barrier_layer"  -> OracleSqlGen.barrierLayerSql,
+    "q40_embedding_near_dup" -> OracleSqlGen.embeddingNearDupSql,
 
     "q24_bindata_interp" ->
       // np.interp regridding via ASOF joins: prev/next bracketing samples,

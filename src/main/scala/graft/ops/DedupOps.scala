@@ -58,44 +58,78 @@ object DedupOps {
     withDigest.join(keep, Seq("__digest", idCol), "left_semi").drop("__digest")
   }
 
+  /** Mersenne prime 2^31 - 1: the MinHash permutation modulus. Keeping every
+    * operand under 2^31 makes `a*h + b` fit in 63 bits, so the identical
+    * integer arithmetic runs in any engine's BIGINT (DuckDB oracle included)
+    * with no overflow semantics to reconcile. */
+  val P31: Long = 2147483647L
+
+  /** Deterministic permutation parameters (a_i in [1, p-1], b_i in [0, p-1])
+    * from a fixed-seed java.util.Random (spec-defined LCG — identical on any
+    * JVM). The oracle SQL embeds these same values as literals. */
+  def permConstants(k: Int): Array[(Long, Long)] = {
+    val rng = new java.util.Random(0x5EED)
+    Array.fill(k)((rng.nextInt((P31 - 1).toInt).toLong + 1L,
+                   rng.nextInt(P31.toInt).toLong))
+  }
+
+  /** First 8 md5 bytes big-endian, masked to 31 bits — the engine-portable
+    * shingle hash (same fold as simHash64's token hash). */
+  private[ops] def md5Hash31(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+    h & 0x7fffffffL
+  }
+
   /**
-   * MinHash signature over the shingle set. Uses the standard double-hashing
-   * family `h_i = h1 + i*h2` (Kirsch–Mitzenmacher) so each shingle is
-   * string-hashed ONCE, then k minima accumulate in a single compiled pass —
-   * a per-element Catalyst lambda (`transform`/`array_min` k times) is
-   * interpreted, which benchmarked ~100x slower at k=64. A compiled Scala
-   * UDF is the middle rung of the custom-op ladder (SURVEY §7.3); promote to
-   * a codegen Expression if profiles ever demand.
+   * MinHash signature over the shingle set: `min_i (a_i*h31(s) + b_i) mod p`
+   * with h31 the md5-31-bit shingle hash. Each shingle is hashed ONCE, then
+   * k minima accumulate in a single compiled pass — a per-element Catalyst
+   * lambda (`transform`/`array_min` k times) is interpreted, which
+   * benchmarked ~100x slower at k=64. The md5 + mod-p family (instead of
+   * murmur double-hashing) is deliberately engine-portable: the DuckDB
+   * oracle reproduces the exact signatures, making near-dup results
+   * hash-checkable rather than rows-only.
    */
   def minHashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
-    minhashUdf(lit(numHashes))(shingles(text, shingleSize))
+    minhashUdf(numHashes)(shingles(text, shingleSize))
 
-  private def minhashUdf(k: Column) = {
-    val f = udf { (sh: Seq[String], k: Int) =>
+  private def minhashUdf(k: Int) = {
+    val perms = permConstants(k)
+    val f = udf { sh: Seq[String] =>
       val sig = Array.fill(k)(Long.MaxValue)
       sh.foreach { s =>
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong | 1L
+        val h = md5Hash31(s)
         var i = 0
-        var h = h1
         while (i < k) {
-          if (h < sig(i)) sig(i) = h
-          h += h2
+          val v = (perms(i)._1 * h + perms(i)._2) % P31
+          if (v < sig(i)) sig(i) = v
           i += 1
         }
       }
       sig
     }
-    (sh: Column) => f(sh, k)
+    (sh: Column) => f(sh)
   }
 
-  /** Banded LSH: split the signature into `bands` slices, hash each; emit
-    * one (band_id, band_hash) row per band via posexplode. */
+  /** Banded LSH: split the signature into `bands` slices and fold each to a
+    * portable band key `b := (b*31 + v) mod p` (reproducible in the oracle,
+    * unlike Spark's internal `hash`); emit one (band_id, band_hash) row per
+    * band via posexplode. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
-    val rowsPerBand = expr(s"size($sigCol) div $bands")
-    df.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))))
+    val bandKeys = udf { (sig: Seq[Long], bands: Int) =>
+      val r = sig.length / bands
+      Array.tabulate(bands) { b =>
+        var acc = sig(b * r)
+        var j = 1
+        while (j < r) { acc = (acc * 31L + sig(b * r + j)) % P31; j += 1 }
+        acc
+      }
+    }
+    df.select(col(idCol), posexplode(bandKeys(col(sigCol), lit(bands))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
   }
