@@ -379,6 +379,9 @@ object SparkEntry {
       val raw = CtdRead.cnv(s, s"$fixtures/CTD")
       val samples = Cast.split(Cast.removeAboveWater(raw), "cast_id", "scan_order")
         .filter(col("direction") === "down")
+        // project BEFORE persist: pruning then reaches the ctd scan, whose
+        // tokenizer skips the ~12 unprojected channels per line
+        .select(col("cast_id"), col("scan_order"), col("pressure"), col("t090C"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val meta = CtdRead.casts(s, "cnv", s"$fixtures/CTD")
       graft.ops.Extras.section(samples, meta, "cast_id", "scan_order",

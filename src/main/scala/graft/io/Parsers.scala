@@ -55,6 +55,27 @@ object Parsers {
     out.toArray
   }
 
+  /** Selective tokenizer: like fastSplit but materializes ONLY the fields
+    * whose index is flagged in `wanted` (others stay null) — the pruned-scan
+    * path skips the substring allocation for unprojected channels, not just
+    * their numeric conversion. */
+  private[io] def fastSplitSelect(line: String, wanted: Array[Boolean]): Array[String] = {
+    val out = new Array[String](wanted.length)
+    var i = 0
+    var f = 0
+    val n = line.length
+    while (i < n && f < wanted.length) {
+      while (i < n && Character.isWhitespace(line.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Character.isWhitespace(line.charAt(i))) i += 1
+        if (wanted(f)) out(f) = line.substring(start, i)
+        f += 1
+      }
+    }
+    out
+  }
+
   private[io] def toDoubleOrNull(tok: String): Any =
     if (tok == null || tok.isEmpty) null
     else try java.lang.Double.valueOf(tok.toDouble) catch { case _: NumberFormatException => null }
@@ -104,7 +125,8 @@ object Parsers {
     * to `pressure` (depSM converted via TEOS-10 p_from_z when lat is known;
     * with lat unknown the reference CRASHES on a warnings.war typo,
     * read.py:485 — we keep depth values and flag prkey in metadata). */
-  def cnv(path: String, text: String, ftype: String = "cnv"): ParsedCast = {
+  def cnv(path: String, text: String, ftype: String = "cnv",
+          needed: String => Boolean = _ => true): ParsedCast = {
     val lines = RawFile.toLines(text)
     val hdr   = CastHeader.parse(lines, "cnv")
     val data  = dropTrailingBlank(lines).drop(hdr.skiprows)
@@ -121,23 +143,35 @@ object Parsers {
     val depthToPressure = prkey == "depSM" && hdr.lat.isDefined
     val lat = hdr.lat.getOrElse(0.0)
 
+    // Column pruning reaches the tokenizer: a projection of 3 channels out
+    // of 15 pays 3 substring+Double parses per line, not 15 (the scan is the
+    // 100 TB hot path — CtdPartitionReader passes required+filter cols).
+    val needP = needed("pressure")
+    val needC: Array[Boolean] = names.map(needed).toArray
+    val wanted: Array[Boolean] =
+      Array.tabulate(names.length)(ci => if (ci == prIdx) needP else needC(ci))
+
     val rows = data.iterator.map { line =>
-      val toks = fastSplit(line)
+      val toks = fastSplitSelect(line, wanted)
       val out  = new Array[Any](fields.length)
-      val pTok = if (prIdx < toks.length) toks(prIdx) else null
-      out(0) = toDoubleOrNull(pTok) match {
-        case d: java.lang.Double if depthToPressure =>
-          // gsw.p_from_z takes height (negative below surface); depSM is
-          // positive-down depth (read.py:470-478 passes the index verbatim).
-          java.lang.Double.valueOf(graft.gsw.Gsw.pFromZ(d.doubleValue(), lat))
-        case other => other
+      if (needP) {
+        val pTok = if (prIdx < toks.length) toks(prIdx) else null
+        out(0) = toDoubleOrNull(pTok) match {
+          case d: java.lang.Double if depthToPressure =>
+            // gsw.p_from_z takes height (negative below surface); depSM is
+            // positive-down depth (read.py:470-478 passes the index verbatim).
+            java.lang.Double.valueOf(graft.gsw.Gsw.pFromZ(d.doubleValue(), lat))
+          case other => other
+        }
       }
       var oi = 1
       var ci = 0
       while (ci < names.length) {
         if (ci != prIdx) {
-          val tok = if (ci < toks.length) toks(ci) else null
-          out(oi) = cnvValue(names(ci), tok)
+          if (needC(ci)) {
+            val tok = if (ci < toks.length) toks(ci) else null
+            out(oi) = cnvValue(names(ci), tok)
+          }
           oi += 1
         }
         ci += 1
@@ -517,6 +551,16 @@ object Parsers {
         serial = None, timeOfReset = None, prkey = prkey,
         nRows = math.max(0, nRows), header = hdr.header, config = hdr.config)
     case other => parse(other, path, text).meta
+  }
+
+  /** Dispatch by ftype string, with column pruning for the token formats
+    * (cnv/ros — the multi-MB ones; the fixed-width/CSV formats are KB-scale
+    * and parse fully). `needed` receives OUTPUT field names. */
+  def parse(ftype: String, path: String, text: String,
+            needed: String => Boolean): ParsedCast = ftype match {
+    case "cnv" => cnv(path, text, needed = needed)
+    case "ros" => cnv(path, text, ftype = "ros", needed = needed)
+    case other => parse(other, path, text)
   }
 
   /** Dispatch by ftype string. */

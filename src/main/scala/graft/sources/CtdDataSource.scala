@@ -99,6 +99,10 @@ object CtdDataSource {
   private[sources] def parseFile(ftype: String, path: String): ParsedCast =
     Parsers.parse(ftype, path, RawFile.decode(RawFile.bytes(path)))
 
+  private[sources] def parseFilePruned(ftype: String, path: String,
+                                       needed: String => Boolean): ParsedCast =
+    Parsers.parse(ftype, path, RawFile.decode(RawFile.bytes(path)), needed)
+
   /** Synthetic column names; a file channel with the same name (CNV files DO
     * have a `scan` channel — hence `scan_order` for the parse ordinal) gets a
     * trailing underscore, mirroring the duplicate-column rename rule. */
@@ -220,7 +224,20 @@ final class CtdPartitionReader(ftype: String, view: String, path: String,
                                required: StructType, filters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private lazy val parsed: ParsedCast = CtdDataSource.parseFile(ftype, path)
+  /** Parser-space names the parse must materialize: the projection plus
+    * every pushed-filter reference (a pushed filter may name a column the
+    * projection dropped). Synthetic cols map back through the collision
+    * rename (`cast_id_` -> file channel `cast_id`). */
+  private def neededNames: Set[String] = {
+    val reader = required.fieldNames.toSet ++ filters.flatMap(_.references)
+    reader.map {
+      case n @ ("cast_id_" | "scan_order_") => n.dropRight(1)
+      case n => n
+    }
+  }
+
+  private lazy val parsed: ParsedCast =
+    CtdDataSource.parseFilePruned(ftype, path, neededNames.contains)
 
   private val iter: Iterator[InternalRow] =
     if (view == "meta") metaRows() else dataRows()
