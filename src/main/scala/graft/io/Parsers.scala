@@ -535,6 +535,23 @@ object Parsers {
     case other => throw new IllegalArgumentException(s"Unknown ftype: $other")
   }
 
+  /** Cast metadata without decompressing the file end-to-end into a String:
+    * header from the capped `RawFile.headText` prefix, n_rows from the
+    * streaming byte-level `RawFile.lineCount`. Non-Seabird formats fall back
+    * to the full parse (their files are KBs). */
+  def metaOnlyStreaming(ftype: String, path: String): CastMetaRow = ftype match {
+    case "cnv" | "ros" =>
+      val hdr = CastHeader.parse(RawFile.toLines(RawFile.headText(path)), "cnv")
+      val nRows = RawFile.lineCount(path) - hdr.skiprows
+      val names = hdr.names.map(_.trim)
+      val prkey = PressureKeys.find(names.contains)
+      val castId = if (hdr.name != "unknown") hdr.name else RawFile.stem(path)
+      CastMetaRow(castId, hdr.name, ftype, hdr.time, hdr.lat, hdr.lon,
+        serial = None, timeOfReset = None, prkey = prkey,
+        nRows = math.max(0L, nRows), header = hdr.header, config = hdr.config)
+    case other => parse(other, path, RawFile.decode(RawFile.bytes(path))).meta
+  }
+
   /** Cast metadata WITHOUT materializing data values — header parse + a line
     * count. The meta view of a 10 MB cast should not pay full tokenization
     * (it did: the r2 bench's section query spent most of its time here).

@@ -44,6 +44,89 @@ object RawFile {
     out.toByteArray
   }
 
+  private def openDecompressed(path: String): InputStream = {
+    val e = ext(path)
+    if (e == "gz" || e == "gzip")
+      new GZIPInputStream(new BufferedInputStream(new FileInputStream(path)))
+    else if (e == "bz2")
+      new BZip2CompressorInputStream(new BufferedInputStream(new FileInputStream(path)))
+    else if (e == "zip") {
+      // stream the FIRST entry (read.py:51-59) without closing the ZipFile
+      // under the stream: wrap so close() releases both
+      val zf = new java.util.zip.ZipFile(path)
+      val entries = zf.entries()
+      if (!entries.hasMoreElements) {
+        zf.close(); throw new IllegalArgumentException(s"Empty zip archive: $path")
+      }
+      val in = zf.getInputStream(entries.nextElement())
+      new java.io.FilterInputStream(in) {
+        override def close(): Unit = { super.close(); zf.close() }
+      }
+    } else if (PlainExts.contains(e))
+      new BufferedInputStream(new FileInputStream(path))
+    else throw new IllegalArgumentException(
+      s"Unrecognized file extension .$e — expected one of " +
+        (CompressedExts ++ PlainExts).toSeq.sorted.mkString(", "))
+  }
+
+  /**
+   * Decoded text of the first `maxBytes` decompressed bytes — the header
+   * region. Planning-time schema inference and the meta view must NOT
+   * decompress multi-MB casts end-to-end just to read ~10 KB of header
+   * (at 10^8 files the driver's listing pass would otherwise decompress the
+   * whole corpus). If truncation happened, the text is cut at the last full
+   * line so a split multi-byte char can't corrupt the charset sniff.
+   */
+  def headText(path: String, maxBytes: Int = 1 << 18): String = {
+    val in = openDecompressed(path)
+    try {
+      val buf = new Array[Byte](maxBytes)
+      var off = 0
+      var n = in.read(buf, off, maxBytes - off)
+      while (n > 0 && off < maxBytes) { off += n; n = in.read(buf, off, maxBytes - off) }
+      val truncated = off >= maxBytes
+      var end = off
+      if (truncated) {
+        while (end > 0 && buf(end - 1) != '\n'.toByte && buf(end - 1) != '\r'.toByte) end -= 1
+        if (end == 0) end = off // no newline in the head at all — keep as-is
+      }
+      decode(java.util.Arrays.copyOf(buf, end))
+    } finally in.close()
+  }
+
+  /** Effective line count of the file under `toLines` + drop-trailing-blank
+    * semantics (\r\n counts once), computed streaming — no decode, no split,
+    * no multi-MB String. */
+  def lineCount(path: String): Long = {
+    val in = openDecompressed(path)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var seps = 0L
+      var lastWasSep = true // empty file -> 0 lines
+      var prevCr = false
+      var n = in.read(buf)
+      var sawAny = false
+      while (n >= 0) {
+        var i = 0
+        while (i < n) {
+          val b = buf(i)
+          sawAny = true
+          if (b == '\n'.toByte) {
+            if (!prevCr) seps += 1 // \r\n already counted at the \r
+            prevCr = false; lastWasSep = true
+          } else if (b == '\r'.toByte) {
+            seps += 1; prevCr = true; lastWasSep = true
+          } else {
+            prevCr = false; lastWasSep = false
+          }
+          i += 1
+        }
+        n = in.read(buf)
+      }
+      if (!sawAny) 0L else seps + (if (lastWasSep) 0L else 1L)
+    } finally in.close()
+  }
+
   /** Raw decompressed bytes of a local file. */
   def bytes(path: String): Array[Byte] = {
     val e = ext(path)

@@ -119,7 +119,8 @@ object CtdDataSource {
     if (c.view == "meta") return MetaSchema
     val seen = collection.mutable.LinkedHashMap.empty[String, StructField]
     c.files.foreach { f =>
-      val text = RawFile.decode(RawFile.bytes(f))
+      // capped header read: planning must not decompress multi-MB casts
+      val text = RawFile.headText(f)
       Parsers.schemaOnly(c.ftype, f, text).fields.foreach { fld =>
         val n = fileFieldName(fld.name)
         seen.getOrElseUpdate(n, fld.copy(name = n))
@@ -253,9 +254,9 @@ final class CtdPartitionReader(ftype: String, view: String, path: String,
 
   private def metaRows(): Iterator[InternalRow] = {
     // header-only parse: the meta view of a multi-MB cast must not tokenize
-    // every data row just to report n_rows
-    val m: CastMetaRow = graft.io.Parsers.metaOnly(ftype, path,
-      RawFile.decode(RawFile.bytes(path)))
+    // every data row (or even hold the decompressed text) just to report
+    // n_rows — capped header text + streaming byte-level line count
+    val m: CastMetaRow = graft.io.Parsers.metaOnlyStreaming(ftype, path)
     val byName: Map[String, Any] = Map(
       "cast_id" -> m.castId, "name" -> m.name, "ftype" -> m.ftype,
       "time" -> m.time.orNull, "lat" -> m.lat.map(Double.box).orNull,

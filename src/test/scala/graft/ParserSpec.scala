@@ -139,4 +139,38 @@ class ParserSpec extends AnyFunSuite {
       CastHeader.renameDuplicates(Vector("a", "a", "a"))
     }
   }
+
+  test("streaming lineCount matches in-memory split across formats/compression") {
+    val files = Seq("CTD/g01l01s01.cnv.gz", "CTD/g01l01s01.ros", "XBT.EDF",
+      "XBT.EDF.zip", "XBT.EDF.bz2", "btl/bottletest.btl", "castaway_data.csv")
+    files.foreach { f =>
+      val path = s"$data/$f"
+      val lines = RawFile.toLines(RawFile.decode(RawFile.bytes(path)))
+      val expected =
+        if (lines.nonEmpty && lines.last.isEmpty) lines.length - 1 else lines.length
+      assert(RawFile.lineCount(path) == expected.toLong, s"for $f")
+    }
+  }
+
+  test("metaOnlyStreaming equals the full-text metaOnly on a multi-MB gz cast") {
+    val path = s"$data/CTD/g01l01s01.cnv.gz"
+    val full = Parsers.metaOnly("cnv", path, RawFile.decode(RawFile.bytes(path)))
+    val streamed = Parsers.metaOnlyStreaming("cnv", path)
+    assert(streamed == full)
+  }
+
+  test("pruned parse converts only requested channels, leaves others null") {
+    val path = s"$data/CTD_with_sigma_e00.cnv"
+    val all = load("cnv", path)
+    val idx = all.schema.fieldIndex("t068C")
+    val pruned = Parsers.parse("cnv", path,
+      RawFile.decode(RawFile.bytes(path)), Set("pressure", "t068C").contains)
+    assert(pruned.rows.length == all.rows.length)
+    assert(pruned.schema == all.schema)
+    pruned.rows.zip(all.rows).foreach { case (p, a) =>
+      assert(p(0) == a(0) && p(idx) == a(idx)) // requested: identical
+    }
+    val otherIdx = all.schema.fieldIndex("sal00")
+    assert(pruned.rows.forall(_(otherIdx) == null)) // unrequested: skipped
+  }
 }
