@@ -314,6 +314,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q42_ann_ivf" -> ((s: SparkSession, dir: String) => {
+      // IVF scale path: 16-cell coarse quantizer, 4 probes per query
+      val e = t(s, dir, "embeddings")
+      SimOps.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q31_langid" -> ((s: SparkSession, dir: String) => {
       TextOps.langId(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("lang_pred"), col("lang_pred_score"))
@@ -649,6 +657,53 @@ object SparkEntry {
     // practical to reproduce in SQL -> rows-only check; semantics covered by
     // PipelineOpsSpec. Everything else sketch-based (minhash LSH, sign
     // sketches) is generated from the same Scala constants in OracleSqlGen.
+
+    "q42_ann_ivf" ->
+      // the codebook is data-derived (vec_id < 16) so the oracle needs no
+      // literals; cosine folds are DOUBLE[] list_inner_product = bit-exact
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16
+        |), assign AS (
+        |  SELECT e.vec_id, e.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(e.v, c.cv)
+        |             / (sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS rn
+        |  FROM e CROSS JOIN c
+        |), cell AS (
+        |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
+        |), probes AS (
+        |  SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cl,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(q.v, q.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(q.v, c.cv)
+        |             / (sqrt(list_inner_product(q.v, q.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS prn
+        |  FROM e q CROSS JOIN c WHERE q.vec_id < 5
+        |), scored AS (
+        |  SELECT p.query_id, ce.vec_id AS neighbor_id,
+        |    round(CASE WHEN sqrt(list_inner_product(p.qv, p.qv))
+        |                    * sqrt(list_inner_product(ce.v, ce.v)) > 0
+        |      THEN list_inner_product(p.qv, ce.v)
+        |           / (sqrt(list_inner_product(p.qv, p.qv))
+        |              * sqrt(list_inner_product(ce.v, ce.v)))
+        |      ELSE 0.0 END, 6) AS cos_sim
+        |  FROM probes p JOIN cell ce ON ce.cl = p.cl
+        |  WHERE p.prn <= 4 AND ce.vec_id <> p.query_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q25_near_dup_pairs" -> OracleSqlGen.nearDupPairsSql,
     "q26_near_dedup"     -> OracleSqlGen.nearDedupSql,

@@ -106,6 +106,78 @@ object SimOps {
   }
 
   /**
+   * IVF-style approximate top-k: a coarse quantizer assigns every corpus
+   * vector to its nearest-centroid cell; a query probes only its `nProbe`
+   * nearest cells and ranks candidates inside them.
+   *
+   * The codebook here is the deterministic "seed sample" variant (the
+   * `nCells` lowest-id corpus vectors — no Lloyd refinement), which keeps
+   * the whole operator exactly reproducible; swapping in kmeans||-trained
+   * centroids changes only this `collect()`. The codebook is KB-scale and is
+   * compiled into the assignment expression as array literals, so cell
+   * assignment runs map-side inside whole-stage codegen — at 1e9 rows the
+   * corpus pass shuffles only (cell, id) pairs and the candidate join is an
+   * equi-join on the cell id, the same candidates-first shape as LSH.
+   * Ties (equal cosine) resolve to the lowest centroid id in both the fold
+   * below and the oracle's `ORDER BY score DESC, cent_id`.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 5, nCells: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // bounded codebook: nCells rows, the broadcast-codebook pattern
+    val cents: Array[(Long, Array[Double])] =
+      corpus.filter(col(idCol) < nCells)
+        .select(col(idCol).cast(LongType), col(vecCol)).collect()
+        .map { r =>
+          val v = r.getSeq[Any](1).map {
+            case f: java.lang.Float  => f.toDouble
+            case d: java.lang.Double => d.doubleValue()
+            case n: Number           => n.doubleValue()
+          }.toArray
+          (r.getLong(0), v)
+        }.sortBy(_._1)
+
+    def centCol(v: Array[Double]): Column = array(v.map(lit): _*)
+
+    /** argmax-cosine cell id over the literal codebook. Each score appears
+      * exactly once in the plan (an incremental `when`-fold duplicates the
+      * running best per step — an exponentially sized expression tree);
+      * `array_position` of the max returns the FIRST hit, i.e. the lowest
+      * centroid id on ties, matching the oracle's ORDER BY score DESC, id. */
+    def cellOf(vec: Column): Column = {
+      val scores = array(cents.map { case (_, cv) => cosine(vec, centCol(cv)) }: _*)
+      val ids    = array(cents.map { case (cid, _) => lit(cid) }: _*)
+      element_at(ids, array_position(scores, array_max(scores)).cast(IntegerType))
+    }
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", cellOf(col("__cv")))
+
+    // probe list: small query set x small codebook
+    val centsDf = spark.createDataFrame(cents.toSeq.map {
+      case (cid, cv) => (cid, cv.toSeq)
+    }).toDF("__cent_id", "__centv")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__pscore").desc, col("__cent_id"))
+    val probes = q.crossJoin(broadcast(centsDf))
+      .withColumn("__pscore", cosine(col("__qv"), col("__centv")))
+      .withColumn("__prn", row_number().over(wProbe))
+      .filter(col("__prn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cent_id").as("__cell"))
+
+    val scored = assigned.join(broadcast(probes), "__cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /**
    * LSH-bucketed approximate top-k: candidates share the query's bucket
    * (equi-join on the sketch — at 1e9 rows this is a hash join on a long,
    * never a cross join). Recall is tunable via plane count; with b planes

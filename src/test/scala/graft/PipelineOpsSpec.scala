@@ -105,6 +105,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall > 0, "LSH found none of the true top-5")
   }
 
+  test("ivfTopK: exact copy found when its cell is probed; sims match brute force") {
+    val rng = new scala.util.Random(13)
+    val base = (0L until 100L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val withDup = base ++ Seq((200L, base(2)._2)) // exact copy of query 2
+    val e = withDup.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+    val ivf = SimOps.ivfTopK(e, q, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 8) // probe ALL cells -> exhaustive
+    val rows = ivf.collect()
+    // with nProbe = nCells the search is exhaustive: must equal brute force
+    val brute = SimOps.cosineTopK(e, q, "vec_id", "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == brute, s"exhaustive IVF diverged:\n got=$got\n want=$brute")
+    // the exact copy of query 2 ranks first with sim 1
+    val top2 = rows.filter(r => r.getLong(0) == 2L && r.getInt(1) == 1).head
+    assert(top2.getLong(2) == 200L && top2.getDouble(3) == 1.0)
+    // restricted probing returns a subset of cells but still valid sims
+    val narrow = SimOps.ivfTopK(e, q, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 2).collect()
+    assert(narrow.nonEmpty && narrow.forall(_.getDouble(3) <= 1.0))
+  }
+
   test("embeddingNearDupPairs finds exact copies, nearDedup drops them") {
     val rng = new scala.util.Random(11)
     val base = (0L until 50L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
