@@ -49,6 +49,23 @@ object StreamOps {
         avg(col("value")).as("mean_value"))
 
   /**
+   * Streaming exact dedup: drop documents whose sha2-256 digest was already
+   * seen within the watermark horizon. Same digest-keyed principle as the
+   * batch `DedupOps.exactDedup` — state stores 32-byte digests, never
+   * bodies — and `dropDuplicatesWithinWatermark` evicts state once the
+   * event-time watermark passes, so the query runs indefinitely with
+   * bounded memory (an unwatermarked dropDuplicates would grow state
+   * forever at 1e9 docs/day).
+   */
+  def streamingExactDedup(docs: DataFrame, textCol: String, tsCol: String,
+                          watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__digest", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
+  /**
    * Online press_check via `mapGroupsWithState`: within each micro-batch the
    * group's samples are sorted by scan and folded through the running
    * reversal state, which persists across batches. (flatMapGroupsWithState

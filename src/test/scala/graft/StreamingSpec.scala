@@ -59,6 +59,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingExactDedup drops repeated digests across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamOps.streamingExactDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, ts(0), "alpha"), (1L, ts(1), "beta"), (2L, ts(2), "alpha"))
+      q.processAllAvailable()
+      // second batch: dup of "beta" within the watermark window -> dropped
+      input.addData((3L, ts(3), "beta"), (4L, ts(4), "gamma"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM dedup_stream ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(0L, 1L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("fromText parses in-memory content (StringIO analog)") {
     val text = new String(
       graft.io.RawFile.bytes(s"$dataDir/CTD_with_sigma_e00.cnv"), "UTF-8")
