@@ -160,6 +160,92 @@ object OracleSqlGen {
           |        FROM embeddings WHERE vec_id < 20)""".stripMargin)
   }
 
+  // --- lp_filter: Butterworth filtfilt as recursive-CTE recurrences -------
+
+  /**
+   * q22: zero-phase Butterworth low-pass (`SeqOps.lpFilter` defaults:
+   * sampleRate 24, timeConstant 0.15). The filter taps and `lfilter_zi`
+   * steady-state come from the SAME Scala code the kernel uses, embedded as
+   * literals; each lfilter pass is a DuckDB recursive CTE carrying the
+   * direct-form-II-transposed state (z0, z1) — one row per cast per
+   * iteration, recursion depth = padded cast length (~n + 18), identical
+   * arithmetic order to FiltFilt.lfilter, so doubles are bit-exact.
+   *
+   * Odd-extension padding, the zi*x0 initial state, and the reverse pass all
+   * mirror FiltFilt.filtfilt (padlen = min(9, n-1)); n = 1 casts pass
+   * through unchanged, n = 0 impossible (group exists only with rows).
+   */
+  def lpFilterSql: String = {
+    val wn     = (1.0 / 0.15) / (24.0 * 2.0)
+    val (b, a) = graft.dsp.Butterworth.butter2LowPass(wn)
+    val zi     = graft.dsp.FiltFilt.lfilterZi(b, a)
+    val (b0, b1, b2) = (d(b(0)), d(b(1)), d(b(2)))
+    val (a1, a2)     = (d(a(1)), d(a(2)))
+    val (zi0, zi1)   = (d(zi(0)), d(zi(1)))
+
+    /** One lfilter pass over list column `src` of CTE `in`, emitting CTE
+      * `out(u, k, y)` 1-based. `in` must provide (u, $src, m). */
+    def pass(in: String, src: String, out: String): String =
+      s"""$out AS (
+         |  SELECT u, 1 AS k, $src, m, yi,
+         |         $b1*xi - $a1*yi + z1i AS z0,
+         |         $b2*xi - $a2*yi AS z1
+         |  FROM (
+         |    SELECT u, $src, m, $src[1] AS xi,
+         |           $b0*$src[1] + $zi0*$src[1] AS yi,
+         |           $zi1*$src[1] AS z1i
+         |    FROM $in
+         |  )
+         |  UNION ALL
+         |  SELECT u, k+1, $src, m, yi,
+         |         $b1*xi - $a1*yi + z1 AS z0,
+         |         $b2*xi - $a2*yi AS z1
+         |  FROM (
+         |    SELECT u, k, $src, m, $src[k+1] AS xi,
+         |           $b0*$src[k+1] + z0 AS yi, z1
+         |    FROM $out WHERE k < m
+         |  )
+         |)""".stripMargin
+
+    s"""WITH RECURSIVE s AS (
+       |  SELECT user_id u, event_id i, value x FROM events
+       |), arr AS (
+       |  SELECT u, list(x ORDER BY i) AS a, list(i ORDER BY i) AS ids,
+       |         count(*)::INT AS n
+       |  FROM s GROUP BY u
+       |), ext AS (
+       |  -- odd extension by e = min(9, n-1) on both ends
+       |  SELECT u, ids, n, e,
+       |    list_concat(list_concat(
+       |      list_transform(range(1, e + 1), j -> 2.0*a[1] - a[e - j + 2]),
+       |      a),
+       |      list_transform(range(1, e + 1), j -> 2.0*a[n] - a[n - j])) AS xe,
+       |    n + 2*e AS m
+       |  FROM (SELECT *, least(9, n - 1) AS e FROM arr WHERE n >= 2)
+       |), ${pass("ext", "xe", "f")},
+       |fwd AS (
+       |  SELECT u, list(yi ORDER BY k) AS yf, any_value(m) AS m FROM f GROUP BY u
+       |), rev AS (
+       |  SELECT u, list_transform(range(1, m + 1), j -> yf[m - j + 1]) AS xr, m
+       |  FROM fwd
+       |), ${pass("rev", "xr", "g")},
+       |bwd AS (
+       |  SELECT u, list(yi ORDER BY k) AS yb, any_value(m) AS m FROM g GROUP BY u
+       |), outp AS (
+       |  SELECT u, list_transform(range(1, m + 1), j -> yb[m - j + 1]) AS yo
+       |  FROM bwd
+       |), sliced AS (
+       |  SELECT ext.u, ext.ids,
+       |    list_transform(range(1, ext.n + 1), kk -> outp.yo[ext.e + kk]) AS yv
+       |  FROM ext JOIN outp ON ext.u = outp.u
+       |  UNION ALL
+       |  SELECT u, ids, a AS yv FROM arr WHERE n = 1
+       |)
+       |SELECT u AS user_id, unnest(ids) AS event_id,
+       |       round(unnest(yv), 6) AS value_lp
+       |FROM sliced ORDER BY user_id, event_id""".stripMargin
+  }
+
   // --- MinHash + banded LSH, md5-based (engine-portable) ------------------
 
   /** The q25/q26 corpus: documents plus perturbed copies of the first 50. */

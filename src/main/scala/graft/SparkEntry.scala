@@ -232,8 +232,9 @@ object SparkEntry {
     }),
 
     "q22_lp_filter" -> ((s: SparkSession, dir: String) => {
-      // Sequential IIR (no SQL oracle): rows-only check; numeric fidelity is
-      // pinned by the SBE golden-file test in KernelSpec.
+      // Sequential IIR; the oracle replays the identical direct-form-II
+      // recurrence as a recursive CTE (OracleSqlGen.lpFilterSql); numeric
+      // fidelity additionally pinned by the SBE golden-file test.
       SeqOps.lpFilter(t(s, dir, "events"), "user_id", "event_id",
           pressure = "value")
         .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value_lp"))
@@ -631,10 +632,11 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
 
-    // q16-q20 (file-format readers) and q22 (IIR filtfilt) have no
-    // SQL-expressible oracle -> rows-only checks; exact semantics are pinned
-    // by golden-fixture ScalaTests (rosette vector, SBE-filtered file).
+    // q16-q20 (file-format readers) have no SQL-expressible oracle ->
+    // rows-only checks; exact semantics are pinned by golden-fixture
+    // ScalaTests (rosette vector, SBE-filtered file, lat/lon decimals).
 
+    "q22_lp_filter" -> OracleSqlGen.lpFilterSql,
     "q23_smooth" -> OracleSqlGen.smoothSql,
 
     "q21_press_check" ->
