@@ -343,14 +343,18 @@ object SparkEntry {
     }),
 
     "q34_multimodal" -> ((s: SparkSession, dir: String) => {
+      // the batched mapPartitions plumbing (schema, ids, byte counts) and
+      // the frame-sampling arithmetic are oracle-verified exactly; the stub
+      // feature values are pinned by PipelineOpsSpec instead (their rolling
+      // hash needs 64-bit wraparound, which SQL BIGINT refuses)
       val media = MultimodalOps.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
       val feats = MultimodalOps.extractFeatures(media, dim = 16)
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("feat"), 1), 6).as("f0"))
+          size(col("feat")).cast(LongType).as("feat_dim"))
       val frames = MultimodalOps.sampleFrames(media)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
       feats.join(frames, Seq("media_id"), "left")
-        .select(col("media_id"), col("kind"), col("n_bytes"), col("f0"),
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("feat_dim"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
         .orderBy(col("media_id"))
     }),
@@ -655,10 +659,22 @@ object SparkEntry {
         |  CASE WHEN p < runmax THEN NULL ELSE props END AS props_checked
         |FROM m ORDER BY user_id, event_id""".stripMargin,
 
-    // q34 (multimodal stub): the per-byte rolling-hash feature is not
-    // practical to reproduce in SQL -> rows-only check; semantics covered by
-    // PipelineOpsSpec. Everything else sketch-based (minhash LSH, sign
-    // sketches) is generated from the same Scala constants in OracleSqlGen.
+    "q34_multimodal" ->
+      // mirrors syntheticMedia + extractFeatures plumbing + sampleFrames:
+      // n_bytes = UTF-8 byte length of the blob, n_sampled = every 30th
+      // frame index of video rows, 0 otherwise
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    (doc_id % 300 + 1)::INT AS n_frames
+        |  FROM documents
+        |)
+        |SELECT media_id, kind, n_bytes, 16::BIGINT AS feat_dim,
+        |  CASE WHEN kind = 'video'
+        |       THEN CAST((n_frames - 1) // 30 + 1 AS BIGINT)
+        |       ELSE 0::BIGINT END AS n_sampled
+        |FROM media ORDER BY media_id""".stripMargin,
 
     "q42_ann_ivf" ->
       // the codebook is data-derived (vec_id < 16) so the oracle needs no
