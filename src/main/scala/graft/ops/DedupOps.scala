@@ -97,6 +97,11 @@ object DedupOps {
   def minHashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
     minhashUdf(numHashes)(shingles(text, shingleSize))
 
+  /** MinHash signature over a pre-computed shingle-array column (lets one
+    * shingling pass feed both the signature and the Jaccard verify). */
+  def minHashFromShingles(sh: Column, numHashes: Int = 64): Column =
+    minhashUdf(numHashes)(sh)
+
   private def minhashUdf(k: Int) = {
     val perms = permConstants(k)
     val f = udf { sh: Seq[String] =>
@@ -147,8 +152,15 @@ object DedupOps {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 64, bands: Int = 16,
                          shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val withSig = df.select(col(idCol), col(textCol))
-      .withColumn("__sig", minHashSignature(col(textCol), numHashes, shingleSize))
+    // Stage the shingling ONCE: without it the self-join sides, plus both
+    // jaccard sides, each re-derive shingles from the raw text — four corpus
+    // scans + tokenizations of the 100 TB table instead of one. The staged
+    // (id, shingles) table is the only thing every later stage needs; at
+    // cluster scale this is the classic signature-table materialization.
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = sh.select(col(idCol),
+      minHashFromShingles(col("__sh"), numHashes).as("__sig"))
     val bandsDf = lshBands(withSig, idCol, "__sig", bands)
     val a = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
     val b = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
@@ -156,7 +168,7 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    jaccardForPairs(df, candidates, idCol, textCol, shingleSize)
+    jaccardForShingledPairs(sh, candidates, idCol)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -174,8 +186,14 @@ object DedupOps {
   /** Exact n-gram Jaccard for given id pairs — deterministic rational
     * arithmetic, DuckDB-oracle-able. `pairs` must have (id_a, id_b). */
   def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
-                      textCol: String, shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+                      textCol: String, shingleSize: Int = 3): DataFrame =
+    jaccardForShingledPairs(
+      df.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh")),
+      pairs, idCol)
+
+  /** Jaccard over a pre-shingled (idCol, __sh) table. */
+  private def jaccardForShingledPairs(sh: DataFrame, pairs: DataFrame,
+                                      idCol: String): DataFrame = {
     val joined = pairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
