@@ -295,7 +295,9 @@ object OracleSqlGen {
        |  SELECT doc_id, i // $r AS band_id, list(m ORDER BY i) AS bm
        |  FROM mh GROUP BY doc_id, i // $r
        |), bandk AS (
+       |  -- hot-bucket cap (maxBucket = 100), mirroring the Spark-side guard
        |  SELECT doc_id, band_id, $bandFold AS bk FROM bandarr
+       |  QUALIFY count(*) OVER (PARTITION BY band_id, $bandFold) <= 100
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bandk a JOIN bandk b

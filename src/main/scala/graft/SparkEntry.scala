@@ -268,7 +268,7 @@ object SparkEntry {
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" perturbed tail token")).as("text"))
       DedupOps.nearDuplicatePairs(d.unionByName(perturbed), "doc_id", "text",
-          numHashes = 64, bands = 16, threshold = 0.5)
+          numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 100)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -279,7 +279,7 @@ object SparkEntry {
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" perturbed tail token")).as("text"))
       DedupOps.nearDedup(d.unionByName(perturbed), "doc_id", "text",
-          numHashes = 64, bands = 16, threshold = 0.5)
+          numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 100)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 

@@ -149,9 +149,17 @@ object DedupOps {
    * through the band explosion (x bands) and deduplicating array payloads
    * was a 345 s scale bug in the r2 bench at a mere 5k docs.
    */
+  /** `maxBucket > 0` drops LSH buckets holding more than that many docs
+    * from candidate generation — the standard skew guard: a bucket of
+    * boilerplate (B identical headers) produces B^2/2 candidate pairs, and
+    * one hot key would otherwise dominate the join. Capped buckets are
+    * boilerplate by construction, exactly the content near-dedup pipelines
+    * drop via other means anyway; AQE's skew split handles the moderate
+    * cases below the cap. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 64, bands: Int = 16,
-                         shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+                         shingleSize: Int = 3, threshold: Double = 0.7,
+                         maxBucket: Int = 0): DataFrame = {
     // Stage the shingling ONCE: without it the self-join sides, plus both
     // jaccard sides, each re-derive shingles from the raw text — four corpus
     // scans + tokenizations of the 100 TB table instead of one. The staged
@@ -161,7 +169,16 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = sh.select(col(idCol),
       minHashFromShingles(col("__sh"), numHashes).as("__sig"))
-    val bandsDf = lshBands(withSig, idCol, "__sig", bands)
+    val allBands = lshBands(withSig, idCol, "__sig", bands)
+    val bandsDf =
+      if (maxBucket <= 0) allBands
+      else {
+        // one window count on the same keys the join shuffles on anyway
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_hash"))
+        allBands.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      }
     val a = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
     val b = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
     val candidates = a.join(b, Seq("band_id", "band_hash"))
@@ -177,9 +194,10 @@ object DedupOps {
     * full connected-components pass; documented approximation). */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
                 numHashes: Int = 64, bands: Int = 16,
-                shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+                shingleSize: Int = 3, threshold: Double = 0.7,
+                maxBucket: Int = 0): DataFrame = {
     val losers = nearDuplicatePairs(df, idCol, textCol, numHashes, bands,
-      shingleSize, threshold).select(col("id_b").as(idCol)).distinct()
+      shingleSize, threshold, maxBucket).select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -41,6 +41,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!kept.contains(3L))
   }
 
+  test("maxBucket cap drops hot-bucket candidates (boilerplate guard)") {
+    // 20 identical docs: every band bucket holds all 20 -> capped out
+    val boiler = (0L until 20L).map(i => (i, "identical boilerplate header text"))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.nearDuplicatePairs(boiler, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5).count()
+    assert(uncapped == 20L * 19 / 2)
+    val capped = DedupOps.nearDuplicatePairs(boiler, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 10).count()
+    assert(capped == 0L)
+  }
+
   test("simhash: identical texts identical, near-dups close, distinct far") {
     val sh = docs.withColumn("sh", DedupOps.simHash64(TextOps.tokens(col("text"))))
       .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
