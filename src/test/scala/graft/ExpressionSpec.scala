@@ -52,4 +52,35 @@ class ExpressionSpec extends SparkTestBase {
     assert(GswExpressions.all.map(_._1.funcName).sorted ==
       Seq("gsw_distance", "gsw_p_from_z", "gsw_sigma0", "gsw_z_from_p"))
   }
+
+  test("array_dot == interpreted aggregate/zip_with fold == plain Scala fold") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val rows = (0 until 50).map { i =>
+      val n = 1 + rng.nextInt(96)
+      (i.toLong, Array.fill(n)(rng.nextFloat() * 4 - 2), Array.fill(n)(rng.nextFloat() * 4 - 2))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val interp = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    val got = df.select(col("id"), graft.ops.SimOps.dot(col("a"), col("b")), interp)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val expected = rows.map { case (id, a, b) =>
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      (id, acc)
+    }.toMap
+    got.foreach { case (id, native, interpreted) =>
+      assert(native == interpreted, s"row $id: native $native != interpreted $interpreted")
+      assert(native == expected(id), s"row $id: native $native != scala ${expected(id)}")
+    }
+    // null semantics: mismatched lengths and null elements -> null
+    val edge = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+      .select(graft.ops.SimOps.dot(col("a"), col("b"))).collect()(0)
+    assert(edge.isNullAt(0))
+  }
 }
