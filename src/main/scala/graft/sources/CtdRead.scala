@@ -65,6 +65,27 @@ object CtdRead {
     spark.read.parquet(s"$outPath/samples")
   }
 
+  /**
+   * Bucketed ingest: like [[ingest]], but lands the samples as a BUCKETED
+   * table (`bucketBy(cast_id) sortBy(cast_id, scan_order)`). A bucketed scan
+   * already satisfies the clustered distribution every per-cast window /
+   * groupByKey operator requires, so the entire QC chain (split, despike,
+   * interpolate, lp_filter, ...) runs with ZERO exchanges after the one-time
+   * ingest — at 10^12 samples that is the difference between re-shuffling
+   * the corpus per pipeline run and never shuffling it again
+   * (PlanShapeSpec pins the exchange-free plan). Returns the re-read table.
+   */
+  def ingestBucketed(spark: SparkSession, ftype: String, inPath: String,
+                     table: String, buckets: Int = 8): DataFrame = {
+    val samples = read(spark, ftype, inPath)
+    samples.write.mode("overwrite")
+      .bucketBy(buckets, "cast_id")
+      .sortBy("cast_id", "scan_order")
+      .format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
   /** In-memory read — the reference accepts `StringIO` streams
     * (tests/test_read.py:112-114); the Spark analog parses driver-held text
     * and parallelizes the rows. For files, prefer the `ctd` format (the

@@ -53,4 +53,20 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("pushed=[") && plan.contains("GreaterThanOrEqual"), plan)
   }
+
+  test("bucketed ingest: per-cast window chain runs with ZERO exchanges") {
+    val table = "bucketed_casts_test"
+    val bucketed = graft.sources.CtdRead.ingestBucketed(
+      spark, "cnv", s"$dataDir/CTD_with_sigma_e00.cnv", table, buckets = 4)
+    try {
+      val chained = Cast.interpolateIndex(
+        Cast.despike(bucketed, "cast_id", "scan_order", Seq("t068C"), 2, 20, 16),
+        "cast_id", "scan_order", Seq("t068C"))
+      val plan = chained.queryExecution.executedPlan.toString
+      // the bucketed scan already provides hash distribution on cast_id:
+      // EnsureRequirements inserts NO shuffle for the whole window chain
+      assert(countOccurrences(plan, "Exchange hashpartitioning") == 0, plan)
+      assert(chained.count() > 0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
