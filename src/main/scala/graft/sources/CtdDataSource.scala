@@ -55,7 +55,12 @@ class CtdDataSource extends TableProvider with DataSourceRegister {
 
 object CtdDataSource {
 
-  final case class Conf(ftype: String, view: String, files: Seq[String])
+  final case class Conf(ftype: String, view: String, files: Seq[String],
+                        rawPaths: Seq[String]) {
+    /** Re-list the raw paths — the micro-batch stream discovers files that
+      * arrived after planning. */
+    def listNow(): Seq[String] = rawPaths.flatMap(expand).sorted
+  }
 
   private[sources] def conf(options: CaseInsensitiveStringMap): Conf = {
     val ftype = options.getOrDefault("ftype", "cnv").toLowerCase
@@ -63,7 +68,7 @@ object CtdDataSource {
     val paths = Option(options.get("paths")).map(parseJsonPaths)
       .orElse(Option(options.get("path")).map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException("ctd source requires a load path"))
-    Conf(ftype, view, paths.flatMap(expand))
+    Conf(ftype, view, paths.flatMap(expand), paths)
   }
 
   private def parseJsonPaths(json: String): Seq[String] =
@@ -74,7 +79,7 @@ object CtdDataSource {
   /** A path may be a file or a directory (non-recursive listing, like the
     * reference's user passing a file at a time — directories are the Spark
     * convenience). */
-  private def expand(path: String): Seq[String] = {
+  private[sources] def expand(path: String): Seq[String] = {
     val f = new File(path)
     if (f.isDirectory) {
       f.listFiles().filter(_.isFile).map(_.getPath).sorted.toSeq
@@ -137,7 +142,7 @@ final case class CtdTable(conf: CtdDataSource.Conf, tableSchema: StructType)
   override def name(): String = s"ctd(${conf.ftype})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CtdScanBuilder(conf, tableSchema)
 }
@@ -176,6 +181,46 @@ final case class CtdScan(conf: CtdDataSource.Conf, fullSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     CtdReaderFactory(conf.ftype, conf.view, required, filters)
+
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CtdMicroBatchStream(conf, required, filters)
+}
+
+/**
+ * Micro-batch streaming over an instrument-file drop directory: each batch
+ * reads the files that appeared since the last offset (`readStream
+ * .format("ctd").option("ftype", "cnv").load(dir)` — a live feed of casts
+ * into the same QC operators). The offset is the count of the name-sorted
+ * listing; instrument loggers name files monotonically (cast serials /
+ * timestamps), which makes the listing append-only. A production hardening
+ * for adversarial arrival orders would checkpoint the seen-file log the way
+ * Spark's FileStreamSource does — same partition/reader machinery below.
+ */
+final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
+                                required: StructType, filters: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class CtdOffset(n: Int) extends Offset {
+    override def json(): String = s"""{"n":$n}"""
+  }
+
+  override def initialOffset(): Offset = CtdOffset(0)
+  override def latestOffset(): Offset = CtdOffset(conf.listNow().length)
+  override def deserializeOffset(json: String): Offset =
+    CtdOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CtdOffset].n
+    val e = end.asInstanceOf[CtdOffset].n
+    conf.listNow().slice(s, e).map(f => CtdInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CtdReaderFactory(conf.ftype, conf.view, required, filters)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class CtdInputPartition(path: String) extends InputPartition

@@ -78,6 +78,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ctd micro-batch source picks up files dropped into the directory") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("ctd-stream").toFile
+    dir.deleteOnExit()
+    val src = Paths.get(s"$dataDir/CTD_with_sigma_e00.cnv")
+    Files.copy(src, Paths.get(dir.getPath, "cast_a.cnv"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = spark.readStream.format("ctd").option("ftype", "cnv")
+      .load(dir.getPath)
+      .groupBy(col("cast_id")).agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("ctd_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.sql("SELECT count(*) FROM ctd_stream").collect()(0).getLong(0)
+      assert(n1 == 1, s"expected 1 cast after batch 1, got $n1")
+      // second file arrives (sorts after the first — append-only listing)
+      Files.copy(src, Paths.get(dir.getPath, "cast_b.cnv"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      // same cast_id in both files -> still one group, but 2x the rows
+      val rows = spark.sql("SELECT cast_id, n FROM ctd_stream").collect()
+      assert(rows.map(_.getLong(1)).sum == 398, // 199 scans per file x 2
+        s"expected both files' scans, got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("fromText parses in-memory content (StringIO analog)") {
     val text = new String(
       graft.io.RawFile.bytes(s"$dataDir/CTD_with_sigma_e00.cnv"), "UTF-8")
