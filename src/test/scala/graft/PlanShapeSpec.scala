@@ -54,6 +54,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("pushed=[") && plan.contains("GreaterThanOrEqual"), plan)
   }
 
+  test("ANN top-k plans push the rank limit below the full sort (WindowGroupLimit)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.ops.SimOps.cosineTopK(e, e.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    // rank() <= k prunes per-partition before the final per-query sort — the
+    // difference between a top-k and a full materialized ranking at 1e9 rows
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("LSH band self-join reuses ONE exchange at cluster scale (no broadcast)") {
+    val docs = Seq((1L, "aa bb cc dd ee ff"), (2L, "aa bb cc dd ee gg"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE performs the same reuse at runtime via its stage cache; disable it
+    // here so the static ReuseExchange rule makes the reuse visible in the
+    // plan string
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = DedupOps.nearDuplicatePairs(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      // both self-join sides derive from the identical band table: with the
+      // small-table broadcast disabled (the 1e9-doc regime), EnsureRequirements
+      // plans identical shuffles and one side reuses the other's
+      assert(plan.contains("ReusedExchange"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("bucketed ingest: per-cast window chain runs with ZERO exchanges") {
     val table = "bucketed_casts_test"
     val bucketed = graft.sources.CtdRead.ingestBucketed(
