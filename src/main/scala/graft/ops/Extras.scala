@@ -77,6 +77,10 @@ object Extras {
               pressure: String = "pressure"): DataFrame = {
     val binned = Cast.bindataAverage(samples, castCol, orderCol,
       Seq(valueCol), delta, pressure, keepEmpty = false)
+    // unpartitioned window is deliberate: it runs on the CASTS table (one
+    // row per station), which a section bounds to ~10^2-10^3 rows — the
+    // cumulative-distance scan is inherently sequential over stations and
+    // never touches the samples
     val wOrd = Window.orderBy(col("lon"), col("lat"), col(castCol))
     val segment = udf((lon1: java.lang.Double, lat1: java.lang.Double,
                        lon2: java.lang.Double, lat2: java.lang.Double) =>
