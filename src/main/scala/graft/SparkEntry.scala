@@ -437,6 +437,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q43_pii_redact" -> ((s: SparkSession, dir: String) => {
+      // counts pre-redaction; sha2 of the redacted text keeps the output
+      // small while staying sensitive to every replacement
+      val d = t(s, dir, "documents")
+      val (ne, ni, np) = TextOps.piiCounts(col("text"))
+      d.select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"),
+          sha2(TextOps.redactPii(col("text")), 256).as("redacted_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q44_repetition" -> ((s: SparkSession, dir: String) => {
+      TextOps.repetitionSignals(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("dup_2gram_frac"), col("top_token_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q45_hash_split" -> ((s: SparkSession, dir: String) => {
+      graft.ops.SampleOps.hashSplit(t(s, dir, "documents"), "doc_id", nSplits = 10)
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"))
+    }),
+
     "q39_set_ops" -> ((s: SparkSession, dir: String) => {
       // §2.6 set-operation surface: users active in both halves of the
       // event stream, minus a blocklist (intersect + except)
@@ -919,6 +941,59 @@ object SparkEntry {
         |  + CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) // 8 AS BIGINT)
         |    AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_pii_redact" ->
+      // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'
+      // flag to match Spark's replace-all default
+      s"""WITH r AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS after_email
+         |  FROM documents
+         |), r2 AS (
+         |  SELECT doc_id, text, after_email,
+         |    regexp_replace(after_email, '${TextOps.Ipv4Re}', '<IP>', 'g') AS after_ip
+         |  FROM r
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(after_email, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(after_ip, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  sha256(regexp_replace(after_ip,
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS redacted_sha
+         |FROM r2 ORDER BY doc_id""".stripMargin,
+
+    "q44_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS n,
+        |    len(list_distinct(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |      ELSE [array_to_string(t, ' ')] END)) AS d2
+        |  FROM tok
+        |), tf AS (
+        |  SELECT doc_id, max(c) AS mx FROM (
+        |    SELECT doc_id, w, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY doc_id, w
+        |  ) GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  CASE WHEN b.n >= 2
+        |       THEN round(1.0 - CAST(b.d2 AS DOUBLE) / greatest(b.n - 1, 1.0), 6)
+        |       ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN b.n > 0
+        |       THEN round(CAST(coalesce(tf.mx, 0) AS DOUBLE) / b.n, 6)
+        |       ELSE 0.0 END AS top_token_frac
+        |FROM base b LEFT JOIN tf ON b.doc_id = tf.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q45_hash_split" ->
+      """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |         & 2147483647::UBIGINT)::BIGINT % 10 AS split,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q39_set_ops" ->
       """WITH mid AS (SELECT max(event_id) / 2.0 AS m FROM events)

@@ -124,4 +124,72 @@ object TextOps {
     * formatting collide, which is the point). */
   def fingerprint(text: Column): Column =
     sha2(array_join(tokens(text), " "), 256)
+
+  // --- PII redaction ------------------------------------------------------
+
+  /** RE2-compatible patterns (no backrefs/lookahead), so the identical regex
+    * semantics hold in Java (Spark) and RE2 (DuckDB) — the redaction is
+    * exactly oracle-able. Order matters: emails first (an email contains
+    * digit runs a phone pattern could nibble). */
+  val EmailRe: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re: String  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe: String = """\+?\d[\d().\-\s]{6,16}\d"""
+
+  /** Redact emails / IPv4s / phone-ish digit runs (codegen'd
+    * `regexp_replace` chain — runs at scan speed; the usual first pass any
+    * training-data pipeline applies before sharing a corpus). */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, lit(EmailRe), lit("<EMAIL>"))
+    val i = regexp_replace(e, lit(Ipv4Re), lit("<IP>"))
+    regexp_replace(i, lit(PhoneRe), lit("<PHONE>"))
+  }
+
+  /** Per-kind match counts IN REDACTION ORDER (each kind counted on the
+    * text with the earlier kinds already replaced — an IPv4 is digit-run-
+    * shaped, so counting phones on raw text would double-count it). The
+    * counts are exactly what `redactPii` replaces. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, lit(EmailRe), lit("<EMAIL>"))
+    val afterIp    = regexp_replace(afterEmail, lit(Ipv4Re), lit("<IP>"))
+    (regexp_count(text, lit(EmailRe)).cast(LongType),
+     regexp_count(afterEmail, lit(Ipv4Re)).cast(LongType),
+     regexp_count(afterIp, lit(PhoneRe)).cast(LongType))
+  }
+
+  // --- repetition signals (Gopher-style quality rules) --------------------
+
+  /** Highest single-token frequency in the array (compiled one-pass UDF). */
+  private def maxTokenFreqUdf = udf { t: Seq[String] =>
+    if (t == null || t.isEmpty) 0L
+    else {
+      val m = new java.util.HashMap[String, Long]()
+      t.foreach(s => m.merge(s, 1L, (a, b) => a + b))
+      var mx = 0L
+      m.values.forEach(v => if (v > mx) mx = v)
+      mx
+    }
+  }
+
+  /**
+   * Repetition signals over the token stream — the Gopher-rule family:
+   * fraction of duplicate word 2-grams (1 - distinct/total) and the share
+   * of the single most frequent token. High values mark boilerplate /
+   * degenerate generations that near-dedup misses (repetition WITHIN one
+   * doc, not across docs).
+   */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val tok = col("__tok")
+    val n = size(tok).cast(DoubleType)
+    val total2 = greatest(n - 1, lit(1.0))
+    // DedupOps.shingles is DISTINCT by construction -> its size is the
+    // distinct 2-gram count
+    val distinct2 = size(DedupOps.shingles(col(textCol), 2)).cast(DoubleType)
+    val dup2 = when(n >= 2, round(lit(1.0) - distinct2 / total2, 6)).otherwise(lit(0.0))
+    val topFrac = when(n > 0,
+      round(maxTokenFreqUdf(tok).cast(DoubleType) / n, 6)).otherwise(lit(0.0))
+    df.withColumn("__tok", tokens(col(textCol)))
+      .withColumn("dup_2gram_frac", dup2)
+      .withColumn("top_token_frac", topFrac)
+      .drop("__tok")
+  }
 }

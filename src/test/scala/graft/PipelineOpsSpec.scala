@@ -156,6 +156,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!kept.contains(100L) && !kept.contains(101L))
   }
 
+  test("PII redaction replaces emails/IPs/phones, counts match") {
+    val d = Seq((0L,
+      "mail me at jane.doe+x@example.org or call +1 (555) 123-4567 from 10.0.0.1")
+    ).toDF("doc_id", "text")
+    val (ne, ni, np) = TextOps.piiCounts(col("text"))
+    val r = d.select(TextOps.redactPii(col("text")).as("red"),
+        ne.as("e"), ni.as("i"), np.as("p")).collect()(0)
+    assert(r.getString(0) == "mail me at <EMAIL> or call <PHONE> from <IP>",
+      s"got: ${r.getString(0)}")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L)))
+  }
+
+  test("repetition signals: degenerate doc scores high, varied doc low") {
+    val d = Seq(
+      (0L, "spam spam spam spam spam spam spam spam"),
+      (1L, "eight entirely different tokens compose this varied sentence")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.repetitionSignals(d, "text")
+      .select("doc_id", "dup_2gram_frac", "top_token_frac")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows(0L)._1 > 0.8 && rows(0L)._2 == 1.0, s"degenerate: ${rows(0L)}")
+    assert(rows(1L)._1 == 0.0 && rows(1L)._2 < 0.2, s"varied: ${rows(1L)}")
+  }
+
+  test("hash split is deterministic, covers all splits, sample rate ~ requested") {
+    val d = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = graft.ops.SampleOps.hashSplit(d, "doc_id", 10)
+      .groupBy("split").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = graft.ops.SampleOps.hashSplit(d, "doc_id", 10)
+      .groupBy("split").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2, "split not deterministic")
+    assert(s1.keySet == (0L until 10L).toSet, s"missing splits: ${s1.keySet}")
+    val kept = graft.ops.SampleOps.sampleByHash(d, "doc_id", 0.25).count()
+    assert(kept > 2000 * 0.18 && kept < 2000 * 0.32, s"rate off: $kept / 2000")
+    // different salt -> different (but still deterministic) assignment
+    val other = graft.ops.SampleOps.hashSplit(d, "doc_id", 10, salt = "other")
+      .groupBy("split").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other != s1, "salt had no effect")
+  }
+
   test("multimodal: feature extraction and frame sampling plumbing") {
     val d = Seq((0L, "abc"), (1L, "defgh"), (2L, "ijklmnop")).toDF("doc_id", "text")
     val media = MultimodalOps.syntheticMedia(d, "doc_id", "text")
