@@ -437,6 +437,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q46_decontaminate" -> ((s: SparkSession, dir: String) => {
+      // probe set = first 3 docs (standing in for an eval benchmark); any
+      // doc sharing a 5-gram with them is flagged — the probe docs flag
+      // themselves, plus any genuine n-gram overlap in the corpus
+      val d = t(s, dir, "documents")
+      DedupOps.contaminatedIds(d, "doc_id", "text",
+          d.filter(col("doc_id") < 3), "text", shingleSize = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     "q43_pii_redact" -> ((s: SparkSession, dir: String) => {
       // counts pre-redaction; sha2 of the redacted text keeps the output
       // small while staying sensitive to every replacement
@@ -941,6 +951,26 @@ object SparkEntry {
         |  + CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) // 8 AS BIGINT)
         |    AS n_tokens_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q46_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+        |      ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM tok
+        |), probe AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 3
+        |)
+        |SELECT DISTINCT doc_id
+        |FROM (SELECT doc_id, unnest(s) AS g FROM sh) d
+        |JOIN probe USING (g)
+        |ORDER BY doc_id""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'

@@ -221,6 +221,27 @@ object DedupOps {
       round(when(union > 0, inter / union).otherwise(lit(0.0)), 6).as("jaccard"))
   }
 
+  /**
+   * Benchmark decontamination: ids of documents sharing at least one
+   * word n-gram with the probe set (e.g. an eval benchmark's questions).
+   * The probe side is the SMALL side by construction — its distinct
+   * shingles broadcast, and the corpus pass is a map-side semi-join at
+   * scan speed; the corpus' shingle explosion never shuffles (the join key
+   * arrives broadcast). Standard pre-training hygiene: drop or flag these
+   * before a training run, with n high enough (13 in the wild) that chance
+   * collisions vanish.
+   */
+  def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
+                      probes: DataFrame, probeTextCol: String,
+                      shingleSize: Int = 13): DataFrame = {
+    val probeSh = probes
+      .select(explode(shingles(col(probeTextCol), shingleSize)).as("__sh"))
+      .distinct()
+    docs.select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
+      .join(broadcast(probeSh), Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** 64-bit SimHash over tokens (term-frequency weighted). The bit-vote
     * accumulation is a genuine scalar-kernel case — implemented as a compiled
     * Scala UDF over the token array (not a Python UDF; stays in the JVM).

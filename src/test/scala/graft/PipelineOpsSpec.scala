@@ -156,6 +156,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!kept.contains(100L) && !kept.contains(101L))
   }
 
+  test("decontamination flags docs sharing an n-gram with the probe set") {
+    val corpus = Seq(
+      (0L, "what is the capital of france paris obviously"),
+      (1L, "the model should answer what is the capital of france correctly"), // contains probe 5-gram
+      (2L, "entirely unrelated content about oceanographic instruments and casts")
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "what is the capital of france")).toDF("doc_id", "text")
+    val flagged = DedupOps.contaminatedIds(corpus, "doc_id", "text",
+        probes, "text", shingleSize = 5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(flagged == Seq(0L, 1L), s"got $flagged")
+  }
+
   test("PII redaction replaces emails/IPs/phones, counts match") {
     val d = Seq((0L,
       "mail me at jane.doe+x@example.org or call +1 (555) 123-4567 from 10.0.0.1")
