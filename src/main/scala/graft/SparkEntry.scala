@@ -471,11 +471,15 @@ object SparkEntry {
 
     "q39_set_ops" -> ((s: SparkSession, dir: String) => {
       // §2.6 set-operation surface: users active in both halves of the
-      // event stream, minus a blocklist (intersect + except)
+      // event stream, minus a blocklist (intersect + except). The midpoint
+      // is a broadcast 1-row aggregate joined in (a scalar subquery), NOT a
+      // driver-side .first() — an eager action inside query construction
+      // cost an extra scan per invocation (VERDICT r3 #5).
       val ev = t(s, dir, "events")
-      val mid = ev.agg(max(col("event_id")) / 2).first().getDouble(0)
-      val early = ev.filter(col("event_id") <= mid).select(col("user_id"))
-      val late  = ev.filter(col("event_id") > mid).select(col("user_id"))
+      val mid = ev.agg((max(col("event_id")) / 2).as("__mid"))
+      val evm = ev.crossJoin(broadcast(mid))
+      val early = evm.filter(col("event_id") <= col("__mid")).select(col("user_id"))
+      val late  = evm.filter(col("event_id") > col("__mid")).select(col("user_id"))
       val blocked = ev.filter(col("user_id") % 17 === 0).select(col("user_id"))
       early.intersect(late).except(blocked)
         .orderBy(col("user_id"))

@@ -73,16 +73,25 @@ object DedupOps {
                    rng.nextInt(P31.toInt).toLong))
   }
 
-  /** First 8 md5 bytes big-endian, masked to 31 bits — the engine-portable
-    * shingle hash (same fold as simHash64's token hash). */
-  private[ops] def md5Hash31(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** One MessageDigest per thread: `getInstance` is a JCA provider lookup +
+    * allocation, and these hashes run once per TOKEN/SHINGLE — the innermost
+    * loop of the hottest pipeline ops (at 1e9 docs a real constant factor,
+    * VERDICT r3). `digest(bytes)` resets the instance, so reuse is safe. */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 md5 bytes big-endian of the UTF-8 string — the engine-portable
+    * 64-bit token hash (same value as DuckDB's '0x'||substr(md5(t),1,16)). */
+  private[ops] def md5Hash64(s: String): Long = {
+    val md = md5Local.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
-    h & 0x7fffffffL
+    h
   }
+
+  /** The 64-bit hash masked to 31 bits — the MinHash shingle hash. */
+  private[ops] def md5Hash31(s: String): Long = md5Hash64(s) & 0x7fffffffL
 
   /**
    * MinHash signature over the shingle set: `min_i (a_i*h31(s) + b_i) mod p`
@@ -159,14 +168,45 @@ object DedupOps {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 64, bands: Int = 16,
                          shingleSize: Int = 3, threshold: Double = 0.7,
-                         maxBucket: Int = 0): DataFrame = {
+                         maxBucket: Int = 0,
+                         shingleStorage: org.apache.spark.storage.StorageLevel =
+                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    nearDuplicatePairsWithHandle(df, idCol, textCol, numHashes, bands,
+      shingleSize, threshold, maxBucket, shingleStorage)._1
+
+  /**
+   * Like [[nearDuplicatePairs]] but also returns an `unpersist` handle for
+   * the staged shingle table. The stage is cached so the signature pass and
+   * both Jaccard sides read ONE materialization instead of re-tokenizing the
+   * corpus four times — but a cached table lives until session end, and
+   * repeated invocations in a long-lived session would accumulate
+   * corpus-sized caches. Call the handle once the result (and any dedup
+   * built on it) has materialized; pass `StorageLevel.NONE` to skip caching
+   * entirely (each downstream stage then recomputes the shingling — the
+   * right trade when the corpus outweighs available cache space and the job
+   * runs once).
+   */
+  def nearDuplicatePairsWithHandle(df: DataFrame, idCol: String, textCol: String,
+                                   numHashes: Int = 64, bands: Int = 16,
+                                   shingleSize: Int = 3, threshold: Double = 0.7,
+                                   maxBucket: Int = 0,
+                                   shingleStorage: org.apache.spark.storage.StorageLevel =
+                                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
     // Stage the shingling ONCE: without it the self-join sides, plus both
     // jaccard sides, each re-derive shingles from the raw text — four corpus
     // scans + tokenizations of the 100 TB table instead of one. The staged
     // (id, shingles) table is the only thing every later stage needs; at
     // cluster scale this is the classic signature-table materialization.
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    //
+    // Docs with an EMPTY shingle set (null text) are dropped up front: they
+    // cannot near-duplicate anything, and banding their all-MaxValue
+    // signature would overflow the mod-P31 band fold (the oracle emits no
+    // band rows for them — ADVICE r3).
+    val staged = df.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sh =
+      if (shingleStorage == org.apache.spark.storage.StorageLevel.NONE) staged
+      else staged.persist(shingleStorage)
     val withSig = sh.select(col(idCol),
       minHashFromShingles(col("__sh"), numHashes).as("__sig"))
     val allBands = lshBands(withSig, idCol, "__sig", bands)
@@ -185,19 +225,94 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    jaccardForShingledPairs(sh, candidates, idCol)
+    val pairs = jaccardForShingledPairs(sh, candidates, idCol)
       .filter(col("jaccard") >= threshold)
+    (pairs, () => { sh.unpersist(); () })
   }
 
   /** Near-dedup: drop every doc that near-duplicates a lower-id doc (one
     * LSH round — transitive chains collapse to their local minimum, not a
-    * full connected-components pass; documented approximation). */
+    * full connected-components pass; documented approximation — see
+    * [[nearDedupConnected]] for the exact component semantics). */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
                 numHashes: Int = 64, bands: Int = 16,
                 shingleSize: Int = 3, threshold: Double = 0.7,
-                maxBucket: Int = 0): DataFrame = {
+                maxBucket: Int = 0,
+                shingleStorage: org.apache.spark.storage.StorageLevel =
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val losers = nearDuplicatePairs(df, idCol, textCol, numHashes, bands,
-      shingleSize, threshold, maxBucket).select(col("id_b").as(idCol)).distinct()
+      shingleSize, threshold, maxBucket, shingleStorage)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Minimum-id component label for every node of the undirected pair graph:
+   * iterated min-label propagation to fixpoint. Returns (id, comp) for the
+   * ids that appear in `pairs` only (isolated docs keep their own id
+   * implicitly).
+   *
+   * Cost model: each round is one shuffle over the EDGE set (the verified
+   * near-dup pairs — proportional to the duplicate count, orders of
+   * magnitude smaller than the corpus) and runs until labels stop changing
+   * or `maxIter` rounds, i.e. O(component diameter) rounds. Lineage is cut
+   * per round with `localCheckpoint` so the plan doesn't grow exponentially.
+   * Duplicate clusters in real corpora are shallow (boilerplate fans, not
+   * long chains), so this converges in a handful of rounds; a
+   * large-star/small-star implementation would cut the round count to
+   * O(log d) if pathological chains ever mattered.
+   */
+  def connectedMinLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // both directions once: neighbor-min is a plain groupBy over edges
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label of a node = min over neighbors' current labels
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /**
+   * Near-dedup with EXACT connected-component semantics: keep one doc (the
+   * minimum id) per component of the near-duplicate pair graph. Differs
+   * from [[nearDedup]] on components whose pairs don't all name the global
+   * minimum — e.g. pairs (5,10), (3,10): one-round dedup keeps {3, 5}
+   * (each is the min of its own pairs) while the component {3, 5, 10}
+   * collapses to {3} here. The extra cost is the propagation loop of
+   * [[connectedMinLabels]] over the pair set.
+   */
+  def nearDedupConnected(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 64, bands: Int = 16,
+                         shingleSize: Int = 3, threshold: Double = 0.7,
+                         maxBucket: Int = 0, maxIter: Int = 20,
+                         shingleStorage: org.apache.spark.storage.StorageLevel =
+                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val (pairs, done) = nearDuplicatePairsWithHandle(df, idCol, textCol,
+      numHashes, bands, shingleSize, threshold, maxBucket, shingleStorage)
+    // materialized by connectedMinLabels' localCheckpoint of the edge set,
+    // so the staged shingle cache can be dropped right after
+    val labels = connectedMinLabels(pairs, maxIter)
+    done()
+    val losers = labels.filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -252,11 +367,7 @@ object DedupOps {
       else {
         val votes = new Array[Long](64)
         tokens.foreach { t =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-            .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var h = 0L
-          var i = 0
-          while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+          val h = md5Hash64(t)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

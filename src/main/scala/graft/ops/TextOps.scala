@@ -64,24 +64,37 @@ object TextOps {
   def langScore(text: Column, markers: Seq[String]): Column =
     langScoreFromTokens(tokens(text), markers)
 
+  /** An internal column name guaranteed absent from `df` — `withColumn` on
+    * a fixed "__tok" would silently clobber a user column of that name
+    * (ADVICE r3). */
+  private def tempName(df: DataFrame, base: String): String = {
+    val existing = df.columns.toSet
+    var n = base
+    var i = 0
+    while (existing.contains(n)) { i += 1; n = s"$base$i" }
+    n
+  }
+
   /** Predicted language = argmax marker score (ties -> alphabetically first
     * language, via the greatest-score/first-match scan). Tokenizes once. */
   def langId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
-    val withTok = df.withColumn("__tok", tokens(col(textCol)))
+    val tokCol = tempName(df, "__tok")
+    def scoreCol(lang: String) = s"${tokCol}_ls_$lang"
+    val withTok = df.withColumn(tokCol, tokens(col(textCol)))
     val scored = LangMarkers.foldLeft(withTok) { case (d, (lang, markers)) =>
-      d.withColumn(s"__ls_$lang", langScoreFromTokens(col("__tok"), markers))
+      d.withColumn(scoreCol(lang), langScoreFromTokens(col(tokCol), markers))
     }
     val best = LangMarkers.map(_._1)
       .foldLeft(lit(null).cast(StringType) -> lit(-1.0)) {
         case ((bestLang, bestScore), lang) =>
-          val s = col(s"__ls_$lang")
+          val s = col(scoreCol(lang))
           (when(s > bestScore, lit(lang)).otherwise(bestLang),
             when(s > bestScore, s).otherwise(bestScore))
       }
     scored.withColumn(out, best._1)
       .withColumn(out + "_score", round(best._2, 6))
-      .drop("__tok")
-      .drop(LangMarkers.map { case (l, _) => s"__ls_$l" }: _*)
+      .drop(tokCol)
+      .drop(LangMarkers.map { case (l, _) => scoreCol(l) }: _*)
   }
 
   /**
@@ -90,12 +103,13 @@ object TextOps {
    * usual "too short / too symbol-heavy / no stopwords" penalties.
    */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val tokCol = tempName(df, "__tok")
     val t = col(textCol)
     val n = length(t).cast(DoubleType)
     val alpha = regexp_count(t, lit("[A-Za-z]")).cast(DoubleType)
     val digit = regexp_count(t, lit("[0-9]")).cast(DoubleType)
     val punct = regexp_count(t, lit("[.,;:!?]")).cast(DoubleType)
-    val tok = col("__tok")
+    val tok = col(tokCol)
     val nTok = size(tok).cast(DoubleType)
     // sum of token lengths == length of the no-separator join (codegen'd;
     // an aggregate() lambda is interpreted per element)
@@ -109,14 +123,14 @@ object TextOps {
           (alpha / greatest(n, lit(1.0))) * lit(0.5) +
             least(stop * lit(5.0), lit(1.0)) * lit(0.3) +
             when(meanTokLen.between(3.0, 10.0), lit(0.2)).otherwise(lit(0.0))), 6))
-    df.withColumn("__tok", tokens(t))
+    df.withColumn(tokCol, tokens(t))
       .withColumn("n_chars_m", n.cast(LongType))
       .withColumn("alpha_ratio", round(alpha / greatest(n, lit(1.0)), 6))
       .withColumn("digit_ratio", round(digit / greatest(n, lit(1.0)), 6))
       .withColumn("punct_ratio", round(punct / greatest(n, lit(1.0)), 6))
       .withColumn("mean_tok_len", round(meanTokLen, 6))
       .withColumn("quality", score)
-      .drop("__tok")
+      .drop(tokCol)
   }
 
   /** Content-defined fingerprint: sha2-256 of the token-normalized text
@@ -178,7 +192,8 @@ object TextOps {
    * doc, not across docs).
    */
   def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
-    val tok = col("__tok")
+    val tokCol = tempName(df, "__tok")
+    val tok = col(tokCol)
     val n = size(tok).cast(DoubleType)
     val total2 = greatest(n - 1, lit(1.0))
     // DedupOps.shingles is DISTINCT by construction -> its size is the
@@ -187,9 +202,9 @@ object TextOps {
     val dup2 = when(n >= 2, round(lit(1.0) - distinct2 / total2, 6)).otherwise(lit(0.0))
     val topFrac = when(n > 0,
       round(maxTokenFreqUdf(tok).cast(DoubleType) / n, 6)).otherwise(lit(0.0))
-    df.withColumn("__tok", tokens(col(textCol)))
+    df.withColumn(tokCol, tokens(col(textCol)))
       .withColumn("dup_2gram_frac", dup2)
       .withColumn("top_token_frac", topFrac)
-      .drop("__tok")
+      .drop(tokCol)
   }
 }

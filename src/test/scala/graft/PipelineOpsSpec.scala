@@ -224,4 +224,92 @@ class PipelineOpsSpec extends SparkTestBase {
     val frames = MultimodalOps.sampleFrames(media, stride = 30)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx"))
   }
+
+  test("nearDuplicatePairsWithHandle: unpersist handle leaves no cached blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (pairs, done) = DedupOps.nearDuplicatePairsWithHandle(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.5)
+    assert(pairs.count() > 0)
+    done()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"lingering cached RDDs after unpersist handle: $after")
+  }
+
+  test("near-dup docs with null text are skipped, not banded (overflow guard)") {
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val pairs = DedupOps.nearDuplicatePairs(withNull, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a == 9L || b == 9L },
+      s"null-text doc must not appear in any pair: $pairs")
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("connectedMinLabels propagates the component minimum through hops") {
+    // V-shape: 0-2 and 1-2 (0 and 1 NOT direct pairs). The min label 0 must
+    // reach node 1 THROUGH node 2 — two propagation rounds.
+    val pairs = Seq((0L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedMinLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L), s"labels: $labels")
+    // two components stay separate
+    val two = Seq((0L, 1L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val l2 = DedupOps.connectedMinLabels(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(0L -> 0L, 1L -> 0L, 5L -> 5L, 6L -> 5L, 7L -> 5L), s"labels: $l2")
+  }
+
+  test("nearDedupConnected collapses a transitive chain to exactly one doc") {
+    // A~B and B~C near-dup (one word changed each step); A~C still >= the
+    // threshold chainwise but the point is the component collapses to min id
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val chain = Seq(
+      (10L, base),
+      (20L, base.replace("mu", "nu")),       // ~ 10
+      (30L, base.replace("mu", "nu").replace("alpha", "omega")), // ~ 20
+      (99L, "completely unrelated content about catalyst plan shapes")
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.nearDedupConnected(chain, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(10L, 99L), s"kept: $kept")
+  }
+
+  test("embeddingNearDupPairs maxBucket cap drops a synthetic hot bucket") {
+    // 30 identical vectors: one bucket holds all 30 -> capped out entirely;
+    // a distinct pair of near-identical vectors in another bucket survives
+    val hot = (0L until 30L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+    val pair = Seq((100L, Seq(0.0f, 1.0f, 0.2f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.21f, 0.0f)))
+    val e = (hot ++ pair).toDF("vec_id", "embedding")
+    val uncapped = SimOps.embeddingNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 8)
+    assert(uncapped.count() == 30L * 29 / 2 + 1)
+    val capped = SimOps.embeddingNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.9, nPlanes = 8, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"capped: $capped")
+  }
+
+  test("ivfTopK builds its codebook from sparse/offset id spaces") {
+    // ids start at 5000: a `id < nCells` codebook filter would be empty
+    val rng = new scala.util.Random(7)
+    val e = (0 until 40).map { i =>
+      (5000L + i * 3, Seq.fill(8)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = SimOps.ivfTopK(e, e.limit(2), "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 4)
+    assert(out.count() > 0, "sparse-id codebook produced no results")
+  }
+
+  test("text ops do not clobber a pre-existing __tok column") {
+    val d = Seq((0L, "the quick brown fox", "USER DATA"))
+      .toDF("doc_id", "text", "__tok")
+    val lang = TextOps.langId(d, "text")
+    assert(lang.select("__tok").first().getString(0) == "USER DATA")
+    val qual = TextOps.qualityScore(d, "text")
+    assert(qual.select("__tok").first().getString(0) == "USER DATA")
+    val rep = TextOps.repetitionSignals(d, "text")
+    assert(rep.select("__tok").first().getString(0) == "USER DATA")
+  }
 }
