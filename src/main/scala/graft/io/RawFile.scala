@@ -1,18 +1,26 @@
 package graft.io
 
-import java.io.{BufferedInputStream, ByteArrayOutputStream, FileInputStream, InputStream}
+import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream}
 import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
-import java.util.zip.GZIPInputStream
+import java.util.zip.{GZIPInputStream, ZipInputStream}
 
 import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.graft.HadoopConfBridge
 
 /**
  * Whole-file ingestion: decompress + charset-sniff + split to lines.
  * Mirrors the reference's `_read_file` / `_open_compressed`
  * (ctd/read.py:36-92): gzip/gz/bz2/zip accepted (zip: FIRST entry only,
- * read.py:51-59), decoding is chardet-with-replacement there — here a strict
- * UTF-8 attempt falling back to windows-1252 (covers every fixture incl. the
+ * read.py:51-59), decoding is chardet-with-replacement there — here BOM
+ * detection (UTF-8 / UTF-16LE / UTF-16BE) first, then a strict UTF-8
+ * attempt falling back to windows-1252 (covers every fixture incl. the
  * cp1252 `alt_bottletest.BTL`), undecodable bytes replaced.
+ *
+ * All file access goes through `org.apache.hadoop.fs.FileSystem`, so every
+ * path a Hadoop runtime can address works: `file:` (or schemeless local),
+ * `hdfs://`, `s3a://`, ... — the reference is local-only (`open()` in
+ * read.py:64), but this engine's corpus lives on a cluster filesystem.
  */
 object RawFile {
 
@@ -36,6 +44,17 @@ object RawFile {
     if (i <= 0) base else base.substring(0, i)
   }
 
+  /** The Hadoop FileSystem owning `path` (scheme-dispatched; instances are
+    * cached by Hadoop per scheme+authority). */
+  def fileSystem(path: String): FileSystem =
+    new HPath(path).getFileSystem(HadoopConfBridge.conf())
+
+  /** Raw (still-compressed) byte stream of the file, any supported scheme. */
+  private def openRaw(path: String): InputStream = {
+    val p = new HPath(path)
+    new BufferedInputStream(p.getFileSystem(HadoopConfBridge.conf()).open(p))
+  }
+
   private def readAll(in: InputStream): Array[Byte] = {
     val out = new ByteArrayOutputStream(1 << 16)
     val buf = new Array[Byte](1 << 16)
@@ -47,23 +66,23 @@ object RawFile {
   private def openDecompressed(path: String): InputStream = {
     val e = ext(path)
     if (e == "gz" || e == "gzip")
-      new GZIPInputStream(new BufferedInputStream(new FileInputStream(path)))
+      new GZIPInputStream(openRaw(path))
     else if (e == "bz2")
-      new BZip2CompressorInputStream(new BufferedInputStream(new FileInputStream(path)))
+      new BZip2CompressorInputStream(openRaw(path))
     else if (e == "zip") {
-      // stream the FIRST entry (read.py:51-59) without closing the ZipFile
-      // under the stream: wrap so close() releases both
-      val zf = new java.util.zip.ZipFile(path)
-      val entries = zf.entries()
-      if (!entries.hasMoreElements) {
-        zf.close(); throw new IllegalArgumentException(s"Empty zip archive: $path")
+      // stream the FIRST (non-directory) entry — ZipInputStream walks the
+      // archive sequentially, so it works over any FileSystem stream, unlike
+      // java.util.zip.ZipFile which requires a local file (read.py:51-59
+      // reads namelist()[0]; skipping directory entries is the same file)
+      val zin = new ZipInputStream(openRaw(path))
+      var entry = zin.getNextEntry
+      while (entry != null && entry.isDirectory) entry = zin.getNextEntry
+      if (entry == null) {
+        zin.close(); throw new IllegalArgumentException(s"Empty zip archive: $path")
       }
-      val in = zf.getInputStream(entries.nextElement())
-      new java.io.FilterInputStream(in) {
-        override def close(): Unit = { super.close(); zf.close() }
-      }
+      zin
     } else if (PlainExts.contains(e))
-      new BufferedInputStream(new FileInputStream(path))
+      openRaw(path)
     else throw new IllegalArgumentException(
       s"Unrecognized file extension .$e — expected one of " +
         (CompressedExts ++ PlainExts).toSeq.sorted.mkString(", "))
@@ -96,7 +115,9 @@ object RawFile {
 
   /** Effective line count of the file under `toLines` + drop-trailing-blank
     * semantics (\r\n counts once), computed streaming — no decode, no split,
-    * no multi-MB String. */
+    * no multi-MB String. UTF-16 files (BOM-detected from the first two
+    * bytes) take the decode path instead: their newlines are 2-byte units
+    * the byte scan would miscount. */
   def lineCount(path: String): Long = {
     val in = openDecompressed(path)
     try {
@@ -106,7 +127,18 @@ object RawFile {
       var prevCr = false
       var n = in.read(buf)
       var sawAny = false
+      var first = true
       while (n >= 0) {
+        if (first && n >= 2 &&
+            ((buf(0) == 0xFF.toByte && buf(1) == 0xFE.toByte) ||
+             (buf(0) == 0xFE.toByte && buf(1) == 0xFF.toByte))) {
+          in.close()
+          val ls = toLines(decode(bytes(path)))
+          return if (ls.length == 1 && ls(0).isEmpty) 0L
+                 else if (ls.last.isEmpty) (ls.length - 1).toLong
+                 else ls.length.toLong
+        }
+        first = false
         var i = 0
         while (i < n) {
           val b = buf(i)
@@ -127,43 +159,32 @@ object RawFile {
     } finally in.close()
   }
 
-  /** Raw decompressed bytes of a local file. */
+  /** Raw decompressed bytes of a file on any supported filesystem. */
   def bytes(path: String): Array[Byte] = {
-    val e = ext(path)
-    if (e == "gz" || e == "gzip") {
-      val in = new GZIPInputStream(new BufferedInputStream(new FileInputStream(path)))
-      try readAll(in) finally in.close()
-    } else if (e == "bz2") {
-      val in = new BZip2CompressorInputStream(new BufferedInputStream(new FileInputStream(path)))
-      try readAll(in) finally in.close()
-    } else if (e == "zip") {
-      val zf = new java.util.zip.ZipFile(path)
-      try {
-        val entries = zf.entries()
-        if (!entries.hasMoreElements)
-          throw new IllegalArgumentException(s"Empty zip archive: $path")
-        val in = zf.getInputStream(entries.nextElement()) // first entry only
-        try readAll(in) finally in.close()
-      } finally zf.close()
-    } else if (PlainExts.contains(e)) {
-      val in = new BufferedInputStream(new FileInputStream(path))
-      try readAll(in) finally in.close()
-    } else {
-      throw new IllegalArgumentException(
-        s"Unrecognized file extension .$e — expected one of " +
-          (CompressedExts ++ PlainExts).toSeq.sorted.mkString(", "))
-    }
+    val in = openDecompressed(path)
+    try readAll(in) finally in.close()
   }
 
-  /** Decode bytes: strict UTF-8, falling back to windows-1252. */
+  /** Decode bytes: BOM-sniffed UTF-8 / UTF-16LE / UTF-16BE, else strict
+    * UTF-8 falling back to windows-1252 (chardet-parity for every fixture;
+    * a BOM'd file previously parsed as garbage columns — VERDICT r3). */
   def decode(raw: Array[Byte]): String = {
-    val utf8 = StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(CodingErrorAction.REPORT)
-      .onUnmappableCharacter(CodingErrorAction.REPORT)
-    try utf8.decode(java.nio.ByteBuffer.wrap(raw)).toString
-    catch {
-      case _: java.nio.charset.CharacterCodingException =>
-        new String(raw, Charset.forName("windows-1252"))
+    if (raw.length >= 3 && raw(0) == 0xEF.toByte && raw(1) == 0xBB.toByte &&
+        raw(2) == 0xBF.toByte)
+      new String(raw, 3, raw.length - 3, StandardCharsets.UTF_8)
+    else if (raw.length >= 2 && raw(0) == 0xFF.toByte && raw(1) == 0xFE.toByte)
+      new String(raw, 2, raw.length - 2, StandardCharsets.UTF_16LE)
+    else if (raw.length >= 2 && raw(0) == 0xFE.toByte && raw(1) == 0xFF.toByte)
+      new String(raw, 2, raw.length - 2, StandardCharsets.UTF_16BE)
+    else {
+      val utf8 = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      try utf8.decode(java.nio.ByteBuffer.wrap(raw)).toString
+      catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          new String(raw, Charset.forName("windows-1252"))
+      }
     }
   }
 

@@ -90,4 +90,33 @@ class CtdSourceSpec extends SparkTestBase {
     val ca = CtdRead.castawayCsv(spark, s"$dataDir/castaway_data.csv")
     assert(ca.columns.contains("temperature") && ca.count() > 0)
   }
+
+  test("reads through a Hadoop FileSystem URI (file:) — dir listing and data") {
+    val abs = new java.io.File(dataDir).getAbsolutePath
+    val viaUri  = CtdRead.cnv(spark, s"file:$abs/CTD_with_sigma_e00.cnv")
+    val viaPath = CtdRead.cnv(spark, s"$dataDir/CTD_with_sigma_e00.cnv")
+    assert(viaUri.count() == 199)
+    assert(viaUri.select("pressure", "t068C").collect().map(_.toSeq).toSeq ==
+      viaPath.select("pressure", "t068C").collect().map(_.toSeq).toSeq)
+    // directory listing through the FileSystem API, zip entry streaming too
+    val dir = CtdRead.cnv(spark, s"file:$abs/CTD")
+    val local = CtdRead.cnv(spark, s"$dataDir/CTD")
+    assert(dir.select("cast_id").distinct().count() ==
+      local.select("cast_id").distinct().count())
+    assert(CtdRead.edf(spark, s"file:$abs/XBT.EDF.zip").count() > 0)
+  }
+
+  test("explicit .schema(...) skips header inference and prunes the parse") {
+    import org.apache.spark.sql.types._
+    val userSchema = StructType(Seq(
+      StructField("cast_id", StringType), StructField("scan_order", LongType),
+      StructField("pressure", DoubleType), StructField("t068C", DoubleType)))
+    val df = spark.read.format("ctd").option("ftype", "cnv")
+      .schema(userSchema)
+      .load(s"$dataDir/CTD_with_sigma_e00.cnv")
+    assert(df.schema == userSchema)
+    val inferred = CtdRead.cnv(spark, s"$dataDir/CTD_with_sigma_e00.cnv")
+      .select("cast_id", "scan_order", "pressure", "t068C")
+    assert(df.collect().map(_.toSeq).toSeq == inferred.collect().map(_.toSeq).toSeq)
+  }
 }

@@ -173,4 +173,37 @@ class ParserSpec extends AnyFunSuite {
     val otherIdx = all.schema.fieldIndex("sal00")
     assert(pruned.rows.forall(_(otherIdx) == null)) // unrequested: skipped
   }
+
+  test("BOM'd files decode: UTF-8 BOM, UTF-16LE, UTF-16BE") {
+    val text = "# nvalues = 1\nhello\n"
+    val utf8bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      text.getBytes("UTF-8")
+    assert(RawFile.decode(utf8bom) == text)
+    // java's "UTF-16" encoder emits a BE BOM; build LE/BE + BOM explicitly
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE")
+    assert(RawFile.decode(le) == text)
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ text.getBytes("UTF-16BE")
+    assert(RawFile.decode(be) == text)
+    // no BOM: unchanged strict-utf8 -> cp1252 fallback
+    assert(RawFile.decode(text.getBytes("UTF-8")) == text)
+    assert(RawFile.decode(Array[Byte](0xB0.toByte)) == "°") // cp1252 degree
+  }
+
+  test("a BOM'd CNV parses identically to its plain twin (incl. lineCount)") {
+    val src = s"$data/CTD_with_sigma_e00.cnv"
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bom")
+    val bomPath = tmp.resolve("bom16.cnv")
+    // decode via the sniffing path (the fixture has cp1252 bytes: sigma-é)
+    val text = RawFile.decode(raw)
+    java.nio.file.Files.write(bomPath,
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE"))
+    val plain = load("cnv", src)
+    val bomd  = load("cnv", bomPath.toString)
+    assert(bomd.rows.length == plain.rows.length)
+    assert(bomd.schema == plain.schema)
+    assert(bomd.rows.head.toSeq == plain.rows.head.toSeq)
+    // byte-level line counting must detect the UTF-16 BOM and fall back
+    assert(RawFile.lineCount(bomPath.toString) == RawFile.lineCount(src))
+  }
 }
