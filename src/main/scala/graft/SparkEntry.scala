@@ -469,6 +469,26 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
+      // the land-once / query-many operating pattern as part of the VERIFIED
+      // surface (not only PlanShapeSpec): events lands ONCE per session as a
+      // bucketed table (bucketBy user_id, sortBy user_id+event_id), then the
+      // QC chain (split direction + moving average) runs from the bucketed
+      // scan with zero hash exchanges. Values are independent of the landing,
+      // so the DuckDB oracle is the plain q07+q08 composition over events.
+      val tbl = "graft_q47_" + math.abs(dir.hashCode).toString
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"), col("value"))
+      val b = graft.sources.BucketedLand.landOnce(ev, tbl, "user_id",
+        Seq("user_id", "event_id"), buckets = 8,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$tbl"))
+      val chained = Cast.movingAverage(
+        Cast.split(b, "user_id", "event_id", "value"),
+        "user_id", "event_id", Seq("value"), 5)
+      chained.select(col("user_id"), col("event_id"), col("direction"),
+          round(col("value"), 6).as("value_ma"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "q39_set_ops" -> ((s: SparkSession, dir: String) => {
       // §2.6 set-operation surface: users active in both halves of the
       // event stream, minus a blocklist (intersect + except). The midpoint
@@ -1028,6 +1048,27 @@ object SparkEntry {
         |         & 2147483647::UBIGINT)::BIGINT % 10 AS split,
         |       count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q47_bucketed_qc" ->
+      // q07's split composed with q08's moving average; the bucketed landing
+      // changes the PLAN (zero exchanges), never the values
+      """WITH w1 AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    max(value) OVER (PARTITION BY user_id) AS mx
+        |  FROM events
+        |), w2 AS (
+        |  SELECT *, min(CASE WHEN value = mx THEN rn END) OVER (PARTITION BY user_id) AS am
+        |  FROM w1
+        |)
+        |SELECT user_id, event_id,
+        |  CASE WHEN rn <= am THEN 'down' ELSE 'up' END AS direction,
+        |  CASE WHEN count(*) OVER w > count(value) OVER w THEN NULL
+        |       ELSE round(coalesce(sum(value) OVER w, 0) / 5.0, 6) END AS value_ma
+        |FROM w2
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q39_set_ops" ->
       """WITH mid AS (SELECT max(event_id) / 2.0 AS m FROM events)

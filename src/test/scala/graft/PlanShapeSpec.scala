@@ -102,4 +102,18 @@ class PlanShapeSpec extends SparkTestBase {
       assert(chained.count() > 0)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("q47 bucketed QC chain: no hash exchange between land and windows") {
+    // the driver-contract query itself (not just an ad-hoc chain): the only
+    // exchange in its plan is the final ORDER BY's range partitioning
+    try {
+      val df = SparkEntry.queries("q47_bucketed_qc")(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(countOccurrences(plan, "Exchange hashpartitioning") == 0, plan)
+      assert(df.count() > 0)
+    } finally {
+      val tbl = "graft_q47_" + math.abs("/root/testdata/sf0.001".hashCode).toString
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
 }
