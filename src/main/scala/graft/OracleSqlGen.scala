@@ -327,6 +327,30 @@ object OracleSqlGen {
        |WHERE doc_id NOT IN (SELECT id_b FROM jac WHERE jaccard >= 0.5)
        |ORDER BY doc_id""".stripMargin
 
+  /** q48: connected-components near-dedup. The oracle replays the exact
+    * component semantics with a RECURSIVE reachability closure over the
+    * verified pair graph (UNION-dedup recursion terminates at the fixpoint,
+    * like the lp_filter recurrence oracle): a doc survives iff it is the
+    * MINIMUM id among everything reachable from it. */
+  def nearDedupConnectedSql: String =
+    s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
+       |edges AS (
+       |  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
+       |), sym AS (
+       |  SELECT id_a AS id, id_b AS reach FROM edges
+       |  UNION
+       |  SELECT id_b AS id, id_a AS reach FROM edges
+       |), walk AS (
+       |  SELECT id, reach FROM sym
+       |  UNION
+       |  SELECT w.id, s.reach FROM walk w JOIN sym s ON s.id = w.reach
+       |), comp AS (
+       |  SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
+       |)
+       |SELECT doc_id FROM corpus
+       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp <> id)
+       |ORDER BY doc_id""".stripMargin
+
   // --- smooth: mirror-extended convolution as per-user list arithmetic ----
 
   /**

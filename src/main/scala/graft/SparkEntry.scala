@@ -283,6 +283,19 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q48_near_dedup_cc" -> ((s: SparkSession, dir: String) => {
+      // connected-components near-dedup (the exact-semantics opt-in): keep
+      // the minimum id per component of the near-dup pair graph; the oracle
+      // replays the component closure with a recursive CTE
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+      DedupOps.nearDedupConnected(d.unionByName(perturbed), "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 100)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q27_simhash" -> ((s: SparkSession, dir: String) => {
       val d = t(s, dir, "documents")
         .withColumn("sh", DedupOps.simHash64(TextOps.tokens(col("text"))))
@@ -781,6 +794,7 @@ object SparkEntry {
 
     "q25_near_dup_pairs" -> OracleSqlGen.nearDupPairsSql,
     "q26_near_dedup"     -> OracleSqlGen.nearDedupSql,
+    "q48_near_dedup_cc"  -> OracleSqlGen.nearDedupConnectedSql,
     "q30_ann_lsh"        -> OracleSqlGen.annLshSql,
     "q36_barrier_layer"  -> OracleSqlGen.barrierLayerSql,
     "q40_embedding_near_dup" -> OracleSqlGen.embeddingNearDupSql,
