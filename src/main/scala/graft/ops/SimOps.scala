@@ -174,19 +174,43 @@ object SimOps {
 
     def centCol(v: Array[Double]): Column = array(v.map(lit): _*)
 
+    /** Centroid L2 norm precomputed on the driver with the IDENTICAL
+      * left-to-right double fold the `dot` expression performs — the
+      * in-plan `sqrt(dot(cent, cent))` was a constant subtree re-evaluated
+      * per row AND re-codegen'd per centroid, tripling the assignment
+      * expression (the fixed ~1.5 s plan-compile overhead per ivf query).
+      * Same bits, so the oracle stays exact. */
+    def centNorm(v: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+
+    /** cosine(vec, cent) with the corpus-side norm computed ONCE (shared
+      * subtree) and the centroid norm a literal; the arithmetic shape
+      * `d / (sqrt(dot(v,v)) * sqrt(dot(c,c)))` is unchanged bit-for-bit. */
+    def cosTo(vec: Column, vecNorm: Column, cv: Array[Double]): Column = {
+      val d = dot(vec, centCol(cv))
+      val n = vecNorm * lit(centNorm(cv))
+      when(n > 0, d / n).otherwise(lit(0.0))
+    }
+
     /** argmax-cosine cell id over the literal codebook. Each score appears
       * exactly once in the plan (an incremental `when`-fold duplicates the
       * running best per step — an exponentially sized expression tree);
       * `array_position` of the max returns the FIRST hit, i.e. the lowest
       * centroid id on ties, matching the oracle's ORDER BY score DESC, id. */
-    def cellOf(vec: Column): Column = {
-      val scores = array(cents.map { case (_, cv) => cosine(vec, centCol(cv)) }: _*)
+    def cellOf(vec: Column, vecNorm: Column): Column = {
+      val scores = array(cents.map { case (_, cv) => cosTo(vec, vecNorm, cv) }: _*)
       val ids    = array(cents.map { case (cid, _) => lit(cid) }: _*)
       element_at(ids, array_position(scores, array_max(scores)).cast(IntegerType))
     }
 
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cell", cellOf(col("__cv")))
+      .withColumn("__cvn", norm(col("__cv")))
+      .withColumn("__cell", cellOf(col("__cv"), col("__cvn")))
+      .drop("__cvn")
 
     // probe list: small query set x small codebook
     val centsDf = spark.createDataFrame(cents.toSeq.map {
