@@ -482,6 +482,35 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
+      // corpus rebalancing: downsample the dominant language, keep the rest
+      // (map-side pure-function-of-key, like q45's splits)
+      graft.ops.SampleOps.stratifiedSampleByHash(t(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 0.25, "de" -> 0.5))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q50_pack_sequences" -> ((s: SparkSession, dir: String) => {
+      // pretraining sequence packing: docs -> fixed token-budget packs,
+      // greedy in doc_id order within hash splits (one bounded window)
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      val split = graft.ops.SampleOps.hashSplit(d, "doc_id", 4)
+      graft.ops.SampleOps.packSequences(split, "split", "doc_id",
+          "n_tokens", budget = 2048L)
+        .select(col("doc_id"), col("split"), col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q51_vocabulary" -> ((s: SparkSession, dir: String) => {
+      // tokenizer-training pre-pass: top-50 tokens with occurrence +
+      // document-frequency counts
+      TextOps.vocabulary(t(s, dir, "documents"), "doc_id", "text", k = 50)
+        .select(col("token"), col("n_occurrences"), col("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1062,6 +1091,43 @@ object SparkEntry {
         |         & 2147483647::UBIGINT)::BIGINT % 10 AS split,
         |       count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_stratified_sample" ->
+      // cut literals = (rate * (2^31 - 1)).toLong for 0.25 / 0.5 / 1.0;
+      // same md5-31 'graft:'||key hash family as q45
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |        & 2147483647::UBIGINT)::BIGINT
+        |  < CASE WHEN lang = 'en' THEN 536870911
+        |         WHEN lang = 'de' THEN 1073741823
+        |         ELSE 2147483647 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q50_pack_sequences" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT % 4 AS split,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, split, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM base
+        |)
+        |SELECT doc_id, split, cb // 2048 AS pack_id, cb % 2048 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q51_vocabulary" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
 
     "q47_bucketed_qc" ->
       // q07's split composed with q08's moving average; the bucketed landing

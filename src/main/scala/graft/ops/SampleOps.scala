@@ -36,4 +36,52 @@ object SampleOps {
     val cut = (rate * DedupOps.P31.toDouble).toLong
     df.filter(hash31Udf(concat_ws(":", lit(salt), col(keyCol).cast("string"))) < cut)
   }
+
+  /**
+   * Deterministic STRATIFIED sample: per-stratum keep rates (e.g. keep 100%
+   * of low-resource languages, 10% of English) — the standard corpus
+   * rebalancing step before training. Map-side like [[sampleByHash]]: each
+   * row's fate is a pure function of (salt, key), the stratum only selects
+   * the cut, so no shuffle, no stratum-size pre-pass, stable across runs
+   * and engines. Strata absent from `rates` fall back to `defaultRate`.
+   */
+  def stratifiedSampleByHash(df: DataFrame, keyCol: String, stratumCol: String,
+                             rates: Map[String, Double], defaultRate: Double = 1.0,
+                             salt: String = "graft"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1], got $r"))
+    def cutOf(r: Double): Long = (r * DedupOps.P31.toDouble).toLong
+    // fold the rate table into one codegen'd CASE chain; deterministic
+    // order so plans (and oracles) are reproducible
+    val cut = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(cutOf(defaultRate))) { case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(cutOf(r))).otherwise(acc)
+      }
+    df.filter(hash31Udf(concat_ws(":", lit(salt), col(keyCol).cast("string"))) < cut)
+  }
+
+  /**
+   * Deterministic sequence PACKING: group consecutive docs (in `orderCol`
+   * order within each `splitCol` partition) into packs of at most `budget`
+   * tokens — the pretraining step that concatenates documents into
+   * fixed-length training sequences. The pack id is the running token
+   * total integer-divided by the budget, i.e. a greedy sequential packer
+   * whose assignment is a pure function of the ordered token counts: fully
+   * window-expressible (one shuffle on `splitCol`), reproducible on any
+   * engine, and parallel across splits — at 10^9 docs the split column
+   * (e.g. a [[hashSplit]] over 10^4 splits) bounds every window partition.
+   * Docs longer than `budget` spill across pack boundaries (`pack_offset`
+   * records where in the pack a doc starts); truncation is caller policy.
+   */
+  def packSequences(df: DataFrame, splitCol: String, orderCol: String,
+                    tokenCountCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(splitCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // cumulative tokens BEFORE the current doc decide which pack it starts in
+    val cumBefore = coalesce(sum(col(tokenCountCol)).over(w), lit(0L))
+    df.withColumn("pack_id", (cumBefore / lit(budget)).cast("long"))
+      .withColumn("pack_offset", (cumBefore % lit(budget)).cast("long"))
+  }
 }

@@ -139,6 +139,29 @@ object TextOps {
   def fingerprint(text: Column): Column =
     sha2(array_join(tokens(text), " "), 256)
 
+  /**
+   * Corpus vocabulary: the `k` most frequent tokens with total occurrence
+   * and document-frequency counts — the tokenizer-training / stopword-
+   * discovery pre-pass. The explode runs map-side; the shuffle carries
+   * (token, partial count) pairs bounded by DISTINCT tokens per partition
+   * (partial aggregation), and the top-k orders the AGGREGATED table
+   * (vocabulary-sized, orders of magnitude below the corpus). `exactDocFreq
+   * = false` swaps the exact distinct-doc count for HLL
+   * `approx_count_distinct` — the right trade at 10^9 docs, where exact
+   * distinct expands the shuffle by the (token, doc) pair count.
+   */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int,
+                 exactDocFreq: Boolean = true): DataFrame = {
+    val exploded = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val docFreq =
+      if (exactDocFreq) count_distinct(col(idCol))
+      else approx_count_distinct(col(idCol))
+    exploded.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"), docFreq.as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+  }
+
   // --- PII redaction ------------------------------------------------------
 
   /** RE2-compatible patterns (no backrefs/lookahead), so the identical regex

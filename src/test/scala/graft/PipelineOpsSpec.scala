@@ -302,6 +302,56 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.count() > 0, "sparse-id codebook produced no results")
   }
 
+  test("stratified sample: per-stratum rates honored, deterministic, subset of full") {
+    val d = (0L until 4000L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val s1 = graft.ops.SampleOps.stratifiedSampleByHash(d, "doc_id", "lang",
+      Map("en" -> 0.1, "de" -> 0.9))
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: 3000 docs at 10%; de: 1000 docs at 90%
+    assert(byLang("en") > 3000 * 0.05 && byLang("en") < 3000 * 0.16, byLang)
+    assert(byLang("de") > 1000 * 0.82 && byLang("de") < 1000 * 0.97, byLang)
+    // deterministic + consistent with the unstratified sampler: a kept row
+    // of rate r is exactly a row sampleByHash(r) keeps (same hash, same cut)
+    val en01 = graft.ops.SampleOps.sampleByHash(d.filter(col("lang") === "en"),
+      "doc_id", 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1en = s1.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1en == en01)
+  }
+
+  test("packSequences: greedy budget packing, window-deterministic") {
+    val d = Seq(
+      (0L, 0, 1000L), (1L, 0, 1000L), (2L, 0, 500L), (3L, 0, 2000L),
+      (10L, 1, 2048L), (11L, 1, 1L)
+    ).toDF("doc_id", "split", "n_tokens")
+    val out = graft.ops.SampleOps.packSequences(d, "split", "doc_id", "n_tokens", 2048L)
+      .select("doc_id", "pack_id", "pack_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (0L, 0L))      // starts pack 0
+    assert(out(1L) == (0L, 1000L))   // fits in pack 0
+    assert(out(2L) == (0L, 2000L))   // still pack 0 (starts at 2000 < 2048)
+    assert(out(3L) == (1L, 452L))    // cum 2500 -> pack 1, offset 2500 % 2048
+    assert(out(10L) == (0L, 0L))     // split 1 packs independently
+    assert(out(11L) == (1L, 0L))     // exactly at budget boundary
+  }
+
+  test("vocabulary: top-k by occurrence with doc frequency; approx variant close") {
+    val d = Seq(
+      (0L, "spark spark spark window"),
+      (1L, "spark window window"),
+      (2L, "catalyst")
+    ).toDF("doc_id", "text")
+    val v = TextOps.vocabulary(d, "doc_id", "text", k = 2).collect()
+    assert(v.map(_.getString(0)).toSeq == Seq("spark", "window"))
+    assert(v(0).getLong(1) == 4 && v(0).getLong(2) == 2) // spark: 4 occ, 2 docs
+    assert(v(1).getLong(1) == 3 && v(1).getLong(2) == 2)
+    val approx = TextOps.vocabulary(d, "doc_id", "text", k = 2, exactDocFreq = false)
+      .collect()
+    assert(approx.map(_.getString(0)).toSeq == Seq("spark", "window"))
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
