@@ -90,7 +90,9 @@ object CtdDataSource {
   private[sources] def expand(path: String): Seq[String] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(org.apache.spark.graft.HadoopConfBridge.conf())
-    val hasScheme = java.net.URI.create(path).getScheme != null
+    // scheme detection via Path's own parser — java.net.URI.create would
+    // reject legal local paths containing spaces
+    val hasScheme = p.toUri.getScheme != null
     def render(child: HPath): String =
       if (hasScheme) child.toString else child.toUri.getPath
     val status =

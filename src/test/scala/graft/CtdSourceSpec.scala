@@ -106,6 +106,15 @@ class CtdSourceSpec extends SparkTestBase {
     assert(CtdRead.edf(spark, s"file:$abs/XBT.EDF.zip").count() > 0)
   }
 
+  test("paths with spaces load (no URI parsing on raw paths)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft dir with spaces")
+    val src = java.nio.file.Paths.get(s"$dataDir/CTD_with_sigma_e00.cnv")
+    val dst = tmp.resolve("my cast.cnv")
+    java.nio.file.Files.copy(src, dst)
+    assert(CtdRead.cnv(spark, dst.toString).count() == 199)
+    assert(CtdRead.cnv(spark, tmp.toString).count() == 199) // dir listing too
+  }
+
   test("explicit .schema(...) skips header inference and prunes the parse") {
     import org.apache.spark.sql.types._
     val userSchema = StructType(Seq(
