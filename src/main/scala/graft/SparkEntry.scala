@@ -1093,14 +1093,15 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q49_stratified_sample" ->
-      // cut literals = (rate * (2^31 - 1)).toLong for 0.25 / 0.5 / 1.0;
+      // cut literals = (rate * 2^31).toLong for 0.25 / 0.5 / 1.0 (scaled by
+      // 2^31, not 2^31-1, so rate 1.0 keeps hash == 2^31-1 rows too);
       // same md5-31 'graft:'||key hash family as q45
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
         |        & 2147483647::UBIGINT)::BIGINT
-        |  < CASE WHEN lang = 'en' THEN 536870911
-        |         WHEN lang = 'de' THEN 1073741823
-        |         ELSE 2147483647 END
+        |  < CASE WHEN lang = 'en' THEN 536870912
+        |         WHEN lang = 'de' THEN 1073741824
+        |         ELSE 2147483648 END
         |ORDER BY doc_id""".stripMargin,
 
     "q50_pack_sequences" ->

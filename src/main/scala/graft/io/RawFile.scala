@@ -125,7 +125,13 @@ object RawFile {
       var seps = 0L
       var lastWasSep = true // empty file -> 0 lines
       var prevCr = false
+      // buffer at least 2 bytes before the BOM decision — a stream may
+      // legally return 1 byte on the first read
       var n = in.read(buf)
+      if (n == 1) {
+        val m = in.read(buf, 1, buf.length - 1)
+        if (m > 0) n += m
+      }
       var sawAny = false
       var first = true
       while (n >= 0) {

@@ -287,6 +287,14 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
+    // silent non-convergence would return WRONG component labels (callers
+    // advertise exact semantics) — fail loudly instead; component diameter
+    // exceeding maxIter means pathological chains: raise maxIter or use the
+    // one-round nearDedup approximation deliberately
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedMinLabels did not reach a fixpoint in $maxIter rounds — " +
+          "a near-duplicate chain is longer than maxIter; raise maxIter")
     labels
   }
 

@@ -28,13 +28,17 @@ object SampleOps {
                 salt: String = "graft"): DataFrame =
     df.withColumn("split", splitId(col(keyCol), nSplits, salt))
 
+  /** Cut for `hash < cut` over the INCLUSIVE [0, 2^31 - 1] hash range:
+    * scaled by 2^31 (not 2^31 - 1) so rate 1.0 keeps EVERY row, including
+    * the ~2^-31 of keys hashing to exactly 2^31 - 1. */
+  private def cutOf(rate: Double): Long = (rate * (DedupOps.P31 + 1).toDouble).toLong
+
   /** Deterministic keep-rate sample: keep rows whose hash lands under
     * `rate` of the 31-bit space. Map-side, no shuffle, stable across runs. */
   def sampleByHash(df: DataFrame, keyCol: String, rate: Double,
                    salt: String = "graft"): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    val cut = (rate * DedupOps.P31.toDouble).toLong
-    df.filter(hash31Udf(concat_ws(":", lit(salt), col(keyCol).cast("string"))) < cut)
+    df.filter(hash31Udf(concat_ws(":", lit(salt), col(keyCol).cast("string"))) < cutOf(rate))
   }
 
   /**
@@ -50,7 +54,6 @@ object SampleOps {
                              salt: String = "graft"): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1], got $r"))
-    def cutOf(r: Double): Long = (r * DedupOps.P31.toDouble).toLong
     // fold the rate table into one codegen'd CASE chain; deterministic
     // order so plans (and oracles) are reproducible
     val cut = rates.toSeq.sortBy(_._1)

@@ -64,21 +64,26 @@ object TextOps {
   def langScore(text: Column, markers: Seq[String]): Column =
     langScoreFromTokens(tokens(text), markers)
 
-  /** An internal column name guaranteed absent from `df` — `withColumn` on
-    * a fixed "__tok" would silently clobber a user column of that name
-    * (ADVICE r3). */
-  private def tempName(df: DataFrame, base: String): String = {
+  /** An internal column name whose every derived variant (`<name><suffix>`
+    * for the given suffixes) is absent from `df` — `withColumn` on a fixed
+    * "__tok" would silently clobber a user column of that name, and langId's
+    * per-language score columns extend the base, so those derived names must
+    * be collision-checked too (ADVICE r3). */
+  private def tempName(df: DataFrame, base: String,
+                       suffixes: Seq[String] = Nil): String = {
     val existing = df.columns.toSet
+    def taken(n: String) = existing.contains(n) || suffixes.exists(s => existing.contains(n + s))
     var n = base
     var i = 0
-    while (existing.contains(n)) { i += 1; n = s"$base$i" }
+    while (taken(n)) { i += 1; n = s"$base$i" }
     n
   }
 
   /** Predicted language = argmax marker score (ties -> alphabetically first
     * language, via the greatest-score/first-match scan). Tokenizes once. */
   def langId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
-    val tokCol = tempName(df, "__tok")
+    val tokCol = tempName(df, "__tok",
+      suffixes = LangMarkers.map { case (l, _) => s"_ls_$l" })
     def scoreCol(lang: String) = s"${tokCol}_ls_$lang"
     val withTok = df.withColumn(tokCol, tokens(col(textCol)))
     val scored = LangMarkers.foldLeft(withTok) { case (d, (lang, markers)) =>

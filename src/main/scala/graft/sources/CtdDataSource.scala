@@ -159,7 +159,11 @@ object CtdDataSource {
               override def call(): StructType =
                 Parsers.schemaOnly(c.ftype, f, RawFile.headText(f))
             })
-          }.map(_.get())
+          }.map { fut =>
+            // surface the parser's own exception, not ExecutionException
+            try fut.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          }
         } finally pool.shutdown()
       }
     val seen = collection.mutable.LinkedHashMap.empty[String, StructField]
@@ -246,27 +250,64 @@ final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  /** JSON string escape incl. control chars — a filename containing \n must
+    * not split the line-oriented checkpoint log. */
   private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** FNV-1a over the committed names — detects ANY mutation of the
+    * committed prefix (the length + boundary checks alone admit a
+    * compensating delete+insert inside the prefix). */
+  private def prefixHash(names: Seq[String]): Long = {
+    var h = 0xcbf29ce484222325L
+    names.foreach { s =>
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= 0x1E; h *= 0x100000001b3L // name separator
+    }
+    h
   }
 
   /** `n` files committed; `last` = lexicographically greatest committed
-    * name ("" when n == 0) — the boundary the prefix check pins. */
-  private case class CtdOffset(n: Int, last: String) extends Offset {
-    override def json(): String = s"""{"n":$n,"last":"${esc(last)}"}"""
+    * name ("" when n == 0); `ph` = FNV-1a of the full committed prefix. */
+  private case class CtdOffset(n: Int, last: String, ph: Long) extends Offset {
+    override def json(): String = s"""{"n":$n,"last":"${esc(last)}","ph":$ph}"""
   }
 
-  override def initialOffset(): Offset = CtdOffset(0, "")
+  private val EmptyHash = prefixHash(Nil)
+
+  override def initialOffset(): Offset = CtdOffset(0, "", EmptyHash)
   override def latestOffset(): Offset = {
     val files = conf.listNow()
-    CtdOffset(files.length, files.lastOption.getOrElse(""))
+    CtdOffset(files.length, files.lastOption.getOrElse(""), prefixHash(files))
   }
 
   override def deserializeOffset(json: String): Offset = {
     val n = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
     val last = """"last"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
-    CtdOffset(n, last)
+      .map(m => unesc(m.group(1))).getOrElse("")
+    val ph = """"ph"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L)
+    CtdOffset(n, last, ph)
   }
 
   private def check(files: Seq[String], o: CtdOffset, what: String): Unit = {
@@ -280,6 +321,13 @@ final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
         s"ctd stream: committed file #${o.n} is now '${files(o.n - 1)}' but the $what " +
           s"offset recorded '${o.last}' — a file arrived that sorts before already-" +
           "committed names (monotonic-naming contract violated). Restart the query " +
+          "from a fresh checkpoint.")
+    // ph == 0 only for offsets checkpointed before this field existed
+    if (o.ph != 0L && prefixHash(files.take(o.n)) != o.ph)
+      throw new IllegalStateException(
+        s"ctd stream: the first ${o.n} files no longer match the $what offset's " +
+          "committed listing (a file inside the committed prefix was replaced — " +
+          "e.g. a compensating delete + out-of-order arrival). Restart the query " +
           "from a fresh checkpoint.")
   }
 

@@ -22,13 +22,15 @@ object HadoopConfBridge {
   def conf(): Configuration = {
     val c = cached
     if (c != null) c
-    else {
-      val fresh = SparkEnv.get match {
-        case null => new Configuration()
-        case env  => SparkHadoopUtil.get.newConfiguration(env.conf)
-      }
-      cached = fresh
-      fresh
+    else SparkEnv.get match {
+      // cache ONLY a SparkEnv-derived conf: caching the bare fallback would
+      // freeze credential-less defaults for the JVM's lifetime if any code
+      // path (tests, driver-side parsing) ran before the session was up
+      case null => new Configuration()
+      case env =>
+        val fresh = SparkHadoopUtil.get.newConfiguration(env.conf)
+        cached = fresh
+        fresh
     }
   }
 }
