@@ -104,29 +104,17 @@ object DedupOps {
    * hash-checkable rather than rows-only.
    */
   def minHashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
-    minhashUdf(numHashes)(shingles(text, shingleSize))
+    minHashFromShingles(shingles(text, shingleSize), numHashes)
 
   /** MinHash signature over a pre-computed shingle-array column (lets one
-    * shingling pass feed both the signature and the Jaccard verify). */
-  def minHashFromShingles(sh: Column, numHashes: Int = 64): Column =
-    minhashUdf(numHashes)(sh)
-
-  private def minhashUdf(k: Int) = {
-    val perms = permConstants(k)
-    val f = udf { sh: Seq[String] =>
-      val sig = Array.fill(k)(Long.MaxValue)
-      sh.foreach { s =>
-        val h = md5Hash31(s)
-        var i = 0
-        while (i < k) {
-          val v = (perms(i)._1 * h + perms(i)._2) % P31
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-      }
-      sig
-    }
-    (sh: Column) => f(sh)
+    * shingling pass feed both the signature and the Jaccard verify).
+    * Native codegen expression over the raw `UTF8String` bytes — a Scala
+    * UDF here re-materialized every shingle as a `String` per row only to
+    * take its UTF-8 bytes back for md5 (graftdedup.MinHashSigExpr). */
+  def minHashFromShingles(sh: Column, numHashes: Int = 64): Column = {
+    val perms = permConstants(numHashes)
+    org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+      .minhashSig(sh, perms.map(_._1).toSeq, perms.map(_._2).toSeq)
   }
 
   /** Banded LSH: split the signature into `bands` slices and fold each to a
@@ -365,29 +353,14 @@ object DedupOps {
       .select(col(idCol)).distinct()
   }
 
-  /** 64-bit SimHash over tokens (term-frequency weighted). The bit-vote
-    * accumulation is a genuine scalar-kernel case — implemented as a compiled
-    * Scala UDF over the token array (not a Python UDF; stays in the JVM).
-    * Token hash = first 8 bytes of MD5 (stable across engines/versions). */
-  def simHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { tokens: Seq[String] =>
-      if (tokens == null) null.asInstanceOf[java.lang.Long]
-      else {
-        val votes = new Array[Long](64)
-        tokens.foreach { t =>
-          val h = md5Hash64(t)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        var out = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-        java.lang.Long.valueOf(out)
-      }
-    }
+  /** 64-bit SimHash over tokens (term-frequency weighted). Native codegen
+    * expression hashing the raw `UTF8String` bytes inside the whole-stage
+    * span (graftdedup.SimHash64Expr — no UDF boundary, no per-token String
+    * materialization). Token hash = first 8 bytes of MD5 (stable across
+    * engines/versions); null input -> null, like the former UDF. */
+  def simHash64(tokens: Column): Column =
+    org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+      .simhash64(tokens)
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
