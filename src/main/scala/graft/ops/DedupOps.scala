@@ -21,33 +21,21 @@ import org.apache.spark.sql.types._
  */
 object DedupOps {
 
-  /** Word n-gram shingles (distinct), the unit of Jaccard similarity.
-    * Compiled UDF over the (codegen'd) token array: per-element Catalyst
+  /** Word n-gram shingles (distinct, first-occurrence order), the unit of
+    * Jaccard similarity. Native codegen expression over the token array's
+    * raw `UTF8String`s (graftdedup.ShinglesExpr) — per-element Catalyst
     * lambdas (`transform`+`slice`+`array_join`) are interpreted and
-    * dominated q25's runtime. */
+    * dominated q25's runtime, and the intermediate Scala-UDF version still
+    * paid a Seq[String] round-trip per row. Null text yields a null array
+    * (call sites' size()/explode()/when() guards treat it like the empty
+    * set, matching the oracle). */
   def shingles(text: Column, n: Int = 3): Column =
-    shinglesUdf(lit(n))(TextOps.tokens(text))
+    shinglesFromTokens(TextOps.tokens(text), n)
 
-  private def shinglesUdf(n: Column) = {
-    val f = udf { (tok: Seq[String], n: Int) =>
-      if (tok == null) Seq.empty[String]
-      else if (tok.length < n) Seq(tok.mkString(" "))
-      else {
-        val arr = tok.toArray
-        val seen = new java.util.LinkedHashSet[String]()
-        var i = 0
-        while (i <= arr.length - n) {
-          val sb = new java.lang.StringBuilder(arr(i))
-          var j = 1
-          while (j < n) { sb.append(' ').append(arr(i + j)); j += 1 }
-          seen.add(sb.toString)
-          i += 1
-        }
-        scala.jdk.CollectionConverters.CollectionHasAsScala(seen).asScala.toSeq
-      }
-    }
-    (tok: Column) => f(tok, n)
-  }
+  /** Shingles over a pre-tokenized column. */
+  def shinglesFromTokens(tok: Column, n: Int): Column =
+    org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+      .wordShingles(tok, n)
 
   /** Keep one row per identical `textCol` (lowest `idCol` wins), comparing
     * sha2-256 digests. Digest-keyed: partial-aggregable, tiny shuffle keys. */

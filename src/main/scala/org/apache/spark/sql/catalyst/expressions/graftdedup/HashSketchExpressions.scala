@@ -83,6 +83,73 @@ object GraftHashKernels {
   }
 }
 
+/** Native word n-gram shingling: `array<string> -> array<string>` of
+  * DISTINCT space-joined n-grams in first-occurrence order; an array
+  * shorter than n collapses to the single all-token join (including the
+  * empty string for an empty array — mirroring the reference UDF exactly).
+  * Builds `UTF8String`s directly (byte-level concat), so the hottest
+  * pipeline stage (shingling feeds near-dup, jaccard, repetition,
+  * decontamination) never leaves the codegen'd row format. */
+object GraftShingleKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    def tok(i: Int): UTF8String = {
+      val t = tokens.getUTF8String(i)
+      if (t == null) UTF8String.EMPTY_UTF8 else t
+    }
+    if (len < n) {
+      val parts = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) { parts(i) = tok(i); i += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(Space, parts: _*)))
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= len - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = tok(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(Space, parts: _*))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** Native shingling expression (see [[GraftShingleKernel]]). */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    GraftShingleKernel.shingles(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftShingleKernel.getClass.getName.stripSuffix("$")}.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash of an `array<string>` token column. Stays inside
   * whole-stage codegen (the generated code calls the static kernel — no UDF
   * boundary, no Seq[String] materialization). */
@@ -166,6 +233,10 @@ object HashSketchExpressions {
   /** Column-API form: codegen'd simhash64 over a token array column. */
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
+
+  /** Column-API form: codegen'd distinct word n-gram shingles. */
+  def wordShingles(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(tokens), n))
 
   /** Column-API form: codegen'd MinHash signature over a shingle array. */
   def minhashSig(shingles: Column, as: Seq[Long], bs: Seq[Long]): Column =

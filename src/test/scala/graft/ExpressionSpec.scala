@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions.col
 
 import org.apache.spark.sql.catalyst.expressions.graftgsw.GswExpressions
 import graft.gsw.Gsw
@@ -82,5 +83,59 @@ class ExpressionSpec extends SparkTestBase {
     val edge = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
       .select(graft.ops.SimOps.dot(col("a"), col("b"))).collect()(0)
     assert(edge.isNullAt(0))
+  }
+
+  test("shingles expression: distinct n-grams, first-occurrence order, short arrays") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d a b c"),    // repeats: "a b c" appears twice -> distinct
+      (1L, "x y"),              // shorter than n=3 -> single joined shingle
+      (2L, "")                  // no tokens -> [""]
+    ).toDF("id", "text")
+    val out = d.select(col("id"),
+        graft.ops.DedupOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out(0L) == List("a b c", "b c d", "c d a", "d a b"))
+    assert(out(1L) == List("x y"))
+    assert(out(2L) == List(""))
+  }
+
+  test("simhash64/minhash_sig expressions match reference Scala computations") {
+    import spark.implicits._
+    val text = "the quick brown fox the quick"
+    val toks = text.split(" ").toSeq
+    // reference simhash computed directly from the kernel's hash
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((h, i) => (h << 8) | (md(i) & 0xffL))
+    }
+    val votes = new Array[Long](64)
+    toks.foreach { t =>
+      val h = h64(t)
+      (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+    }
+    val expected = (0 until 64).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    val d = Seq((0L, text)).toDF("id", "text")
+    val got = d.select(graft.ops.DedupOps.simHash64(graft.ops.TextOps.tokens(col("text"))))
+      .first().getLong(0)
+    assert(got == expected)
+    // SQL surface via GraftExtensions-style registration
+    org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+      .registerInto(spark)
+    d.createOrReplaceTempView("sh_docs")
+    val viaSql = spark.sql(
+      "SELECT simhash64(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) FROM sh_docs")
+      .first().getLong(0)
+    assert(viaSql == expected)
+    // minhash signature: min over shingle hashes of each affine permutation
+    val perms = graft.ops.DedupOps.permConstants(8)
+    val shing = List("the quick brown", "quick brown fox", "brown fox the", "fox the quick")
+    val expSig = perms.map { case (a, b) =>
+      shing.map(s => (a * (h64(s) & 0x7fffffffL) + b) % 2147483647L).min
+    }.toList
+    val gotSig = d.select(graft.ops.DedupOps.minHashSignature(col("text"), numHashes = 8))
+      .first().getSeq[Long](0).toList
+    assert(gotSig == expSig)
   }
 }
