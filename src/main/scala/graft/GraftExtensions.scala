@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     org.apache.spark.sql.catalyst.expressions.graftgsw.GswExpressions.all.foreach(ext.injectFunction)
     org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions.all.foreach(ext.injectFunction)
     org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions.all.foreach(ext.injectFunction)
+    org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions.all.foreach(ext.injectFunction)
   }
 }

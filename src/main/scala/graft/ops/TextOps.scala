@@ -45,18 +45,15 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"))
 
-  /** Marker-hit count over a token array: compiled UDF (set lookup per
-    * token). The `filter(tok, array_contains(...))` Catalyst form is
-    * interpreted per element — it dominated q31/q32's runtime. */
-  private def hitsUdf(markers: Seq[String]) = {
-    val set = markers.toSet
-    udf { t: Seq[String] => if (t == null) 0 else t.count(set.contains) }
-  }
-
-  /** Stopword-hit score over a pre-tokenized column. */
+  /** Stopword-hit score over a pre-tokenized column. Native codegen
+    * set-membership count (grafttext.MarkerHitsExpr) — the
+    * `filter(tok, array_contains(...))` Catalyst form is interpreted per
+    * element and dominated q31/q32's runtime; the intermediate Scala-UDF
+    * version still paid a Seq[String] round-trip per row. */
   def langScoreFromTokens(tok: Column, markers: Seq[String]): Column =
     when(size(tok) > 0,
-      hitsUdf(markers)(tok).cast(DoubleType) / size(tok).cast(DoubleType))
+      org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+        .markerHits(tok, markers).cast(DoubleType) / size(tok).cast(DoubleType))
       .otherwise(lit(0.0))
 
   /** Stopword-hit score for one language: fraction of tokens in the marker
@@ -109,11 +106,14 @@ object TextOps {
    */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val tokCol = tempName(df, "__tok")
+    val ccCol  = tempName(df, "__cc")
     val t = col(textCol)
     val n = length(t).cast(DoubleType)
-    val alpha = regexp_count(t, lit("[A-Za-z]")).cast(DoubleType)
-    val digit = regexp_count(t, lit("[0-9]")).cast(DoubleType)
-    val punct = regexp_count(t, lit("[.,;:!?]")).cast(DoubleType)
+    // one byte pass for all three ASCII class counts (was three regex
+    // scans of the document — the dominant cost of this operator)
+    val alpha = element_at(col(ccCol), 1).cast(DoubleType)
+    val digit = element_at(col(ccCol), 2).cast(DoubleType)
+    val punct = element_at(col(ccCol), 3).cast(DoubleType)
     val tok = col(tokCol)
     val nTok = size(tok).cast(DoubleType)
     // sum of token lengths == length of the no-separator join (codegen'd;
@@ -128,14 +128,17 @@ object TextOps {
           (alpha / greatest(n, lit(1.0))) * lit(0.5) +
             least(stop * lit(5.0), lit(1.0)) * lit(0.3) +
             when(meanTokLen.between(3.0, 10.0), lit(0.2)).otherwise(lit(0.0))), 6))
-    df.withColumn(tokCol, tokens(t))
+    df.withColumn(ccCol,
+        org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+          .asciiClassCounts(t))
+      .withColumn(tokCol, tokens(t))
       .withColumn("n_chars_m", n.cast(LongType))
       .withColumn("alpha_ratio", round(alpha / greatest(n, lit(1.0)), 6))
       .withColumn("digit_ratio", round(digit / greatest(n, lit(1.0)), 6))
       .withColumn("punct_ratio", round(punct / greatest(n, lit(1.0)), 6))
       .withColumn("mean_tok_len", round(meanTokLen, 6))
       .withColumn("quality", score)
-      .drop(tokCol)
+      .drop(tokCol, ccCol)
   }
 
   /** Content-defined fingerprint: sha2-256 of the token-normalized text
