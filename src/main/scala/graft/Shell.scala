@@ -24,6 +24,8 @@ object Shell {
     // native codegen expressions override the UDF registrations by name
     org.apache.spark.sql.catalyst.expressions.graftgsw.GswExpressions.registerInto(spark)
     org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions.registerInto(spark)
+    org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions.registerInto(spark)
+    org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions.registerInto(spark)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       val p = new java.io.File(s"$sfDir/$t.parquet")
