@@ -61,22 +61,14 @@ object DedupOps {
                    rng.nextInt(P31.toInt).toLong))
   }
 
-  /** One MessageDigest per thread: `getInstance` is a JCA provider lookup +
-    * allocation, and these hashes run once per TOKEN/SHINGLE — the innermost
-    * loop of the hottest pipeline ops (at 1e9 docs a real constant factor,
-    * VERDICT r3). `digest(bytes)` resets the instance, so reuse is safe. */
-  private val md5Local: ThreadLocal[java.security.MessageDigest] =
-    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
-
   /** First 8 md5 bytes big-endian of the UTF-8 string — the engine-portable
-    * 64-bit token hash (same value as DuckDB's '0x'||substr(md5(t),1,16)). */
-  private[ops] def md5Hash64(s: String): Long = {
-    val md = md5Local.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
-    h
-  }
+    * 64-bit token hash (same value as DuckDB's '0x'||substr(md5(t),1,16)).
+    * ONE implementation: delegates to the native-expression kernel so the
+    * oracle-critical hash family can never silently diverge between the
+    * sketch expressions and driver-side helpers. */
+  private[ops] def md5Hash64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.graftdedup.GraftHashKernels
+      .md5Hash64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** The 64-bit hash masked to 31 bits — the MinHash shingle hash. */
   private[ops] def md5Hash31(s: String): Long = md5Hash64(s) & 0x7fffffffL
@@ -108,18 +100,11 @@ object DedupOps {
   /** Banded LSH: split the signature into `bands` slices and fold each to a
     * portable band key `b := (b*31 + v) mod p` (reproducible in the oracle,
     * unlike Spark's internal `hash`); emit one (band_id, band_hash) row per
-    * band via posexplode. */
+    * band via posexplode. Native codegen fold (graftdedup.LshBandKeysExpr). */
   def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
-    val bandKeys = udf { (sig: Seq[Long], bands: Int) =>
-      val r = sig.length / bands
-      Array.tabulate(bands) { b =>
-        var acc = sig(b * r)
-        var j = 1
-        while (j < r) { acc = (acc * 31L + sig(b * r + j)) % P31; j += 1 }
-        acc
-      }
-    }
-    df.select(col(idCol), posexplode(bandKeys(col(sigCol), lit(bands))))
+    val bandKeys = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions.lshBandKeys(col(sigCol), bands)
+    df.select(col(idCol), posexplode(bandKeys))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
   }

@@ -14,14 +14,16 @@ import org.apache.spark.sql.functions._
  */
 object SampleOps {
 
-  private def hash31Udf = udf { s: String =>
-    if (s == null) 0L else DedupOps.md5Hash31(s)
-  }
+  /** Codegen'd md5-31 of "salt:key" (graftdedup.Md5Hash31Expr — native, no
+    * UDF boundary on the full-corpus sampling/splitting paths). */
+  private def keyHash(key: Column, salt: String): Column =
+    org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+      .md5Hash31(concat_ws(":", lit(salt), key.cast("string")))
 
   /** Stable split id in [0, nSplits) from the key column + salt. Change the
     * salt to draw an independent split. */
   def splitId(key: Column, nSplits: Int, salt: String = "graft"): Column =
-    hash31Udf(concat_ws(":", lit(salt), key.cast("string"))) % nSplits
+    keyHash(key, salt) % nSplits
 
   /** Assign train/val/test-style splits: adds `split` in [0, nSplits). */
   def hashSplit(df: DataFrame, keyCol: String, nSplits: Int,
@@ -38,7 +40,7 @@ object SampleOps {
   def sampleByHash(df: DataFrame, keyCol: String, rate: Double,
                    salt: String = "graft"): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    df.filter(hash31Udf(concat_ws(":", lit(salt), col(keyCol).cast("string"))) < cutOf(rate))
+    df.filter(keyHash(col(keyCol), salt) < cutOf(rate))
   }
 
   /**
@@ -60,7 +62,7 @@ object SampleOps {
       .foldLeft(lit(cutOf(defaultRate))) { case (acc, (stratum, r)) =>
         when(col(stratumCol) === stratum, lit(cutOf(r))).otherwise(acc)
       }
-    df.filter(hash31Udf(concat_ws(":", lit(salt), col(keyCol).cast("string"))) < cut)
+    df.filter(keyHash(col(keyCol), salt) < cut)
   }
 
   /**

@@ -203,17 +203,11 @@ object TextOps {
 
   // --- repetition signals (Gopher-style quality rules) --------------------
 
-  /** Highest single-token frequency in the array (compiled one-pass UDF). */
-  private def maxTokenFreqUdf = udf { t: Seq[String] =>
-    if (t == null || t.isEmpty) 0L
-    else {
-      val m = new java.util.HashMap[String, Long]()
-      t.foreach(s => m.merge(s, 1L, (a, b) => a + b))
-      var mx = 0L
-      m.values.forEach(v => if (v > mx) mx = v)
-      mx
-    }
-  }
+  /** Highest single-token frequency in the array (native one-pass codegen
+    * kernel, graftdedup.MaxTokenFreqExpr). */
+  private def maxTokenFreqCol(tok: Column): Column =
+    org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+      .maxTokenFreq(tok)
 
   /**
    * Repetition signals over the token stream — the Gopher-rule family:
@@ -232,7 +226,7 @@ object TextOps {
     val distinct2 = size(DedupOps.shingles(col(textCol), 2)).cast(DoubleType)
     val dup2 = when(n >= 2, round(lit(1.0) - distinct2 / total2, 6)).otherwise(lit(0.0))
     val topFrac = when(n > 0,
-      round(maxTokenFreqUdf(tok).cast(DoubleType) / n, 6)).otherwise(lit(0.0))
+      round(maxTokenFreqCol(tok).cast(DoubleType) / n, 6)).otherwise(lit(0.0))
     df.withColumn(tokCol, tokens(col(textCol)))
       .withColumn("dup_2gram_frac", dup2)
       .withColumn("top_token_frac", topFrac)

@@ -276,37 +276,41 @@ final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
 
   /** FNV-1a over the committed names — detects ANY mutation of the
     * committed prefix (the length + boundary checks alone admit a
-    * compensating delete+insert inside the prefix). */
+    * compensating delete+insert inside the prefix). Each name is
+    * LENGTH-PREFIXED into the stream: a separator character could be
+    * injected by a filename containing it, letting two different listings
+    * flatten identically. */
   private def prefixHash(names: Seq[String]): Long = {
     var h = 0xcbf29ce484222325L
+    def mix(v: Int): Unit = { h ^= v; h *= 0x100000001b3L }
     names.foreach { s =>
+      mix(s.length)
       var i = 0
-      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-      h ^= 0x1E; h *= 0x100000001b3L // name separator
+      while (i < s.length) { mix(s.charAt(i)); i += 1 }
     }
     h
   }
 
   /** `n` files committed; `last` = lexicographically greatest committed
-    * name ("" when n == 0); `ph` = FNV-1a of the full committed prefix. */
-  private case class CtdOffset(n: Int, last: String, ph: Long) extends Offset {
-    override def json(): String = s"""{"n":$n,"last":"${esc(last)}","ph":$ph}"""
+    * name ("" when n == 0); `ph` = FNV-1a of the full committed prefix
+    * (None only when deserializing an offset checkpointed before the field
+    * existed — presence-keyed, NOT an in-band sentinel value). */
+  private case class CtdOffset(n: Int, last: String, ph: Option[Long]) extends Offset {
+    override def json(): String =
+      s"""{"n":$n,"last":"${esc(last)}"${ph.map(p => s""","ph":$p""").getOrElse("")}}"""
   }
 
-  private val EmptyHash = prefixHash(Nil)
-
-  override def initialOffset(): Offset = CtdOffset(0, "", EmptyHash)
+  override def initialOffset(): Offset = CtdOffset(0, "", Some(prefixHash(Nil)))
   override def latestOffset(): Offset = {
     val files = conf.listNow()
-    CtdOffset(files.length, files.lastOption.getOrElse(""), prefixHash(files))
+    CtdOffset(files.length, files.lastOption.getOrElse(""), Some(prefixHash(files)))
   }
 
   override def deserializeOffset(json: String): Offset = {
     val n = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
     val last = """"last"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
       .map(m => unesc(m.group(1))).getOrElse("")
-    val ph = """"ph"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(0L)
+    val ph = """"ph"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
     CtdOffset(n, last, ph)
   }
 
@@ -322,13 +326,15 @@ final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
           s"offset recorded '${o.last}' — a file arrived that sorts before already-" +
           "committed names (monotonic-naming contract violated). Restart the query " +
           "from a fresh checkpoint.")
-    // ph == 0 only for offsets checkpointed before this field existed
-    if (o.ph != 0L && prefixHash(files.take(o.n)) != o.ph)
-      throw new IllegalStateException(
-        s"ctd stream: the first ${o.n} files no longer match the $what offset's " +
-          "committed listing (a file inside the committed prefix was replaced — " +
-          "e.g. a compensating delete + out-of-order arrival). Restart the query " +
-          "from a fresh checkpoint.")
+    // absent only for offsets checkpointed before this field existed
+    o.ph.foreach { p =>
+      if (prefixHash(files.take(o.n)) != p)
+        throw new IllegalStateException(
+          s"ctd stream: the first ${o.n} files no longer match the $what offset's " +
+            "committed listing (a file inside the committed prefix was replaced — " +
+            "e.g. a compensating delete + out-of-order arrival). Restart the query " +
+            "from a fresh checkpoint.")
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

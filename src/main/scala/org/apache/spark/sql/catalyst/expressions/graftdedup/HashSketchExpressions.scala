@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Static kernels shared by eval and generated code. Operating on
@@ -58,6 +59,48 @@ object GraftHashKernels {
     out
   }
 
+  /** md5-based 31-bit key hash of a string — the split/sample family's
+    * per-row kernel (`('0x'||substr(md5(salt||':'||key),1,16))::UBIGINT &
+    * 2147483647` in the oracle). */
+  def md5Hash31(s: UTF8String): Long =
+    if (s == null) 0L else md5Hash64(s.getBytes) & 0x7fffffffL
+
+  /** Banded LSH keys: fold each of `bands` signature slices to
+    * `((acc*31 + v) mod p)` — the portable band key DedupOps.lshBands
+    * documents. */
+  def lshBandKeys(sig: ArrayData, bands: Int): ArrayData = {
+    val p = 2147483647L
+    val k = sig.numElements()
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = sig.getLong(b * r)
+      var j = 1
+      while (j < r) { acc = (acc * 31L + sig.getLong(b * r + j)) % p; j += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Highest single-token frequency (byte-equality on UTF8String). */
+  def maxTokenFreq(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    if (n == 0) return 0L
+    val m = new java.util.HashMap[UTF8String, Long](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i))
+        m.merge(tokens.getUTF8String(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var mx = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) { val v = it.next(); if (v > mx) mx = v }
+    mx
+  }
+
   /** MinHash signature: `min_i (a_i * h31(s) + b_i) mod p` over the shingle
     * array, h31 = md5Hash64 masked to 31 bits, p = 2^31 - 1. Each shingle is
     * hashed once; the k minima accumulate in one pass. */
@@ -97,22 +140,25 @@ object GraftShingleKernel {
 
   def shingles(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()
-    def tok(i: Int): UTF8String = {
-      val t = tokens.getUTF8String(i)
-      if (t == null) UTF8String.EMPTY_UTF8 else t
+    // extract every token ONCE (getUTF8String re-materializes a view per
+    // call — inside the n-wide sliding window that would be n extractions
+    // per token)
+    val toks = new Array[UTF8String](len)
+    var e = 0
+    while (e < len) {
+      val t = tokens.getUTF8String(e)
+      toks(e) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      e += 1
     }
     if (len < n) {
-      val parts = new Array[UTF8String](len)
-      var i = 0
-      while (i < len) { parts(i) = tok(i); i += 1 }
-      new GenericArrayData(Array[Any](UTF8String.concatWs(Space, parts: _*)))
+      new GenericArrayData(Array[Any](UTF8String.concatWs(Space, toks: _*)))
     } else {
       val seen = new java.util.LinkedHashSet[UTF8String]()
+      val parts = new Array[UTF8String](n) // reused: concatWs copies bytes out
       var i = 0
       while (i <= len - n) {
-        val parts = new Array[UTF8String](n)
         var j = 0
-        while (j < n) { parts(j) = tok(i + j); j += 1 }
+        while (j < n) { parts(j) = toks(i + j); j += 1 }
         seen.add(UTF8String.concatWs(Space, parts: _*))
         i += 1
       }
@@ -215,6 +261,90 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
     copy(child = newChild)
 }
 
+/** Native md5-31 key hash (`string -> bigint`) — the split/sample kernel. */
+case class Md5Hash31Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = false // null key hashes to 0, like the UDF
+  override def prettyName: String = "md5_hash31"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    GraftHashKernels.md5Hash31(
+      child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val kernel = GraftHashKernels.getClass.getName.stripSuffix("$")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = $kernel.md5Hash31(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native banded LSH keys (`array<bigint> -> array<bigint>`). */
+case class LshBandKeysExpr(child: Expression, bands: Int) extends UnaryExpression {
+  require(bands >= 1, s"bands must be >= 1, got $bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(sig: Any): Any =
+    GraftHashKernels.lshBandKeys(sig.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.lshBandKeys($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native max single-token frequency (`array<string> -> bigint`). */
+case class MaxTokenFreqExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "max_token_freq"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    GraftHashKernels.maxTokenFreq(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.maxTokenFreq($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashSketchExpressions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -237,6 +367,18 @@ object HashSketchExpressions {
   /** Column-API form: codegen'd distinct word n-gram shingles. */
   def wordShingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(tokens), n))
+
+  /** Column-API form: codegen'd md5-31 key hash (null key -> 0). */
+  def md5Hash31(key: Column): Column =
+    ExpressionUtils.column(Md5Hash31Expr(ExpressionUtils.expression(key)))
+
+  /** Column-API form: codegen'd banded LSH keys over a signature array. */
+  def lshBandKeys(sig: Column, bands: Int): Column =
+    ExpressionUtils.column(LshBandKeysExpr(ExpressionUtils.expression(sig), bands))
+
+  /** Column-API form: codegen'd max single-token frequency. */
+  def maxTokenFreq(tokens: Column): Column =
+    ExpressionUtils.column(MaxTokenFreqExpr(ExpressionUtils.expression(tokens)))
 
   /** Column-API form: codegen'd MinHash signature over a shingle array. */
   def minhashSig(shingles: Column, as: Seq[Long], bs: Seq[Long]): Column =
