@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws, lit}
 
 import org.apache.spark.sql.catalyst.expressions.graftgsw.GswExpressions
 import graft.gsw.Gsw
@@ -83,6 +83,66 @@ class ExpressionSpec extends SparkTestBase {
     val edge = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
       .select(graft.ops.SimOps.dot(col("a"), col("b"))).collect()(0)
     assert(edge.isNullAt(0))
+  }
+
+  test("randomized: native kernels equal reference Scala over unicode tokens") {
+    import spark.implicits._
+    // vocabulary stresses multi-byte UTF-8: the native kernels hash/concat
+    // raw bytes, the reference path goes through java.lang.String
+    val vocab = Vector("the", "fox", "café", "naïve", "中文", "🦊", "a", "", "b1")
+    val rng = new scala.util.Random(0xC0FFEE)
+    val rows = (0L until 200L).map { i =>
+      val n = rng.nextInt(12)
+      (i, Vector.fill(n)(vocab(rng.nextInt(vocab.length))))
+    }
+    val df = rows.toDF("id", "toks")
+    val X = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+    val perms = graft.ops.DedupOps.permConstants(16)
+    val got = df.select(col("id"),
+        graft.ops.DedupOps.shinglesFromTokens(col("toks"), 3).as("sh"),
+        X.simhash64(col("toks")).as("sim"),
+        X.maxTokenFreq(col("toks")).as("mtf"),
+        X.md5Hash31(concat_ws(":", lit("graft"), col("id").cast("string"))).as("h31"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1).toList, r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((h, i) => (h << 8) | (md(i) & 0xffL))
+    }
+    rows.foreach { case (id, toks) =>
+      // shingles reference (old UDF semantics)
+      val expSh =
+        if (toks.length < 3) List(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toList.distinct
+      // simhash reference
+      val votes = new Array[Long](64)
+      toks.foreach { t =>
+        val h = h64(t)
+        (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      val expSim = (0 until 64).foldLeft(0L)((a, b) => if (votes(b) > 0) a | (1L << b) else a)
+      val expMtf = if (toks.isEmpty) 0L else toks.groupBy(identity).values.map(_.size).max.toLong
+      val expH31 = h64(s"graft:$id") & 0x7fffffffL
+      val (gSh, gSim, gMtf, gH31) = got(id)
+      assert(gSh == expSh, s"id $id shingles: $gSh != $expSh (toks=$toks)")
+      assert(gSim == expSim, s"id $id simhash")
+      assert(gMtf == expMtf, s"id $id maxTokenFreq")
+      assert(gH31 == expH31, s"id $id md5Hash31")
+    }
+    // minhash over the same rows via the expression vs driver-side math
+    val sigGot = df.select(col("id"),
+        graft.ops.DedupOps.minHashFromShingles(
+          graft.ops.DedupOps.shinglesFromTokens(col("toks"), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    rows.foreach { case (id, toks) =>
+      val sh = if (toks.length < 3) List(toks.mkString(" "))
+               else toks.sliding(3).map(_.mkString(" ")).toList.distinct
+      val expSig = perms.map { case (a, b) =>
+        if (sh.isEmpty) Long.MaxValue
+        else sh.map(s => (a * (h64(s) & 0x7fffffffL) + b) % 2147483647L).min
+      }.toList
+      assert(sigGot(id) == expSig, s"id $id minhash sig")
+    }
   }
 
   test("shingles expression: distinct n-grams, first-occurrence order, short arrays") {
