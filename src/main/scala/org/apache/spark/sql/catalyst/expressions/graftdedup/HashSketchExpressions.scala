@@ -347,10 +347,28 @@ case class MaxTokenFreqExpr(child: Expression) extends UnaryExpression {
 
 object HashSketchExpressions {
 
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (c: Seq[Expression]) => SimHash64Expr(c(0))))
+      (c: Seq[Expression]) => SimHash64Expr(c(0))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "word_shingles"),
+      (c: Seq[Expression]) => ShinglesExpr(c(0), litInt(c(1), "shingle size"))),
+    (FunctionIdentifier("md5_hash31"),
+      new ExpressionInfo(classOf[Md5Hash31Expr].getName, "md5_hash31"),
+      (c: Seq[Expression]) => Md5Hash31Expr(c(0))),
+    (FunctionIdentifier("lsh_band_keys"),
+      new ExpressionInfo(classOf[LshBandKeysExpr].getName, "lsh_band_keys"),
+      (c: Seq[Expression]) => LshBandKeysExpr(c(0), litInt(c(1), "bands"))),
+    (FunctionIdentifier("max_token_freq"),
+      new ExpressionInfo(classOf[MaxTokenFreqExpr].getName, "max_token_freq"),
+      (c: Seq[Expression]) => MaxTokenFreqExpr(c(0))))
 
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>

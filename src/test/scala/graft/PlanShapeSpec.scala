@@ -103,6 +103,19 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("pipeline query plans contain no ScalaUDF nodes (native kernels only)") {
+    // pins the no-UDF-boundary guarantee: shingling, sketches, sampling,
+    // band keys, text signals all run as native codegen expressions
+    val dir = "/root/testdata/sf0.001"
+    Seq("q25_near_dup_pairs", "q27_simhash", "q31_langid", "q32_quality",
+        "q44_repetition", "q45_hash_split", "q49_stratified_sample",
+        "q50_pack_sequences", "q51_vocabulary").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("UDF"), s"$q plan contains a UDF:\n$plan")
+    }
+  }
+
   test("q47 bucketed QC chain: no hash exchange between land and windows") {
     // the driver-contract query itself (not just an ad-hoc chain): the only
     // exchange in its plan is the final ORDER BY's range partitioning
