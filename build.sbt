@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] drives 32 concurrent tasks in one JVM; size the heap to the
   // machine (driver boxes have 128 GiB) rather than the 8g JVM-ish default
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // a 51-query suite x warmup+3 timed passes janino-compiles thousands of
+  // generated classes; the JDK default 240m code cache can fill, silently
+  // disabling the JIT mid-suite (10-20x tail-query slowdowns)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -20,8 +20,12 @@ import org.apache.spark.sql.SparkSession
  *  - an explicit System.gc() after the warmup pass so the first timed slot
  *    doesn't pay for the warmup's accumulated garbage;
  *  - each query timed `SPARK_GRAFT_REPS` times (default 3) and reported as
- *    the MEDIAN — per-query numbers are then stable to ~20% between
- *    back-to-back runs instead of 2x.
+ *    the MEDIAN, with reps interleaved ROUND-ROBIN across the suite
+ *    (pass 1 runs every query, then pass 2, ...): this box is a VM whose
+ *    host occasionally steals CPU in multi-second bursts, and back-to-back
+ *    reps put all of a query's samples inside one burst (observed: a
+ *    different query 10x slow in each run). Spacing a query's reps a full
+ *    suite apart makes the median robust to bursty interference.
  * `SPARK_GRAFT_WARM=head` falls back to the old single-query warmup.
  */
 object Bench {
@@ -49,22 +53,24 @@ object Bench {
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
-    /** Median of `reps` timed runs; the first error short-circuits. */
-    def runMedian(name: String): Either[String, Double] = {
-      val runs = Seq.fill(reps)(runOnce(name))
-      runs.collectFirst { case Left(m) => Left(m) }.getOrElse {
-        val ts = runs.collect { case Right(s) => s }.sorted
-        Right(ts(ts.length / 2))
-      }
-    }
-
     val names = SparkEntry.queries.keys.toSeq.sorted
     if (sys.env.get("SPARK_GRAFT_WARM").contains("head")) runOnce(names.head)
     else names.foreach(runOnce)
     // don't let warmup-pass garbage land in the first timed slot
     System.gc()
 
-    val results = names.map(n => n -> runMedian(n))
+    // round-robin passes: each query's reps are a full suite apart
+    val passes: Seq[Map[String, Either[String, Double]]] =
+      (1 to reps).map(_ => names.map(n => n -> runOnce(n)).toMap)
+    def median(name: String): Either[String, Double] = {
+      val runs = passes.map(_(name))
+      runs.collectFirst { case Left(m) => Left(m) }.getOrElse {
+        val ts = runs.collect { case Right(s) => s }.sorted
+        Right(ts(ts.length / 2))
+      }
+    }
+
+    val results = names.map(n => n -> median(n))
     val timings = results.collect { case (n, Right(s)) => n -> s }
     val errors  = results.collect { case (n, Left(m)) => n -> m }
 
