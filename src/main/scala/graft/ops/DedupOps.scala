@@ -273,15 +273,55 @@ object DedupOps {
                          shingleSize: Int = 3, threshold: Double = 0.7,
                          maxBucket: Int = 0, maxIter: Int = 20,
                          shingleStorage: org.apache.spark.storage.StorageLevel =
-                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+                         localPairLimit: Int = 1 << 20): DataFrame = {
     val (pairs, done) = nearDuplicatePairsWithHandle(df, idCol, textCol,
       numHashes, bands, shingleSize, threshold, maxBucket, shingleStorage)
-    // materialized by connectedMinLabels' localCheckpoint of the edge set,
-    // so the staged shingle cache can be dropped right after
-    val labels = connectedMinLabels(pairs, maxIter)
-    done()
-    val losers = labels.filter(col("comp") =!= col("id"))
-      .select(col("id").as(idCol))
+    // Scale-adaptive closure (the broadcast-vs-shuffle-join pattern): the
+    // verified pair set is proportional to the DUPLICATE count, usually
+    // orders of magnitude below the corpus — when it fits on the driver
+    // (<= localPairLimit edges), a local union-find replaces the
+    // multi-round distributed propagation (each round is several jobs; the
+    // whole local pass is one collect). Oversized pair sets fall back to
+    // [[connectedMinLabels]].
+    val spark = df.sparkSession
+    val idIsIntegral = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (idIsIntegral)
+        pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit(localPairLimit + 1).collect()
+      else Array.empty // non-integral ids: `<` on the driver won't mirror
+                       // the column ordering reliably — always distribute
+    val useLocal = idIsIntegral && probe.length <= localPairLimit
+    val losers: DataFrame =
+      if (useLocal) {
+        done()
+        val parent = collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        val lost = parent.keys.filter(id => find(id) != id).toSeq
+        import spark.implicits._
+        // broadcast: the loser list is bounded by the local pair limit
+        broadcast(lost.toDF(idCol)
+          .select(col(idCol).cast(df.schema(idCol).dataType)))
+      } else {
+        val labels = connectedMinLabels(pairs, maxIter)
+        done()
+        labels.filter(col("comp") =!= col("id")).select(col("id").as(idCol))
+      }
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -274,6 +274,11 @@ class PipelineOpsSpec extends SparkTestBase {
         numHashes = 64, bands = 32, threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(10L, 99L), s"kept: $kept")
+    // force the DISTRIBUTED propagation path (localPairLimit = 0): same answer
+    val keptDist = DedupOps.nearDedupConnected(chain, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5, localPairLimit = 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptDist == kept, s"distributed path diverged: $keptDist")
   }
 
   test("embeddingNearDupPairs maxBucket cap drops a synthetic hot bucket") {
