@@ -318,7 +318,12 @@ object DedupOps {
         broadcast(lost.toDF(idCol)
           .select(col(idCol).cast(df.schema(idCol).dataType)))
       } else {
-        val labels = connectedMinLabels(pairs, maxIter)
+        // materialize the edge set ONCE: the probe collect above already ran
+        // the candidate-join + jaccard pipeline, and connectedMinLabels
+        // reads its input twice (both edge directions) — without this the
+        // verify pipeline would execute three times on the fallback path
+        val materialized = pairs.localCheckpoint()
+        val labels = connectedMinLabels(materialized, maxIter)
         done()
         labels.filter(col("comp") =!= col("id")).select(col("id").as(idCol))
       }

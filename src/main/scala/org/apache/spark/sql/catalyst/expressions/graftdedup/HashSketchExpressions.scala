@@ -71,6 +71,10 @@ object GraftHashKernels {
   def lshBandKeys(sig: ArrayData, bands: Int): ArrayData = {
     val p = 2147483647L
     val k = sig.numElements()
+    // internal callers always pass k % bands == 0; the SQL surface can't —
+    // fail loudly rather than silently ignoring trailing signature slots
+    require(k > 0 && k % bands == 0,
+      s"lsh_band_keys: signature length $k must be a positive multiple of bands=$bands")
     val r = k / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -347,28 +351,38 @@ case class MaxTokenFreqExpr(child: Expression) extends UnaryExpression {
 
 object HashSketchExpressions {
 
-  private def litInt(e: Expression, what: String): Int = e match {
+  private def arity(fn: String, c: Seq[Expression], n: Int): Unit =
+    if (c.length != n) throw new IllegalArgumentException(
+      s"$fn requires exactly $n argument(s), got ${c.length}")
+
+  private def litInt(fn: String, e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+      s"$fn: $what must be an INT literal (e.g. 3), got ${other.sql}")
   }
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (c: Seq[Expression]) => SimHash64Expr(c(0))),
+      (c: Seq[Expression]) => { arity("simhash64", c, 1); SimHash64Expr(c(0)) }),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "word_shingles"),
-      (c: Seq[Expression]) => ShinglesExpr(c(0), litInt(c(1), "shingle size"))),
+      (c: Seq[Expression]) => {
+        arity("word_shingles", c, 2)
+        ShinglesExpr(c(0), litInt("word_shingles", c(1), "shingle size"))
+      }),
     (FunctionIdentifier("md5_hash31"),
       new ExpressionInfo(classOf[Md5Hash31Expr].getName, "md5_hash31"),
-      (c: Seq[Expression]) => Md5Hash31Expr(c(0))),
+      (c: Seq[Expression]) => { arity("md5_hash31", c, 1); Md5Hash31Expr(c(0)) }),
     (FunctionIdentifier("lsh_band_keys"),
       new ExpressionInfo(classOf[LshBandKeysExpr].getName, "lsh_band_keys"),
-      (c: Seq[Expression]) => LshBandKeysExpr(c(0), litInt(c(1), "bands"))),
+      (c: Seq[Expression]) => {
+        arity("lsh_band_keys", c, 2)
+        LshBandKeysExpr(c(0), litInt("lsh_band_keys", c(1), "bands"))
+      }),
     (FunctionIdentifier("max_token_freq"),
       new ExpressionInfo(classOf[MaxTokenFreqExpr].getName, "max_token_freq"),
-      (c: Seq[Expression]) => MaxTokenFreqExpr(c(0))))
+      (c: Seq[Expression]) => { arity("max_token_freq", c, 1); MaxTokenFreqExpr(c(0)) }))
 
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>

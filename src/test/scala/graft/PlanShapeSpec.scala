@@ -105,15 +105,20 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("pipeline query plans contain no ScalaUDF nodes (native kernels only)") {
     // pins the no-UDF-boundary guarantee: shingling, sketches, sampling,
-    // band keys, text signals all run as native codegen expressions
+    // band keys, text signals all run as native codegen expressions. Node-
+    // class check, not string matching — a NAMED ScalaUDF renders without
+    // the 'UDF' substring in plan text.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     val dir = "/root/testdata/sf0.001"
-    Seq("q25_near_dup_pairs", "q27_simhash", "q31_langid", "q32_quality",
-        "q44_repetition", "q45_hash_split", "q49_stratified_sample",
-        "q50_pack_sequences", "q51_vocabulary").foreach { q =>
-      val plan = SparkEntry.queries(q)(spark, dir)
-        .queryExecution.optimizedPlan.toString
-      assert(!plan.contains("UDF"), s"$q plan contains a UDF:\n$plan")
-    }
+    try {
+      Seq("q25_near_dup_pairs", "q27_simhash", "q31_langid", "q32_quality",
+          "q44_repetition", "q45_hash_split", "q49_stratified_sample",
+          "q50_pack_sequences", "q51_vocabulary").foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+        val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
+        assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
+      }
+    } finally spark.catalog.clearCache() // building q25 registers a persist
   }
 
   test("q47 bucketed QC chain: no hash exchange between land and windows") {
