@@ -15,7 +15,8 @@ final case class CastHeader(
     skiprows: Int,              // first data line index
     time: Option[Timestamp],    // NMEA UTC
     lon: Option[Double],
-    lat: Option[Double])
+    lat: Option[Double],
+    badFlag: Option[Double] = None) // '# bad_flag = X' sentinel
 
 /**
  * Line-state-machine port of `_parse_seabird` (ctd/read.py:122-219) plus the
@@ -87,6 +88,7 @@ object CastHeader {
     var time: Option[Timestamp] = None
     var lon: Option[Double]     = None
     var lat: Option[Double]     = None
+    var badFlag: Option[Double] = None
     val header = Vector.newBuilder[String]
     val config = Vector.newBuilder[String]
     var names  = Vector.empty[String]
@@ -115,7 +117,14 @@ object CastHeader {
           fname = Some(if (dot > 0) base.substring(0, dot) else base)
         }
       }
-      if (line.startsWith("#")) config += line
+      if (line.startsWith("#")) {
+        config += line
+        // '# bad_flag = -9.990e-29': SBE's missing-value sentinel
+        if (line.contains("bad_flag")) {
+          val tok = line.split("=", 2).last.trim
+          try badFlag = Some(tok.toDouble) catch { case _: NumberFormatException => }
+        }
+      }
 
       if (line.contains("NMEA Latitude") && line.nonEmpty) {
         val hemi = line.last
@@ -153,6 +162,6 @@ object CastHeader {
       config = config.result().mkString("\n"),
       names = renameDuplicates(names),
       skiprows = skiprows,
-      time = time, lon = lon, lat = lat)
+      time = time, lon = lon, lat = lat, badFlag = badFlag)
   }
 }

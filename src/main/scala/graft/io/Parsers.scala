@@ -86,15 +86,24 @@ object Parsers {
 
   /** bpos -> int, pumps/flag -> boolean (INTENDED semantics: value != 0;
     * pandas' `astype(bool)` on string tokens degenerates to "non-empty
-    * string == True" — divergence documented, ctd/read.py:432). */
-  private def cnvValue(name: String, tok: String): Any = name match {
+    * string == True" — divergence documented, ctd/read.py:432). Numeric
+    * channels equal to the header's `# bad_flag` sentinel become null — the
+    * reference's pd.to_numeric admits the sentinel as a real float
+    * (read.py:438 — a documented reference bug this engine corrects, per
+    * SURVEY §1.4: bad values -> null). */
+  private def cnvValue(name: String, tok: String, badFlag: Double,
+                       hasBad: Boolean): Any = name match {
     case "bpos" => toIntOrNull(tok)
     case "pumps" | "flag" =>
       toDoubleOrNull(tok) match {
         case d: java.lang.Double => java.lang.Boolean.valueOf(d.doubleValue() != 0.0)
         case _ => null
       }
-    case _ => toDoubleOrNull(tok)
+    case _ =>
+      toDoubleOrNull(tok) match {
+        case d: java.lang.Double if hasBad && d.doubleValue() == badFlag => null
+        case other => other
+      }
   }
 
   private def cnvType(name: String): DataType = name match {
@@ -103,14 +112,10 @@ object Parsers {
     case _                => DoubleType
   }
 
-  private val BtlDateFmt =
-    DateTimeFormatter.ofPattern("MMM d yyyy H:mm:ss", Locale.ENGLISH)
-
-  private def parseBtlDate(s: String): Any = {
-    val norm = s.trim.replaceAll("\\s+", " ")
-    try Timestamp.from(LocalDateTime.parse(norm, BtlDateFmt).toInstant(ZoneOffset.UTC))
-    catch { case _: Exception => null }
-  }
+  /** BTL stitched dates share the CNV header timestamp format — ONE parser
+    * (CastHeader.parseHeaderTime) so a format fix can't leave the other
+    * half stale. */
+  private def parseBtlDate(s: String): Any = CastHeader.parseHeaderTime(s).orNull
 
   /** Drop the phantom empty line a trailing newline produces (readlines in
     * the reference never yields it); interior blank lines stay (they become
@@ -150,6 +155,8 @@ object Parsers {
     val needC: Array[Boolean] = names.map(needed).toArray
     val wanted: Array[Boolean] =
       Array.tabulate(names.length)(ci => if (ci == prIdx) needP else needC(ci))
+    val hasBad  = hdr.badFlag.isDefined
+    val badFlag = hdr.badFlag.getOrElse(0.0)
 
     val rows = data.iterator.map { line =>
       val toks = fastSplitSelect(line, wanted)
@@ -157,6 +164,7 @@ object Parsers {
       if (needP) {
         val pTok = if (prIdx < toks.length) toks(prIdx) else null
         out(0) = toDoubleOrNull(pTok) match {
+          case d: java.lang.Double if hasBad && d.doubleValue() == badFlag => null
           case d: java.lang.Double if depthToPressure =>
             // gsw.p_from_z takes height (negative below surface); depSM is
             // positive-down depth (read.py:470-478 passes the index verbatim).
@@ -170,7 +178,7 @@ object Parsers {
         if (ci != prIdx) {
           if (needC(ci)) {
             val tok = if (ci < toks.length) toks(ci) else null
-            out(oi) = cnvValue(names(ci), tok)
+            out(oi) = cnvValue(names(ci), tok, badFlag, hasBad)
           }
           oi += 1
         }
@@ -268,14 +276,9 @@ object Parsers {
       if (r(dateIdx) != null) lastDate = r(dateIdx) else r(dateIdx) = lastDate
     }
 
-    def fieldType(n: String): DataType = n match {
-      case "Bottle" | "Scan" | "bpos" => IntegerType
-      case "pumps" | "flag"           => BooleanType
-      case "Statistic"                => StringType
-      case "Date"                     => TimestampType
-      case _                          => DoubleType
-    }
-    val fields = names.map(n => StructField(n, fieldType(n)))
+    // the SAME mapping schemaOnly plans with — a drifted copy would emit
+    // row values of the wrong class under the declared schema
+    val fields = names.map(n => StructField(n, btlType(n)))
 
     val rows = cells.iterator.map { r =>
       names.indices.map { i =>
@@ -322,15 +325,11 @@ object Parsers {
       if (line.startsWith("Serial Number")) {
         serial = line.split(":", 2).lift(1).map(_.trim)
       } else if (line.startsWith("Latitude")) {
-        lat =
-          if (line.isEmpty) None
-          else CastHeader.nmeaDegrees(
-            line.dropRight(1).split(":", 2).lift(1).getOrElse(""), line.last)
+        lat = CastHeader.nmeaDegrees(
+          line.dropRight(1).split(":", 2).lift(1).getOrElse(""), line.last)
       } else if (line.startsWith("Longitude")) {
-        lon =
-          if (line.isEmpty) None
-          else CastHeader.nmeaDegrees(
-            line.dropRight(1).split(":", 2).lift(1).getOrElse(""), line.last)
+        lon = CastHeader.nmeaDegrees(
+          line.dropRight(1).split(":", 2).lift(1).getOrElse(""), line.last)
       } else {
         header += line
         if (line.startsWith("Field")) {
@@ -488,6 +487,28 @@ object Parsers {
   }
 
   /**
+   * Header text guaranteed to cover the full header: Seabird headers end at
+   * `*END*`, and a config block (embedded XML instrument history) can exceed
+   * the default capped read — a silently truncated header would infer an
+   * empty schema or count header lines as data rows. Escalates the cap 4x
+   * until the marker appears or the file stops growing (no marker at EOF =
+   * genuinely malformed; downstream raises the usual parse error).
+   */
+  def headTextComplete(ftype: String, path: String): String = {
+    var cap  = 1 << 18
+    var text = RawFile.headText(path, cap)
+    if (ftype == "cnv" || ftype == "ros") {
+      var prev = -1
+      while (!text.contains("*END*") && text.length > prev) {
+        prev = text.length
+        cap *= 4
+        text = RawFile.headText(path, cap)
+      }
+    }
+    text
+  }
+
+  /**
    * Schema WITHOUT materializing data rows — planning-time inference reads
    * only the header region (plus, for formats with a header row, that row).
    * The r2 bench showed full driver-side parses serializing multi-MB casts
@@ -541,7 +562,7 @@ object Parsers {
     * to the full parse (their files are KBs). */
   def metaOnlyStreaming(ftype: String, path: String): CastMetaRow = ftype match {
     case "cnv" | "ros" =>
-      val hdr = CastHeader.parse(RawFile.toLines(RawFile.headText(path)), "cnv")
+      val hdr = CastHeader.parse(RawFile.toLines(headTextComplete(ftype, path)), "cnv")
       val nRows = RawFile.lineCount(path) - hdr.skiprows
       val names = hdr.names.map(_.trim)
       val prkey = PressureKeys.find(names.contains)

@@ -98,9 +98,11 @@ object Cast {
       if (!keepEmpty) grouped
       else {
         // spine: one row per (cast, k) for k in [0, nbins) — pandas
-        // observed=False keeps empty bins as null rows
-        val spine = withEdges.groupBy(col(castCol))
-          .agg(first(col("__start")).as("__start"), first(col("__end")).as("__end"))
+        // observed=False keeps empty bins as null rows. Built from the
+        // already-computed broadcast-sized `edges` (one row per cast);
+        // re-aggregating the joined fact table cost a third full scan —
+        // on the ctd source, a full re-parse of every cast file.
+        val spine = edges
           .withColumn("__nb", (ceil((col("__end") - col("__start")) / lit(delta)) - lit(1)).cast("long"))
           .filter(col("__nb") > 0)
           .withColumn("__k", explode(sequence(lit(0L), col("__nb") - 1)))
@@ -184,8 +186,9 @@ object Cast {
       val d1 = d.withColumn(orig, col(c))
       // pass 1: stats of original, null outliers
       val d2 = pass(d1, c, c, n1, p1)
-      // pass 2: stats of cleaned (p1), flag ORIGINAL values
-      val d3 = pass(d2.withColumn(c, col(p1)), p1, orig, n2, c)
+      // pass 2: stats of the CLEANED column (p1), flag ORIGINAL values,
+      // writing the final result over c
+      val d3 = pass(d2, p1, orig, n2, c)
       d3.drop(orig, p1)
     }
   }

@@ -148,16 +148,17 @@ object CtdDataSource {
     if (c.view == "meta") return MetaSchema
     val fileSchemas: Seq[StructType] =
       if (c.files.lengthCompare(2) < 0) {
-        c.files.map(f => Parsers.schemaOnly(c.ftype, f, RawFile.headText(f)))
+        c.files.map(f => Parsers.schemaOnly(c.ftype, f, Parsers.headTextComplete(c.ftype, f)))
       } else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, c.files.length))
         try {
           c.files.map { f =>
             pool.submit(new java.util.concurrent.Callable[StructType] {
-              // capped header read: planning must not decompress multi-MB casts
+              // capped header read (escalating until *END* for Seabird):
+              // planning must not decompress multi-MB casts
               override def call(): StructType =
-                Parsers.schemaOnly(c.ftype, f, RawFile.headText(f))
+                Parsers.schemaOnly(c.ftype, f, Parsers.headTextComplete(c.ftype, f))
             })
           }.map { fut =>
             // surface the parser's own exception, not ExecutionException

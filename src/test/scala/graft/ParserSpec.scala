@@ -174,6 +174,23 @@ class ParserSpec extends AnyFunSuite {
     assert(pruned.rows.forall(_(otherIdx) == null)) // unrequested: skipped
   }
 
+  test("bad_flag sentinels parse to null, not tiny floats") {
+    // CTD_with_sigma_e00.cnv declares '# bad_flag = -9.990e-29' and its data
+    // rows contain the sentinel (e.g. the par channel). The reference's
+    // pd.to_numeric admits it as a real float — this engine nulls it
+    // (SURVEY §1.4: bad values -> null; reference divergence documented).
+    val cast = load("cnv", s"$data/CTD_with_sigma_e00.cnv")
+    val parIdx = cast.schema.fieldIndex("par")
+    val vals = cast.rows.map(_(parIdx))
+    assert(vals.contains(null), "expected at least one nulled bad_flag value")
+    assert(!vals.exists {
+      case d: java.lang.Double => d.doubleValue() == -9.990e-29
+      case _ => false
+    }, "sentinel leaked through as a float")
+    // non-sentinel values in the same column still parse
+    assert(vals.exists { case d: java.lang.Double => d.doubleValue() > 0; case _ => false })
+  }
+
   test("BOM'd files decode: UTF-8 BOM, UTF-16LE, UTF-16BE") {
     val text = "# nvalues = 1\nhello\n"
     val utf8bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
