@@ -952,7 +952,8 @@ object SparkEntry {
         |  FROM tok
         |)
         |SELECT doc_id,
-        |  CASE WHEN s_fr > s_es AND s_fr > s_en AND s_fr > s_de THEN 'fr'
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN NULL
+        |       WHEN s_fr > s_es AND s_fr > s_en AND s_fr > s_de THEN 'fr'
         |       WHEN s_es > s_en AND s_es > s_de THEN 'es'
         |       WHEN s_en > s_de THEN 'en'
         |       ELSE 'de' END AS lang_pred,

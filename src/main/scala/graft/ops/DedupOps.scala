@@ -38,12 +38,20 @@ object DedupOps {
       .wordShingles(tok, n)
 
   /** Keep one row per identical `textCol` (lowest `idCol` wins), comparing
-    * sha2-256 digests. Digest-keyed: partial-aggregable, tiny shuffle keys. */
+    * sha2-256 digests. Digest-keyed: partial-aggregable, tiny shuffle keys.
+    * Null texts form ONE group (null-safe join keys) — a plain equi-join on
+    * the null digest would silently drop EVERY null-text row, where SQL
+    * window/group semantics (and the DuckDB oracle) keep the group's
+    * minimum id. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withDigest = df.withColumn("__digest", sha2(col(textCol), 256))
     val keep = withDigest.groupBy(col("__digest"))
-      .agg(min(col(idCol)).as(idCol))
-    withDigest.join(keep, Seq("__digest", idCol), "left_semi").drop("__digest")
+      .agg(min(col(idCol)).as("__keep_id"))
+      .withColumnRenamed("__digest", "__keep_digest")
+    withDigest.join(keep,
+        col("__digest") <=> col("__keep_digest") && col(idCol) === col("__keep_id"),
+        "left_semi")
+      .drop("__digest")
   }
 
   /** Mersenne prime 2^31 - 1: the MinHash permutation modulus. Keeping every

@@ -85,18 +85,23 @@ object Extras {
     val segment = udf((lon1: java.lang.Double, lat1: java.lang.Double,
                        lon2: java.lang.Double, lat2: java.lang.Double) =>
       if (lon1 == null || lat1 == null || lon2 == null || lat2 == null)
-        java.lang.Double.valueOf(0.0)
+        java.lang.Double.valueOf(0.0) // first station: no predecessor
       else java.lang.Double.valueOf(graft.gsw.Gsw.distance(lon1, lat1, lon2, lat2)))
     // cumulative along-track distance per cast (stations ordered by position;
-    // callers with a cruise order should pre-sort and pass a station index)
+    // callers with a cruise order should pre-sort and pass a station index).
+    // Casts WITHOUT a position are excluded from the distance chain — mapping
+    // them to distance 0 would silently place them at the origin AND shift
+    // every later station's cumulative distance; they surface with a null
+    // station_dist_m through the left join instead.
     val stations = casts
       .dropDuplicates(castCol) // one station per cast (e.g. ros + cnv of the same cast)
+      .filter(col("lon").isNotNull && col("lat").isNotNull)
       .withColumn("__seg", segment(
         lag(col("lon"), 1).over(wOrd), lag(col("lat"), 1).over(wOrd),
         col("lon"), col("lat")))
       .withColumn("station_dist_m",
         sum(col("__seg")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("cast_id").as(castCol), col("lon"), col("lat"), col("station_dist_m"))
+      .select(col(castCol), col("lon"), col("lat"), col("station_dist_m"))
     binned.join(broadcast(stations), Seq(castCol), "left")
   }
 

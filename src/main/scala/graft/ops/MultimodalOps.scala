@@ -35,7 +35,8 @@ object MultimodalOps {
     documents.select(
       col(idCol).cast(LongType).as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col(idCol) % 3 + 1).cast(IntegerType)).as("kind"),
+        // pmod: a negative id under `%` would yield element_at index 0/-1
+        (pmod(col(idCol), lit(3)) + 1).cast(IntegerType)).as("kind"),
       col(textCol).cast(BinaryType).as("bytes"),
       struct(
         (col(idCol) % 640 + 32).cast(IntegerType).as("width"),
@@ -93,8 +94,9 @@ object MultimodalOps {
     * metadata (pure expressions — the heavy decode happens downstream only
     * for sampled frames, which is the 100 TB-relevant property). */
   def sampleFrames(media: DataFrame, stride: Int = 30): DataFrame =
-    media.filter(col("kind") === "video")
+    media.filter(col("kind") === "video" && col("meta.n_frames") > 0)
       .select(col("media_id"),
+        // n_frames <= 0 would make sequence(0, -1, stride) throw mid-job
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride)))
           .as("frame_idx"))
 }

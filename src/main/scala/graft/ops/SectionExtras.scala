@@ -80,7 +80,10 @@ object SectionExtras {
       i += 1
     }
     val depths = h.map(p => -graft.gsw.Gsw.zFromP(p, latMean))
-    val nGrid = math.floor(x.last / dx).toInt + 1
+    // reference grid = np.arange(0, x.max() + dx, dx): one point PAST the
+    // last station when x.max() is not a multiple of dx (the trailing
+    // partial-dx stretch is filled with the last depth below)
+    val nGrid = math.ceil(x.last / dx + 1 - 1e-12).toInt
     val xm = Array.tabulate(nGrid)(k => k * dx)
     val hm = xm.map { xq =>
       if (xq > x.last) depths.last else Interp.linearOne(xq, x, depths)

@@ -26,8 +26,8 @@ object TextOps {
 
   /** BPE-ish token estimate: letter runs, digit runs, and punctuation runs
     * count separately (the pre-tokenization split most BPE vocabularies
-    * apply), plus a length/4 floor for long words that would fragment into
-    * multiple subwords. */
+    * apply), plus letter-count/8 extra for words that would fragment into
+    * multiple subwords (~8 letters per merged subword). */
   def tokenCountBpe(text: Column): Column = {
     val pieces = regexp_count(text, lit("""\p{L}+|\p{N}+|[^\s\p{L}\p{N}]""")).cast(LongType)
     val longWordExtra =
@@ -93,7 +93,10 @@ object TextOps {
           (when(s > bestScore, lit(lang)).otherwise(bestLang),
             when(s > bestScore, s).otherwise(bestScore))
       }
-    scored.withColumn(out, best._1)
+    // zero evidence (empty/null/non-Latin text: every score 0) -> null
+    // prediction, not the alphabetically-first language — a downstream
+    // `lang_pred = 'de'` filter must not silently ingest such docs
+    scored.withColumn(out, when(best._2 > 0, best._1).otherwise(lit(null).cast(StringType)))
       .withColumn(out + "_score", round(best._2, 6))
       .drop(tokCol)
       .drop(LangMarkers.map { case (l, _) => scoreCol(l) }: _*)
@@ -221,9 +224,10 @@ object TextOps {
     val tok = col(tokCol)
     val n = size(tok).cast(DoubleType)
     val total2 = greatest(n - 1, lit(1.0))
-    // DedupOps.shingles is DISTINCT by construction -> its size is the
-    // distinct 2-gram count
-    val distinct2 = size(DedupOps.shingles(col(textCol), 2)).cast(DoubleType)
+    // DedupOps shingling is DISTINCT by construction -> its size is the
+    // distinct 2-gram count; built from the already-materialized token
+    // column (re-shingling from raw text would tokenize every row twice)
+    val distinct2 = size(DedupOps.shinglesFromTokens(tok, 2)).cast(DoubleType)
     val dup2 = when(n >= 2, round(lit(1.0) - distinct2 / total2, 6)).otherwise(lit(0.0))
     val topFrac = when(n > 0,
       round(maxTokenFreqCol(tok).cast(DoubleType) / n, 6)).otherwise(lit(0.0))

@@ -58,12 +58,18 @@ object StreamOps {
    * forever at 1e9 docs/day).
    */
   def streamingExactDedup(docs: DataFrame, textCol: String, tsCol: String,
-                          watermark: String = "10 minutes"): DataFrame =
-    docs
+                          watermark: String = "10 minutes"): DataFrame = {
+    // null-text docs have a null digest, and dropDuplicates treats null keys
+    // as EQUAL — every null-text doc after the first would be silently
+    // dropped; they have no content to dedup on, so they pass through
+    val withDigest = docs
       .withColumn("__digest", sha2(col(textCol), 256))
       .withWatermark(tsCol, watermark)
+    withDigest.filter(col("__digest").isNotNull)
       .dropDuplicatesWithinWatermark("__digest")
+      .unionByName(withDigest.filter(col("__digest").isNull))
       .drop("__digest")
+  }
 
   /**
    * Online press_check via `mapGroupsWithState`: within each micro-batch the
@@ -71,26 +77,45 @@ object StreamOps {
    * reversal state, which persists across batches. (flatMapGroupsWithState
    * variant; Append-mode compatible.)
    */
-  def streamingPressCheck(samples: Dataset[Sample]): Dataset[CheckedSample] = {
+  /** `idleTimeout`: evict a cast's state after this much processing-time
+    * inactivity — REQUIRED for unbounded live feeds (ever-new cast_ids
+    * would otherwise accumulate one PressState each, forever). None (the
+    * default) keeps state indefinitely: correct for bounded cast sets, and
+    * the right default for `processAllAvailable`-style drives — processing-
+    * time timeouts schedule continuous empty timeout-check batches under
+    * the default 0 ms trigger (a livelock for tests; production queries
+    * enabling the timeout should also set a processing-time trigger). */
+  def streamingPressCheck(samples: Dataset[Sample],
+                          idleTimeout: Option[String] = None): Dataset[CheckedSample] = {
     import samples.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     samples
       .groupByKey(_.castId)
       .flatMapGroupsWithState[PressState, CheckedSample](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (castId: String, it: Iterator[Sample], state: GroupState[PressState]) =>
-          var st = state.getOption.getOrElse(
-            PressState(Double.NegativeInfinity, Double.NegativeInfinity))
-          val out = it.toSeq.sortBy(_.scan).map { s =>
-            // inversion start: previous sample was higher than this one ->
-            // previous pressure becomes a reversal reference
-            val ref = if (s.pressure < st.lastPressure)
-              math.max(st.runMaxRef, st.lastPressure) else st.runMaxRef
-            val flagged = s.pressure < ref
-            st = PressState(s.pressure, ref)
-            CheckedSample(castId, s.scan, s.pressure, s.value, flagged)
+          if (state.hasTimedOut) {
+            // cast idle past the timeout is finished — drop its state (a
+            // straggler after that restarts clean, flagging conservatively)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              PressState(Double.NegativeInfinity, Double.NegativeInfinity))
+            val out = it.toSeq.sortBy(_.scan).map { s =>
+              // inversion start: previous sample was higher than this one ->
+              // previous pressure becomes a reversal reference
+              val ref = if (s.pressure < st.lastPressure)
+                math.max(st.runMaxRef, st.lastPressure) else st.runMaxRef
+              val flagged = s.pressure < ref
+              st = PressState(s.pressure, ref)
+              CheckedSample(castId, s.scan, s.pressure, s.value, flagged)
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

@@ -48,9 +48,13 @@ class SectionExtrasSpec extends AnyFunSuite {
     val lat = Array(0.0, 0.5, 1.0)
     val (xm, hm) = SectionExtras.genTopomask(h, lon, lat, dx = 10.0)
     assert(xm.head == 0.0)
-    assert(math.abs(xm.last - 110.0) < 1e-9) // ~111.2 km total, floor to grid
+    // reference np.arange(0, x.max()+dx, dx): ~111.2 km total -> grid runs
+    // one point PAST the last station (120), covering the partial stretch
+    assert(math.abs(xm.last - 120.0) < 1e-9)
+    assert(xm.last >= 111.0, "grid must cover the full section extent")
     assert(xm.zip(xm.tail).forall { case (a, b) => math.abs(b - a - 10.0) < 1e-12 })
     assert(hm.head > 99.0 && hm.head < 101.0)   // ~0.99 m/dbar near surface
     assert(hm.last > hm.head)                   // deepens along track
+    assert(hm.last == hm(hm.length - 2) || hm.last > 0) // beyond-last fill
   }
 }
