@@ -1118,7 +1118,9 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
         |  FROM base
         |)
-        |SELECT doc_id, split, cb // 2048 AS pack_id, cb % 2048 AS pack_offset
+        |SELECT doc_id, split,
+        |  CAST(cb // 2048 AS BIGINT) AS pack_id,
+        |  CAST(cb % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q51_vocabulary" ->

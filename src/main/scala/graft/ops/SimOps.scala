@@ -80,18 +80,19 @@ object SimOps {
    *
    * Scale knobs (the bucket self-join is quadratic in bucket OCCUPANCY, so
    * both matter at corpus scale — VERDICT r3):
-   *  - `nPlanes`: 2^nPlanes buckets. Default 24 (~1.7e7 buckets) keeps
-   *    expected occupancy ~60 at 1e9 rows; pass `nPlanes <= 0` to derive
-   *    log2(count) + 6 from the corpus (one count() job). The old default
-   *    of 8 planes put ~4e6 rows per bucket at 1e9 rows — ~1e13 candidate
-   *    pairs per bucket.
+   *  - `nPlanes`: 2^nPlanes buckets. Default 8 preserves the recall
+   *    long-standing callers rely on (a pair must agree on every sign bit,
+   *    so more planes = fewer candidates); it is only safe to small
+   *    corpora. At corpus scale pass `nPlanes <= 0` to derive
+   *    log2(count) + 6 from the corpus (one count() job) — 8 planes put
+   *    ~4e6 rows per bucket at 1e9 rows, ~1e13 candidate pairs per bucket.
    *  - `maxBucket`: drop buckets holding more than this many vectors from
    *    candidate generation (0 = uncapped). Hot buckets are embedding-space
    *    boilerplate (zero vectors, templated content) — same skew guard as
    *    `DedupOps.nearDuplicatePairs`.
    */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double = 0.95, nPlanes: Int = 24,
+                            threshold: Double = 0.95, nPlanes: Int = 8,
                             seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(resolvePlanes(nPlanes, corpus), dim, seed)
@@ -128,7 +129,7 @@ object SimOps {
   /** Embedding near-dedup: drop rows whose vector near-duplicates a
     * lower-id row (one LSH round, like DedupOps.nearDedup). */
   def embeddingNearDedup(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double = 0.95, nPlanes: Int = 24,
+                         threshold: Double = 0.95, nPlanes: Int = 8,
                          seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
     val losers = embeddingNearDupPairs(corpus, idCol, vecCol, threshold,
         nPlanes, seed, maxBucket)

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.TableIdentifier
 
 /**
  * Generic one-time bucketed landing: write any DataFrame as a sorted
@@ -28,6 +29,32 @@ object BucketedLand {
         .sortBy(sortCols.head, sortCols.tail: _*)
         .format("parquet")
       path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+    } else {
+      // A pre-existing table is only served if it actually provides the
+      // clustered distribution the caller asked for — a stale or
+      // differently-bucketed table would silently void the zero-exchange
+      // guarantee (ADVICE r4).
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table))
+      val spec = meta.bucketSpec.getOrElse(
+        throw new IllegalStateException(
+          s"landOnce('$table'): existing table is not bucketed; drop it " +
+            "or land under a different name"))
+      val specOk = spec.numBuckets == buckets &&
+        spec.bucketColumnNames == Seq(bucketCol) &&
+        spec.sortColumnNames == sortCols
+      if (!specOk) throw new IllegalStateException(
+        s"landOnce('$table'): existing bucket spec (${spec.numBuckets} x " +
+          s"${spec.bucketColumnNames.mkString(",")} sorted by " +
+          s"${spec.sortColumnNames.mkString(",")}) != requested ($buckets x " +
+          s"$bucketCol sorted by ${sortCols.mkString(",")}); drop the table " +
+          "or land under a different name")
+      val have = meta.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val want = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (have != want) throw new IllegalStateException(
+        s"landOnce('$table'): existing schema ${meta.schema.simpleString} " +
+          s"!= incoming ${df.schema.simpleString}; drop the table or land " +
+          "under a different name")
     }
     spark.table(table)
   }

@@ -165,6 +165,13 @@ object CtdDataSource {
             try fut.get()
             catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
           }
+        } catch {
+          case t: Throwable =>
+            // a bad file aborts the sweep promptly: plain shutdown() would
+            // let already-queued header reads keep doing I/O after planning
+            // has failed (ADVICE r4)
+            pool.shutdownNow()
+            throw t
         } finally pool.shutdown()
       }
     val seen = collection.mutable.LinkedHashMap.empty[String, StructField]

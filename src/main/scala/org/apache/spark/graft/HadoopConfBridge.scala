@@ -17,20 +17,23 @@ import org.apache.spark.deploy.SparkHadoopUtil
  * runtime (unit code paths) it falls back to XML-default configuration.
  */
 object HadoopConfBridge {
-  @volatile private var cached: Configuration = _
+  // Keyed on the SparkEnv INSTANCE: a later SparkSession in the same JVM
+  // (new spark.hadoop.* / s3a credentials) gets a freshly folded conf
+  // instead of silently reusing the first session's settings.
+  @volatile private var cached: (SparkEnv, Configuration) = _
 
-  def conf(): Configuration = {
-    val c = cached
-    if (c != null) c
-    else SparkEnv.get match {
-      // cache ONLY a SparkEnv-derived conf: caching the bare fallback would
-      // freeze credential-less defaults for the JVM's lifetime if any code
-      // path (tests, driver-side parsing) ran before the session was up
-      case null => new Configuration()
-      case env =>
+  def conf(): Configuration = SparkEnv.get match {
+    // never cache the bare fallback: it would freeze credential-less
+    // defaults for the JVM's lifetime if any code path (tests, driver-side
+    // parsing) ran before the session was up
+    case null => new Configuration()
+    case env =>
+      val c = cached
+      if (c != null && (c._1 eq env)) c._2
+      else {
         val fresh = SparkHadoopUtil.get.newConfiguration(env.conf)
-        cached = fresh
+        cached = (env, fresh)
         fresh
-    }
+      }
   }
 }

@@ -134,4 +134,37 @@ class PlanShapeSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
   }
+
+  test("landOnce validates a pre-existing table's bucket spec and schema") {
+    import graft.sources.BucketedLand
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "k", "v")
+    val tbl = "graft_landonce_guard"
+    try {
+      BucketedLand.landOnce(df, tbl, "id", Seq("id"), buckets = 4)
+      // matching spec: served silently
+      assert(BucketedLand.landOnce(df, tbl, "id", Seq("id"), buckets = 4).count() == 2)
+      // bucket-count mismatch
+      val e1 = intercept[IllegalStateException] {
+        BucketedLand.landOnce(df, tbl, "id", Seq("id"), buckets = 8)
+      }
+      assert(e1.getMessage.contains("bucket spec"))
+      // bucket-column mismatch
+      intercept[IllegalStateException] {
+        BucketedLand.landOnce(df, tbl, "k", Seq("k"), buckets = 4)
+      }
+      // schema mismatch (extra column)
+      val e2 = intercept[IllegalStateException] {
+        BucketedLand.landOnce(df.withColumn("extra", lit(1)), tbl, "id", Seq("id"), buckets = 4)
+      }
+      assert(e2.getMessage.contains("schema"))
+      // non-bucketed table under the name
+      spark.sql(s"DROP TABLE $tbl")
+      df.write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      val e3 = intercept[IllegalStateException] {
+        BucketedLand.landOnce(df, tbl, "id", Seq("id"), buckets = 4)
+      }
+      assert(e3.getMessage.contains("not bucketed"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
