@@ -73,6 +73,14 @@ object Bench {
     val results = names.map(n => n -> median(n))
     val timings = results.collect { case (n, Right(s)) => n -> s }
     val errors  = results.collect { case (n, Left(m)) => n -> m }
+    // per-query min/med/max across the reps (VERDICT r4 #6): lets a reader
+    // separate CPU-steal spikes (max >> med, min ~ med) from real
+    // regressions (min shifts) without rerunning the suite
+    val spreads = names.flatMap { n =>
+      val ts = passes.map(_(n)).collect { case Right(s) => s }.sorted
+      if (ts.isEmpty) None
+      else Some(n -> (ts.head, ts(ts.length / 2), ts.last))
+    }
 
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -80,8 +88,11 @@ object Bench {
     } + "\""
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, (mn, md, mx)) =>
+      s"""${q(k)}:{"min":$mn,"med":$md,"max":$mx}"""
+    }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_queries":${names.length},"n_failed":${errors.length},"reps":$reps,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"n_queries":${names.length},"n_failed":${errors.length},"reps":$reps,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }
