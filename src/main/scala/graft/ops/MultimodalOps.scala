@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
  * with typed metadata, processed by per-partition batch kernels.
  *
  * The Spark-side machinery here is real and tested — schema, partitioning,
- * batched iteration shape, null handling. The *codec* step is a STUB: this
- * container has no image/audio libraries, so `decodeStub` derives
- * deterministic pseudo-features from the bytes (length, content hash,
- * hash-seeded feature vector). Swapping in a real decoder changes only the
- * body of the `decode*` functions — the operator contracts stay.
+ * batched iteration shape, null handling. The IMAGE codec is real:
+ * `kind == "image"` blobs that `javax.imageio` can decode (PNG/BMP/GIF/JPEG
+ * — pure-JDK readers, no external deps) yield genuine pixel features (grid
+ * mean luminance). Blobs ImageIO cannot decode — and audio/video, for which
+ * this container has no libraries — fall back to `decodeStub`'s
+ * deterministic pseudo-features, so the operator never drops a row over a
+ * corrupt or unsupported blob (the dead-letter pattern a 100 TB ingest
+ * wants is a downstream filter on the feature source, not a mid-job throw).
  */
 object MultimodalOps {
 
@@ -44,9 +47,55 @@ object MultimodalOps {
         lit(16000).cast(IntegerType).as("sample_rate"),
         (col(idCol) % 300 + 1).cast(IntegerType).as("n_frames")).as("meta"))
 
+  /** Real image decode: pure-JDK `javax.imageio` (PNG/BMP/GIF/JPEG).
+    * Returns None when the bytes aren't a decodable image — the caller
+    * falls back to the stub rather than failing the task. */
+  private[ops] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.length == 0) None
+    else {
+      // MemoryCacheImageInputStream: ImageIO.read(InputStream) would spill
+      // every blob to a temp FILE (FileCacheImageInputStream default) — a
+      // per-row disk write in the executor hot path
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try Option(javax.imageio.ImageIO.read(iis))
+      catch { case scala.util.control.NonFatal(_) => None }
+      // ImageIO.read(ImageInputStream) closes the stream on success; the
+      // belt-and-braces close here only matters on the exception path
+      finally try iis.close() catch { case _: java.io.IOException => () }
+    }
+
+  /** Pixel features: mean luminance over a ceil(sqrt(dim))^2 cell grid,
+    * first `dim` cells (row-major), each in [0,1]. Deterministic in the
+    * pixel data; cells with no pixels (image smaller than the grid) are 0. */
+  private[ops] def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Double] = {
+    val g = math.ceil(math.sqrt(dim.toDouble)).toInt.max(1)
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](g * g)
+    val counts = new Array[Long](g * g)
+    var y = 0
+    while (y < h) {
+      val cy = y * g / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * g + (x * g / w)
+        val rgb = img.getRGB(x, y)
+        val lum = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)) / 255.0
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+  }
+
   /** STUB decode: deterministic pseudo-feature vector from the blob bytes
     * (xxhash-free: plain polynomial rolling hash so any engine can
-    * reproduce it). Replace with a real codec in production. */
+    * reproduce it). The fallback for undecodable blobs and for audio/video
+    * kinds (no pure-JVM codec available). */
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Double] = {
     val out = new Array[Double](dim)
     if (bytes == null) return out
@@ -65,6 +114,10 @@ object MultimodalOps {
    * (the shape a real vectorized decoder wants — decode `batchSize` blobs at
    * a time, emit one feature row each). Output: (media_id, kind, feat
    * array<double>, n_bytes).
+   *
+   * `kind == "image"` rows are decoded for real via [[decodeImage]]; blobs
+   * ImageIO rejects (and all audio/video rows) take the stub path, so the
+   * output schema and row count are blob-content-independent.
    */
   def extractFeatures(media: DataFrame, dim: Int = 16,
                       batchSize: Int = 64): DataFrame = {
@@ -82,8 +135,12 @@ object MultimodalOps {
         // batch boundary = where a real codec would run one vectorized call
         batch.iterator.map { r =>
           val bytes = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
-          Row(r.getLong(idIdx), r.getString(kindIdx),
-            decodeStub(bytes, dim).toIndexedSeq,
+          val kind = r.getString(kindIdx)
+          val feat =
+            if (kind == "image") decodeImage(bytes).map(imageFeatures(_, dim))
+              .getOrElse(decodeStub(bytes, dim))
+            else decodeStub(bytes, dim)
+          Row(r.getLong(idIdx), kind, feat.toIndexedSeq,
             if (bytes == null) 0L else bytes.length.toLong)
         }
       }

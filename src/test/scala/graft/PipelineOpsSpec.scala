@@ -225,6 +225,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx"))
   }
 
+  test("multimodal: real PNG bytes decode to pixel features; non-images fall back to stub") {
+    import java.awt.image.BufferedImage
+    // 32x32 PNG, left half black / right half white
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val rows = Seq(
+      (0L, "image", png),                         // decodable image
+      (1L, "image", "not an image".getBytes("UTF-8")), // stub fallback
+      (2L, "audio", png))                         // audio kind never decodes
+      .toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(lit(32).as("width"), lit(32).as("height"),
+        lit(16000).as("sample_rate"), lit(1).as("n_frames")))
+    val feats = MultimodalOps.extractFeatures(rows, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("feat")).toMap
+    // dim=4 -> 2x2 grid: left column ~0 luminance, right column ~1
+    val f0 = feats(0L)
+    assert(f0(0) < 0.01 && f0(2) < 0.01, s"left cells should be black: $f0")
+    assert(f0(1) > 0.99 && f0(3) > 0.99, s"right cells should be white: $f0")
+    // undecodable bytes under kind=image and real bytes under kind=audio
+    // both take the deterministic stub path (content-independent contract)
+    val viaStub = MultimodalOps.extractFeatures(
+      rows.filter(col("media_id") === 2L).withColumn("kind", lit("video")),
+      dim = 4).collect().head.getAs[scala.collection.Seq[Double]]("feat")
+    assert(feats(2L) == viaStub, "audio/video kinds must share the stub path")
+    assert(feats(1L) != f0, "stub features must not masquerade as pixel features")
+  }
+
   test("nearDuplicatePairsWithHandle: unpersist handle leaves no cached blocks") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (pairs, done) = DedupOps.nearDuplicatePairsWithHandle(docs, "doc_id", "text",
