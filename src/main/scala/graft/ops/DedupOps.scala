@@ -227,9 +227,9 @@ object DedupOps {
    * or `maxIter` rounds, i.e. O(component diameter) rounds. Lineage is cut
    * per round with `localCheckpoint` so the plan doesn't grow exponentially.
    * Duplicate clusters in real corpora are shallow (boilerplate fans, not
-   * long chains), so this converges in a handful of rounds; a
-   * large-star/small-star implementation would cut the round count to
-   * O(log d) if pathological chains ever mattered.
+   * long chains), so this converges in a handful of rounds; for
+   * pathological chain diameters use [[connectedStars]] — identical labels
+   * in O(log d) rounds.
    */
   def connectedMinLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // both directions once: neighbor-min is a plain groupBy over edges
@@ -268,6 +268,66 @@ object DedupOps {
   }
 
   /**
+   * Alternating large-star/small-star connected components (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014): same
+   * (id, comp) contract as [[connectedMinLabels]], but O(log d) rounds in
+   * the component diameter d instead of O(d) — the variant to reach for
+   * when near-duplicate chains are pathologically long (a 2^20-node path
+   * converges in ~20 star rounds vs 2^20 min-label rounds).
+   *
+   * Each round is two groupBy-min + join passes over the current edge set
+   * (which only ever references ids, never payloads); lineage is cut per
+   * round with `localCheckpoint`. At the fixpoint the edge set is a union
+   * of stars whose centers are the component minima, so the label of a
+   * non-center node is its single remaining neighbor.
+   */
+  def connectedStars(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct().localCheckpoint()
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var nEdges = edges.count()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star: every neighbor v > u links to m = min(N(u) + {u})
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u").agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val large = sym.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      // small-star on larger->smaller oriented edges: u and every smaller
+      // neighbor link to the smallest neighbor m
+      val oriented = large.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val minsS = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val next = oriented.join(minsS, "u")
+        .select(explode(array(col("u"), col("v"))).as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      val nNext = next.count()
+      // set equality: next ⊆ edges (one-sided except) + equal cardinality
+      converged = nNext == nEdges &&
+        next.exceptAll(edges).limit(1).count() == 0L
+      edges = next
+      nEdges = nNext
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedStars did not reach a fixpoint in $maxIter rounds — " +
+          "raise maxIter (rounds needed ~ log2 of the longest chain)")
+    // star fixpoint: non-centers have exactly the center as neighbor; the
+    // min() is belt-and-braces for ties mid-star
+    val lbl = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
+    nodes.join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /**
    * Near-dedup with EXACT connected-component semantics: keep one doc (the
    * minimum id) per component of the near-duplicate pair graph. Differs
    * from [[nearDedup]] on components whose pairs don't all name the global
@@ -282,7 +342,10 @@ object DedupOps {
                          maxBucket: Int = 0, maxIter: Int = 20,
                          shingleStorage: org.apache.spark.storage.StorageLevel =
                            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
-                         localPairLimit: Int = 1 << 20): DataFrame = {
+                         localPairLimit: Int = 1 << 20,
+                         ccAlgorithm: String = "minlabel"): DataFrame = {
+    require(ccAlgorithm == "minlabel" || ccAlgorithm == "stars",
+      s"ccAlgorithm must be 'minlabel' or 'stars', got '$ccAlgorithm'")
     val (pairs, done) = nearDuplicatePairsWithHandle(df, idCol, textCol,
       numHashes, bands, shingleSize, threshold, maxBucket, shingleStorage)
     // Scale-adaptive closure (the broadcast-vs-shuffle-join pattern): the
@@ -331,7 +394,9 @@ object DedupOps {
         // reads its input twice (both edge directions) — without this the
         // verify pipeline would execute three times on the fallback path
         val materialized = pairs.localCheckpoint()
-        val labels = connectedMinLabels(materialized, maxIter)
+        val labels =
+          if (ccAlgorithm == "stars") connectedStars(materialized, maxIter)
+          else connectedMinLabels(materialized, maxIter)
         done()
         labels.filter(col("comp") =!= col("id")).select(col("id").as(idCol))
       }

@@ -291,6 +291,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(l2 == Map(0L -> 0L, 1L -> 0L, 5L -> 5L, 6L -> 5L, 7L -> 5L), s"labels: $l2")
   }
 
+  test("connectedStars matches min-label semantics and converges on a long chain in O(log d)") {
+    // path graph 0-1-2-...-25: diameter 25 > connectedMinLabels' default
+    // maxIter 20 (min-label moves one hop per round and would throw);
+    // the star algorithm needs ~log2(25) rounds
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] { DedupOps.connectedMinLabels(chain).collect() }
+    val labels = DedupOps.connectedStars(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (0L to 25L).map(_ -> 0L).toMap, s"labels: $labels")
+    // multi-component + V-shape agreement with connectedMinLabels
+    val g = Seq((0L, 2L), (1L, 2L), (5L, 6L), (6L, 7L), (40L, 41L)).toDF("id_a", "id_b")
+    val stars = DedupOps.connectedStars(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minl = DedupOps.connectedMinLabels(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == minl, s"stars $stars != minlabel $minl")
+    // string ids: ordering semantics carry over to any orderable type
+    val s = Seq(("b", "c"), ("a", "c")).toDF("id_a", "id_b")
+    val sl = DedupOps.connectedStars(s)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sl == Map("a" -> "a", "b" -> "a", "c" -> "a"), s"labels: $sl")
+  }
+
   test("nearDedupConnected collapses a transitive chain to exactly one doc") {
     // A~B and B~C near-dup (one word changed each step); A~C still >= the
     // threshold chainwise but the point is the component collapses to min id
@@ -310,6 +333,12 @@ class PipelineOpsSpec extends SparkTestBase {
         numHashes = 64, bands = 32, threshold = 0.5, localPairLimit = 0)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(keptDist == kept, s"distributed path diverged: $keptDist")
+    // the star-algorithm closure on the distributed path: same answer
+    val keptStars = DedupOps.nearDedupConnected(chain, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5, localPairLimit = 0,
+        ccAlgorithm = "stars")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptStars == kept, s"stars path diverged: $keptStars")
   }
 
   test("embeddingNearDupPairs maxBucket cap drops a synthetic hot bucket") {
