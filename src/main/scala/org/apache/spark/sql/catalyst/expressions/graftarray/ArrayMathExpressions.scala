@@ -7,10 +7,10 @@ package org.apache.spark.sql.catalyst.expressions.graftarray
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /**
  * Native dot product over two array columns (`array<float>` or
@@ -88,6 +88,119 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
     copy(left = l, right = r)
 }
 
+/**
+ * All-bands random-hyperplane sign sketch in ONE pass over the vector:
+ * output element `b` is the band-`b` bucket id, where bit `j` is set iff
+ * `dot(vec, planes(b)(j)) >= 0` — the identical left-to-right double fold
+ * [[DotProductExpr]] performs, so band 0 with the seed-42 planes reproduces
+ * the historical single-band `signSketch` bucket bit-for-bit.
+ *
+ * The planes ride along INSIDE the expression object and reach generated
+ * code via `ctx.addReferenceObj` — at 8 bands x 12 planes x 1k dims the
+ * literal-array form this replaces (VERDICT r5 #6) embedded ~100k `lit()`
+ * nodes / megabytes of codegen in the plan; here the plan holds one
+ * reference and the codegen is a fixed three-loop kernel.
+ *
+ * Per-bit null semantics mirror the old `when(dot >= 0, bit).otherwise(0)`
+ * form: a plane/vector length mismatch or a null element contributes 0 to
+ * that bucket (never null). A null vector yields a null sketch.
+ *
+ * `planes` is `Seq`-shaped (not `Array`) so case-class equality — and with
+ * it Catalyst canonicalization/subexpression elimination — works by value.
+ */
+case class BandedSignSketchExpr(child: Expression, planes: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.forall(_.nonEmpty), "need >= 1 band of >= 1 plane")
+  require(planes.map(_.length).distinct.size == 1, "all bands must have the same plane count")
+  require(planes.head.length <= 63, "at most 63 planes per band (bits of a long)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "banded_sign_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def nBands = planes.length
+  private def nPlanes = planes.head.length
+  /** bands x planes flattened row-major: plane j of band b is `flat(b*r+j)`. */
+  @transient private lazy val flat: Array[Array[Double]] =
+    planes.flatMap(_.map(_.toArray)).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val p = flat(b * nPlanes + j)
+        if (p.length == n) {
+          var d = 0.0
+          var ok = true
+          var i = 0
+          while (ok && i < n) {
+            if (v.isNullAt(i)) ok = false
+            else {
+              d += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * p(i)
+              i += 1
+            }
+          }
+          if (ok && d >= 0.0) acc += (1L << j)
+        }
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val planesRef = ctx.addReferenceObj("bandedPlanes", flat, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val b = ctx.freshName("b"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val p = ctx.freshName("p"); val d = ctx.freshName("d")
+      val ok = ctx.freshName("ok"); val acc = ctx.freshName("acc"); val sk = ctx.freshName("sk")
+      s"""
+         |final int $n = $v.numElements();
+         |final long[] $sk = new long[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $nPlanes; $j++) {
+         |    final double[] $p = $planesRef[$b * $nPlanes + $j];
+         |    if ($p.length == $n) {
+         |      double $d = 0.0;
+         |      boolean $ok = true;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        if ($v.isNullAt($i)) { $ok = false; break; }
+         |        $d += ((double) $v.$get($i)) * $p[$i];
+         |      }
+         |      if ($ok && $d >= 0.0) $acc += (1L << $j);
+         |    }
+         |  }
+         |  $sk[$b] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sk);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayMathExpressions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -107,4 +220,11 @@ object ArrayMathExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProductExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API form: codegen'd all-bands sign sketch (`array<long>`, one
+    * element per band). Planes travel as a reference object, not literals. */
+  def bandedSignSketch(vec: Column, planes: Seq[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(
+      BandedSignSketchExpr(ExpressionUtils.expression(vec),
+        planes.map(_.map(_.toSeq).toSeq)))
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.ops.SimOps
+
+/**
+ * Banded sign-LSH: the recall/candidate-volume trade (VERDICT r5 #1) and
+ * the reference-object plane plumbing (VERDICT r5 #6).
+ *
+ * The planted-pair construction is exact: v = cos(t)*u + sin(t)*w with u, w
+ * orthonormal gives cosine(u, v) = cos(t) up to float noise, so every pair
+ * sits at a KNOWN similarity inside [0.955, 0.98] and the expected per-band
+ * collision probability (1 - t/pi)^r is computable in closed form. With 150
+ * pairs the binomial std is ~2-3%, far from both asserted thresholds.
+ */
+class SimSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 32
+
+  /** 150 planted pairs at exact cosines in [0.955, 0.98] (ids 2i, 2i+1)
+    * plus 300 independent background vectors (ids 1000+; pairwise cos is
+    * ~N(0, 1/32), never near 0.95). Deterministic: seed 99. */
+  private lazy val plantedCorpus: Seq[(Long, Array[Double])] = {
+    val rng = new scala.util.Random(99)
+    def rand(): Array[Double] = Array.fill(dim)(rng.nextGaussian())
+    def scale(v: Array[Double], s: Double) = v.map(_ * s)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def unit(v: Array[Double]) = scale(v, 1.0 / norm(v))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val pairs = (0 until 150).flatMap { i =>
+      val u = unit(rand())
+      val g = rand()
+      // Gram-Schmidt: w is a unit vector orthogonal to u
+      val proj = dot(g, u)
+      val w = unit(g.zip(u).map { case (gi, ui) => gi - proj * ui })
+      val cosTarget = 0.955 + rng.nextDouble() * 0.025 // [0.955, 0.98]
+      val t = math.acos(cosTarget)
+      val v = u.zip(w).map { case (ui, wi) => math.cos(t) * ui + math.sin(t) * wi }
+      Seq((2L * i, u), (2L * i + 1, v))
+    }
+    val background = (0 until 300).map(i => (1000L + i, rand()))
+    pairs ++ background
+  }
+
+  private def recallOf(nPlanes: Int, bands: Int): Double = {
+    val e = plantedCorpus.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val found = SimOps.embeddingNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.95, nPlanes = nPlanes, bands = bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 150).count(i => found.contains((2L * i, 2L * i + 1))) / 150.0
+  }
+
+  test("banded LSH: 8 bands x 12 planes recovers >=90% of planted cos>=0.95 " +
+       "pairs where a single 24-plane band recovers <30%") {
+    val singleBand = recallOf(nPlanes = 24, bands = 1)
+    val banded     = recallOf(nPlanes = 12, bands = 8)
+    assert(singleBand < 0.30,
+      s"single 24-plane band recall $singleBand — expected the recall cliff")
+    assert(banded >= 0.90,
+      s"8x12 banded recall $banded — banding should recover the planted pairs")
+  }
+
+  test("banded results are a superset of single-band results at the same planes") {
+    val e = plantedCorpus.take(200).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    def pairs(bands: Int) =
+      SimOps.embeddingNearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.95, nPlanes = 12, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1)
+    val four = pairs(4)
+    assert(one.subsetOf(four),
+      s"band 0 uses the base seed, so its collisions must survive: ${one -- four}")
+    assert(four.size >= one.size)
+  }
+
+  test("bandedSignSketch matches a reference Scala fold (float + double, " +
+       "length mismatch -> 0 bits)") {
+    val bands = 3
+    val planeSets = (0 until bands).map(b => SimOps.hyperplanes(5, 8, 42L + b))
+    def reference(v: Array[Double]): Seq[Long] =
+      planeSets.map { planes =>
+        planes.zipWithIndex.map { case (p, j) =>
+          if (p.length != v.length) 0L
+          else {
+            var d = 0.0; var i = 0
+            while (i < v.length) { d += v(i) * p(i); i += 1 }
+            if (d >= 0.0) 1L << j else 0L
+          }
+        }.sum
+      }
+    val rng = new scala.util.Random(5)
+    val vecsD = (0 until 40).map(i => (i.toLong, Array.fill(8)(rng.nextGaussian())))
+    val short = Seq((99L, Array.fill(5)(1.0))) // length mismatch: every bit 0
+    val gotD = (vecsD ++ short).map { case (id, v) => (id, v.toSeq) }
+      .toDF("id", "v")
+      .select($"id", SimOps.bandedSignSketch($"v", planeSets).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (vecsD ++ short).foreach { case (id, v) =>
+      assert(gotD(id) == reference(v), s"double vec $id")
+    }
+    // float input: the expression widens each element exactly like the
+    // float->double cast in the reference fold
+    val vecsF = vecsD.map { case (id, v) => (id, v.map(_.toFloat)) }
+    val gotF = vecsF.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+      .select($"id", SimOps.bandedSignSketch($"v", planeSets).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecsF.foreach { case (id, v) =>
+      assert(gotF(id) == reference(v.map(_.toDouble)), s"float vec $id")
+    }
+  }
+
+  test("hyperplanes ride as reference objects — no plane literals in the plan") {
+    val rng = new scala.util.Random(3)
+    val e = (0L until 50L).map(i => (i, Seq.fill(64)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    // 48 planes x 64 dims = 3072 doubles: the literal-array form embedded
+    // every one as a Literal node; the reference-object form embeds none
+    val df = SimOps.lshCosineTopK(e, e.limit(2), "vec_id", "embedding",
+      k = 5, nPlanes = 48)
+    val doubleLits = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect {
+        case l: Literal if l.dataType == DoubleType => l
+      }.size).sum
+    }.sum
+    assert(doubleLits < 100,
+      s"$doubleLits double literals in the plan — planes are being inlined")
+  }
+}
