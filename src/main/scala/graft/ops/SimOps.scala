@@ -178,76 +178,133 @@ object SimOps {
    * vector to its nearest-centroid cell; a query probes only its `nProbe`
    * nearest cells and ranks candidates inside them.
    *
-   * The codebook here is the deterministic "seed sample" variant (the
+   * The default codebook is the deterministic "seed sample" variant (the
    * `nCells` lowest-id corpus vectors — no Lloyd refinement), which keeps
-   * the whole operator exactly reproducible; swapping in kmeans||-trained
-   * centroids changes only this `collect()`. The codebook is KB-scale and is
-   * compiled into the assignment expression as array literals, so cell
-   * assignment runs map-side inside whole-stage codegen — at 1e9 rows the
-   * corpus pass shuffles only (cell, id) pairs and the candidate join is an
-   * equi-join on the cell id, the same candidates-first shape as LSH.
-   * Ties (equal cosine) resolve to the lowest centroid id in both the fold
-   * below and the oracle's `ORDER BY score DESC, cent_id`.
+   * the whole operator exactly reproducible (the q42 oracle); pass
+   * `trainCodebook = true` for the maximin-seeded sampled-Lloyd codebook
+   * ([[trainIvfCodebook]]) — same determinism, much better recall on
+   * clustered corpora. Either way the codebook is KB-scale and rides into
+   * the native assignment expression as a codegen reference object, so
+   * cell assignment runs map-side inside whole-stage codegen — at 1e9 rows
+   * the corpus pass shuffles only (cell, id) pairs and the candidate join
+   * is an equi-join on the cell id, the same candidates-first shape as
+   * LSH. Ties (equal cosine) resolve to the lowest centroid id in both the
+   * native argmax (first max) and the oracle's `ORDER BY score DESC,
+   * cent_id`.
    */
+  /** Row array element -> Array[Double] (float corpora widen). */
+  private def rowVec(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    r.getSeq[Any](i).map {
+      case f: java.lang.Float  => f.toDouble
+      case d: java.lang.Double => d.doubleValue()
+      case n: Number           => n.doubleValue()
+    }.toArray
+
+  /**
+   * Deterministic sampled k-means codebook (VERDICT r4 #2 / r5 #2): a
+   * hash-ordered sample of `trainSample` vectors collects to the driver
+   * (bounded: trainSample x dim doubles, KB-MB scale), maximin-cosine
+   * farthest-point seeding picks `nCells` well-spread initial centroids
+   * (the k-means||-style remedy for the seed-sample codebook's blindness
+   * to cluster structure), then `lloydIters` rounds of spherical Lloyd
+   * refine them: each sample point goes to its argmax-cosine centroid
+   * (first max on ties), each centroid becomes the elementwise mean of its
+   * members (cosine is scale-invariant, so no renormalization needed);
+   * empty cells keep their previous centroid. Fully order-deterministic:
+   * the sample is xxhash64(id)-ordered and every tie resolves to the first
+   * candidate. Cell ids are 0..nCells-1 (trained centroids are synthetic
+   * points, not corpus rows).
+   */
+  def trainIvfCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int, lloydIters: Int = 5,
+                       trainSample: Int = 4096): Array[(Long, Array[Double])] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(math.max(trainSample, nCells))
+      .collect().map(rowVec(_, 0))
+    require(sample.nonEmpty, "trainIvfCodebook: empty corpus")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val nrm = math.sqrt(na) * math.sqrt(nb)
+      if (nrm > 0) d / nrm else 0.0
+    }
+    val k = math.min(nCells, sample.length)
+    val centroids = scala.collection.mutable.ArrayBuffer(sample(0))
+    while (centroids.length < k) {
+      // next seed = the point LEAST similar to its most-similar chosen
+      // centroid (maximin); first such point on ties
+      var bestIdx = 0
+      var bestVal = Double.PositiveInfinity
+      var i = 0
+      while (i < sample.length) {
+        var nearest = Double.NegativeInfinity
+        centroids.foreach { c =>
+          val s = cos(sample(i), c)
+          if (s > nearest) nearest = s
+        }
+        if (nearest < bestVal) { bestVal = nearest; bestIdx = i }
+        i += 1
+      }
+      centroids += sample(bestIdx)
+    }
+    var cents = centroids.toArray
+    for (_ <- 1 to lloydIters) {
+      val dim = sample(0).length
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { p =>
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val s = cos(p, cents(c))
+          if (s > bestScore) { best = c; bestScore = s }
+          c += 1
+        }
+        val dst = sums(best)
+        var i = 0
+        val m = math.min(p.length, dim)
+        while (i < m) { dst(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, nCells: Int = 16,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4, trainCodebook: Boolean = false,
+              lloydIters: Int = 5, trainSample: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
     // bounded codebook: the nCells LOWEST-ID corpus vectors (orderBy+limit,
     // not `id < nCells` — sparse or offset id spaces would silently shrink
-    // a predicate-based codebook; ADVICE r3), the broadcast-codebook pattern
+    // a predicate-based codebook; ADVICE r3), the broadcast-codebook pattern.
+    // `trainCodebook = true` swaps in the maximin + Lloyd codebook instead
+    // (deterministic; better recall on clustered corpora — VERDICT r4 #2).
     val cents: Array[(Long, Array[Double])] =
-      corpus.orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).cast(LongType), col(vecCol)).collect()
-        .map { r =>
-          val v = r.getSeq[Any](1).map {
-            case f: java.lang.Float  => f.toDouble
-            case d: java.lang.Double => d.doubleValue()
-            case n: Number           => n.doubleValue()
-          }.toArray
-          (r.getLong(0), v)
-        }.sortBy(_._1)
+      if (trainCodebook)
+        trainIvfCodebook(corpus, idCol, vecCol, nCells, lloydIters, trainSample)
+      else
+        corpus.orderBy(col(idCol)).limit(nCells)
+          .select(col(idCol).cast(LongType), col(vecCol)).collect()
+          .map(r => (r.getLong(0), rowVec(r, 1))).sortBy(_._1)
     require(cents.nonEmpty, "ivfTopK: empty corpus — cannot build a codebook")
 
-    def centCol(v: Array[Double]): Column = array(v.map(lit): _*)
-
-    /** Centroid L2 norm precomputed on the driver with the IDENTICAL
-      * left-to-right double fold the `dot` expression performs — the
-      * in-plan `sqrt(dot(cent, cent))` was a constant subtree re-evaluated
-      * per row AND re-codegen'd per centroid, tripling the assignment
-      * expression (the fixed ~1.5 s plan-compile overhead per ivf query).
-      * Same bits, so the oracle stays exact. */
-    def centNorm(v: Array[Double]): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-
-    /** cosine(vec, cent) with the corpus-side norm computed ONCE (shared
-      * subtree) and the centroid norm a literal; the arithmetic shape
-      * `d / (sqrt(dot(v,v)) * sqrt(dot(c,c)))` is unchanged bit-for-bit. */
-    def cosTo(vec: Column, vecNorm: Column, cv: Array[Double]): Column = {
-      val d = dot(vec, centCol(cv))
-      val n = vecNorm * lit(centNorm(cv))
-      when(n > 0, d / n).otherwise(lit(0.0))
-    }
-
-    /** argmax-cosine cell id over the literal codebook. Each score appears
-      * exactly once in the plan (an incremental `when`-fold duplicates the
-      * running best per step — an exponentially sized expression tree);
-      * `array_position` of the max returns the FIRST hit, i.e. the lowest
-      * centroid id on ties, matching the oracle's ORDER BY score DESC, id. */
-    def cellOf(vec: Column, vecNorm: Column): Column = {
-      val scores = array(cents.map { case (_, cv) => cosTo(vec, vecNorm, cv) }: _*)
-      val ids    = array(cents.map { case (cid, _) => lit(cid) }: _*)
-      element_at(ids, array_position(scores, array_max(scores)).cast(IntegerType))
-    }
-
+    // native argmax-cosine assignment: the codebook rides as codegen
+    // reference objects (nCells x dim literal arrays bloated the plan —
+    // VERDICT r5 #6); first-max tie-break = lowest centroid id, matching
+    // the oracle's ORDER BY score DESC, cent_id, and every fold is the
+    // same left-to-right double order as before, so q42 stays bit-exact
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cvn", norm(col("__cv")))
-      .withColumn("__cell", cellOf(col("__cv"), col("__cvn")))
-      .drop("__cvn")
+      .withColumn("__cell",
+        org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+          .ivfCell(col("__cv"), cents.toSeq))
 
     // probe list: small query set x small codebook
     val centsDf = spark.createDataFrame(cents.toSeq.map {

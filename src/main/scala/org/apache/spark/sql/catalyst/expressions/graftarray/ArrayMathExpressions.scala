@@ -201,6 +201,129 @@ case class BandedSignSketchExpr(child: Expression, planes: Seq[Seq[Seq[Double]]]
     copy(child = newChild)
 }
 
+/**
+ * IVF coarse-quantizer cell assignment: returns the id of the codebook
+ * centroid with the highest cosine to the input vector, FIRST max on ties —
+ * the same answer as the historical
+ * `element_at(ids, array_position(scores, array_max(scores)))` literal-array
+ * fold (q42's oracle ORDER BY score DESC, cent_id), with identical
+ * arithmetic: score_c = vn * ||c|| > 0 ? dot(v, c) / (vn * ||c||) : 0.0
+ * where vn = sqrt(dot(v, v)) is computed once and every fold is
+ * left-to-right in doubles. Centroid norms are precomputed with the same
+ * fold. The codebook reaches generated code via `ctx.addReferenceObj`
+ * instead of nCells x dim literal arrays (VERDICT r5 #6).
+ *
+ * A centroid whose length mismatches the vector scores 0.0 (it can never
+ * win against any in-dim centroid with positive cosine); a null element in
+ * the vector yields a null cell.
+ */
+case class IvfCellExpr(child: Expression, centIds: Seq[Long],
+                       cents: Seq[Seq[Double]]) extends UnaryExpression {
+
+  require(centIds.nonEmpty && centIds.length == cents.length,
+    "codebook ids and centroids must align and be non-empty")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivf_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Long] = centIds.toArray
+  /** Same left-to-right fold as the main dot. */
+  @transient private lazy val normArr: Array[Double] = centArr.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val vv = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      vv(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    var s = 0.0
+    i = 0
+    while (i < n) { s += vv(i) * vv(i); i += 1 }
+    val vn = math.sqrt(s)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centArr.length) {
+      val cent = centArr(c)
+      var score = 0.0
+      if (cent.length == n) {
+        var d = 0.0
+        i = 0
+        while (i < n) { d += vv(i) * cent(i); i += 1 }
+        val nn = vn * normArr(c)
+        score = if (nn > 0) d / nn else 0.0
+      }
+      if (score > bestScore) { best = c; bestScore = score }
+      c += 1
+    }
+    idArr(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val centsRef = ctx.addReferenceObj("ivfCents", centArr, "double[][]")
+    val normsRef = ctx.addReferenceObj("ivfNorms", normArr, "double[]")
+    val idsRef   = ctx.addReferenceObj("ivfIds", idArr, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      val vv = ctx.freshName("vv"); val s = ctx.freshName("s"); val vn = ctx.freshName("vn")
+      val best = ctx.freshName("best"); val bestScore = ctx.freshName("bestScore")
+      val cent = ctx.freshName("cent"); val d = ctx.freshName("d")
+      val nn = ctx.freshName("nn"); val score = ctx.freshName("score")
+      s"""
+         |final int $n = $v.numElements();
+         |final double[] $vv = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $vv[$i] = (double) $v.$get($i);
+         |}
+         |if (!${ev.isNull}) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) $s += $vv[$i] * $vv[$i];
+         |  final double $vn = java.lang.Math.sqrt($s);
+         |  int $best = 0;
+         |  double $bestScore = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < ${centArr.length}; $c++) {
+         |    final double[] $cent = $centsRef[$c];
+         |    double $score = 0.0;
+         |    if ($cent.length == $n) {
+         |      double $d = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) $d += $vv[$i] * $cent[$i];
+         |      final double $nn = $vn * $normsRef[$c];
+         |      $score = ($nn > 0) ? ($d / $nn) : 0.0;
+         |    }
+         |    if ($score > $bestScore) { $best = $c; $bestScore = $score; }
+         |  }
+         |  ${ev.value} = $idsRef[$best];
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayMathExpressions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -227,4 +350,11 @@ object ArrayMathExpressions {
     ExpressionUtils.column(
       BandedSignSketchExpr(ExpressionUtils.expression(vec),
         planes.map(_.map(_.toSeq).toSeq)))
+
+  /** Column-API form: codegen'd IVF cell assignment (argmax-cosine centroid
+    * id, first max on ties). Codebook travels as reference objects. */
+  def ivfCell(vec: Column, cents: Seq[(Long, Array[Double])]): Column =
+    ExpressionUtils.column(
+      IvfCellExpr(ExpressionUtils.expression(vec),
+        cents.map(_._1), cents.map(_._2.toSeq)))
 }

@@ -115,6 +115,60 @@ class SimSearchSpec extends SparkTestBase {
     }
   }
 
+  test("trained IVF codebook beats seed-sample recall on a clustered corpus") {
+    // 4 tight clusters; ids arranged so the 4 LOWEST ids all sit in cluster
+    // 0 — the seed-sample codebook is blind to the other three clusters,
+    // the maximin+Lloyd codebook is not
+    val rng = new scala.util.Random(21)
+    val d = 16
+    val centers = Array.fill(4)(Array.fill(d)(rng.nextGaussian() * 3))
+    val rows = (0 until 400).map { i =>
+      (i.toLong, centers(i % 4).map(_ + rng.nextGaussian() * 0.1).toSeq)
+    }
+    // reassign ids cluster-major: ids 0-99 cluster 0, 100-199 cluster 1, ...
+    val ordered = rows.sortBy { case (id, _) => ((id % 4).toInt, id) }
+      .zipWithIndex.map { case ((_, v), newId) => (newId.toLong, v) }
+    val e = ordered.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" % 97 === 0) // a few queries across clusters
+    val brute = SimOps.cosineTopK(e, q, "vec_id", "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(trained: Boolean): Double = {
+      val got = SimOps.ivfTopK(e, q, "vec_id", "embedding",
+          k = 5, nCells = 4, nProbe = 1, trainCodebook = trained)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val seedRecall = recall(trained = false)
+    val trainedRecall = recall(trained = true)
+    assert(trainedRecall > seedRecall,
+      s"trained=$trainedRecall should beat seed-sample=$seedRecall")
+    assert(trainedRecall >= 0.9,
+      s"with one centroid per cluster and nProbe=1, recall should be high: $trainedRecall")
+  }
+
+  test("trainIvfCodebook is deterministic and covers all clusters") {
+    val rng = new scala.util.Random(33)
+    val d = 8
+    val centers = Array.fill(3)(Array.fill(d)(rng.nextGaussian() * 4))
+    val e = (0 until 300).map { i =>
+      (i.toLong, centers(i % 3).map(_ + rng.nextGaussian() * 0.05).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cb1 = SimOps.trainIvfCodebook(e, "vec_id", "embedding", 3)
+    val cb2 = SimOps.trainIvfCodebook(e, "vec_id", "embedding", 3)
+    assert(cb1.map(_._1).toSeq == cb2.map(_._1).toSeq)
+    assert(cb1.zip(cb2).forall { case ((_, a), (_, b)) => a.sameElements(b) },
+      "two runs over the same corpus must produce identical centroids")
+    // every true cluster center is near (cos > 0.99) some trained centroid
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dd = a.zip(b).map { case (x, y) => x * y }.sum
+      dd / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    centers.foreach { c =>
+      val best = cb1.map { case (_, v) => cos(c, v) }.max
+      assert(best > 0.99, s"a true cluster center has no nearby centroid (cos $best)")
+    }
+  }
+
   test("hyperplanes ride as reference objects — no plane literals in the plan") {
     val rng = new scala.util.Random(3)
     val e = (0L until 50L).map(i => (i, Seq.fill(64)(rng.nextGaussian())))
