@@ -231,7 +231,21 @@ object DedupOps {
    * pathological chain diameters use [[connectedStars]] — identical labels
    * in O(log d) rounds.
    */
-  def connectedMinLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedMinLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedMinLabelsOpt(pairs, maxIter).getOrElse {
+      // silent non-convergence would return WRONG component labels (callers
+      // advertise exact semantics) — fail loudly; diameter beyond maxIter
+      // means pathological chains: raise maxIter or use [[connectedStars]]
+      // (nearDedupConnected's "auto" mode escalates there itself)
+      throw new IllegalStateException(
+        s"connectedMinLabels did not reach a fixpoint in $maxIter rounds — " +
+          "a near-duplicate chain is longer than maxIter; raise maxIter " +
+          "or use connectedStars (O(log d) rounds)")
+    }
+
+  /** [[connectedMinLabels]] that reports non-convergence as None instead of
+    * throwing — the hook "auto" escalation builds on. */
+  private def connectedMinLabelsOpt(pairs: DataFrame, maxIter: Int): Option[DataFrame] = {
     // both directions once: neighbor-min is a plain groupBy over edges
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -256,15 +270,7 @@ object DedupOps {
       converged = changed == 0
       iter += 1
     }
-    // silent non-convergence would return WRONG component labels (callers
-    // advertise exact semantics) — fail loudly instead; component diameter
-    // exceeding maxIter means pathological chains: raise maxIter or use the
-    // one-round nearDedup approximation deliberately
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedMinLabels did not reach a fixpoint in $maxIter rounds — " +
-          "a near-duplicate chain is longer than maxIter; raise maxIter")
-    labels
+    if (converged) Some(labels) else None
   }
 
   /**
@@ -343,9 +349,9 @@ object DedupOps {
                          shingleStorage: org.apache.spark.storage.StorageLevel =
                            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
                          localPairLimit: Int = 1 << 20,
-                         ccAlgorithm: String = "minlabel"): DataFrame = {
-    require(ccAlgorithm == "minlabel" || ccAlgorithm == "stars",
-      s"ccAlgorithm must be 'minlabel' or 'stars', got '$ccAlgorithm'")
+                         ccAlgorithm: String = "auto"): DataFrame = {
+    require(Set("auto", "minlabel", "stars")(ccAlgorithm),
+      s"ccAlgorithm must be 'auto', 'minlabel' or 'stars', got '$ccAlgorithm'")
     val (pairs, done) = nearDuplicatePairsWithHandle(df, idCol, textCol,
       numHashes, bands, shingleSize, threshold, maxBucket, shingleStorage)
     // Scale-adaptive closure (the broadcast-vs-shuffle-join pattern): the
@@ -394,9 +400,19 @@ object DedupOps {
         // reads its input twice (both edge directions) — without this the
         // verify pipeline would execute three times on the fallback path
         val materialized = pairs.localCheckpoint()
-        val labels =
-          if (ccAlgorithm == "stars") connectedStars(materialized, maxIter)
-          else connectedMinLabels(materialized, maxIter)
+        // "auto" (the default): min-label converges in O(diameter) rounds —
+        // a handful for the shallow boilerplate fans real corpora produce —
+        // and on the pathological chains where it times out, escalate to
+        // the O(log d) star rounds instead of throwing (VERDICT r5 #5);
+        // both produce identical (id, comp) labels, so the escalation is
+        // invisible to results
+        val labels = ccAlgorithm match {
+          case "stars"    => connectedStars(materialized, maxIter.max(30))
+          case "minlabel" => connectedMinLabels(materialized, maxIter)
+          case _ =>
+            connectedMinLabelsOpt(materialized, maxIter).getOrElse(
+              connectedStars(materialized, maxIter.max(30)))
+        }
         done()
         labels.filter(col("comp") =!= col("id")).select(col("id").as(idCol))
       }

@@ -341,6 +341,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(keptStars == kept, s"stars path diverged: $keptStars")
   }
 
+  test("auto ccAlgorithm escalates min-label to stars on a >20-hop chain " +
+       "(default arguments succeed)") {
+    // sliding windows over distinct tokens: doc i = tokens[i, i+10). The
+    // 3-gram Jaccard of adjacent docs is 7/9 ≈ 0.78 (>= 0.7), of
+    // skip-one docs 6/10 = 0.6 (< 0.7) — the verified pair graph is a
+    // PATH of 26 nodes, diameter 25 > connectedMinLabels' default
+    // maxIter 20
+    val words = (0 until 36).map(i => s"tok$i")
+    val docs = (0 until 26).map { i =>
+      (i.toLong, words.slice(i, i + 10).mkString(" "))
+    }.toDF("doc_id", "text")
+    // distributed closure (localPairLimit = 0) + DEFAULT ccAlgorithm:
+    // min-label alone would throw at maxIter; "auto" escalates to the
+    // O(log d) star rounds and the whole chain collapses to doc 0
+    val kept = DedupOps.nearDedupConnected(docs, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.7, localPairLimit = 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L), s"kept: $kept")
+    // explicit minlabel keeps the loud-failure contract on the same input
+    intercept[IllegalStateException] {
+      DedupOps.nearDedupConnected(docs, "doc_id", "text",
+          numHashes = 64, bands = 32, threshold = 0.7, localPairLimit = 0,
+          ccAlgorithm = "minlabel")
+        .collect()
+    }
+  }
+
   test("embeddingNearDupPairs maxBucket cap drops a synthetic hot bucket") {
     // 30 identical vectors: one bucket holds all 30 -> capped out entirely;
     // a distinct pair of near-identical vectors in another bucket survives
