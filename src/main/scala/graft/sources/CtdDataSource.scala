@@ -61,7 +61,8 @@ class CtdDataSource extends TableProvider with DataSourceRegister {
 object CtdDataSource {
 
   final case class Conf(ftype: String, view: String, files: Seq[String],
-                        rawPaths: Seq[String]) {
+                        rawPaths: Seq[String],
+                        allowOutOfOrder: Boolean = false) {
     /** Re-list the raw paths — the micro-batch stream discovers files that
       * arrived after planning. */
     def listNow(): Seq[String] = rawPaths.flatMap(expand).sorted
@@ -70,10 +71,11 @@ object CtdDataSource {
   private[sources] def conf(options: CaseInsensitiveStringMap): Conf = {
     val ftype = options.getOrDefault("ftype", "cnv").toLowerCase
     val view  = options.getOrDefault("view", "data").toLowerCase
+    val ooo   = options.getBoolean("allowOutOfOrder", false)
     val paths = Option(options.get("paths")).map(parseJsonPaths)
       .orElse(Option(options.get("path")).map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException("ctd source requires a load path"))
-    Conf(ftype, view, paths.flatMap(expand), paths)
+    Conf(ftype, view, paths.flatMap(expand), paths, ooo)
   }
 
   private def parseJsonPaths(json: String): Seq[String] =
@@ -233,7 +235,7 @@ final case class CtdScan(conf: CtdDataSource.Conf, fullSchema: StructType,
     CtdReaderFactory(conf.ftype, conf.view, required, filters)
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new CtdMicroBatchStream(conf, required, filters)
+    new CtdMicroBatchStream(conf, required, filters, checkpointLocation)
 }
 
 /**
@@ -252,9 +254,26 @@ final case class CtdScan(conf: CtdDataSource.Conf, fullSchema: StructType,
  * (restart from a fresh checkpoint). Spark's own FileStreamSource keeps a
  * full seen-file log; the boundary check is the allocation-free equivalent
  * under the monotonic-naming contract.
+ *
+ * `option("allowOutOfOrder", "true")` (VERDICT r5 #4) swaps the contract
+ * for an explicit CHECKPOINTED seen-file log (the FileStreamSource shape):
+ * each `latestOffset` lists the directory, diffs against every file already
+ * logged, and — when new files exist — appends one log entry
+ * (`<checkpoint>/graft-seen/<batchId>`, written via Hadoop `FileSystem`,
+ * temp + rename) naming exactly the new arrivals. The offset is then just
+ * the log's high-water batch id, and `planInputPartitions(s, e)` replays
+ * the union of log entries in `(s, e]` — deterministic under retries and
+ * restarts, and a file sorting BEFORE committed names is simply a later
+ * batch's entry instead of a contract violation. Cost relative to the
+ * default: the full seen-set diff per poll and one KB-scale log file per
+ * non-empty batch (bounded by arrival count, not corpus size). The two
+ * modes checkpoint DIFFERENT offset shapes; resuming a checkpoint across a
+ * mode flip fails loudly with the remediation rather than silently
+ * reinterpreting offsets.
  */
 final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
-                                required: StructType, filters: Array[Filter])
+                                required: StructType, filters: Array[Filter],
+                                checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -308,18 +327,90 @@ final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
       s"""{"n":$n,"last":"${esc(last)}"${ph.map(p => s""","ph":$p""").getOrElse("")}}"""
   }
 
-  override def initialOffset(): Offset = CtdOffset(0, "", Some(prefixHash(Nil)))
-  override def latestOffset(): Offset = {
-    val files = conf.listNow()
-    CtdOffset(files.length, files.lastOption.getOrElse(""), Some(prefixHash(files)))
+  /** Out-of-order-mode offset: the seen-file log's high-water batch id
+    * (-1 = nothing logged). The file SET for a batch range lives in the
+    * checkpointed log, not in the offset. */
+  private case class CtdBatchOffset(batch: Long) extends Offset {
+    override def json(): String = s"""{"batch":$batch}"""
   }
 
+  /** Seen-file log: `<checkpoint>/graft-seen/<batchId>` holds the files
+    * first observed in that batch, one escaped name per line. */
+  private lazy val (logDir, logFs) = {
+    val p = new HPath(checkpointLocation, "graft-seen")
+    (p, p.getFileSystem(org.apache.spark.graft.HadoopConfBridge.conf()))
+  }
+  // batch id -> that batch's files, restored from the log on first touch
+  // (a restarted query constructs a fresh stream instance); guarded by this
+  private val seenBatches = scala.collection.mutable.TreeMap.empty[Long, Seq[String]]
+  private var logLoaded = false
+
+  private def loadLog(): Unit =
+    if (!logLoaded) {
+      if (logFs.exists(logDir)) {
+        logFs.listStatus(logDir).foreach { st =>
+          val name = st.getPath.getName
+          if (name.nonEmpty && name.forall(_.isDigit)) {
+            val buf = new Array[Byte](st.getLen.toInt)
+            val in = logFs.open(st.getPath)
+            try in.readFully(0, buf) finally in.close()
+            seenBatches(name.toLong) =
+              new String(buf, "UTF-8").split("\n").filter(_.nonEmpty)
+                .map(unesc).toSeq
+          }
+        }
+      }
+      logLoaded = true
+    }
+
+  private def writeBatchLog(batch: Long, files: Seq[String]): Unit = {
+    logFs.mkdirs(logDir)
+    val tmp = new HPath(logDir, s".$batch.tmp")
+    val out = logFs.create(tmp, true)
+    try out.write(files.map(f => esc(f) + "\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+    if (!logFs.rename(tmp, new HPath(logDir, batch.toString))) {
+      // a concurrent attempt committed this id first: keep theirs
+      logFs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"ctd stream: seen-file log entry $batch already exists — " +
+          "two drivers are writing the same checkpoint")
+    }
+  }
+
+  override def initialOffset(): Offset =
+    if (conf.allowOutOfOrder) CtdBatchOffset(-1L)
+    else CtdOffset(0, "", Some(prefixHash(Nil)))
+
+  override def latestOffset(): Offset =
+    if (conf.allowOutOfOrder) synchronized {
+      loadLog()
+      val seen = seenBatches.valuesIterator.flatten.toSet
+      val newFiles = conf.listNow().filterNot(seen)
+      val maxBatch = if (seenBatches.isEmpty) -1L else seenBatches.lastKey
+      if (newFiles.isEmpty) CtdBatchOffset(maxBatch)
+      else {
+        val b = maxBatch + 1
+        writeBatchLog(b, newFiles)
+        seenBatches(b) = newFiles
+        CtdBatchOffset(b)
+      }
+    } else {
+      val files = conf.listNow()
+      CtdOffset(files.length, files.lastOption.getOrElse(""), Some(prefixHash(files)))
+    }
+
   override def deserializeOffset(json: String): Offset = {
-    val n = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
-    val last = """"last"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
-      .map(m => unesc(m.group(1))).getOrElse("")
-    val ph = """"ph"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
-    CtdOffset(n, last, ph)
+    val batch = """"batch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    batch match {
+      case Some(b) => CtdBatchOffset(b)
+      case None =>
+        val n = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+        val last = """"last"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+          .map(m => unesc(m.group(1))).getOrElse("")
+        val ph = """"ph"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+        CtdOffset(n, last, ph)
+    }
   }
 
   private def check(files: Seq[String], o: CtdOffset, what: String): Unit = {
@@ -345,14 +436,41 @@ final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
     }
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[CtdOffset]
-    val e = end.asInstanceOf[CtdOffset]
-    val files = conf.listNow()
-    check(files, s, "start")
-    check(files, e, "end")
-    files.slice(s.n, e.n).map(f => CtdInputPartition(f): InputPartition).toArray
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    (start, end) match {
+      case (s: CtdBatchOffset, e: CtdBatchOffset) =>
+        if (!conf.allowOutOfOrder)
+          throw new IllegalStateException(
+            "ctd stream: this checkpoint was written with allowOutOfOrder=true — " +
+              "restart with option(\"allowOutOfOrder\",\"true\") or from a fresh checkpoint.")
+        synchronized {
+          loadLog()
+          // batches in (s, e]; TreeMap.range's upper bound is exclusive
+          val batches = seenBatches.range(s.batch + 1, e.batch + 1)
+          if (batches.size != (e.batch - s.batch))
+            throw new IllegalStateException(
+              s"ctd stream: seen-file log is missing entries for batches " +
+                s"${s.batch + 1}..${e.batch} — the checkpoint directory was " +
+                "pruned or partially deleted. Restart from a fresh checkpoint.")
+          batches.valuesIterator.flatten
+            .map(f => CtdInputPartition(f): InputPartition).toArray
+        }
+      case (s: CtdOffset, e: CtdOffset) =>
+        if (conf.allowOutOfOrder)
+          throw new IllegalStateException(
+            "ctd stream: this checkpoint was written WITHOUT allowOutOfOrder — " +
+              "resuming it with the option set would reinterpret committed offsets. " +
+              "Restart from a fresh checkpoint to enable out-of-order arrivals.")
+        val files = conf.listNow()
+        check(files, s, "start")
+        check(files, e, "end")
+        files.slice(s.n, e.n).map(f => CtdInputPartition(f): InputPartition).toArray
+      case _ =>
+        throw new IllegalStateException(
+          s"ctd stream: mixed offset kinds ${start.getClass.getSimpleName}/" +
+            s"${end.getClass.getSimpleName} — the checkpoint mixes allowOutOfOrder " +
+            "modes. Restart from a fresh checkpoint.")
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     CtdReaderFactory(conf.ftype, conf.view, required, filters)

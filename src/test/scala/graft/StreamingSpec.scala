@@ -104,6 +104,63 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("allowOutOfOrder processes a file sorting before committed names; " +
+       "the default contract still fails loudly") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$dataDir/CTD_with_sigma_e00.cnv")
+
+    // --- opt-in mode: cast_b lands first; cast_a (sorts BEFORE it) later
+    val dir = Files.createTempDirectory("ctd-ooo").toFile
+    val ckpt = Files.createTempDirectory("ctd-ooo-ckpt").toFile
+    dir.deleteOnExit(); ckpt.deleteOnExit()
+    Files.copy(src, Paths.get(dir.getPath, "cast_b.cnv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    def startOoo() = spark.readStream.format("ctd").option("ftype", "cnv")
+      .option("allowOutOfOrder", "true").load(dir.getPath)
+      .groupBy(col("cast_id")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ctd_ooo")
+      .option("checkpointLocation", ckpt.getPath)
+      .outputMode("complete").start()
+    val q1 = startOoo()
+    try {
+      q1.processAllAvailable()
+      val n1 = spark.sql("SELECT sum(n) FROM ctd_ooo").collect()(0).getLong(0)
+      assert(n1 == 199, s"first file: $n1 rows")
+    } finally q1.stop()
+    // out-of-order arrival + RESTART from the same checkpoint: the
+    // seen-file log must restore in the fresh stream instance and the
+    // late-sorting file must be picked up as a new batch
+    Files.copy(src, Paths.get(dir.getPath, "cast_a.cnv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q2 = startOoo()
+    try {
+      q2.processAllAvailable()
+      val total = spark.sql("SELECT sum(n) FROM ctd_ooo").collect()(0).getLong(0)
+      assert(total == 398, s"expected both files after out-of-order arrival, got $total")
+    } finally q2.stop()
+
+    // --- default mode: the same arrival pattern is a loud contract failure
+    val dirS = Files.createTempDirectory("ctd-strict").toFile
+    dirS.deleteOnExit()
+    Files.copy(src, Paths.get(dirS.getPath, "cast_b.cnv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q3 = spark.readStream.format("ctd").option("ftype", "cnv")
+      .load(dirS.getPath)
+      .groupBy(col("cast_id")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ctd_strict")
+      .outputMode("complete").start()
+    try {
+      q3.processAllAvailable()
+      Files.copy(src, Paths.get(dirS.getPath, "cast_a.cnv"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val ex = intercept[Exception] { q3.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("monotonic-naming contract violated")),
+        s"expected the loud contract failure, got: ${messages(ex).mkString(" | ")}")
+    } finally q3.stop()
+  }
+
   test("fromText parses in-memory content (StringIO analog)") {
     val text = new String(
       graft.io.RawFile.bytes(s"$dataDir/CTD_with_sigma_e00.cnv"), "UTF-8")

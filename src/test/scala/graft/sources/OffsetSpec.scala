@@ -13,7 +13,8 @@ class OffsetSpec extends AnyFunSuite {
 
   private def mkStream(dir: String): CtdMicroBatchStream = {
     val conf = CtdDataSource.Conf("cnv", "data", Seq.empty, Seq(dir))
-    new CtdMicroBatchStream(conf, org.apache.spark.sql.types.StructType(Nil), Array.empty)
+    new CtdMicroBatchStream(conf, org.apache.spark.sql.types.StructType(Nil), Array.empty,
+      Files.createTempDirectory("graft-off-ckpt").toString)
   }
 
   private def drop(dir: java.nio.file.Path, name: String): Unit =
