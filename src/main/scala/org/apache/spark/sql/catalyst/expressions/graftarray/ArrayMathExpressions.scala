@@ -28,6 +28,13 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Nullable even over non-null children: mismatched lengths or a null
+  // ELEMENT yield null. The default child-derived nullability made
+  // nullSafeCodeGen take its non-nullable branch, where the `ev.isNull`
+  // writes below referenced an undeclared variable — janino failed, and
+  // every plan with non-null array inputs (e.g. a collected-codebook
+  // LocalTableScan) silently fell back to interpreted projection.
+  override def nullable: Boolean = true
   override def prettyName: String = "array_dot"
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
@@ -225,6 +232,9 @@ case class IvfCellExpr(child: Expression, centIds: Seq[Long],
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // Null on a null vector ELEMENT, so nullable even over a non-null child
+  // (same janino-undeclared-isNull hazard as DotProductExpr).
+  override def nullable: Boolean = true
   override def prettyName: String = "ivf_cell"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

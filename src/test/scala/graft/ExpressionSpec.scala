@@ -85,6 +85,46 @@ class ExpressionSpec extends SparkTestBase {
     assert(edge.isNullAt(0))
   }
 
+  test("array_dot / ivf_cell compile under CODEGEN_ONLY over NON-NULLABLE " +
+       "array inputs (r6 regression: undeclared isNull broke janino)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+    // non-nullable array<double> columns — the shape a collected-codebook
+    // LocalTableScan produces, which drove nullSafeCodeGen into its
+    // non-nullable branch where `ev.isNull` was never declared
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("b", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rows = (0 until 8).map { i =>
+      org.apache.spark.sql.Row(i.toLong,
+        Seq(1.0 + i, 2.0, 3.0), Seq(0.5, 1.5, 2.5 + i))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    // CODEGEN_ONLY turns the silent interpreted fallback into a hard error
+    val restore = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val dots = df.select(col("id"), ArrayMathExpressions.dot(col("a"), col("b")).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (0 until 8).foreach { i =>
+        val exp = (1.0 + i) * 0.5 + 2.0 * 1.5 + 3.0 * (2.5 + i)
+        assert(dots(i.toLong) == exp)
+      }
+      val cents = Seq(10L -> Array(1.0, 0.0, 0.0), 20L -> Array(0.0, 0.0, 1.0))
+      val cells = df.select(col("id"), ArrayMathExpressions.ivfCell(col("a"), cents).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cells.values.toSet.subsetOf(Set(10L, 20L)))
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("randomized: native kernels equal reference Scala over unicode tokens") {
     import spark.implicits._
     // vocabulary stresses multi-byte UTF-8: the native kernels hash/concat

@@ -206,6 +206,29 @@ class ParserSpec extends AnyFunSuite {
     assert(RawFile.decode(Array[Byte](0xB0.toByte)) == "°") // cp1252 degree
   }
 
+  test("legacy encodings: Shift-JIS and KOI8-R detected, Latin-1 family " +
+       "still decodes as cp1252") {
+    // Japanese header comment in Shift-JIS: strict whole-buffer decode +
+    // predominantly-CJK evidence routes it away from the cp1252 fallback
+    val ja = "# 水温の測定データです" +
+      "。東京湾観測点\nDepth, Temp\n"
+    assert(RawFile.decode(ja.getBytes("Shift_JIS")) == ja)
+    // Russian comment in KOI8-R: high-byte words detached from ASCII letters
+    val ru = "# данные изме" +
+      "рений темпер" +
+      "атуры воды\nDepth, Temp\n"
+    assert(RawFile.decode(ru.getBytes("KOI8-R")) == ru)
+    // Latin-1-family text must NOT be re-routed: accented letters sit inside
+    // ASCII words (adjacency guard) and break Shift-JIS strict decode
+    val fr = "# données de température à côté du " +
+      "récif, ação\nDepth, Temp\n"
+    assert(RawFile.decode(fr.getBytes("windows-1252")) == fr)
+    val de = "# Messdaten für die Wassersäule, Länge 10°\n"
+    assert(RawFile.decode(de.getBytes("windows-1252")) == de)
+    // lone high byte (the old degree-sign case) keeps its cp1252 reading
+    assert(RawFile.decode(Array[Byte](0xB0.toByte)) == "°")
+  }
+
   test("a BOM'd CNV parses identically to its plain twin (incl. lineCount)") {
     val src = s"$data/CTD_with_sigma_e00.cnv"
     val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src))
