@@ -511,6 +511,18 @@ object SparkEntry {
         .orderBy(col("n_occurrences").desc, col("token"))
     }),
 
+    "q52_line_dedup" -> ((s: SparkSession, dir: String) => {
+      // RefinedWeb-style corpus-frequency segment removal. The synthetic
+      // documents are single-line, so the demonstration unit is the token
+      // (delimiter " "): segments appearing in > 390 of the 500 docs are
+      // boilerplate by the rule and get dropped; reassembly preserves
+      // remaining order and spacing exactly.
+      graft.ops.DedupOps.lineDedup(t(s, dir, "documents"), "doc_id", "text",
+          maxDocFreq = 390, delimiter = " ")
+        .select(col("doc_id"), col("text_dedup"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1132,6 +1144,28 @@ object SparkEntry {
         |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
         |FROM tok GROUP BY token
         |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+
+    "q52_line_dedup" ->
+      // same rule in plain SQL: per-segment distinct-doc counts, blocklist =
+      // count > 390, rebuild by position with blocked segments skipped.
+      // string_agg skips the CASE's NULLs exactly like the Spark-side
+      // filtered array_join; COALESCE covers an all-blocked document.
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS seg,
+        |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents
+        |), freq AS (
+        |  SELECT seg FROM segs WHERE trim(seg) <> ''
+        |  GROUP BY seg HAVING count(DISTINCT doc_id) > 390
+        |), kept AS (
+        |  SELECT s.doc_id, s.pos, s.seg, (f.seg IS NOT NULL) AS blocked
+        |  FROM segs s LEFT JOIN freq f ON s.seg = f.seg
+        |)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT blocked THEN seg END, ' ' ORDER BY pos), '') AS text_dedup,
+        |  CAST(count(CASE WHEN blocked THEN 1 END) AS BIGINT) AS n_removed
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q47_bucketed_qc" ->
       // q07's split composed with q08's moving average; the bucketed landing

@@ -460,6 +460,64 @@ object DedupOps {
       .select(col(idCol)).distinct()
   }
 
+  /**
+   * Corpus-frequency segment dedup (the RefinedWeb / CCNet line-dedup rule):
+   * drop every line whose EXACT text appears in more than `maxDocFreq`
+   * distinct documents — boilerplate headers, navigation chrome, cookie
+   * banners — and reassemble each document from its surviving lines in
+   * order. `delimiter` is a LITERAL separator (default newline); pass " "
+   * for token-level corpus stopword removal. Whitespace-only segments are
+   * never blocklisted (removing blank lines would mangle layout), and the
+   * split/join round-trip on a literal delimiter is exact, so an untouched
+   * document reassembles byte-identically.
+   *
+   * 100 TB shape: the only shuffle is the frequency aggregation, and it
+   * carries (8-byte xxhash64(segment), doc id) — never segment text, never
+   * bodies — with partial distinct aggregation map-side. Lines frequent in
+   * > maxDocFreq docs are RARE by construction (they're the boilerplate
+   * tail), so the blocklist collects to the driver (`maxBlocklist` guards
+   * the assumption loudly) and membership runs map-side inside a
+   * higher-order filter over each document's split array: the corpus is
+   * never exploded into a shuffle, never reassembled via groupBy. Adds
+   * `out` (deduped text) and `n_removed` (dropped segment count).
+   */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Int, delimiter: String = "\n",
+                out: String = "text_dedup",
+                maxBlocklist: Int = 10000000): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val delimLit = java.util.regex.Pattern.quote(delimiter)
+    val segArr = split(col(textCol), delimLit)
+    val freq = df
+      .select(col(idCol), explode(segArr).as("__seg"))
+      .where(trim(col("__seg")) =!= "")
+      .groupBy(xxhash64(col("__seg")).as("__lh"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .where(col("__nd") > maxDocFreq)
+      .select(col("__lh"))
+    val probe = freq.limit(maxBlocklist + 1).collect().map(_.getLong(0))
+    if (probe.length > maxBlocklist)
+      throw new IllegalStateException(
+        s"lineDedup blocklist exceeds maxBlocklist=$maxBlocklist segments — " +
+          "the corpus has more ultra-frequent lines than fits a broadcast " +
+          "membership set; raise maxBlocklist or pre-filter the worst " +
+          "boilerplate with a coarser pass")
+    val blockSet = probe.toSeq
+    // membership per segment, map-side; an empty blocklist short-circuits
+    val blocked: Column => Column =
+      if (blockSet.isEmpty) _ => lit(false)
+      else s => xxhash64(s).isInCollection(blockSet)
+    val segCol  = s"__segs_${df.columns.length}"
+    val keptCol = s"__kept_${df.columns.length}"
+    df.withColumn(segCol, segArr)
+      .withColumn(keptCol, filter(col(segCol), s => !blocked(s)))
+      .withColumn(out, array_join(col(keptCol), delimiter))
+      .withColumn("n_removed",
+        (size(col(segCol)) - size(col(keptCol))).cast(LongType))
+      .drop(segCol, keptCol)
+  }
+
   /** 64-bit SimHash over tokens (term-frequency weighted). Native codegen
     * expression hashing the raw `UTF8String` bytes inside the whole-stage
     * span (graftdedup.SimHash64Expr — no UDF boundary, no per-token String

@@ -444,6 +444,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(approx.map(_.getString(0)).toSeq == Seq("spark", "window"))
   }
 
+  test("lineDedup: boilerplate lines in > maxDocFreq docs removed, order " +
+       "and blank lines preserved, untouched docs byte-identical") {
+    import spark.implicits._
+    val header = "SITE NAVIGATION | HOME | ABOUT"
+    val footer = "(c) 2026 example corp - all rights reserved"
+    val docs = Seq(
+      (0L, s"$header\nunique zero text\n\nmore zero\n$footer"),
+      (1L, s"$header\nunique one text\n$footer"),
+      (2L, s"$header\nsecond doc body here\n$footer"),
+      (3L, "no boilerplate at all\n\ntrailing blank kept\n"),
+      (4L, s"$header\n$footer") // every non-blank line blocked -> ""
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs, "doc_id", "text", maxDocFreq = 2)
+      .select("doc_id", "text_dedup", "n_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // header+footer appear in 4 docs > 2 -> blocked everywhere
+    assert(out(0L) == ("unique zero text\n\nmore zero", 2L))
+    assert(out(1L) == ("unique one text", 2L))
+    assert(out(2L) == ("second doc body here", 2L))
+    // untouched doc reassembles byte-identically (incl. trailing newline)
+    assert(out(3L) == ("no boilerplate at all\n\ntrailing blank kept\n", 0L))
+    // all non-blank lines blocked -> empty doc, correct count
+    assert(out(4L) == ("", 2L))
+
+    // blank lines are never blocklisted even when ultra-frequent; a corpus
+    // below the threshold is returned byte-identical with n_removed = 0
+    val calm = DedupOps.lineDedup(docs, "doc_id", "text", maxDocFreq = 10)
+      .select("doc_id", "text_dedup", "n_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    docs.collect().foreach { r =>
+      assert(calm(r.getLong(0)) == (r.getString(1), 0L))
+    }
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
