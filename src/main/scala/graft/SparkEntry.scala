@@ -523,6 +523,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q53_normalize" -> ((s: SparkSession, dir: String) => {
+      // canonical text cleanup (control-strip + NFC). The synthetic docs are
+      // pure ASCII, so a deterministic suffix exercises the real paths:
+      // combining acute (e+U+0301 -> U+00E9), Angstrom sign (U+212B ->
+      // U+00C5), and a BEL control char that must vanish.
+      val suffix = " cafe\u0301 \u212B x\u0007y"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.normalizeText(concat(col("text"), lit(suffix))).as("text_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1166,6 +1178,15 @@ object SparkEntry {
         |  COALESCE(string_agg(CASE WHEN NOT blocked THEN seg END, ' ' ORDER BY pos), '') AS text_dedup,
         |  CAST(count(CASE WHEN blocked THEN 1 END) AS BIGINT) AS n_removed
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q53_normalize" ->
+      // chr() builds the same decomposed suffix; DuckDB's nfc_normalize is
+      // the same Unicode NFC the native expression implements
+      """SELECT doc_id,
+        |  nfc_normalize(regexp_replace(
+        |    text || ' cafe' || chr(769) || ' ' || chr(8491) || ' x' || chr(7) || 'y',
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q47_bucketed_qc" ->
       // q07's split composed with q08's moving average; the bucketed landing

@@ -144,6 +144,21 @@ object TextOps {
       .drop(tokCol, ccCol)
   }
 
+  /** C0 control characters except \t \n \r, plus DEL — the bytes a corpus
+    * cleanup strips before training (they carry no text and break
+    * downstream tokenizers). RE2-compatible, so the DuckDB oracle applies
+    * the identical class. */
+  val ControlCharRe: String = """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"""
+
+  /** Canonical text cleanup: strip control characters, then Unicode NFC
+    * (composed form — "e"+U+0301 becomes U+00E9, U+212B becomes U+00C5).
+    * The NFC step is a native codegen expression with an ASCII zero-copy
+    * fast path (grafttext.NfcNormalizeExpr), so the common all-ASCII row
+    * costs one byte scan; the regexp runs at scan speed map-side. */
+  def normalizeText(text: Column): Column =
+    org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+      .nfcNormalize(regexp_replace(text, lit(ControlCharRe), lit("")))
+
   /** Content-defined fingerprint: sha2-256 of the token-normalized text
     * (whitespace/punctuation-insensitive — two docs differing only in
     * formatting collide, which is the point). */

@@ -55,6 +55,27 @@ object GraftTextKernels {
     markers.foreach(m => set.add(UTF8String.fromString(m)))
     set
   }
+
+  /** Unicode NFC normalization with an ASCII fast path: pure-ASCII byte
+    * sequences (the overwhelming share of a web corpus) return the input
+    * UTF8String untouched — no String materialization, no Normalizer call.
+    * Already-normalized non-ASCII text also avoids the rebuild via
+    * `isNormalized`. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) {
+        val str = s.toString
+        if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC))
+          return s
+        return UTF8String.fromString(
+          java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    s
+  }
 }
 
 /** `string -> array<bigint>` of [alpha, digit, punct] counts in one byte
@@ -113,12 +134,41 @@ case class MarkerHitsExpr(child: Expression, markers: Seq[String])
     copy(child = newChild)
 }
 
+/** `string -> string` Unicode NFC normalization (composed form), matching
+  * DuckDB's `nfc_normalize` / Python's `unicodedata.normalize('NFC', s)`.
+  * ASCII rows pass through zero-copy (see [[GraftTextKernels.nfcNormalize]]). */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftTextKernels.nfcNormalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftTextKernels.getClass.getName.stripSuffix("$")}.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextKernelExpressions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("ascii_class_counts"),
       new ExpressionInfo(classOf[AsciiClassCountsExpr].getName, "ascii_class_counts"),
-      (c: Seq[Expression]) => AsciiClassCountsExpr(c(0))))
+      (c: Seq[Expression]) => AsciiClassCountsExpr(c(0))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (c: Seq[Expression]) => NfcNormalizeExpr(c(0))))
 
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>
@@ -135,4 +185,8 @@ object TextKernelExpressions {
   /** Column-API form: marker-set membership count over a token array. */
   def markerHits(tokens: Column, markers: Seq[String]): Column =
     ExpressionUtils.column(MarkerHitsExpr(ExpressionUtils.expression(tokens), markers))
+
+  /** Column-API form: Unicode NFC normalization, ASCII rows zero-copy. */
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalizeExpr(ExpressionUtils.expression(text)))
 }

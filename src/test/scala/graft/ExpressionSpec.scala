@@ -125,6 +125,39 @@ class ExpressionSpec extends SparkTestBase {
     }
   }
 
+  test("nfc_normalize: composes combining marks, compat singletons, " +
+       "zero-copy ASCII; normalizeText strips control chars") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.grafttext.GraftTextKernels
+    val decomposed = "cafe\u0301" // e + combining acute
+    val composed   = "caf\u00e9"
+    // kernel-level: ASCII fast path returns the SAME object (zero-copy)
+    val ascii = UTF8String.fromString("plain ascii only")
+    assert(GraftTextKernels.nfcNormalize(ascii) eq ascii)
+    // combining mark composes; compat singleton Angstrom -> A-with-ring
+    assert(GraftTextKernels.nfcNormalize(
+      UTF8String.fromString(decomposed)).toString == composed)
+    assert(GraftTextKernels.nfcNormalize(
+      UTF8String.fromString("\u212B")).toString == "\u00c5")
+    // already-NFC non-ASCII returns the same object too
+    val nfc = UTF8String.fromString(composed)
+    assert(GraftTextKernels.nfcNormalize(nfc) eq nfc)
+    // through SQL with nulls and codegen
+    org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+      .registerInto(spark)
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS a, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS b")
+      .collect()(0)
+    assert(r.getString(0) == composed && r.isNullAt(1))
+    // normalizeText: control chars out, then NFC
+    import spark.implicits._
+    val got = Seq("ab " + decomposed + " \u0007").toDF("t")
+      .select(graft.ops.TextOps.normalizeText(col("t"))).collect()(0).getString(0)
+    assert(got == "ab " + composed + " ")
+  }
+
   test("randomized: native kernels equal reference Scala over unicode tokens") {
     import spark.implicits._
     // vocabulary stresses multi-byte UTF-8: the native kernels hash/concat
