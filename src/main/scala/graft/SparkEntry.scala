@@ -535,6 +535,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q54_decontaminate_bloom" -> ((s: SparkSession, dir: String) => {
+      // q46's semantics on the bloom scale path: distributed sketch build,
+      // map-side might_contain prefilter, exact verify semi-join — the
+      // approximation never reaches the answer, so the oracle is q46's.
+      val d = t(s, dir, "documents")
+      DedupOps.contaminatedIdsBloom(d, "doc_id", "text",
+          d.filter(col("doc_id") < 3), "text", shingleSize = 5, fpp = 0.01)
+        .orderBy(col("doc_id"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1045,6 +1055,28 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q46_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+        |      ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM tok
+        |), probe AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 3
+        |)
+        |SELECT DISTINCT doc_id
+        |FROM (SELECT doc_id, unnest(s) AS g FROM sh) d
+        |JOIN probe USING (g)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q54_decontaminate_bloom" ->
+      // identical semantics to q46 — the bloom prefilter is removed by the
+      // exact verify join, so the oracle is the same plain SQL
       """WITH tok AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t

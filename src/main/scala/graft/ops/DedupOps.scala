@@ -518,6 +518,54 @@ object DedupOps {
       .drop(segCol, keptCol)
   }
 
+  /**
+   * [[contaminatedIds]] for probe sets too large to broadcast exactly
+   * (a full eval-suite union can run to 1e8+ distinct n-grams — hundreds of
+   * GB as broadcast strings). Three-phase, identical results:
+   *
+   *  1. BUILD: a distributed bloom filter over `xxhash64(probe shingle)`
+   *     via Spark's own runtime-filter aggregate; the serialized sketch
+   *     (`numBits/8` bytes — ~120 MB at 1e8 items / 1% fpp) collects to the
+   *     driver and ships to executors as one plan constant.
+   *  2. PREFILTER: the corpus' exploded shingles pass `might_contain`
+   *     map-side at scan speed — no shuffle, no false negatives; survivors
+   *     are the true matches plus an fpp-sized trickle.
+   *  3. VERIFY: an exact shuffle semi-join of the SURVIVORS (tiny) against
+   *     the distinct probe shingles removes the false positives, so the
+   *     result equals [[contaminatedIds]] exactly — approximation never
+   *     reaches the answer.
+   *
+   * `expectedDistinctProbes <= 0` derives the sizing with one
+   * `approx_count_distinct` pass over the probe side (cheap: probe-sized).
+   * Sizing is clamped by `spark.sql.optimizer.runtime.bloomFilter
+   * .maxNumItems` / `.maxNumBits` — raise them for 1e8-item probe sets.
+   */
+  def contaminatedIdsBloom(docs: DataFrame, idCol: String, textCol: String,
+                           probes: DataFrame, probeTextCol: String,
+                           shingleSize: Int = 13, fpp: Double = 0.01,
+                           expectedDistinctProbes: Long = 0L): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val probeSh = probes
+      .select(explode(shingles(col(probeTextCol), shingleSize)).as("__sh"))
+    val nEst =
+      if (expectedDistinctProbes > 0) expectedDistinctProbes
+      else probeSh.select(approx_count_distinct(col("__sh")).as("n"))
+        .head().getLong(0).max(1L)
+    // optimal bits for n items at fpp: -n ln(p) / (ln 2)^2
+    val numBits = math.ceil(
+      -nEst.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+    val sketchExprs = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    val bloom = probeSh
+      .select(sketchExprs.bloomAggregate(xxhash64(col("__sh")), nEst, numBits))
+      .head().getAs[Array[Byte]](0)
+    val candidates = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
+      .where(sketchExprs.bloomMightContain(bloom, xxhash64(col("__sh"))))
+    candidates.join(probeSh.distinct(), Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** 64-bit SimHash over tokens (term-frequency weighted). Native codegen
     * expression hashing the raw `UTF8String` bytes inside the whole-stage
     * span (graftdedup.SimHash64Expr — no UDF boundary, no per-token String

@@ -416,4 +416,26 @@ object HashSketchExpressions {
   def minhashSig(shingles: Column, as: Seq[Long], bs: Seq[Long]): Column =
     ExpressionUtils.column(
       MinHashSigExpr(ExpressionUtils.expression(shingles), as, bs))
+
+  /** Distributed bloom-filter build over a LONG column (pair with
+    * `xxhash64` of the value): Spark's own runtime-filter aggregate
+    * (`BloomFilterAggregate`), exposed for explicit pipeline use. Returns
+    * one BINARY row — the serialized sketch. `nItems`/`nBits` are clamped
+    * by the runtime-filter confs (`spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` / `.maxNumBits`); raise those for very large probe
+    * sets. */
+  def bloomAggregate(hashed: Column, nItems: Long, nBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(hashed),
+        Literal(nItems), Literal(nBits)).toAggregateExpression())
+
+  /** Membership probe against a serialized bloom sketch (codegen'd
+    * `BloomFilterMightContain`; the sketch deserializes once per task).
+    * `hashed` must be the same `xxhash64` the build side inserted. */
+  def bloomMightContain(bloom: Array[Byte], hashed: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal(bloom, BinaryType),
+        ExpressionUtils.expression(hashed)))
 }

@@ -478,6 +478,43 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("contaminatedIdsBloom equals exact contaminatedIds; sketch probe " +
+       "rejects non-members") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val body =
+        if (i % 7 == 0) "alpha beta gamma delta epsilon shared probe run here"
+        else s"doc $i unique words nothing in common with probes at all $i"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val probes = Seq("alpha beta gamma delta epsilon shared probe run here")
+      .toDF("text")
+    val exact = DedupOps.contaminatedIds(docs, "doc_id", "text",
+        probes, "text", shingleSize = 5)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = DedupOps.contaminatedIdsBloom(docs, "doc_id", "text",
+        probes, "text", shingleSize = 5, fpp = 0.01)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == bloom)
+    assert(bloom == (0L until 40L).filter(_ % 7 == 0).toSet)
+    // sketch-level behavior: members always hit, a non-member misses at
+    // this sizing (deterministic: fixed hash, fixed sizing)
+    val sketchExprs = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    val sh = Seq("g one", "g two", "g three").toDF("__sh")
+    val bytes = sh.select(
+        sketchExprs.bloomAggregate(xxhash64(col("__sh")), 3L, 1024L))
+      .head().getAs[Array[Byte]](0)
+    val probeRes = Seq("g one", "g two", "g three", "definitely absent gram")
+      .toDF("__sh")
+      .select(col("__sh"),
+        sketchExprs.bloomMightContain(bytes, xxhash64(col("__sh"))).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probeRes("g one") && probeRes("g two") && probeRes("g three"))
+    assert(!probeRes("definitely absent gram"),
+      "1024-bit sketch over 3 items should reject a non-member")
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
