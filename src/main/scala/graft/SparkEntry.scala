@@ -545,6 +545,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q55_mixture_resample" -> ((s: SparkSession, dir: String) => {
+      // data-mixing with upsampling: reshape three sources to 50/25/25 at
+      // a 230-row target — src0's rate lands at 4.6 copies (4 full + a
+      // hash-gated 5th), src1/src2 at 2.3, everything else drops
+      graft.ops.SampleOps.resampleToMixture(t(s, dir, "documents"),
+          "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), totalRows = 230)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1095,6 +1106,35 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(s) AS g FROM sh) d
         |JOIN probe USING (g)
         |ORDER BY doc_id""".stripMargin,
+
+    "q55_mixture_resample" ->
+      // recomputes the copy counts from first principles with the SAME
+      // double arithmetic order as the Scala driver (((w / W) * T) / n,
+      // floor-based base/cut) and the q45 md5-31 hash family; the sorted
+      // weight fold makes W = 0.25 + 0.25 + 0.5 exactly
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+        |), par AS (
+        |  SELECT source,
+        |    ((CASE source WHEN 'src0' THEN 0.5::DOUBLE
+        |                  WHEN 'src1' THEN 0.25::DOUBLE
+        |                  ELSE 0.25::DOUBLE END
+        |      / (0.5::DOUBLE + 0.25::DOUBLE + 0.25::DOUBLE)) * 230.0) / n AS r
+        |  FROM counts
+        |), cuts AS (
+        |  SELECT source, CAST(floor(r) AS BIGINT) AS base,
+        |    CAST(floor((r - floor(r)) * 2147483648.0) AS BIGINT) AS cut
+        |  FROM par
+        |), cop AS (
+        |  SELECT d.doc_id, d.source,
+        |    c.base + CASE WHEN
+        |      (('0x' || substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |        & 2147483647::UBIGINT)::BIGINT < c.cut THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN cuts c USING (source)
+        |)
+        |SELECT doc_id, source, unnest(generate_series(0, copies - 1))::BIGINT AS epoch
+        |FROM cop WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'

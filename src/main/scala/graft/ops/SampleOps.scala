@@ -66,6 +66,63 @@ object SampleOps {
   }
 
   /**
+   * Deterministic MIXTURE resampling: reshape the corpus to target
+   * per-source weights, INCLUDING upsampling — the pre-training data-mixing
+   * step ("2 epochs of books, 0.3 epochs of web"). For source s with n_s
+   * rows and normalized weight w_s, the expected copy count is
+   * r_s = ((w_s / W) * totalRows) / n_s: every row gets floor(r_s) full
+   * copies, plus one more iff its md5-31 hash lands under frac(r_s) of the
+   * hash space — so the output is w_s-proportioned in expectation, every
+   * row's multiplicity is a pure function of (salt, key), and light-tailed
+   * sources replicate whole-row-deterministically instead of by RNG.
+   * Sources absent from `weights` are dropped. Output rows carry `epoch`
+   * (0-based copy index) for loaders that salt their shuffle per epoch.
+   *
+   * Scale shape: one tiny groupBy-count over the source column (#sources
+   * rows), then a map-side CASE chain + `explode(sequence(...))` — the
+   * corpus itself never shuffles, and the explode emits exactly the output
+   * multiplicity (no generate-then-filter pass).
+   */
+  def resampleToMixture(df: DataFrame, keyCol: String, sourceCol: String,
+                        weights: Map[String, Double], totalRows: Long,
+                        salt: String = "graft"): DataFrame = {
+    require(totalRows > 0, s"totalRows must be positive, got $totalRows")
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (s, w) =>
+      require(w >= 0.0, s"weight for '$s' must be >= 0, got $w") }
+    // sorted fold so the normalizing sum (and with it every derived double)
+    // is deterministic and exactly reproducible by the oracle's literal SQL
+    val sortedW = weights.toSeq.sortBy(_._1)
+    val wSum = sortedW.map(_._2).sum
+    require(wSum > 0.0, "at least one weight must be positive")
+    val counts = df
+      .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-source (full copies, 31-bit cut for the fractional extra copy);
+    // parenthesization mirrors the oracle SQL exactly: ((w / W) * T) / n
+    val params = sortedW.collect {
+      case (s, w) if counts.getOrElse(s, 0L) > 0L =>
+        val r = ((w / wSum) * totalRows.toDouble) / counts(s).toDouble
+        val base = math.floor(r).toLong
+        val cut = math.floor((r - math.floor(r)) * (DedupOps.P31 + 1).toDouble).toLong
+        (s, base, cut)
+    }
+    val hash = keyHash(col(keyCol), salt)
+    val copies = params.foldLeft(lit(0L)) { case (acc, (s, base, cut)) =>
+      when(col(sourceCol) === s,
+        lit(base) + when(hash < lit(cut), lit(1L)).otherwise(lit(0L)))
+        .otherwise(acc)
+    }
+    val copiesCol = s"__copies_${df.columns.length}"
+    df.withColumn(copiesCol, copies)
+      .filter(col(copiesCol) > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col(copiesCol) - 1, lit(1L))))
+      .drop(copiesCol)
+  }
+
+  /**
    * Deterministic sequence PACKING: group consecutive docs (in `orderCol`
    * order within each `splitCol` partition) into packs of at most `budget`
    * tokens — the pretraining step that concatenates documents into

@@ -515,6 +515,35 @@ class PipelineOpsSpec extends SparkTestBase {
       "1024-bit sketch over 3 items should reject a non-member")
   }
 
+  test("resampleToMixture: deterministic upsampling hits target mixture, " +
+       "unlisted sources drop, epochs are dense") {
+    import spark.implicits._
+    val docs = ((0L until 100L).map(i => (i, "web")) ++
+      (100L until 110L).map(i => (i, "books")) ++
+      (110L until 120L).map(i => (i, "junk"))).toDF("doc_id", "source")
+    // 50/50 web/books at 100 output rows: web rate 0.5 (hash-gated), books
+    // rate 5.0 (every row exactly 5 copies); junk unlisted -> dropped
+    val out = graft.ops.SampleOps.resampleToMixture(docs, "doc_id", "source",
+      Map("web" -> 0.5, "books" -> 0.5), totalRows = 100)
+    val rows = out.select("doc_id", "source", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!rows.exists(_._2 == "junk"))
+    // books: every doc exactly 5 copies, epochs 0..4
+    val books = rows.filter(_._2 == "books").groupBy(_._1).view.mapValues(_.map(_._3).sorted)
+    assert(books.size == 10)
+    books.foreach { case (_, es) => assert(es.toSeq == Seq(0L, 1L, 2L, 3L, 4L)) }
+    // web: hash-gated single copies, close to 50 of 100 in expectation
+    val web = rows.filter(_._2 == "web")
+    assert(web.forall(_._3 == 0L))
+    assert(web.length > 30 && web.length < 70, s"web kept ${web.length}")
+    // byte-for-byte deterministic across invocations
+    val again = graft.ops.SampleOps.resampleToMixture(docs, "doc_id", "source",
+      Map("web" -> 0.5, "books" -> 0.5), totalRows = 100)
+      .select("doc_id", "source", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
