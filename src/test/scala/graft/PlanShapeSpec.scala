@@ -135,6 +135,34 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("lineDedup rebuild and mixture resample are map-side: no hash " +
+       "exchange over the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the blocklist aggregation runs at PLAN time (driver collect); the
+    // returned frame must be a pure map-side rebuild of the scan
+    val ld = DedupOps.lineDedup(docs, "doc_id", "text",
+        maxDocFreq = 3, delimiter = " ")
+      .queryExecution.executedPlan.toString
+    assert(countOccurrences(ld, "Exchange hashpartitioning") == 0, ld)
+    val mix = graft.ops.SampleOps.resampleToMixture(docs, "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.5), totalRows = 50)
+      .queryExecution.executedPlan.toString
+    assert(countOccurrences(mix, "Exchange hashpartitioning") == 0, mix)
+  }
+
+  test("bloom decontamination prefilters below the exact semi-join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = DedupOps.contaminatedIdsBloom(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 3), "text", shingleSize = 5)
+      .queryExecution.executedPlan.toString
+    // the corpus side must carry the might_contain predicate BEFORE its
+    // semi-join with the probe set (map-side prefilter at scan speed)
+    val joinAt = plan.indexOf("LeftSemi")
+    val bloomAt = plan.indexOf("might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      s"bloom prefilter not below the semi-join:\n$plan")
+  }
+
   test("landOnce validates a pre-existing table's bucket spec and schema") {
     import graft.sources.BucketedLand
     import spark.implicits._
