@@ -556,6 +556,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
+    "q56_group_centroids" -> ((s: SparkSession, dir: String) => {
+      // class-prototype centroids over the embeddings table: map-side
+      // explode + partial agg, shuffle carries labels x dim partial sums
+      graft.ops.SimOps.groupCentroids(t(s, dir, "embeddings"),
+          "label", "embedding")
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("centroid"), col("n_vectors"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
+    "q57_corpus_stats" -> ((s: SparkSession, dir: String) => {
+      // per-source length audit: count, mean, exact p50/p90/p99 of n_chars
+      TextOps.groupStats(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy(col("source"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1135,6 +1151,26 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, unnest(generate_series(0, copies - 1))::BIGINT AS epoch
         |FROM cop WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin,
+
+    "q56_group_centroids" ->
+      // parallel unnests zip element with its 1-based position; float
+      // elements promote to double in both engines' avg, round(6) absorbs
+      // summation-order ulps
+      """SELECT label, pos - 1 AS dim, round(avg(v), 6) AS centroid,
+        |       count(*) AS n_vectors
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |             unnest(generate_series(1, len(embedding))) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, dim""".stripMargin,
+
+    "q57_corpus_stats" ->
+      // quantile_cont is the same (n-1)*p linear interpolation Spark's
+      // exact percentile computes
+      """SELECT source, count(*) AS n, round(avg(n_chars), 6) AS mean,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 6) AS p99
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'

@@ -353,4 +353,35 @@ object SimOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
+
+  /**
+   * Per-group embedding centroids (class prototypes / cluster means —
+   * the mean-pooling step of prototype classification, semantic dedup
+   * cluster summaries, and codebook refreshes). Returns LONG rows
+   * (label, dim, centroid) with `centroid` rounded to `decimals` (absorbing
+   * the sub-ulp non-determinism of distributed float summation order).
+   *
+   * Scale shape: the per-element explode runs map-side and PARTIAL
+   * aggregation folds it to (label, dim) groups before the shuffle, so
+   * shuffle volume is labels x dim partial sums per task — independent of
+   * row count. This beats a driver-side or whole-array UDAF approach: no
+   * vectors cross the wire, no group's rows need co-residence.
+   */
+  def groupCentroids(df: DataFrame, labelCol: String, vecCol: String,
+                     decimals: Int = 6): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(round(avg(col("__v")), decimals).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+
+  /** [[groupCentroids]] reassembled to one `array<double>` row per label —
+    * the shape downstream assignment expressions (e.g. [[ivfTopK]]'s
+    * codebook) consume. The collect_list runs over the already-aggregated
+    * (labels x dim) table, not the corpus. */
+  def groupCentroidArrays(df: DataFrame, labelCol: String, vecCol: String,
+                          decimals: Int = 6): DataFrame =
+    groupCentroids(df, labelCol, vecCol, decimals)
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("centroid"))
 }

@@ -188,6 +188,29 @@ object TextOps {
       .limit(k)
   }
 
+  /**
+   * Per-group distribution stats of a numeric column (corpus length/token
+   * audits: the "what does this source look like" pre-pass before choosing
+   * filter thresholds). Emits count, mean, and EXACT linear-interpolation
+   * percentiles (same definition as DuckDB's `quantile_cont`, so the
+   * operator is exactly oracle-able). Exact percentiles buffer each group's
+   * values — right for per-source audits (groups ≈ sources, values ≈ docs
+   * per source); at 1e9-docs-per-group scale swap `percentile` for
+   * `approx_percentile`, which this signature deliberately mirrors.
+   */
+  def groupStats(df: DataFrame, groupCol: String, valueCol: String,
+                 percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0,1]: $percentiles")
+    val pCols = percentiles.map { p =>
+      val name = s"p${(p * 100).toInt}"
+      round(percentile(col(valueCol), lit(p)), 6).as(name)
+    }
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 6).as("mean") +: pCols: _*)
+  }
+
   // --- PII redaction ------------------------------------------------------
 
   /** RE2-compatible patterns (no backrefs/lookahead), so the identical regex

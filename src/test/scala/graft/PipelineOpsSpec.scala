@@ -544,6 +544,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("groupCentroids: per-label elementwise means; array variant " +
+       "reassembles in dim order") {
+    import spark.implicits._
+    val d = Seq(
+      (0, Array(1.0f, 2.0f, 3.0f)),
+      (0, Array(3.0f, 4.0f, 5.0f)),
+      (1, Array(10.0f, 0.0f, -2.0f))
+    ).toDF("label", "embedding")
+    val rows = SimOps.groupCentroids(d, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(rows((0, 0)) == (2.0, 2L) && rows((0, 1)) == (3.0, 2L) &&
+      rows((0, 2)) == (4.0, 2L))
+    assert(rows((1, 0)) == (10.0, 1L) && rows((1, 2)) == (-2.0, 1L))
+    val arrs = SimOps.groupCentroidArrays(d, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(arrs(0) == Seq(2.0, 3.0, 4.0))
+    assert(arrs(1) == Seq(10.0, 0.0, -2.0))
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
