@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
  * batched iteration shape, null handling. The IMAGE codec is real:
  * `kind == "image"` blobs that `javax.imageio` can decode (PNG/BMP/GIF/JPEG
  * — pure-JDK readers, no external deps) yield genuine pixel features (grid
- * mean luminance). Blobs ImageIO cannot decode — and audio/video, for which
- * this container has no libraries — fall back to `decodeStub`'s
- * deterministic pseudo-features, so the operator never drops a row over a
- * corrupt or unsupported blob (the dead-letter pattern a 100 TB ingest
- * wants is a downstream filter on the feature source, not a mid-job throw).
+ * mean luminance). The AUDIO codec is real too: `kind == "audio"` blobs
+ * that `javax.sound.sampled` can decode (WAV/AIFF/AU PCM — also pure JDK)
+ * yield genuine segment-RMS features. Undecodable blobs — and video, for
+ * which the JDK has no codec — fall back to `decodeStub`'s deterministic
+ * pseudo-features, so the operator never drops a row over a corrupt or
+ * unsupported blob (the dead-letter pattern a 100 TB ingest wants is a
+ * downstream filter on the feature source, not a mid-job throw).
  */
 object MultimodalOps {
 
@@ -92,6 +94,67 @@ object MultimodalOps {
     Array.tabulate(dim)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
   }
 
+  /** Real audio decode: pure-JDK `javax.sound.sampled` (WAV/AIFF/AU PCM —
+    * no external codecs). Returns mono samples in [-1, 1] (channels
+    * averaged per frame) or None when the bytes aren't a decodable audio
+    * file — the caller falls back to the stub, same dead-letter pattern as
+    * [[decodeImage]]. */
+  private[ops] def decodeAudio(bytes: Array[Byte]): Option[Array[Double]] =
+    if (bytes == null || bytes.length == 0) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val channels = fmt.getChannels.max(1)
+        // normalize any PCM layout to signed 16-bit little-endian
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, channels, channels * 2, fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+        val raw = pcm.readAllBytes()
+        val nFrames = raw.length / (2 * channels)
+        val mono = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val off = (f * channels + c) * 2
+            val s = (((raw(off + 1).toInt) << 8) | (raw(off) & 0xff)).toShort
+            acc += s.toDouble / 32768.0
+            c += 1
+          }
+          mono(f) = acc / channels
+          f += 1
+        }
+        Some(mono)
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio features: RMS energy over `dim` equal-length segments of the
+    * mono signal, each in [0, 1] — the audio analog of the image grid
+    * luminance. Deterministic in the sample data; segments with no samples
+    * (signal shorter than `dim`) are 0. */
+  private[ops] def audioFeatures(samples: Array[Double], dim: Int): Array[Double] = {
+    val n = samples.length
+    val out = new Array[Double](dim)
+    if (n == 0) return out
+    var seg = 0
+    while (seg < dim) {
+      val from = (seg.toLong * n / dim).toInt
+      val until = ((seg + 1).toLong * n / dim).toInt
+      if (until > from) {
+        var s = 0.0
+        var i = from
+        while (i < until) { s += samples(i) * samples(i); i += 1 }
+        out(seg) = math.sqrt(s / (until - from))
+      }
+      seg += 1
+    }
+    out
+  }
+
   /** STUB decode: deterministic pseudo-feature vector from the blob bytes
     * (xxhash-free: plain polynomial rolling hash so any engine can
     * reproduce it). The fallback for undecodable blobs and for audio/video
@@ -136,10 +199,13 @@ object MultimodalOps {
         batch.iterator.map { r =>
           val bytes = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
           val kind = r.getString(kindIdx)
-          val feat =
-            if (kind == "image") decodeImage(bytes).map(imageFeatures(_, dim))
+          val feat = kind match {
+            case "image" => decodeImage(bytes).map(imageFeatures(_, dim))
               .getOrElse(decodeStub(bytes, dim))
-            else decodeStub(bytes, dim)
+            case "audio" => decodeAudio(bytes).map(audioFeatures(_, dim))
+              .getOrElse(decodeStub(bytes, dim))
+            case _ => decodeStub(bytes, dim)
+          }
           Row(r.getLong(idIdx), kind, feat.toIndexedSeq,
             if (bytes == null) 0L else bytes.length.toLong)
         }

@@ -256,6 +256,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(feats(1L) != f0, "stub features must not masquerade as pixel features")
   }
 
+  test("multimodal: real WAV bytes decode to segment-RMS features; " +
+       "non-audio falls back to stub") {
+    import javax.sound.sampled._
+    // 16 kHz mono 16-bit PCM: first half a 0.5-amplitude square wave
+    // (RMS exactly 0.5), second half silence
+    val n = 16000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n / 2) {
+      val s = (if ((i / 20) % 2 == 0) 16384 else -16384).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val rows = Seq(
+      (0L, "audio", wav),                               // decodable WAV
+      (1L, "audio", "not audio at all".getBytes("UTF-8")), // stub fallback
+      (2L, "video", wav))                               // video kind: stub
+      .toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(lit(0).as("width"), lit(0).as("height"),
+        lit(16000).as("sample_rate"), lit(1).as("n_frames")))
+    val feats = MultimodalOps.extractFeatures(rows, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("feat")).toMap
+    val f0 = feats(0L)
+    assert(math.abs(f0(0) - 0.5) < 0.01 && math.abs(f0(1) - 0.5) < 0.01,
+      s"loud half should have RMS ~0.5: $f0")
+    assert(f0(2) < 0.01 && f0(3) < 0.01, s"silent half should be ~0: $f0")
+    // same WAV under kind=video takes the stub path; undecodable audio too
+    val stubOfWav = MultimodalOps.extractFeatures(
+      rows.filter(col("media_id") === 0L).withColumn("kind", lit("video")),
+      dim = 4).collect().head.getAs[scala.collection.Seq[Double]]("feat")
+    assert(feats(2L) == stubOfWav)
+    assert(feats(0L) != feats(2L), "real RMS must differ from the stub")
+    assert(feats(1L) != f0, "stub features must not masquerade as RMS features")
+  }
+
   test("nearDuplicatePairsWithHandle: unpersist handle leaves no cached blocks") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (pairs, done) = DedupOps.nearDuplicatePairsWithHandle(docs, "doc_id", "text",
