@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/**
+ * Fluent surface for the training-data pipeline operators — the same
+ * pandas-flavor chaining style `graft.ops.implicits` gives the cast
+ * operators (the reference registers its methods on DataFrame via
+ * pandas-flavor; here an implicit value class plays that role with zero
+ * wrapper allocation). Column-name defaults follow the `documents` table
+ * convention (`doc_id`, `text`); every method delegates to the tested
+ * operator object.
+ *
+ * {{{
+ *   import graft.ops.pipeline.implicits._
+ *   docs.normalizeText()
+ *       .qualityScore()
+ *       .lineDedup(maxDocFreq = 1000)
+ *       .nearDedup()
+ *       .hashSplit(nSplits = 10)
+ * }}}
+ */
+object pipeline {
+
+  object implicits {
+
+    implicit class PipelineDataFrameOps(val df: DataFrame) extends AnyVal {
+
+      // --- dedup ---------------------------------------------------------
+
+      def exactDedup(idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+        DedupOps.exactDedup(df, idCol, textCol)
+
+      def nearDedup(idCol: String = "doc_id", textCol: String = "text",
+                    numHashes: Int = 64, bands: Int = 16,
+                    shingleSize: Int = 3, threshold: Double = 0.7): DataFrame =
+        DedupOps.nearDedup(df, idCol, textCol, numHashes, bands, shingleSize, threshold)
+
+      def nearDedupConnected(idCol: String = "doc_id", textCol: String = "text",
+                             threshold: Double = 0.7): DataFrame =
+        DedupOps.nearDedupConnected(df, idCol, textCol, threshold = threshold)
+
+      def lineDedup(maxDocFreq: Int, idCol: String = "doc_id",
+                    textCol: String = "text", delimiter: String = "\n"): DataFrame =
+        DedupOps.lineDedup(df, idCol, textCol, maxDocFreq, delimiter)
+
+      def decontaminate(probes: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", probeTextCol: String = "text",
+                        shingleSize: Int = 13): DataFrame = {
+        val flagged = DedupOps.contaminatedIds(df, idCol, textCol,
+          probes, probeTextCol, shingleSize)
+        df.join(flagged, Seq(idCol), "left_anti")
+      }
+
+      // --- text analysis -------------------------------------------------
+
+      def normalizeText(textCol: String = "text",
+                        out: String = "text_norm"): DataFrame =
+        df.withColumn(out, TextOps.normalizeText(col(textCol)))
+
+      def langId(textCol: String = "text"): DataFrame =
+        TextOps.langId(df, textCol)
+
+      def qualityScore(textCol: String = "text"): DataFrame =
+        TextOps.qualityScore(df, textCol)
+
+      def repetitionSignals(textCol: String = "text"): DataFrame =
+        TextOps.repetitionSignals(df, textCol)
+
+      def redactPii(textCol: String = "text",
+                    out: String = "text_redacted"): DataFrame =
+        df.withColumn(out, TextOps.redactPii(col(textCol)))
+
+      def fingerprint(textCol: String = "text",
+                      out: String = "fingerprint"): DataFrame =
+        df.withColumn(out, TextOps.fingerprint(col(textCol)))
+
+      def tokenCount(textCol: String = "text",
+                     out: String = "n_tokens"): DataFrame =
+        df.withColumn(out, TextOps.tokenCount(col(textCol)))
+
+      // --- sampling / packing --------------------------------------------
+
+      def hashSplit(nSplits: Int, keyCol: String = "doc_id",
+                    salt: String = "graft"): DataFrame =
+        SampleOps.hashSplit(df, keyCol, nSplits, salt)
+
+      def sampleByHash(rate: Double, keyCol: String = "doc_id",
+                       salt: String = "graft"): DataFrame =
+        SampleOps.sampleByHash(df, keyCol, rate, salt)
+
+      def stratifiedSampleByHash(stratumCol: String, rates: Map[String, Double],
+                                 keyCol: String = "doc_id",
+                                 defaultRate: Double = 1.0,
+                                 salt: String = "graft"): DataFrame =
+        SampleOps.stratifiedSampleByHash(df, keyCol, stratumCol, rates,
+          defaultRate, salt)
+
+      def resampleToMixture(sourceCol: String, weights: Map[String, Double],
+                            totalRows: Long, keyCol: String = "doc_id",
+                            salt: String = "graft"): DataFrame =
+        SampleOps.resampleToMixture(df, keyCol, sourceCol, weights, totalRows, salt)
+
+      def packSequences(budget: Long, splitCol: String = "split",
+                        orderCol: String = "doc_id",
+                        tokenCountCol: String = "n_tokens"): DataFrame =
+        SampleOps.packSequences(df, splitCol, orderCol, tokenCountCol, budget)
+    }
+  }
+}

@@ -52,4 +52,36 @@ class FluentApiSpec extends SparkTestBase {
     assert(a.nonEmpty, "chain produced no rows")
     assert(a == b, "fluent chain diverged from explicit composition")
   }
+
+  test("pipeline fluent chain == explicit composition on a doc corpus") {
+    import graft.ops.pipeline.implicits._
+    import graft.ops.{DedupOps, SampleOps, TextOps}
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different document about spark query planning"),
+      (3L, "short text")
+    ).toDF("doc_id", "text")
+
+    val fluent = docs
+      .exactDedup()
+      .normalizeText()
+      .qualityScore()
+      .tokenCount()
+      .hashSplit(nSplits = 4)
+      .orderBy("doc_id").collect().toSeq
+
+    val explicitDf = {
+      val d0 = DedupOps.exactDedup(docs, "doc_id", "text")
+      val d1 = d0.withColumn("text_norm", TextOps.normalizeText(col("text")))
+      val d2 = TextOps.qualityScore(d1, "text")
+      val d3 = d2.withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      SampleOps.hashSplit(d3, "doc_id", 4)
+    }.orderBy("doc_id").collect().toSeq
+
+    assert(fluent.nonEmpty && fluent == explicitDf)
+    // dedup kept the lower id of the duplicate pair
+    assert(!fluent.map(_.getLong(0)).contains(1L))
+  }
 }
