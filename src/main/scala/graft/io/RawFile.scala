@@ -24,7 +24,10 @@ import org.apache.spark.graft.HadoopConfBridge
  */
 object RawFile {
 
-  val CompressedExts: Set[String] = Set("gzip", "gz", "bz2", "zip")
+  // zst/zstd go beyond the reference's gzip/bz2/zip (read.py:44-61): zstd is
+  // the de-facto object-store corpus codec and Spark already ships zstd-jni,
+  // so the reader accepts it at zero dependency cost
+  val CompressedExts: Set[String] = Set("gzip", "gz", "bz2", "zip", "zst", "zstd")
   val PlainExts: Set[String]      = Set("cnv", "edf", "txt", "ros", "btl", "bl", "csv")
 
   /** Lowercased extension without the dot ("" if none). */
@@ -69,6 +72,9 @@ object RawFile {
       new GZIPInputStream(openRaw(path))
     else if (e == "bz2")
       new BZip2CompressorInputStream(openRaw(path))
+    else if (e == "zst" || e == "zstd")
+      new org.apache.commons.compress.compressors.zstandard
+        .ZstdCompressorInputStream(openRaw(path))
     else if (e == "zip") {
       // stream the FIRST (non-directory) entry — ZipInputStream walks the
       // archive sequentially, so it works over any FileSystem stream, unlike

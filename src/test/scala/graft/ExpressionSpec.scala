@@ -47,11 +47,25 @@ class ExpressionSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 
-  test("GraftExtensions injects all four functions") {
+  test("GraftExtensions injects every native function family") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // throws if the builder shapes are wrong
     assert(GswExpressions.all.map(_._1.funcName).sorted ==
       Seq("gsw_distance", "gsw_p_from_z", "gsw_sigma0", "gsw_z_from_p"))
+    val injected = (
+      GswExpressions.all ++
+      org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions.all ++
+      org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions.all ++
+      org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions.all
+    ).map(_._1.funcName).toSet
+    // one representative per family + the newer kernels must be present
+    // minhash_sig is Column-API-only (its permutation-constant arguments
+    // don't fit SQL literal builders), so it's deliberately absent here
+    Seq("gsw_sigma0", "array_dot", "simhash64", "word_shingles",
+        "lsh_band_keys", "md5_hash31", "max_token_freq",
+        "ascii_class_counts", "nfc_normalize").foreach { f =>
+      assert(injected.contains(f), s"$f missing from injected functions: $injected")
+    }
   }
 
   test("array_dot == interpreted aggregate/zip_with fold == plain Scala fold") {

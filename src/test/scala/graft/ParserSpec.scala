@@ -11,13 +11,28 @@ class ParserSpec extends AnyFunSuite {
   private def load(ftype: String, path: String) =
     Parsers.parse(ftype, path, RawFile.decode(RawFile.bytes(path)))
 
-  test("compression matrix: zip/gz/bz2/plain EDF all decode to the same cast") {
-    val casts = Seq("XBT.EDF", "XBT.EDF.gz", "XBT.EDF.bz2", "XBT.EDF.zip")
-      .map(f => load("edf", s"$data/$f"))
+  test("compression matrix: zip/gz/bz2/zst/plain EDF all decode to the same cast") {
+    // synthesize the zst twin on the fly (no fixture ships one): zstd-jni is
+    // on the Spark classpath, so .EDF.zst corpora decode like gz/bz2
+    val zstPath = {
+      val raw = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$data/XBT.EDF"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zst")
+        .resolve("XBT.EDF.zst")
+      val out = new org.apache.commons.compress.compressors.zstandard
+        .ZstdCompressorOutputStream(java.nio.file.Files.newOutputStream(tmp))
+      try out.write(raw) finally out.close()
+      tmp.toString
+    }
+    val casts = (Seq("XBT.EDF", "XBT.EDF.gz", "XBT.EDF.bz2", "XBT.EDF.zip")
+      .map(f => s"$data/$f") :+ zstPath)
+      .map(p => load("edf", p))
     assert(casts.map(_.rows.length).distinct.size == 1)
     assert(casts.head.rows.nonEmpty)
     assert(casts.head.schema.fieldNames.toSeq ==
       Seq("time", "resistance", "depth", "temperature", "sound"))
+    // stem strips the compression ext then the format ext, same as .gz
+    assert(RawFile.stem(zstPath) == "XBT")
   }
 
   test("EDF lat/lon parsed to 7 decimals; missing positions -> None") {
