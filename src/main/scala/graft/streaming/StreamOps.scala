@@ -72,6 +72,35 @@ object StreamOps {
   }
 
   /**
+   * Streaming NEAR-dedup, sketch-exact: drop documents whose 64-bit SimHash
+   * over the token stream was already seen within the watermark horizon.
+   * Token-identical documents — reformatted boilerplate, punctuation-only
+   * variants — collide exactly (Hamming distance 0), which covers the
+   * overwhelming share of streaming duplicates while keeping state at one
+   * 8-byte key per unique doc in the horizon. A full banded-LSH
+   * Hamming-radius join is a batch job ([[graft.ops.DedupOps]]); this is
+   * the streaming-budget approximation of it, same state-eviction contract
+   * as [[streamingExactDedup]].
+   *
+   * Documents with NO tokens (null/empty/non-alphanumeric text) pass
+   * through: they all share the empty sketch, and dropping every
+   * punctuation-only doc after the first would be a silent data loss, not
+   * a dedup.
+   */
+  def streamingNearDedup(docs: DataFrame, textCol: String, tsCol: String,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val toks = graft.ops.TextOps.tokens(col(textCol))
+    val withSketch = docs
+      .withColumn("__ntok", size(toks))
+      .withColumn("__sketch", graft.ops.DedupOps.simHash64(toks))
+      .withWatermark(tsCol, watermark)
+    withSketch.filter(col("__ntok") > 0)
+      .dropDuplicatesWithinWatermark("__sketch")
+      .unionByName(withSketch.filter(col("__ntok") <= 0 || col("__ntok").isNull))
+      .drop("__sketch", "__ntok")
+  }
+
+  /**
    * Online press_check via `mapGroupsWithState`: within each micro-batch the
    * group's samples are sorted by scan and folded through the running
    * reversal state, which persists across batches. (flatMapGroupsWithState

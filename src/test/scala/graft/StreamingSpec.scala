@@ -78,6 +78,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingNearDedup drops token-identical reformatted docs, keeps " +
+       "distinct and token-less docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamOps.streamingNearDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("near_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (0L, ts(0), "The quick brown fox!"),
+        (1L, ts(1), "something else entirely"),
+        (2L, ts(2), "the QUICK brown -- fox")) // token-identical to 0 -> drop
+      q.processAllAvailable()
+      input.addData(
+        (3L, ts(3), "SOMETHING else... entirely"), // token-identical to 1 -> drop
+        (4L, ts(4), "genuinely new content"),
+        (5L, ts(5), "!!!"),  // no tokens: pass through
+        (6L, ts(6), "???"))  // no tokens: pass through (not deduped vs 5)
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM near_dedup_stream ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(0L, 1L, 4L, 5L, 6L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("ctd micro-batch source picks up files dropped into the directory") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory("ctd-stream").toFile
