@@ -136,7 +136,7 @@ object MultimodalOps {
     * mono signal, each in [0, 1] — the audio analog of the image grid
     * luminance. Deterministic in the sample data; segments with no samples
     * (signal shorter than `dim`) are 0. */
-  private[ops] def audioFeatures(samples: Array[Double], dim: Int): Array[Double] = {
+  private[graft] def audioFeatures(samples: Array[Double], dim: Int): Array[Double] = {
     val n = samples.length
     val out = new Array[Double](dim)
     if (n == 0) return out

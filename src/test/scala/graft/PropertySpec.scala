@@ -16,6 +16,8 @@ class PropertySpec extends AnyFunSuite {
   }
   private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
     check(Prop.forAllNoShrink(g) { a => f(a); true })
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    check(Prop.forAllNoShrink(g1, g2) { (a: A, b: B) => f(a, b); true })
   private def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])(f: (A, B, C) => Unit): Unit =
     check(Prop.forAllNoShrink(g1, g2, g3) { (a: A, b: B, c: C) => f(a, b, c); true })
   private def forAll[A, B, C, D](g1: Gen[A], g2: Gen[B], g3: Gen[C], g4: Gen[D])(f: (A, B, C, D) => Unit): Unit =
@@ -97,6 +99,50 @@ class PropertySpec extends AnyFunSuite {
       val expected = (deg + BigDecimal(f"$min%.4f").toDouble / 60.0) *
         (if (hemi == 'S') -1 else 1)
       assert(math.abs(parsed - expected) < 1e-9)
+    }
+  }
+
+  test("nfcNormalize kernel: idempotent, agrees with java.text.Normalizer, " +
+       "ASCII identity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.grafttext.GraftTextKernels
+    // mix ASCII with combining marks, precomposed chars, compat singletons,
+    // CJK, and surrogate-pair emoji
+    val unicodeChar: Gen[String] = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "),
+      Gen.oneOf("́", "̈", "é", "Å", "Å",
+        "の", "水", "😀", "ẛ", "̣"))
+    val strGen: Gen[String] =
+      Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, unicodeChar)).map(_.mkString)
+    forAll(strGen) { s =>
+      val once = GraftTextKernels.nfcNormalize(UTF8String.fromString(s)).toString
+      val ref = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(once == ref, s"kernel diverged from Normalizer on ${s.codePoints().toArray.toSeq}")
+      val twice = GraftTextKernels.nfcNormalize(UTF8String.fromString(once)).toString
+      assert(twice == once, "NFC must be idempotent")
+    }
+    // pure ASCII: zero-copy identity
+    forAll(Gen.asciiPrintableStr) { s =>
+      val u = UTF8String.fromString(s)
+      assert(GraftTextKernels.nfcNormalize(u) eq u)
+    }
+  }
+
+  test("audioFeatures: RMS bounded by peak amplitude, constant signal exact, " +
+       "segment count honored") {
+    import graft.ops.MultimodalOps
+    val sig: Gen[Array[Double]] = Gen.chooseNum(1, 400).flatMap(n =>
+      Gen.containerOfN[Array, Double](n, Gen.chooseNum(-1.0, 1.0)))
+    forAll(sig, Gen.chooseNum(1, 8)) { (samples, dim) =>
+      val f = MultimodalOps.audioFeatures(samples, dim)
+      assert(f.length == dim)
+      val peak = samples.map(math.abs).max
+      assert(f.forall(v => v >= 0.0 && v <= peak + 1e-12))
+    }
+    // constant-amplitude signal: every non-empty segment's RMS == |amplitude|
+    forAll(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(8, 64)) { (amp, n) =>
+      val f = MultimodalOps.audioFeatures(Array.fill(n)(amp), 4)
+      f.foreach(v => assert(math.abs(v - math.abs(amp)) < 1e-12))
     }
   }
 }
