@@ -572,6 +572,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q58_pipeline_e2e" -> ((s: SparkSession, dir: String) => {
+      // the whole training-data pipeline end to end, every stage exactly
+      // reproducible: exact dedup -> quality gate (>= 0.75) -> token count
+      // -> deterministic 4-way split -> 2048-token sequence packing
+      val docs = t(s, dir, "documents")
+      val deduped = DedupOps.exactDedup(docs, "doc_id", "text")
+      val gated = TextOps.qualityScore(deduped, "text")
+        .filter(col("quality") >= 0.75)
+      val counted = gated.withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      val split = graft.ops.SampleOps.hashSplit(counted, "doc_id", 4)
+      graft.ops.SampleOps.packSequences(split, "split", "doc_id",
+          "n_tokens", budget = 2048L)
+        .select(col("doc_id"), col("quality"), col("n_tokens"), col("split"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1171,6 +1188,59 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.9), 6) AS p90,
         |  round(quantile_cont(n_chars, 0.99), 6) AS p99
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q58_pipeline_e2e" ->
+      // q12's dedup + q32's quality formula + q13's token count + q45's
+      // hash split + q50's packing window, chained — every stage of the
+      // pipeline stays bit-reproducible under composition
+      """WITH dedup AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents
+        |  ) WHERE rn = 1
+        |), base AS (
+        |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM dedup
+        |), m AS (
+        |  SELECT doc_id, text, n, alpha, t,
+        |    CASE WHEN len(t) > 0 THEN
+        |      CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+        |    ELSE 0.0 END AS mtl,
+        |    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','mit','the','a','of','and',
+        |       'is','to','in','that','el','la','de','que','y','en','un','por','le',
+        |       'les','et','est','une','dans'], x))) AS DOUBLE) / len(t)
+        |    ELSE 0.0 END AS stop
+        |  FROM base
+        |), scored AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN n < 20 THEN 0.0 ELSE
+        |      round(least(1.0, (alpha / greatest(n, 1.0)) * 0.5
+        |        + least(stop * 5.0, 1.0) * 0.3
+        |        + CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END), 6)
+        |    END AS quality
+        |  FROM m
+        |), gated AS (
+        |  SELECT * FROM scored WHERE quality >= 0.75
+        |), split AS (
+        |  SELECT doc_id, quality,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+        |    (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT % 4 AS split
+        |  FROM gated
+        |), packed AS (
+        |  SELECT doc_id, quality, n_tokens, split,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM split
+        |)
+        |SELECT doc_id, quality, n_tokens, split,
+        |  CAST(cb // 2048 AS BIGINT) AS pack_id,
+        |  CAST(cb % 2048 AS BIGINT) AS pack_offset
+        |FROM packed ORDER BY doc_id""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'
