@@ -14,11 +14,14 @@ import org.apache.spark.sql.types._
  * — pure-JDK readers, no external deps) yield genuine pixel features (grid
  * mean luminance). The AUDIO codec is real too: `kind == "audio"` blobs
  * that `javax.sound.sampled` can decode (WAV/AIFF/AU PCM — also pure JDK)
- * yield genuine segment-RMS features. Undecodable blobs — and video, for
- * which the JDK has no codec — fall back to `decodeStub`'s deterministic
- * pseudo-features, so the operator never drops a row over a corrupt or
- * unsupported blob (the dead-letter pattern a 100 TB ingest wants is a
- * downstream filter on the feature source, not a mid-job throw).
+ * yield genuine segment-RMS features. The VIDEO path decodes the one
+ * multi-frame format the JDK ships a reader for — animated GIF — into
+ * per-frame luminance profiles. Everything undecodable (corrupt blobs,
+ * true video codecs like mp4/webm) falls back to `decodeStub`'s
+ * deterministic pseudo-features, so the operator never drops a row over a
+ * corrupt or unsupported blob (the dead-letter pattern a 100 TB ingest
+ * wants is a downstream filter on the feature source, not a mid-job
+ * throw).
  */
 object MultimodalOps {
 
@@ -155,6 +158,62 @@ object MultimodalOps {
     out
   }
 
+  /** Real video decode for animated GIFs — the one multi-frame format the
+    * JDK decodes natively (`javax.imageio`'s GIF reader exposes every
+    * frame). Returns the frames at `stride` spacing (always including
+    * frame 0), or None when the bytes aren't a multi-frame GIF — single
+    * images and true video codecs (mp4/webm, no JVM decoder) dead-letter
+    * to the stub like every other undecodable blob. */
+  private[ops] def decodeVideoFrames(bytes: Array[Byte], stride: Int)
+      : Option[Seq[java.awt.image.BufferedImage]] =
+    if (bytes == null || bytes.length == 0) None
+    else {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n < 2) return None // single image is not a video
+          val idxs = 0 until n by stride.max(1)
+          Some(idxs.map(reader.read(_)).toSeq)
+        } finally reader.dispose()
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally try iis.close() catch { case _: java.io.IOException => () }
+    }
+
+  /** Video features: mean luminance of each sampled frame, first `dim`
+    * frames (temporal profile — the per-frame analog of the image grid);
+    * fewer frames than `dim` leaves the tail 0. */
+  private[graft] def videoFeatures(frames: Seq[java.awt.image.BufferedImage],
+                                   dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < frames.length && i < dim) {
+      val img = frames(i)
+      val w = img.getWidth
+      val h = img.getHeight
+      var s = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          s += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)) / 255.0
+          x += 1
+        }
+        y += 1
+      }
+      out(i) = if (w * h > 0) s / (w * h) else 0.0
+      i += 1
+    }
+    out
+  }
+
   /** STUB decode: deterministic pseudo-feature vector from the blob bytes
     * (xxhash-free: plain polynomial rolling hash so any engine can
     * reproduce it). The fallback for undecodable blobs and for audio/video
@@ -204,6 +263,8 @@ object MultimodalOps {
               .getOrElse(decodeStub(bytes, dim))
             case "audio" => decodeAudio(bytes).map(audioFeatures(_, dim))
               .getOrElse(decodeStub(bytes, dim))
+            case "video" => decodeVideoFrames(bytes, stride = 1)
+              .map(videoFeatures(_, dim)).getOrElse(decodeStub(bytes, dim))
             case _ => decodeStub(bytes, dim)
           }
           Row(r.getLong(idIdx), kind, feat.toIndexedSeq,

@@ -296,6 +296,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(feats(1L) != f0, "stub features must not masquerade as RMS features")
   }
 
+  test("multimodal: animated GIF decodes to per-frame luminance; single " +
+       "images and non-GIF video fall back to stub") {
+    import java.awt.image.BufferedImage
+    // two-frame animated GIF: black frame then white frame
+    def frame(rgb: Int): BufferedImage = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(frame(0x000000), frame(0xffffff)).foreach { f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+
+    val rows = Seq(
+      (0L, "video", gif),                                // animated: real decode
+      (1L, "video", "definitely not video".getBytes("UTF-8"))) // stub
+      .toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(lit(16).as("width"), lit(16).as("height"),
+        lit(0).as("sample_rate"), lit(2).as("n_frames")))
+    val feats = MultimodalOps.extractFeatures(rows, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("feat")).toMap
+    val f0 = feats(0L)
+    assert(f0(0) < 0.01, s"first frame is black: $f0")
+    assert(f0(1) > 0.95, s"second frame is white: $f0")
+    assert(f0(2) == 0.0 && f0(3) == 0.0, s"no more frames: $f0")
+    assert(feats(1L) != f0, "non-video bytes must take the stub path")
+  }
+
   test("nearDuplicatePairsWithHandle: unpersist handle leaves no cached blocks") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (pairs, done) = DedupOps.nearDuplicatePairsWithHandle(docs, "doc_id", "text",
