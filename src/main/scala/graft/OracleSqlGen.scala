@@ -160,6 +160,55 @@ object OracleSqlGen {
           |        FROM embeddings WHERE vec_id < 20)""".stripMargin)
   }
 
+  /**
+   * q59: the BANDED embedding near-dup scale path (VERDICT r5 #1) under the
+   * same corpus+planted-copies setup as q40 — candidates are the UNION of
+   * per-band bucket collisions, deduplicated, then cosine-verified. Band b's
+   * plane set derives from seed 42+b, exactly as
+   * `SimOps.embeddingNearDupPairs(bands = n)` computes it, so the result is
+   * bit-exact oracle-checkable even on the multi-band path.
+   */
+  def embeddingNearDupBandedSql(bands: Int, nPlanes: Int): String = {
+    val perBand = (0 until bands).map { b =>
+      val planes = SimOps.hyperplanes(nPlanes, 64, 42L + b)
+      s"""  SELECT vec_id, $b AS band,
+         |    sum(CASE WHEN list_inner_product(v, p.plane) >= 0
+         |      THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS bucket
+         |  FROM e CROSS JOIN (VALUES
+         |    ${planesValues(planes)}) p(b, plane)
+         |  GROUP BY vec_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM read_parquet_union
+       |), sk AS (
+       |$perBand
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sk a JOIN sk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(CASE WHEN sqrt(list_inner_product(ea.v, ea.v))
+       |                * sqrt(list_inner_product(eb.v, eb.v)) > 0
+       |      THEN list_inner_product(ea.v, eb.v)
+       |           / (sqrt(list_inner_product(ea.v, ea.v))
+       |              * sqrt(list_inner_product(eb.v, eb.v)))
+       |      ELSE 0.0 END, 6) AS cos_sim
+       |  FROM cand
+       |  JOIN e ea ON ea.vec_id = cand.id_a
+       |  JOIN e eb ON eb.vec_id = cand.id_b
+       |)
+       |SELECT id_a, id_b, cos_sim FROM pairs
+       |WHERE cos_sim >= 0.98 ORDER BY id_a, id_b"""
+      .stripMargin
+      .replace("FROM read_parquet_union",
+        """FROM (SELECT vec_id, embedding FROM embeddings
+          |        UNION ALL
+          |        SELECT vec_id + 1000000 AS vec_id, embedding
+          |        FROM embeddings WHERE vec_id < 20)""".stripMargin)
+  }
+
   // --- lp_filter: Butterworth filtfilt as recursive-CTE recurrences -------
 
   /**

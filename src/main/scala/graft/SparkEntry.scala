@@ -450,6 +450,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q59_embedding_near_dup_banded" -> ((s: SparkSession, dir: String) => {
+      // the multi-band scale path (union of per-band bucket collisions)
+      // under q40's planted-copies setup — the banding itself is now
+      // oracle-verified, not just recall-spec'd
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      SimOps.embeddingNearDupPairs(e.unionByName(dups), "vec_id", "embedding",
+          threshold = 0.98, nPlanes = 12, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q46_decontaminate" -> ((s: SparkSession, dir: String) => {
       // probe set = first 3 docs (standing in for an eval benchmark); any
       // doc sharing a 5-gram with them is flagged — the probe docs flag
@@ -905,6 +917,8 @@ object SparkEntry {
     "q30_ann_lsh"        -> OracleSqlGen.annLshSql,
     "q36_barrier_layer"  -> OracleSqlGen.barrierLayerSql,
     "q40_embedding_near_dup" -> OracleSqlGen.embeddingNearDupSql,
+    "q59_embedding_near_dup_banded" ->
+      OracleSqlGen.embeddingNearDupBandedSql(bands = 4, nPlanes = 12),
 
     "q24_bindata_interp" ->
       // np.interp regridding via ASOF joins: prev/next bracketing samples,
