@@ -484,7 +484,11 @@ object DedupOps {
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 maxDocFreq: Int, delimiter: String = "\n",
                 out: String = "text_dedup",
-                maxBlocklist: Int = 10000000): DataFrame = {
+                maxBlocklist: Int = 2000000): DataFrame = {
+    // maxBlocklist bounds what ships inside the membership expression
+    // (~16 MB of longs at the 2e6 default — serialized once per executor
+    // with the task binary); a corpus needing more ultra-frequent lines
+    // than that should pre-filter its worst boilerplate first
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     require(delimiter.nonEmpty, "delimiter must be non-empty")
     val delimLit = java.util.regex.Pattern.quote(delimiter)
