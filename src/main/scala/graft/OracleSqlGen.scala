@@ -94,21 +94,29 @@ object OracleSqlGen {
       .mkString(",\n    ")
 
   /** Sign-sketch bucket as DuckDB SQL (same bit convention as
-    * SimOps.signSketch: bit b set iff dot(v, plane_b) >= 0). */
-  private def bucketSql(planes: Array[Array[Double]]): String =
-    s"""SELECT vec_id, sum(CASE WHEN list_inner_product(v, p.plane) >= 0
+    * SimOps.signSketch: bit b set iff dot(v, plane_b) >= 0). `band` adds a
+    * constant band-id column so the banded oracle reuses the SAME
+    * sign-convention-critical snippet rather than a diverging copy. */
+  private def bucketSql(planes: Array[Array[Double]], band: Option[Int] = None): String = {
+    val bandCol = band.map(b => s"$b AS band, ").getOrElse("")
+    s"""SELECT vec_id, ${bandCol}sum(CASE WHEN list_inner_product(v, p.plane) >= 0
        |      THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS bucket
        |    FROM e CROSS JOIN (VALUES
        |    ${planesValues(planes)}) p(b, plane)
        |    GROUP BY vec_id""".stripMargin
+  }
 
-  private val cosineSql =
-    """round(CASE WHEN sqrt(list_inner_product(a.v, a.v))
-      |            * sqrt(list_inner_product(b.v, b.v)) > 0
-      |  THEN list_inner_product(a.v, b.v)
-      |       / (sqrt(list_inner_product(a.v, a.v))
-      |          * sqrt(list_inner_product(b.v, b.v)))
-      |  ELSE 0.0 END, 6)""".stripMargin
+  /** Rounded cosine between `$a.v` and `$b.v` — alias-parameterized so
+    * every oracle shares one arithmetic definition. */
+  private def cosineSqlFor(a: String, b: String): String =
+    s"""round(CASE WHEN sqrt(list_inner_product($a.v, $a.v))
+       |            * sqrt(list_inner_product($b.v, $b.v)) > 0
+       |  THEN list_inner_product($a.v, $b.v)
+       |       / (sqrt(list_inner_product($a.v, $a.v))
+       |          * sqrt(list_inner_product($b.v, $b.v)))
+       |  ELSE 0.0 END, 6)""".stripMargin
+
+  private val cosineSql = cosineSqlFor("a", "b")
 
   /** q30: LSH-bucketed approximate top-k (6 planes, dim 64, seed 42 — the
     * exact planes SimOps generates; queries = vec_id < 20, k = 5). */
@@ -170,13 +178,7 @@ object OracleSqlGen {
    */
   def embeddingNearDupBandedSql(bands: Int, nPlanes: Int): String = {
     val perBand = (0 until bands).map { b =>
-      val planes = SimOps.hyperplanes(nPlanes, 64, 42L + b)
-      s"""  SELECT vec_id, $b AS band,
-         |    sum(CASE WHEN list_inner_product(v, p.plane) >= 0
-         |      THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS bucket
-         |  FROM e CROSS JOIN (VALUES
-         |    ${planesValues(planes)}) p(b, plane)
-         |  GROUP BY vec_id""".stripMargin
+      "  " + bucketSql(SimOps.hyperplanes(nPlanes, 64, 42L + b), band = Some(b))
     }.mkString("\n  UNION ALL\n")
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -189,12 +191,7 @@ object OracleSqlGen {
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
        |), pairs AS (
        |  SELECT id_a, id_b,
-       |    round(CASE WHEN sqrt(list_inner_product(ea.v, ea.v))
-       |                * sqrt(list_inner_product(eb.v, eb.v)) > 0
-       |      THEN list_inner_product(ea.v, eb.v)
-       |           / (sqrt(list_inner_product(ea.v, ea.v))
-       |              * sqrt(list_inner_product(eb.v, eb.v)))
-       |      ELSE 0.0 END, 6) AS cos_sim
+       |    ${cosineSqlFor("ea", "eb")} AS cos_sim
        |  FROM cand
        |  JOIN e ea ON ea.vec_id = cand.id_a
        |  JOIN e eb ON eb.vec_id = cand.id_b

@@ -1188,7 +1188,7 @@ object SparkEntry {
       // elements promote to double in both engines' avg, round(6) absorbs
       // summation-order ulps
       """SELECT label, pos - 1 AS dim, round(avg(v), 6) AS centroid,
-        |       count(*) AS n_vectors
+        |       count(v) AS n_vectors
         |FROM (SELECT label, unnest(embedding) AS v,
         |             unnest(generate_series(1, len(embedding))) AS pos
         |      FROM embeddings)

@@ -473,7 +473,12 @@ object DedupOps {
    *
    * 100 TB shape: the only shuffle is the frequency aggregation, and it
    * carries (8-byte xxhash64(segment), doc id) — never segment text, never
-   * bodies — with partial distinct aggregation map-side. Lines frequent in
+   * bodies — with partial distinct aggregation map-side. Counting and
+   * membership are hash-keyed, so a 64-bit collision (expected a handful
+   * at ~1e10 distinct lines, birthday bound) can over-count a rare line or
+   * strip an innocent collider of blocked boilerplate — the standard
+   * hash-keyed-dedup trade; use the exact-text join shape instead if that
+   * tail matters. Lines frequent in
    * > maxDocFreq docs are RARE by construction (they're the boilerplate
    * tail), so the blocklist collects to the driver (`maxBlocklist` guards
    * the assumption loudly) and membership runs map-side inside a
@@ -547,14 +552,26 @@ object DedupOps {
   def contaminatedIdsBloom(docs: DataFrame, idCol: String, textCol: String,
                            probes: DataFrame, probeTextCol: String,
                            shingleSize: Int = 13, fpp: Double = 0.01,
-                           expectedDistinctProbes: Long = 0L): DataFrame = {
+                           expectedDistinctProbes: Long = 0L,
+                           probeStorage: org.apache.spark.storage.StorageLevel =
+                             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    val probeSh = probes
+    // stage the DISTINCT probe shingles once: sizing, the bloom build, and
+    // the verify semi-join all read them — unstaged, the probe corpus would
+    // be tokenized + shingled three times per call (same rationale as
+    // nearDuplicatePairsWithHandle's staged shingle table; pass
+    // StorageLevel.NONE to trade the cache for recomputation)
+    val staged = probes
       .select(explode(shingles(col(probeTextCol), shingleSize)).as("__sh"))
+      .distinct()
+    val probeSh =
+      if (probeStorage == org.apache.spark.storage.StorageLevel.NONE) staged
+      else staged.persist(probeStorage)
     val nEst =
       if (expectedDistinctProbes > 0) expectedDistinctProbes
-      else probeSh.select(approx_count_distinct(col("__sh")).as("n"))
-        .head().getLong(0).max(1L)
+      // the count materializes the cache AND is exact (it runs over the
+      // staged distinct set, so approx_count_distinct buys nothing)
+      else probeSh.count().max(1L)
     // optimal bits for n items at fpp: -n ln(p) / (ln 2)^2
     val numBits = math.ceil(
       -nEst.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
@@ -566,7 +583,7 @@ object DedupOps {
     val candidates = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
       .where(sketchExprs.bloomMightContain(bloom, xxhash64(col("__sh"))))
-    candidates.join(probeSh.distinct(), Seq("__sh"), "left_semi")
+    candidates.join(probeSh, Seq("__sh"), "left_semi")
       .select(col(idCol)).distinct()
   }
 

@@ -164,7 +164,8 @@ object MultimodalOps {
     * frame 0), or None when the bytes aren't a multi-frame GIF — single
     * images and true video codecs (mp4/webm, no JVM decoder) dead-letter
     * to the stub like every other undecodable blob. */
-  private[ops] def decodeVideoFrames(bytes: Array[Byte], stride: Int)
+  private[ops] def decodeVideoFrames(bytes: Array[Byte], stride: Int,
+                                     maxFrames: Int = Int.MaxValue)
       : Option[Seq[java.awt.image.BufferedImage]] =
     if (bytes == null || bytes.length == 0) None
     else {
@@ -178,7 +179,9 @@ object MultimodalOps {
           reader.setInput(iis)
           val n = reader.getNumImages(true)
           if (n < 2) return None // single image is not a video
-          val idxs = 0 until n by stride.max(1)
+          // decode ONLY the frames the caller will consume — a 500-frame
+          // GIF at dim 16 must not materialize 500 BufferedImages
+          val idxs = (0 until n by stride.max(1)).take(maxFrames)
           Some(idxs.map(reader.read(_)).toSeq)
         } finally reader.dispose()
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -237,9 +240,10 @@ object MultimodalOps {
    * a time, emit one feature row each). Output: (media_id, kind, feat
    * array<double>, n_bytes).
    *
-   * `kind == "image"` rows are decoded for real via [[decodeImage]]; blobs
-   * ImageIO rejects (and all audio/video rows) take the stub path, so the
-   * output schema and row count are blob-content-independent.
+   * All three kinds decode for real when the blob allows it: images via
+   * [[decodeImage]], audio via [[decodeAudio]], video (multi-frame GIF)
+   * via [[decodeVideoFrames]]. Blobs the JDK codecs reject take the stub
+   * path, so the output schema and row count are blob-content-independent.
    */
   def extractFeatures(media: DataFrame, dim: Int = 16,
                       batchSize: Int = 64): DataFrame = {
@@ -263,7 +267,7 @@ object MultimodalOps {
               .getOrElse(decodeStub(bytes, dim))
             case "audio" => decodeAudio(bytes).map(audioFeatures(_, dim))
               .getOrElse(decodeStub(bytes, dim))
-            case "video" => decodeVideoFrames(bytes, stride = 1)
+            case "video" => decodeVideoFrames(bytes, stride = 1, maxFrames = dim)
               .map(videoFeatures(_, dim)).getOrElse(decodeStub(bytes, dim))
             case _ => decodeStub(bytes, dim)
           }

@@ -99,6 +99,16 @@ object SampleOps {
       .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(sourceCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a positively-weighted source with NO corpus rows cannot be silently
+    // skipped: its mixture mass would vanish (the output undershoots
+    // totalRows and over-represents every other source) with no signal —
+    // almost always a typo'd source name or a broken upstream filter
+    val missing = weights.collect {
+      case (s, w) if w > 0.0 && counts.getOrElse(s, 0L) == 0L => s
+    }
+    require(missing.isEmpty,
+      s"resampleToMixture: positively-weighted source(s) ${missing.mkString(", ")} " +
+        "have no rows in the corpus — fix the weights or the source column")
     // per-source (full copies, 31-bit cut for the fractional extra copy);
     // parenthesization mirrors the oracle SQL exactly: ((w / W) * T) / n
     val params = sortedW.collect {

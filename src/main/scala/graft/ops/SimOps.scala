@@ -358,8 +358,12 @@ object SimOps {
    * Per-group embedding centroids (class prototypes / cluster means —
    * the mean-pooling step of prototype classification, semantic dedup
    * cluster summaries, and codebook refreshes). Returns LONG rows
-   * (label, dim, centroid) with `centroid` rounded to `decimals` (absorbing
-   * the sub-ulp non-determinism of distributed float summation order).
+   * (label, dim, centroid, n_vectors) with `centroid` rounded to `decimals`
+   * (absorbing the sub-ulp non-determinism of distributed float summation
+   * order). `n_vectors` counts the NON-NULL elements at that dim — exactly
+   * `avg`'s denominator, so weighted re-merging of partial centroids
+   * (e.g. a Lloyd refresh) stays correct on vectors with null elements or
+   * ragged lengths.
    *
    * Scale shape: the per-element explode runs map-side and PARTIAL
    * aggregation folds it to (label, dim) groups before the shuffle, so
@@ -372,7 +376,7 @@ object SimOps {
     df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "__v")))
       .groupBy(col(labelCol), col("dim"))
       .agg(round(avg(col("__v")), decimals).as("centroid"),
-        count(lit(1)).as("n_vectors"))
+        count(col("__v")).as("n_vectors"))
 
   /** [[groupCentroids]] reassembled to one `array<double>` row per label —
     * the shape downstream assignment expressions (e.g. [[ivfTopK]]'s

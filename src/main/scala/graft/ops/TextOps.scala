@@ -202,8 +202,17 @@ object TextOps {
                  percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1]: $percentiles")
-    val pCols = percentiles.map { p =>
-      val name = s"p${(p * 100).toInt}"
+    // label via decimal rounding, not toInt truncation: 0.29 * 100 is
+    // 28.999999999999996 in doubles (p28!), and 0.99/0.999 would both
+    // truncate to p99 — sub-percent marks become p99_9
+    def label(p: Double): String = "p" + BigDecimal(p * 100)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+      .replace(".", "_")
+    val names = percentiles.map(label)
+    require(names.distinct.size == names.size,
+      s"percentiles map to duplicate column labels: $names")
+    val pCols = percentiles.zip(names).map { case (p, name) =>
       round(percentile(col(valueCol), lit(p)), 6).as(name)
     }
     df.groupBy(col(groupCol))

@@ -617,6 +617,27 @@ class PipelineOpsSpec extends SparkTestBase {
       .select("doc_id", "source", "epoch")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // a positively-weighted source with no rows fails loudly (silent
+    // skipping would undershoot totalRows with the wrong mixture)
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.SampleOps.resampleToMixture(docs, "doc_id", "source",
+        Map("web" -> 0.5, "bookz" -> 0.5), totalRows = 100)
+    }
+    assert(err.getMessage.contains("bookz"))
+  }
+
+  test("groupStats: percentile labels round decimally, sub-percent marks " +
+       "get distinct names") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => ("s", i)).toDF("source", "v")
+    val out = TextOps.groupStats(d, "source", "v", Seq(0.29, 0.99, 0.999))
+    // 0.29 * 100 = 28.999999999999996 must still label p29, not p28;
+    // 0.99 vs 0.999 must not collapse into duplicate p99 columns
+    assert(out.columns.toSeq == Seq("source", "n", "mean", "p29", "p99", "p99_9"))
+    val r = out.collect()(0)
+    assert(r.getAs[Long]("n") == 100L)
+    // exact linear interpolation: p29 of 1..100 = 1 + 0.29 * 99
+    assert(math.abs(r.getAs[Double]("p29") - (1 + 0.29 * 99)) < 1e-6)
   }
 
   test("groupCentroids: per-label elementwise means; array variant " +
