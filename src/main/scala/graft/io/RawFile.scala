@@ -24,10 +24,12 @@ import org.apache.spark.graft.HadoopConfBridge
  */
 object RawFile {
 
-  // zst/zstd go beyond the reference's gzip/bz2/zip (read.py:44-61): zstd is
-  // the de-facto object-store corpus codec and Spark already ships zstd-jni,
-  // so the reader accepts it at zero dependency cost
-  val CompressedExts: Set[String] = Set("gzip", "gz", "bz2", "zip", "zst", "zstd")
+  // zst/zstd/lz4 go beyond the reference's gzip/bz2/zip (read.py:44-61):
+  // zstd is the de-facto object-store corpus codec (Spark ships zstd-jni)
+  // and lz4 frames decode pure-Java via commons-compress — both at zero
+  // dependency cost
+  val CompressedExts: Set[String] =
+    Set("gzip", "gz", "bz2", "zip", "zst", "zstd", "lz4")
   val PlainExts: Set[String]      = Set("cnv", "edf", "txt", "ros", "btl", "bl", "csv")
 
   /** Lowercased extension without the dot ("" if none). */
@@ -75,6 +77,9 @@ object RawFile {
     else if (e == "zst" || e == "zstd")
       new org.apache.commons.compress.compressors.zstandard
         .ZstdCompressorInputStream(openRaw(path))
+    else if (e == "lz4")
+      new org.apache.commons.compress.compressors.lz4
+        .FramedLZ4CompressorInputStream(openRaw(path))
     else if (e == "zip") {
       // stream the FIRST (non-directory) entry — ZipInputStream walks the
       // archive sequentially, so it works over any FileSystem stream, unlike

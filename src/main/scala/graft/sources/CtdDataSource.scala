@@ -62,7 +62,8 @@ object CtdDataSource {
 
   final case class Conf(ftype: String, view: String, files: Seq[String],
                         rawPaths: Seq[String],
-                        allowOutOfOrder: Boolean = false) {
+                        allowOutOfOrder: Boolean = false,
+                        onCorrupt: String = "fail") {
     /** Re-list the raw paths — the micro-batch stream discovers files that
       * arrived after planning. */
     def listNow(): Seq[String] = rawPaths.flatMap(expand).sorted
@@ -72,10 +73,17 @@ object CtdDataSource {
     val ftype = options.getOrDefault("ftype", "cnv").toLowerCase
     val view  = options.getOrDefault("view", "data").toLowerCase
     val ooo   = options.getBoolean("allowOutOfOrder", false)
+    // "fail" (default): a malformed file aborts the job loudly; "skip":
+    // log-and-drop it — at 1e8-file corpus scale one truncated upload must
+    // not poison the scan (the dead-letter pattern; skipped paths land in
+    // executor logs for a follow-up pass)
+    val onCorrupt = options.getOrDefault("onCorrupt", "fail").toLowerCase
+    require(onCorrupt == "fail" || onCorrupt == "skip",
+      s"onCorrupt must be 'fail' or 'skip', got '$onCorrupt'")
     val paths = Option(options.get("paths")).map(parseJsonPaths)
       .orElse(Option(options.get("path")).map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException("ctd source requires a load path"))
-    Conf(ftype, view, paths.flatMap(expand), paths, ooo)
+    Conf(ftype, view, paths.flatMap(expand), paths, ooo, onCorrupt)
   }
 
   private def parseJsonPaths(json: String): Seq[String] =
@@ -232,7 +240,8 @@ final case class CtdScan(conf: CtdDataSource.Conf, fullSchema: StructType,
     conf.files.map(f => CtdInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CtdReaderFactory(conf.ftype, conf.view, required, filters)
+    CtdReaderFactory(conf.ftype, conf.view, required, filters,
+      skipCorrupt = conf.onCorrupt == "skip")
 
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new CtdMicroBatchStream(conf, required, filters, checkpointLocation)
@@ -473,7 +482,10 @@ final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CtdReaderFactory(conf.ftype, conf.view, required, filters)
+    // same corrupt-file contract as the batch scan: a poisoned upload must
+    // not wedge every retry of the micro-batch
+    CtdReaderFactory(conf.ftype, conf.view, required, filters,
+      skipCorrupt = conf.onCorrupt == "skip")
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -482,11 +494,12 @@ final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
 final case class CtdInputPartition(path: String) extends InputPartition
 
 final case class CtdReaderFactory(ftype: String, view: String,
-                                  required: StructType, filters: Array[Filter])
+                                  required: StructType, filters: Array[Filter],
+                                  skipCorrupt: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[CtdInputPartition].path
-    new CtdPartitionReader(ftype, view, path, required, filters)
+    new CtdPartitionReader(ftype, view, path, required, filters, skipCorrupt)
   }
 }
 
@@ -523,7 +536,8 @@ private object CtdFilters {
 }
 
 final class CtdPartitionReader(ftype: String, view: String, path: String,
-                               required: StructType, filters: Array[Filter])
+                               required: StructType, filters: Array[Filter],
+                               skipCorrupt: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   /** Parser-space names the parse must materialize: the projection plus
@@ -542,7 +556,15 @@ final class CtdPartitionReader(ftype: String, view: String, path: String,
     CtdDataSource.parseFilePruned(ftype, path, neededNames.contains)
 
   private val iter: Iterator[InternalRow] =
-    if (view == "meta") metaRows() else dataRows()
+    // the whole-file parse runs at iterator CONSTRUCTION (rows are fully
+    // materialized), so catching here covers every decode/parse failure
+    try { if (view == "meta") metaRows() else dataRows() }
+    catch {
+      case scala.util.control.NonFatal(e) if skipCorrupt =>
+        org.slf4j.LoggerFactory.getLogger(classOf[CtdPartitionReader])
+          .warn(s"ctd onCorrupt=skip: dropping unreadable file $path: $e")
+        Iterator.empty
+    }
 
   private var current: InternalRow = _
 

@@ -128,4 +128,37 @@ class CtdSourceSpec extends SparkTestBase {
       .select("cast_id", "scan_order", "pressure", "t068C")
     assert(df.collect().map(_.toSeq).toSeq == inferred.collect().map(_.toSeq).toSeq)
   }
+
+  test("onCorrupt=skip drops an unreadable file, default fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    val good = dir.resolve("a_good.cnv")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dataDir/CTD_with_sigma_e00.cnv"), good)
+    // a truncated gzip: valid magic, garbage after — decode throws mid-file
+    val gz = new java.io.ByteArrayOutputStream()
+    val go = new java.util.zip.GZIPOutputStream(gz)
+    go.write(("# nvalues = 5\n" + "x" * 4096).getBytes("UTF-8")); go.close()
+    java.nio.file.Files.write(dir.resolve("b_corrupt.cnv.gz"),
+      gz.toByteArray.take(40)) // cut mid-stream
+    // schema inference would also hit the corrupt header; give one
+    val schema = spark.read.format("ctd").option("ftype", "cnv")
+      .load(good.toString).schema
+    def read(opts: Map[String, String]) = {
+      var r = spark.read.format("ctd").option("ftype", "cnv").schema(schema)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(dir.toString)
+    }
+    val kept = read(Map("onCorrupt" -> "skip")).select("cast_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    // only the good file's cast survives (cast_id comes from its header)
+    assert(kept == Seq("km1312_s18_c03_ctd22"), s"skip mode kept $kept")
+    val err = intercept[org.apache.spark.SparkException] {
+      read(Map.empty).count()
+    }
+    assert(err.getMessage != null)
+    // bad option value rejected up front
+    intercept[IllegalArgumentException] {
+      read(Map("onCorrupt" -> "ignore")).count()
+    }
+  }
 }

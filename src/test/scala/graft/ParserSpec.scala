@@ -11,21 +11,29 @@ class ParserSpec extends AnyFunSuite {
   private def load(ftype: String, path: String) =
     Parsers.parse(ftype, path, RawFile.decode(RawFile.bytes(path)))
 
-  test("compression matrix: zip/gz/bz2/zst/plain EDF all decode to the same cast") {
-    // synthesize the zst twin on the fly (no fixture ships one): zstd-jni is
-    // on the Spark classpath, so .EDF.zst corpora decode like gz/bz2
+  test("compression matrix: zip/gz/bz2/zst/lz4/plain EDF all decode to the same cast") {
+    // synthesize the zst/lz4 twins on the fly (no fixture ships them):
+    // zstd-jni is on the Spark classpath and lz4 frames are pure-Java in
+    // commons-compress, so .EDF.zst / .EDF.lz4 corpora decode like gz/bz2
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$data/XBT.EDF"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compress")
     val zstPath = {
-      val raw = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$data/XBT.EDF"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-zst")
-        .resolve("XBT.EDF.zst")
+      val p = tmp.resolve("XBT.EDF.zst")
       val out = new org.apache.commons.compress.compressors.zstandard
-        .ZstdCompressorOutputStream(java.nio.file.Files.newOutputStream(tmp))
+        .ZstdCompressorOutputStream(java.nio.file.Files.newOutputStream(p))
       try out.write(raw) finally out.close()
-      tmp.toString
+      p.toString
+    }
+    val lz4Path = {
+      val p = tmp.resolve("XBT.EDF.lz4")
+      val out = new org.apache.commons.compress.compressors.lz4
+        .FramedLZ4CompressorOutputStream(java.nio.file.Files.newOutputStream(p))
+      try out.write(raw) finally out.close()
+      p.toString
     }
     val casts = (Seq("XBT.EDF", "XBT.EDF.gz", "XBT.EDF.bz2", "XBT.EDF.zip")
-      .map(f => s"$data/$f") :+ zstPath)
+      .map(f => s"$data/$f") ++ Seq(zstPath, lz4Path))
       .map(p => load("edf", p))
     assert(casts.map(_.rows.length).distinct.size == 1)
     assert(casts.head.rows.nonEmpty)
@@ -33,6 +41,7 @@ class ParserSpec extends AnyFunSuite {
       Seq("time", "resistance", "depth", "temperature", "sound"))
     // stem strips the compression ext then the format ext, same as .gz
     assert(RawFile.stem(zstPath) == "XBT")
+    assert(RawFile.stem(lz4Path) == "XBT")
   }
 
   test("EDF lat/lon parsed to 7 decimals; missing positions -> None") {
