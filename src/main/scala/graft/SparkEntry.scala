@@ -601,6 +601,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q60_deterministic_shuffle" -> ((s: SparkSession, dir: String) => {
+      // epoch reshuffle as a pure hash function: the salted shuffle key IS
+      // the permutation (order by it + tie-break), so the oracle verifies
+      // the full ordering without a global row_number window
+      graft.ops.SampleOps.deterministicShuffle(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", salt = "epoch1")
+        .withColumn("shuffle_key",
+          org.apache.spark.sql.catalyst.expressions.graftdedup
+            .HashSketchExpressions.md5Hash31(
+              concat_ws(":", lit("epoch1"), col("doc_id").cast("string"))))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1255,6 +1268,14 @@ object SparkEntry {
         |  CAST(cb // 2048 AS BIGINT) AS pack_id,
         |  CAST(cb % 2048 AS BIGINT) AS pack_offset
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "q60_deterministic_shuffle" ->
+      // q45's md5-31 hash family with the epoch salt; the key column makes
+      // the permutation itself hash-checkable
+      """SELECT doc_id, source,
+        |  (('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |    & 2147483647::UBIGINT)::BIGINT AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'

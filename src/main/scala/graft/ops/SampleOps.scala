@@ -66,6 +66,19 @@ object SampleOps {
   }
 
   /**
+   * Deterministic global shuffle: order the corpus by the md5-31 hash of
+   * the key (ties broken by the key itself) — the shuffle-before-packing /
+   * epoch-reshuffle step of a training pipeline, as a pure function of
+   * (salt, key): any engine, any partitioning, any rerun produces the
+   * identical permutation, and a new salt draws an independent one.
+   * One range-partitioned sort; Spark samples range bounds so the sort
+   * parallelizes across the cluster.
+   */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+                           salt: String = "graft"): DataFrame =
+    df.orderBy(keyHash(col(keyCol), salt), col(keyCol))
+
+  /**
    * Deterministic MIXTURE resampling: reshape the corpus to target
    * per-source weights, INCLUDING upsampling — the pre-training data-mixing
    * step ("2 epochs of books, 0.3 epochs of web"). For source s with n_s
