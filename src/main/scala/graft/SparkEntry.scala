@@ -604,14 +604,11 @@ object SparkEntry {
     "q60_deterministic_shuffle" -> ((s: SparkSession, dir: String) => {
       // epoch reshuffle as a pure hash function: the salted shuffle key IS
       // the permutation (order by it + tie-break), so the oracle verifies
-      // the full ordering without a global row_number window
+      // the full ordering without a global row_number window; emitKeyCol
+      // sorts on the one materialized hash (no duplicate computation)
       graft.ops.SampleOps.deterministicShuffle(
           t(s, dir, "documents").select(col("doc_id"), col("source")),
-          "doc_id", salt = "epoch1")
-        .withColumn("shuffle_key",
-          org.apache.spark.sql.catalyst.expressions.graftdedup
-            .HashSketchExpressions.md5Hash31(
-              concat_ws(":", lit("epoch1"), col("doc_id").cast("string"))))
+          "doc_id", salt = "epoch1", emitKeyCol = Some("shuffle_key"))
     }),
 
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {

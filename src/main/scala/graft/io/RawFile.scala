@@ -73,13 +73,19 @@ object RawFile {
     if (e == "gz" || e == "gzip")
       new GZIPInputStream(openRaw(path))
     else if (e == "bz2")
-      new BZip2CompressorInputStream(openRaw(path))
+      // decompressConcatenated: multi-member archives (cat a.bz2 b.bz2)
+      // must yield ALL members — GZIPInputStream does this natively, and
+      // Python's bz2.open (the reference's path) does too; the
+      // commons-compress default of stopping at the first member would
+      // silently truncate such files
+      new BZip2CompressorInputStream(openRaw(path), true)
     else if (e == "zst" || e == "zstd")
       new org.apache.commons.compress.compressors.zstandard
         .ZstdCompressorInputStream(openRaw(path))
     else if (e == "lz4")
+      // same concatenated-frames contract as bz2 above
       new org.apache.commons.compress.compressors.lz4
-        .FramedLZ4CompressorInputStream(openRaw(path))
+        .FramedLZ4CompressorInputStream(openRaw(path), true)
     else if (e == "zip") {
       // stream the FIRST (non-directory) entry — ZipInputStream walks the
       // archive sequentially, so it works over any FileSystem stream, unlike

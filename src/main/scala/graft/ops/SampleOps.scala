@@ -73,10 +73,25 @@ object SampleOps {
    * identical permutation, and a new salt draws an independent one.
    * One range-partitioned sort; Spark samples range bounds so the sort
    * parallelizes across the cluster.
+   *
+   * NULL keys hash to NULL (concat_ws would silently drop the null and
+   * hash the bare salt — a mid-range value no other engine reproduces) and
+   * sort LAST as a group, matching SQL's default `ASC NULLS LAST`.
+   * `emitKeyCol` materializes the hash as a column, so a consumer (or an
+   * oracle) can verify the permutation without recomputing it.
    */
   def deterministicShuffle(df: DataFrame, keyCol: String,
-                           salt: String = "graft"): DataFrame =
-    df.orderBy(keyHash(col(keyCol), salt), col(keyCol))
+                           salt: String = "graft",
+                           emitKeyCol: Option[String] = None): DataFrame = {
+    val h = when(col(keyCol).isNotNull, keyHash(col(keyCol), salt))
+    emitKeyCol match {
+      case Some(name) =>
+        df.withColumn(name, h)
+          .orderBy(col(name).asc_nulls_last, col(keyCol).asc_nulls_last)
+      case None =>
+        df.orderBy(h.asc_nulls_last, col(keyCol).asc_nulls_last)
+    }
+  }
 
   /**
    * Deterministic MIXTURE resampling: reshape the corpus to target

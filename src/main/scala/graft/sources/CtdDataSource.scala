@@ -156,21 +156,34 @@ object CtdDataSource {
     * explicit `.schema(...)`, which skips this sweep entirely. */
   private[sources] def schemaFor(c: Conf): StructType = {
     if (c.view == "meta") return MetaSchema
+    val skip = c.onCorrupt == "skip"
+    // onCorrupt=skip must cover PLANNING too: an unreadable header would
+    // otherwise abort load() before the reader's skip path ever runs —
+    // the option's whole contract is that one bad file cannot poison the
+    // scan. A skipped file contributes nothing to the union-by-name schema
+    // (its data partition will skip the same way at read time).
+    def headerSchema(f: String): Option[StructType] =
+      try Some(Parsers.schemaOnly(c.ftype, f, Parsers.headTextComplete(c.ftype, f)))
+      catch {
+        case scala.util.control.NonFatal(e) if skip =>
+          org.slf4j.LoggerFactory.getLogger(classOf[CtdDataSource])
+            .warn(s"ctd onCorrupt=skip: dropping unreadable header of $f: $e")
+          None
+      }
     val fileSchemas: Seq[StructType] =
       if (c.files.lengthCompare(2) < 0) {
-        c.files.map(f => Parsers.schemaOnly(c.ftype, f, Parsers.headTextComplete(c.ftype, f)))
+        c.files.flatMap(headerSchema)
       } else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, c.files.length))
         try {
           c.files.map { f =>
-            pool.submit(new java.util.concurrent.Callable[StructType] {
+            pool.submit(new java.util.concurrent.Callable[Option[StructType]] {
               // capped header read (escalating until *END* for Seabird):
               // planning must not decompress multi-MB casts
-              override def call(): StructType =
-                Parsers.schemaOnly(c.ftype, f, Parsers.headTextComplete(c.ftype, f))
+              override def call(): Option[StructType] = headerSchema(f)
             })
-          }.map { fut =>
+          }.flatMap { fut =>
             // surface the parser's own exception, not ExecutionException
             try fut.get()
             catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
@@ -184,6 +197,10 @@ object CtdDataSource {
             throw t
         } finally pool.shutdown()
       }
+    if (fileSchemas.isEmpty && c.files.nonEmpty)
+      throw new IllegalArgumentException(
+        s"ctd: every listed file was unreadable under onCorrupt=skip " +
+          s"(${c.files.length} file(s)) — nothing to infer a schema from")
     val seen = collection.mutable.LinkedHashMap.empty[String, StructField]
     fileSchemas.foreach { st =>
       st.fields.foreach { fld =>
@@ -557,13 +574,25 @@ final class CtdPartitionReader(ftype: String, view: String, path: String,
 
   private val iter: Iterator[InternalRow] =
     // the whole-file parse runs at iterator CONSTRUCTION (rows are fully
-    // materialized), so catching here covers every decode/parse failure
+    // materialized), so catching here covers every decode/parse failure.
+    // A truncated gzip and a transient object-store timeout both surface
+    // as IOException, so a single in-task retry absorbs transient blips
+    // before the skip classifies the file as corrupt (persistently failing
+    // reads retry once and then drop — same trade as Spark's own
+    // spark.sql.files.ignoreCorruptFiles, minus the blip sensitivity)
     try { if (view == "meta") metaRows() else dataRows() }
     catch {
-      case scala.util.control.NonFatal(e) if skipCorrupt =>
-        org.slf4j.LoggerFactory.getLogger(classOf[CtdPartitionReader])
-          .warn(s"ctd onCorrupt=skip: dropping unreadable file $path: $e")
-        Iterator.empty
+      case scala.util.control.NonFatal(_) if skipCorrupt =>
+        try {
+          Thread.sleep(50)
+          if (view == "meta") metaRows() else dataRows()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(classOf[CtdPartitionReader])
+              .warn(s"ctd onCorrupt=skip: dropping unreadable file $path " +
+                s"(failed twice): $e")
+            Iterator.empty
+        }
     }
 
   private var current: InternalRow = _

@@ -140,11 +140,10 @@ class CtdSourceSpec extends SparkTestBase {
     go.write(("# nvalues = 5\n" + "x" * 4096).getBytes("UTF-8")); go.close()
     java.nio.file.Files.write(dir.resolve("b_corrupt.cnv.gz"),
       gz.toByteArray.take(40)) // cut mid-stream
-    // schema inference would also hit the corrupt header; give one
-    val schema = spark.read.format("ctd").option("ftype", "cnv")
-      .load(good.toString).schema
     def read(opts: Map[String, String]) = {
-      var r = spark.read.format("ctd").option("ftype", "cnv").schema(schema)
+      // NO explicit schema: onCorrupt=skip must cover the planning-time
+      // header sweep too, or load() dies before the reader's skip runs
+      var r = spark.read.format("ctd").option("ftype", "cnv")
       opts.foreach { case (k, v) => r = r.option(k, v) }
       r.load(dir.toString)
     }
@@ -152,13 +151,24 @@ class CtdSourceSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     // only the good file's cast survives (cast_id comes from its header)
     assert(kept == Seq("km1312_s18_c03_ctd22"), s"skip mode kept $kept")
-    val err = intercept[org.apache.spark.SparkException] {
-      read(Map.empty).count()
+    // default: fails loudly — at inference already, or in the scan when a
+    // schema is supplied
+    intercept[Exception] { read(Map.empty).count() }
+    val schema = read(Map("onCorrupt" -> "skip")).schema
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("ctd").option("ftype", "cnv").schema(schema)
+        .load(dir.toString).count()
     }
-    assert(err.getMessage != null)
     // bad option value rejected up front
     intercept[IllegalArgumentException] {
       read(Map("onCorrupt" -> "ignore")).count()
+    }
+    // every file unreadable + skip -> loud planning error, not empty schema
+    val allBad = java.nio.file.Files.createTempDirectory("graft-allbad")
+    java.nio.file.Files.write(allBad.resolve("x.cnv.gz"), Array[Byte](31, -117, 8, 0))
+    intercept[IllegalArgumentException] {
+      spark.read.format("ctd").option("ftype", "cnv")
+        .option("onCorrupt", "skip").load(allBad.toString).count()
     }
   }
 }

@@ -42,6 +42,29 @@ class ParserSpec extends AnyFunSuite {
     // stem strips the compression ext then the format ext, same as .gz
     assert(RawFile.stem(zstPath) == "XBT")
     assert(RawFile.stem(lz4Path) == "XBT")
+    // concatenated frames/members must decode fully (cat a.lz4 b.lz4):
+    // stopping at the first frame would silently truncate the file
+    val half = raw.length / 2
+    def lz4Of(bytes: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.lz4
+        .FramedLZ4CompressorOutputStream(bos)
+      o.write(bytes); o.close(); bos.toByteArray
+    }
+    val catLz4 = tmp.resolve("XBT_cat.EDF.lz4")
+    java.nio.file.Files.write(catLz4,
+      lz4Of(raw.take(half)) ++ lz4Of(raw.drop(half)))
+    assert(java.util.Arrays.equals(RawFile.bytes(catLz4.toString), raw))
+    def bz2Of(bytes: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos)
+      o.write(bytes); o.close(); bos.toByteArray
+    }
+    val catBz2 = tmp.resolve("XBT_cat.EDF.bz2")
+    java.nio.file.Files.write(catBz2,
+      bz2Of(raw.take(half)) ++ bz2Of(raw.drop(half)))
+    assert(java.util.Arrays.equals(RawFile.bytes(catBz2.toString), raw))
   }
 
   test("EDF lat/lon parsed to 7 decimals; missing positions -> None") {
