@@ -611,6 +611,13 @@ object SparkEntry {
           "doc_id", salt = "epoch1", emitKeyCol = Some("shuffle_key"))
     }),
 
+    "q61_chunk_documents" -> ((s: SparkSession, dir: String) => {
+      // context-window chunking: 16-token windows, 2-token overlap
+      TextOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 16, overlap = 2)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1273,6 +1280,26 @@ object SparkEntry {
         |  (('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
         |    & 2147483647::UBIGINT)::BIGINT AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    "q61_chunk_documents" ->
+      // same token stream as q13/q51; windows = ceil((n - overlap) / step),
+      // slice clamps at the tail in both engines
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sized AS (
+        |  SELECT doc_id, t,
+        |    greatest(CAST(ceil(CAST(len(t) - 2 AS DOUBLE) / 14) AS INT), 1) AS nchunks
+        |  FROM tok WHERE len(t) > 0
+        |), c AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, nchunks - 1)) AS i
+        |  FROM sized
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  array_to_string(t[i*14+1 : i*14+16], ' ') AS chunk_text,
+        |  CAST(len(t[i*14+1 : i*14+16]) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'

@@ -220,6 +220,44 @@ object TextOps {
         round(avg(col(valueCol)), 6).as("mean") +: pCols: _*)
   }
 
+  /**
+   * Context-window chunking: split each document into token windows of
+   * `maxTokens` with `overlap` tokens carried between consecutive chunks —
+   * the preprocessing step that fits long documents to a model's context
+   * (RAG indexing, pretraining with long-doc splits). Chunks are built
+   * over the NORMALIZED token stream (lowercase alphanumeric, like
+   * [[fingerprint]]), so `chunk_text` is token-joined, not a substring of
+   * the original. Emits one row per chunk: (`chunk_id` 0-based,
+   * `chunk_text`, `n_chunk_tokens`); zero-token documents emit no rows.
+   *
+   * Map-side only: tokenize once, compute the window count arithmetically,
+   * and `posexplode` a `transform(sequence(...))` of array slices — no
+   * shuffle, no UDF, chunk count = ceil((n_tokens - overlap) / step).
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val tokCol = tempName(df, "__tok")
+    val tok = col(tokCol)
+    val n = size(tok)
+    // ceil((n - overlap) / step), at least 1 window for non-empty docs
+    val nChunks = when(n <= 0, lit(0)).otherwise(
+      greatest(ceil((n - lit(overlap)).cast(DoubleType) / lit(step))
+        .cast(IntegerType), lit(1)))
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1, lit(1)),
+      i => slice(tok, i * step + 1, lit(maxTokens)))
+    df.withColumn(tokCol, tokens(col(textCol)))
+      .filter(n > 0)
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id").cast(LongType).as("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).cast(LongType).as("n_chunk_tokens"))
+  }
+
   // --- PII redaction ------------------------------------------------------
 
   /** RE2-compatible patterns (no backrefs/lookahead), so the identical regex

@@ -660,6 +660,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(arrs(1) == Seq(10.0, 0.0, -2.0))
   }
 
+  test("chunkDocuments: overlapping windows cover every token in order, " +
+       "short and empty docs behave") {
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, text), (1L, "one two"), (2L, "... !!!")).toDF("doc_id", "text")
+    val rows = TextOps.chunkDocuments(d, "doc_id", "text", maxTokens = 8, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val doc0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    // 20 tokens, window 8, step 6 -> ceil(18/6) = 3 chunks
+    assert(doc0.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(doc0(0)._3 == (1 to 8).map("w" + _).mkString(" "))
+    assert(doc0(1)._3 == (7 to 14).map("w" + _).mkString(" "))
+    assert(doc0(2)._3 == (13 to 20).map("w" + _).mkString(" "))
+    assert(doc0.map(_._4).toSeq == Seq(8L, 8L, 8L))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(doc0(0)._3.split(" ").takeRight(2).toSeq ==
+      doc0(1)._3.split(" ").take(2).toSeq)
+    // short doc: one partial chunk; token-less doc: no rows
+    val doc1 = rows.filter(_._1 == 1L)
+    assert(doc1.length == 1 && doc1(0)._3 == "one two" && doc1(0)._4 == 2L)
+    assert(!rows.exists(_._1 == 2L))
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
