@@ -47,9 +47,12 @@ object pipeline {
 
       def decontaminate(probes: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", probeTextCol: String = "text",
-                        shingleSize: Int = 13): DataFrame = {
-        val flagged = DedupOps.contaminatedIds(df, idCol, textCol,
-          probes, probeTextCol, shingleSize)
+                        shingleSize: Int = 13, bloom: Boolean = false): DataFrame = {
+        val flagged =
+          if (bloom) DedupOps.contaminatedIdsBloom(df, idCol, textCol,
+            probes, probeTextCol, shingleSize)
+          else DedupOps.contaminatedIds(df, idCol, textCol,
+            probes, probeTextCol, shingleSize)
         df.join(flagged, Seq(idCol), "left_anti")
       }
 
@@ -106,6 +109,26 @@ object pipeline {
                         orderCol: String = "doc_id",
                         tokenCountCol: String = "n_tokens"): DataFrame =
         SampleOps.packSequences(df, splitCol, orderCol, tokenCountCol, budget)
+
+      def deterministicShuffle(keyCol: String = "doc_id",
+                               salt: String = "graft"): DataFrame =
+        SampleOps.deterministicShuffle(df, keyCol, salt)
+
+      // --- corpus shaping ------------------------------------------------
+
+      def chunkDocuments(maxTokens: Int, overlap: Int = 0,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+        TextOps.chunkDocuments(df, idCol, textCol, maxTokens, overlap)
+
+      def vocabulary(k: Int, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     exactDocFreq: Boolean = true): DataFrame =
+        TextOps.vocabulary(df, idCol, textCol, k, exactDocFreq)
+
+      def groupStats(groupCol: String, valueCol: String,
+                     percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+        TextOps.groupStats(df, groupCol, valueCol, percentiles)
     }
   }
 }

@@ -332,21 +332,50 @@ object SimOps {
   /**
    * LSH-bucketed approximate top-k: candidates share the query's bucket
    * (equi-join on the sketch — at 1e9 rows this is a hash join on a long,
-   * never a cross join). Recall is tunable via plane count; with b planes
-   * the corpus fans into 2^b buckets.
+   * never a cross join). Recall is tunable via plane count; with r planes
+   * the corpus fans into 2^r buckets PER BAND. `bands > 1` unions
+   * candidates over independent plane sets (seed + b), the same
+   * recall-vs-candidate-volume reconciliation as
+   * [[embeddingNearDupPairs]]'s banding — a (query, neighbor) pair
+   * colliding in several bands scores once (distinct before the verify).
+   * Default 1 preserves the historical single-band behavior (q30's
+   * oracle).
    */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int = 5, nPlanes: Int = 8,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, bands: Int = 1): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(nPlanes, dim, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__bucket", signSketch(col("__cv"), planes))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__bucket", signSketch(col("__qv"), planes)))
-    val scored = c.join(q, "__bucket")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored =
+      if (bands == 1) {
+        // historical single-band plan: one bucket column, no explosion,
+        // no candidate dedup (a pair can collide at most once)
+        val planes = hyperplanes(nPlanes, dim, seed)
+        val c = cv.withColumn("__bucket", signSketch(col("__cv"), planes))
+        val q = broadcast(qv.withColumn("__bucket", signSketch(col("__qv"), planes)))
+        c.join(q, "__bucket")
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      } else {
+        // banded: candidates carry IDS ONLY through the x-bands explosion
+        // (vectors join back after the distinct — the nearDuplicatePairs
+        // shape; carrying payloads through an explosion was the r2 bug)
+        val planeSets = (0 until bands).map(b => hyperplanes(nPlanes, dim, seed + b))
+        val cb = cv.select(col("neighbor_id"),
+          posexplode(bandedSignSketch(col("__cv"), planeSets))
+            .as(Seq("__band", "__bucket")))
+        val qb = broadcast(qv.select(col("query_id"),
+          posexplode(bandedSignSketch(col("__qv"), planeSets))
+            .as(Seq("__band", "__bucket"))))
+        val cand = cb.join(qb, Seq("__band", "__bucket"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"))
+          .distinct() // a pair colliding in several bands scores once
+        cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+          .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

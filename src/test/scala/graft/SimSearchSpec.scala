@@ -169,6 +169,35 @@ class SimSearchSpec extends SparkTestBase {
     }
   }
 
+  test("banded lshCosineTopK recovers planted neighbors a single band " +
+       "misses; bands=1 equals the historical single-band results") {
+    val e = plantedCorpus.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    // queries = the even ids of the first 40 planted pairs; the planted
+    // partner (odd id, cos in [0.955, 0.98]) is the true nearest neighbor
+    val queries = e.filter(col("vec_id") < 80 && col("vec_id") % 2 === 0)
+    def partnerRecall(bands: Int, nPlanes: Int): Double = {
+      val got = SimOps.lshCosineTopK(e, queries, "vec_id", "embedding",
+          k = 3, nPlanes = nPlanes, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (0 until 40).count(i => got.contains((2L * i, 2L * i + 1))) / 40.0
+    }
+    val single = partnerRecall(bands = 1, nPlanes = 20)
+    val banded = partnerRecall(bands = 8, nPlanes = 10)
+    assert(single < 0.5,
+      s"single 20-plane band found $single of planted partners — expected a miss rate")
+    assert(banded >= 0.9,
+      s"8x10 banded top-k found only $banded of planted partners")
+    // bands = 1 reproduces the historical plan's results exactly
+    val hist = SimOps.lshCosineTopK(e, queries, "vec_id", "embedding",
+        k = 3, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaParam = SimOps.lshCosineTopK(e, queries, "vec_id", "embedding",
+        k = 3, nPlanes = 8, bands = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(hist == viaParam)
+  }
+
   test("hyperplanes ride as reference objects — no plane literals in the plan") {
     val rng = new scala.util.Random(3)
     val e = (0L until 50L).map(i => (i, Seq.fill(64)(rng.nextGaussian())))
