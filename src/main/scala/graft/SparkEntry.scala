@@ -618,6 +618,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    "q62_dedup_against" -> ((s: SparkSession, dir: String) => {
+      // rolling-ingest dedup: docs with id < 100 stand in for the already-
+      // landed corpus; the incoming batch keeps only texts not seen there
+      val d = t(s, dir, "documents")
+      DedupOps.exactDedupAgainst(d, "text", d.filter(col("doc_id") < 100), "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1300,6 +1309,14 @@ object SparkEntry {
         |  array_to_string(t[i*14+1 : i*14+16], ' ') AS chunk_text,
         |  CAST(len(t[i*14+1 : i*14+16]) AS BIGINT) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q62_dedup_against" ->
+      // text equality == digest equality absent sha2 collisions
+      """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents r WHERE r.doc_id < 100 AND r.text = d.text
+        |)
+        |ORDER BY doc_id""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'

@@ -54,6 +54,24 @@ object DedupOps {
       .drop("__digest")
   }
 
+  /**
+   * Incremental-ingest exact dedup: keep only the rows of `df` whose text
+   * does not already exist in `reference` (the previously-landed corpus) —
+   * the "new data vs existing index" step of a rolling ingest. Digest-keyed
+   * like [[exactDedup]]: the anti-join shuffles 32-byte sha2 digests, never
+   * bodies, and the reference side reduces to DISTINCT digests first (at a
+   * steady state the reference digest table is the thing you persist and
+   * bucket). Null-text rows pass through — they match nothing.
+   */
+  def exactDedupAgainst(df: DataFrame, textCol: String,
+                        reference: DataFrame, refTextCol: String): DataFrame = {
+    val refDigests = reference
+      .select(sha2(col(refTextCol), 256).as("__ref_digest"))
+      .where(col("__ref_digest").isNotNull)
+      .distinct()
+    df.join(refDigests, sha2(col(textCol), 256) === col("__ref_digest"), "left_anti")
+  }
+
   /** Mersenne prime 2^31 - 1: the MinHash permutation modulus. Keeping every
     * operand under 2^31 makes `a*h + b` fit in 63 bits, so the identical
     * integer arithmetic runs in any engine's BIGINT (DuckDB oracle included)

@@ -683,6 +683,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!rows.exists(_._1 == 2L))
   }
 
+  test("exactDedupAgainst keeps only unseen texts; nulls pass through") {
+    import spark.implicits._
+    val landed = Seq((0L, "already here"), (1L, "also here")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "already here"),       // dup of landed -> dropped
+      (11L, "genuinely new"),      // kept
+      (12L, null.asInstanceOf[String]), // null text -> kept
+      (13L, "also here")           // dup -> dropped
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.exactDedupAgainst(incoming, "text", landed, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
