@@ -163,6 +163,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"bloom prefilter not below the semi-join:\n$plan")
   }
 
+  test("chunking is map-side; incremental dedup never shuffles bodies") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunk = graft.ops.TextOps.chunkDocuments(docs, "doc_id", "text",
+        maxTokens = 16, overlap = 2)
+      .queryExecution.executedPlan.toString
+    assert(countOccurrences(chunk, "Exchange hashpartitioning") == 0, chunk)
+    val against = DedupOps.exactDedupAgainst(docs, "text",
+        docs.filter(col("doc_id") < 3), "text")
+      .queryExecution.optimizedPlan.toString
+    against.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"text used as shuffle key:\n$against")
+    }
+  }
+
   test("landOnce validates a pre-existing table's bucket spec and schema") {
     import graft.sources.BucketedLand
     import spark.implicits._

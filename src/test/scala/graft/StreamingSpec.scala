@@ -187,6 +187,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q3.stop()
   }
 
+  test("map-side pipeline ops (normalize + quality + token count) compose " +
+       "on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // the text operators are pure per-row expressions, so the same calls
+    // that shape a batch corpus drop into a streaming query unchanged
+    val shaped = graft.ops.TextOps.qualityScore(
+        input.toDF().toDF("doc_id", "ts", "text")
+          .withColumn("text_norm", graft.ops.TextOps.normalizeText(col("text"))),
+        "text")
+      .withColumn("n_tokens", graft.ops.TextOps.tokenCount(col("text")))
+      .filter(col("quality") >= 0.0)
+    val q = shaped.select("doc_id", "text_norm", "quality", "n_tokens")
+      .writeStream.format("memory").queryName("pipeline_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (0L, ts(0), "the quick brown fox jumps over the lazy dog today"),
+        (1L, ts(1), "cafe\u0301 data"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT doc_id, text_norm, quality, n_tokens FROM pipeline_stream ORDER BY doc_id")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getDouble(2) > 0.0 && rows(0).getLong(3) == 10L)
+      assert(rows(1).getString(1) == "caf\u00e9 data") // NFC composed on the stream
+    } finally q.stop()
+  }
+
   test("fromText parses in-memory content (StringIO analog)") {
     val text = new String(
       graft.io.RawFile.bytes(s"$dataDir/CTD_with_sigma_e00.cnv"), "UTF-8")
