@@ -17,7 +17,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_tpch_q1", "q06_bindata_avg", "q09_despike", "q12_dedup_exact",
-        "q16_cnv_read", "q25_near_dup_pairs", "q29_ann_cosine")
+        "q16_cnv_read", "q25_near_dup_pairs", "q29_ann_cosine",
+        "q52_line_dedup", "q58_pipeline_e2e", "q59_embedding_near_dup_banded",
+        "q61_chunk_documents")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

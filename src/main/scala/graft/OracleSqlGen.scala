@@ -206,6 +206,39 @@ object OracleSqlGen {
           |        FROM embeddings WHERE vec_id < 20)""".stripMargin)
   }
 
+  /**
+   * q63: the banded ANN top-k scale path — candidates are the DISTINCT
+   * union of per-band bucket collisions (band b's planes from seed 42+b,
+   * matching `SimOps.lshCosineTopK(bands = n)`), then ranked by the shared
+   * cosine definition.
+   */
+  def annLshBandedSql(bands: Int, nPlanes: Int, k: Int): String = {
+    val perBand = (0 until bands).map { b =>
+      "  " + bucketSql(SimOps.hyperplanes(nPlanes, 64, 42L + b), band = Some(b))
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), sk AS (
+       |$perBand
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sk q JOIN sk c
+       |    ON q.band = c.band AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20
+       |), scored AS (
+       |  SELECT query_id, neighbor_id, ${cosineSqlFor("a", "b")} AS cos_sim
+       |  FROM cand
+       |  JOIN e a ON a.vec_id = cand.query_id
+       |  JOIN e b ON b.vec_id = cand.neighbor_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- lp_filter: Butterworth filtfilt as recursive-CTE recurrences -------
 
   /**

@@ -328,6 +328,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q63_ann_lsh_banded" -> ((s: SparkSession, dir: String) => {
+      // the multi-band top-k scale path, oracle-verified like q59: union
+      // of per-band collisions, ids-only candidates, vectors join back
+      val e = t(s, dir, "embeddings")
+      SimOps.lshCosineTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, nPlanes = 6, bands = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q42_ann_ivf" -> ((s: SparkSession, dir: String) => {
       // IVF scale path: 16-cell coarse quantizer, 4 probes per query
       val e = t(s, dir, "embeddings")
@@ -941,6 +950,7 @@ object SparkEntry {
     "q26_near_dedup"     -> OracleSqlGen.nearDedupSql,
     "q48_near_dedup_cc"  -> OracleSqlGen.nearDedupConnectedSql,
     "q30_ann_lsh"        -> OracleSqlGen.annLshSql,
+    "q63_ann_lsh_banded" -> OracleSqlGen.annLshBandedSql(bands = 3, nPlanes = 6, k = 5),
     "q36_barrier_layer"  -> OracleSqlGen.barrierLayerSql,
     "q40_embedding_near_dup" -> OracleSqlGen.embeddingNearDupSql,
     "q59_embedding_near_dup_banded" ->
