@@ -57,19 +57,27 @@ object DedupOps {
   /**
    * Incremental-ingest exact dedup: keep only the rows of `df` whose text
    * does not already exist in `reference` (the previously-landed corpus) —
-   * the "new data vs existing index" step of a rolling ingest. Digest-keyed
-   * like [[exactDedup]]: the anti-join shuffles 32-byte sha2 digests, never
-   * bodies, and the reference side reduces to DISTINCT digests first (at a
-   * steady state the reference digest table is the thing you persist and
-   * bucket). Null-text rows pass through — they match nothing.
+   * the "new data vs existing index" step of a rolling ingest. The LANDED
+   * side never ships bodies: it reduces to DISTINCT 32-byte sha2 digests
+   * first (at a steady state that digest table is the thing you persist
+   * and bucket). The INCOMING side broadcasts against a small digest set;
+   * past the broadcast threshold it shuffles on the digest key carrying
+   * its own rows — acceptable because in a rolling ingest the increment is
+   * the small side, and the alternative (shuffling the multi-TB landed
+   * corpus) is what this shape avoids. Null-text rows pass through — they
+   * match nothing.
    */
   def exactDedupAgainst(df: DataFrame, textCol: String,
                         reference: DataFrame, refTextCol: String): DataFrame = {
+    // collision-proof internal name (a prior stage may well have produced
+    // a column of the same name — ADVICE r3 convention)
+    var dg = "__ref_digest"
+    while (df.columns.contains(dg) || reference.columns.contains(dg)) dg += "_"
     val refDigests = reference
-      .select(sha2(col(refTextCol), 256).as("__ref_digest"))
-      .where(col("__ref_digest").isNotNull)
+      .select(sha2(col(refTextCol), 256).as(dg))
+      .where(col(dg).isNotNull)
       .distinct()
-    df.join(refDigests, sha2(col(textCol), 256) === col("__ref_digest"), "left_anti")
+    df.join(refDigests, sha2(col(textCol), 256) === col(dg), "left_anti")
   }
 
   /** Mersenne prime 2^31 - 1: the MinHash permutation modulus. Keeping every

@@ -239,6 +239,11 @@ object TextOps {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap")
+    // the output aliases are part of the contract; an id column of the
+    // same name (e.g. re-chunking this function's own output on chunk_id)
+    // would resolve ambiguously — fail loudly instead
+    require(!Set("chunk_id", "chunk_text", "n_chunk_tokens").contains(idCol),
+      s"idCol '$idCol' collides with a chunkDocuments output column — rename it first")
     val step = maxTokens - overlap
     val tokCol = tempName(df, "__tok")
     val tok = col(tokCol)

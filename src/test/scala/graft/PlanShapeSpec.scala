@@ -169,11 +169,16 @@ class PlanShapeSpec extends SparkTestBase {
         maxTokens = 16, overlap = 2)
       .queryExecution.executedPlan.toString
     assert(countOccurrences(chunk, "Exchange hashpartitioning") == 0, chunk)
-    val against = DedupOps.exactDedupAgainst(docs, "text",
-        docs.filter(col("doc_id") < 3), "text")
-      .queryExecution.optimizedPlan.toString
-    against.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
-      assert(!l.contains("text#"), s"text used as shuffle key:\n$against")
+    // PHYSICAL plan (the logical plan never prints 'hashpartitioning', so
+    // scanning it would assert nothing): the landed side must reduce to
+    // digests before any exchange — its text column may never be a shuffle
+    // key or shuffle payload
+    val refSide = docs.filter(col("doc_id") < 3)
+    val against = DedupOps.exactDedupAgainst(docs, "text", refSide, "text")
+      .queryExecution.executedPlan.toString
+    against.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"),
+        s"raw text used as a shuffle key:\n$against")
     }
   }
 
