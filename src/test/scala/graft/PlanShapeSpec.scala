@@ -35,13 +35,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(countOccurrences(plan, "Exchange hashpartitioning") == 1, plan)
   }
 
-  test("exact dedup never shuffles the document body") {
+  test("exact dedup never keys a shuffle on the document body") {
     val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
+    // PHYSICAL plan: 'hashpartitioning' never prints in the logical plan,
+    // so the earlier optimizedPlan scan asserted nothing (r6 review)
     val plan = DedupOps.exactDedup(docs, "doc_id", "text")
-      .queryExecution.optimizedPlan.toString
+      .queryExecution.executedPlan.toString
     // the aggregate/join keys are the digest + id — no partitioning by the
     // raw text column anywhere
-    plan.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"expected digest-keyed exchanges:\n$plan")
+    exchanges.foreach { l =>
       assert(!l.contains("text#"), s"text column used as shuffle key:\n$plan")
     }
   }
