@@ -636,6 +636,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q64_hashing_tf" -> ((s: SparkSession, dir: String) => {
+      // fixed-width featurizer: 64-bucket hashed term frequencies, emitted
+      // as (doc, bucket, n) rows (non-zero only) for the oracle compare
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.hashingTfVector(col("text"), 64))
+            .as(Seq("bucket", "n")))
+        .where(col("n") > 0)
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("n"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1327,6 +1339,21 @@ object SparkEntry {
         |  SELECT 1 FROM documents r WHERE r.doc_id < 100 AND r.text = d.text
         |)
         |ORDER BY doc_id""".stripMargin,
+
+    "q64_hashing_tf" ->
+      // bucket = md5-31(token) % 64 — the same engine-portable hash family
+      // as q45; zero buckets are absent rows on both sides
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  (('0x' || substr(md5(t), 1, 16))::UBIGINT
+        |    & 2147483647::UBIGINT)::BIGINT % 64 AS bucket,
+        |  count(*) AS n
+        |FROM tok GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'

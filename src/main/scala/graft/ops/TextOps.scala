@@ -159,6 +159,14 @@ object TextOps {
     org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
       .nfcNormalize(regexp_replace(text, lit(ControlCharRe), lit("")))
 
+  /** Hashing-trick term-frequency vector of width `dim` over the token
+    * stream — the fixed-width featurizer a linear quality/language
+    * classifier consumes (fastText-style). One-pass native codegen kernel;
+    * bucket ids are md5-based, so any engine reproduces them. */
+  def hashingTfVector(text: Column, dim: Int): Column =
+    org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+      .hashingTf(tokens(text), dim)
+
   /** Content-defined fingerprint: sha2-256 of the token-normalized text
     * (whitespace/punctuation-insensitive — two docs differing only in
     * formatting collide, which is the point). */

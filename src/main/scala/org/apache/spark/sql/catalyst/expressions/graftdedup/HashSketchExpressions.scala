@@ -65,6 +65,25 @@ object GraftHashKernels {
   def md5Hash31(s: UTF8String): Long =
     if (s == null) 0L else md5Hash64(s.getBytes) & 0x7fffffffL
 
+  /** Hashing-trick term-frequency vector: one pass over the token array
+    * counting md5-31(token) mod `dim` per bucket — the fixed-width
+    * featurizer (fastText-style classifier input) whose bucket ids any
+    * engine reproduces from md5. Null elements are skipped; an empty
+    * array yields the zero vector. */
+  def hashingTf(tokens: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Long](dim)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = md5Hash64(tokens.getUTF8String(i).getBytes) & 0x7fffffffL
+        out((h % dim).toInt) += 1L
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Banded LSH keys: fold each of `bands` signature slices to
     * `((acc*31 + v) mod p)` — the portable band key DedupOps.lshBands
     * documents. */
@@ -195,6 +214,33 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"${GraftShingleKernel.getClass.getName.stripSuffix("$")}.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<string> -> array<bigint>` hashing-trick term-frequency vector
+  * of width `dim` (see [[GraftHashKernels.hashingTf]]); codegen'd one-pass
+  * kernel, engine-portable md5 bucket ids. */
+case class HashingTfExpr(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashing_tf"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    GraftHashKernels.hashingTf(tokens.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.hashingTf($c, $dim)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -382,7 +428,13 @@ object HashSketchExpressions {
       }),
     (FunctionIdentifier("max_token_freq"),
       new ExpressionInfo(classOf[MaxTokenFreqExpr].getName, "max_token_freq"),
-      (c: Seq[Expression]) => { arity("max_token_freq", c, 1); MaxTokenFreqExpr(c(0)) }))
+      (c: Seq[Expression]) => { arity("max_token_freq", c, 1); MaxTokenFreqExpr(c(0)) }),
+    (FunctionIdentifier("hashing_tf"),
+      new ExpressionInfo(classOf[HashingTfExpr].getName, "hashing_tf"),
+      (c: Seq[Expression]) => {
+        arity("hashing_tf", c, 2)
+        HashingTfExpr(c(0), litInt("hashing_tf", c(1), "dim"))
+      }))
 
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>
@@ -411,6 +463,10 @@ object HashSketchExpressions {
   /** Column-API form: codegen'd max single-token frequency. */
   def maxTokenFreq(tokens: Column): Column =
     ExpressionUtils.column(MaxTokenFreqExpr(ExpressionUtils.expression(tokens)))
+
+  /** Column-API form: codegen'd hashing-trick TF vector of width `dim`. */
+  def hashingTf(tokens: Column, dim: Int): Column =
+    ExpressionUtils.column(HashingTfExpr(ExpressionUtils.expression(tokens), dim))
 
   /** Column-API form: codegen'd MinHash signature over a shingle array. */
   def minhashSig(shingles: Column, as: Seq[Long], bs: Seq[Long]): Column =

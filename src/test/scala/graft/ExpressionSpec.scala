@@ -172,6 +172,32 @@ class ExpressionSpec extends SparkTestBase {
     assert(got == "ab " + composed + " ")
   }
 
+  test("hashing_tf: counts by md5-31 bucket, width honored, empty -> zeros") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val exprs = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    val d = Seq(
+      (0L, Seq("spark", "spark", "window")),
+      (1L, Seq.empty[String])
+    ).toDF("id", "tok")
+    val rows = d.select(col("id"), exprs.hashingTf(col("tok"), 8).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(0L).length == 8 && rows(1L) == Seq.fill(8)(0L))
+    assert(rows(0L).sum == 3)
+    // bucket placement matches the driver-side md5-31 reference
+    def bucket(t: String) = (org.apache.spark.sql.catalyst.expressions.graftdedup
+      .GraftHashKernels.md5Hash31(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) % 8).toInt
+    assert(rows(0L)(bucket("spark")) >= 2)
+    assert(rows(0L)(bucket("window")) >= 1)
+    // SQL surface
+    exprs.registerInto(spark)
+    val viaSql = spark.sql(
+      "SELECT hashing_tf(array('a','b','a'), 4) AS v").collect()(0).getSeq[Long](0)
+    assert(viaSql.sum == 3 && viaSql.length == 4)
+  }
+
   test("randomized: native kernels equal reference Scala over unicode tokens") {
     import spark.implicits._
     // vocabulary stresses multi-byte UTF-8: the native kernels hash/concat
