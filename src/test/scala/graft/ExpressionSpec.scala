@@ -62,7 +62,7 @@ class ExpressionSpec extends SparkTestBase {
     // minhash_sig is Column-API-only (its permutation-constant arguments
     // don't fit SQL literal builders), so it's deliberately absent here
     Seq("gsw_sigma0", "array_dot", "simhash64", "word_shingles",
-        "lsh_band_keys", "md5_hash31", "max_token_freq",
+        "lsh_band_keys", "md5_hash31", "max_token_freq", "hashing_tf",
         "ascii_class_counts", "nfc_normalize").foreach { f =>
       assert(injected.contains(f), s"$f missing from injected functions: $injected")
     }
