@@ -44,14 +44,19 @@ object DedupOps {
     * window/group semantics (and the DuckDB oracle) keep the group's
     * minimum id. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withDigest = df.withColumn("__digest", sha2(col(textCol), 256))
-    val keep = withDigest.groupBy(col("__digest"))
-      .agg(min(col(idCol)).as("__keep_id"))
-      .withColumnRenamed("__digest", "__keep_digest")
+    // collision-proofed internal names (shared tempName helper — a user
+    // column literally named __digest was silently clobbered before)
+    val dg = TextOps.tempName(df, "__digest")
+    val keepId = TextOps.tempName(df, "__keep_id")
+    val keepDg = TextOps.tempName(df, "__keep_digest")
+    val withDigest = df.withColumn(dg, sha2(col(textCol), 256))
+    val keep = withDigest.groupBy(col(dg))
+      .agg(min(col(idCol)).as(keepId))
+      .withColumnRenamed(dg, keepDg)
     withDigest.join(keep,
-        col("__digest") <=> col("__keep_digest") && col(idCol) === col("__keep_id"),
+        col(dg) <=> col(keepDg) && col(idCol) === col(keepId),
         "left_semi")
-      .drop("__digest")
+      .drop(dg)
   }
 
   /**
@@ -70,7 +75,9 @@ object DedupOps {
   def exactDedupAgainst(df: DataFrame, textCol: String,
                         reference: DataFrame, refTextCol: String): DataFrame = {
     // collision-proof internal name (a prior stage may well have produced
-    // a column of the same name — ADVICE r3 convention)
+    // a column of the same name — ADVICE r3 convention); unlike tempName
+    // this must be absent from BOTH frames (it appears in the join
+    // condition, where either side could capture it)
     var dg = "__ref_digest"
     while (df.columns.contains(dg) || reference.columns.contains(dg)) dg += "_"
     val refDigests = reference

@@ -174,17 +174,27 @@ class PlanShapeSpec extends SparkTestBase {
         maxTokens = 16, overlap = 2)
       .queryExecution.executedPlan.toString
     assert(countOccurrences(chunk, "Exchange hashpartitioning") == 0, chunk)
-    // PHYSICAL plan (the logical plan never prints 'hashpartitioning', so
-    // scanning it would assert nothing): the landed side must reduce to
-    // digests before any exchange — its text column may never be a shuffle
-    // key or shuffle payload
-    val refSide = docs.filter(col("doc_id") < 3)
-    val against = DedupOps.exactDedupAgainst(docs, "text", refSide, "text")
-      .queryExecution.executedPlan.toString
-    against.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
-      assert(!l.contains("text#"),
-        s"raw text used as a shuffle key:\n$against")
-    }
+    // PHYSICAL plan in the NON-broadcast regime (threshold off forces the
+    // documented steady-state shape): the landed side must reduce to its
+    // digest column before its exchange — an exchange partitioned on the
+    // digest alias that still carried the reference text would be the
+    // multi-TB body shuffle the operator exists to avoid. The incoming
+    // side legitimately shuffles its own rows keyed on sha2(text).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val refSide = docs.filter(col("doc_id") < 3)
+      val against = DedupOps.exactDedupAgainst(docs, "text", refSide, "text")
+        .queryExecution.executedPlan.toString
+      val refExchanges = against.linesIterator
+        .filter(_.contains("Exchange hashpartitioning(__ref_digest")).toSeq
+      assert(refExchanges.nonEmpty,
+        s"expected a digest-keyed exchange on the landed side:\n$against")
+      refExchanges.foreach { l =>
+        assert(!l.contains("text#"),
+          s"landed side shuffles text alongside its digest:\n$against")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("landOnce validates a pre-existing table's bucket spec and schema") {
