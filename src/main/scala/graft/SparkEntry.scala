@@ -648,6 +648,17 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bucket"))
     }),
 
+    "q65_l2_normalize" -> ((s: SparkSession, dir: String) => {
+      // normalize-at-ingest: unit-norm embeddings as (vec_id, dim, value)
+      // rows — after this every downstream dot product is a cosine
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(SimOps.l2Normalize(col("embedding"))).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("val"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1354,6 +1365,18 @@ object SparkEntry {
         |  count(*) AS n
         |FROM tok GROUP BY doc_id, bucket
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q65_l2_normalize" ->
+      // identical left-to-right double fold for the norm; zero-norm rows
+      // pass through undivided on both sides
+      """SELECT vec_id, pos - 1 AS dim,
+        |  round(CASE WHEN list_inner_product(v, v) > 0
+        |    THEN ve / sqrt(list_inner_product(v, v)) ELSE ve END, 6) AS val
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |        unnest(CAST(embedding AS DOUBLE[])) AS ve,
+        |        unnest(generate_series(1, len(embedding))) AS pos
+        |      FROM embeddings)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'

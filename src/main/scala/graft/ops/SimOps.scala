@@ -30,6 +30,13 @@ object SimOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Unit-norm normalization (codegen'd one-pass kernel): normalize ONCE at
+    * ingest and every downstream `dot` IS a cosine — zero-norm vectors pass
+    * through unchanged. */
+  def l2Normalize(v: Column): Column =
+    org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+      .l2Normalize(v)
+
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)

@@ -96,6 +96,84 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
 }
 
 /**
+ * L2 (unit-norm) vector normalization: `v / sqrt(dot(v, v))`, computed in
+ * one codegen pass with the same left-to-right double fold as
+ * [[DotProductExpr]] — after this, downstream dot products ARE cosines,
+ * which halves the arithmetic of every ANN/near-dup pass over the corpus
+ * (normalize once at ingest, never re-derive norms). Output is
+ * `array<double>`; a zero-norm vector passes through unchanged (never
+ * divides by zero), a null element yields a null vector.
+ */
+case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // null on a null ELEMENT even over a non-null child (same hazard class
+  // as DotProductExpr — see its nullable note)
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      out(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    var s = 0.0
+    i = 0
+    while (i < n) { s += out(i) * out(i); i += 1 }
+    val norm = math.sqrt(s)
+    if (norm > 0.0) {
+      i = 0
+      while (i < n) { out(i) /= norm; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val s = ctx.freshName("s")
+      val norm = ctx.freshName("norm")
+      s"""
+         |final int $n = $v.numElements();
+         |final double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $out[$i] = (double) $v.$get($i);
+         |}
+         |if (!${ev.isNull}) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) $s += $out[$i] * $out[$i];
+         |  final double $norm = java.lang.Math.sqrt($s);
+         |  if ($norm > 0.0) for (int $i = 0; $i < $n; $i++) $out[$i] /= $norm;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * All-bands random-hyperplane sign sketch in ONE pass over the vector:
  * output element `b` is the band-`b` bucket id, where bit `j` is set iff
  * `dot(vec, planes(b)(j)) >= 0` — the identical left-to-right double fold
@@ -339,7 +417,10 @@ object ArrayMathExpressions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "array_dot"),
-      (c: Seq[Expression]) => DotProductExpr(c(0), c(1))))
+      (c: Seq[Expression]) => DotProductExpr(c(0), c(1))),
+    (FunctionIdentifier("l2_normalize"),
+      new ExpressionInfo(classOf[L2NormalizeExpr].getName, "l2_normalize"),
+      (c: Seq[Expression]) => L2NormalizeExpr(c(0))))
 
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>
@@ -353,6 +434,10 @@ object ArrayMathExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProductExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API form: codegen'd unit-norm normalization. */
+  def l2Normalize(v: Column): Column =
+    ExpressionUtils.column(L2NormalizeExpr(ExpressionUtils.expression(v)))
 
   /** Column-API form: codegen'd all-bands sign sketch (`array<long>`, one
     * element per band). Planes travel as a reference object, not literals. */

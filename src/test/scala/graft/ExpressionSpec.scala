@@ -198,6 +198,35 @@ class ExpressionSpec extends SparkTestBase {
     assert(viaSql.sum == 3 && viaSql.length == 4)
   }
 
+  test("l2_normalize: unit norm, dot-after == cosine, zero vector and " +
+       "null element semantics") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+    import spark.implicits._
+    val d = Seq(
+      (0L, Array(3.0f, 4.0f)),
+      (1L, Array(0.0f, 0.0f)),       // zero norm: passes through
+      (2L, Array(1.0f, -2.0f, 2.0f))
+    ).toDF("id", "v")
+    val out = d.select(col("id"), ArrayMathExpressions.l2Normalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(0L) == Seq(0.6, 0.8))
+    assert(out(1L) == Seq(0.0, 0.0))
+    val n2 = out(2L)
+    assert(math.abs(n2.map(x => x * x).sum - 1.0) < 1e-12)
+    // dot of two normalized copies of the same vector is exactly cosine 1
+    val selfCos = d.filter(col("id") === 2L)
+      .select(ArrayMathExpressions.dot(
+        ArrayMathExpressions.l2Normalize(col("v")),
+        ArrayMathExpressions.l2Normalize(col("v"))))
+      .collect()(0).getDouble(0)
+    assert(math.abs(selfCos - 1.0) < 1e-12)
+    // null element -> null vector
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null))).toDF("v")
+      .select(ArrayMathExpressions.l2Normalize(col("v"))).collect()(0)
+    assert(withNull.isNullAt(0))
+  }
+
   test("randomized: native kernels equal reference Scala over unicode tokens") {
     import spark.implicits._
     // vocabulary stresses multi-byte UTF-8: the native kernels hash/concat
