@@ -697,6 +697,48 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept == Set(11L, 12L))
   }
 
+  test("randomized invariants: chunk windows reconstruct the token stream; " +
+       "lineDedup below threshold is byte-identical") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "x9", "q", "longword7")
+    (0 until 3).foreach { round =>
+      val docs = (0L until 30L).map { i =>
+        val n = rng.nextInt(60)
+        (i, Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val maxT = 3 + rng.nextInt(10)
+      val ov = rng.nextInt(maxT)
+      val step = maxT - ov
+      // chunk-coverage invariant: chunk 0 + the tail (after overlap) of
+      // every later chunk reconstructs the full token stream exactly
+      val chunks = TextOps.chunkDocuments(df, "doc_id", "text", maxT, ov)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) assert(!chunks.contains(id))
+        else {
+          val cs = chunks(id).sortBy(_._2).map(_._3.split(" ").filter(_.nonEmpty).toSeq)
+          val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(ov))
+          // trailing chunks can re-cover already-seen tokens when the last
+          // window clamps; compare as prefix-consistent cover
+          assert(rebuilt.take(toks.length) == toks,
+            s"doc $id: chunks don't reconstruct tokens (maxT=$maxT ov=$ov)")
+          assert(rebuilt.length >= toks.length)
+          cs.foreach(c => assert(c.length <= maxT))
+        }
+      }
+      // lineDedup with an unreachable threshold: output byte-identical
+      val calm = DedupOps.lineDedup(df, "doc_id", "text",
+          maxDocFreq = 1000, delimiter = " ")
+        .select("doc_id", "text_dedup").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      docs.foreach { case (id, text) => assert(calm(id) == text) }
+    }
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
