@@ -216,6 +216,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming onCorrupt=skip: a poisoned upload mid-stream is dropped, " +
+       "the query keeps processing later files") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("ctd-corrupt-stream").toFile
+    dir.deleteOnExit()
+    val src = Paths.get(s"$dataDir/CTD_with_sigma_e00.cnv")
+    Files.copy(src, Paths.get(dir.getPath, "a_first.cnv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.format("ctd").option("ftype", "cnv")
+      .option("onCorrupt", "skip").load(dir.getPath)
+      .groupBy(col("cast_id")).agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("corrupt_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(n) FROM corrupt_stream")
+        .collect()(0).getLong(0) == 199)
+      // a truncated gz lands next (sorts after), then a good file after it
+      Files.write(Paths.get(dir.getPath, "b_bad.cnv.gz"),
+        Array[Byte](31, -117, 8, 0, 1, 2, 3))
+      Files.copy(src, Paths.get(dir.getPath, "c_later.cnv"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      // the poisoned file contributes nothing; the later file lands fully
+      assert(spark.sql("SELECT sum(n) FROM corrupt_stream")
+        .collect()(0).getLong(0) == 398)
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+  }
+
   test("fromText parses in-memory content (StringIO analog)") {
     val text = new String(
       graft.io.RawFile.bytes(s"$dataDir/CTD_with_sigma_e00.cnv"), "UTF-8")
