@@ -1367,15 +1367,25 @@ object SparkEntry {
         |ORDER BY doc_id, bucket""".stripMargin,
 
     "q65_l2_normalize" ->
-      // identical left-to-right double fold for the norm; zero-norm rows
-      // pass through undivided on both sides
+      // the oracle replays the kernel's max-abs-scaled fold exactly
+      // (m * sqrt(sum (v_i/m)^2), left-to-right); zero-norm rows pass
+      // through undivided, and vectors with a NULL element emit no rows
+      // (Spark nulls the whole vector, so posexplode drops them)
       """SELECT vec_id, pos - 1 AS dim,
-        |  round(CASE WHEN list_inner_product(v, v) > 0
-        |    THEN ve / sqrt(list_inner_product(v, v)) ELSE ve END, 6) AS val
-        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |        unnest(CAST(embedding AS DOUBLE[])) AS ve,
-        |        unnest(generate_series(1, len(embedding))) AS pos
-        |      FROM embeddings)
+        |  round(CASE WHEN m > 0
+        |    THEN ve / (m * sqrt(list_inner_product(sv, sv)))
+        |    ELSE ve END, 6) AS val
+        |FROM (
+        |  SELECT vec_id, pos, ve, m,
+        |    list_transform(v, x -> x / CASE WHEN m > 0 THEN m ELSE 1 END) AS sv
+        |  FROM (
+        |    SELECT vec_id, v, unnest(v) AS ve,
+        |           unnest(generate_series(1, len(v))) AS pos,
+        |           coalesce(list_max(list_transform(v, x -> abs(x))), 0) AS m
+        |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |    WHERE len(v) = len(list_filter(v, x -> x IS NOT NULL))
+        |  )
+        |)
         |ORDER BY vec_id, dim""".stripMargin,
 
     "q43_pii_redact" ->

@@ -96,13 +96,15 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
 }
 
 /**
- * L2 (unit-norm) vector normalization: `v / sqrt(dot(v, v))`, computed in
- * one codegen pass with the same left-to-right double fold as
- * [[DotProductExpr]] — after this, downstream dot products ARE cosines,
- * which halves the arithmetic of every ANN/near-dup pass over the corpus
- * (normalize once at ingest, never re-derive norms). Output is
- * `array<double>`; a zero-norm vector passes through unchanged (never
- * divides by zero), a null element yields a null vector.
+ * L2 (unit-norm) vector normalization — after this, downstream dot
+ * products ARE cosines, which halves the arithmetic of every ANN/near-dup
+ * pass over the corpus (normalize once at ingest, never re-derive norms).
+ * The norm is computed max-abs-pre-scaled (`m * sqrt(sum (v_i/m)^2)`,
+ * left-to-right) so double inputs near 1e±154 neither overflow to a
+ * zeroed direction nor underflow to a false zero-norm; the q65 oracle
+ * replays the identical scaled fold. Output is `array<double>`; a
+ * zero-norm vector passes through unchanged (never divides by zero), a
+ * null element yields a null vector.
  */
 case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
 
@@ -128,17 +130,23 @@ case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
     val out = new Array[Double](n)
+    var m = 0.0
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return null
       out(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val a = math.abs(out(i))
+      if (a > m) m = a
       i += 1
     }
-    var s = 0.0
-    i = 0
-    while (i < n) { s += out(i) * out(i); i += 1 }
-    val norm = math.sqrt(s)
-    if (norm > 0.0) {
+    // max-abs pre-scaling: an unscaled sum of squares overflows to Inf
+    // around |v| ~ 1e154 (direction lost) and underflows to 0 below
+    // ~1e-162 (vector wrongly treated as zero-norm) for double inputs
+    if (m > 0.0) {
+      var s = 0.0
+      i = 0
+      while (i < n) { val t = out(i) / m; s += t * t; i += 1 }
+      val norm = m * math.sqrt(s)
       i = 0
       while (i < n) { out(i) /= norm; i += 1 }
     }
@@ -150,19 +158,28 @@ case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val out = ctx.freshName("out"); val s = ctx.freshName("s")
+      val m = ctx.freshName("m"); val t = ctx.freshName("t")
       val norm = ctx.freshName("norm")
       s"""
          |final int $n = $v.numElements();
          |final double[] $out = new double[$n];
+         |double $m = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $out[$i] = (double) $v.$get($i);
+         |  final double $t = java.lang.Math.abs($out[$i]);
+         |  if ($t > $m) $m = $t;
          |}
          |if (!${ev.isNull}) {
-         |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) $s += $out[$i] * $out[$i];
-         |  final double $norm = java.lang.Math.sqrt($s);
-         |  if ($norm > 0.0) for (int $i = 0; $i < $n; $i++) $out[$i] /= $norm;
+         |  if ($m > 0.0) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      final double $t = $out[$i] / $m;
+         |      $s += $t * $t;
+         |    }
+         |    final double $norm = $m * java.lang.Math.sqrt($s);
+         |    for (int $i = 0; $i < $n; $i++) $out[$i] /= $norm;
+         |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
        """.stripMargin

@@ -225,6 +225,22 @@ class ExpressionSpec extends SparkTestBase {
     val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null))).toDF("v")
       .select(ArrayMathExpressions.l2Normalize(col("v"))).collect()(0)
     assert(withNull.isNullAt(0))
+    // overflow/underflow guard: huge and tiny doubles keep their direction
+    val extreme = Seq((0L, Array(1e200, 1e200)), (1L, Array(1e-200, 0.0)))
+      .toDF("id", "v")
+      .select(col("id"), ArrayMathExpressions.l2Normalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(extreme(0L).map(x => x * x).sum - 1.0) < 1e-12,
+      s"1e200 vector lost its direction: ${extreme(0L)}")
+    assert(extreme(1L) == Seq(1.0, 0.0),
+      s"1e-200 vector treated as zero-norm: ${extreme(1L)}")
+    // SQL surface (same registry path as array_dot)
+    org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+      .registerInto(spark)
+    val viaSql = spark.sql(
+      "SELECT l2_normalize(array(cast(3.0 as double), cast(4.0 as double))) AS n")
+      .collect()(0).getSeq[Double](0)
+    assert(viaSql == Seq(0.6, 0.8))
   }
 
   test("randomized: native kernels equal reference Scala over unicode tokens") {
