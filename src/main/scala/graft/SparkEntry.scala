@@ -659,6 +659,12 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    "q66_hashing_tfidf" -> ((s: SparkSession, dir: String) => {
+      // the featurizer capstone: hashed TF re-weighted by smoothed idf
+      TextOps.hashingTfIdf(t(s, dir, "documents"), "doc_id", "text", dim = 64)
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1387,6 +1393,27 @@ object SparkEntry {
         |  )
         |)
         |ORDER BY vec_id, dim""".stripMargin,
+
+    "q66_hashing_tfidf" ->
+      // smoothed idf recomputed from first principles; ln differs from
+      // Math.log by at most an ulp, absorbed by round(6)
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(t), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT % 64 AS bucket,
+        |    count(*) AS tf
+        |  FROM tok GROUP BY doc_id, bucket
+        |), dfc AS (
+        |  SELECT bucket, count(*) AS df FROM tf GROUP BY bucket
+        |), nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, bucket,
+        |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN dfc USING (bucket) CROSS JOIN nn
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'

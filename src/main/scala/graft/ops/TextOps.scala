@@ -167,6 +167,35 @@ object TextOps {
     org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
       .hashingTf(tokens(text), dim)
 
+  /**
+   * Hashed TF-IDF rows (doc, bucket, weight): [[hashingTfVector]] counts
+   * re-weighted by smoothed inverse document frequency
+   * `ln((N + 1) / (df_bucket + 1)) + 1` — the standard linear-model
+   * featurization. The idf table is `dim` doubles: one tiny aggregation
+   * over the exploded non-zero buckets (partial-aggregated map-side, like
+   * [[vocabulary]]) collected to the driver and folded back in as a plan
+   * constant, so the corpus pass itself stays map-side. Emits only
+   * non-zero buckets.
+   */
+  def hashingTfIdf(df: DataFrame, idCol: String, textCol: String,
+                   dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val tfRows = df
+      .select(col(idCol),
+        posexplode(hashingTfVector(col(textCol), dim)).as(Seq("bucket", "tf")))
+      .where(col("tf") > 0)
+    val n = df.count()
+    val dfCounts = tfRows.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val idf = Array.tabulate(dim)(b =>
+      math.log((n + 1).toDouble / (dfCounts.getOrElse(b, 0L) + 1).toDouble) + 1.0)
+    val idfCol = array(idf.map(lit): _*)
+    tfRows.select(col(idCol), col("bucket").cast(LongType).as("bucket"),
+      round(col("tf").cast(DoubleType) *
+        element_at(idfCol, col("bucket").cast(IntegerType) + 1), 6).as("tfidf"))
+  }
+
   /** Content-defined fingerprint: sha2-256 of the token-normalized text
     * (whitespace/punctuation-insensitive — two docs differing only in
     * formatting collide, which is the point). */

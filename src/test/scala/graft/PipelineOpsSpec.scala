@@ -739,6 +739,32 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("hashingTfIdf: ubiquitous tokens weigh less than rare ones, " +
+       "weights are tf * smoothed idf") {
+    import spark.implicits._
+    // 'common' appears in every doc; 'rare' in one
+    val d = Seq(
+      (0L, "common rare"),
+      (1L, "common"),
+      (2L, "common common")
+    ).toDF("doc_id", "text")
+    val dim = 64 // common=11, rare=43: distinct buckets at this width
+    def bucket(t: String) = (org.apache.spark.sql.catalyst.expressions.graftdedup
+      .GraftHashKernels.md5Hash31(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) % dim).toInt
+    val rows = TextOps.hashingTfIdf(d, "doc_id", "text", dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cb = bucket("common").toLong
+    val rb = bucket("rare").toLong
+    assert(cb != rb, "test tokens must land in distinct buckets")
+    // idf(common) = ln(4/4)+1 = 1; idf(rare) = ln(4/2)+1
+    val idfRare = math.log(4.0 / 2.0) + 1.0
+    assert(math.abs(rows((0L, cb)) - 1.0) < 1e-6)
+    assert(math.abs(rows((0L, rb)) - idfRare) < 1e-6)
+    assert(math.abs(rows((2L, cb)) - 2.0) < 1e-6) // tf 2 x idf 1
+    assert(rows((0L, rb)) > rows((0L, cb)), "rare token must outweigh common")
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
