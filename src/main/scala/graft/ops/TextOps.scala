@@ -175,7 +175,10 @@ object TextOps {
    * over the exploded non-zero buckets (partial-aggregated map-side, like
    * [[vocabulary]]) collected to the driver and folded back in as a plan
    * constant, so the corpus pass itself stays map-side. Emits only
-   * non-zero buckets.
+   * non-zero buckets. Note the corpus is tokenized twice — once for the
+   * df statistics, once for the weighted output — the standard
+   * global-statistic-then-apply shape; cache the input upstream if the
+   * second scan matters.
    */
   def hashingTfIdf(df: DataFrame, idCol: String, textCol: String,
                    dim: Int): DataFrame = {
