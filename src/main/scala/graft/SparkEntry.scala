@@ -665,6 +665,29 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bucket"))
     }),
 
+    "q67_hashing_tf_sparse" -> ((s: SparkSession, dir: String) => {
+      // the scale-safe featurizer: sparse (bucket, tf) structs — must emit
+      // exactly q64's rows (same md5 buckets, non-zero only) without ever
+      // allocating a dim-wide vector
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.hashingTfSparseVector(col("text"), 64)).as("bt"))
+        .select(col("doc_id"), col("bt.bucket").as("bucket"), col("bt.tf").as("n"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+    "q68_score_linear" -> ((s: SparkSession, dir: String) => {
+      // trained-model scoring at scan speed: sigmoid(w · tf + b) in one
+      // native pass per document. Weights are dyadic rationals (k/1024, |k|
+      // <= 10) so every partial sum is exact in doubles and the oracle's
+      // arbitrary summation order cannot diverge; only exp() can differ
+      // across engines (by an ulp), absorbed by round(6).
+      val w = Array.tabulate(64)(b => ((b * 37 % 21) - 10) / 1024.0)
+      TextOps.scoreLinear(t(s, dir, "documents"), "doc_id", "text", w, bias = 0.25)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1414,6 +1437,44 @@ object SparkEntry {
         |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfc USING (bucket) CROSS JOIN nn
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q67_hashing_tf_sparse" ->
+      // identical oracle to q64 by design: the sparse kernel must reproduce
+      // the dense kernel's non-zero rows exactly
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  (('0x' || substr(md5(t), 1, 16))::UBIGINT
+        |    & 2147483647::UBIGINT)::BIGINT % 64 AS bucket,
+        |  count(*) AS n
+        |FROM tok GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q68_score_linear" ->
+      // w(b) = ((b*37 % 21) - 10)/1024 — dyadic, so the per-doc sum is
+      // exact regardless of order; zero-token docs score sigmoid(bias),
+      // null text scores NULL on both sides
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+        |  FROM documents
+        |), contrib AS (
+        |  SELECT doc_id,
+        |    ((((('0x' || substr(md5(t), 1, 16))::UBIGINT
+        |        & 2147483647::UBIGINT)::BIGINT % 64) * 37 % 21) - 10) / 1024.0 AS w
+        |  FROM tok
+        |), z AS (
+        |  SELECT doc_id, sum(w) AS sw FROM contrib GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE round(1.0 / (1.0 + exp(-(0.25 + coalesce(z.sw, 0)))), 6)
+        |  END AS score
+        |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q43_pii_redact" ->
       // same RE2-compatible patterns; DuckDB regexp_replace needs the 'g'

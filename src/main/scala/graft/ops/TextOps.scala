@@ -167,36 +167,77 @@ object TextOps {
     org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
       .hashingTf(tokens(text), dim)
 
+  /** Sparse form of [[hashingTfVector]]: `array<struct<bucket, tf>>` of the
+    * NON-ZERO buckets only, sorted by bucket. Same md5-based bucket ids, but
+    * per-row cost tracks the token count, not `dim` — at the realistic
+    * 2^18–2^21 feature widths the dense kernel allocates 2–16 MB per
+    * document; this one allocates O(distinct tokens). Prefer it whenever
+    * the vector is consumed row-wise (explode, idf weighting, scoring). */
+  def hashingTfSparseVector(text: Column, dim: Int): Column =
+    org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+      .hashingTfSparse(tokens(text), dim)
+
   /**
-   * Hashed TF-IDF rows (doc, bucket, weight): [[hashingTfVector]] counts
+   * Hashed TF-IDF rows (doc, bucket, weight): hashed term frequencies
    * re-weighted by smoothed inverse document frequency
    * `ln((N + 1) / (df_bucket + 1)) + 1` — the standard linear-model
-   * featurization. The idf table is `dim` doubles: one tiny aggregation
-   * over the exploded non-zero buckets (partial-aggregated map-side, like
-   * [[vocabulary]]) collected to the driver and folded back in as a plan
-   * constant, so the corpus pass itself stays map-side. Emits only
-   * non-zero buckets. Note the corpus is tokenized twice — once for the
-   * df statistics, once for the weighted output — the standard
+   * featurization. Built on the SPARSE kernel end to end, so `dim` can be
+   * the fastText-realistic 2^18–2^21 without a dense per-row intermediate,
+   * and the idf table stays DISTRIBUTED: one tiny aggregation over the
+   * non-zero (doc, bucket) rows (partial-aggregated map-side, bounded by
+   * `dim`) broadcast-joined back onto the same rows — no driver collect, no
+   * `array(lit × dim)` plan constant. The one driver action is `df.count()`
+   * for N (a scalar). The corpus is tokenized twice — once for the df
+   * statistics, once for the weighted output — the standard
    * global-statistic-then-apply shape; cache the input upstream if the
    * second scan matters.
    */
   def hashingTfIdf(df: DataFrame, idCol: String, textCol: String,
                    dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
+    // "bucket"/"tfidf" are contract output names; an idCol of the same name
+    // would make the output ambiguous — fail loudly (chunkDocuments rule)
+    require(!Set("bucket", "tf", "tfidf").contains(idCol),
+      s"idCol '$idCol' collides with a hashingTfIdf output column — rename it first")
+    val bt = tempName(df, "__bt")
     val tfRows = df
       .select(col(idCol),
-        posexplode(hashingTfVector(col(textCol), dim)).as(Seq("bucket", "tf")))
-      .where(col("tf") > 0)
+        explode(hashingTfSparseVector(col(textCol), dim)).as(bt))
+      .select(col(idCol), col(s"$bt.bucket").as("bucket"), col(s"$bt.tf").as("tf"))
     val n = df.count()
-    val dfCounts = tfRows.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val idf = Array.tabulate(dim)(b =>
-      math.log((n + 1).toDouble / (dfCounts.getOrElse(b, 0L) + 1).toDouble) + 1.0)
-    val idfCol = array(idf.map(lit): _*)
-    tfRows.select(col(idCol), col("bucket").cast(LongType).as("bucket"),
-      round(col("tf").cast(DoubleType) *
-        element_at(idfCol, col("bucket").cast(IntegerType) + 1), 6).as("tfidf"))
+    val idfTbl = tfRows.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__df"))
+      // same double-op order as ln((N+1)/(df+1)) + 1 computed anywhere:
+      // divide, log, add — bit-stable across engines modulo an ulp in ln
+      .select(col("bucket"),
+        (log(lit((n + 1).toDouble) / (col("__df") + lit(1))) + lit(1.0)).as("__idf"))
+    // every tfRows bucket appears in idfTbl by construction, so the inner
+    // broadcast join is row-preserving; the big side never shuffles
+    tfRows.join(broadcast(idfTbl), Seq("bucket"))
+      .select(col(idCol), col("bucket"),
+        round(col("tf").cast(DoubleType) * col("__idf"), 6).as("tfidf"))
+  }
+
+  /**
+   * Apply a trained linear model (fastText-style quality / language
+   * classifier) at scan speed: emits (`idCol`, `score`) with
+   * `score = sigmoid(w · tf + bias)` over the hashed TF vector of width
+   * `weights.length`. One native one-pass kernel per document — no
+   * featurize-then-join, no dense vector, no shuffle; the weights ride as a
+   * codegen reference object, so a 2^21-dim model is ~16 MB of task state,
+   * not a plan literal. Train offline on [[hashingTfIdf]] features, fold
+   * the idf into the weights (idf is constant at scoring time), and score
+   * the full corpus with this. Null text scores null.
+   */
+  def scoreLinear(df: DataFrame, idCol: String, textCol: String,
+                  weights: Array[Double], bias: Double): DataFrame = {
+    require(!Set("score").contains(idCol),
+      s"idCol '$idCol' collides with the scoreLinear output column — rename it first")
+    df.select(col(idCol),
+      org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+        .linearScore(tokens(col(textCol)),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(weights), bias)
+        .as("score"))
   }
 
   /** Content-defined fingerprint: sha2-256 of the token-normalized text

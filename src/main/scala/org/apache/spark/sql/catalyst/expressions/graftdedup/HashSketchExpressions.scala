@@ -7,7 +7,7 @@ package org.apache.spark.sql.catalyst.expressions.graftdedup
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -82,6 +82,58 @@ object GraftHashKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Sparse hashing-trick term frequencies: `(bucket, tf)` structs for the
+    * NON-ZERO buckets only, sorted by bucket. Bucket ids are identical to
+    * [[hashingTf]] (md5-31 mod `dim`), but work is O(tokens) and memory
+    * O(distinct buckets) regardless of `dim` — the dense kernel allocates
+    * `dim` longs per row, which at the fastText-realistic 2^18–2^21 feature
+    * widths is a 2–16 MB allocation per document. Null elements are
+    * skipped; an empty array yields an empty struct array. */
+  def hashingTfSparse(tokens: ArrayData, dim: Int): ArrayData = {
+    val n = tokens.numElements()
+    val counts = new java.util.HashMap[Integer, Long](math.max(8, n * 2))
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = md5Hash64(tokens.getUTF8String(i).getBytes) & 0x7fffffffL
+        counts.merge(Integer.valueOf((h % dim).toInt), 1L, (a, b) => a + b)
+      }
+      i += 1
+    }
+    val buckets = new Array[Int](counts.size)
+    var k = 0
+    val keys = counts.keySet.iterator()
+    while (keys.hasNext) { buckets(k) = keys.next(); k += 1 }
+    java.util.Arrays.sort(buckets)
+    val out = new Array[Any](buckets.length)
+    k = 0
+    while (k < buckets.length) {
+      out(k) = new GenericInternalRow(
+        Array[Any](buckets(k).toLong, counts.get(buckets(k)).longValue()))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass linear-model score: `sigmoid(bias + Σ_tokens w(md5-31(tok) mod
+    * |w|))`. Algebraically `sigmoid(w · tf + bias)` over the hashed TF
+    * vector of width `|w|`, computed WITHOUT materializing it — each token
+    * occurrence contributes its bucket's weight once, so the scorer runs at
+    * scan speed with zero per-row allocation. Null tokens are skipped. */
+  def linearScore(tokens: ArrayData, weights: Array[Double], bias: Double): Double = {
+    var acc = bias
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = md5Hash64(tokens.getUTF8String(i).getBytes) & 0x7fffffffL
+        acc += weights((h % weights.length).toInt)
+      }
+      i += 1
+    }
+    1.0 / (1.0 + math.exp(-acc))
   }
 
   /** Banded LSH keys: fold each of `bands` signature slices to
@@ -241,6 +293,78 @@ case class HashingTfExpr(child: Expression, dim: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.hashingTf($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<string> -> array<struct<bucket:bigint, tf:bigint>>` sparse
+  * hashing-trick term frequencies (see [[GraftHashKernels.hashingTfSparse]]).
+  * The scale-safe form of [[HashingTfExpr]]: per-row cost tracks the token
+  * count, not the feature width, so the realistic 2^18–2^21-bucket
+  * parameterizations are usable. */
+case class HashingTfSparseExpr(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashing_tf_sparse"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    GraftHashKernels.hashingTfSparse(tokens.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.hashingTfSparse($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native one-pass linear-model scorer (`array<string> -> double`): sigmoid
+  * of the hashed-TF dot product with a trained weight vector (see
+  * [[GraftHashKernels.linearScore]]). Weights ride as a codegen reference
+  * object — never as per-element plan literals — so a 2^21-dim model adds
+  * ~16 MB to the broadcast plan state, not a 2M-node expression tree.
+  * Constants are a `Seq` (not an array) so expression equality /
+  * canonicalization compares by content, like [[MinHashSigExpr]]. */
+case class LinearScoreExpr(child: Expression, weights: Seq[Double], bias: Double)
+    extends UnaryExpression {
+  require(weights.nonEmpty, "weights must be non-empty")
+  // bias is embedded as a Java double literal in generated code — NaN or
+  // Infinity would not parse there
+  require(java.lang.Double.isFinite(bias), s"bias must be finite, got $bias")
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "linear_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val wArr = weights.toArray
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    GraftHashKernels.linearScore(tokens.asInstanceOf[ArrayData], wArr, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("linearScoreW", wArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.linearScore($c, $wRef, $bias)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -434,6 +558,12 @@ object HashSketchExpressions {
       (c: Seq[Expression]) => {
         arity("hashing_tf", c, 2)
         HashingTfExpr(c(0), litInt("hashing_tf", c(1), "dim"))
+      }),
+    (FunctionIdentifier("hashing_tf_sparse"),
+      new ExpressionInfo(classOf[HashingTfSparseExpr].getName, "hashing_tf_sparse"),
+      (c: Seq[Expression]) => {
+        arity("hashing_tf_sparse", c, 2)
+        HashingTfSparseExpr(c(0), litInt("hashing_tf_sparse", c(1), "dim"))
       }))
 
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -467,6 +597,18 @@ object HashSketchExpressions {
   /** Column-API form: codegen'd hashing-trick TF vector of width `dim`. */
   def hashingTf(tokens: Column, dim: Int): Column =
     ExpressionUtils.column(HashingTfExpr(ExpressionUtils.expression(tokens), dim))
+
+  /** Column-API form: codegen'd SPARSE hashing-trick TF — non-zero
+    * `(bucket, tf)` structs only; the scale-safe form for large `dim`. */
+  def hashingTfSparse(tokens: Column, dim: Int): Column =
+    ExpressionUtils.column(HashingTfSparseExpr(ExpressionUtils.expression(tokens), dim))
+
+  /** Column-API form: codegen'd one-pass linear-model score over a token
+    * array (weights ship as a codegen reference object, like minhashSig's
+    * permutation constants — Column-API-only for the same reason). */
+  def linearScore(tokens: Column, weights: Seq[Double], bias: Double): Column =
+    ExpressionUtils.column(
+      LinearScoreExpr(ExpressionUtils.expression(tokens), weights, bias))
 
   /** Column-API form: codegen'd MinHash signature over a shingle array. */
   def minhashSig(shingles: Column, as: Seq[Long], bs: Seq[Long]): Column =

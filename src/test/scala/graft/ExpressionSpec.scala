@@ -63,7 +63,7 @@ class ExpressionSpec extends SparkTestBase {
     // don't fit SQL literal builders), so it's deliberately absent here
     Seq("gsw_sigma0", "array_dot", "simhash64", "word_shingles",
         "lsh_band_keys", "md5_hash31", "max_token_freq", "hashing_tf",
-        "ascii_class_counts", "nfc_normalize").foreach { f =>
+        "hashing_tf_sparse", "ascii_class_counts", "nfc_normalize").foreach { f =>
       assert(injected.contains(f), s"$f missing from injected functions: $injected")
     }
   }
@@ -196,6 +196,100 @@ class ExpressionSpec extends SparkTestBase {
     val viaSql = spark.sql(
       "SELECT hashing_tf(array('a','b','a'), 4) AS v").collect()(0).getSeq[Long](0)
     assert(viaSql.sum == 3 && viaSql.length == 4)
+  }
+
+  test("hashing_tf_sparse: exactly the dense kernel's non-zero entries, " +
+       "sorted by bucket; codegen-only; SQL surface") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val exprs = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    val rng = new scala.util.Random(7)
+    val words = Array("alpha", "beta", "gamma", "delta", "spark", "window",
+      "the", "a", "of", "x1", "2y", "zz9")
+    val rows = (0L until 40L).map { i =>
+      (i, Seq.fill(rng.nextInt(30))(words(rng.nextInt(words.length))))
+    } :+ (99L, Seq.empty[String])
+    val d = rows.toDF("id", "tok")
+    // interpreted fallback would hide a codegen bug — force hard failure
+    val restore = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for (dim <- Seq(4, 64, 1 << 20)) {
+        val got = d.select(col("id"), exprs.hashingTfSparse(col("tok"), dim).as("v"))
+          .collect().map { r =>
+            r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+              .map(s => s.getLong(0) -> s.getLong(1))
+          }.toMap
+        rows.foreach { case (id, toks) =>
+          val exp = toks.groupBy(t =>
+              (org.apache.spark.sql.catalyst.expressions.graftdedup.GraftHashKernels
+                .md5Hash31(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+                % dim))
+            .map { case (b, ts) => b -> ts.size.toLong }.toSeq.sortBy(_._1)
+          assert(got(id) == exp, s"id $id dim $dim")
+          assert(got(id).map(_._1) == got(id).map(_._1).sorted, s"id $id sorted")
+        }
+      }
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // SQL surface + null propagation
+    exprs.registerInto(spark)
+    val viaSql = spark.sql(
+      "SELECT hashing_tf_sparse(array('a','b','a'), 4) AS v, " +
+        "hashing_tf_sparse(CAST(NULL AS ARRAY<STRING>), 4) AS nv").collect()(0)
+    val sqlPairs = viaSql.getSeq[org.apache.spark.sql.Row](0)
+      .map(s => s.getLong(0) -> s.getLong(1))
+    // 'a' and 'b' may share a bucket at dim=4 — only the total is stable
+    assert(sqlPairs.map(_._2).sum == 3 && sqlPairs.nonEmpty && sqlPairs.size <= 2)
+    assert(viaSql.isNullAt(1))
+  }
+
+  test("linear_score: sigmoid(w . tf + bias) per the driver reference; " +
+       "empty -> sigmoid(bias); null -> null; codegen-only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val exprs = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    val K = org.apache.spark.sql.catalyst.expressions.graftdedup.GraftHashKernels
+    val dim = 32
+    val rng = new scala.util.Random(11)
+    val w = Array.fill(dim)(rng.nextDouble() * 2 - 1)
+    val bias = -0.375
+    val words = Array("spark", "scala", "window", "agg", "join", "shuffle")
+    val rows = (0L until 25L).map { i =>
+      (i, Seq.fill(rng.nextInt(20))(words(rng.nextInt(words.length))))
+    } :+ (98L, Seq.empty[String])
+    val d = rows.toDF("id", "tok")
+      .union(Seq((99L, null.asInstanceOf[Seq[String]])).toDF("id", "tok"))
+    val restore = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = d.select(col("id"),
+          exprs.linearScore(col("tok"),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(w), bias).as("s"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      rows.foreach { case (id, toks) =>
+        var acc = bias
+        toks.foreach { t =>
+          acc += w((K.md5Hash31(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t)) % dim).toInt)
+        }
+        assert(got(id).contains(1.0 / (1.0 + math.exp(-acc))), s"id $id")
+      }
+      assert(got(98L).contains(1.0 / (1.0 + math.exp(-bias))), "empty doc")
+      assert(got(99L).isEmpty, "null tokens must score null")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("l2_normalize: unit norm, dot-after == cosine, zero vector and " +

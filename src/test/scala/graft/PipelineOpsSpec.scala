@@ -765,6 +765,72 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows((0L, rb)) > rows((0L, cb)), "rare token must outweigh common")
   }
 
+  test("hashingTfIdf at dim 2^20: plan stays small (no dim-wide literal " +
+       "idf, no dense vector), values still exact") {
+    import spark.implicits._
+    val dim = 1 << 20
+    val d = Seq(
+      (0L, "common rare"),
+      (1L, "common"),
+      (2L, "common common")
+    ).toDF("doc_id", "text")
+    val out = TextOps.hashingTfIdf(d, "doc_id", "text", dim)
+    // the r6 shape folded the idf table in as array(lit x dim): at 2^20
+    // that is a million-node expression tree and the plan string alone is
+    // tens of MB. The sparse+broadcast-join shape must stay tiny.
+    val planStr = out.queryExecution.optimizedPlan.toString
+    assert(planStr.length < 50000,
+      s"plan blew up to ${planStr.length} chars at dim=$dim")
+    assert(planStr.contains("hashing_tf_sparse"),
+      "idf path must ride on the sparse kernel")
+    assert(!planStr.contains("hashing_tf("),
+      "dense kernel must not appear in the tfidf plan")
+    // and the values are the same exact tf * (ln((N+1)/(df+1))+1)
+    def bucket(t: String) = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .GraftHashKernels.md5Hash31(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) % dim
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cb = bucket("common")
+    val rb = bucket("rare")
+    assert(cb != rb)
+    assert(math.abs(rows((0L, cb)) - 1.0) < 1e-6)
+    assert(math.abs(rows((0L, rb)) - (math.log(4.0 / 2.0) + 1.0)) < 1e-6)
+    assert(rows.size == 4)
+  }
+
+  test("scoreLinear: matches featurize-then-dot reference; idf folds into " +
+       "weights; broadcast-free single-pass plan") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "good clean prose with many words"),
+      (1L, "spam spam spam spam"),
+      (2L, ""),
+      (3L, "mixed content spam prose")
+    ).toDF("doc_id", "text")
+    val dim = 64
+    val rng = new scala.util.Random(23)
+    val w = Array.fill(dim)(rng.nextDouble() - 0.5)
+    val bias = 0.125
+    val got = TextOps.scoreLinear(d, "doc_id", "text", w, bias)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: explode the dense TF vector and dot it with w
+    val tf = d.select(col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(
+          TextOps.hashingTfVector(col("text"), dim)).as(Seq("b", "n")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val z = tf.groupBy(_._1).view.mapValues(
+      _.map { case (_, b, n) => w(b) * n }.sum).toMap
+    (0L to 3L).foreach { id =>
+      val exp = 1.0 / (1.0 + math.exp(-(bias + z.getOrElse(id, 0.0))))
+      assert(math.abs(got(id) - exp) < 1e-12, s"doc $id")
+    }
+    // single map-side pass: no exchange, no join in the plan
+    val phys = TextOps.scoreLinear(d, "doc_id", "text", w, bias)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange") && !phys.contains("Join"),
+      s"scoreLinear must be map-side only:\n$phys")
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
