@@ -272,15 +272,19 @@ object TextOps {
   /**
    * Per-group distribution stats of a numeric column (corpus length/token
    * audits: the "what does this source look like" pre-pass before choosing
-   * filter thresholds). Emits count, mean, and EXACT linear-interpolation
-   * percentiles (same definition as DuckDB's `quantile_cont`, so the
-   * operator is exactly oracle-able). Exact percentiles buffer each group's
-   * values — right for per-source audits (groups ≈ sources, values ≈ docs
-   * per source); at 1e9-docs-per-group scale swap `percentile` for
-   * `approx_percentile`, which this signature deliberately mirrors.
+   * filter thresholds). Emits count, mean, and by default EXACT
+   * linear-interpolation percentiles (same definition as DuckDB's
+   * `quantile_cont`, so the operator is exactly oracle-able). Exact
+   * percentiles buffer each group's values — right for per-source audits
+   * (groups ≈ sources, values ≈ docs per source); at 1e9-docs-per-group
+   * scale pass `approx = true`, which swaps in `approx_percentile`
+   * (KLL-style bounded sketch, error ≤ 1/`accuracy` in RANK — constant
+   * memory per group, mergeable partial aggregation, no buffering).
    */
   def groupStats(df: DataFrame, groupCol: String, valueCol: String,
-                 percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+                 percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                 approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1]: $percentiles")
     // label via decimal rounding, not toInt truncation: 0.29 * 100 is
@@ -294,7 +298,11 @@ object TextOps {
     require(names.distinct.size == names.size,
       s"percentiles map to duplicate column labels: $names")
     val pCols = percentiles.zip(names).map { case (p, name) =>
-      round(percentile(col(valueCol), lit(p)), 6).as(name)
+      val q =
+        if (approx) approx_percentile(col(valueCol), lit(p), lit(accuracy))
+          .cast(DoubleType)
+        else percentile(col(valueCol), lit(p))
+      round(q, 6).as(name)
     }
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),

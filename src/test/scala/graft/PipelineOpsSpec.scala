@@ -831,6 +831,48 @@ class PipelineOpsSpec extends SparkTestBase {
       s"scoreLinear must be map-side only:\n$phys")
   }
 
+  test("groupStats(approx = true): exact when the sketch dominates the " +
+       "group, within rank tolerance when it cannot") {
+    import spark.implicits._
+    // log-normal-ish skew: the shape where percentile audits matter
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 10000).map { i =>
+      (if (i % 2 == 0) "web" else "books", math.exp(rng.nextGaussian() * 2 + 5))
+    }
+    val df = rows.toDF("source", "v")
+    val ps = Seq(0.5, 0.9, 0.99)
+    def byGroup(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (3 until r.length).map(r.getDouble)).toMap
+    val exact = byGroup(TextOps.groupStats(df, "source", "v", ps))
+    // accuracy >= group size: the KLL sketch holds every value -> exact at
+    // the sketch level (approx_percentile returns an OBSERVED value, not the
+    // interpolated midpoint, so compare by rank window, not equality)
+    val tight = byGroup(TextOps.groupStats(df, "source", "v", ps,
+      approx = true, accuracy = 100000))
+    val loose = byGroup(TextOps.groupStats(df, "source", "v", ps,
+      approx = true, accuracy = 100))
+    val sortedByGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vs) <- sortedByGroup; (p, i) <- ps.zipWithIndex) {
+      val n = vs.length
+      def rankOf(x: Double): Int = vs.count(_ <= x)
+      val target = p * (n - 1)
+      // tight sketch: within 2 ranks of the exact percentile position
+      // (the sketch returns an observed value; its rank convention differs
+      // from the (n-1)*p interpolation midpoint by up to one on each side)
+      assert(math.abs(rankOf(tight(g)(i)) - 1 - target) <= 2.0,
+        s"$g p$p tight: ${tight(g)(i)} vs exact ${exact(g)(i)}")
+      // loose sketch: rank error bounded by n/accuracy (x4 safety)
+      assert(math.abs(rankOf(loose(g)(i)) - 1 - target) <= 4.0 * n / 100,
+        s"$g p$p loose rank off: ${loose(g)(i)}")
+    }
+    // default path is unchanged (the q57 contract): exact percentile
+    val planDefault = TextOps.groupStats(df, "source", "v", ps)
+      .queryExecution.optimizedPlan.toString
+    assert(planDefault.contains("percentile") &&
+      !planDefault.contains("approx_percentile"))
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
