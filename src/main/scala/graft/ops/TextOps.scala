@@ -66,8 +66,8 @@ object TextOps {
     * "__tok" would silently clobber a user column of that name, and langId's
     * per-language score columns extend the base, so those derived names must
     * be collision-checked too (ADVICE r3). */
-  private[ops] def tempName(df: DataFrame, base: String,
-                            suffixes: Seq[String] = Nil): String = {
+  private[graft] def tempName(df: DataFrame, base: String,
+                              suffixes: Seq[String] = Nil): String = {
     val existing = df.columns.toSet
     def taken(n: String) = existing.contains(n) || suffixes.exists(s => existing.contains(n + s))
     var n = base

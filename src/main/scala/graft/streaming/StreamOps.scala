@@ -62,13 +62,14 @@ object StreamOps {
     // null-text docs have a null digest, and dropDuplicates treats null keys
     // as EQUAL — every null-text doc after the first would be silently
     // dropped; they have no content to dedup on, so they pass through
+    val dg = graft.ops.TextOps.tempName(docs, "__digest")
     val withDigest = docs
-      .withColumn("__digest", sha2(col(textCol), 256))
+      .withColumn(dg, sha2(col(textCol), 256))
       .withWatermark(tsCol, watermark)
-    withDigest.filter(col("__digest").isNotNull)
-      .dropDuplicatesWithinWatermark("__digest")
-      .unionByName(withDigest.filter(col("__digest").isNull))
-      .drop("__digest")
+    withDigest.filter(col(dg).isNotNull)
+      .dropDuplicatesWithinWatermark(dg)
+      .unionByName(withDigest.filter(col(dg).isNull))
+      .drop(dg)
   }
 
   /**
@@ -90,14 +91,65 @@ object StreamOps {
   def streamingNearDedup(docs: DataFrame, textCol: String, tsCol: String,
                          watermark: String = "10 minutes"): DataFrame = {
     val toks = graft.ops.TextOps.tokens(col(textCol))
+    val ntokC = graft.ops.TextOps.tempName(docs, "__ntok")
+    val skC = graft.ops.TextOps.tempName(docs, "__sketch")
     val withSketch = docs
-      .withColumn("__ntok", size(toks))
-      .withColumn("__sketch", graft.ops.DedupOps.simHash64(toks))
+      .withColumn(ntokC, size(toks))
+      .withColumn(skC, graft.ops.DedupOps.simHash64(toks))
       .withWatermark(tsCol, watermark)
-    withSketch.filter(col("__ntok") > 0)
-      .dropDuplicatesWithinWatermark("__sketch")
-      .unionByName(withSketch.filter(col("__ntok") <= 0 || col("__ntok").isNull))
-      .drop("__sketch", "__ntok")
+    withSketch.filter(col(ntokC) > 0)
+      .dropDuplicatesWithinWatermark(skC)
+      .unionByName(withSketch.filter(col(ntokC) <= 0 || col(ntokC).isNull))
+      .drop(skC, ntokC)
+  }
+
+  /**
+   * Streaming banded near-dedup, Hamming radius ≤ 3: the 64-bit SimHash is
+   * split into `bands` (default 4) disjoint 16-bit sub-keys, and a document
+   * is dropped when ANY of its band keys matches a retained document inside
+   * the watermark horizon. Pigeonhole gives the guarantee: two sketches
+   * within Hamming distance `bands - 1` differ in at most `bands - 1`
+   * bands, so at least one band key is IDENTICAL — every document within
+   * radius 3 of a fully-retained document is caught, where
+   * [[streamingNearDedup]] only catches radius 0.
+   *
+   * Mechanically this is `bands` chained `dropDuplicatesWithinWatermark`
+   * stages (one per band key — Spark runs multiple stateful operators in
+   * append mode with a shared watermark). Keep-first semantics are against
+   * the RETAINED stream, incremental-ingest style: a document dropped at
+   * stage i never registers its later-stage band keys, so a chain
+   * A ~ B ~ C where C only resembles the dropped B keeps C (the batch
+   * connected-components dedup, [[graft.ops.DedupOps.nearDedupCC]], is the
+   * transitive-closure tool). State: `bands` stores of one 16-bit key +
+   * timestamp per retained doc in the horizon — bounded, body-free.
+   *
+   * Token-less documents pass through, as in [[streamingNearDedup]].
+   */
+  def streamingBandedNearDedup(docs: DataFrame, textCol: String, tsCol: String,
+                               watermark: String = "10 minutes",
+                               bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val toks = graft.ops.TextOps.tokens(col(textCol))
+    val ntokC = graft.ops.TextOps.tempName(docs, "__ntok")
+    val skC = graft.ops.TextOps.tempName(docs, "__sketch",
+      suffixes = (0 until bands).map(i => s"_b$i"))
+    def bandC(i: Int) = s"${skC}_b$i"
+    val base = docs
+      .withColumn(ntokC, size(toks))
+      .withColumn(skC, graft.ops.DedupOps.simHash64(toks))
+    val withBands = (0 until bands).foldLeft(base) { (d, i) =>
+      d.withColumn(bandC(i),
+        shiftrightunsigned(col(skC), i * width).bitwiseAND(lit(mask)))
+    }.withWatermark(tsCol, watermark)
+    val deduped = (0 until bands).foldLeft(withBands.filter(col(ntokC) > 0)) {
+      (d, i) => d.dropDuplicatesWithinWatermark(bandC(i))
+    }
+    deduped
+      .unionByName(withBands.filter(col(ntokC) <= 0 || col(ntokC).isNull))
+      .drop((ntokC +: skC +: (0 until bands).map(bandC)): _*)
   }
 
   /**

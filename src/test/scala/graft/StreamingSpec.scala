@@ -104,6 +104,61 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingBandedNearDedup drops a planted Hamming<=3 neighbor " +
+       "across micro-batches, keeps distant and token-less docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val K = org.apache.spark.sql.catalyst.expressions.graftdedup.GraftHashKernels
+    def sim(text: String): Long = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+      K.simhash64(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString):
+          Array[Any]))
+    }
+    def dist(a: String, b: String) = java.lang.Long.bitCount(sim(a) ^ sim(b))
+    def bandsOf(t: String): Seq[Long] =
+      (0 until 4).map(i => (sim(t) >>> (i * 16)) & 0xffffL)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // plant a neighbor at Hamming distance 1..3 by searching one-word
+    // appends (the realistic near-dup: same doc plus a trailing token)
+    val candidates = Seq("alpha", "beta", "gamma", "delta", "omega", "kappa",
+      "sigma", "zeta", "micro", "nano", "pico", "lemma", "motif", "prism",
+      "quartz", "raven", "sable", "tiger", "umber", "venom", "willow",
+      "xenon", "yarrow", "zephyr", "amber", "basil", "cedar", "dune")
+    val near = candidates.map(w => s"$base $w")
+      .find(t => dist(base, t) >= 1 && dist(base, t) <= 3)
+      .getOrElse(fail("no planted near-neighbor found; extend candidate list"))
+    val far = "completely different content about spark window aggregation semantics"
+    val far2 = "orthogonal corpus material discussing parquet footer caching behavior"
+    // the test's premises, asserted so a failure is loud and local:
+    assert(dist(base, far) > 3 && dist(near, far) > 3 && dist(far, far2) > 3)
+    // far docs must not collide with base/near on ANY band by accident
+    for (d <- Seq(far, far2); o <- Seq(base, near))
+      assert(bandsOf(d).zip(bandsOf(o)).forall { case (x, y) => x != y },
+        s"accidental band collision between '$d' and '$o' — pick other text")
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamOps.streamingBandedNearDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("banded_near_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, ts(0), base), (1L, ts(1), far))
+      q.processAllAvailable()
+      input.addData(
+        (2L, ts(2), near),  // Hamming 1..3 from retained doc 0 -> dropped
+        (3L, ts(3), far2),  // genuinely distant -> kept
+        (4L, ts(4), "!!!")) // token-less -> passes through
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM banded_near_stream ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(0L, 1L, 3L, 4L), s"got $kept (near dist ${dist(base, near)})")
+      // state is band-keyed and bounded: 4 dedup stores, no doc bodies
+      assert(q.lastProgress == null ||
+        q.recentProgress.flatMap(p => Option(p.stateOperators)).flatten
+          .forall(_.numRowsTotal <= 4L * 4L))
+    } finally q.stop()
+  }
+
   test("ctd micro-batch source picks up files dropped into the directory") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory("ctd-stream").toFile
