@@ -622,8 +622,25 @@ object SparkEntry {
 
     "q61_chunk_documents" -> ((s: SparkSession, dir: String) => {
       // context-window chunking: 16-token windows, 2-token overlap
+      // (the char_start/char_end provenance columns are q69's surface)
       TextOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
           maxTokens = 16, overlap = 2)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "q69_chunk_offsets" -> ((s: SparkSession, dir: String) => {
+      // chunk provenance: each chunk's 1-based character span in the
+      // ORIGINAL text, plus the substring round-trip a RAG display needs —
+      // the passage is recomputed from (text, char_start, char_end) so the
+      // oracle verifies the offsets, not just the token join
+      val docs = t(s, dir, "documents")
+      TextOps.chunkDocuments(docs, "doc_id", "text",
+          maxTokens = 16, overlap = 2, keep = Seq("text"))
+        .select(col("doc_id"), col("chunk_id"), col("char_start"), col("char_end"),
+          col("text").substr(col("char_start").cast("int"),
+            (col("char_end") - col("char_start") + 1).cast("int")).as("passage"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
@@ -1371,6 +1388,47 @@ object SparkEntry {
         |  array_to_string(t[i*14+1 : i*14+16], ' ') AS chunk_text,
         |  CAST(len(t[i*14+1 : i*14+16]) AS BIGINT) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q69_chunk_offsets" ->
+      // token offsets recomputed from first principles: explode every
+      // character position, mark alphanumeric runs (documents text is
+      // ASCII, so lower() preserves positions), number the runs, and take
+      // each chunk's span = [start of token k*14+1, end of token
+      // least(n, k*14+16)]; passage = substr over that span. Window count
+      // mirrors q61 (ceil((n-2)/14), min 1).
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+        |  FROM documents
+        |), cls AS (
+        |  SELECT doc_id, text, i,
+        |    substr(lower(text), i, 1) BETWEEN 'a' AND 'z'
+        |      OR substr(text, i, 1) BETWEEN '0' AND '9' AS alnum,
+        |    i = 1 OR NOT (substr(lower(text), i - 1, 1) BETWEEN 'a' AND 'z'
+        |      OR substr(text, i - 1, 1) BETWEEN '0' AND '9') AS prev_non
+        |  FROM pos
+        |), runs AS (
+        |  SELECT doc_id, text, i,
+        |    SUM(CASE WHEN alnum AND prev_non THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS tok_idx
+        |  FROM cls WHERE alnum
+        |), tk AS (
+        |  SELECT doc_id, text, tok_idx, min(i) AS cs, max(i) AS ce
+        |  FROM runs GROUP BY doc_id, text, tok_idx
+        |), nt AS (
+        |  SELECT doc_id, text, count(*) AS n FROM tk GROUP BY doc_id, text
+        |), ch AS (
+        |  SELECT doc_id, text, n, unnest(generate_series(0,
+        |    greatest(CAST(ceil(CAST(n - 2 AS DOUBLE) / 14) AS BIGINT), 1) - 1)) AS k
+        |  FROM nt WHERE n > 0
+        |)
+        |SELECT ch.doc_id, ch.k AS chunk_id,
+        |  f.cs AS char_start, l.ce AS char_end,
+        |  substr(ch.text, CAST(f.cs AS INT), CAST(l.ce - f.cs + 1 AS INT)) AS passage
+        |FROM ch
+        |JOIN tk f ON f.doc_id = ch.doc_id AND f.tok_idx = ch.k * 14 + 1
+        |JOIN tk l ON l.doc_id = ch.doc_id
+        |  AND l.tok_idx = least(ch.n, ch.k * 14 + 16)
+        |ORDER BY ch.doc_id, chunk_id""".stripMargin,
 
     "q62_dedup_against" ->
       // text equality == digest equality absent sha2 collisions

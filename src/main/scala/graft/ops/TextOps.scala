@@ -315,27 +315,41 @@ object TextOps {
    * the preprocessing step that fits long documents to a model's context
    * (RAG indexing, pretraining with long-doc splits). Chunks are built
    * over the NORMALIZED token stream (lowercase alphanumeric, like
-   * [[fingerprint]]), so `chunk_text` is token-joined, not a substring of
-   * the original. Emits one row per chunk: (`chunk_id` 0-based,
-   * `chunk_text`, `n_chunk_tokens`); zero-token documents emit no rows.
+   * [[fingerprint]]), so `chunk_text` is token-joined — and each row also
+   * carries `char_start`/`char_end`, the 1-based inclusive CHARACTER span
+   * of the chunk's tokens in the ORIGINAL text, so
+   * `substring(text, char_start, char_end - char_start + 1)` reconstructs
+   * the display passage (original casing and inter-token punctuation
+   * included) for a RAG indexer. Emits one row per chunk: (`chunk_id`
+   * 0-based, `chunk_text`, `n_chunk_tokens`, `char_start`, `char_end`);
+   * zero-token documents emit no rows.
    *
-   * Map-side only: tokenize once, compute the window count arithmetically,
-   * and `posexplode` a `transform(sequence(...))` of array slices — no
-   * shuffle, no UDF, chunk count = ceil((n_tokens - overlap) / step).
+   * Map-side only: one native tokenize-with-offsets pass, the window count
+   * computed arithmetically, and a `posexplode` of a
+   * `transform(sequence(...))` of array slices — no shuffle, no UDF, chunk
+   * count = ceil((n_tokens - overlap) / step).
+   *
+   * `keep` carries extra input columns through to every chunk row (e.g.
+   * the text itself for substring display, a url, a title) — map-side
+   * passthrough, so a downstream that needs them avoids a join back to
+   * the corpus on `idCol` (a full extra shuffle at 100 TB).
    */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
-                     maxTokens: Int, overlap: Int = 0): DataFrame = {
+                     maxTokens: Int, overlap: Int = 0,
+                     keep: Seq[String] = Nil): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap")
-    // the output aliases are part of the contract; an id column of the
+    // the output aliases are part of the contract; an id/keep column of the
     // same name (e.g. re-chunking this function's own output on chunk_id)
     // would resolve ambiguously — fail loudly instead
-    require(!Set("chunk_id", "chunk_text", "n_chunk_tokens").contains(idCol),
-      s"idCol '$idCol' collides with a chunkDocuments output column — rename it first")
+    val reserved = Set("chunk_id", "chunk_text", "n_chunk_tokens",
+      "char_start", "char_end", "__chunk")
+    (idCol +: keep).foreach(c => require(!reserved.contains(c),
+      s"column '$c' collides with a chunkDocuments output column — rename it first"))
     val step = maxTokens - overlap
-    val tokCol = tempName(df, "__tok")
-    val tok = col(tokCol)
+    val toCol = tempName(df, "__toff")
+    val tok = col(toCol).getField("toks")
     val n = size(tok)
     // ceil((n - overlap) / step), at least 1 window for non-empty docs
     val nChunks = when(n <= 0, lit(0)).otherwise(
@@ -343,13 +357,24 @@ object TextOps {
         .cast(IntegerType), lit(1)))
     val chunks = transform(
       sequence(lit(0), nChunks - 1, lit(1)),
-      i => slice(tok, i * step + 1, lit(maxTokens)))
-    df.withColumn(tokCol, tokens(col(textCol)))
+      i => struct(
+        array_join(slice(tok, i * step + 1, lit(maxTokens)), " ").as("t"),
+        least(n - i * step, lit(maxTokens)).as("m"),
+        element_at(col(toCol).getField("starts"), i * step + 1).as("cs"),
+        element_at(col(toCol).getField("ends"),
+          least(n, i * step + lit(maxTokens))).as("ce")))
+    df.withColumn(toCol,
+        org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+          .tokenizeWithOffsets(col(textCol)))
       .filter(n > 0)
-      .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "__chunk")))
-      .select(col(idCol), col("chunk_id").cast(LongType).as("chunk_id"),
-        array_join(col("__chunk"), " ").as("chunk_text"),
-        size(col("__chunk")).cast(LongType).as("n_chunk_tokens"))
+      .select(col(idCol) +: keep.map(col) :+
+        posexplode(chunks).as(Seq("chunk_id", "__chunk")): _*)
+      .select(col(idCol) +: keep.map(col) :+
+        col("chunk_id").cast(LongType).as("chunk_id") :+
+        col("__chunk.t").as("chunk_text") :+
+        col("__chunk.m").cast(LongType).as("n_chunk_tokens") :+
+        col("__chunk.cs").cast(LongType).as("char_start") :+
+        col("__chunk.ce").cast(LongType).as("char_end"): _*)
   }
 
   // --- PII redaction ------------------------------------------------------

@@ -56,6 +56,85 @@ object GraftTextKernels {
     set
   }
 
+  /** Tokenize with 1-based inclusive CHARACTER offsets into the ORIGINAL
+    * text: returns `struct(toks, starts, ends)` where `toks` are the
+    * lowercased alphanumeric runs and `substring(text, starts[i],
+    * ends[i] - starts[i] + 1)` is token i's original spelling — the
+    * provenance a RAG indexer needs to display source passages.
+    *
+    * ASCII fast path scans bytes (byte index == char index there); the
+    * non-ASCII path walks code points so offsets match `substring`
+    * semantics (code-point counting) in Spark and DuckDB. Token chars are
+    * classified per code point via `Character.toLowerCase`, which agrees
+    * with `lower()`-then-regexp tokenization everywhere except one-to-many
+    * case folds (e.g. U+0130 lowercases to two code points in `lower()`) —
+    * those cannot carry original-text offsets at all, which is why this
+    * kernel folds per code point. */
+  def tokenizeWithOffsets(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    var ascii = true
+    var i = 0
+    while (i < bytes.length && ascii) {
+      if ((bytes(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    val toks = new java.util.ArrayList[Any]()
+    val starts = new java.util.ArrayList[Any]()
+    val ends = new java.util.ArrayList[Any]()
+    if (ascii) {
+      var p = 0
+      while (p < bytes.length) {
+        val b = bytes(p)
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+            (b >= '0' && b <= '9')) {
+          val st = p
+          while (p < bytes.length && {
+            val c = bytes(p)
+            (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+          }) p += 1
+          val tok = new Array[Byte](p - st)
+          var k = st
+          while (k < p) {
+            val c = bytes(k)
+            tok(k - st) = if (c >= 'A' && c <= 'Z') (c | 0x20).toByte else c
+            k += 1
+          }
+          toks.add(UTF8String.fromBytes(tok))
+          starts.add(st + 1)
+          ends.add(p) // p is one past the last token byte; 1-based inclusive
+        } else p += 1
+      }
+    } else {
+      val str = s.toString
+      val sb = new java.lang.StringBuilder
+      var cp = 0 // 1-based code-point position of the CURRENT code point - 1
+      var j = 0  // UTF-16 index
+      var tokStart = -1
+      def flush(endCp: Int): Unit = if (tokStart >= 0) {
+        toks.add(UTF8String.fromString(sb.toString))
+        starts.add(tokStart)
+        ends.add(endCp)
+        sb.setLength(0)
+        tokStart = -1
+      }
+      while (j < str.length) {
+        val c = str.codePointAt(j)
+        val lc = Character.toLowerCase(c)
+        cp += 1
+        if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+          if (tokStart < 0) tokStart = cp
+          sb.appendCodePoint(lc)
+        } else flush(cp - 1)
+        j += Character.charCount(c)
+      }
+      flush(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new GenericArrayData(toks.toArray.asInstanceOf[Array[Any]]),
+      new GenericArrayData(starts.toArray.asInstanceOf[Array[Any]]),
+      new GenericArrayData(ends.toArray.asInstanceOf[Array[Any]])))
+  }
+
   /** Unicode NFC normalization with an ASCII fast path: pure-ASCII byte
     * sequences (the overwhelming share of a web corpus) return the input
     * UTF8String untouched — no String materialization, no Normalizer call.
@@ -160,6 +239,35 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `string -> struct<toks: array<string>, starts: array<int>, ends:
+  * array<int>>` tokenizer with 1-based inclusive character offsets into the
+  * original text (see [[GraftTextKernels.tokenizeWithOffsets]]). */
+case class TokenizeWithOffsetsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("toks", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("starts", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("ends", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "tokenize_with_offsets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftTextKernels.tokenizeWithOffsets(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftTextKernels.getClass.getName.stripSuffix("$")}.tokenizeWithOffsets($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextKernelExpressions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -168,7 +276,10 @@ object TextKernelExpressions {
       (c: Seq[Expression]) => AsciiClassCountsExpr(c(0))),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
-      (c: Seq[Expression]) => NfcNormalizeExpr(c(0))))
+      (c: Seq[Expression]) => NfcNormalizeExpr(c(0))),
+    (FunctionIdentifier("tokenize_with_offsets"),
+      new ExpressionInfo(classOf[TokenizeWithOffsetsExpr].getName, "tokenize_with_offsets"),
+      (c: Seq[Expression]) => TokenizeWithOffsetsExpr(c(0))))
 
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>
@@ -189,4 +300,9 @@ object TextKernelExpressions {
   /** Column-API form: Unicode NFC normalization, ASCII rows zero-copy. */
   def nfcNormalize(text: Column): Column =
     ExpressionUtils.column(NfcNormalizeExpr(ExpressionUtils.expression(text)))
+
+  /** Column-API form: tokens with 1-based character offsets into the
+    * original text. */
+  def tokenizeWithOffsets(text: Column): Column =
+    ExpressionUtils.column(TokenizeWithOffsetsExpr(ExpressionUtils.expression(text)))
 }

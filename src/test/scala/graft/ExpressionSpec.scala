@@ -292,6 +292,47 @@ class ExpressionSpec extends SparkTestBase {
     }
   }
 
+  test("tokenize_with_offsets: tokens match tokens(), offsets substring " +
+       "back to original spellings, non-ASCII counts code points") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val X = org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+    val texts = Seq(
+      "The quick brown fox! Over 42 lazy-dogs.",
+      "  leading space, trailing!  ",
+      "no_Punct42mix",
+      "",
+      "!!! ???",
+      "café brûle 7 € teas", // non-ASCII letters + symbol
+      "世界 hello 99") // CJK (not [a-z0-9]) around ASCII tokens
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"), X.tokenizeWithOffsets(col("t")).as("o"),
+        graft.ops.TextOps.tokens(col("t")).as("ref"))
+      .collect().map { r =>
+        val o = r.getStruct(1)
+        (r.getLong(0), o.getSeq[String](0), o.getSeq[Int](1), o.getSeq[Int](2),
+          r.getSeq[String](2))
+      }
+    got.foreach { case (id, toks, starts, ends, ref) =>
+      val text = texts(id.toInt)
+      assert(toks == ref, s"id $id: kernel tokens $toks != tokens() $ref")
+      assert(starts.length == toks.length && ends.length == toks.length)
+      toks.indices.foreach { i =>
+        // offsets are 1-based inclusive CODE-POINT positions: substring of
+        // the original lowercased == the token
+        val cps = text.codePoints().toArray
+        val span = new String(cps, starts(i) - 1, ends(i) - starts(i) + 1)
+        assert(span.toLowerCase == toks(i),
+          s"id $id token $i: span '$span' != '${toks(i)}' (start ${starts(i)} end ${ends(i)})")
+      }
+    }
+    // non-ASCII path: 'café' is a 4-char token at positions 1-4 ('é'
+    // lowercases to itself, not to ASCII, so it IS part of the token per
+    // Character.toLowerCase... verify against the actual kernel contract
+    val cafe = got.find(_._1 == 5L).get
+    assert(cafe._2.head.startsWith("caf"), s"got ${cafe._2}")
+  }
+
   test("l2_normalize: unit norm, dot-after == cosine, zero vector and " +
        "null element semantics") {
     import org.apache.spark.sql.functions._
