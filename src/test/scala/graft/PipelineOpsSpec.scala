@@ -389,6 +389,57 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sl == Map("a" -> "a", "b" -> "a", "c" -> "a"), s"labels: $sl")
   }
 
+  test("connectedStars convergence probe costs <= 2 jobs per round") {
+    // r6 VERDICT #7: the probe used to be two count() jobs plus an
+    // exceptAll() job per round on top of two localCheckpoints; folding it
+    // into one checksum aggregation and un-checkpointing the intra-round
+    // edge set leaves 2 jobs/round (checkpoint + checksum)
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized {
+          // broadcast-exchange submissions surface as separate jobs named
+          // after SQLExecution.withThreadLocalCaptured — coordination, not
+          // driver actions; the probe budget is about ACTIONS
+          if (!js.stageInfos.exists(_.name.contains("withThreadLocalCaptured")))
+            jobs += 1
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE re-submits one job per re-optimized stage, which makes job count
+    // a property of the data, not the algorithm — switch it off so
+    // 1 action == 1 job and the per-round budget is observable
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val labels = try {
+      val out = DedupOps.connectedStars(chain) // internal jobs run eagerly here
+      // let the async listener bus drain before reading the counter
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val now = synchronized(jobs)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      out
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // setup = nodes ckpt + edges ckpt + initial checksum (3 action jobs,
+    // one spare); a 25-node path converges in <= 8 star rounds (observed:
+    // 6 rounds, 15 action jobs). The r5 shape — 2 checkpoints + 2-3 probe
+    // actions per round — would blow through this.
+    val maxRounds = 8
+    assert(jobs <= 4 + 2 * maxRounds,
+      s"connectedStars ran $jobs action jobs — more than 2 per round plus setup")
+    // and the fold didn't break the answer
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 25L).map(_ -> 0L).toMap)
+  }
+
   test("nearDedupConnected collapses a transitive chain to exactly one doc") {
     // A~B and B~C near-dup (one word changed each step); A~C still >= the
     // threshold chainwise but the point is the component collapses to min id
@@ -829,6 +880,47 @@ class PipelineOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!phys.contains("Exchange") && !phys.contains("Join"),
       s"scoreLinear must be map-side only:\n$phys")
+  }
+
+  test("lineDedup exactVerify: an innocent hash-collider of blocked " +
+       "boilerplate survives; boilerplate still stripped") {
+    import spark.implicits._
+    // weak hash = segment length: 'SUBSCRIBE NOW!!' (15 chars) is planted
+    // boilerplate in every doc; 'rare fifteen ch' (also 15 chars) appears
+    // once and hash-collides with it by construction
+    val boiler = "SUBSCRIBE NOW!!"
+    val rare = "rare fifteen ch"
+    assert(boiler.length == rare.length)
+    // body lines get DISTINCT lengths (the weak hash groups by length, so
+    // equal-length innocents would cross-collide and muddy the premise);
+    // none hits 15 or 11
+    val d = ((0L until 6L).map(i => (i, s"b${"x" * i.toInt}\n$boiler")) :+
+      (9L, s"unique body\n$rare")).toDF("doc_id", "text")
+    val weak: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      s => length(s).cast("long")
+    def run(exact: Boolean) = DedupOps.lineDedupImpl(d, "doc_id", "text",
+        maxDocFreq = 3, delimiter = "\n", out = "text_dedup",
+        maxBlocklist = 1000, exactVerify = exact, hashFn = weak)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_dedup"), r.getAs[Long]("n_removed"))).toMap
+    // hash-only: the rare line is a collision casualty
+    val lossy = run(exact = false)
+    assert(lossy(9L)._1 == "unique body" && lossy(9L)._2 == 1L,
+      s"premise: weak hash must strip the collider, got ${lossy(9L)}")
+    // exact-verify: the rare line survives, boilerplate still goes
+    val verified = run(exact = true)
+    assert(verified(9L)._1 == s"unique body\n$rare" && verified(9L)._2 == 0L,
+      s"collider must survive exact verify, got ${verified(9L)}")
+    (0L until 6L).foreach { i =>
+      assert(verified(i)._1 == s"b${"x" * i.toInt}" && verified(i)._2 == 1L)
+    }
+    // the production entry point accepts the flag (xxhash64 path, where a
+    // collision is absent by construction -> identical to hash-only here)
+    val prod = DedupOps.lineDedup(d, "doc_id", "text", maxDocFreq = 3,
+        delimiter = "\n", exactVerify = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_dedup")).toMap
+    assert(prod(9L) == s"unique body\n$rare")
+    assert(prod(0L) == "b")
   }
 
   test("groupStats(approx = true): exact when the sketch dominates the " +
