@@ -639,7 +639,21 @@ object DedupOps {
                            shingleSize: Int = 13, fpp: Double = 0.01,
                            expectedDistinctProbes: Long = 0L,
                            probeStorage: org.apache.spark.storage.StorageLevel =
-                             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+                             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    contaminatedIdsBloomWithHandle(docs, idCol, textCol, probes, probeTextCol,
+      shingleSize, fpp, expectedDistinctProbes, probeStorage)._1
+
+  /** [[contaminatedIdsBloom]] plus an unpersist handle for the staged
+    * probe-shingle cache (same contract as
+    * [[nearDuplicatePairsWithHandle]]): call it after the result has
+    * materialized, or repeated calls leak cached blocks for the session
+    * lifetime (ADVICE r6). No-op when `probeStorage` is `NONE`. */
+  def contaminatedIdsBloomWithHandle(docs: DataFrame, idCol: String, textCol: String,
+                           probes: DataFrame, probeTextCol: String,
+                           shingleSize: Int = 13, fpp: Double = 0.01,
+                           expectedDistinctProbes: Long = 0L,
+                           probeStorage: org.apache.spark.storage.StorageLevel =
+                             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     // stage the DISTINCT probe shingles once: sizing, the bloom build, and
     // the verify semi-join all read them — unstaged, the probe corpus would
@@ -668,8 +682,12 @@ object DedupOps {
     val candidates = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
       .where(sketchExprs.bloomMightContain(bloom, xxhash64(col("__sh"))))
-    candidates.join(probeSh, Seq("__sh"), "left_semi")
+    val result = candidates.join(probeSh, Seq("__sh"), "left_semi")
       .select(col(idCol)).distinct()
+    val unpersist: () => Unit =
+      if (probeSh eq staged) () => () // StorageLevel.NONE: nothing cached
+      else () => { probeSh.unpersist(); () }
+    (result, unpersist)
   }
 
   /** 64-bit SimHash over tokens (term-frequency weighted). Native codegen

@@ -163,7 +163,19 @@ object MultimodalOps {
     * frame). Returns the frames at `stride` spacing (always including
     * frame 0), or None when the bytes aren't a multi-frame GIF — single
     * images and true video codecs (mp4/webm, no JVM decoder) dead-letter
-    * to the stub like every other undecodable blob. */
+    * to the stub like every other undecodable blob.
+    *
+    * Frames are RAW as stored, not composited: a disposal-optimized GIF
+    * encodes later frames as delta sub-images, and compositing frame k
+    * onto the canvas per the disposal method would require sequentially
+    * decoding frames 0..k — exactly the O(all frames) cost the sampled
+    * decode exists to avoid (a 500-frame GIF at dim 16 must not pay 500
+    * pixel decodes). Downstream features over an optimized GIF are
+    * therefore statistics of the CHANGED region per sampled frame — still
+    * deterministic and still a temporal-activity signal (ADVICE r6
+    * adjudication: documented semantics, not silent wrongness);
+    * full-frame GIFs (un-optimized encoders, synthetic fixtures) are
+    * unaffected. */
   private[ops] def decodeVideoFrames(bytes: Array[Byte], stride: Int,
                                      maxFrames: Int = Int.MaxValue)
       : Option[Seq[java.awt.image.BufferedImage]] =

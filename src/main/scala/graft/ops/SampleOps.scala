@@ -152,7 +152,7 @@ object SampleOps {
         lit(base) + when(hash < lit(cut), lit(1L)).otherwise(lit(0L)))
         .otherwise(acc)
     }
-    val copiesCol = s"__copies_${df.columns.length}"
+    val copiesCol = TextOps.tempName(df, "__copies")
     df.withColumn(copiesCol, copies)
       .filter(col(copiesCol) > 0)
       .withColumn("epoch",

@@ -260,8 +260,24 @@ final case class CtdScan(conf: CtdDataSource.Conf, fullSchema: StructType,
     CtdReaderFactory(conf.ftype, conf.view, required, filters,
       skipCorrupt = conf.onCorrupt == "skip")
 
+  // surfaces onCorrupt=skip drops as a per-scan SQL metric (UI + listener
+  // visible) instead of only executor-log warnings (ADVICE r6)
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new CtdSkippedFilesMetric)
+
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new CtdMicroBatchStream(conf, required, filters, checkpointLocation)
+}
+
+/** Sum-aggregated count of files dropped by `onCorrupt=skip` — the
+  * observable a pipeline alerts on (a silent skip is data loss). */
+final class CtdSkippedFilesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = CtdSkippedFilesMetric.Name
+  override def description(): String = "files dropped by onCorrupt=skip"
+}
+object CtdSkippedFilesMetric {
+  val Name = "skippedCorruptFiles"
 }
 
 /**
@@ -572,28 +588,52 @@ final class CtdPartitionReader(ftype: String, view: String, path: String,
   private lazy val parsed: ParsedCast =
     CtdDataSource.parseFilePruned(ftype, path, neededNames.contains)
 
-  private val iter: Iterator[InternalRow] =
+  private var skippedFiles = 0L
+
+  private val iter: Iterator[InternalRow] = {
     // the whole-file parse runs at iterator CONSTRUCTION (rows are fully
     // materialized), so catching here covers every decode/parse failure.
     // A truncated gzip and a transient object-store timeout both surface
-    // as IOException, so a single in-task retry absorbs transient blips
-    // before the skip classifies the file as corrupt (persistently failing
-    // reads retry once and then drop — same trade as Spark's own
-    // spark.sql.files.ignoreCorruptFiles, minus the blip sensitivity)
-    try { if (view == "meta") metaRows() else dataRows() }
-    catch {
-      case scala.util.control.NonFatal(_) if skipCorrupt =>
-        try {
-          Thread.sleep(50)
-          if (view == "meta") metaRows() else dataRows()
-        } catch {
+    // as IOException, so in-task retries with backoff (50 ms then 400 ms)
+    // absorb transient blips before the skip classifies the file as
+    // corrupt — a single fixed 50 ms retry was thin enough that an
+    // object-store brown-out could permanently drop a healthy file from a
+    // committed micro-batch (ADVICE r6). Persistently failing reads drop
+    // after three attempts — same trade as Spark's own
+    // spark.sql.files.ignoreCorruptFiles — and the drop is surfaced as the
+    // scan's skippedCorruptFiles SQL metric, not just an executor log line.
+    def parse() = if (view == "meta") metaRows() else dataRows()
+    if (!skipCorrupt) parse()
+    else {
+      val backoffsMs = Array(50L, 400L)
+      var attempt = 0
+      var out: Iterator[InternalRow] = null
+      var lastErr: Throwable = null
+      while (out == null && attempt <= backoffsMs.length) {
+        try out = parse()
+        catch {
           case scala.util.control.NonFatal(e) =>
-            org.slf4j.LoggerFactory.getLogger(classOf[CtdPartitionReader])
-              .warn(s"ctd onCorrupt=skip: dropping unreadable file $path " +
-                s"(failed twice): $e")
-            Iterator.empty
+            lastErr = e
+            if (attempt < backoffsMs.length) Thread.sleep(backoffsMs(attempt))
+            attempt += 1
         }
+      }
+      if (out != null) out
+      else {
+        org.slf4j.LoggerFactory.getLogger(classOf[CtdPartitionReader])
+          .warn(s"ctd onCorrupt=skip: dropping unreadable file $path " +
+            s"(failed $attempt times): $lastErr")
+        skippedFiles = 1L
+        Iterator.empty
+      }
     }
+  }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = CtdSkippedFilesMetric.Name
+      override def value(): Long = skippedFiles
+    })
 
   private var current: InternalRow = _
 
