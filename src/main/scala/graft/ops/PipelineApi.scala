@@ -42,8 +42,10 @@ object pipeline {
         DedupOps.nearDedupConnected(df, idCol, textCol, threshold = threshold)
 
       def lineDedup(maxDocFreq: Int, idCol: String = "doc_id",
-                    textCol: String = "text", delimiter: String = "\n"): DataFrame =
-        DedupOps.lineDedup(df, idCol, textCol, maxDocFreq, delimiter)
+                    textCol: String = "text", delimiter: String = "\n",
+                    exactVerify: Boolean = false): DataFrame =
+        DedupOps.lineDedup(df, idCol, textCol, maxDocFreq, delimiter,
+          exactVerify = exactVerify)
 
       def decontaminate(probes: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", probeTextCol: String = "text",
@@ -83,6 +85,15 @@ object pipeline {
                      out: String = "n_tokens"): DataFrame =
         df.withColumn(out, TextOps.tokenCount(col(textCol)))
 
+      def hashingTfIdf(dim: Int, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+        TextOps.hashingTfIdf(df, idCol, textCol, dim)
+
+      def scoreLinear(weights: Array[Double], bias: Double,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+        TextOps.scoreLinear(df, idCol, textCol, weights, bias)
+
       // --- sampling / packing --------------------------------------------
 
       def hashSplit(nSplits: Int, keyCol: String = "doc_id",
@@ -118,8 +129,9 @@ object pipeline {
 
       def chunkDocuments(maxTokens: Int, overlap: Int = 0,
                          idCol: String = "doc_id",
-                         textCol: String = "text"): DataFrame =
-        TextOps.chunkDocuments(df, idCol, textCol, maxTokens, overlap)
+                         textCol: String = "text",
+                         keep: Seq[String] = Nil): DataFrame =
+        TextOps.chunkDocuments(df, idCol, textCol, maxTokens, overlap, keep)
 
       def vocabulary(k: Int, idCol: String = "doc_id",
                      textCol: String = "text",
@@ -127,8 +139,9 @@ object pipeline {
         TextOps.vocabulary(df, idCol, textCol, k, exactDocFreq)
 
       def groupStats(groupCol: String, valueCol: String,
-                     percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
-        TextOps.groupStats(df, groupCol, valueCol, percentiles)
+                     percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                     approx: Boolean = false, accuracy: Int = 10000): DataFrame =
+        TextOps.groupStats(df, groupCol, valueCol, percentiles, approx, accuracy)
     }
   }
 }

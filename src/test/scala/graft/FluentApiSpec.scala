@@ -83,5 +83,21 @@ class FluentApiSpec extends SparkTestBase {
     assert(fluent.nonEmpty && fluent == explicitDf)
     // dedup kept the lower id of the duplicate pair
     assert(!fluent.map(_.getLong(0)).contains(1L))
+
+    // round-7 additions: featurize -> score, chunk with provenance columns
+    val w = Array.tabulate(32)(b => (b % 5 - 2) / 64.0)
+    val scored = docs.scoreLinear(w, bias = 0.125)
+      .orderBy("doc_id").collect().toSeq
+    val scoredExplicit = TextOps.scoreLinear(docs, "doc_id", "text", w, 0.125)
+      .orderBy("doc_id").collect().toSeq
+    assert(scored == scoredExplicit && scored.size == 4)
+    val tfidf = docs.hashingTfIdf(dim = 32).orderBy("doc_id", "bucket")
+      .collect().toSeq
+    assert(tfidf == TextOps.hashingTfIdf(docs, "doc_id", "text", 32)
+      .orderBy("doc_id", "bucket").collect().toSeq)
+    val chunks = docs.chunkDocuments(maxTokens = 4, keep = Seq("text"))
+    assert(chunks.columns.toSeq ==
+      Seq("doc_id", "text", "chunk_id", "chunk_text", "n_chunk_tokens",
+        "char_start", "char_end"))
   }
 }

@@ -140,6 +140,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("hashingTfIdf: corpus rows reach the idf join UNSHUFFLED via " +
+       "broadcast; the only hash exchange is the dim-bounded idf agg") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.TextOps.hashingTfIdf(docs, "doc_id", "text", 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"idf table must broadcast-join onto the tf rows:\n$plan")
+    // exactly one hash exchange: the groupBy(bucket) building the idf table
+    // (bounded by dim rows post-aggregation); the corpus-sized tf-rows side
+    // must NOT be repartitioned for the join
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("lineDedup rebuild and mixture resample are map-side: no hash " +
        "exchange over the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
