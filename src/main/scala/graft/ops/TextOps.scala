@@ -240,6 +240,84 @@ object TextOps {
         .as("score"))
   }
 
+  /**
+   * Train a linear quality / language classifier IN-ENGINE: logistic
+   * regression by full-batch gradient descent over hashed-TF features,
+   * closing the featurize → train → score loop ([[hashingTfSparseVector]]
+   * / [[scoreLinear]]) without leaving Spark. `labelCol` holds 0.0 / 1.0
+   * targets; returns (weights, bias) ready for [[scoreLinear]].
+   *
+   * Scale shape: the corpus is tokenized and hashed ONCE into cached
+   * sparse (bucket, tf) pairs; each iteration is ONE distributed
+   * aggregation — the per-doc error `sigmoid(margin) - y` is computed
+   * map-side by a native kernel whose current weights ride as a codegen
+   * reference object (the generated code is identical across iterations,
+   * so the codegen cache hits and only the reference values change), then
+   * `(bucket, Σ err·tf)` partial-aggregates map-side into at most dim + 1
+   * rows (a synthetic bucket −1 appended per doc carries the bias
+   * gradient in the same pass) before a gradient-sized collect. Driver
+   * traffic per iteration is O(dim), never corpus-sized — the same
+   * bounded class as the IVF codebook (SURVEY §9).
+   *
+   * Gradient sums are floating-point aggregations, so trained weights are
+   * reproducible for a fixed layout but not bit-portable across
+   * partitionings — the contract is behavior (loss decreases, accuracy on
+   * held-out data), pinned by spec; SCORING with the returned model stays
+   * exactly oracle-able through [[scoreLinear]].
+   */
+  def trainLinear(df: DataFrame, textCol: String, labelCol: String, dim: Int,
+                  iters: Int = 20, lr: Double = 1.0, l2: Double = 0.0,
+                  cache: Boolean = true): (Array[Double], Double) = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0 && java.lang.Double.isFinite(lr), s"lr must be positive, got $lr")
+    require(l2 >= 0 && java.lang.Double.isFinite(l2), s"l2 must be >= 0, got $l2")
+    val X = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+    val yCol = tempName(df, "__y")
+    val spCol = tempName(df, "__sp")
+    val basePlain = df
+      .where(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast(DoubleType).as(yCol),
+        hashingTfSparseVector(col(textCol), dim).as(spCol))
+    val base = if (cache) basePlain.persist() else basePlain
+    try {
+      val n = base.count() // materializes the cache too
+      require(n > 0, "trainLinear: no labeled rows to train on")
+      val w = new Array[Double](dim)
+      var b = 0.0
+      // bias rides as pseudo-bucket -1 with tf 1, appended at gradient time
+      // (NOT stored in spCol, which the margin kernel consumes)
+      val biasPair = array(struct(lit(-1L).as("bucket"), lit(1L).as("tf")))
+      var it = 0
+      while (it < iters) {
+        val margin = X.sparseMargin(col(spCol),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(w), b)
+        val err = (lit(1.0) / (lit(1.0) + exp(-margin))) - col(yCol)
+        val grad = base
+          .select(err.as("__err"),
+            explode(concat(col(spCol), biasPair)).as("__bt"))
+          .groupBy(col("__bt.bucket").as("__bk"))
+          .agg(sum(col("__err") * col("__bt.tf")).as("__g"))
+          .collect()
+        var gb = 0.0
+        val gw = new Array[Double](dim)
+        grad.foreach { r =>
+          val k = r.getLong(0)
+          val v = r.getDouble(1)
+          if (k < 0) gb = v else gw(k.toInt) = v
+        }
+        var i = 0
+        while (i < dim) {
+          w(i) -= lr * (gw(i) / n + l2 * w(i))
+          i += 1
+        }
+        b -= lr * gb / n
+        it += 1
+      }
+      (w, b)
+    } finally if (cache) { base.unpersist(); () }
+  }
+
   /** Content-defined fingerprint: sha2-256 of the token-normalized text
     * (whitespace/punctuation-insensitive — two docs differing only in
     * formatting collide, which is the point). */

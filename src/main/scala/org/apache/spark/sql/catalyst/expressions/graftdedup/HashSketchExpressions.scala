@@ -136,6 +136,25 @@ object GraftHashKernels {
     1.0 / (1.0 + math.exp(-acc))
   }
 
+  /** Linear margin over PRE-HASHED sparse (bucket, tf) pairs:
+    * `bias + Σ tf · w(bucket)`. The training-loop inner product — tokens
+    * are hashed ONCE into sparse pairs, then every gradient iteration
+    * re-reads integer buckets instead of re-tokenizing and re-hashing the
+    * corpus. Buckets outside [0, |w|) fold mod |w| (defensive; the kernel
+    * that produced them already bounded them). */
+  def sparseMargin(pairs: ArrayData, weights: Array[Double], bias: Double): Double = {
+    var acc = bias
+    val n = pairs.numElements()
+    var i = 0
+    while (i < n) {
+      val row = pairs.getStruct(i, 2)
+      val b = java.lang.Math.floorMod(row.getLong(0), weights.length.toLong)
+      acc += row.getLong(1) * weights(b.toInt)
+      i += 1
+    }
+    acc
+  }
+
   /** Banded LSH keys: fold each of `bands` signature slices to
     * `((acc*31 + v) mod p)` — the portable band key DedupOps.lshBands
     * documents. */
@@ -364,6 +383,41 @@ case class LinearScoreExpr(child: Expression, weights: Seq[Double], bias: Double
     val wRef = ctx.addReferenceObj("linearScoreW", wArr, "double[]")
     defineCodeGen(ctx, ev, c =>
       s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.linearScore($c, $wRef, $bias)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native linear margin (`array<struct<bucket,tf>> -> double`) over
+  * pre-hashed sparse TF pairs (see [[GraftHashKernels.sparseMargin]]);
+  * weights ride as a codegen reference object like [[LinearScoreExpr]]. */
+case class SparseMarginExpr(child: Expression, weights: Seq[Double], bias: Double)
+    extends UnaryExpression {
+  require(weights.nonEmpty, "weights must be non-empty")
+  require(java.lang.Double.isFinite(bias), s"bias must be finite, got $bias")
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sparse_margin"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+        if fields.length == 2 && fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<bigint,bigint>>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val wArr = weights.toArray
+
+  override protected def nullSafeEval(pairs: Any): Any =
+    GraftHashKernels.sparseMargin(pairs.asInstanceOf[ArrayData], wArr, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("sparseMarginW", wArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.sparseMargin($c, $wRef, $bias)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -609,6 +663,12 @@ object HashSketchExpressions {
   def linearScore(tokens: Column, weights: Seq[Double], bias: Double): Column =
     ExpressionUtils.column(
       LinearScoreExpr(ExpressionUtils.expression(tokens), weights, bias))
+
+  /** Column-API form: codegen'd linear margin over pre-hashed sparse
+    * (bucket, tf) pairs — the gradient-descent inner product. */
+  def sparseMargin(pairs: Column, weights: Seq[Double], bias: Double): Column =
+    ExpressionUtils.column(
+      SparseMarginExpr(ExpressionUtils.expression(pairs), weights, bias))
 
   /** Column-API form: codegen'd MinHash signature over a shingle array. */
   def minhashSig(shingles: Column, as: Seq[Long], bs: Seq[Long]): Column =

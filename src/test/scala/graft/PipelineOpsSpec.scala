@@ -965,6 +965,63 @@ class PipelineOpsSpec extends SparkTestBase {
       !planDefault.contains("approx_percentile"))
   }
 
+  test("trainLinear: learns a planted spam/ham separation; trained model " +
+       "scores through scoreLinear; loss decreases") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val spamWords = Array("buy", "free", "winner", "click", "pills", "offer")
+    val hamWords = Array("meeting", "report", "spark", "window", "agenda", "review")
+    val neutral = Array("the", "a", "and", "today", "about")
+    def doc(words: Array[String]) =
+      (Seq.fill(8)(words(rng.nextInt(words.length))) ++
+        Seq.fill(4)(neutral(rng.nextInt(neutral.length)))).mkString(" ")
+    val rows = (0 until 120).map { i =>
+      if (i % 2 == 0) (i.toLong, doc(spamWords), 1.0)
+      else (i.toLong, doc(hamWords), 0.0)
+    }
+    val d = rows.toDF("doc_id", "text", "label")
+    val dim = 64
+    val (w, b) = TextOps.trainLinear(d, "text", "label", dim,
+      iters = 40, lr = 2.0)
+    // score the corpus with the trained model through the native scorer
+    val scores = TextOps.scoreLinear(d, "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    val acc = rows.count { case (id, _, y) =>
+      (scores(id) >= 0.5) == (y >= 0.5) } / rows.size.toDouble
+    assert(acc >= 0.99, s"trained accuracy $acc")
+    def loss(wv: Array[Double], bv: Double): Double = {
+      val s = TextOps.scoreLinear(d, "doc_id", "text", wv, bv)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      -rows.map { case (id, _, y) =>
+        val p = s(id).max(1e-12).min(1 - 1e-12)
+        y * math.log(p) + (1 - y) * math.log(1 - p)
+      }.sum / rows.size
+    }
+    assert(loss(w, b) < loss(new Array[Double](dim), 0.0) / 4,
+      "training must cut the log loss well below the zero-model baseline")
+    // one gradient step must equal the driver-side computation (the
+    // distributed aggregation IS the gradient, not an approximation)
+    val (w1, b1) = TextOps.trainLinear(d, "text", "label", dim,
+      iters = 1, lr = 0.5)
+    def bucket(t: String) = (org.apache.spark.sql.catalyst.expressions.graftdedup
+      .GraftHashKernels.md5Hash31(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) % dim).toInt
+    val gw = new Array[Double](dim)
+    var gb = 0.0
+    rows.foreach { case (_, text, y) =>
+      val err = 0.5 - y // sigmoid(0) with zero init
+      text.split(" ").foreach(t => gw(bucket(t)) += err)
+      gb += err
+    }
+    val expW = gw.map(g => -0.5 * g / rows.size)
+    val expB = -0.5 * gb / rows.size
+    assert(math.abs(b1 - expB) < 1e-9, s"bias $b1 != $expB")
+    expW.indices.foreach { i =>
+      assert(math.abs(w1(i) - expW(i)) < 1e-9, s"w($i): ${w1(i)} != ${expW(i)}")
+    }
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
