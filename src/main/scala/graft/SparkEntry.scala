@@ -705,6 +705,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q70_quantize_embeddings" -> ((s: SparkSession, dir: String) => {
+      // storage-side int8 quantization: (vec_id, scale, dim, q) rows; the
+      // floor-based half-up rounding makes the kernel exactly replayable
+      // in any engine (round() half conventions differ; floor does not)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), SimOps.quantizeInt8(col("embedding")).as("qs"))
+        .select(col("vec_id"), col("qs.scale").as("scale"),
+          posexplode(col("qs.q")).as(Seq("dim", "q")))
+        .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+          col("dim").cast("long").as("dim"), col("q"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1495,6 +1508,23 @@ object SparkEntry {
         |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfc USING (bucket) CROSS JOIN nn
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    "q70_quantize_embeddings" ->
+      // replay the kernel exactly: m = max |v_i| (float->double is exact),
+      // scale = m/127, q_i = floor(v_i/m*127 + 0.5); zero vector -> all-0 q
+      // at scale 0; vectors with a NULL element emit no rows (Spark nulls
+      // the struct, like q65)
+      """SELECT vec_id, round(m / 127.0, 9) AS scale, pos - 1 AS dim,
+        |  CAST(CASE WHEN m > 0 THEN floor(ve / m * 127.0 + 0.5)
+        |       ELSE 0 END AS TINYINT) AS q
+        |FROM (
+        |  SELECT vec_id, unnest(v) AS ve,
+        |         unnest(generate_series(1, len(v))) AS pos,
+        |         coalesce(list_max(list_transform(v, x -> abs(x))), 0) AS m
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |  WHERE len(v) = len(list_filter(v, x -> x IS NOT NULL))
+        |)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     "q67_hashing_tf_sparse" ->
       // identical oracle to q64 by design: the sparse kernel must reproduce

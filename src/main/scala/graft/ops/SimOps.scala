@@ -37,6 +37,16 @@ object SimOps {
     org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
       .l2Normalize(v)
 
+  /** Symmetric int8 quantization at ingest: `struct(scale, q)` with
+    * `q_i = floor(v_i / maxAbs * 127 + 0.5)`, `scale = maxAbs / 127` —
+    * the 4×-storage-cut form a 100 TB embedding corpus lands in, with
+    * per-element reconstruction error ≤ scale/2 (dequantize at use as
+    * `q * scale`). Codegen'd one-pass kernel, exactly oracle-able (the
+    * floor-based half-up rounding is the one rule every engine replays). */
+  def quantizeInt8(v: Column): Column =
+    org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+      .int8Quantize(v)
+
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
 
 /**
  * Native dot product over two array columns (`array<float>` or
@@ -181,6 +181,102 @@ case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
          |    for (int $i = 0; $i < $n; $i++) $out[$i] /= $norm;
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Symmetric int8 scalar quantization of an embedding vector:
+ * `struct(scale, q)` with `scale = maxAbs / 127` and
+ * `q_i = floor(v_i / maxAbs * 127 + 0.5)` (round-half-up via floor, the
+ * one rounding rule Spark and DuckDB replay identically — `round()`
+ * half-rounding conventions differ across engines). Dequantization is
+ * `q_i * scale`, with per-element error ≤ scale/2.
+ *
+ * The storage-side op for a 100 TB embedding corpus: 4× footprint cut vs
+ * float32 (64 B vs 256 B per 64-dim vector) at ~0.4% max component error,
+ * which leaves cosine top-k ordering essentially intact (spec-checked).
+ * A zero vector quantizes to scale 0 / all-zero q; a null element yields
+ * a null struct (same hazard class as [[DotProductExpr]]).
+ */
+case class Int8QuantizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false), nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quantize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val d = new Array[Double](n)
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      d(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val a = math.abs(d(i))
+      if (a > m) m = a
+      i += 1
+    }
+    val q = new Array[Byte](n)
+    if (m > 0.0) {
+      i = 0
+      while (i < n) {
+        q(i) = math.floor(d(i) / m * 127.0 + 0.5).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m / 127.0, new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val m = ctx.freshName("m")
+      val a = ctx.freshName("a"); val q = ctx.freshName("q")
+      val f = ctx.freshName("fields")
+      s"""
+         |final int $n = $v.numElements();
+         |final double[] $d = new double[$n];
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $d[$i] = (double) $v.$get($i);
+         |  final double $a = java.lang.Math.abs($d[$i]);
+         |  if ($a > $m) $m = $a;
+         |}
+         |if (!${ev.isNull}) {
+         |  final byte[] $q = new byte[$n];
+         |  if ($m > 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $q[$i] = (byte) java.lang.Math.floor($d[$i] / $m * 127.0 + 0.5);
+         |    }
+         |  }
+         |  final Object[] $f = new Object[2];
+         |  $f[0] = $m / 127.0;
+         |  $f[1] = new org.apache.spark.sql.catalyst.util.GenericArrayData($q);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($f);
          |}
        """.stripMargin
     })
@@ -437,7 +533,10 @@ object ArrayMathExpressions {
       (c: Seq[Expression]) => DotProductExpr(c(0), c(1))),
     (FunctionIdentifier("l2_normalize"),
       new ExpressionInfo(classOf[L2NormalizeExpr].getName, "l2_normalize"),
-      (c: Seq[Expression]) => L2NormalizeExpr(c(0))))
+      (c: Seq[Expression]) => L2NormalizeExpr(c(0))),
+    (FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8QuantizeExpr].getName, "int8_quantize"),
+      (c: Seq[Expression]) => Int8QuantizeExpr(c(0))))
 
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>
@@ -455,6 +554,11 @@ object ArrayMathExpressions {
   /** Column-API form: codegen'd unit-norm normalization. */
   def l2Normalize(v: Column): Column =
     ExpressionUtils.column(L2NormalizeExpr(ExpressionUtils.expression(v)))
+
+  /** Column-API form: codegen'd symmetric int8 quantization
+    * (`struct(scale, q)`); dequantize at use as `q * scale` per element. */
+  def int8Quantize(v: Column): Column =
+    ExpressionUtils.column(Int8QuantizeExpr(ExpressionUtils.expression(v)))
 
   /** Column-API form: codegen'd all-bands sign sketch (`array<long>`, one
     * element per band). Planes travel as a reference object, not literals. */

@@ -333,6 +333,71 @@ class ExpressionSpec extends SparkTestBase {
     assert(cafe._2.head.startsWith("caf"), s"got ${cafe._2}")
   }
 
+  test("int8_quantize: round-trip error <= scale/2, cosine preserved, " +
+       "zero vector / null element semantics, codegen-only") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val rows = (0L until 40L).map { i =>
+      (i, Array.fill(64)((rng.nextFloat() * 4 - 2)))
+    } :+ (98L, Array.fill(8)(0.0f))
+    val d = rows.toDF("id", "v")
+      .union(Seq((99L, null.asInstanceOf[Array[Float]])).toDF("id", "v"))
+    val restore = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = d.select(col("id"), ArrayMathExpressions.int8Quantize(col("v")).as("qs"))
+        .collect().map { r =>
+          r.getLong(0) -> (if (r.isNullAt(1)) None else {
+            val s = r.getStruct(1)
+            Some((s.getDouble(0), s.getSeq[Byte](1)))
+          })
+        }.toMap
+      rows.foreach { case (id, v) =>
+        val Some((scale, q)) = got(id)
+        val m = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+        assert(scale == m / 127.0, s"id $id scale")
+        assert(q.length == v.length)
+        v.indices.foreach { i =>
+          // reference rounding, and the error contract
+          if (m > 0)
+            assert(q(i) == math.floor(v(i).toDouble / m * 127.0 + 0.5).toByte)
+          else assert(q(i) == 0)
+          assert(math.abs(v(i).toDouble - q(i) * scale) <= scale / 2 + 1e-12,
+            s"id $id dim $i error beyond scale/2")
+        }
+      }
+      assert(got(98L).exists { case (s, q) => s == 0.0 && q.forall(_ == 0) })
+      assert(got(99L).isEmpty, "null vector must quantize to null")
+      // cosine ordering survives quantization: dequantized dot products
+      // track the originals within int8 resolution
+      val a = rows.head._2.map(_.toDouble)
+      rows.tail.take(10).foreach { case (id, v) =>
+        val Some((scale, q)) = got(id)
+        val Some((scaleA, qA)) = got(0L)
+        def cos(x: Array[Double], y: Array[Double]) = {
+          val dot = x.zip(y).map { case (p, r) => p * r }.sum
+          dot / (math.sqrt(x.map(t => t * t).sum) * math.sqrt(y.map(t => t * t).sum))
+        }
+        val orig = cos(a, v.map(_.toDouble))
+        val deq = cos(qA.map(_ * scaleA).toArray, q.map(_ * scale).toArray)
+        assert(math.abs(orig - deq) < 0.02, s"id $id cosine drift: $orig vs $deq")
+      }
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // SQL surface
+    ArrayMathExpressions.registerInto(spark)
+    val viaSql = spark.sql(
+      "SELECT int8_quantize(array(CAST(1.0 AS DOUBLE), -0.5, 0.25)).q AS q")
+      .collect()(0).getSeq[Byte](0)
+    assert(viaSql == Seq[Byte](127, -63, 32), s"got $viaSql")
+  }
+
   test("l2_normalize: unit norm, dot-after == cosine, zero vector and " +
        "null element semantics") {
     import org.apache.spark.sql.functions._
