@@ -718,6 +718,16 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    "q71_ann_quantized" -> ((s: SparkSession, dir: String) => {
+      // q29's top-k over the int8 codes: the symmetric scale cancels in the
+      // cosine, integer dots are exact in doubles at any summation order,
+      // so the quantized ANN path is exactly oracle-able end to end
+      val e = t(s, dir, "embeddings")
+      SimOps.cosineTopKQuantized(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q47_bucketed_qc" -> ((s: SparkSession, dir: String) => {
       // the land-once / query-many operating pattern as part of the VERIFIED
       // surface (not only PlanShapeSpec): events lands ONCE per session as a
@@ -1525,6 +1535,37 @@ object SparkEntry {
         |  WHERE len(v) = len(list_filter(v, x -> x IS NOT NULL))
         |)
         |ORDER BY vec_id, dim""".stripMargin,
+
+    "q71_ann_quantized" ->
+      // q29's shape over recomputed int8 codes (q70's quantization formula
+      // inline); integer dots are exact, so no rounding subtleties beyond
+      // the final round(6)
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), qz AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CASE WHEN m > 0
+        |      THEN floor(x / m * 127.0 + 0.5) ELSE 0.0 END) AS q
+        |  FROM (SELECT vec_id, v,
+        |          coalesce(list_max(list_transform(v, x -> abs(x))), 0) AS m
+        |        FROM e)
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(CASE WHEN sqrt(list_inner_product(q.q, q.q))
+        |                  * sqrt(list_inner_product(c.q, c.q)) > 0
+        |      THEN list_inner_product(q.q, c.q)
+        |           / (sqrt(list_inner_product(q.q, q.q))
+        |              * sqrt(list_inner_product(c.q, c.q)))
+        |      ELSE 0.0 END, 6) AS cos_sim
+        |  FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q67_hashing_tf_sparse" ->
       // identical oracle to q64 by design: the sparse kernel must reproduce
