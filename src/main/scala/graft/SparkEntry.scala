@@ -718,6 +718,16 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    "q72_cap_per_group" -> ((s: SparkSession, dir: String) => {
+      // per-source quota: at most 15 docs per source, chosen by salted key
+      // hash (deterministic representatives across reruns; 25 docs/source
+      // at sf0.01, so the cap genuinely binds)
+      graft.ops.SampleOps.capPerGroup(t(s, dir, "documents"),
+          "source", "doc_id", n = 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q71_ann_quantized" -> ((s: SparkSession, dir: String) => {
       // q29's top-k over the int8 codes: the symmetric scale cancels in the
       // cosine, integer dots are exact in doubles at any summation order,
@@ -1535,6 +1545,14 @@ object SparkEntry {
         |  WHERE len(v) = len(list_filter(v, x -> x IS NOT NULL))
         |)
         |ORDER BY vec_id, dim""".stripMargin,
+
+    "q72_cap_per_group" ->
+      // same md5-31 key hash as q45; QUALIFY needs the window inline
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY
+        |  (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |    & 2147483647::UBIGINT)::BIGINT, doc_id) <= 15
+        |ORDER BY doc_id""".stripMargin,
 
     "q71_ann_quantized" ->
       // q29's shape over recomputed int8 codes (q70's quantization formula

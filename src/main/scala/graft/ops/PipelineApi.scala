@@ -125,6 +125,10 @@ object pipeline {
                                salt: String = "graft"): DataFrame =
         SampleOps.deterministicShuffle(df, keyCol, salt)
 
+      def capPerGroup(groupCol: String, n: Int, keyCol: String = "doc_id",
+                      salt: String = "graft"): DataFrame =
+        SampleOps.capPerGroup(df, groupCol, keyCol, n, salt)
+
       // --- corpus shaping ------------------------------------------------
 
       def chunkDocuments(maxTokens: Int, overlap: Int = 0,

@@ -161,6 +161,33 @@ object SampleOps {
   }
 
   /**
+   * Deterministic per-group cap: keep at most `n` rows per `groupCol`,
+   * selected in salted-key-hash order (ties by key) — the "at most N
+   * documents per domain / per source" quota every web-corpus pipeline
+   * applies so one giant site cannot dominate the mixture. Selection is a
+   * pure function of (salt, key), so reruns and incremental re-ingests pick
+   * the SAME representatives; change the salt to draw an independent quota.
+   *
+   * Scale shape: one shuffle on `groupCol`; the `row_number <= n` filter is
+   * rewritten by Spark into WindowGroupLimit, which maintains a per-group
+   * top-n BELOW the sort map-side — a hot domain costs its top-n
+   * maintenance streaming over the partition, not a full-group
+   * materialization (same pushdown the ANN top-k relies on, pinned by
+   * PlanShapeSpec).
+   */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int,
+                  salt: String = "graft"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val rn = TextOps.tempName(df, "__rn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(keyHash(col(keyCol), salt), col(keyCol))
+    df.withColumn(rn, org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn)
+  }
+
+  /**
    * Deterministic sequence PACKING: group consecutive docs (in `orderCol`
    * order within each `splitCol` partition) into packs of at most `budget`
    * tokens — the pretraining step that concatenates documents into

@@ -154,6 +154,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("capPerGroup plans a WindowGroupLimit below the sort (per-group " +
+       "top-n maintained map-side, no full-group materialization)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.SampleOps.capPerGroup(docs, "source", "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push into WindowGroupLimit:\n$plan")
+  }
+
   test("lineDedup rebuild and mixture resample are map-side: no hash " +
        "exchange over the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
