@@ -718,6 +718,26 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    "q73_asof_join" -> ((s: SparkSession, dir: String) => {
+      // point-in-time join: every non-reference event picks up the value of
+      // the latest reference event (event_id % 20 == 0) at-or-before its
+      // timestamp, per user. The reference side is pre-aggregated to one
+      // row per (user, ts) so the as-of winner is unambiguous; ts is
+      // TIMESTAMP(NANOS) read as BIGINT nanos (session nanosAsLong), which
+      // the oracle mirrors with epoch_ns()
+      val ev = t(s, dir, "events")
+      val ref = ev.filter(col("event_id") % 20 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      val lhs = ev.filter(col("event_id") % 20 =!= 0)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.ops.JoinOps.asofJoin(lhs, ref, "user_id", "ts", Seq("ref_value"))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"),
+          round(col("ref_value_asof"), 6).as("ref_value_asof"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "q72_cap_per_group" -> ((s: SparkSession, dir: String) => {
       // per-source quota: at most 15 docs per source, chosen by salted key
       // hash (deterministic representatives across reruns; 25 docs/source
@@ -1545,6 +1565,35 @@ object SparkEntry {
         |  WHERE len(v) = len(list_filter(v, x -> x IS NOT NULL))
         |)
         |ORDER BY vec_id, dim""".stripMargin,
+
+    "q73_asof_join" ->
+      // replay the union+window formulation (portable across DuckDB
+      // versions, unlike native ASOF JOIN): right rows tag 0 sort before
+      // left rows at equal ts -> '<=' semantics; left rows carry NULL
+      // payload so IGNORE NULLS reads through them
+      """WITH ref AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, max(value) AS ref_value
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY user_id, epoch_ns(ts)
+        |), lft AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, value
+        |  FROM events WHERE event_id % 20 <> 0
+        |), u AS (
+        |  SELECT user_id, tsn, 1 AS tag, event_id, value,
+        |         CAST(NULL AS DOUBLE) AS rv
+        |  FROM lft
+        |  UNION ALL
+        |  SELECT user_id, tsn, 0 AS tag, NULL, NULL, ref_value FROM ref
+        |), filled AS (
+        |  SELECT user_id, tag, event_id, value,
+        |    last_value(rv IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY tsn, tag
+        |      ROWS UNBOUNDED PRECEDING) AS ref_asof
+        |  FROM u
+        |)
+        |SELECT user_id, event_id, round(value, 6) AS value,
+        |       round(ref_asof, 6) AS ref_value_asof
+        |FROM filled WHERE tag = 1
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q72_cap_per_group" ->
       // same md5-31 key hash as q45; QUALIFY needs the window inline

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Join operators Spark's built-ins don't express directly, composed from
+ * declarative pieces so Catalyst still owns the physical plan.
+ */
+object JoinOps {
+
+  /**
+   * AS-OF JOIN: for every left row, append the payload of the LATEST right
+   * row with the same key and `right.ts <= left.ts` (the point-in-time /
+   * "most recent snapshot" join — sensor readings against calibration
+   * records, events against slowly-changing reference data). Left rows with
+   * no eligible right row get nulls.
+   *
+   * Spark-first shape — NOT a range join (whose candidate set explodes as
+   * |left| × |right| per key before filtering): the two inputs are tagged
+   * and UNIONED, shuffled ONCE on the key, sorted per partition on
+   * `(ts, tag)` (right rows sort before left rows at equal ts, giving `<=`
+   * semantics), and a running `last(payload, ignoreNulls)` window carries
+   * each right payload forward to the left rows that follow it; left rows
+   * are then filtered back out. O((|L|+|R|) log) per key partition — the
+   * plan a dedicated as-of physical operator would produce, expressed
+   * entirely in window algebra (AQE handles key skew).
+   *
+   * The right payload travels as ONE struct, so a right row whose payload
+   * FIELDS are null still counts as the latest observation (it does not
+   * fall through to an older row). If several right rows share the same
+   * `(key, ts)`, which one wins is tie-ambiguous — pre-aggregate the right
+   * side to one row per (key, ts) when that matters.
+   *
+   * Output: every left column, plus each of `rightCols` as
+   * `<name><suffix>`.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightCols: Seq[String],
+               suffix: String = "_asof"): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must be non-empty")
+    val outNames = rightCols.map(_ + suffix)
+    outNames.foreach(n => require(!left.columns.contains(n),
+      s"output column '$n' collides with a left column — pick another suffix"))
+    val tagCol = TextOps.tempName(left, "__asof_tag")
+    val rsCol = TextOps.tempName(left, "__asof_payload")
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.select(rightCols.map(col): _*).schema.fields)
+    val leftTagged = left
+      .withColumn(tagCol, lit(1))
+      .withColumn(rsCol, lit(null).cast(payloadType))
+    val rightTagged = right.select(
+      col(keyCol), col(tsCol), lit(0).as(tagCol),
+      struct(rightCols.map(col): _*).as(rsCol))
+    // allowMissingColumns: right rows carry nulls for the other left columns
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tagCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn(rsCol, last(col(rsCol), ignoreNulls = true).over(w))
+      .filter(col(tagCol) === 1)
+    val withOut = rightCols.zip(outNames).foldLeft(filled) {
+      case (d, (c, o)) => d.withColumn(o, col(s"$rsCol.$c"))
+    }
+    withOut.drop(tagCol, rsCol)
+  }
+
+  /** Convenience single-column form of [[asofJoin]]. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightCol: String): DataFrame =
+    asofJoin(left, right, keyCol, tsCol, Seq(rightCol))
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.JoinOps
+
+class JoinOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("asofJoin: latest at-or-before right row per key; no-match nulls; " +
+       "equal-ts right row included; null payload fields do not fall " +
+       "through to older rows") {
+    val left = Seq(
+      ("a", 5L, 100L),  // after ref@3 -> 30
+      ("a", 3L, 101L),  // equal ts: ref@3 included ('<=') -> 30
+      ("a", 1L, 102L),  // before any ref -> null
+      ("a", 9L, 103L),  // after ref@7 whose VALUE is null -> null (not 30)
+      ("b", 4L, 104L),  // key isolation: only b's ref@2 -> 20
+      ("c", 4L, 105L)   // key with no refs at all -> null
+    ).toDF("k", "ts", "ev")
+    val right = Seq(
+      ("a", 3L, Some(30.0)),
+      ("a", 7L, None),    // a newer observation with a null VALUE
+      ("b", 2L, Some(20.0)),
+      ("b", 8L, Some(80.0)) // in the future of b's left row -> must not leak
+    ).toDF("k", "ts", "v")
+    val got = JoinOps.asofJoin(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("ev") ->
+        (if (r.isNullAt(r.fieldIndex("v_asof"))) None
+         else Some(r.getAs[Double]("v_asof")))).toMap
+    assert(got(100L).contains(30.0))
+    assert(got(101L).contains(30.0), "equal-ts right row must be included")
+    assert(got(102L).isEmpty, "no eligible right row -> null")
+    assert(got(103L).isEmpty,
+      "a newer right row with a null FIELD is still the latest observation")
+    assert(got(104L).contains(20.0))
+    assert(got(105L).isEmpty)
+    // left schema is preserved, payload arrives suffixed
+    val out = JoinOps.asofJoin(left, right, "k", "ts", Seq("v"))
+    assert(out.columns.toSeq == Seq("k", "ts", "ev", "v_asof"))
+    // one shuffle on the key; no join node at all in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected ONE key shuffle, got $exchanges:\n$plan")
+  }
+
+  test("asofJoin refuses an output-column collision") {
+    val l = Seq(("a", 1L, 1.0)).toDF("k", "ts", "v_asof")
+    val r = Seq(("a", 1L, 2.0)).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException] {
+      JoinOps.asofJoin(l, r, "k", "ts", Seq("v"))
+    }
+  }
+}
