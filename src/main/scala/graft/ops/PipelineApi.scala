@@ -129,6 +129,10 @@ object pipeline {
                       salt: String = "graft"): DataFrame =
         SampleOps.capPerGroup(df, groupCol, keyCol, n, salt)
 
+      def asofJoin(right: DataFrame, keyCol: String, tsCol: String,
+                   rightCols: Seq[String], suffix: String = "_asof"): DataFrame =
+        JoinOps.asofJoin(df, right, keyCol, tsCol, rightCols, suffix)
+
       // --- corpus shaping ------------------------------------------------
 
       def chunkDocuments(maxTokens: Int, overlap: Int = 0,
