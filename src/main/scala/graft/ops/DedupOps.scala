@@ -684,8 +684,11 @@ object DedupOps {
       .where(sketchExprs.bloomMightContain(bloom, xxhash64(col("__sh"))))
     val result = candidates.join(probeSh, Seq("__sh"), "left_semi")
       .select(col(idCol)).distinct()
+    // branch on the STORAGE LEVEL, not reference equality: persist()
+    // returns `this`, so `probeSh eq staged` is true even when a cache WAS
+    // registered and the handle would silently never release it
     val unpersist: () => Unit =
-      if (probeSh eq staged) () => () // StorageLevel.NONE: nothing cached
+      if (probeStorage == org.apache.spark.storage.StorageLevel.NONE) () => ()
       else () => { probeSh.unpersist(); () }
     (result, unpersist)
   }

@@ -33,6 +33,12 @@ object JoinOps {
    * `(key, ts)`, which one wins is tie-ambiguous — pre-aggregate the right
    * side to one row per (key, ts) when that matters.
    *
+   * Null timestamps follow SQL comparison semantics: a right row with a
+   * null ts can never satisfy `right.ts <= left.ts` and is dropped up
+   * front (ascending sort would otherwise place it FIRST and leak its
+   * payload into every unmatched left row); a left row with a null ts
+   * matches nothing and gets a null payload.
+   *
    * Output: every left column, plus each of `rightCols` as
    * `<name><suffix>`.
    */
@@ -50,9 +56,11 @@ object JoinOps {
     val leftTagged = left
       .withColumn(tagCol, lit(1))
       .withColumn(rsCol, lit(null).cast(payloadType))
-    val rightTagged = right.select(
-      col(keyCol), col(tsCol), lit(0).as(tagCol),
-      struct(rightCols.map(col): _*).as(rsCol))
+    val rightTagged = right
+      .filter(col(tsCol).isNotNull) // null ts can never be at-or-before
+      .select(
+        col(keyCol), col(tsCol), lit(0).as(tagCol),
+        struct(rightCols.map(col): _*).as(rsCol))
     // allowMissingColumns: right rows carry nulls for the other left columns
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))

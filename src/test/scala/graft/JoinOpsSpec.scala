@@ -47,6 +47,25 @@ class JoinOpsSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected ONE key shuffle, got $exchanges:\n$plan")
   }
 
+  test("asofJoin: null timestamps match nothing on either side") {
+    // a right row with a null ts can never satisfy `right.ts <= left.ts`;
+    // unguarded, ascending sort places it FIRST in the window and its
+    // payload leaks into every otherwise-unmatched left row
+    val left = Seq(
+      ("a", Some(1L), 100L),            // before the only real ref -> null
+      ("a", None: Option[Long], 101L)   // null left ts matches nothing
+    ).toDF("k", "ts", "ev")
+    val right = Seq(
+      ("a", None: Option[Long], Some(5.0)), // null ts: ineligible, dropped
+      ("a", Some(9L), Some(90.0))           // future of both left rows
+    ).toDF("k", "ts", "v")
+    val got = JoinOps.asofJoin(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("ev") ->
+        r.isNullAt(r.fieldIndex("v_asof"))).toMap
+    assert(got(100L), "null-ts right payload must not leak into ev=100")
+    assert(got(101L), "null-ts left row must match nothing")
+  }
+
   test("asofJoin refuses an output-column collision") {
     val l = Seq(("a", 1L, 1.0)).toDF("k", "ts", "v_asof")
     val r = Seq(("a", 1L, 2.0)).toDF("k", "ts", "v")

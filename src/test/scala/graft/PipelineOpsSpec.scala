@@ -641,6 +641,23 @@ class PipelineOpsSpec extends SparkTestBase {
       "1024-bit sketch over 3 items should reject a non-member")
   }
 
+  test("contaminatedIdsBloomWithHandle: handle releases the probe cache " +
+       "(persist returns `this`, so the branch must be on storage level)") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta gamma delta epsilon"),
+                   (1L, "totally different words here now")).toDF("doc_id", "text")
+    val probes = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (ids, done) = DedupOps.contaminatedIdsBloomWithHandle(
+      docs, "doc_id", "text", probes, "text", shingleSize = 5)
+    assert(ids.collect().map(_.getLong(0)).toSet == Set(0L))
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "probe shingles should be cached while in use")
+    done()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"lingering cached RDDs after unpersist handle: $after")
+  }
+
   test("resampleToMixture: deterministic upsampling hits target mixture, " +
        "unlisted sources drop, epochs are dense") {
     import spark.implicits._
