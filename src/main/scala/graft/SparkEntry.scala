@@ -1569,8 +1569,11 @@ object SparkEntry {
     "q73_asof_join" ->
       // replay the union+window formulation (portable across DuckDB
       // versions, unlike native ASOF JOIN): right rows tag 0 sort before
-      // left rows at equal ts -> '<=' semantics; left rows carry NULL
-      // payload so IGNORE NULLS reads through them
+      // left rows at equal ts -> '<=' semantics. The payload rides inside
+      // a STRUCT marker: the struct is non-null for every ref row even
+      // when its VALUE is null, so IGNORE NULLS skips left rows only —
+      // a null-valued latest observation yields NULL (engine semantics),
+      // it does not fall through to an older non-null ref
       """WITH ref AS (
         |  SELECT user_id, epoch_ns(ts) AS tsn, max(value) AS ref_value
         |  FROM events WHERE event_id % 20 = 0 GROUP BY user_id, epoch_ns(ts)
@@ -1579,15 +1582,16 @@ object SparkEntry {
         |  FROM events WHERE event_id % 20 <> 0
         |), u AS (
         |  SELECT user_id, tsn, 1 AS tag, event_id, value,
-        |         CAST(NULL AS DOUBLE) AS rv
+        |         CAST(NULL AS STRUCT(v DOUBLE)) AS rvs
         |  FROM lft
         |  UNION ALL
-        |  SELECT user_id, tsn, 0 AS tag, NULL, NULL, ref_value FROM ref
+        |  SELECT user_id, tsn, 0 AS tag, NULL, NULL,
+        |         {'v': ref_value} FROM ref
         |), filled AS (
         |  SELECT user_id, tag, event_id, value,
-        |    last_value(rv IGNORE NULLS) OVER (
+        |    (last_value(rvs IGNORE NULLS) OVER (
         |      PARTITION BY user_id ORDER BY tsn, tag
-        |      ROWS UNBOUNDED PRECEDING) AS ref_asof
+        |      ROWS UNBOUNDED PRECEDING)).v AS ref_asof
         |  FROM u
         |)
         |SELECT user_id, event_id, round(value, 6) AS value,
