@@ -2,9 +2,67 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/**
+ * One band stage of [[StreamOps.streamingBandedNearDedup]]: keyed by the
+ * band value, state = every retained (full 64-bit sketch, event-time ms)
+ * in the watermark horizon. An incoming row is dropped iff some stored
+ * sketch is within Hamming `radius` — band-key collisions beyond the
+ * radius verify as distinct and pass through. State is pruned against the
+ * watermark on every update, and an event-time timer sweeps the bucket
+ * once the horizon passes its newest entry, so idle buckets free their
+ * state without traffic.
+ */
+private[streaming] class BandDedupProcessor(skIdx: Int, tsIdx: Int,
+    radius: Int, delayMs: Long) extends StatefulProcessor[Long, Row, Row] {
+
+  @transient private var entries: ListState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    entries = getHandle.getListState[(Long, Long)]("sketches",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Row],
+                               tv: TimerValues): Iterator[Row] = {
+    val horizon = tv.getCurrentWatermarkInMs() - delayMs
+    val stored = entries.get().toVector
+    val live = stored.filter(_._2 >= horizon)
+    var sketches = live.map(_._1)
+    var added = Vector.empty[(Long, Long)]
+    val kept = Vector.newBuilder[Row]
+    // event-time order (sketch tiebreak) -> deterministic replay
+    rows.toVector
+      .sortBy(r => (r.getTimestamp(tsIdx).getTime, r.getLong(skIdx)))
+      .foreach { r =>
+        val sk = r.getLong(skIdx)
+        if (!sketches.exists(s => java.lang.Long.bitCount(s ^ sk) <= radius)) {
+          kept += r
+          sketches :+= sk
+          added :+= (sk -> r.getTimestamp(tsIdx).getTime)
+        }
+      }
+    if (added.nonEmpty || live.size != stored.size)
+      entries.put((live ++ added).toArray)
+    (live ++ added).map(_._2).maxOption
+      .foreach(m => getHandle.registerTimer(m + delayMs))
+    kept.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[Row] = {
+    val remaining = entries.get()
+      .filter(_._2 + delayMs > info.getExpiryTimeInMs).toArray
+    if (remaining.isEmpty) entries.clear()
+    else {
+      entries.put(remaining)
+      getHandle.registerTimer(remaining.map(_._2).max + delayMs)
+    }
+    Iterator.empty
+  }
+}
 
 /**
  * Structured Streaming surface. The reference is batch-only (files), but the
@@ -104,52 +162,99 @@ object StreamOps {
   }
 
   /**
-   * Streaming banded near-dedup, Hamming radius ≤ 3: the 64-bit SimHash is
-   * split into `bands` (default 4) disjoint 16-bit sub-keys, and a document
-   * is dropped when ANY of its band keys matches a retained document inside
-   * the watermark horizon. Pigeonhole gives the guarantee: two sketches
-   * within Hamming distance `bands - 1` differ in at most `bands - 1`
-   * bands, so at least one band key is IDENTICAL — every document within
-   * radius 3 of a fully-retained document is caught, where
-   * [[streamingNearDedup]] only catches radius 0.
+   * Streaming banded near-dedup, Hamming radius ≤ `bands - 1` (default 3),
+   * VERIFIED: the 64-bit SimHash is split into `bands` (default 4) disjoint
+   * sub-keys; a band key match only makes a retained document a CANDIDATE —
+   * the full 64-bit sketches are then compared, and the incoming document
+   * is dropped only when a candidate is within Hamming `radius`. Pigeonhole
+   * gives the catch guarantee: two sketches within Hamming `bands - 1`
+   * agree on at least one band, so they meet in that band's state bucket
+   * and the verify succeeds. The verify step is what a bare band-key dedup
+   * lacks: 16-bit keys collide at birthday scale 2^16, so an unverified
+   * drop would delete ~`1-(1-n/2^16)^bands` of genuinely distinct docs at
+   * `n` retained docs per horizon (~48% at n=10k) — here a random band
+   * collision is compared against the full sketch and passes through.
    *
-   * Mechanically this is `bands` chained `dropDuplicatesWithinWatermark`
-   * stages (one per band key — Spark runs multiple stateful operators in
-   * append mode with a shared watermark). Keep-first semantics are against
-   * the RETAINED stream, incremental-ingest style: a document dropped at
-   * stage i never registers its later-stage band keys, so a chain
-   * A ~ B ~ C where C only resembles the dropped B keeps C (the batch
-   * connected-components dedup, [[graft.ops.DedupOps.nearDedupCC]], is the
-   * transitive-closure tool). State: `bands` stores of one 16-bit key +
-   * timestamp per retained doc in the horizon — bounded, body-free.
+   * Mechanically: `bands` chained [[KeyValueGroupedDataset.transformWithState]]
+   * stages in append mode, each keyed by one band value, each declaring
+   * `tsCol` as its output event-time column so the stages legally chain
+   * under the global-watermark correctness check. Per-stage state is the
+   * full (sketch, event-time) pair per retained doc in the horizon —
+   * 16 bytes/doc/band, body-free — pruned by watermark on every update and
+   * by event-time timers when a bucket goes idle. REQUIRES the RocksDB
+   * state store provider (`spark.sql.streaming.stateStore.providerClass`
+   * = ...state.RocksDBStateStoreProvider), the provider built for exactly
+   * this column-family state shape; the default HDFS-backed provider does
+   * not support transformWithState.
+   *
+   * Keep-first semantics are against the RETAINED stream, incremental-
+   * ingest style: a document dropped at stage i never registers its
+   * later-stage band keys, so a chain A ~ B ~ C where C only resembles the
+   * dropped B keeps C (the batch connected-components dedup,
+   * [[graft.ops.DedupOps.nearDedupCC]], is the transitive-closure tool).
+   * Within a micro-batch each bucket processes rows in event-time order,
+   * so replays are deterministic.
    *
    * Token-less documents pass through, as in [[streamingNearDedup]].
    */
   def streamingBandedNearDedup(docs: DataFrame, textCol: String, tsCol: String,
                                watermark: String = "10 minutes",
-                               bands: Int = 4): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0,
-      s"bands must divide 64, got $bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
+                               bands: Int = 4, radius: Int = -1): DataFrame = {
     val toks = graft.ops.TextOps.tokens(col(textCol))
     val ntokC = graft.ops.TextOps.tempName(docs, "__ntok")
-    val skC = graft.ops.TextOps.tempName(docs, "__sketch",
-      suffixes = (0 until bands).map(i => s"_b$i"))
-    def bandC(i: Int) = s"${skC}_b$i"
+    val skC = graft.ops.TextOps.tempName(docs, "__sketch")
     val base = docs
       .withColumn(ntokC, size(toks))
       .withColumn(skC, graft.ops.DedupOps.simHash64(toks))
-    val withBands = (0 until bands).foldLeft(base) { (d, i) =>
-      d.withColumn(bandC(i),
-        shiftrightunsigned(col(skC), i * width).bitwiseAND(lit(mask)))
-    }.withWatermark(tsCol, watermark)
-    val deduped = (0 until bands).foldLeft(withBands.filter(col(ntokC) > 0)) {
-      (d, i) => d.dropDuplicatesWithinWatermark(bandC(i))
-    }
+    val deduped = bandedDedupOnSketch(base.filter(col(ntokC) > 0), skC, tsCol,
+      watermark, bands, radius)
     deduped
-      .unionByName(withBands.filter(col(ntokC) <= 0 || col(ntokC).isNull))
-      .drop((ntokC +: skC +: (0 until bands).map(bandC)): _*)
+      .unionByName(base.filter(col(ntokC) <= 0 || col(ntokC).isNull))
+      .drop(ntokC, skC)
+  }
+
+  /** Sketch-level core of [[streamingBandedNearDedup]]: dedups on an
+    * existing 64-bit sketch column. Factored out so the collision/verify
+    * semantics are testable with planted sketches. */
+  private[graft] def bandedDedupOnSketch(df: DataFrame, sketchCol: String,
+                                         tsCol: String, watermark: String,
+                                         bands: Int, radiusIn: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val radius = if (radiusIn < 0) bands - 1 else radiusIn
+    require(radius <= 64, s"radius must be <= 64, got $radius")
+    // the pigeonhole guarantee only covers distance <= bands-1: a pair at
+    // distance d <= bands-1 shares a band; d in (bands-1, radius] pairs are
+    // dropped IF they happen to share a band, caught probabilistically
+    val width = 64 / bands
+    val delayMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .fromIntervalString(watermark)
+      require(iv.months == 0, s"watermark must not use months, got $watermark")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val spark = df.sparkSession
+    val provider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDBStateStoreProvider"),
+      "streamingBandedNearDedup uses transformWithState, which requires " +
+      "spark.sql.streaming.stateStore.providerClass = " +
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
+    val skIdx = df.schema.fieldIndex(sketchCol)
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    // withWatermark only ahead of stage 1: each stage re-declares tsCol as
+    // its output event-time column (the transformWithState chaining
+    // contract), and re-applying withWatermark on a declared column is a
+    // watermark redefinition error
+    (0 until bands).foldLeft(df.withWatermark(tsCol, watermark)) { (d, i) =>
+      d.groupByKey { r =>
+          (r.getLong(skIdx) >>> (i * width)) &
+            (if (width == 64) -1L else (1L << width) - 1L)
+        }(Encoders.scalaLong)
+        .transformWithState(
+          new BandDedupProcessor(skIdx, tsIdx, radius, delayMs), tsCol,
+          OutputMode.Append(), rowEnc)
+    }
   }
 
   /**
