@@ -80,9 +80,26 @@ object ScaleUp {
     val docs = rd("documents")
     val nDocs = docs.count()
     val docStride = maxOf(docs, "doc_id")
+    // the splice-partner lookup is modular arithmetic over doc_id, which
+    // silently finds NO partner (nulling out every copy's text) unless ids
+    // are exactly 0..n-1 — assert that, loudly, instead of assuming it
+    val (minId, maxId) = {
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(minId == 0L && maxId == nDocs - 1L,
+      s"ScaleUp needs dense 0-based doc_ids for the splice-partner lookup; " +
+      s"got min=$minId max=$maxId over $nDocs rows — remap doc_id to " +
+      s"row_number()-1 first")
     val partner = docs.select(col("doc_id").as("__pid"), col("text").as("__ptext"))
+    val rawPid = pmod(col("doc_id") * 7 + col("__c") * 131 + 3, lit(nDocs))
     val spliced = docs.withColumn("__c", copyIdx)
-      .withColumn("__pid", pmod(col("doc_id") * 7 + col("__c") * 131 + 3, lit(nDocs)))
+      // a self-partner would splice a doc with itself: a near-verbatim
+      // copy above the 0.7 near-dup threshold, exactly what the rotation
+      // is built to avoid — step to the neighbor instead
+      .withColumn("__pid",
+        when(rawPid === col("doc_id"), pmod(rawPid + 1, lit(nDocs)))
+          .otherwise(rawPid))
       .join(partner, Seq("__pid"), "left")
       .withColumn("__spliced", when(col("__c") === 0, col("text")).otherwise(
         concat(

@@ -392,8 +392,14 @@ object TextOps {
    * `maxTokens` with `overlap` tokens carried between consecutive chunks —
    * the preprocessing step that fits long documents to a model's context
    * (RAG indexing, pretraining with long-doc splits). Chunks are built
-   * over the NORMALIZED token stream (lowercase alphanumeric, like
-   * [[fingerprint]]), so `chunk_text` is token-joined — and each row also
+   * over a NORMALIZED token stream (lowercase alphanumeric) — but note the
+   * tokenizer is the offset-tracking kernel, which lowercases PER CODE
+   * POINT: on the rare one-to-many case folds (e.g. U+0130 'İ' →
+   * 'i'+U+0307) its token stream can differ from the `lower()`-based
+   * [[tokens]] stream that [[fingerprint]]/[[vocabulary]] use, so chunk
+   * boundaries are not guaranteed token-identical to those operators on
+   * such text (per-code-point folding is what keeps the character offsets
+   * exact). `chunk_text` is token-joined — and each row also
    * carries `char_start`/`char_end`, the 1-based inclusive CHARACTER span
    * of the chunk's tokens in the ORIGINAL text, so
    * `substring(text, char_start, char_end - char_start + 1)` reconstructs
