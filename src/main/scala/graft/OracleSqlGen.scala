@@ -393,6 +393,72 @@ object OracleSqlGen {
        |)""".stripMargin
   }
 
+  /** q74: incremental near-dedup of an ingest slice against the landed
+    * corpus (k=64, 16 bands, threshold 0.5, no bucket cap). Replays the
+    * two-sided chain: shingle + minhash + band keys on BOTH sides, band
+    * equi-join for candidates, exact Jaccard verify, then anti-join. The
+    * landed side keys by its own doc_id here — the Spark side's internal
+    * xxhash64(text) identity is existence-equivalent (no cap in play). */
+  def nearDedupAgainstSql(numHashes: Int, bands: Int): String = {
+    val perms = DedupOps.permConstants(numHashes)
+    val permValues = perms.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+      .mkString(", ")
+    val r = numHashes / bands
+    val bandFold = (2 to r).foldLeft("bm[1]") { (acc, j) =>
+      s"(($acc)*31 + bm[$j]) % 2147483647"
+    }
+    def side(name: String, src: String): String =
+      s"""${name}tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+         |  FROM $src
+         |), ${name}sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1),
+         |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |      ELSE [array_to_string(t, ' ')] END) AS s
+         |  FROM ${name}tok
+         |), ${name}h AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5(sg), 1, 16))::UBIGINT & 2147483647::UBIGINT)::BIGINT AS h31
+         |  FROM (SELECT doc_id, unnest(s) AS sg FROM ${name}sh)
+         |), ${name}mh AS (
+         |  SELECT doc_id, p.i, min((p.a * h31 + p.b) % 2147483647) AS m
+         |  FROM ${name}h CROSS JOIN (VALUES $permValues) p(i, a, b)
+         |  GROUP BY doc_id, p.i
+         |), ${name}bandk AS (
+         |  SELECT doc_id, band_id, $bandFold AS bk FROM (
+         |    SELECT doc_id, i // $r AS band_id, list(m ORDER BY i) AS bm
+         |    FROM ${name}mh GROUP BY doc_id, i // $r)
+         |)""".stripMargin
+    s"""WITH ref AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+       |), inc AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text || ' perturbed tail token' AS text
+       |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 50
+       |), ${side("i", "inc")}, ${side("r", "ref")},
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS iid, r.doc_id AS rid
+       |  FROM ibandk i JOIN rbandk r ON i.band_id = r.band_id AND i.bk = r.bk
+       |), jac AS (
+       |  SELECT iid,
+       |    round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+       |      THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |           / len(list_distinct(list_concat(sa.s, sb.s)))
+       |      ELSE 0.0 END, 6) AS jaccard
+       |  FROM cand
+       |  JOIN ish sa ON sa.doc_id = iid
+       |  JOIN rsh sb ON sb.doc_id = rid
+       |)
+       |SELECT doc_id FROM inc
+       |WHERE doc_id NOT IN (SELECT iid FROM jac WHERE jaccard >= 0.5)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q25: near-duplicate pairs (k=64, 16 bands, threshold 0.5). */
   def nearDupPairsSql: String =
     s"""WITH $corpusSql, ${minhashChain(64, 16, 3)}

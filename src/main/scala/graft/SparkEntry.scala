@@ -738,6 +738,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    "q74_near_dedup_against" -> ((s: SparkSession, dir: String) => {
+      // incremental ingest vs landed corpus: the increment is a disjoint
+      // doc slice plus perturbed copies of 40 landed docs (guaranteed
+      // near-dups that exact digests would miss); survivors are the
+      // genuinely new documents
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = d.filter(col("doc_id") % 5 =!= 0)
+      val inc = d.filter(col("doc_id") % 5 === 0).unionByName(
+        ref.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" perturbed tail token")).as("text")))
+      DedupOps.nearDedupAgainst(inc, "doc_id", "text", ref, "text",
+          numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q72_cap_per_group" -> ((s: SparkSession, dir: String) => {
       // per-source quota: at most 15 docs per source, chosen by salted key
       // hash (deterministic representatives across reruns; 25 docs/source
@@ -1069,6 +1085,7 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q25_near_dup_pairs" -> OracleSqlGen.nearDupPairsSql,
+    "q74_near_dedup_against" -> OracleSqlGen.nearDedupAgainstSql(64, 16),
     "q26_near_dedup"     -> OracleSqlGen.nearDedupSql,
     "q48_near_dedup_cc"  -> OracleSqlGen.nearDedupConnectedSql,
     "q30_ann_lsh"        -> OracleSqlGen.annLshSql,

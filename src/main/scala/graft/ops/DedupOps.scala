@@ -87,6 +87,101 @@ object DedupOps {
     df.join(refDigests, sha2(col(textCol), 256) === col(dg), "left_anti")
   }
 
+  /** [[nearDedupAgainst]] without the unpersist handle. */
+  def nearDedupAgainst(df: DataFrame, idCol: String, textCol: String,
+                       reference: DataFrame, refTextCol: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shingleSize: Int = 3, threshold: Double = 0.7,
+                       maxRefBucket: Int = 0,
+                       shingleStorage: org.apache.spark.storage.StorageLevel =
+                         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    nearDedupAgainstWithHandle(df, idCol, textCol, reference, refTextCol,
+      numHashes, bands, shingleSize, threshold, maxRefBucket, shingleStorage)._1
+
+  /**
+   * Incremental-ingest NEAR dedup: keep only the rows of `df` whose text is
+   * not a near-duplicate (shingle Jaccard >= `threshold`) of ANY document
+   * in `reference` (the previously-landed corpus) — [[exactDedupAgainst]]'s
+   * radius-positive sibling, the "new crawl vs existing corpus" step that
+   * exact digests miss (boilerplate re-renders, trailing-token edits).
+   *
+   * Same MinHash/LSH machinery as [[nearDuplicatePairs]], shaped for the
+   * asymmetric case:
+   *  - both sides band on (band_id, band_hash); the equi-join shuffles band
+   *    keys + ids only, never shingle payloads (the r2 scale lesson);
+   *  - the landed side gets an internal identity `xxhash64(text)` — no id
+   *    column required of it, exact duplicates collapse before banding, and
+   *    the id is deterministic under task retries (a `monotonically_
+   *    increasing_id` would not be);
+   *  - verification joins shingle arrays in for CANDIDATE ids only; with a
+   *    small increment the candidate list broadcasts and the landed corpus
+   *    is touched map-side;
+   *  - `maxRefBucket > 0` caps landed-side bucket width (boilerplate fans),
+   *    the same skew guard as [[nearDuplicatePairs]]' `maxBucket`.
+   *
+   * At steady state the landed side's shingle+band derivation is the thing
+   * to PERSIST between ingests (land it bucketed by band keys, in the
+   * spirit of [[graft.sources.BucketedLand]]); this operator recomputes it
+   * from raw text, which is one full corpus scan per call.
+   *
+   * Rows with an empty shingle set (null/empty text) pass through: they
+   * cannot near-duplicate anything.
+   */
+  def nearDedupAgainstWithHandle(df: DataFrame, idCol: String, textCol: String,
+                       reference: DataFrame, refTextCol: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shingleSize: Int = 3, threshold: Double = 0.7,
+                       maxRefBucket: Int = 0,
+                       shingleStorage: org.apache.spark.storage.StorageLevel =
+                         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    // internal names live in joins across BOTH frames — collision-proof
+    // against both column sets (exactDedupAgainst convention)
+    var refIdC = "__ref_id"
+    while (df.columns.contains(refIdC) || reference.columns.contains(refIdC))
+      refIdC += "_"
+    val stagedInc = df
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val stagedRef = reference
+      .select(xxhash64(col(refTextCol)).as(refIdC),
+        shingles(col(refTextCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .dropDuplicates(refIdC)
+    val incSh = if (shingleStorage == none) stagedInc
+                else stagedInc.persist(shingleStorage)
+    val refSh = if (shingleStorage == none) stagedRef
+                else stagedRef.persist(shingleStorage)
+    val incBands = lshBands(incSh.select(col(idCol),
+      minHashFromShingles(col("__sh"), numHashes).as("__sig")), idCol, "__sig", bands)
+    val refBandsAll = lshBands(refSh.select(col(refIdC),
+      minHashFromShingles(col("__sh"), numHashes).as("__sig")), refIdC, "__sig", bands)
+    val refBands =
+      if (maxRefBucket <= 0) refBandsAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_hash"))
+        refBandsAll.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxRefBucket).drop("__bn")
+      }
+    val candidates = incBands.join(refBands, Seq("band_id", "band_hash"))
+      .select(col(idCol), col(refIdC)).distinct()
+    val joined = candidates
+      .join(incSh.select(col(idCol), col("__sh").as("__sh_i")), Seq(idCol))
+      .join(refSh.select(col(refIdC), col("__sh").as("__sh_r")), Seq(refIdC))
+    val inter = size(array_intersect(col("__sh_i"), col("__sh_r"))).cast("double")
+    val union = size(array_union(col("__sh_i"), col("__sh_r"))).cast("double")
+    val contaminated = joined
+      .filter(round(when(union > 0, inter / union).otherwise(lit(0.0)), 6)
+        >= threshold)
+      .select(col(idCol)).distinct()
+    val result = df.join(contaminated, Seq(idCol), "left_anti")
+    val unpersist: () => Unit =
+      if (shingleStorage == none) () => ()
+      else () => { incSh.unpersist(); refSh.unpersist(); () }
+    (result, unpersist)
+  }
+
   /** Mersenne prime 2^31 - 1: the MinHash permutation modulus. Keeping every
     * operand under 2^31 makes `a*h + b` fit in 63 bits, so the identical
     * integer arithmetic runs in any engine's BIGINT (DuckDB oracle included)

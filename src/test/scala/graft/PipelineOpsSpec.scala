@@ -765,6 +765,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept == Set(11L, 12L))
   }
 
+  test("nearDedupAgainst drops near-dups of landed docs, keeps distant " +
+       "and null-text rows; handle releases both shingle caches") {
+    import spark.implicits._
+    val landed = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "spark structured streaming state store eviction semantics notes"))
+      .toDF("ref_id", "body")
+    val incoming = Seq(
+      // near-dup of landed 0 (trailing token) -> dropped
+      (10L, "the quick brown fox jumps over the lazy dog again and again extra"),
+      // exact copy of landed 1 -> dropped (radius includes 0)
+      (11L, "spark structured streaming state store eviction semantics notes"),
+      // genuinely different -> kept
+      (12L, "completely unrelated content about parquet footer caching"),
+      // null text -> passes through
+      (13L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (kept, done) = DedupOps.nearDedupAgainstWithHandle(
+      incoming, "doc_id", "text", landed, "body",
+      numHashes = 64, bands = 16, threshold = 0.5)
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    assert(ids == Set(12L, 13L), s"got $ids")
+    done()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"lingering cached RDDs after unpersist: $after")
+    // landed near-dups must NOT dedup the increment against itself: two
+    // mutually-similar incoming docs both far from the landed corpus stay
+    val twins = Seq(
+      (20L, "twin content shared by both incoming documents here today"),
+      (21L, "twin content shared by both incoming documents here today too"))
+      .toDF("doc_id", "text")
+    val twinsKept = DedupOps.nearDedupAgainst(twins, "doc_id", "text",
+        landed, "body", numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(twinsKept == Set(20L, 21L),
+      "increment-internal near-dups are nearDedup's job, not this op's")
+  }
+
   test("randomized invariants: chunk windows reconstruct the token stream; " +
        "lineDedup below threshold is byte-identical") {
     import spark.implicits._
