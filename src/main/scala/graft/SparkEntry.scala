@@ -754,6 +754,25 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q75_near_dedup_indexed" -> ((s: SparkSession, dir: String) => {
+      // q74's steady-state shape: the landed corpus' shingles + band keys
+      // persist as bucketed index tables (land-once per session), and each
+      // ingest probes them with zero landed-side recompute or shuffle. Same
+      // oracle as q74 — the index path must be row-identical to the direct
+      // path.
+      val idx = "graft_q75_" + math.abs(dir.hashCode).toString
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = d.filter(col("doc_id") % 5 =!= 0)
+      DedupOps.landNearDupIndex(ref, "text", idx, numHashes = 64, bands = 16,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      val inc = d.filter(col("doc_id") % 5 === 0).unionByName(
+        ref.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" perturbed tail token")).as("text")))
+      DedupOps.nearDedupAgainstIndex(inc, "doc_id", "text", idx, threshold = 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q72_cap_per_group" -> ((s: SparkSession, dir: String) => {
       // per-source quota: at most 15 docs per source, chosen by salted key
       // hash (deterministic representatives across reruns; 25 docs/source
@@ -1086,6 +1105,7 @@ object SparkEntry {
 
     "q25_near_dup_pairs" -> OracleSqlGen.nearDupPairsSql,
     "q74_near_dedup_against" -> OracleSqlGen.nearDedupAgainstSql(64, 16),
+    "q75_near_dedup_indexed" -> OracleSqlGen.nearDedupAgainstSql(64, 16),
     "q26_near_dedup"     -> OracleSqlGen.nearDedupSql,
     "q48_near_dedup_cc"  -> OracleSqlGen.nearDedupConnectedSql,
     "q30_ann_lsh"        -> OracleSqlGen.annLshSql,

@@ -182,6 +182,119 @@ object DedupOps {
     (result, unpersist)
   }
 
+  /**
+   * Land the near-dup INDEX of a corpus once, so every subsequent
+   * [[nearDedupAgainstIndex]] ingest skips the full-corpus shingle +
+   * MinHash recompute that [[nearDedupAgainst]] pays per call — the
+   * steady-state shape its scaladoc promises. Three tables:
+   *
+   *  - `<name>_bands` (band_id, band_hash, __ref_id), BUCKETED BY
+   *    band_hash: the candidate equi-join reads a scan that already
+   *    satisfies the join's clustered distribution, so the multi-TB landed
+   *    side never re-shuffles — only the (small) increment exchanges;
+   *  - `<name>_shingles` (__ref_id, __sh), BUCKETED BY __ref_id: the
+   *    verify join pulls shingle arrays for candidate ref ids from a
+   *    co-located scan;
+   *  - `<name>_meta` (num_hashes, bands, shingle_size): the sketch
+   *    parameters ride WITH the index and the query side reads them from
+   *    here — landing with k=64 and probing with k=128 is a silent
+   *    correctness hole, so the parameters are not even accepted at query
+   *    time.
+   *
+   * Landing is land-once per session ([[graft.sources.BucketedLand]]
+   * semantics, including the stale-spec guards); identical ref texts
+   * collapse to one `xxhash64(text)` identity before banding.
+   */
+  def landNearDupIndex(reference: DataFrame, refTextCol: String, name: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shingleSize: Int = 3, buckets: Int = 8,
+                       path: Option[String] = None): Unit = {
+    val spark = reference.sparkSession
+    val staged = reference
+      .select(xxhash64(col(refTextCol)).as("__ref_id"),
+        shingles(col(refTextCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .dropDuplicates("__ref_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.BucketedLand.landOnce(staged, s"${name}_shingles",
+        "__ref_id", Seq("__ref_id"), buckets, path.map(p => s"${p}_shingles"))
+      val bandRows = lshBands(staged.select(col("__ref_id"),
+          minHashFromShingles(col("__sh"), numHashes).as("__sig")),
+        "__ref_id", "__sig", bands)
+      graft.sources.BucketedLand.landOnce(bandRows, s"${name}_bands",
+        "band_hash", Seq("band_hash"), buckets, path.map(p => s"${p}_bands"))
+    } finally staged.unpersist()
+    val metaTbl = s"${name}_meta"
+    if (!spark.catalog.tableExists(metaTbl)) {
+      import spark.implicits._
+      val w = Seq((numHashes, bands, shingleSize))
+        .toDF("num_hashes", "bands", "shingle_size")
+        .write.mode("overwrite").format("parquet")
+      path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
+    } else {
+      val m = spark.table(metaTbl).head()
+      val have = (m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"),
+        m.getAs[Int]("shingle_size"))
+      require(have == ((numHashes, bands, shingleSize)),
+        s"landNearDupIndex('$name'): existing index has (numHashes, bands, " +
+        s"shingleSize) = $have != requested ($numHashes, $bands, " +
+        s"$shingleSize); drop the index tables or land under another name")
+    }
+  }
+
+  /**
+   * [[nearDedupAgainst]] against a PERSISTED index ([[landNearDupIndex]]):
+   * keep only rows of `df` that near-duplicate no indexed document. The
+   * landed corpus contributes two bucketed scans and zero text processing;
+   * sketch parameters come from the index's meta table, so land/query
+   * parameter drift cannot happen. Result is row-identical to
+   * [[nearDedupAgainst]] over the same corpus and parameters.
+   */
+  def nearDedupAgainstIndex(df: DataFrame, idCol: String, textCol: String,
+                            name: String, threshold: Double = 0.7,
+                            maxRefBucket: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"no near-dup index '$name' in the session catalog — run " +
+      "landNearDupIndex first")
+    require(idCol != "__sh" && idCol != "__ref_id",
+      s"idCol '$idCol' collides with an index-internal column")
+    val m = spark.table(s"${name}_meta").head()
+    val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
+    val incSh = df
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val incBands = lshBands(incSh.select(col(idCol),
+      minHashFromShingles(col("__sh"), numHashes).as("__sig")),
+      idCol, "__sig", bands)
+    val refBandsAll = spark.table(s"${name}_bands")
+    val refBands =
+      if (maxRefBucket <= 0) refBandsAll
+      else {
+        // the window's clustering is satisfied by the band_hash bucketing,
+        // so the cap costs a sort within buckets, not an exchange
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_hash"))
+        refBandsAll.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxRefBucket).drop("__bn")
+      }
+    val candidates = incBands.join(refBands, Seq("band_id", "band_hash"))
+      .select(col(idCol), col("__ref_id")).distinct()
+    val joined = candidates
+      .join(incSh.select(col(idCol), col("__sh").as("__sh_i")), Seq(idCol))
+      .join(spark.table(s"${name}_shingles")
+        .select(col("__ref_id"), col("__sh").as("__sh_r")), Seq("__ref_id"))
+    val inter = size(array_intersect(col("__sh_i"), col("__sh_r"))).cast("double")
+    val union = size(array_union(col("__sh_i"), col("__sh_r"))).cast("double")
+    val contaminated = joined
+      .filter(round(when(union > 0, inter / union).otherwise(lit(0.0)), 6)
+        >= threshold)
+      .select(col(idCol)).distinct()
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Mersenne prime 2^31 - 1: the MinHash permutation modulus. Keeping every
     * operand under 2^31 makes `a*h + b` fit in 63 bits, so the identical
     * integer arithmetic runs in any engine's BIGINT (DuckDB oracle included)

@@ -49,8 +49,12 @@ object BucketedLand {
           s"${spec.sortColumnNames.mkString(",")}) != requested ($buckets x " +
           s"$bucketCol sorted by ${sortCols.mkString(",")}); drop the table " +
           "or land under a different name")
-      val have = meta.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      val want = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      // catalogString ignores nullability/containsNull, which parquet
+      // round-trips loosen (array<string> lands back containsNull=true) —
+      // strict DataType equality would reject a re-land of the identical
+      // frame
+      val have = meta.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+      val want = df.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
       if (have != want) throw new IllegalStateException(
         s"landOnce('$table'): existing schema ${meta.schema.simpleString} " +
           s"!= incoming ${df.schema.simpleString}; drop the table or land " +

@@ -804,6 +804,59 @@ class PipelineOpsSpec extends SparkTestBase {
       "increment-internal near-dups are nearDedup's job, not this op's")
   }
 
+  test("nearDedupAgainstIndex: row-identical to the direct path, landed " +
+       "bands read bucketed, parameter drift refused") {
+    import spark.implicits._
+    val landed = (0L until 30L).map { i =>
+      (i, s"landed document number $i with some shared boilerplate words " +
+          s"and unique tail token$i")
+    }.toDF("rid", "body")
+    val incoming = Seq(
+      (100L, "landed document number 7 with some shared boilerplate words " +
+             "and unique tail token7 extra"),              // near-dup -> drop
+      (101L, "entirely fresh material nothing in common"), // kept
+      (102L, null.asInstanceOf[String])                    // kept
+    ).toDF("doc_id", "text")
+    val idx = "graft_test_ndidx"
+    Seq(s"${idx}_bands", s"${idx}_shingles", s"${idx}_meta").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a prior aborted run can leave the managed location behind with no
+      // catalog entry; CREATE then refuses the name
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    DedupOps.landNearDupIndex(landed, "body", idx,
+      numHashes = 64, bands = 16, shingleSize = 3)
+    val viaIndex = DedupOps.nearDedupAgainstIndex(
+      incoming, "doc_id", "text", idx, threshold = 0.5)
+    val direct = DedupOps.nearDedupAgainst(
+      incoming, "doc_id", "text", landed, "body",
+      numHashes = 64, bands = 16, threshold = 0.5,
+      shingleStorage = org.apache.spark.storage.StorageLevel.NONE)
+    val gotIdx = viaIndex.collect().map(_.getLong(0)).toSet
+    assert(gotIdx == Set(101L, 102L), s"got $gotIdx")
+    assert(gotIdx == direct.collect().map(_.getLong(0)).toSet,
+      "index path must be row-identical to the direct path")
+    // the landed band table arrives through a bucketed scan (no exchange
+    // re-clustering the corpus side)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"landed bands should read as a bucketed scan:\n$plan")
+    // land-once is idempotent with identical parameters...
+    DedupOps.landNearDupIndex(landed, "body", idx,
+      numHashes = 64, bands = 16, shingleSize = 3)
+    // ...and refuses drifted sketch parameters instead of silently
+    // probing an incompatible index
+    intercept[IllegalArgumentException] {
+      DedupOps.landNearDupIndex(landed, "body", idx,
+        numHashes = 128, bands = 16, shingleSize = 3)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.nearDedupAgainstIndex(incoming, "doc_id", "text",
+        "graft_no_such_index")
+    }
+  }
+
   test("randomized invariants: chunk windows reconstruct the token stream; " +
        "lineDedup below threshold is byte-identical") {
     import spark.implicits._
