@@ -83,14 +83,17 @@ object ScaleUp {
     // the splice-partner lookup is modular arithmetic over doc_id, which
     // silently finds NO partner (nulling out every copy's text) unless ids
     // are exactly 0..n-1 — assert that, loudly, instead of assuming it
-    val (minId, maxId) = {
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      (r.getLong(0), r.getLong(1))
+    val (minId, maxId, nDistinct) = {
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id")),
+        countDistinct(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    require(minId == 0L && maxId == nDocs - 1L,
-      s"ScaleUp needs dense 0-based doc_ids for the splice-partner lookup; " +
-      s"got min=$minId max=$maxId over $nDocs rows — remap doc_id to " +
-      s"row_number()-1 first")
+    // min/max alone pass for duplicate ids plus a gap — exactly the case
+    // where the modular lookup finds no partner and nulls the text
+    require(minId == 0L && maxId == nDocs - 1L && nDistinct == nDocs,
+      s"ScaleUp needs dense unique 0-based doc_ids for the splice-partner " +
+      s"lookup; got min=$minId max=$maxId distinct=$nDistinct over $nDocs " +
+      s"rows — remap doc_id to row_number()-1 first")
     val partner = docs.select(col("doc_id").as("__pid"), col("text").as("__ptext"))
     val rawPid = pmod(col("doc_id") * 7 + col("__c") * 131 + 3, lit(nDocs))
     val spliced = docs.withColumn("__c", copyIdx)

@@ -87,6 +87,47 @@ object DedupOps {
     df.join(refDigests, sha2(col(textCol), 256) === col(dg), "left_anti")
   }
 
+  /** Band-bucket skew cap shared by every LSH path (pairwise, direct
+    * two-sided, indexed): buckets wider than `maxBucket` leave candidate
+    * generation. One window count on the keys the join shuffles on anyway;
+    * over a band_hash-bucketed scan the clustering is already satisfied,
+    * so it costs a sort, not an exchange. */
+  private def capBandBuckets(bandsDf: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bandsDf
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("band_hash"))
+      bandsDf.withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
+    }
+
+  /** Exact-Jaccard verify shared by the direct and indexed two-sided
+    * paths — the q74/q75 row-identical contract holds BECAUSE both run
+    * this one implementation: join shingle arrays in for candidate
+    * (incoming, landed) pairs only, keep incoming ids with any verified
+    * match. Same round(6) convention as [[nearDuplicatePairs]]. */
+  private def verifiedContaminatedIds(candidates: DataFrame, incSh: DataFrame,
+      refSh: DataFrame, idCol: String, refIdC: String,
+      threshold: Double): DataFrame = {
+    val joined = candidates
+      .join(incSh.select(col(idCol), col("__sh").as("__sh_i")), Seq(idCol))
+      .join(refSh.select(col(refIdC), col("__sh").as("__sh_r")), Seq(refIdC))
+    val inter = size(array_intersect(col("__sh_i"), col("__sh_r"))).cast("double")
+    val union = size(array_union(col("__sh_i"), col("__sh_r"))).cast("double")
+    joined
+      .filter(round(when(union > 0, inter / union).otherwise(lit(0.0)), 6)
+        >= threshold)
+      .select(col(idCol)).distinct()
+  }
+
+  /** The band/shingle machinery's internal column names; a user id column
+    * with one of these names would resolve ambiguously deep in the plan —
+    * refuse it loudly up front (ADVICE r3 convention). */
+  private def requireIdColFree(idCol: String): Unit =
+    require(!Set("band_id", "band_hash", "__sh", "__sh_i", "__sh_r",
+        "__sig", "__ref_id").contains(idCol),
+      s"idCol '$idCol' collides with an LSH-internal column — rename it first")
+
   /** [[nearDedupAgainst]] without the unpersist handle. */
   def nearDedupAgainst(df: DataFrame, idCol: String, textCol: String,
                        reference: DataFrame, refTextCol: String,
@@ -135,6 +176,7 @@ object DedupOps {
                        shingleStorage: org.apache.spark.storage.StorageLevel =
                          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
     val none = org.apache.spark.storage.StorageLevel.NONE
+    requireIdColFree(idCol)
     // internal names live in joins across BOTH frames — collision-proof
     // against both column sets (exactDedupAgainst convention)
     var refIdC = "__ref_id"
@@ -154,27 +196,13 @@ object DedupOps {
                 else stagedRef.persist(shingleStorage)
     val incBands = lshBands(incSh.select(col(idCol),
       minHashFromShingles(col("__sh"), numHashes).as("__sig")), idCol, "__sig", bands)
-    val refBandsAll = lshBands(refSh.select(col(refIdC),
-      minHashFromShingles(col("__sh"), numHashes).as("__sig")), refIdC, "__sig", bands)
-    val refBands =
-      if (maxRefBucket <= 0) refBandsAll
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("band_hash"))
-        refBandsAll.withColumn("__bn", count(lit(1)).over(w))
-          .filter(col("__bn") <= maxRefBucket).drop("__bn")
-      }
+    val refBands = capBandBuckets(lshBands(refSh.select(col(refIdC),
+      minHashFromShingles(col("__sh"), numHashes).as("__sig")),
+      refIdC, "__sig", bands), maxRefBucket)
     val candidates = incBands.join(refBands, Seq("band_id", "band_hash"))
       .select(col(idCol), col(refIdC)).distinct()
-    val joined = candidates
-      .join(incSh.select(col(idCol), col("__sh").as("__sh_i")), Seq(idCol))
-      .join(refSh.select(col(refIdC), col("__sh").as("__sh_r")), Seq(refIdC))
-    val inter = size(array_intersect(col("__sh_i"), col("__sh_r"))).cast("double")
-    val union = size(array_union(col("__sh_i"), col("__sh_r"))).cast("double")
-    val contaminated = joined
-      .filter(round(when(union > 0, inter / union).otherwise(lit(0.0)), 6)
-        >= threshold)
-      .select(col(idCol)).distinct()
+    val contaminated = verifiedContaminatedIds(candidates, incSh, refSh,
+      idCol, refIdC, threshold)
     val result = df.join(contaminated, Seq(idCol), "left_anti")
     val unpersist: () => Unit =
       if (shingleStorage == none) () => ()
@@ -210,21 +238,11 @@ object DedupOps {
                        shingleSize: Int = 3, buckets: Int = 8,
                        path: Option[String] = None): Unit = {
     val spark = reference.sparkSession
-    val staged = reference
-      .select(xxhash64(col(refTextCol)).as("__ref_id"),
-        shingles(col(refTextCol), shingleSize).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .dropDuplicates("__ref_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      graft.sources.BucketedLand.landOnce(staged, s"${name}_shingles",
-        "__ref_id", Seq("__ref_id"), buckets, path.map(p => s"${p}_shingles"))
-      val bandRows = lshBands(staged.select(col("__ref_id"),
-          minHashFromShingles(col("__sh"), numHashes).as("__sig")),
-        "__ref_id", "__sig", bands)
-      graft.sources.BucketedLand.landOnce(bandRows, s"${name}_bands",
-        "band_hash", Seq("band_hash"), buckets, path.map(p => s"${p}_bands"))
-    } finally staged.unpersist()
+    // meta FIRST: if landing then dies midway, a retry with different
+    // parameters must hit the parameter check, not find no meta and stamp
+    // its own values over tables landed with the old ones (the landOnce
+    // spec guards can't catch that — bucket spec and schema are identical
+    // for any k)
     val metaTbl = s"${name}_meta"
     if (!spark.catalog.tableExists(metaTbl)) {
       import spark.implicits._
@@ -241,6 +259,21 @@ object DedupOps {
         s"shingleSize) = $have != requested ($numHashes, $bands, " +
         s"$shingleSize); drop the index tables or land under another name")
     }
+    val staged = reference
+      .select(xxhash64(col(refTextCol)).as("__ref_id"),
+        shingles(col(refTextCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .dropDuplicates("__ref_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.BucketedLand.landOnce(staged, s"${name}_shingles",
+        "__ref_id", Seq("__ref_id"), buckets, path.map(p => s"${p}_shingles"))
+      val bandRows = lshBands(staged.select(col("__ref_id"),
+          minHashFromShingles(col("__sh"), numHashes).as("__sig")),
+        "__ref_id", "__sig", bands)
+      graft.sources.BucketedLand.landOnce(bandRows, s"${name}_bands",
+        "band_hash", Seq("band_hash"), buckets, path.map(p => s"${p}_bands"))
+    } finally staged.unpersist()
   }
 
   /**
@@ -258,8 +291,7 @@ object DedupOps {
     require(spark.catalog.tableExists(s"${name}_meta"),
       s"no near-dup index '$name' in the session catalog — run " +
       "landNearDupIndex first")
-    require(idCol != "__sh" && idCol != "__ref_id",
-      s"idCol '$idCol' collides with an index-internal column")
+    requireIdColFree(idCol)
     val m = spark.table(s"${name}_meta").head()
     val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
       m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
@@ -269,29 +301,11 @@ object DedupOps {
     val incBands = lshBands(incSh.select(col(idCol),
       minHashFromShingles(col("__sh"), numHashes).as("__sig")),
       idCol, "__sig", bands)
-    val refBandsAll = spark.table(s"${name}_bands")
-    val refBands =
-      if (maxRefBucket <= 0) refBandsAll
-      else {
-        // the window's clustering is satisfied by the band_hash bucketing,
-        // so the cap costs a sort within buckets, not an exchange
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("band_hash"))
-        refBandsAll.withColumn("__bn", count(lit(1)).over(w))
-          .filter(col("__bn") <= maxRefBucket).drop("__bn")
-      }
+    val refBands = capBandBuckets(spark.table(s"${name}_bands"), maxRefBucket)
     val candidates = incBands.join(refBands, Seq("band_id", "band_hash"))
       .select(col(idCol), col("__ref_id")).distinct()
-    val joined = candidates
-      .join(incSh.select(col(idCol), col("__sh").as("__sh_i")), Seq(idCol))
-      .join(spark.table(s"${name}_shingles")
-        .select(col("__ref_id"), col("__sh").as("__sh_r")), Seq("__ref_id"))
-    val inter = size(array_intersect(col("__sh_i"), col("__sh_r"))).cast("double")
-    val union = size(array_union(col("__sh_i"), col("__sh_r"))).cast("double")
-    val contaminated = joined
-      .filter(round(when(union > 0, inter / union).otherwise(lit(0.0)), 6)
-        >= threshold)
-      .select(col(idCol)).distinct()
+    val contaminated = verifiedContaminatedIds(candidates, incSh,
+      spark.table(s"${name}_shingles"), idCol, "__ref_id", threshold)
     df.join(contaminated, Seq(idCol), "left_anti")
   }
 
@@ -402,6 +416,7 @@ object DedupOps {
                                    maxBucket: Int = 0,
                                    shingleStorage: org.apache.spark.storage.StorageLevel =
                                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
+    requireIdColFree(idCol)
     // Stage the shingling ONCE: without it the self-join sides, plus both
     // jaccard sides, each re-derive shingles from the raw text — four corpus
     // scans + tokenizations of the 100 TB table instead of one. The staged
@@ -419,16 +434,8 @@ object DedupOps {
       else staged.persist(shingleStorage)
     val withSig = sh.select(col(idCol),
       minHashFromShingles(col("__sh"), numHashes).as("__sig"))
-    val allBands = lshBands(withSig, idCol, "__sig", bands)
-    val bandsDf =
-      if (maxBucket <= 0) allBands
-      else {
-        // one window count on the same keys the join shuffles on anyway
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("band_hash"))
-        allBands.withColumn("__bn", count(lit(1)).over(w))
-          .filter(col("__bn") <= maxBucket).drop("__bn")
-      }
+    val bandsDf = capBandBuckets(lshBands(withSig, idCol, "__sig", bands),
+      maxBucket)
     val a = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
     val b = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
     val candidates = a.join(b, Seq("band_id", "band_hash"))

@@ -33,11 +33,12 @@ object JoinOps {
    * `(key, ts)`, which one wins is tie-ambiguous — pre-aggregate the right
    * side to one row per (key, ts) when that matters.
    *
-   * Null timestamps follow SQL comparison semantics: a right row with a
-   * null ts can never satisfy `right.ts <= left.ts` and is dropped up
-   * front (ascending sort would otherwise place it FIRST and leak its
-   * payload into every unmatched left row); a left row with a null ts
-   * matches nothing and gets a null payload.
+   * Null timestamps and null KEYS follow SQL join/comparison semantics: a
+   * right row with a null ts can never satisfy `right.ts <= left.ts`, and
+   * a null key equals nothing under equi-join equality — both are dropped
+   * up front (the window would otherwise GROUP null keys together and
+   * sort null ts first, leaking their payloads); a left row with a null
+   * ts or null key matches nothing and gets a null payload.
    *
    * Output: every left column, plus each of `rightCols` as
    * `<name><suffix>`.
@@ -57,7 +58,9 @@ object JoinOps {
       .withColumn(tagCol, lit(1))
       .withColumn(rsCol, lit(null).cast(payloadType))
     val rightTagged = right
-      .filter(col(tsCol).isNotNull) // null ts can never be at-or-before
+      // null ts can never be at-or-before; null keys equal nothing under
+      // join semantics (partitionBy would group them together)
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select(
         col(keyCol), col(tsCol), lit(0).as(tagCol),
         struct(rightCols.map(col): _*).as(rsCol))

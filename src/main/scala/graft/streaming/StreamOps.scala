@@ -44,8 +44,11 @@ private[streaming] class BandDedupProcessor(skIdx: Int, tsIdx: Int,
           added :+= (sk -> r.getTimestamp(tsIdx).getTime)
         }
       }
-    if (added.nonEmpty || live.size != stored.size)
-      entries.put((live ++ added).toArray)
+    // append-only when nothing expired: put() re-serializes the whole
+    // retained set (O(N) write amplification per batch on a hot bucket);
+    // appendList writes only the new entries
+    if (live.size != stored.size) entries.put((live ++ added).toArray)
+    else if (added.nonEmpty) entries.appendList(added.toArray)
     (live ++ added).map(_._2).maxOption
       .foreach(m => getHandle.registerTimer(m + delayMs))
     kept.result().iterator
@@ -203,11 +206,17 @@ object StreamOps {
     val toks = graft.ops.TextOps.tokens(col(textCol))
     val ntokC = graft.ops.TextOps.tempName(docs, "__ntok")
     val skC = graft.ops.TextOps.tempName(docs, "__sketch")
+    // the watermark node sits BEFORE the token-count split, shared by both
+    // branches: token-less traffic must keep advancing the event-time
+    // watermark (state eviction in the dedup stages stalls otherwise), and
+    // the pass-through branch must not reach downstream stateful consumers
+    // unwatermarked
     val base = docs
       .withColumn(ntokC, size(toks))
       .withColumn(skC, graft.ops.DedupOps.simHash64(toks))
+      .withWatermark(tsCol, watermark)
     val deduped = bandedDedupOnSketch(base.filter(col(ntokC) > 0), skC, tsCol,
-      watermark, bands, radius)
+      watermark, bands, radius, applyWatermark = false)
     deduped
       .unionByName(base.filter(col(ntokC) <= 0 || col(ntokC).isNull))
       .drop(ntokC, skC)
@@ -215,10 +224,13 @@ object StreamOps {
 
   /** Sketch-level core of [[streamingBandedNearDedup]]: dedups on an
     * existing 64-bit sketch column. Factored out so the collision/verify
-    * semantics are testable with planted sketches. */
+    * semantics are testable with planted sketches. `applyWatermark = false`
+    * when the caller already watermarked `tsCol` upstream (e.g. a node
+    * shared with a pass-through branch). */
   private[graft] def bandedDedupOnSketch(df: DataFrame, sketchCol: String,
                                          tsCol: String, watermark: String,
-                                         bands: Int, radiusIn: Int): DataFrame = {
+                                         bands: Int, radiusIn: Int,
+                                         applyWatermark: Boolean = true): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
     val radius = if (radiusIn < 0) bands - 1 else radiusIn
     require(radius <= 64, s"radius must be <= 64, got $radius")
@@ -246,7 +258,8 @@ object StreamOps {
     // its output event-time column (the transformWithState chaining
     // contract), and re-applying withWatermark on a declared column is a
     // watermark redefinition error
-    (0 until bands).foldLeft(df.withWatermark(tsCol, watermark)) { (d, i) =>
+    val start = if (applyWatermark) df.withWatermark(tsCol, watermark) else df
+    (0 until bands).foldLeft(start) { (d, i) =>
       d.groupByKey { r =>
           (r.getLong(skIdx) >>> (i * width)) &
             (if (width == 64) -1L else (1L << width) - 1L)

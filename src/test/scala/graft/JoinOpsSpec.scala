@@ -64,6 +64,16 @@ class JoinOpsSpec extends SparkTestBase {
         r.isNullAt(r.fieldIndex("v_asof"))).toMap
     assert(got(100L), "null-ts right payload must not leak into ev=100")
     assert(got(101L), "null-ts left row must match nothing")
+    // null KEYS equal nothing under join semantics: the window would
+    // otherwise group them into one partition and enrich null-key left
+    // rows with null-key right payloads
+    val nleft = Seq((None: Option[String], 10L, 200L))
+      .toDF("k", "ts", "ev")
+    val nright = Seq((None: Option[String], 5L, 7.0))
+      .toDF("k", "ts", "v")
+    val nk = JoinOps.asofJoin(nleft, nright, "k", "ts", Seq("v")).collect()
+    assert(nk.length == 1 && nk(0).isNullAt(nk(0).fieldIndex("v_asof")),
+      "null-key right payload must not enrich a null-key left row")
   }
 
   test("asofJoin refuses an output-column collision") {
