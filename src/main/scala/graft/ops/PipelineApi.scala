@@ -47,6 +47,24 @@ object pipeline {
         DedupOps.lineDedup(df, idCol, textCol, maxDocFreq, delimiter,
           exactVerify = exactVerify)
 
+      def exactDedupAgainst(reference: DataFrame, textCol: String = "text",
+                            refTextCol: String = "text"): DataFrame =
+        DedupOps.exactDedupAgainst(df, textCol, reference, refTextCol)
+
+      def nearDedupAgainst(reference: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           refTextCol: String = "text",
+                           numHashes: Int = 64, bands: Int = 16,
+                           shingleSize: Int = 3,
+                           threshold: Double = 0.7): DataFrame =
+        DedupOps.nearDedupAgainst(df, idCol, textCol, reference, refTextCol,
+          numHashes, bands, shingleSize, threshold)
+
+      def nearDedupAgainstIndex(index: String, idCol: String = "doc_id",
+                                textCol: String = "text",
+                                threshold: Double = 0.7): DataFrame =
+        DedupOps.nearDedupAgainstIndex(df, idCol, textCol, index, threshold)
+
       def decontaminate(probes: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", probeTextCol: String = "text",
                         shingleSize: Int = 13, bloom: Boolean = false): DataFrame = {

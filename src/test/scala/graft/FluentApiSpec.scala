@@ -99,5 +99,21 @@ class FluentApiSpec extends SparkTestBase {
     assert(chunks.columns.toSeq ==
       Seq("doc_id", "text", "chunk_id", "chunk_text", "n_chunk_tokens",
         "char_start", "char_end"))
+
+    // incremental-ingest dedup family mirrors the explicit ops
+    val landed = Seq((100L,
+      "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val againstFluent = docs.nearDedupAgainst(landed, threshold = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    val againstExplicit = DedupOps.nearDedupAgainst(docs, "doc_id", "text",
+        landed, "text", threshold = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(againstFluent == againstExplicit &&
+      !againstFluent.map(_.getLong(0)).exists(Set(0L, 1L)),
+      "both copies of the landed doc must drop via the fluent path")
+    assert(docs.exactDedupAgainst(landed).orderBy("doc_id").collect().toSeq ==
+      DedupOps.exactDedupAgainst(docs, "text", landed, "text")
+        .orderBy("doc_id").collect().toSeq)
   }
 }
