@@ -744,8 +744,9 @@ object DedupOps {
    * segments by TEXT. Lines frequent in
    * > maxDocFreq docs are RARE by construction (they're the boilerplate
    * tail), so the blocklist collects to the driver (`maxBlocklist` guards
-   * the assumption loudly) and membership runs map-side inside a
-   * higher-order filter over each document's split array: the corpus is
+   * the assumption loudly) and membership runs map-side inside a native
+   * codegen segment filter over each document's split array (sorted
+   * blocklist as a reference object, binary-search probe): the corpus is
    * never exploded into a shuffle, never reassembled via groupBy. Adds
    * `out` (deduped text) and `n_removed` (dropped segment count).
    */
@@ -755,15 +756,18 @@ object DedupOps {
                 maxBlocklist: Int = 2000000,
                 exactVerify: Boolean = false): DataFrame =
     lineDedupImpl(df, idCol, textCol, maxDocFreq, delimiter, out,
-      maxBlocklist, exactVerify, xxhash64(_))
+      maxBlocklist, exactVerify, hashFn = None)
 
   /** [[lineDedup]] with the segment hash injectable — the production hash
-    * is xxhash64, whose 64-bit collisions cannot be planted in a test; the
-    * exact-verify spec passes a deliberately weak hash instead. */
+    * is xxhash64 (`hashFn = None`), whose 64-bit collisions cannot be
+    * planted in a test; the exact-verify spec passes a deliberately weak
+    * hash instead. `None` additionally unlocks the native codegen rebuild
+    * (the injected-hash path keeps the interpreted lambda — it only runs
+    * in tests). */
   private[graft] def lineDedupImpl(df: DataFrame, idCol: String, textCol: String,
                 maxDocFreq: Int, delimiter: String,
                 out: String, maxBlocklist: Int, exactVerify: Boolean,
-                hashFn: Column => Column): DataFrame = {
+                hashFn: Option[Column => Column]): DataFrame = {
     // maxBlocklist bounds what ships inside the membership expression
     // (~16 MB of longs at the 2e6 default — serialized once per executor
     // with the task binary); a corpus needing more ultra-frequent lines
@@ -772,10 +776,13 @@ object DedupOps {
     require(delimiter.nonEmpty, "delimiter must be non-empty")
     val delimLit = java.util.regex.Pattern.quote(delimiter)
     val segArr = split(col(textCol), delimLit)
+    val hf: Column => Column = hashFn.getOrElse(xxhash64(_))
+    val X = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
     val freq = df
       .select(col(idCol), explode(segArr).as("__seg"))
       .where(trim(col("__seg")) =!= "")
-      .groupBy(hashFn(col("__seg")).as("__lh"))
+      .groupBy(hf(col("__seg")).as("__lh"))
       .agg(count_distinct(col(idCol)).as("__nd"))
       .where(col("__nd") > maxDocFreq)
       .select(col("__lh"))
@@ -787,10 +794,22 @@ object DedupOps {
           "membership set; raise maxBlocklist or pre-filter the worst " +
           "boilerplate with a coarser pass")
     val blockSet = probe.toSeq
-    // membership per segment, map-side; an empty blocklist short-circuits
-    val blocked: Column => Column =
-      if (blockSet.isEmpty) _ => lit(false)
-      else if (!exactVerify) s => hashFn(s).isInCollection(blockSet)
+    // rebuild = segments array -> surviving segments, map-side; an empty
+    // blocklist short-circuits to identity (untouched docs reassemble
+    // byte-identically either way)
+    val keep: Column => Column =
+      if (blockSet.isEmpty) identity
+      else if (!exactVerify) hashFn match {
+        case None =>
+          // native codegen rebuild (VERDICT r6 §wrong-3): the xxhash64
+          // membership probe stays inside whole-stage codegen instead of
+          // an interpreted ArrayFilter lambda; the blocklist rides sorted
+          // as a reference object, probed by binary search
+          arr => X.segmentsNotInHash(arr, blockSet)
+        case Some(h) =>
+          // injected-hash (test-only) path keeps the interpreted lambda
+          arr => filter(arr, s => !h(s).isInCollection(blockSet))
+      }
       else {
         // EXACT-VERIFY second pass: resolve the blocklisted HASHES back to
         // segment TEXTS with their true distinct-doc frequencies, so a rare
@@ -803,7 +822,7 @@ object DedupOps {
         val textProbe = df
           .select(col(idCol), explode(segArr).as("__seg"))
           .where(trim(col("__seg")) =!= "" &&
-            hashFn(col("__seg")).isInCollection(blockSet))
+            hf(col("__seg")).isInCollection(blockSet))
           .groupBy(col("__seg"))
           .agg(count_distinct(col(idCol)).as("__nd"))
           .where(col("__nd") > maxDocFreq)
@@ -814,13 +833,15 @@ object DedupOps {
             s"lineDedup exact-verify blocklist exceeds maxBlocklist=" +
               s"$maxBlocklist segments; raise maxBlocklist or pre-filter")
         val textSet = textProbe.toSeq
-        if (textSet.isEmpty) (_: Column) => lit(false)
-        else (s: Column) => s.isInCollection(textSet)
+        if (textSet.isEmpty) identity
+        // text membership is exact regardless of which hash prefiltered,
+        // so the native rebuild serves the injected-hash path too
+        else arr => X.segmentsNotInText(arr, textSet)
       }
     val segCol  = TextOps.tempName(df, "__segs")
     val keptCol = TextOps.tempName(df, "__kept")
     df.withColumn(segCol, segArr)
-      .withColumn(keptCol, filter(col(segCol), s => !blocked(s)))
+      .withColumn(keptCol, keep(col(segCol)))
       .withColumn(out, array_join(col(keptCol), delimiter))
       .withColumn("n_removed",
         (size(col(segCol)) - size(col(keptCol))).cast(LongType))

@@ -218,6 +218,63 @@ object GraftHashKernels {
     }
     new GenericArrayData(sig)
   }
+
+  /** lineDedup rebuild: keep segments whose Spark `xxhash64` (seed 42) is
+    * NOT in `sorted` (an ascending long[]). Replaces the interpreted
+    * `filter(segs, s -> NOT xxhash64(s) IN (...))` higher-order lambda —
+    * Catalyst evaluates lambda bodies interpreted per element — with a
+    * codegen-reachable kernel; the sorted-array binary search keeps the
+    * probe allocation-free (~21 compares at the 2e6 maxBlocklist cap,
+    * no per-element boxing into a hash set). Null-element parity with the
+    * lambda is exact: the SQL hash of null leaves the seed untouched, so a
+    * null segment carries h = 42 into the membership test instead of
+    * short-circuiting (split() never emits nulls; parity is for free
+    * anyway). */
+  def filterSegsNotInHash(segs: ArrayData, sorted: Array[Long]): ArrayData = {
+    val n = segs.numElements()
+    val kept = new Array[Any](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val nul = segs.isNullAt(i)
+      val s = if (nul) null else segs.getUTF8String(i)
+      val h = if (nul) 42L
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 42L)
+      if (java.util.Arrays.binarySearch(sorted, h) < 0) { kept(k) = s; k += 1 }
+      i += 1
+    }
+    if (k == n) new GenericArrayData(kept)
+    else {
+      val out = new Array[Any](k)
+      System.arraycopy(kept, 0, out, 0, k)
+      new GenericArrayData(out)
+    }
+  }
+
+  /** lineDedup exact-verify rebuild: keep segments whose TEXT is not in
+    * `sorted` (ascending UTF8String[] under natural byte order). A null
+    * segment is dropped — the lambda form's `s IN (...)` predicate is null
+    * there and ArrayFilter drops null-predicate elements — preserved for
+    * exact parity even though split() never produces null elements. */
+  def filterSegsNotInText(segs: ArrayData, sorted: Array[AnyRef]): ArrayData = {
+    val n = segs.numElements()
+    val kept = new Array[Any](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (!segs.isNullAt(i)) {
+        val s = segs.getUTF8String(i)
+        if (java.util.Arrays.binarySearch(sorted, s) < 0) { kept(k) = s; k += 1 }
+      }
+      i += 1
+    }
+    if (k == n) new GenericArrayData(kept)
+    else {
+      val out = new Array[Any](k)
+      System.arraycopy(kept, 0, out, 0, k)
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /** Native word n-gram shingling: `array<string> -> array<string>` of
@@ -573,6 +630,88 @@ case class MaxTokenFreqExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native lineDedup rebuild (`array<string> -> array<string>`): drops
+  * segments whose `xxhash64` lands in the corpus-frequency blocklist (see
+  * [[GraftHashKernels.filterSegsNotInHash]]). The blocklist rides sorted as
+  * a codegen reference object like [[LinearScoreExpr]]'s weights — one
+  * task-binary copy per executor, never per-element plan literals (a 2e6
+  * entry `IN` list would be a 2M-node expression tree). Constants are a
+  * Seq so expression equality / canonicalization compares by content. */
+case class SegmentsNotInHashExpr(child: Expression, blockedHashes: Seq[Long])
+    extends UnaryExpression {
+  require(blockedHashes.nonEmpty,
+    "blockedHashes must be non-empty — an empty blocklist should skip the " +
+      "rebuild entirely (the caller short-circuits)")
+
+  override def dataType: DataType = child.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "segments_not_in_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val sorted: Array[Long] = {
+    val a = blockedHashes.toArray
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  override protected def nullSafeEval(segs: Any): Any =
+    GraftHashKernels.filterSegsNotInHash(segs.asInstanceOf[ArrayData], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("blockedHashes", sorted, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.filterSegsNotInHash($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native lineDedup exact-verify rebuild: drops segments whose TEXT is in
+  * the verified blocklist (see [[GraftHashKernels.filterSegsNotInText]]).
+  * Same reference-object discipline as [[SegmentsNotInHashExpr]]; the
+  * UTF8String conversion happens once at plan build, not per row. */
+case class SegmentsNotInTextExpr(child: Expression, blockedTexts: Seq[String])
+    extends UnaryExpression {
+  require(blockedTexts.nonEmpty,
+    "blockedTexts must be non-empty — an empty blocklist should skip the " +
+      "rebuild entirely (the caller short-circuits)")
+
+  override def dataType: DataType = child.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "segments_not_in_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val sorted: Array[AnyRef] = {
+    val a: Array[AnyRef] =
+      blockedTexts.map(t => UTF8String.fromString(t): AnyRef).toArray
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  override protected def nullSafeEval(segs: Any): Any =
+    GraftHashKernels.filterSegsNotInText(segs.asInstanceOf[ArrayData], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("blockedTexts", sorted, "java.lang.Object[]")
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.filterSegsNotInText($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashSketchExpressions {
 
   private def arity(fn: String, c: Seq[Expression], n: Int): Unit =
@@ -647,6 +786,18 @@ object HashSketchExpressions {
   /** Column-API form: codegen'd max single-token frequency. */
   def maxTokenFreq(tokens: Column): Column =
     ExpressionUtils.column(MaxTokenFreqExpr(ExpressionUtils.expression(tokens)))
+
+  /** Column-API form: codegen'd blocked-hash segment filter (the lineDedup
+    * rebuild; blocklist rides as a reference object). */
+  def segmentsNotInHash(segs: Column, blockedHashes: Seq[Long]): Column =
+    ExpressionUtils.column(
+      SegmentsNotInHashExpr(ExpressionUtils.expression(segs), blockedHashes))
+
+  /** Column-API form: codegen'd blocked-text segment filter (the lineDedup
+    * exact-verify rebuild). */
+  def segmentsNotInText(segs: Column, blockedTexts: Seq[String]): Column =
+    ExpressionUtils.column(
+      SegmentsNotInTextExpr(ExpressionUtils.expression(segs), blockedTexts))
 
   /** Column-API form: codegen'd hashing-trick TF vector of width `dim`. */
   def hashingTf(tokens: Column, dim: Int): Column =

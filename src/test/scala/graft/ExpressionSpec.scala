@@ -556,4 +556,54 @@ class ExpressionSpec extends SparkTestBase {
       .first().getSeq[Long](0).toList
     assert(gotSig == expSig)
   }
+
+  test("segments_not_in_hash/text: parity with the interpreted lambda " +
+       "rebuild they replace; codegen-only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{filter, xxhash64}
+    val exprs = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    // empty strings, whitespace, multi-byte UTF-8 — the shapes split() emits
+    val vocab = Array("SUBSCRIBE NOW", "the quick fox", "", " ", "café 中文",
+      "b1", "x", "rare line")
+    val rng = new scala.util.Random(52)
+    val rows = (0L until 60L).map { i =>
+      (i, Seq.fill(rng.nextInt(9))(vocab(rng.nextInt(vocab.length))))
+    } :+ (99L, Seq.empty[String])
+    val d = rows.toDF("id", "segs")
+    val blockedTexts = Seq("SUBSCRIBE NOW", "café 中文", "never-present")
+    // blocklist hashes via Spark's own xxhash64, so seeds agree by
+    // construction with the kernel's XXH64.hashUTF8String(_, 42)
+    val blockedHashes = blockedTexts.toDF("s")
+      .select(xxhash64(col("s"))).collect().map(_.getLong(0)).toSeq
+    val restore = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = d.select(col("id"),
+          exprs.segmentsNotInHash(col("segs"), blockedHashes).as("h"),
+          exprs.segmentsNotInText(col("segs"), blockedTexts).as("t"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[String](2)))
+        .toMap
+      rows.foreach { case (id, segs) =>
+        val exp = segs.filterNot(blockedTexts.contains)
+        assert(got(id)._1 == exp, s"hash path, id $id")
+        assert(got(id)._2 == exp, s"text path, id $id")
+      }
+      // bit-parity with the interpreted higher-order composition replaced
+      // in DedupOps.lineDedupImpl
+      val viaLambda = d.select(col("id"),
+          filter(col("segs"),
+            s => !xxhash64(s).isInCollection(blockedHashes)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      rows.foreach { case (id, _) =>
+        assert(got(id)._1 == viaLambda(id), s"lambda parity, id $id")
+      }
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -1009,7 +1009,7 @@ class PipelineOpsSpec extends SparkTestBase {
       s => length(s).cast("long")
     def run(exact: Boolean) = DedupOps.lineDedupImpl(d, "doc_id", "text",
         maxDocFreq = 3, delimiter = "\n", out = "text_dedup",
-        maxBlocklist = 1000, exactVerify = exact, hashFn = weak)
+        maxBlocklist = 1000, exactVerify = exact, hashFn = Some(weak))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[String]("text_dedup"), r.getAs[Long]("n_removed"))).toMap
     // hash-only: the rare line is a collision casualty

@@ -172,6 +172,11 @@ class PlanShapeSpec extends SparkTestBase {
         maxDocFreq = 3, delimiter = " ")
       .queryExecution.executedPlan.toString
     assert(countOccurrences(ld, "Exchange hashpartitioning") == 0, ld)
+    // the rebuild is the NATIVE membership filter, not an interpreted
+    // ArrayFilter lambda (VERDICT r6 §wrong-3) — unless the corpus has no
+    // blocklisted line at all, in which case neither node appears
+    assert(!ld.contains("lambdafunction"), ld)
+    assert(ld.contains("segments_not_in_hash") || !ld.contains("filter("), ld)
     val mix = graft.ops.SampleOps.resampleToMixture(docs, "doc_id", "source",
         Map("src0" -> 0.5, "src1" -> 0.5), totalRows = 50)
       .queryExecution.executedPlan.toString
