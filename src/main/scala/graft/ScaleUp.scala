@@ -104,6 +104,14 @@ object ScaleUp {
         when(rawPid === col("doc_id"), pmod(rawPid + 1, lit(nDocs)))
           .otherwise(rawPid))
       .join(partner, Seq("__pid"), "left")
+      // a null-text partner must not null-propagate through concat and
+      // erase an otherwise-healthy doc's scaled copies — fall back to the
+      // doc's own text. The fallback copy is a near-verbatim dup of its
+      // original (front half + back half reassemble it), which is the
+      // volume-preserving choice; it only fires for docs whose partner has
+      // null text, so it cannot bend the pair-count curve unless the
+      // source corpus itself is null-heavy
+      .withColumn("__ptext", coalesce(col("__ptext"), col("text")))
       .withColumn("__spliced", when(col("__c") === 0, col("text")).otherwise(
         concat(
           col("text").substr(lit(1), (length(col("text")) / 2).cast("int")),

@@ -190,13 +190,21 @@ object StreamOps {
    * this column-family state shape; the default HDFS-backed provider does
    * not support transformWithState.
    *
-   * Keep-first semantics are against the RETAINED stream, incremental-
-   * ingest style: a document dropped at stage i never registers its
-   * later-stage band keys, so a chain A ~ B ~ C where C only resembles the
-   * dropped B keeps C (the batch connected-components dedup,
-   * [[graft.ops.DedupOps.nearDedupCC]], is the transitive-closure tool).
-   * Within a micro-batch each bucket processes rows in event-time order,
-   * so replays are deterministic.
+   * Drop semantics sit BETWEEN keep-first-against-retained and transitive
+   * closure: every dropped document is within Hamming `radius` of some
+   * EARLIER document in the horizon, but that earlier document may itself
+   * have been dropped. A document dropped at stage i has already registered
+   * its (sketch, ts) in stages 0..i-1, and those residual registrations
+   * shadow later lookalikes until the watermark evicts them — so in a chain
+   * A ~ B ~ C where C only resembles the dropped B, C is dropped when its
+   * shared band with B lands in a stage before the one that dropped B, and
+   * kept when it lands at or after it. Exact keep-first-against-retained
+   * would need cross-stage registration confirmation (a second pass the
+   * chained-stage topology cannot express); exact transitive closure is the
+   * batch connected-components dedup, [[graft.ops.DedupOps.nearDedupCC]].
+   * Every drop is still a genuine near-dup of an earlier arrival, which is
+   * the contract ingest dedup needs. Within a micro-batch each bucket
+   * processes rows in event-time order, so replays are deterministic.
    *
    * Token-less documents pass through, as in [[streamingNearDedup]].
    */
@@ -259,7 +267,11 @@ object StreamOps {
     // contract), and re-applying withWatermark on a declared column is a
     // watermark redefinition error
     val start = if (applyWatermark) df.withWatermark(tsCol, watermark) else df
-    (0 until bands).foldLeft(start) { (d, i) =>
+    // a null event-time row cannot participate in watermark-bounded state
+    // (getTimestamp would NPE in the processor, or the row would be
+    // silently late-filtered) — route it around the stateful chain,
+    // mirroring the null-digest handling in streamingExactDedup
+    val chained = (0 until bands).foldLeft(start.filter(col(tsCol).isNotNull)) { (d, i) =>
       d.groupByKey { r =>
           (r.getLong(skIdx) >>> (i * width)) &
             (if (width == 64) -1L else (1L << width) - 1L)
@@ -268,6 +280,7 @@ object StreamOps {
           new BandDedupProcessor(skIdx, tsIdx, radius, delayMs), tsCol,
           OutputMode.Append(), rowEnc)
     }
+    chained.unionByName(start.filter(col(tsCol).isNull))
   }
 
   /**
