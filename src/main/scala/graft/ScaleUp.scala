@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
  * operators worth measuring:
  *  - fact keys shift per copy (orders/lineitem/customer/events), so join
  *    fan-outs and group counts scale linearly like a genuinely bigger corpus;
- *  - document texts of copy i>0 splice the front half of one doc with the
- *    back half of a rotating partner: shingle overlap with either parent
- *    lands near 50%, below the 0.7 near-dup threshold, keeping LSH bucket
- *    sizes and pair counts ~linear (verbatim copies would square them);
+ *  - document texts of copy i>0 are copy-TAGGED (see [[scaleDocuments]]),
+ *    making shingle sets disjoint across copies: the scaled corpus's
+ *    ground-truth near-dup pair count and LSH candidate count are exactly
+ *    `factor` × the original's, so any super-linear wall-clock curve is the
+ *    ENGINE's, not the data's;
  *  - embeddings of copy i rotate the vector by i positions — same norm and
  *    component distribution, decorrelated direction, so ANN top-k does not
  *    degenerate into 10-way exact ties;
@@ -27,6 +28,83 @@ import org.apache.spark.sql.functions._
  *    broadcast-able at any scale.
  */
 object ScaleUp {
+
+  /** Runtime-metric name prefix for the document-scaling counters (same
+    * consumer contract as [[graft.ops.DedupOps.ObservedMetrics]]: match on
+    * the prefix; the suffix keeps CollectMetrics names unique). */
+  val SpliceMetrics = "graft.scaleup.docs"
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The document-table scaling transform, callable outside the CLI so specs
+    * can assert the near-dup pair curve on the EXACT corpus the 10× bench
+    * measures. Copy c>0 of each doc is the original text with every 3rd
+    * word suffixed by a copy tag (`word` → `wordzc7z` in copy 7); copy 0 is
+    * untouched. Extra columns pass through (`n_chars` recomputed).
+    *
+    * Why tagging, not splicing: the previous design spliced copy halves
+    * from rotating partners, but every copy of doc d then shared d's front
+    * half, so sibling copies sat at Jaccard ≈ 0.33 — and 16-band/4-row LSH
+    * promotes ~17% of those Θ(factor²) sibling pairs into candidates. The
+    * ScalingMetricsSpec linearity gate caught exactly that (candidate
+    * density 0.115/doc at 2× vs 0.685/doc at 6×): the 13×-at-10× q25
+    * wall-clock datapoint flagged since r6 was the measurement corpus
+    * manufacturing quadratic work, not an engine defect. Any half-splicing
+    * scheme has this by pigeonhole (f·n copies drawn from 2n halves).
+    *
+    * Tagging instead makes every word ≥3-shingle contain a copy-tagged
+    * word, so shingle sets are DISJOINT across copies while Jaccard within
+    * a copy is exactly the original corpus's (tagging is position-keyed and
+    * content-blind, so position-aligned near-dups keep their overlap).
+    * Ground truth under any shingle length ≥ 3: near-dup pairs and LSH
+    * candidates are exactly `factor` × the original's, plus O(n²f²/2³¹)
+    * random band-hash collisions (single digits at 10×). A super-linear
+    * candidate_pairs reading on this corpus is therefore the engine's.
+    *
+    * Emits `null_text_copy_rows` (copies of null-text docs — they carry no
+    * shingle mass and cannot bend the pair curve; counted so corpus-null
+    * effects are attributable, ADVICE r8). Read via `obs` if supplied, else
+    * from a listener on the [[SpliceMetrics]] prefix.
+    */
+  def scaleDocuments(docs: DataFrame, factor: Int,
+                     obs: Option[Observation] = None): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val copyIdx = explode(sequence(lit(0L), lit(factor - 1L), lit(1L)))
+    // duplicate source ids would alias distinct docs onto one scaled id —
+    // assert loudly instead of silently merging
+    val (nDocs, nDistinct, docStride) = {
+      val r = docs.agg(count(lit(1)), countDistinct(col("doc_id")),
+        max(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2) + 1L)
+    }
+    require(nDistinct == nDocs,
+      s"ScaleUp needs unique doc_ids; got $nDistinct distinct over $nDocs rows")
+    val nullCopyCount =
+      sum(when(col("__c") > 0 && col("text").isNull, 1L).otherwise(0L))
+        .as("null_text_copy_rows")
+    val flagged = docs.withColumn("__c", copyIdx)
+    val observed = obs match {
+      case Some(o) => flagged.observe(o, nullCopyCount)
+      case None => flagged.observe(
+        s"$SpliceMetrics#${obsCounter.incrementAndGet()}", nullCopyCount)
+    }
+    val tag = concat(lit("zc"), col("__c").cast("string"), lit("z"))
+    val tagged = when(col("__c") === 0 || col("text").isNull, col("text"))
+      .otherwise(array_join(
+        transform(split(col("text"), " "), (w, i) =>
+          when(i % 3 === 2 && length(w) > 0, concat(w, tag)).otherwise(w)),
+        " "))
+    val others: Seq[Column] = docs.columns.toSeq
+      .filterNot(c => c == "doc_id" || c == "text")
+      .map {
+        case "n_chars" => length(col("__tagged")).cast("long").as("n_chars")
+        case c => col(c)
+      }
+    observed
+      .withColumn("__tagged", tagged)
+      .select((col("doc_id") + col("__c") * docStride).as("doc_id") +:
+        col("__tagged").as("text") +: others: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
     val Array(src, dst, factorS) = args
@@ -77,53 +155,13 @@ object ScaleUp {
       .withColumn("user_id", col("user_id") + col("__c") * userStride)
       .drop("__c"), "events")
 
-    val docs = rd("documents")
-    val nDocs = docs.count()
-    val docStride = maxOf(docs, "doc_id")
-    // the splice-partner lookup is modular arithmetic over doc_id, which
-    // silently finds NO partner (nulling out every copy's text) unless ids
-    // are exactly 0..n-1 — assert that, loudly, instead of assuming it
-    val (minId, maxId, nDistinct) = {
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id")),
-        countDistinct(col("doc_id"))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    // min/max alone pass for duplicate ids plus a gap — exactly the case
-    // where the modular lookup finds no partner and nulls the text
-    require(minId == 0L && maxId == nDocs - 1L && nDistinct == nDocs,
-      s"ScaleUp needs dense unique 0-based doc_ids for the splice-partner " +
-      s"lookup; got min=$minId max=$maxId distinct=$nDistinct over $nDocs " +
-      s"rows — remap doc_id to row_number()-1 first")
-    val partner = docs.select(col("doc_id").as("__pid"), col("text").as("__ptext"))
-    val rawPid = pmod(col("doc_id") * 7 + col("__c") * 131 + 3, lit(nDocs))
-    val spliced = docs.withColumn("__c", copyIdx)
-      // a self-partner would splice a doc with itself: a near-verbatim
-      // copy above the 0.7 near-dup threshold, exactly what the rotation
-      // is built to avoid — step to the neighbor instead
-      .withColumn("__pid",
-        when(rawPid === col("doc_id"), pmod(rawPid + 1, lit(nDocs)))
-          .otherwise(rawPid))
-      .join(partner, Seq("__pid"), "left")
-      // a null-text partner must not null-propagate through concat and
-      // erase an otherwise-healthy doc's scaled copies — fall back to the
-      // doc's own text. The fallback copy is a near-verbatim dup of its
-      // original (front half + back half reassemble it), which is the
-      // volume-preserving choice; it only fires for docs whose partner has
-      // null text, so it cannot bend the pair-count curve unless the
-      // source corpus itself is null-heavy
-      .withColumn("__ptext", coalesce(col("__ptext"), col("text")))
-      .withColumn("__spliced", when(col("__c") === 0, col("text")).otherwise(
-        concat(
-          col("text").substr(lit(1), (length(col("text")) / 2).cast("int")),
-          lit(" "),
-          col("__ptext").substr((length(col("__ptext")) / 2 + 1).cast("int"),
-            length(col("__ptext")).cast("int")))))
-      .select(
-        (col("doc_id") + col("__c") * docStride).as("doc_id"),
-        col("__spliced").as("text"),
-        col("lang"), col("source"),
-        length(col("__spliced")).cast("long").as("n_chars"))
-    wr(spliced, "documents")
+    val spliceObs = Observation("scaleup-docs")
+    wr(scaleDocuments(rd("documents"), factor, Some(spliceObs)), "documents")
+    val nullCopies =
+      spliceObs.get.getOrElse("null_text_copy_rows", 0L) match {
+        case null => 0L
+        case n: java.lang.Number => n.longValue()
+      }
 
     val emb = rd("embeddings")
     val vecStride = maxOf(emb, "vec_id")
@@ -136,7 +174,7 @@ object ScaleUp {
       .withColumn("vec_id", col("vec_id") + col("__c") * vecStride)
       .drop("__c"), "embeddings")
 
-    println(s"""{"scaleup":"done","src":"$src","dst":"$dst","factor":$factor}""")
+    println(s"""{"scaleup":"done","src":"$src","dst":"$dst","factor":$factor,"null_text_copy_rows":$nullCopies}""")
     spark.stop()
   }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.ops.DedupOps
+
+/**
+ * Scale-adjudication probe (`runMain graft.ScalingProbe <sfDir> [query...]`):
+ * runs the near-dup bench queries to completion and RECORDS the
+ * [[graft.ops.DedupOps.ObservedMetrics]] counts (candidate pairs, verified
+ * pairs, pre-cap bucket width, capped band rows) alongside the wall time.
+ *
+ * This is the consumer half of the r8 instrumentation: a wall-clock ratio
+ * alone cannot distinguish "candidates grew super-linearly" (an algorithmic
+ * scale bug the banding exists to prevent) from "candidates grew linearly
+ * but the constant factor moved" (cache pressure / spill — a capacity
+ * problem, not a complexity one). Run at sf0.1 and at a ScaleUp 10× copy
+ * and compare `candidate_pairs` growth to the corpus growth.
+ *
+ * Metrics are harvested through a `QueryExecutionListener` (the observe()
+ * accumulators ride the rows already flowing — no extra job), matching on
+ * the metric-name PREFIXES (names carry a per-call uniqueness suffix).
+ */
+object ScalingProbe {
+
+  /** All prefixes this probe aggregates. */
+  private val prefixes = Seq(
+    DedupOps.ObservedMetrics.LshBucketMetrics,
+    DedupOps.ObservedMetrics.NearDupCandidateMetrics,
+    DedupOps.ObservedMetrics.NearDupVerifiedMetrics,
+    ScaleUp.SpliceMetrics)
+
+  /** Runs `df` to completion through the noop sink with a
+    * QueryExecutionListener attached; returns (elapsedSec, observed-metric
+    * rows keyed by full CollectMetrics name, graft-prefixed names only).
+    * Listener delivery is async — polls until a metric named with
+    * `waitForPrefix` lands (or the timeout passes; metrics seen so far are
+    * still returned). */
+  def runWithMetrics(spark: SparkSession, df: DataFrame,
+                     waitForPrefix: String =
+                       DedupOps.ObservedMetrics.NearDupCandidateMetrics,
+                     timeoutSec: Int = 60): (Double, Map[String, Row]) = {
+    val got = new ConcurrentHashMap[String, Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) =>
+          if (prefixes.exists(k.startsWith)) got.put(k, v)
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val deadline = System.currentTimeMillis() + timeoutSec * 1000L
+      while (System.currentTimeMillis() < deadline &&
+             !got.keys.asScala.exists(_.startsWith(waitForPrefix)))
+        Thread.sleep(50)
+      (elapsed, got.asScala.toMap)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  /** Flattens harvested metric rows to one map, combining same-named fields
+    * across observe() nodes: `max_bucket_width` by max (it is a maximum),
+    * everything else by sum (they are counts). */
+  def aggregate(metrics: Map[String, Row]): Map[String, Long] =
+    metrics.values.toSeq
+      .flatMap(r => r.schema.fieldNames.zip(r.toSeq))
+      .collect { case (f, v: java.lang.Number) => f -> v.longValue() }
+      .groupBy(_._1)
+      .map { case (f, vs) =>
+        val xs = vs.map(_._2)
+        f -> (if (f == "max_bucket_width") xs.max else xs.sum)
+      }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.toSeq.tail
+      else Seq("q25_near_dup_pairs", "q26_near_dedup", "q74_near_dedup_against")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+
+    val perQuery = names.map { name =>
+      // one untimed pass (JIT + footer caches, same reasoning as Bench)
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val (elapsed, metrics) =
+        runWithMetrics(spark, SparkEntry.queries(name)(spark, sfDir))
+      name -> (elapsed, aggregate(metrics))
+    }
+
+    def q(s: String) = "\"" + s + "\""
+    val body = perQuery.map { case (name, (elapsed, agg)) =>
+      val m = agg.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+      s"${q(name)}:{" + s""""elapsed_sec":$elapsed,"metrics":$m}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"probe":"neardup_scale","sf":${q(sfDir)},"n_docs":$nDocs,"queries":$body}"""
+    println(json)
+    sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes("UTF-8"))
+    }
+    spark.stop()
+  }
+}

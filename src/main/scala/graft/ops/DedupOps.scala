@@ -112,7 +112,15 @@ object DedupOps {
     *
     * A healthy banded run keeps candidate_pairs ~linear in the corpus; a
     * super-linear candidate count with a growing max_bucket_width is the
-    * hot-band signature that `maxBucket` exists to cap. */
+    * hot-band signature that `maxBucket` exists to cap.
+    *
+    * The counts are per EXECUTED query and only meaningful for full
+    * executions: under a limited execution (e.g. the
+    * [[nearDedupConnected]] `localPairLimit` probe, or any `.limit(n)` a
+    * caller adds) the accumulators see only the rows the early-out pulled
+    * through, so a prefix-matching listener would read partial counts.
+    * Scale adjudication must key off an un-limited run — the bench queries
+    * and [[graft.ScalingProbe]] qualify; ad-hoc probes do not. */
   object ObservedMetrics {
     val LshBucketMetrics = "graft.lsh.buckets"
     val NearDupCandidateMetrics = "graft.neardup.candidates"

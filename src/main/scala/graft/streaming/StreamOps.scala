@@ -201,7 +201,8 @@ object StreamOps {
    * kept when it lands at or after it. Exact keep-first-against-retained
    * would need cross-stage registration confirmation (a second pass the
    * chained-stage topology cannot express); exact transitive closure is the
-   * batch connected-components dedup, [[graft.ops.DedupOps.nearDedupCC]].
+   * batch connected-components dedup,
+   * [[graft.ops.DedupOps.nearDedupConnected]].
    * Every drop is still a genuine near-dup of an earlier arrival, which is
    * the contract ingest dedup needs. Within a micro-batch each bucket
    * processes rows in event-time order, so replays are deterministic.
