@@ -64,6 +64,21 @@ object Extras {
       .withColumn(out, (col("sigma_theta") - sigBottomMld) < (sigSurface - sigBottomMld))
   }
 
+  /** Column-algebra twin of [[graft.gsw.Gsw.distance]] (haversine, TEOS-10
+    * earth radius) — same operation order, so values are bit-identical to
+    * the scalar port while staying inside whole-stage codegen (this was the
+    * last boxed Scala UDF in an operator path, VERDICT r7 #3). */
+  private def haversineM(lon1: Column, lat1: Column,
+                         lon2: Column, lat2: Column): Column = {
+    val d2r = lit(math.Pi / 180.0)
+    val dLon = (lon2 - lon1) * d2r
+    val dLat = (lat2 - lat1) * d2r
+    val sLat = sin(dLat * 0.5)
+    val sLon = sin(dLon * 0.5)
+    val a = sLat * sLat + cos(lat1 * d2r) * cos(lat2 * d2r) * sLon * sLon
+    lit(6371000.0 * 2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
   /**
    * Section view (the engine half of `plot_section`, ctd/extras.py:155-259):
    * casts binned onto a shared pressure grid (long form — the matrix is one
@@ -82,11 +97,8 @@ object Extras {
     // cumulative-distance scan is inherently sequential over stations and
     // never touches the samples
     val wOrd = Window.orderBy(col("lon"), col("lat"), col(castCol))
-    val segment = udf((lon1: java.lang.Double, lat1: java.lang.Double,
-                       lon2: java.lang.Double, lat2: java.lang.Double) =>
-      if (lon1 == null || lat1 == null || lon2 == null || lat2 == null)
-        java.lang.Double.valueOf(0.0) // first station: no predecessor
-      else java.lang.Double.valueOf(graft.gsw.Gsw.distance(lon1, lat1, lon2, lat2)))
+    val pLon = lag(col("lon"), 1).over(wOrd)
+    val pLat = lag(col("lat"), 1).over(wOrd)
     // cumulative along-track distance per cast (stations ordered by position;
     // callers with a cruise order should pre-sort and pass a station index).
     // Casts WITHOUT a position are excluded from the distance chain — mapping
@@ -96,9 +108,9 @@ object Extras {
     val stations = casts
       .dropDuplicates(castCol) // one station per cast (e.g. ros + cnv of the same cast)
       .filter(col("lon").isNotNull && col("lat").isNotNull)
-      .withColumn("__seg", segment(
-        lag(col("lon"), 1).over(wOrd), lag(col("lat"), 1).over(wOrd),
-        col("lon"), col("lat")))
+      .withColumn("__seg", when(pLon.isNull || pLat.isNull,
+          lit(0.0)) // first station: no predecessor
+        .otherwise(haversineM(pLon, pLat, col("lon"), col("lat"))))
       .withColumn("station_dist_m",
         sum(col("__seg")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col(castCol), col("lon"), col("lat"), col("station_dist_m"))

@@ -186,8 +186,10 @@ object TextOps {
    * and the idf table stays DISTRIBUTED: one tiny aggregation over the
    * non-zero (doc, bucket) rows (partial-aggregated map-side, bounded by
    * `dim`) broadcast-joined back onto the same rows — no driver collect, no
-   * `array(lit × dim)` plan constant. The one driver action is `df.count()`
-   * for N (a scalar). The corpus is tokenized twice — once for the df
+   * `array(lit × dim)` plan constant, and no separate driver action: the
+   * document count N rides into the idf table as a broadcast scalar
+   * (cross-join of a 1-row aggregate), so the whole featurization is ONE
+   * executed query. The corpus is tokenized twice — once for the df
    * statistics, once for the weighted output — the standard
    * global-statistic-then-apply shape; cache the input upstream if the
    * second scan matters.
@@ -204,13 +206,19 @@ object TextOps {
       .select(col(idCol),
         explode(hashingTfSparseVector(col(textCol), dim)).as(bt))
       .select(col(idCol), col(s"$bt.bucket").as("bucket"), col(s"$bt.tf").as("tf"))
-    val n = df.count()
+    // N counts ALL docs (token-less ones too, which tfRows excludes) — a
+    // 1-row aggregate broadcast onto the idf table, replacing the r7-flagged
+    // separate df.count() job. (N+1) takes the same long→double promotion
+    // the old driver-side literal did, so weights stay bit-identical.
+    val nRow = df.agg(count(lit(1)).as("__n"))
     val idfTbl = tfRows.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nRow))
       // same double-op order as ln((N+1)/(df+1)) + 1 computed anywhere:
       // divide, log, add — bit-stable across engines modulo an ulp in ln
       .select(col("bucket"),
-        (log(lit((n + 1).toDouble) / (col("__df") + lit(1))) + lit(1.0)).as("__idf"))
+        (log((col("__n") + lit(1)).cast(DoubleType) / (col("__df") + lit(1)))
+          + lit(1.0)).as("__idf"))
     // every tfRows bucket appears in idfTbl by construction, so the inner
     // broadcast join is row-preserving; the big side never shuffles
     tfRows.join(broadcast(idfTbl), Seq("bucket"))

@@ -116,9 +116,12 @@ class PlanShapeSpec extends SparkTestBase {
     import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     val dir = "/root/testdata/sf0.001"
     try {
+      // q37 joined this list when section's station-distance UDF became
+      // column haversine algebra (the last ScalaUDF in an operator path)
       Seq("q25_near_dup_pairs", "q27_simhash", "q31_langid", "q32_quality",
-          "q44_repetition", "q45_hash_split", "q49_stratified_sample",
-          "q50_pack_sequences", "q51_vocabulary").foreach { q =>
+          "q37_section", "q44_repetition", "q45_hash_split",
+          "q49_stratified_sample", "q50_pack_sequences",
+          "q51_vocabulary").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
