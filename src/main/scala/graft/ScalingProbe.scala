@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.ops.DedupOps
@@ -82,10 +83,36 @@ object ScalingProbe {
         f -> (if (f == "max_bucket_width") xs.max else xs.sum)
       }
 
+  /** The bench near-dup queries REBUILT WITHOUT their final global orderBy:
+    * the sort exists only for the deterministic oracle dump, and its range
+    * exchange's boundary sampling re-executes the top stage, double-counting
+    * any observe above the last shuffle (q25's verified_pairs read 7491
+    * against 2628 candidates on the ordered plan). Same corpus
+    * constructions and parameters as SparkEntry q25/q26/q74. */
+  private def probeQueries(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val perturbed = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" perturbed tail token")).as("text"))
+    val union = d.unionByName(perturbed)
+    val ref = d.filter(col("doc_id") % 5 =!= 0)
+    val inc = d.filter(col("doc_id") % 5 === 0).unionByName(
+      ref.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text")))
+    Seq(
+      "q25_near_dup_pairs" -> DedupOps.nearDuplicatePairs(union, "doc_id",
+        "text", numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 100),
+      "q26_near_dedup" -> DedupOps.nearDedup(union, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 100),
+      "q74_near_dedup_against" -> DedupOps.nearDedupAgainst(inc, "doc_id",
+        "text", ref, "text", numHashes = 64, bands = 16, threshold = 0.5))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.toSeq.tail
-      else Seq("q25_near_dup_pairs", "q26_near_dedup", "q74_near_dedup_against")
+    val wanted = args.toSeq.tail
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,12 +125,12 @@ object ScalingProbe {
 
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
 
-    val perQuery = names.map { name =>
+    val queries = probeQueries(spark, sfDir)
+      .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
+    val perQuery = queries.map { case (name, df) =>
       // one untimed pass (JIT + footer caches, same reasoning as Bench)
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val (elapsed, metrics) =
-        runWithMetrics(spark, SparkEntry.queries(name)(spark, sfDir))
+      df.write.format("noop").mode("overwrite").save()
+      val (elapsed, metrics) = runWithMetrics(spark, df)
       name -> (elapsed, aggregate(metrics))
     }
 

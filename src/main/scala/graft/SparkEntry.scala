@@ -345,6 +345,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q76_ann_ivf_indexed" -> ((s: SparkSession, dir: String) => {
+      // q42's steady-state shape: codebook + cell assignments persist as a
+      // cell-partitioned index (land-once per session) and each query batch
+      // reads only its probed cells. Same oracle as q42 — the index path
+      // must be row-identical to the direct path.
+      val idx = "graft_q76_" + math.abs(dir.hashCode).toString
+      val e = t(s, dir, "embeddings")
+      SimOps.landAnnIndex(e, "vec_id", "embedding", idx, nCells = 16,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      SimOps.annTopKAgainstIndex(e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", idx, k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q31_langid" -> ((s: SparkSession, dir: String) => {
       TextOps.langId(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("lang_pred"), col("lang_pred_score"))
@@ -830,6 +844,55 @@ object SparkEntry {
     }),
   )
 
+
+  /** q42's DuckDB oracle, shared verbatim by q76 (landed-index path): the
+    * codebook is data-derived (vec_id < 16) so the oracle needs no
+    * literals; cosine folds are DOUBLE[] list_inner_product = bit-exact. */
+  private val IvfOracleSql: String =
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16
+        |), assign AS (
+        |  SELECT e.vec_id, e.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(e.v, c.cv)
+        |             / (sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS rn
+        |  FROM e CROSS JOIN c
+        |), cell AS (
+        |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
+        |), probes AS (
+        |  SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cl,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(q.v, q.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(q.v, c.cv)
+        |             / (sqrt(list_inner_product(q.v, q.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS prn
+        |  FROM e q CROSS JOIN c WHERE q.vec_id < 5
+        |), scored AS (
+        |  SELECT p.query_id, ce.vec_id AS neighbor_id,
+        |    round(CASE WHEN sqrt(list_inner_product(p.qv, p.qv))
+        |                    * sqrt(list_inner_product(ce.v, ce.v)) > 0
+        |      THEN list_inner_product(p.qv, ce.v)
+        |           / (sqrt(list_inner_product(p.qv, p.qv))
+        |              * sqrt(list_inner_product(ce.v, ce.v)))
+        |      ELSE 0.0 END, 6) AS cos_sim
+        |  FROM probes p JOIN cell ce ON ce.cl = p.cl
+        |  WHERE p.prn <= 4 AND ce.vec_id <> p.query_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q01_tpch_q1" ->
@@ -1056,52 +1119,10 @@ object SparkEntry {
         |       ELSE 0::BIGINT END AS n_sampled
         |FROM media ORDER BY media_id""".stripMargin,
 
-    "q42_ann_ivf" ->
-      // the codebook is data-derived (vec_id < 16) so the oracle needs no
-      // literals; cosine folds are DOUBLE[] list_inner_product = bit-exact
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), c AS (
-        |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16
-        |), assign AS (
-        |  SELECT e.vec_id, e.v, c.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      CASE WHEN sqrt(list_inner_product(e.v, e.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
-        |        THEN list_inner_product(e.v, c.cv)
-        |             / (sqrt(list_inner_product(e.v, e.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)))
-        |        ELSE 0.0 END DESC, c.cent_id) AS rn
-        |  FROM e CROSS JOIN c
-        |), cell AS (
-        |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
-        |), probes AS (
-        |  SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cl,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      CASE WHEN sqrt(list_inner_product(q.v, q.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
-        |        THEN list_inner_product(q.v, c.cv)
-        |             / (sqrt(list_inner_product(q.v, q.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)))
-        |        ELSE 0.0 END DESC, c.cent_id) AS prn
-        |  FROM e q CROSS JOIN c WHERE q.vec_id < 5
-        |), scored AS (
-        |  SELECT p.query_id, ce.vec_id AS neighbor_id,
-        |    round(CASE WHEN sqrt(list_inner_product(p.qv, p.qv))
-        |                    * sqrt(list_inner_product(ce.v, ce.v)) > 0
-        |      THEN list_inner_product(p.qv, ce.v)
-        |           / (sqrt(list_inner_product(p.qv, p.qv))
-        |              * sqrt(list_inner_product(ce.v, ce.v)))
-        |      ELSE 0.0 END, 6) AS cos_sim
-        |  FROM probes p JOIN cell ce ON ce.cl = p.cl
-        |  WHERE p.prn <= 4 AND ce.vec_id <> p.query_id
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q42_ann_ivf" -> IvfOracleSql,
+    // same oracle as q42 by contract: the landed-index path must be
+    // row-identical to the direct ivfTopK call (the q74/q75 rule)
+    "q76_ann_ivf_indexed" -> IvfOracleSql,
 
     "q25_near_dup_pairs" -> OracleSqlGen.nearDupPairsSql,
     "q74_near_dedup_against" -> OracleSqlGen.nearDedupAgainstSql(64, 16),

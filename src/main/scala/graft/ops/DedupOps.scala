@@ -106,9 +106,11 @@ object DedupOps {
     *    the cap) and `band_rows_capped` (band rows a `maxBucket` cap
     *    removed) — emitted whenever a bucket cap is active;
     *  - [[NearDupCandidateMetrics]]: `candidate_pairs` (distinct colliding
-    *    pairs entering the Jaccard verify);
+    *    pairs entering the Jaccard verify) — emitted by the pairwise AND
+    *    the two-sided against/indexed paths;
     *  - [[NearDupVerifiedMetrics]]: `verified_pairs` (pairs at/above the
-    *    threshold).
+    *    threshold; pairwise paths) or `verified_ids` (distinct incoming
+    *    ids with a verified landed match; against paths).
     *
     * A healthy banded run keeps candidate_pairs ~linear in the corpus; a
     * super-linear candidate count with a growing max_bucket_width is the
@@ -120,7 +122,16 @@ object DedupOps {
     * caller adds) the accumulators see only the rows the early-out pulled
     * through, so a prefix-matching listener would read partial counts.
     * Scale adjudication must key off an un-limited run — the bench queries
-    * and [[graft.ScalingProbe]] qualify; ad-hoc probes do not. */
+    * and [[graft.ScalingProbe]] qualify; ad-hoc probes do not.
+    *
+    * Conversely a metric in the query's TOPMOST stage can over-count: a
+    * downstream global `orderBy` plans a range exchange whose boundary
+    * sampling re-executes the final narrow stage, flowing those rows
+    * through the observe twice (seen as verified_pairs > candidate_pairs
+    * on the ordered q25 at 10×). Metrics below any shuffle boundary are
+    * exact (map outputs are computed once and reused); consumers wanting
+    * exact top-of-plan counts should execute the op's result WITHOUT a
+    * global sort, as [[graft.ScalingProbe]] does. */
   object ObservedMetrics {
     val LshBucketMetrics = "graft.lsh.buckets"
     val NearDupCandidateMetrics = "graft.neardup.candidates"
@@ -251,8 +262,12 @@ object DedupOps {
       refIdC, "__sig", bands), maxRefBucket)
     val candidates = incBands.join(refBands, Seq("band_id", "band_hash"))
       .select(col(idCol), col(refIdC)).distinct()
+      .observe(obsName(ObservedMetrics.NearDupCandidateMetrics),
+        count(lit(1)).as("candidate_pairs"))
     val contaminated = verifiedContaminatedIds(candidates, incSh, refSh,
       idCol, refIdC, threshold)
+      .observe(obsName(ObservedMetrics.NearDupVerifiedMetrics),
+        count(lit(1)).as("verified_ids"))
     val result = df.join(contaminated, Seq(idCol), "left_anti")
     val unpersist: () => Unit =
       if (shingleStorage == none) () => ()
@@ -354,8 +369,12 @@ object DedupOps {
     val refBands = capBandBuckets(spark.table(s"${name}_bands"), maxRefBucket)
     val candidates = incBands.join(refBands, Seq("band_id", "band_hash"))
       .select(col(idCol), col("__ref_id")).distinct()
+      .observe(obsName(ObservedMetrics.NearDupCandidateMetrics),
+        count(lit(1)).as("candidate_pairs"))
     val contaminated = verifiedContaminatedIds(candidates, incSh,
       spark.table(s"${name}_shingles"), idCol, "__ref_id", threshold)
+      .observe(obsName(ObservedMetrics.NearDupVerifiedMetrics),
+        count(lit(1)).as("verified_ids"))
     df.join(contaminated, Seq(idCol), "left_anti")
   }
 

@@ -214,4 +214,52 @@ class SimSearchSpec extends SparkTestBase {
     assert(doubleLits < 100,
       s"$doubleLits double literals in the plan — planes are being inlined")
   }
+
+  test("landed ANN index: row-identical to direct ivfTopK; probed-cells-only scan; " +
+      "parameter pinning") {
+    val e = plantedCorpus.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val queries = e.filter(col("vec_id").isin(0L, 2L, 1000L))
+    val idx = "graft_test_ann_idx"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    try {
+      SimOps.landAnnIndex(e, "vec_id", "embedding", idx, nCells = 8,
+        path = Some(s"$tmp/$idx"))
+      val indexed = SimOps.annTopKAgainstIndex(queries, "vec_id", "embedding",
+        idx, k = 4, nProbe = 3)
+      val direct = SimOps.ivfTopK(e, queries, "vec_id", "embedding",
+        k = 4, nCells = 8, nProbe = 3)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows(indexed) == rows(direct),
+        "indexed ANN must be row-identical to the direct ivfTopK path")
+      assert(rows(indexed).nonEmpty)
+
+      // the cells scan must carry a partition prune on __cell (probed cells
+      // only) — a full-corpus scan voids the index's point. Formatted
+      // explain, because AQE's adaptive wrapper hides scan nodes from
+      // TreeNode.collect
+      val planStr = indexed.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(planStr.contains("_cells"), s"no _cells scan in plan:\n$planStr")
+      assert("""PartitionFilters: \[[^\]]*__cell""".r.findFirstIn(planStr).isDefined,
+        s"cells scan has no __cell partition filter — the probe set is not " +
+        s"pruning:\n$planStr")
+
+      // landing again with different parameters must fail loudly, not
+      // silently serve a mismatched codebook
+      val err = intercept[IllegalArgumentException] {
+        SimOps.landAnnIndex(e, "vec_id", "embedding", idx, nCells = 4,
+          path = Some(s"$tmp/$idx"))
+      }
+      assert(err.getMessage.contains("nCells"))
+      // re-landing with the SAME parameters is the idempotent no-op path
+      SimOps.landAnnIndex(e, "vec_id", "embedding", idx, nCells = 8,
+        path = Some(s"$tmp/$idx"))
+    } finally {
+      Seq("_meta", "_centroids", "_cells").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS $idx$s")
+      }
+    }
+  }
 }
