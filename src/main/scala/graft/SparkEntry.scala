@@ -359,6 +359,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q77_hamming_near_dup" -> ((s: SparkSession, dir: String) => {
+      // batch banded Hamming dedup over a 64-bit sketch — the operator
+      // behind image near-dup (dHash) and batch SimHash dedup; oracle-able
+      // through the SimHash sketch family (q27's bit-exact md5 votes).
+      // Corpus + perturbed copies of the first 50 docs: a tail-token edit
+      // moves few token votes, so the planted pairs land within the
+      // pigeonhole radius
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+      val sk = d.unionByName(perturbed)
+        .filter(size(TextOps.tokens(col("text"))) > 0)
+        .withColumn("sketch", DedupOps.simHash64(TextOps.tokens(col("text"))))
+        .select(col("doc_id"), col("sketch"))
+      DedupOps.hammingNearDupPairs(sk, "doc_id", "sketch",
+          bands = 4, radius = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q31_langid" -> ((s: SparkSession, dir: String) => {
       TextOps.langId(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("lang_pred"), col("lang_pred_score"))
@@ -1196,6 +1216,47 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         |FROM sh2 a JOIN sh2 b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    "q77_hamming_near_dup" ->
+      // q27's bit-exact UBIGINT simhash replayed over the perturbed corpus,
+      // then 4×16-bit banding: (sh >> 16b) & 65535 on UBIGINT equals the
+      // engine's unsigned shift + mask on signed longs; docs without tokens
+      // never enter `votes`, matching the engine's token-count filter
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' perturbed tail token' AS text
+        |  FROM documents WHERE doc_id < 50
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+        |  FROM base
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok
+        |), votes AS (
+        |  SELECT doc_id, b.b, sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+        |  GROUP BY doc_id, b.b
+        |), sh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS sh
+        |  FROM votes GROUP BY doc_id
+        |), bandrows AS (
+        |  SELECT doc_id, b.b AS band_id,
+        |    CAST((sh >> (b.b * 16)) & 65535 AS BIGINT) AS band_hash
+        |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) b
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b USING (band_id, band_hash)
+        |  WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN sh sa ON sa.doc_id = c.id_a
+        |JOIN sh sb ON sb.doc_id = c.id_b
+        |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q28_ngram_jaccard" ->
       """WITH tok AS (

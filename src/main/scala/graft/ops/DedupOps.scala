@@ -1016,4 +1016,56 @@ object DedupOps {
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Batch banded near-dup pairs over ANY 64-bit sketch column (SimHash for
+   * text, dHash for images — the sketch family is the caller's): split the
+   * sketch into `bands` equal bit chunks, equi-join docs sharing a
+   * (band_id, chunk), verify candidates at exact Hamming ≤ `radius`.
+   * Output (id_a, id_b, hamming), id_a < id_b.
+   *
+   * The pigeonhole guarantee covers distance ≤ bands-1 (such a pair has an
+   * untouched band); radius > bands-1 pairs surface only probabilistically
+   * — same contract as the streaming twin
+   * [[graft.streaming.StreamOps.streamingBandedNearDedup]], whose per-band
+   * chunking this reproduces bit-for-bit. Candidate generation carries
+   * (band keys, id) only, `maxBucket` caps hot buckets (all-zero sketches
+   * from degenerate inputs are the classic one), and candidate/verified
+   * counts ride out as [[ObservedMetrics]] — the nearDuplicatePairs scale
+   * shape on a 3-int shuffle payload.
+   */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, sketchCol: String,
+                          bands: Int = 4, radius: Int = -1,
+                          maxBucket: Int = 0): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    requireIdColFree(idCol)
+    val r = if (radius < 0) bands - 1 else radius
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val chunks = array((0 until bands).map(b =>
+      shiftrightunsigned(col(sketchCol), b * width).bitwiseAND(lit(mask))): _*)
+    val bandsDf = capBandBuckets(
+      df.select(col(idCol), posexplode(chunks))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_hash"),
+      maxBucket)
+    val a = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .observe(obsName(ObservedMetrics.NearDupCandidateMetrics),
+        count(lit(1)).as("candidate_pairs"))
+    val sk = df.select(col(idCol), col(sketchCol))
+    candidates
+      .join(sk.select(col(idCol).as("id_a"), col(sketchCol).as("__sk_a")), Seq("id_a"))
+      .join(sk.select(col(idCol).as("id_b"), col(sketchCol).as("__sk_b")), Seq("id_b"))
+      .withColumn("hamming",
+        hamming64(col("__sk_a"), col("__sk_b")).cast(org.apache.spark.sql.types.LongType))
+      .filter(col("hamming") <= r)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .observe(obsName(ObservedMetrics.NearDupVerifiedMetrics),
+        count(lit(1)).as("verified_pairs"))
+  }
 }

@@ -1131,6 +1131,98 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  /** Horizontal luminance gradient (dhash = all 64 bits set) with optional
+    * pixel-doubling scale and a localized edit blacking out one grid cell. */
+  private def gradientImage(scale: Int = 1, editCell: Option[(Int, Int)] = None) = {
+    val img = new java.awt.image.BufferedImage(
+      36 * scale, 32 * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32 * scale; x <- 0 until 36 * scale) {
+      val sx = x / scale
+      val cell = ((y / scale) / 4, sx / 4) // (row in 8, col in 9) for 36x32
+      val v = if (editCell.contains(cell)) 0 else (sx * 255) / 35
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("image dhash64: invariant to pixel-doubling rescale and re-encode; " +
+       "localized edit moves few bits; inversion moves all 64") {
+    val base = MultimodalOps.dhash64(gradientImage())
+    assert(base == -1L, f"gradient should set all 64 bits, got $base%016x")
+    // 2x pixel doubling partitions every 9x8 cell into the same source
+    // pixels -> identical area means -> identical hash
+    assert(MultimodalOps.dhash64(gradientImage(scale = 2)) == base)
+    // decode(encode(img)) round-trips losslessly for PNG
+    val reenc = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pngBytes(gradientImage())))
+    assert(MultimodalOps.dhash64(reenc) == base)
+    // blacking out one interior cell flips at most its two neighbor
+    // comparisons -> a near-dup, inside the banded radius
+    val edited = MultimodalOps.dhash64(gradientImage(editCell = Some((3, 4))))
+    val dEdit = java.lang.Long.bitCount(base ^ edited)
+    assert(dEdit >= 1 && dEdit <= 2, s"edit moved $dEdit bits")
+    // inverted gradient reverses every comparison
+    val inv = new java.awt.image.BufferedImage(
+      36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 36) {
+      val v = 255 - (x * 255) / 35
+      inv.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(java.lang.Long.bitCount(base ^ MultimodalOps.dhash64(inv)) == 64)
+  }
+
+  test("imageNearDupPairs: edited copy paired, inverted image not; " +
+       "undecodable bytes drop out as null dhash") {
+    val media = Seq(
+      (0L, pngBytes(gradientImage())),
+      (1L, pngBytes(gradientImage(editCell = Some((3, 4))))), // near-dup of 0
+      (2L, pngBytes { // inverted: 64 bits away from 0
+        val img = new java.awt.image.BufferedImage(
+          36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 32; x <- 0 until 36) {
+          val v = 255 - (x * 255) / 35
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        img
+      }),
+      (3L, "these bytes are not an image".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val hashes = MultimodalOps.imageDHashes(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hashes(3L).isEmpty, "undecodable bytes must yield null dhash")
+    assert(hashes(0L).isDefined && hashes(0L) == Some(-1L))
+    val pairs = MultimodalOps.imageNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)),
+      s"expected exactly the planted pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 <= 2, s"planted pair hamming: ${pairs.head._3}")
+  }
+
+  test("hammingNearDupPairs: pigeonhole guarantee at radius bands-1 and " +
+       "observe metrics on the executed query") {
+    // sketches 3 bits apart (within default radius 3 for 4 bands): a pair
+    // differing in 3 bits must share at least one untouched 16-bit band
+    val sk = Seq((0L, 0x0123456789abcdefL),
+                 (1L, 0x0123456789abcdefL ^ 0x7L),  // 3 low bits flipped
+                 (2L, ~0x0123456789abcdefL))        // 64 bits away
+      .toDF("id", "sk")
+    val out = DedupOps.hammingNearDupPairs(sk, "id", "sk")
+    val pairs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((0L, 1L, 3L)), s"got $pairs")
+    val (_, metrics) = ScalingProbe.runWithMetrics(spark, out)
+    val agg = ScalingProbe.aggregate(metrics)
+    assert(agg("candidate_pairs") >= 1L, s"candidate metric missing: $metrics")
+    assert(agg("verified_pairs") == 1L, s"verified metric should be 1: $metrics")
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
