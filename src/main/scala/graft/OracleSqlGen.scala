@@ -399,7 +399,11 @@ object OracleSqlGen {
     * equi-join for candidates, exact Jaccard verify, then anti-join. The
     * landed side keys by its own doc_id here — the Spark side's internal
     * xxhash64(text) identity is existence-equivalent (no cap in play). */
-  def nearDedupAgainstSql(numHashes: Int, bands: Int): String = {
+  /** One side of the asymmetric two-sided chain: shingles → minhash → band
+    * keys over CTE source `src`, every CTE name prefixed `name` (no bucket
+    * cap — the against paths run uncapped). */
+  private def againstSide(name: String, src: String,
+                          numHashes: Int, bands: Int): String = {
     val perms = DedupOps.permConstants(numHashes)
     val permValues = perms.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
@@ -408,8 +412,7 @@ object OracleSqlGen {
     val bandFold = (2 to r).foldLeft("bm[1]") { (acc, j) =>
       s"(($acc)*31 + bm[$j]) % 2147483647"
     }
-    def side(name: String, src: String): String =
-      s"""${name}tok AS (
+    s"""${name}tok AS (
          |  SELECT doc_id,
          |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
          |  FROM $src
@@ -433,6 +436,24 @@ object OracleSqlGen {
          |    SELECT doc_id, i // $r AS band_id, list(m ORDER BY i) AS bm
          |    FROM ${name}mh GROUP BY doc_id, i // $r)
          |)""".stripMargin
+  }
+
+  /** Exact-Jaccard verify of an asymmetric candidate set: ids of `candCte`
+    * rows (iid, rid) whose shingle sets (from `incShCte` / `refShCte`) meet
+    * `threshold` — the CTE pair (cand→jac) shared by every against-style
+    * oracle. */
+  private def againstJac(candCte: String, incShCte: String,
+                         refShCte: String): String =
+    s"""  SELECT iid,
+       |    round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+       |      THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |           / len(list_distinct(list_concat(sa.s, sb.s)))
+       |      ELSE 0.0 END, 6) AS jaccard
+       |  FROM $candCte
+       |  JOIN $incShCte sa ON sa.doc_id = iid
+       |  JOIN $refShCte sb ON sb.doc_id = rid""".stripMargin
+
+  def nearDedupAgainstSql(numHashes: Int, bands: Int): String =
     s"""WITH ref AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
        |), inc AS (
@@ -440,24 +461,69 @@ object OracleSqlGen {
        |  UNION ALL
        |  SELECT doc_id + 2000000 AS doc_id, text || ' perturbed tail token' AS text
        |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 50
-       |), ${side("i", "inc")}, ${side("r", "ref")},
+       |), ${againstSide("i", "inc", numHashes, bands)},
+       |${againstSide("r", "ref", numHashes, bands)},
        |cand AS (
        |  SELECT DISTINCT i.doc_id AS iid, r.doc_id AS rid
        |  FROM ibandk i JOIN rbandk r ON i.band_id = r.band_id AND i.bk = r.bk
        |), jac AS (
-       |  SELECT iid,
-       |    round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
-       |      THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-       |           / len(list_distinct(list_concat(sa.s, sb.s)))
-       |      ELSE 0.0 END, 6) AS jaccard
-       |  FROM cand
-       |  JOIN ish sa ON sa.doc_id = iid
-       |  JOIN rsh sb ON sb.doc_id = rid
+       |${againstJac("cand", "ish", "rsh")}
        |)
        |SELECT doc_id FROM inc
        |WHERE doc_id NOT IN (SELECT iid FROM jac WHERE jaccard >= 0.5)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** q78: TWO-day incremental ingest against a maintained index. Day 1
+    * dedups the `%5 = 0` slice against the landed corpus and folds the
+    * survivors back into the index ([[graft.ops.DedupOps
+    * .appendNearDupIndex]]); day 2's probe then carries perturbed copies of
+    * day-1 docs (caught ONLY because of the append), perturbed copies of
+    * the original corpus (caught by the day-0 index), and vowel-rotated
+    * novel texts (survivors). The oracle replays both passes: the day-2
+    * reference side is ref ∪ day-1 survivors, band keys and shingles
+    * reused from the already-computed day-1 side CTEs. */
+  def nearDedupIndexAppendSql(numHashes: Int, bands: Int): String =
+    s"""WITH ref AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+       |), inc1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |), inc2 AS (
+       |  SELECT doc_id + 3000000 AS doc_id, text || ' perturbed tail token' AS text
+       |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 250
+       |  UNION ALL
+       |  SELECT doc_id + 4000000 AS doc_id, text || ' perturbed tail token' AS text
+       |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 50
+       |  UNION ALL
+       |  SELECT doc_id + 5000000 AS doc_id, translate(text, 'aeiou', 'xyzvw') AS text
+       |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 100
+       |), ${againstSide("r", "ref", numHashes, bands)},
+       |${againstSide("i", "inc1", numHashes, bands)},
+       |${againstSide("j", "inc2", numHashes, bands)},
+       |cand1 AS (
+       |  SELECT DISTINCT i.doc_id AS iid, r.doc_id AS rid
+       |  FROM ibandk i JOIN rbandk r ON i.band_id = r.band_id AND i.bk = r.bk
+       |), jac1 AS (
+       |${againstJac("cand1", "ish", "rsh")}
+       |), surv1 AS (
+       |  SELECT doc_id FROM inc1
+       |  WHERE doc_id NOT IN (SELECT iid FROM jac1 WHERE jaccard >= 0.5)
+       |), r2bandk AS (
+       |  SELECT * FROM rbandk
+       |  UNION ALL
+       |  SELECT * FROM ibandk WHERE doc_id IN (SELECT doc_id FROM surv1)
+       |), r2sh AS (
+       |  SELECT * FROM rsh
+       |  UNION ALL
+       |  SELECT * FROM ish WHERE doc_id IN (SELECT doc_id FROM surv1)
+       |), cand2 AS (
+       |  SELECT DISTINCT j.doc_id AS iid, r.doc_id AS rid
+       |  FROM jbandk j JOIN r2bandk r ON j.band_id = r.band_id AND j.bk = r.bk
+       |), jac2 AS (
+       |${againstJac("cand2", "jsh", "r2sh")}
+       |)
+       |SELECT doc_id FROM inc2
+       |WHERE doc_id NOT IN (SELECT iid FROM jac2 WHERE jaccard >= 0.5)
+       |ORDER BY doc_id""".stripMargin
 
   /** q25: near-duplicate pairs (k=64, 16 bands, threshold 0.5). */
   def nearDupPairsSql: String =

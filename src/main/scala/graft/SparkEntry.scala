@@ -807,6 +807,35 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q78_near_dedup_index_append" -> ((s: SparkSession, dir: String) => {
+      // index MAINTENANCE (two-day ingest): day-1 survivors fold back into
+      // the landed index via appendNearDupIndex, so day 2 catches near-dups
+      // of day-1 ACCEPTED docs — perturbed day-1 copies are caught only
+      // because of the append, perturbed corpus copies by the day-0 index,
+      // and vowel-rotated novel texts survive
+      val idx = "graft_q78_" + math.abs(dir.hashCode).toString
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = d.filter(col("doc_id") % 5 =!= 0)
+      DedupOps.landNearDupIndex(ref, "text", idx, numHashes = 64, bands = 16,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      val inc1 = d.filter(col("doc_id") % 5 === 0)
+      val acc1 = DedupOps.nearDedupAgainstIndex(inc1, "doc_id", "text", idx,
+        threshold = 0.5)
+      DedupOps.appendNearDupIndex(acc1, "text", idx)
+      val inc2 = d.filter(col("doc_id") % 5 === 0 && col("doc_id") < 250)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 50)
+          .select((col("doc_id") + 4000000).as("doc_id"),
+            concat(col("text"), lit(" perturbed tail token")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100)
+          .select((col("doc_id") + 5000000).as("doc_id"),
+            translate(col("text"), "aeiou", "xyzvw").as("text")))
+      DedupOps.nearDedupAgainstIndex(inc2, "doc_id", "text", idx,
+          threshold = 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q72_cap_per_group" -> ((s: SparkSession, dir: String) => {
       // per-source quota: at most 15 docs per source, chosen by salted key
       // hash (deterministic representatives across reruns; 25 docs/source
@@ -1147,6 +1176,7 @@ object SparkEntry {
     "q25_near_dup_pairs" -> OracleSqlGen.nearDupPairsSql,
     "q74_near_dedup_against" -> OracleSqlGen.nearDedupAgainstSql(64, 16),
     "q75_near_dedup_indexed" -> OracleSqlGen.nearDedupAgainstSql(64, 16),
+    "q78_near_dedup_index_append" -> OracleSqlGen.nearDedupIndexAppendSql(64, 16),
     "q26_near_dedup"     -> OracleSqlGen.nearDedupSql,
     "q48_near_dedup_cc"  -> OracleSqlGen.nearDedupConnectedSql,
     "q30_ann_lsh"        -> OracleSqlGen.annLshSql,

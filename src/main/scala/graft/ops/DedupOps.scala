@@ -378,6 +378,80 @@ object DedupOps {
     df.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Fold accepted ingest rows back into a landed near-dup index
+   * ([[landNearDupIndex]]), so a day-N ingest catches near-duplicates of
+   * day-1 ACCEPTED documents — without this, the index only ever knows the
+   * original corpus and each ingest batch is blind to every batch before
+   * it (the exact failure the index exists to prevent).
+   *
+   * Shape: the batch's shingles + band rows (computed once, with the
+   * parameters pinned in `<name>_meta` — drift is impossible by
+   * construction) are APPENDED to the two bucketed tables under the landed
+   * bucket spec, so the zero-shuffle probe property survives: each append
+   * adds per-bucket files, and bucketed scans union files per bucket id
+   * (per-bucket sort degrades to per-file, which no index consumer relies
+   * on — the probe is a hash join on band keys). Only the batch is
+   * processed; the landed corpus is never read or rewritten.
+   *
+   * Idempotent per document: rows whose `xxhash64(text)` identity is
+   * already indexed are skipped (anti-join on the shingle table's id
+   * column), so re-appending a batch — or appending a batch that contains
+   * texts already in the corpus — adds nothing. Returns the number of new
+   * documents indexed.
+   */
+  def appendNearDupIndex(accepted: DataFrame, textCol: String,
+                         name: String): Long = {
+    val spark = accepted.sparkSession
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"no near-dup index '$name' in the session catalog — run " +
+      "landNearDupIndex first")
+    val m = spark.table(s"${name}_meta").head()
+    val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
+    // append under the EXACT landed bucket spec (saveAsTable rejects a
+    // mismatch, but reading it from the catalog makes drift unrepresentable)
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${name}_shingles"))
+      .bucketSpec.getOrElse(throw new IllegalStateException(
+        s"appendNearDupIndex('$name'): shingle table is not bucketed"))
+    // SNAPSHOT the new-doc batch with an eager localCheckpoint: the staged
+    // plan anti-joins the very table the appends below write into, and an
+    // insert invalidates + recomputes cached plans that reference the
+    // target table — a merely-persisted frame would re-evaluate to EMPTY
+    // for the second write and the count. Checkpointing truncates the
+    // lineage so the batch is pinned before any table changes. (Batch-sized
+    // data only — the landed corpus is never materialized here.)
+    val staged = accepted
+      .select(xxhash64(col(textCol)).as("__ref_id"),
+        shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .dropDuplicates("__ref_id")
+      .join(spark.table(s"${name}_shingles").select("__ref_id"),
+        Seq("__ref_id"), "left_anti")
+      .localCheckpoint()
+    val n = staged.count()
+    if (n > 0) {
+      // bands FIRST, shingles LAST: a doc is "committed" once its shingle
+      // row lands (the anti-join key). A failure between the writes leaves
+      // orphan band rows whose retry re-appends bands (duplicate band rows
+      // only widen the pre-DISTINCT candidate set) and then lands the
+      // shingle rows — the index converges. The reverse order would make
+      // the retry skip the doc with its band rows missing forever.
+      lshBands(staged.select(col("__ref_id"),
+          minHashFromShingles(col("__sh"), numHashes).as("__sig")),
+        "__ref_id", "__sig", bands)
+        .write.mode("append")
+        .bucketBy(spec.numBuckets, "band_hash").sortBy("band_hash")
+        .format("parquet").saveAsTable(s"${name}_bands")
+      staged.write.mode("append")
+        .bucketBy(spec.numBuckets, "__ref_id").sortBy("__ref_id")
+        .format("parquet").saveAsTable(s"${name}_shingles")
+    }
+    n
+  }
+
   /** Mersenne prime 2^31 - 1: the MinHash permutation modulus. Keeping every
     * operand under 2^31 makes `a*h + b` fit in 63 bits, so the identical
     * integer arithmetic runs in any engine's BIGINT (DuckDB oracle included)

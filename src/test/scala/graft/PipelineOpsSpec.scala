@@ -1223,6 +1223,49 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(agg("verified_pairs") == 1L, s"verified metric should be 1: $metrics")
   }
 
+  test("appendNearDupIndex: day-2 ingest catches near-dups of day-1 " +
+       "accepted docs; re-append is a no-op") {
+    val day0 = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val day1 = Seq(
+      (10L, "red orange yellow green blue indigo violet ultraviolet infrared x"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail"))
+      .toDF("doc_id", "text") // 11 near-dups day-0 doc 0; 10 is novel
+    val day2 = Seq(
+      (20L, "red orange yellow green blue indigo violet ultraviolet infrared x y"),
+      (21L, "north south east west up down left right forward backward spin"))
+      .toDF("doc_id", "text") // 20 near-dups day-1 ACCEPTED doc 10
+    val idx = "graft_append_spec_idx"
+    Seq("_meta", "_bands", "_shingles").foreach { sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $idx$sfx")
+      // a killed prior run can leave the managed location behind without
+      // its catalog entry; CTAS then refuses the name
+      val loc = new java.io.File(s"spark-warehouse/$idx$sfx")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    DedupOps.landNearDupIndex(day0, "text", idx, numHashes = 64, bands = 16)
+    val acc1 = DedupOps.nearDedupAgainstIndex(day1, "doc_id", "text", idx,
+      threshold = 0.5)
+    assert(acc1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L),
+      "day-1: doc 11 (near-dup of indexed 0) dropped, novel 10 accepted")
+    assert(DedupOps.appendNearDupIndex(acc1, "text", idx) == 1L)
+    val acc2 = DedupOps.nearDedupAgainstIndex(day2, "doc_id", "text", idx,
+      threshold = 0.5)
+    assert(acc2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L),
+      "day-2: doc 20 (near-dup of day-1 accepted 10) must be caught " +
+        "via the appended index rows")
+    // idempotent: same batch again indexes nothing
+    assert(DedupOps.appendNearDupIndex(acc1, "text", idx) == 0L)
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
