@@ -68,6 +68,90 @@ private[streaming] class BandDedupProcessor(skIdx: Int, tsIdx: Int,
 }
 
 /**
+ * One band stage of [[StreamOps.streamingMinHashNearDedup]]: keyed by one
+ * MinHash band key, state = every retained (verify array, event-time ms)
+ * in the watermark horizon, where the verify array is either the sorted
+ * md5-31 shingle hash SET (`exact = true` — Jaccard by merge-intersection,
+ * the batch `nearDuplicatePairs` verify on hashed shingles) or the full
+ * MinHash SIGNATURE (`exact = false` — Jaccard estimated as the fraction
+ * of agreeing components, fixed 8·k bytes/doc/band regardless of document
+ * length). An incoming row is dropped iff some stored array verifies at
+ * Jaccard >= `threshold`; band-key collisions below the threshold pass
+ * through. Watermark pruning and idle-bucket timer sweep are identical to
+ * [[BandDedupProcessor]].
+ */
+private[streaming] class MinHashBandDedupProcessor(setIdx: Int, tsIdx: Int,
+    threshold: Double, exact: Boolean, delayMs: Long)
+    extends StatefulProcessor[Long, Row, Row] {
+
+  @transient private var entries: ListState[(Array[Long], Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    entries = getHandle.getListState[(Array[Long], Long)]("shsets",
+      Encoders.product[(Array[Long], Long)], TTLConfig.NONE)
+
+  /** Exact: |A∩B| / |A∪B| over two sorted distinct long arrays. Estimate:
+    * fraction of positionally-agreeing signature components (the standard
+    * unbiased MinHash Jaccard estimator). */
+  private def jaccard(a: Array[Long], b: Array[Long]): Double =
+    if (exact) {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      val union = a.length + b.length - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    } else {
+      var i = 0; var eq = 0
+      val k = math.min(a.length, b.length)
+      while (i < k) { if (a(i) == b(i)) eq += 1; i += 1 }
+      if (k == 0) 0.0 else eq.toDouble / k
+    }
+
+  override def handleInputRows(key: Long, rows: Iterator[Row],
+                               tv: TimerValues): Iterator[Row] = {
+    val horizon = tv.getCurrentWatermarkInMs() - delayMs
+    val stored = entries.get().toVector
+    val live = stored.filter(_._2 >= horizon)
+    var sets = live.map(_._1)
+    var added = Vector.empty[(Array[Long], Long)]
+    val kept = Vector.newBuilder[Row]
+    // event-time order (array-content tiebreak) -> deterministic replay
+    rows.toVector
+      .map { r =>
+        (r, r.getSeq[Long](setIdx).toArray, r.getTimestamp(tsIdx).getTime)
+      }
+      .sortBy { case (_, arr, t) => (t, java.util.Arrays.hashCode(arr)) }
+      .foreach { case (r, arr, t) =>
+        if (!sets.exists(s => jaccard(s, arr) >= threshold)) {
+          kept += r
+          sets :+= arr
+          added :+= (arr -> t)
+        }
+      }
+    if (live.size != stored.size) entries.put((live ++ added).toArray)
+    else if (added.nonEmpty) entries.appendList(added.toArray)
+    (live ++ added).map(_._2).maxOption
+      .foreach(m => getHandle.registerTimer(m + delayMs))
+    kept.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[Row] = {
+    val remaining = entries.get()
+      .filter(_._2 + delayMs > info.getExpiryTimeInMs).toArray
+    if (remaining.isEmpty) entries.clear()
+    else {
+      entries.put(remaining)
+      getHandle.registerTimer(remaining.map(_._2).max + delayMs)
+    }
+    Iterator.empty
+  }
+}
+
+/**
  * Structured Streaming surface. The reference is batch-only (files), but the
  * engine's data model — many casts keyed by `cast_id`, ordered by scan —
  * extends naturally to live instrument feeds: `readStream` -> the same
@@ -247,20 +331,8 @@ object StreamOps {
     // distance d <= bands-1 shares a band; d in (bands-1, radius] pairs are
     // dropped IF they happen to share a band, caught probabilistically
     val width = 64 / bands
-    val delayMs = {
-      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .fromIntervalString(watermark)
-      require(iv.months == 0, s"watermark must not use months, got $watermark")
-      iv.days * 86400000L + iv.microseconds / 1000L
-    }
-    val spark = df.sparkSession
-    val provider = spark.conf.getOption(
-      "spark.sql.streaming.stateStore.providerClass").getOrElse("")
-    require(provider.contains("RocksDBStateStoreProvider"),
-      "streamingBandedNearDedup uses transformWithState, which requires " +
-      "spark.sql.streaming.stateStore.providerClass = " +
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
+    val delayMs = watermarkDelayMs(watermark)
+    requireRocksDb(df)
     val skIdx = df.schema.fieldIndex(sketchCol)
     val tsIdx = df.schema.fieldIndex(tsCol)
     // withWatermark only ahead of stage 1: each stage re-declares tsCol as
@@ -268,20 +340,157 @@ object StreamOps {
     // contract), and re-applying withWatermark on a declared column is a
     // watermark redefinition error
     val start = if (applyWatermark) df.withWatermark(tsCol, watermark) else df
-    // a null event-time row cannot participate in watermark-bounded state
-    // (getTimestamp would NPE in the processor, or the row would be
-    // silently late-filtered) — route it around the stateful chain,
-    // mirroring the null-digest handling in streamingExactDedup
-    val chained = (0 until bands).foldLeft(start.filter(col(tsCol).isNotNull)) { (d, i) =>
-      d.groupByKey { r =>
-          (r.getLong(skIdx) >>> (i * width)) &
-            (if (width == 64) -1L else (1L << width) - 1L)
-        }(Encoders.scalaLong)
-        .transformWithState(
-          new BandDedupProcessor(skIdx, tsIdx, radius, delayMs), tsCol,
-          OutputMode.Append(), rowEnc)
+    chainBandStages(start, tsCol, bands,
+      key = (r, i) => (r.getLong(skIdx) >>> (i * width)) &
+        (if (width == 64) -1L else (1L << width) - 1L),
+      proc = _ => new BandDedupProcessor(skIdx, tsIdx, radius, delayMs))
+  }
+
+  /** Parse a watermark interval string to milliseconds (month-free — a
+    * month has no fixed ms width, so a month-bearing horizon is rejected
+    * loudly rather than approximated). */
+  private def watermarkDelayMs(watermark: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .fromIntervalString(watermark)
+    require(iv.months == 0, s"watermark must not use months, got $watermark")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  private def requireRocksDb(df: DataFrame): Unit = {
+    val provider = df.sparkSession.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDBStateStoreProvider"),
+      "chained streaming near-dedup uses transformWithState, which requires " +
+      "spark.sql.streaming.stateStore.providerClass = " +
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
+
+  /** Chain `bands` transformWithState stages over the non-null-event-time
+    * rows of `start` (already watermarked), stage i keyed by `key(row, i)`,
+    * and route null event-time rows AROUND the chain: a null event-time row
+    * cannot participate in watermark-bounded state (getTimestamp would NPE
+    * in the processor, or the row would be silently late-filtered) —
+    * mirroring the null-digest handling in [[streamingExactDedup]]. */
+  private def chainBandStages(start: DataFrame, tsCol: String, bands: Int,
+      key: (Row, Int) => Long,
+      proc: Int => StatefulProcessor[Long, Row, Row]): DataFrame = {
+    implicit val rowEnc: Encoder[Row] = Encoders.row(start.schema)
+    val chained = (0 until bands).foldLeft(start.filter(col(tsCol).isNotNull)) {
+      (d, i) =>
+        d.groupByKey(r => key(r, i))(Encoders.scalaLong)
+          .transformWithState(proc(i), tsCol, OutputMode.Append(), rowEnc)
     }
     chained.unionByName(start.filter(col(tsCol).isNull))
+  }
+
+  /**
+   * Streaming MinHash near-dedup, Jaccard-VERIFIED: the batch
+   * [[graft.ops.DedupOps.nearDuplicatePairs]] semantics (MinHash banding
+   * for candidates, exact shingle-set Jaccard >= `threshold` to drop),
+   * restated as `bands` chained [[KeyValueGroupedDataset.transformWithState]]
+   * stages. This is the streaming op that catches what
+   * [[streamingBandedNearDedup]]'s SimHash cannot: SimHash is
+   * token-FREQUENCY-weighted, so padding a document with a repeated spam
+   * token drags many sketch bits (Hamming >> radius) while the shingle SET
+   * barely moves (Jaccard stays high) — set-based MinHash still drops it.
+   *
+   * Mechanically: one shingling pass feeds both the MinHash signature
+   * (banded into `bands` keys, the candidate lookup — a pair at Jaccard J
+   * meets in some band with probability 1-(1-J^r)^b, the standard LSH
+   * S-curve, ~99.8% at J=0.7 with the default 16x4) and the sorted md5-31
+   * shingle hash set (the verify payload). Each stage is keyed by one band
+   * key and stores (verify array, event-time ms) per retained doc in the
+   * horizon — watermark-pruned on every update, timer-swept when idle,
+   * exactly the [[bandedDedupOnSketch]] state contract. REQUIRES the
+   * RocksDB state store provider, as there.
+   *
+   * State cost is the knob: `exactVerify = true` (default) stores the
+   * shingle hash set — 8 bytes/distinct shingle/doc/BAND, i.e. documents
+   * of ~500 shingles cost ~4 KB x 16 bands each — exact batch-q26 verify
+   * semantics. `exactVerify = false` stores the fixed-width signature
+   * instead (8·numHashes bytes/doc/band, 512 B at the default 64) and
+   * verifies on the fraction of agreeing components (the unbiased MinHash
+   * Jaccard estimator, stddev ~ sqrt(J(1-J)/k) ~ 0.06 at k=64): the
+   * bounded-state choice for unbounded feeds of long documents. Both
+   * verify modes pass genuinely-distinct band-key collisions through.
+   *
+   * Drop semantics sit between keep-first-against-retained and transitive
+   * closure, exactly as documented on [[streamingBandedNearDedup]]: every
+   * dropped document verified at Jaccard >= `threshold` against some
+   * earlier arrival in the horizon. Documents with an EMPTY shingle set
+   * (null/empty text) pass through — they cannot near-duplicate anything
+   * (the batch path drops their band rows for the same reason) — as do
+   * null event-time rows, routed around the stateful chain.
+   *
+   * 100 TB shape: per micro-batch the work is one codegen'd
+   * shingle+sketch projection and `bands` hash-partitioned state lookups;
+   * state holds hashes only, never text, and every byte of it is
+   * watermark-evicted. The chain costs `bands` shuffles — for a
+   * high-throughput feed prefer fewer, wider bands (e.g. 8x8: catch
+   * ~97% at J=0.8+, half the stages) or `exactVerify = false`.
+   */
+  def streamingMinHashNearDedup(docs: DataFrame, textCol: String, tsCol: String,
+                                watermark: String = "10 minutes",
+                                numHashes: Int = 64, bands: Int = 16,
+                                shingleSize: Int = 3, threshold: Double = 0.7,
+                                exactVerify: Boolean = true): DataFrame = {
+    require(numHashes >= 1 && numHashes % bands == 0,
+      s"numHashes must be a positive multiple of bands, got $numHashes/$bands")
+    val D = graft.ops.DedupOps
+    val K = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+    val toks = graft.ops.TextOps.tokens(col(textCol))
+    val ntokC = graft.ops.TextOps.tempName(docs, "__ntok")
+    val shC = graft.ops.TextOps.tempName(docs, "__sh")
+    val setC = graft.ops.TextOps.tempName(docs, "__shset")
+    val sigC = graft.ops.TextOps.tempName(docs, "__sig")
+    val bkC = graft.ops.TextOps.tempName(docs, "__bandkeys")
+    // one shingling pass; signature and verify array both derive from it
+    // inside a single codegen'd projection. Token-less docs (ntok <= 0 or
+    // null text) collapse to the single empty-string shingle — near-dupping
+    // them together would be the silent data loss [[streamingNearDedup]]
+    // documents — so they route on ntokC, as in the SimHash ops. The
+    // watermark sits before the split, shared by both branches.
+    val shingled = docs
+      .withColumn(ntokC, size(toks))
+      .withColumn(shC, D.shinglesFromTokens(toks, shingleSize))
+    val base = (if (exactVerify)
+        shingled.withColumn(setC, K.shingleHashSet(col(shC)))
+      else
+        shingled.withColumn(setC, D.minHashFromShingles(col(shC), numHashes)))
+      .withColumn(sigC, D.minHashFromShingles(col(shC), numHashes))
+      .withColumn(bkC, K.lshBandKeys(col(sigC), bands))
+      .drop(shC, sigC)
+      .withWatermark(tsCol, watermark)
+    val deduped = minHashDedupOnSets(
+      base.filter(col(ntokC) > 0), setC, bkC, tsCol, watermark,
+      bands, threshold, exactVerify, applyWatermark = false)
+    deduped
+      .unionByName(base.filter(col(ntokC) <= 0 || col(ntokC).isNull))
+      .drop(ntokC, setC, bkC)
+  }
+
+  /** Band-key/verify-array core of [[streamingMinHashNearDedup]]: dedups on
+    * a precomputed verify-array column (`setCol`) and band-keys column
+    * (`bandsCol`, one key per stage). Factored out so the collision/verify
+    * semantics are testable with planted arrays. */
+  private[graft] def minHashDedupOnSets(df: DataFrame, setCol: String,
+                                        bandsCol: String, tsCol: String,
+                                        watermark: String, bands: Int,
+                                        threshold: Double, exact: Boolean,
+                                        applyWatermark: Boolean = true): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val delayMs = watermarkDelayMs(watermark)
+    requireRocksDb(df)
+    val setIdx = df.schema.fieldIndex(setCol)
+    val bkIdx = df.schema.fieldIndex(bandsCol)
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val start = if (applyWatermark) df.withWatermark(tsCol, watermark) else df
+    chainBandStages(start, tsCol, bands,
+      key = (r, i) => r.getSeq[Long](bkIdx)(i),
+      proc = _ => new MinHashBandDedupProcessor(setIdx, tsIdx, threshold,
+        exact, delayMs))
   }
 
   /**

@@ -219,6 +219,39 @@ object GraftHashKernels {
     new GenericArrayData(sig)
   }
 
+  /** Sorted distinct md5-31 hashes of a shingle array — the streaming
+    * near-dedup STATE payload: exact-set Jaccard runs by merge-intersection
+    * over two sorted long arrays at 8 bytes/shingle, instead of carrying
+    * shingle strings through every chained state stage. Same h31 family as
+    * [[minhashSig]], so the hashed-set Jaccard equals the batch string-set
+    * Jaccard (`array_intersect` in DedupOps.jaccardForPairs) up to md5-31
+    * collisions (~n^2/2^32 per doc pair — negligible at document shingle
+    * counts). Null elements are skipped; an empty array yields an empty
+    * set. */
+  def shingleHashSet(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val hs = new Array[Long](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        hs(k) = md5Hash64(shingles.getUTF8String(i).getBytes) & 0x7fffffffL
+        k += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(hs, 0, k)
+    var w = 0
+    var r = 0
+    while (r < k) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    val out = new Array[Long](w)
+    System.arraycopy(hs, 0, out, 0, w)
+    new GenericArrayData(out)
+  }
+
   /** lineDedup rebuild: keep segments whose Spark `xxhash64` (seed 42) is
     * NOT in `sorted` (an ascending long[]). Replaces the interpreted
     * `filter(segs, s -> NOT xxhash64(s) IN (...))` higher-order lambda —
@@ -342,6 +375,32 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"${GraftShingleKernel.getClass.getName.stripSuffix("$")}.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<string> -> array<bigint>` sorted distinct md5-31 hash set (see
+  * [[GraftHashKernels.shingleHashSet]]); the compact exact-Jaccard state
+  * payload for streaming near-dedup. */
+case class ShingleHashSetExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hash_set"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(shingles: Any): Any =
+    GraftHashKernels.shingleHashSet(shingles.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.shingleHashSet($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -734,6 +793,11 @@ object HashSketchExpressions {
         arity("word_shingles", c, 2)
         ShinglesExpr(c(0), litInt("word_shingles", c(1), "shingle size"))
       }),
+    (FunctionIdentifier("shingle_hash_set"),
+      new ExpressionInfo(classOf[ShingleHashSetExpr].getName, "shingle_hash_set"),
+      (c: Seq[Expression]) => {
+        arity("shingle_hash_set", c, 1); ShingleHashSetExpr(c(0))
+      }),
     (FunctionIdentifier("md5_hash31"),
       new ExpressionInfo(classOf[Md5Hash31Expr].getName, "md5_hash31"),
       (c: Seq[Expression]) => { arity("md5_hash31", c, 1); Md5Hash31Expr(c(0)) }),
@@ -774,6 +838,10 @@ object HashSketchExpressions {
   /** Column-API form: codegen'd distinct word n-gram shingles. */
   def wordShingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(tokens), n))
+
+  /** Column-API form: codegen'd sorted distinct md5-31 shingle hash set. */
+  def shingleHashSet(shingles: Column): Column =
+    ExpressionUtils.column(ShingleHashSetExpr(ExpressionUtils.expression(shingles)))
 
   /** Column-API form: codegen'd md5-31 key hash (null key -> 0). */
   def md5Hash31(key: Column): Column =

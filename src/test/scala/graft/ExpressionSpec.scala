@@ -557,6 +557,34 @@ class ExpressionSpec extends SparkTestBase {
     assert(gotSig == expSig)
   }
 
+  test("shingle_hash_set: sorted distinct md5-31 hashes, codegen-only, " +
+       "SQL surface") {
+    import spark.implicits._
+    def h31(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((h, i) => (h << 8) | (md(i) & 0xffL)) & 0x7fffffffL
+    }
+    val K = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+    val d = Seq(
+      (0L, Seq("a b c", "b c d", "a b c")), // repeat -> one hash
+      (1L, Seq.empty[String])
+    ).toDF("id", "sh")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = d.select(col("id"), K.shingleHashSet(col("sh")).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      assert(out(0L) == List("a b c", "b c d").map(h31).distinct.sorted)
+      assert(out(1L) == Nil)
+      K.registerInto(spark)
+      d.createOrReplaceTempView("shs_docs")
+      val viaSql = spark.sql(
+        "SELECT shingle_hash_set(sh) FROM shs_docs WHERE id = 0")
+        .first().getSeq[Long](0).toList
+      assert(viaSql == List("a b c", "b c d").map(h31).distinct.sorted)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("segments_not_in_hash/text: parity with the interpreted lambda " +
        "rebuild they replace; codegen-only") {
     import spark.implicits._

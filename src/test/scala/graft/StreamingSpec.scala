@@ -344,6 +344,138 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingMinHashNearDedup drops a spam-padded doc (high Jaccard, " +
+       "high SimHash Hamming) that the SimHash path would keep") {
+    implicit val sqlCtx = spark.sqlContext
+    val K = org.apache.spark.sql.catalyst.expressions.graftdedup.GraftHashKernels
+    def toks(t: String): Array[String] =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).toArray
+    def sim(text: String): Long =
+      K.simhash64(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks(text).map(org.apache.spark.unsafe.types.UTF8String.fromString):
+          Array[Any]))
+    def shSet(t: String): Set[String] = {
+      val tk = toks(t).toSeq
+      if (tk.length < 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: String, b: String): Double = {
+      val (x, y) = (shSet(a), shSet(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    val base = "the quick brown fox jumps over the lazy dog while autumn " +
+      "rain falls softly on the harbor town and fishing boats rock gently " +
+      "against wooden piers under grey morning skies as gulls wheel above " +
+      "the market square where vendors arrange fresh catch on crushed ice"
+    // the realistic SimHash escape: the document body is intact (shingle
+    // SET barely moves) but a repeated spam token drags the frequency-
+    // weighted sketch far beyond the banded Hamming radius
+    val spam = base + (" click" * 25)
+    val hamming = java.lang.Long.bitCount(sim(base) ^ sim(spam))
+    // the test's premises, asserted so a failure is loud and local
+    assert(jac(base, spam) >= 0.7, s"premise: jaccard ${jac(base, spam)} < 0.7")
+    assert(hamming > 3, s"premise: simhash hamming $hamming <= 3 — " +
+      "streamingBandedNearDedup would already catch this pair")
+    val far = "completely different content about spark window aggregation semantics"
+    withRocksDb {
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val deduped = StreamOps.streamingMinHashNearDedup(
+        input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes",
+        bands = 8)
+      val q = deduped.writeStream.format("memory").queryName("minhash_near_stream")
+        .outputMode("append").start()
+      try {
+        input.addData((0L, ts(0), base), (1L, ts(1), far))
+        q.processAllAvailable()
+        input.addData(
+          (2L, ts(2), spam),    // shingle-set near-dup of doc 0 -> dropped
+          (3L, ts(3), "???"),   // token-less -> passes through
+          (4L, ts(4), null.asInstanceOf[String])) // null text -> passes through
+        q.processAllAvailable()
+        val kept = spark.sql("SELECT doc_id FROM minhash_near_stream ORDER BY doc_id")
+          .collect().map(_.getLong(0)).toSeq
+        assert(kept == Seq(0L, 1L, 3L, 4L),
+          s"got $kept (hamming $hamming, jaccard ${jac(base, spam)})")
+      } finally q.stop()
+    }
+  }
+
+  test("minHashDedupOnSets verifies Jaccard on band collisions: exact-set " +
+       "and signature-estimate modes") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      // exact mode: sorted hash sets, merge-intersection Jaccard
+      val input = MemoryStream[(Long, Timestamp, Seq[Long], Seq[Long])]
+      val deduped = StreamOps.minHashDedupOnSets(
+        input.toDF().toDF("doc_id", "ts", "shset", "bandkeys"),
+        "shset", "bandkeys", "ts", "10 minutes",
+        bands = 2, threshold = 0.7, exact = true)
+      val q = deduped.writeStream.format("memory").queryName("minhash_sets_exact")
+        .outputMode("append").start()
+      try {
+        input.addData((0L, ts(0), Seq(1L, 2L, 3L, 4L), Seq(7L, 8L)))
+        q.processAllAvailable()
+        input.addData(
+          // band-0 collision, disjoint sets: J = 0 -> verified distinct, KEPT
+          (1L, ts(1), Seq(10L, 20L, 30L), Seq(7L, 99L)),
+          // band-1 collision, J = 3/4 -> dropped
+          (2L, ts(2), Seq(1L, 2L, 3L), Seq(55L, 8L)),
+          // both bands collide with doc 0 but J = 4/8 -> KEPT
+          (3L, ts(3), Seq(1L, 2L, 3L, 4L, 50L, 60L, 70L, 80L), Seq(7L, 8L)))
+        q.processAllAvailable()
+        val kept = spark.sql("SELECT doc_id FROM minhash_sets_exact ORDER BY doc_id")
+          .collect().map(_.getLong(0)).toSeq
+        assert(kept == Seq(0L, 1L, 3L),
+          s"got $kept — a bare band-key dedup would also have dropped 1 and 3")
+      } finally q.stop()
+      // estimate mode: positional signature agreement
+      val input2 = MemoryStream[(Long, Timestamp, Seq[Long], Seq[Long])]
+      val deduped2 = StreamOps.minHashDedupOnSets(
+        input2.toDF().toDF("doc_id", "ts", "sig", "bandkeys"),
+        "sig", "bandkeys", "ts", "10 minutes",
+        bands = 2, threshold = 0.7, exact = false)
+      val q2 = deduped2.writeStream.format("memory").queryName("minhash_sets_est")
+        .outputMode("append").start()
+      try {
+        input2.addData((0L, ts(0), Seq(5L, 6L, 7L, 9L), Seq(7L, 8L)))
+        q2.processAllAvailable()
+        input2.addData(
+          (1L, ts(1), Seq(5L, 6L, 7L, 99L), Seq(7L, 42L)),  // 3/4 agree -> dropped
+          (2L, ts(2), Seq(5L, 6L, 98L, 99L), Seq(42L, 8L))) // 2/4 agree -> kept
+        q2.processAllAvailable()
+        val kept2 = spark.sql("SELECT doc_id FROM minhash_sets_est ORDER BY doc_id")
+          .collect().map(_.getLong(0)).toSeq
+        assert(kept2 == Seq(0L, 2L))
+      } finally q2.stop()
+    }
+  }
+
+  test("chained near-dedup routes null event-time rows around the stateful " +
+       "chain: they pass through and leave no state behind") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val deduped = StreamOps.streamingBandedNearDedup(
+        input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+      val q = deduped.writeStream.format("memory").queryName("banded_null_ts")
+        .outputMode("append").start()
+      try {
+        val text = "the quick brown fox jumps over the lazy dog again and again"
+        input.addData((0L, ts(0), text),
+          (1L, null.asInstanceOf[Timestamp], text))
+        q.processAllAvailable()
+        input.addData((2L, null.asInstanceOf[Timestamp], text))
+        q.processAllAvailable()
+        // docs 1 and 2 are sketch-identical to retained doc 0, but with no
+        // event time they cannot enter watermark-bounded state: both pass
+        // through (and doc 1 leaves no registration that could drop doc 2)
+        val kept = spark.sql("SELECT doc_id FROM banded_null_ts ORDER BY doc_id")
+          .collect().map(_.getLong(0)).toSeq
+        assert(kept == Seq(0L, 1L, 2L))
+      } finally q.stop()
+    }
+  }
+
   test("fromText parses in-memory content (StringIO analog)") {
     val text = new String(
       graft.io.RawFile.bytes(s"$dataDir/CTD_with_sigma_e00.cnv"), "UTF-8")
