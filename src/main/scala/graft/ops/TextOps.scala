@@ -249,11 +249,42 @@ object TextOps {
   }
 
   /**
+   * Result of [[trainLinearModel]]. `losses(i)` is the mean logistic loss
+   * at the weights BEFORE iteration i's update, measured on iteration i's
+   * batch (the full corpus unless `sampleFraction < 1`); `batchSizes(i)`
+   * is that batch's row count. `itersRun < iters` means the relative-loss
+   * early stop fired.
+   */
+  final case class LinearTrainResult(weights: Array[Double], bias: Double,
+                                     itersRun: Int, losses: Array[Double],
+                                     batchSizes: Array[Long])
+
+  /** Largest supported hashed-feature dimension for in-engine training:
+    * the per-iteration driver gradient is one dense `Array[Double]`, i.e.
+    * 8·dim bytes (128 MB at this cap). Beyond that the bounded-collect
+    * contract stops holding on a default driver — shard the label space
+    * or train outside the engine. */
+  val MaxTrainDim: Int = 1 << 24
+
+  /**
    * Train a linear quality / language classifier IN-ENGINE: logistic
-   * regression by full-batch gradient descent over hashed-TF features,
-   * closing the featurize → train → score loop ([[hashingTfSparseVector]]
-   * / [[scoreLinear]]) without leaving Spark. `labelCol` holds 0.0 / 1.0
-   * targets; returns (weights, bias) ready for [[scoreLinear]].
+   * regression by gradient descent over hashed-TF features, closing the
+   * featurize → train → score loop ([[hashingTfSparseVector]] /
+   * [[scoreLinear]]) without leaving Spark. `labelCol` holds 0.0 / 1.0
+   * targets; returns (weights, bias) ready for [[scoreLinear]]. This is
+   * the fixed-schedule convenience wrapper over [[trainLinearModel]],
+   * which adds convergence control (early stop, mini-batching) and the
+   * per-iteration loss curve.
+   */
+  def trainLinear(df: DataFrame, textCol: String, labelCol: String, dim: Int,
+                  iters: Int = 20, lr: Double = 1.0, l2: Double = 0.0,
+                  cache: Boolean = true): (Array[Double], Double) = {
+    val r = trainLinearModel(df, textCol, labelCol, dim, iters, lr, l2, cache)
+    (r.weights, r.bias)
+  }
+
+  /**
+   * Full-control in-engine logistic-regression trainer.
    *
    * Scale shape: the corpus is tokenized and hashed ONCE into cached
    * sparse (bucket, tf) pairs; each iteration is ONE distributed
@@ -263,9 +294,24 @@ object TextOps {
    * so the codegen cache hits and only the reference values change), then
    * `(bucket, Σ err·tf)` partial-aggregates map-side into at most dim + 1
    * rows (a synthetic bucket −1 appended per doc carries the bias
-   * gradient in the same pass) before a gradient-sized collect. Driver
-   * traffic per iteration is O(dim), never corpus-sized — the same
-   * bounded class as the IVF codebook (SURVEY §9).
+   * gradient, the batch count, and the batch loss in the same pass)
+   * before a gradient-sized collect. Driver traffic per iteration is
+   * O(dim) — 8·dim bytes, capped by [[MaxTrainDim]] at 128 MB — never
+   * corpus-sized: the same bounded class as the IVF codebook (SURVEY §9).
+   *
+   * Convergence control:
+   *  - `tol > 0` stops early once the relative batch-loss improvement
+   *    `|prev − cur| / max(|prev|, 1e-12)` falls below `tol`. The loss is
+   *    measured in the SAME aggregation as the gradient (stable softplus
+   *    form `max(m,0) + log1p(e^−|m|) − y·m`), so early stop costs zero
+   *    extra jobs. With mini-batching the batch loss is a noisy estimate —
+   *    pick a coarser `tol` or leave it 0 there.
+   *  - `sampleFraction < 1` trains each iteration on a deterministic
+   *    hash-gated mini-batch: a row joins iteration i's batch iff
+   *    `xxhash64(xxhash64(text), seed + i)` lands under the fraction —
+   *    no RNG state, so a rerun with the same seed reproduces the exact
+   *    batch schedule (and therefore the exact weights) regardless of
+   *    partitioning. Gradients normalize by the OBSERVED batch size.
    *
    * Gradient sums are floating-point aggregations, so trained weights are
    * reproducible for a fixed layout but not bit-portable across
@@ -273,56 +319,96 @@ object TextOps {
    * held-out data), pinned by spec; SCORING with the returned model stays
    * exactly oracle-able through [[scoreLinear]].
    */
-  def trainLinear(df: DataFrame, textCol: String, labelCol: String, dim: Int,
-                  iters: Int = 20, lr: Double = 1.0, l2: Double = 0.0,
-                  cache: Boolean = true): (Array[Double], Double) = {
-    require(dim >= 1, s"dim must be >= 1, got $dim")
+  def trainLinearModel(df: DataFrame, textCol: String, labelCol: String,
+                       dim: Int, iters: Int = 20, lr: Double = 1.0,
+                       l2: Double = 0.0, cache: Boolean = true,
+                       tol: Double = 0.0, sampleFraction: Double = 1.0,
+                       seed: Long = 42L): LinearTrainResult = {
+    require(dim >= 1 && dim <= MaxTrainDim,
+      s"dim must be in [1, $MaxTrainDim] (8·dim-byte driver gradient), got $dim")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0 && java.lang.Double.isFinite(lr), s"lr must be positive, got $lr")
     require(l2 >= 0 && java.lang.Double.isFinite(l2), s"l2 must be >= 0, got $l2")
+    require(tol >= 0 && java.lang.Double.isFinite(tol), s"tol must be >= 0, got $tol")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val X = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
     val yCol = tempName(df, "__y")
     val spCol = tempName(df, "__sp")
+    val hCol = tempName(df, "__h")
     val basePlain = df
       .where(col(textCol).isNotNull && col(labelCol).isNotNull)
       .select(col(labelCol).cast(DoubleType).as(yCol),
-        hashingTfSparseVector(col(textCol), dim).as(spCol))
+        hashingTfSparseVector(col(textCol), dim).as(spCol),
+        xxhash64(col(textCol)).as(hCol))
     val base = if (cache) basePlain.persist() else basePlain
     try {
       val n = base.count() // materializes the cache too
       require(n > 0, "trainLinear: no labeled rows to train on")
+      // hash-gate threshold over a fixed 2^20 lattice (exact for fraction 1)
+      val gateDen = 1L << 20
+      val gateNum = math.min(gateDen, math.ceil(sampleFraction * gateDen).toLong)
       val w = new Array[Double](dim)
       var b = 0.0
       // bias rides as pseudo-bucket -1 with tf 1, appended at gradient time
       // (NOT stored in spCol, which the margin kernel consumes)
       val biasPair = array(struct(lit(-1L).as("bucket"), lit(1L).as("tf")))
+      val losses = Array.newBuilder[Double]
+      val batchSizes = Array.newBuilder[Long]
+      var prevLoss = Double.NaN
       var it = 0
-      while (it < iters) {
+      var stopped = false
+      while (it < iters && !stopped) {
+        val batch =
+          if (gateNum >= gateDen) base
+          else base.where(pmod(xxhash64(col(hCol), lit(seed + it)), lit(gateDen))
+            < lit(gateNum))
         val margin = X.sparseMargin(col(spCol),
           scala.collection.immutable.ArraySeq.unsafeWrapArray(w), b)
         val err = (lit(1.0) / (lit(1.0) + exp(-margin))) - col(yCol)
-        val grad = base
-          .select(err.as("__err"),
+        // stable per-doc logistic loss: softplus(m) − y·m
+        val lossDoc = greatest(margin, lit(0.0)) +
+          log1p(exp(-abs(margin))) - col(yCol) * margin
+        val grad = batch
+          .select(err.as("__err"), lossDoc.as("__loss"),
             explode(concat(col(spCol), biasPair)).as("__bt"))
           .groupBy(col("__bt.bucket").as("__bk"))
-          .agg(sum(col("__err") * col("__bt.tf")).as("__g"))
+          .agg(sum(col("__err") * col("__bt.tf")).as("__g"),
+            // per-doc payloads are only read off the bucket −1 group,
+            // where each doc appears exactly once
+            sum(when(col("__bt.bucket") === -1L, col("__loss"))).as("__l"),
+            count(when(col("__bt.bucket") === -1L, lit(1))).as("__c"))
           .collect()
         var gb = 0.0
+        var lossSum = 0.0
+        var nBatch = 0L
         val gw = new Array[Double](dim)
         grad.foreach { r =>
           val k = r.getLong(0)
           val v = r.getDouble(1)
-          if (k < 0) gb = v else gw(k.toInt) = v
+          if (k < 0) { gb = v; lossSum = r.getDouble(2); nBatch = r.getLong(3) }
+          else gw(k.toInt) = v
         }
-        var i = 0
-        while (i < dim) {
-          w(i) -= lr * (gw(i) / n + l2 * w(i))
-          i += 1
+        if (nBatch > 0) {
+          var i = 0
+          while (i < dim) {
+            w(i) -= lr * (gw(i) / nBatch + l2 * w(i))
+            i += 1
+          }
+          b -= lr * gb / nBatch
+          val curLoss = lossSum / nBatch
+          losses += curLoss
+          batchSizes += nBatch
+          if (tol > 0 && !prevLoss.isNaN &&
+              math.abs(prevLoss - curLoss) <=
+                tol * math.max(math.abs(prevLoss), 1e-12)) stopped = true
+          prevLoss = curLoss
         }
-        b -= lr * gb / n
+        // an empty hash-gated batch (tiny fraction, tiny corpus) is a
+        // no-op iteration: no update, no loss sample
         it += 1
       }
-      (w, b)
+      LinearTrainResult(w, b, it, losses.result(), batchSizes.result())
     } finally if (cache) { base.unpersist(); () }
   }
 

@@ -1131,6 +1131,89 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  /** Planted spam/ham corpus shared by the trainLinear convergence tests. */
+  private def spamHamCorpus(n: Int = 120, rngSeed: Int = 47)
+      : Seq[(Long, String, Double)] = {
+    val rng = new scala.util.Random(rngSeed)
+    val spamWords = Array("buy", "free", "winner", "click", "pills", "offer")
+    val hamWords = Array("meeting", "report", "spark", "window", "agenda", "review")
+    val neutral = Array("the", "a", "and", "today", "about")
+    def doc(words: Array[String]) =
+      (Seq.fill(8)(words(rng.nextInt(words.length))) ++
+        Seq.fill(4)(neutral(rng.nextInt(neutral.length)))).mkString(" ")
+    (0 until n).map { i =>
+      if (i % 2 == 0) (i.toLong, doc(spamWords), 1.0)
+      else (i.toLong, doc(hamWords), 0.0)
+    }
+  }
+
+  private def modelAccuracy(rows: Seq[(Long, String, Double)],
+                            w: Array[Double], b: Double): Double = {
+    import spark.implicits._
+    val d = rows.toDF("doc_id", "text", "label")
+    val scores = TextOps.scoreLinear(d, "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.count { case (id, _, y) =>
+      (scores(id) >= 0.5) == (y >= 0.5) } / rows.size.toDouble
+  }
+
+  test("trainLinearModel: relative-loss early stop fires well before the " +
+       "iteration budget at identical accuracy; loss curve decreases") {
+    import spark.implicits._
+    val rows = spamHamCorpus()
+    val d = rows.toDF("doc_id", "text", "label")
+    val dim = 64
+    val full = TextOps.trainLinearModel(d, "text", "label", dim,
+      iters = 40, lr = 2.0)
+    assert(full.itersRun == 40 && full.losses.length == 40)
+    assert(full.batchSizes.forall(_ == rows.size.toLong),
+      "full-batch training must see every row each iteration")
+    // logistic loss on separable data decays ~1/t, so the relative delta
+    // per step is ~1/t: tol=0.02 fires near iteration 40, far under budget
+    val early = TextOps.trainLinearModel(d, "text", "label", dim,
+      iters = 200, lr = 2.0, tol = 0.02)
+    assert(early.itersRun < 100,
+      s"tol=0.02 must stop well before the 200-iteration budget, ran ${early.itersRun}")
+    assert(early.losses.length == early.itersRun)
+    // converged-enough: same accuracy as the fixed 40-iteration schedule
+    val accFull = modelAccuracy(rows, full.weights, full.bias)
+    val accEarly = modelAccuracy(rows, early.weights, early.bias)
+    assert(accFull >= 0.99 && accEarly == accFull,
+      s"early-stop accuracy $accEarly must match fixed-schedule $accFull")
+    assert(early.losses.last < early.losses.head / 4,
+      "loss at stop must be well below the zero-model starting loss")
+    // the recorded stopping condition actually held at the stop point
+    val last = early.losses(early.itersRun - 1)
+    val prev = early.losses(early.itersRun - 2)
+    assert(math.abs(prev - last) <= 0.02 * math.max(math.abs(prev), 1e-12),
+      s"stop point must satisfy the relative-loss criterion ($prev -> $last)")
+  }
+
+  test("trainLinearModel: hash-gated mini-batches are proper subsets, " +
+       "reproducible under the same seed, and still learn the separation") {
+    import spark.implicits._
+    val rows = spamHamCorpus(n = 200)
+    val d = rows.toDF("doc_id", "text", "label")
+    val dim = 64
+    val r1 = TextOps.trainLinearModel(d, "text", "label", dim,
+      iters = 30, lr = 2.0, sampleFraction = 0.5, seed = 7L)
+    val r2 = TextOps.trainLinearModel(d, "text", "label", dim,
+      iters = 30, lr = 2.0, sampleFraction = 0.5, seed = 7L)
+    assert(java.util.Arrays.equals(r1.weights, r2.weights) && r1.bias == r2.bias,
+      "identical seed must reproduce bit-identical weights")
+    assert(r1.batchSizes.sameElements(r2.batchSizes))
+    assert(r1.batchSizes.forall(bs => bs > 0 && bs < rows.size.toLong),
+      s"0.5-fraction batches must be proper subsets: ${r1.batchSizes.toSeq}")
+    // different seed -> different batch schedule (hash gate is seed-driven)
+    val r3 = TextOps.trainLinearModel(d, "text", "label", dim,
+      iters = 30, lr = 2.0, sampleFraction = 0.5, seed = 8L)
+    assert(!r1.batchSizes.sameElements(r3.batchSizes) ||
+      !java.util.Arrays.equals(r1.weights, r3.weights),
+      "a different seed must change the batch schedule")
+    assert(modelAccuracy(rows, r1.weights, r1.bias) >= 0.95,
+      "mini-batch SGD must still learn the planted separation")
+  }
+
   private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(img, "png", bos))
