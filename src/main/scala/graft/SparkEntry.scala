@@ -379,6 +379,30 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q79_semantic_pairs" -> ((s: SparkSession, dir: String) => {
+      // SemDeDup-style semantic pairs: IVF cells partition the candidate
+      // space, within-cell cosine >= 0.9 survives. Planted exact copies of
+      // the first 20 vectors (q40's setup) assign to their original's cell
+      // (identical vector, identical argmax), so they MUST pair at cos = 1
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      SimOps.semanticDedupPairs(e.unionByName(dups), "vec_id", "embedding",
+          threshold = 0.9, nCells = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q80_semantic_dedup" -> ((s: SparkSession, dir: String) => {
+      // the keep-side: drop every vector with a lower-id semantic duplicate
+      // in its cell — the 20 planted copies all lose to their originals
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      SimOps.semanticDedup(e.unionByName(dups), "vec_id", "embedding",
+          threshold = 0.9, nCells = 16)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     "q31_langid" -> ((s: SparkSession, dir: String) => {
       TextOps.langId(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("lang_pred"), col("lang_pred_score"))
@@ -942,7 +966,54 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared CTE prefix of the q79/q80 semantic-dedup oracles: q40's
+    * planted-copies corpus, q42's data-derived codebook (16 lowest ids of
+    * the unioned corpus = original vec_id < 16) and argmax-cosine cell
+    * assignment, then within-cell pairs at cosine >= 0.9. All folds are
+    * DOUBLE[] list_inner_product — bit-exact vs the native expressions. */
+  private val SemanticDedupCtes: String =
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 20
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < 16
+        |), assign AS (
+        |  SELECT b.vec_id, b.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(b.v, b.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(b.v, c.cv)
+        |             / (sqrt(list_inner_product(b.v, b.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS rn
+        |  FROM base b CROSS JOIN c
+        |), cell AS (
+        |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cl AS cell,
+        |    round(CASE WHEN sqrt(list_inner_product(a.v, a.v))
+        |                    * sqrt(list_inner_product(b.v, b.v)) > 0
+        |      THEN list_inner_product(a.v, b.v)
+        |           / (sqrt(list_inner_product(a.v, a.v))
+        |              * sqrt(list_inner_product(b.v, b.v)))
+        |      ELSE 0.0 END, 6) AS cos_sim
+        |  FROM cell a JOIN cell b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "q79_semantic_pairs" -> (SemanticDedupCtes +
+      """
+        |SELECT id_a, id_b, cell, cos_sim FROM pairs
+        |WHERE cos_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin),
+
+    "q80_semantic_dedup" -> (SemanticDedupCtes +
+      """
+        |SELECT vec_id FROM base
+        |WHERE vec_id NOT IN (SELECT id_b FROM pairs WHERE cos_sim >= 0.9)
+        |ORDER BY vec_id""".stripMargin),
 
     "q01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -93,7 +93,7 @@ object DedupOps {
     * otherwise fail analysis. Consumers match on the prefix (see
     * [[ObservedMetrics]]). */
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def obsName(prefix: String): String =
+  private[ops] def obsName(prefix: String): String =
     s"$prefix#${obsCounter.incrementAndGet()}"
 
   /** Prefixes of the `Dataset.observe` metrics the LSH paths emit, so the

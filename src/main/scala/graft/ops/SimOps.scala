@@ -239,6 +239,27 @@ object SimOps {
    * native argmax (first max) and the oracle's `ORDER BY score DESC,
    * cent_id`.
    */
+  /** Bounded codebook shared by [[ivfTopK]] / [[landAnnIndex]] /
+    * [[semanticDedupPairs]]: the nCells LOWEST-ID corpus vectors
+    * (orderBy+limit, not `id < nCells` — sparse or offset id spaces would
+    * silently shrink a predicate-based codebook; ADVICE r3), or the
+    * maximin + Lloyd codebook with `trainCodebook = true` (deterministic;
+    * better recall on clustered corpora — VERDICT r4 #2). */
+  private def resolveCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                              nCells: Int, trainCodebook: Boolean,
+                              lloydIters: Int, trainSample: Int,
+                              caller: String): Array[(Long, Array[Double])] = {
+    val cents: Array[(Long, Array[Double])] =
+      if (trainCodebook)
+        trainIvfCodebook(corpus, idCol, vecCol, nCells, lloydIters, trainSample)
+      else
+        corpus.orderBy(col(idCol)).limit(nCells)
+          .select(col(idCol).cast(LongType), col(vecCol)).collect()
+          .map(r => (r.getLong(0), rowVec(r, 1))).sortBy(_._1)
+    require(cents.nonEmpty, s"$caller: empty corpus — cannot build a codebook")
+    cents
+  }
+
   /** Row array element -> Array[Double] (float corpora widen). */
   private def rowVec(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
     r.getSeq[Any](i).map {
@@ -329,19 +350,8 @@ object SimOps {
               nProbe: Int = 4, trainCodebook: Boolean = false,
               lloydIters: Int = 5, trainSample: Int = 4096): DataFrame = {
     val spark = corpus.sparkSession
-    // bounded codebook: the nCells LOWEST-ID corpus vectors (orderBy+limit,
-    // not `id < nCells` — sparse or offset id spaces would silently shrink
-    // a predicate-based codebook; ADVICE r3), the broadcast-codebook pattern.
-    // `trainCodebook = true` swaps in the maximin + Lloyd codebook instead
-    // (deterministic; better recall on clustered corpora — VERDICT r4 #2).
-    val cents: Array[(Long, Array[Double])] =
-      if (trainCodebook)
-        trainIvfCodebook(corpus, idCol, vecCol, nCells, lloydIters, trainSample)
-      else
-        corpus.orderBy(col(idCol)).limit(nCells)
-          .select(col(idCol).cast(LongType), col(vecCol)).collect()
-          .map(r => (r.getLong(0), rowVec(r, 1))).sortBy(_._1)
-    require(cents.nonEmpty, "ivfTopK: empty corpus — cannot build a codebook")
+    val cents = resolveCodebook(corpus, idCol, vecCol, nCells, trainCodebook,
+      lloydIters, trainSample, "ivfTopK")
 
     // native argmax-cosine assignment: the codebook rides as codegen
     // reference objects (nCells x dim literal arrays bloated the plan —
@@ -479,14 +489,8 @@ object SimOps {
         "tables or land under another name")
     }
     if (!spark.catalog.tableExists(s"${name}_centroids")) {
-      val cents: Array[(Long, Array[Double])] =
-        if (trainCodebook)
-          trainIvfCodebook(corpus, idCol, vecCol, nCells, lloydIters, trainSample)
-        else
-          corpus.orderBy(col(idCol)).limit(nCells)
-            .select(col(idCol).cast(LongType), col(vecCol)).collect()
-            .map(r => (r.getLong(0), rowVec(r, 1))).sortBy(_._1)
-      require(cents.nonEmpty, "landAnnIndex: empty corpus — cannot build a codebook")
+      val cents = resolveCodebook(corpus, idCol, vecCol, nCells, trainCodebook,
+        lloydIters, trainSample, "landAnnIndex")
       val centsDf = spark.createDataFrame(cents.toSeq.map {
         case (cid, cv) => (cid, cv.toSeq)
       }).toDF("cent_id", "centroid")
@@ -595,4 +599,88 @@ object SimOps {
       .groupBy(col(labelCol))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
         s => s.getField("centroid")).as("centroid"))
+
+  /**
+   * SEMANTIC near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the embedding corpus into IVF cells with
+   * the same coarse quantizer as [[ivfTopK]], then compare ONLY
+   * within-cell pairs and keep those with cosine >= `threshold`. Where
+   * [[embeddingNearDupPairs]]' random-hyperplane buckets catch
+   * NEAR-VERBATIM vectors (cos ~0.95+ at practical plane counts),
+   * data-adaptive cells catch "same meaning, different words" redundancy
+   * at lower thresholds — the dedup that measurably improves training
+   * efficiency on web corpora.
+   *
+   * Scale shape: cell assignment is map-side native codegen (the codebook
+   * rides as a reference object), the self-join is an equi-join on the
+   * cell id carrying ids only, and vectors join back for colliding pairs
+   * AFTER candidate generation — the candidates-first LSH shape. Candidate
+   * volume is Σ_c n_c²/2, so `nCells` must scale with the corpus (~n/1000
+   * cells keeps expected occupancy ~1000; pass `trainCodebook = true` so
+   * the cells track cluster structure instead of the id order). `maxCell`
+   * drops cells wider than the cap from candidate generation (0 =
+   * uncapped) — oversized cells are embedding-space boilerplate, the same
+   * skew guard as the LSH paths' `maxBucket`, emitting the same
+   * [[graft.ops.DedupOps.ObservedMetrics]] bucket/candidate/verified
+   * counters so a scale run records its candidate behavior.
+   *
+   * Output: (id_a, id_b, cell, cos_sim) with id_a < id_b — pairs never
+   * cross a cell boundary (that miss is the approximation SemDeDup
+   * accepts; raise nCells recall by training the codebook, not by
+   * probing neighbor cells).
+   */
+  def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.9, nCells: Int = 16,
+                         trainCodebook: Boolean = false, lloydIters: Int = 5,
+                         trainSample: Int = 4096, maxCell: Int = 0): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in [-1, 1], got $threshold")
+    val cents = resolveCodebook(corpus, idCol, vecCol, nCells, trainCodebook,
+      lloydIters, trainSample, "semanticDedupPairs")
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val assigned = vecs
+      .select(col(idCol),
+        org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+          .ivfCell(col(vecCol), cents.toSeq).as("__cell"))
+    val capped =
+      if (maxCell <= 0) assigned
+      else {
+        val w = Window.partitionBy(col("__cell"))
+        assigned.withColumn("__cn", count(lit(1)).over(w))
+          .observe(DedupOps.obsName(DedupOps.ObservedMetrics.LshBucketMetrics),
+            max(col("__cn")).as("max_bucket_width"),
+            sum(when(col("__cn") > maxCell, 1L).otherwise(0L))
+              .as("band_rows_capped"))
+          .filter(col("__cn") <= maxCell).drop("__cn")
+      }
+    val a = capped.select(col("__cell"), col(idCol).as("id_a"))
+    val b = capped.select(col("__cell"), col(idCol).as("id_b"))
+    // each id lives in exactly ONE cell, so a pair can collide at most
+    // once — no candidate distinct needed (unlike the multi-band paths)
+    val candidates = a.join(b, Seq("__cell"))
+      .filter(col("id_a") < col("id_b"))
+      .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupCandidateMetrics),
+        count(lit(1)).as("candidate_pairs"))
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupVerifiedMetrics),
+        count(lit(1)).as("verified_pairs"))
+      .select(col("id_a"), col("id_b"), col("__cell").as("cell"), col("cos_sim"))
+  }
+
+  /** Semantic dedup: drop rows whose vector semantically duplicates a
+    * lower-id row IN THE SAME CELL (one pass, like
+    * [[embeddingNearDedup]]'s lower-id survivor rule). */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.9, nCells: Int = 16,
+                    trainCodebook: Boolean = false, lloydIters: Int = 5,
+                    trainSample: Int = 4096, maxCell: Int = 0): DataFrame = {
+    val losers = semanticDedupPairs(corpus, idCol, vecCol, threshold, nCells,
+        trainCodebook, lloydIters, trainSample, maxCell)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -262,4 +262,65 @@ class SimSearchSpec extends SparkTestBase {
       }
     }
   }
+
+  /** 4 tight clusters, cluster-major ids (0-99 cluster 0, 100-199 cluster
+    * 1, ...), plus exact copies of ids 0..9 under ids 10000..10009.
+    * Within-cluster cosine sits near 0.998 (noise 0.1 around norm-12
+    * centers), never 1 — only the planted copies hit cos_sim = 1.0. */
+  private def semanticCorpus(): Seq[(Long, Seq[Double])] = {
+    val rng = new scala.util.Random(21)
+    val d = 16
+    val centers = Array.fill(4)(Array.fill(d)(rng.nextGaussian() * 3))
+    val rows = (0 until 400).map { i =>
+      (i.toLong, centers(i / 100).map(_ + rng.nextGaussian() * 0.1).toSeq)
+    }
+    rows ++ (0 until 10).map(i => (10000L + i, rows(i)._2))
+  }
+
+  test("semanticDedupPairs: exact copies pair at cos 1 in their original's " +
+       "cell; pairs never cross cells; semanticDedup keeps the lower id") {
+    val e = semanticCorpus().toDF("vec_id", "embedding")
+    // threshold 0.9999: within-cluster neighbors (~0.998) stay out, only
+    // the planted copies survive the verify
+    val strict = SimOps.semanticDedupPairs(e, "vec_id", "embedding",
+        threshold = 0.9999, nCells = 4, trainCodebook = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(strict.map(t => (t._1, t._2)).toSet ==
+      (0 until 10).map(i => (i.toLong, 10000L + i)).toSet,
+      s"exactly the planted copy pairs must verify at 0.9999: ${strict.toSeq}")
+    assert(strict.forall(_._3 == 1.0))
+
+    // at 0.99 every within-cluster pair verifies — and NONE crosses a
+    // cluster boundary (cells partition the candidate space)
+    val loose = SimOps.semanticDedupPairs(e, "vec_id", "embedding",
+        threshold = 0.99, nCells = 4, trainCodebook = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def cluster(id: Long) = if (id >= 10000L) (id - 10000L) / 100 else id / 100
+    assert(loose.nonEmpty && loose.forall { case (a, b) => cluster(a) == cluster(b) },
+      "semantic pairs must stay within one cell/cluster")
+
+    val kept = SimOps.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.9999, nCells = 4, trainCodebook = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0 until 400).map(_.toLong).toSet,
+      "the 10 planted copies (higher ids) must drop; every original stays")
+  }
+
+  test("semanticDedupPairs: maxCell drops oversized cells from candidate " +
+       "generation and records the cap through the observed metrics") {
+    val e = semanticCorpus().toDF("vec_id", "embedding")
+    // cluster 0 holds 110 members (100 + 10 copies); a 105 cap excises it
+    val (_, metrics) = ScalingProbe.runWithMetrics(spark,
+      SimOps.semanticDedupPairs(e, "vec_id", "embedding",
+        threshold = 0.9999, nCells = 4, trainCodebook = true, maxCell = 105))
+    val agg = ScalingProbe.aggregate(metrics)
+    assert(agg("max_bucket_width") == 110L,
+      s"pre-cap width of the hot cell must record: $agg")
+    assert(agg("band_rows_capped") == 110L,
+      s"all 110 rows of the hot cell leave candidate generation: $agg")
+    // every planted copy lives in the capped cell; the other three cells
+    // still generate candidates but nothing verifies at 0.9999
+    assert(agg("candidate_pairs") > 0L && agg("verified_pairs") == 0L,
+      s"capped cell's pairs must vanish, others verify nothing: $agg")
+  }
 }
