@@ -392,6 +392,38 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q81_duplicate_spans" -> ((s: SparkSession, dir: String) => {
+      // substring-level dedup: exact copies (whole-doc spans) and hybrid
+      // docs (an original plus a unique tail — the span stops where the
+      // tail's grams become unique) planted over the natural corpus
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val hybrids = d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" uniquetail"), col("doc_id").cast("string"),
+            lit(" appended words")).as("text"))
+      DedupOps.duplicateSpans(d.unionByName(copies).unionByName(hybrids),
+          "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_id"))
+    }),
+
+    "q82_strip_spans" -> ((s: SparkSession, dir: String) => {
+      // the excision side: originals (lowest ids) keep their text, copies
+      // and hybrids lose exactly the duplicated characters
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val hybrids = d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" uniquetail"), col("doc_id").cast("string"),
+            lit(" appended words")).as("text"))
+      DedupOps.stripDuplicateSpans(d.unionByName(copies).unionByName(hybrids),
+          "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q80_semantic_dedup" -> ((s: SparkSession, dir: String) => {
       // the keep-side: drop every vector with a lower-id semantic duplicate
       // in its cell — the 20 planted copies all lose to their originals
@@ -1002,7 +1034,108 @@ object SparkEntry {
         |  FROM cell a JOIN cell b ON a.cl = b.cl AND a.vec_id < b.vec_id
         |)""".stripMargin
 
+  /** Shared CTE prefix of the q81/q82 duplicate-span oracles: q81's
+    * planted corpus (copies + uniquetail hybrids), q69's first-principles
+    * tokenization (per-char alnum runs, 1-based offsets), 8-grams via a
+    * bounded self-join, document-frequency >= 2 on the gram TEXT (the
+    * Spark side hashes; identical absent xxhash64 collisions), and
+    * coverage-contiguous run merging (gap > 8 starts a new span). */
+  private val DuplicateSpanCtes: String =
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    text || ' uniquetail' || CAST(doc_id AS VARCHAR) || ' appended words' AS text
+        |  FROM documents WHERE doc_id < 10
+        |), pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i FROM docs
+        |), cls AS (
+        |  SELECT doc_id, text, i,
+        |    substr(lower(text), i, 1) BETWEEN 'a' AND 'z'
+        |      OR substr(text, i, 1) BETWEEN '0' AND '9' AS alnum,
+        |    i = 1 OR NOT (substr(lower(text), i - 1, 1) BETWEEN 'a' AND 'z'
+        |      OR substr(text, i - 1, 1) BETWEEN '0' AND '9') AS prev_non
+        |  FROM pos
+        |), truns AS (
+        |  SELECT doc_id, text, i,
+        |    SUM(CASE WHEN alnum AND prev_non THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS tok_idx
+        |  FROM cls WHERE alnum
+        |), tk AS (
+        |  SELECT doc_id, text, tok_idx, min(i) AS cs, max(i) AS ce
+        |  FROM truns GROUP BY doc_id, text, tok_idx
+        |), tok AS (
+        |  SELECT doc_id, tok_idx, cs, ce,
+        |    substr(lower(text), CAST(cs AS INT), CAST(ce - cs + 1 AS INT)) AS tk_text
+        |  FROM tk
+        |), gram AS (
+        |  SELECT a.doc_id, a.tok_idx AS gpos,
+        |    string_agg(b.tk_text, ' ' ORDER BY b.tok_idx) AS g
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+        |    AND b.tok_idx BETWEEN a.tok_idx AND a.tok_idx + 7
+        |  GROUP BY a.doc_id, a.tok_idx HAVING count(*) = 8
+        |), dup AS (
+        |  SELECT g FROM gram GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        |), dpos AS (
+        |  SELECT doc_id, gpos FROM gram WHERE g IN (SELECT g FROM dup)
+        |), marks AS (
+        |  SELECT doc_id, gpos,
+        |    CASE WHEN lag(gpos) OVER (PARTITION BY doc_id ORDER BY gpos) IS NULL
+        |      OR gpos - lag(gpos) OVER (PARTITION BY doc_id ORDER BY gpos) > 8
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM dpos
+        |), rg AS (
+        |  SELECT doc_id, gpos,
+        |    CAST(SUM(nw) OVER (PARTITION BY doc_id ORDER BY gpos) AS BIGINT) AS run
+        |  FROM marks
+        |), sp AS (
+        |  SELECT doc_id, run AS span_id, min(gpos) AS tok_start,
+        |    max(gpos) + 7 AS tok_end, count(*) AS n_dup_grams
+        |  FROM rg GROUP BY doc_id, run
+        |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "q81_duplicate_spans" -> (DuplicateSpanCtes +
+      """
+        |SELECT sp.doc_id, sp.span_id,
+        |  CAST(sp.tok_start AS BIGINT) AS tok_start,
+        |  CAST(sp.tok_end AS BIGINT) AS tok_end,
+        |  CAST(f.cs AS BIGINT) AS char_start, CAST(l.ce AS BIGINT) AS char_end,
+        |  sp.n_dup_grams
+        |FROM sp
+        |JOIN tk f ON f.doc_id = sp.doc_id AND f.tok_idx = sp.tok_start
+        |JOIN tk l ON l.doc_id = sp.doc_id AND l.tok_idx = sp.tok_end
+        |ORDER BY sp.doc_id, sp.span_id""".stripMargin),
+
+    "q82_strip_spans" -> (DuplicateSpanCtes +
+      """
+        |, occ AS (
+        |  SELECT sp.doc_id, sp.tok_start, f.cs, l.ce,
+        |    substr(dd.text, CAST(f.cs AS INT), CAST(l.ce - f.cs + 1 AS INT)) AS stext
+        |  FROM sp
+        |  JOIN tk f ON f.doc_id = sp.doc_id AND f.tok_idx = sp.tok_start
+        |  JOIN tk l ON l.doc_id = sp.doc_id AND l.tok_idx = sp.tok_end
+        |  JOIN docs dd ON dd.doc_id = sp.doc_id
+        |), rankedo AS (
+        |  SELECT *, row_number() OVER (PARTITION BY stext
+        |    ORDER BY doc_id, tok_start) AS rk
+        |  FROM occ
+        |), cuts AS (
+        |  SELECT doc_id, cs, ce FROM rankedo WHERE rk > 1
+        |), keptch AS (
+        |  SELECT p.doc_id, p.i, substr(p.text, CAST(p.i AS INT), 1) AS ch
+        |  FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+        |    WHERE c.doc_id = p.doc_id AND p.i BETWEEN c.cs AND c.ce)
+        |)
+        |SELECT d.doc_id, coalesce(kc.ct, '') AS clean_text
+        |FROM docs d
+        |LEFT JOIN (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS ct
+        |  FROM keptch GROUP BY doc_id) kc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
 
     "q79_semantic_pairs" -> (SemanticDedupCtes +
       """

@@ -1142,4 +1142,148 @@ object DedupOps {
       .observe(obsName(ObservedMetrics.NearDupVerifiedMetrics),
         count(lit(1)).as("verified_pairs"))
   }
+
+  /**
+   * SUBSTRING-level duplicate detection (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better", arXiv:2107.06499): find,
+   * per document, the maximal token spans covered by word `k`-grams that
+   * occur in at least `minDf` DISTINCT documents. Document-level dedup
+   * ([[nearDedup]]) misses the boilerplate CASE — licenses, navigation
+   * chrome, quoted paragraphs — where 95%-unique documents still share
+   * verbatim regions; this is the operator that finds those regions, with
+   * character provenance so callers can surgically excise them
+   * ([[stripDuplicateSpans]]).
+   *
+   * Semantics: tokens are the standard lowercased alphanumeric runs
+   * (`tokenize_with_offsets`, so each token carries its 1-based char span
+   * in the ORIGINAL text). Gram `i` (1-based) = tokens `i..i+k-1` joined
+   * with single spaces; a gram is duplicated iff >= `minDf` distinct
+   * documents contain it. Consecutive duplicated positions whose token
+   * coverage touches (`next - prev <= k`) merge into one span covering
+   * tokens `[first, last + k - 1]`. Spans within a document never overlap
+   * (runs are separated by coverage gaps).
+   *
+   * Scale shape (the suffix-array construction of the paper is a
+   * single-node algorithm; this is its shuffle-bounded re-expression):
+   * gram hashes are computed map-side from the per-doc token array
+   * (`xxhash64` over the joined gram — an 8-byte shuffle key, never gram
+   * text), the document-frequency aggregation and the semi-join back both
+   * shuffle on that hash, and the run merge is one window over
+   * (doc, position). Hot grams cost nothing extra: the df-aggregation
+   * collapses them to one row before the semi-join. Identity is the
+   * 64-bit hash, so two different grams colliding would conflate counts —
+   * at 1e12 grams P(any collision) ~ 3% and a false span needs a
+   * colliding gram to ALSO sit at `minDf` docs; the same accepted trade
+   * as [[lineDedup]]'s hash blocklist.
+   *
+   * Output: (idCol, span_id (1-based per doc, in token order), tok_start,
+   * tok_end, char_start, char_end, n_dup_grams) — `substring(text,
+   * char_start, char_end - char_start + 1)` is the duplicated region.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDf: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDf >= 2, s"minDf must be >= 2 (1 would flag every gram), got $minDf")
+    requireIdColFree(idCol)
+    val X = org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+    val toks = col("__toff").getField("toks")
+    val n = size(toks)
+    val withT = df
+      .select(col(idCol), X.tokenizeWithOffsets(col(textCol)).as("__toff"))
+      .filter(n >= k)
+    val grams = withT.select(col(idCol),
+        posexplode(transform(sequence(lit(1), n - k + 1),
+          i => xxhash64(array_join(slice(toks, i, lit(k)), " "))))
+          .as(Seq("__p0", "__gh")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__gh"))
+    val dupGrams = grams.groupBy(col("__gh"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__gh"))
+    val dupPos = grams.join(dupGrams, Seq("__gh"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val runs = dupPos
+      .withColumn("__prev", lag(col("__pos"), 1).over(wOrd))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__pos") - col("__prev") > k, 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum(col("__new")).over(wOrd))
+    runs.groupBy(col(idCol), col("__run"))
+      .agg(min(col("__pos")).as("tok_start"),
+        (max(col("__pos")) + lit(k - 1)).as("tok_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .join(withT, Seq(idCol))
+      .select(col(idCol), col("__run").as("span_id"),
+        col("tok_start").cast(LongType).as("tok_start"),
+        col("tok_end").cast(LongType).as("tok_end"),
+        element_at(col("__toff").getField("starts"), col("tok_start").cast(IntegerType))
+          .cast(LongType).as("char_start"),
+        element_at(col("__toff").getField("ends"), col("tok_end").cast(IntegerType))
+          .cast(LongType).as("char_end"),
+        col("n_dup_grams"))
+  }
+
+  /**
+   * Excise duplicated spans from the corpus, keeping ONE canonical
+   * occurrence of each distinct span text: the occurrence with the lowest
+   * (doc id, tok_start) keeps its characters, every other occurrence of
+   * that exact span text is cut, and the surviving segments re-join. Docs
+   * without duplicated spans pass through byte-identical. Span detection
+   * = [[duplicateSpans]] (same `k` / `minDf`).
+   *
+   * The keeper rule operates on the span's TEXT (not its gram run):
+   * maximal spans whose full text appears only once (e.g. partial
+   * overlaps extending a shared core differently) are KEPT everywhere —
+   * cutting them would destroy unique context around the shared core.
+   * This is deliberately more conservative than the paper's
+   * remove-every-repeat; it never removes characters that exist nowhere
+   * else.
+   *
+   * Scale: one window over xxhash64(span text) ranks occurrences
+   * (shuffle = spans, not docs), cuts collect per doc (spans per doc are
+   * few and bounded by text length), and the rebuild is a map-side
+   * `transform` splice over the sorted cut array. Output = input columns
+   * + `out` (the cleaned text; equal to `textCol` where nothing was cut).
+   */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, minDf: Int = 2,
+                          out: String = "clean_text"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists — rename it first")
+    val spans = duplicateSpans(df, idCol, textCol, k, minDf)
+    val spanText = df.select(col(idCol), col(textCol))
+      .join(spans, Seq(idCol))
+      .select(col(idCol), col("tok_start"), col("char_start"), col("char_end"),
+        col(textCol).substr(col("char_start").cast(IntegerType),
+          (col("char_end") - col("char_start") + 1).cast(IntegerType)).as("__stext"))
+    val wKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("__stext")))
+      .orderBy(col(idCol), col("tok_start"))
+    val cuts = spanText
+      .withColumn("__rk", row_number().over(wKeep))
+      .filter(col("__rk") > 1)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("char_start").as("cs"),
+        col("char_end").as("ce")))).as("__cuts"))
+    val cutsC = col("__cuts")
+    val text = col(textCol)
+    // splice: piece i (0-based) = chars (prevEnd, cuts[i].cs), prevEnd =
+    // cuts[i-1].ce (element_at is 1-based, so that is element_at(cuts, i));
+    // tail = chars after the last cut. substring() with len <= 0 is empty.
+    val pieces = transform(cutsC, (c, i) => text.substr(
+      when(i === 0, lit(1))
+        .otherwise(element_at(cutsC, i).getField("ce") + 1).cast(IntegerType),
+      (c.getField("cs") - when(i === 0, lit(1))
+        .otherwise(element_at(cutsC, i).getField("ce") + 1)).cast(IntegerType)))
+    val tail = text.substr(
+      (element_at(cutsC, -1).getField("ce") + 1).cast(IntegerType),
+      (length(text) - element_at(cutsC, -1).getField("ce")).cast(IntegerType))
+    df.join(cuts, Seq(idCol), "left")
+      .withColumn(out,
+        when(cutsC.isNull, text)
+          .otherwise(concat(concat_ws("", pieces), tail)))
+      .drop("__cuts")
+  }
 }

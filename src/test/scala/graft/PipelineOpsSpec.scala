@@ -604,6 +604,64 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("duplicateSpans: a shared 10-token paragraph surfaces as ONE merged " +
+       "span per doc with exact char provenance; within-doc repeats and " +
+       "sub-k overlaps stay invisible") {
+    import spark.implicits._
+    val shared = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha0 alpha1 alpha2 alpha3 alpha4 alpha5 $shared beta0 beta1 beta2"),
+      (1L, s"gamma0 gamma1 $shared delta0 delta1 delta2 delta3 delta4 delta5"),
+      // k-1 = 7 shared tokens only: no full k-gram in common -> invisible
+      (2L, "eps0 eps1 " + (0 until 7).map(i => s"shared$i").mkString(" ") + " eps2"),
+      // the same 10 tokens REPEATED within one doc, nowhere else: minDf
+      // counts distinct docs, so this stays invisible too
+      (3L, (0 until 10).map(i => s"solo$i").mkString(" ") + " mid " +
+        (0 until 10).map(i => s"solo$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(spans.map(_._1).toSet == Set(0L, 1L),
+      s"only the two docs sharing a full 8-gram carry spans: ${spans.toSeq}")
+    // 10 shared tokens, k=8 -> 3 dup grams, merged into ONE span of tokens
+    // [start, start+9]; doc 0's shared region starts at token 7, doc 1's at 3
+    val byDoc = spans.groupBy(_._1)
+    assert(byDoc.values.forall(_.length == 1), s"one merged span each: ${spans.toSeq}")
+    val (s0, s1) = (byDoc(0L).head, byDoc(1L).head)
+    assert((s0._3, s0._4, s0._7) == ((7L, 16L, 3L)), s"doc0 span: $s0")
+    assert((s1._3, s1._4, s1._7) == ((3L, 12L, 3L)), s"doc1 span: $s1")
+    // char provenance: the substring over [char_start, char_end] IS the
+    // shared paragraph, in both docs
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(s0, s1).foreach { s =>
+      val sub = texts(s._1).substring(s._5.toInt - 1, s._6.toInt)
+      assert(sub == shared, s"span chars must recover the paragraph: '$sub'")
+    }
+  }
+
+  test("stripDuplicateSpans: lowest (doc_id, tok_start) occurrence keeps its " +
+       "text, later occurrences are excised, clean docs pass byte-identical") {
+    import spark.implicits._
+    val shared = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha0 alpha1 alpha2 alpha3 alpha4 alpha5 $shared beta0 beta1 beta2"),
+      (1L, s"gamma0 gamma1 $shared delta0 delta1 delta2 delta3 delta4 delta5"),
+      (2L, s"zeta0 zeta1 $shared"),
+      (3L, "untouched document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.stripDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 0 is the canonical occurrence -> byte-identical
+    assert(out(0L) == s"alpha0 alpha1 alpha2 alpha3 alpha4 alpha5 $shared beta0 beta1 beta2")
+    // docs 1/2 lose exactly the span's characters (the flanking spaces stay)
+    assert(out(1L) == "gamma0 gamma1  delta0 delta1 delta2 delta3 delta4 delta5",
+      s"got '${out(1L)}'")
+    assert(out(2L) == "zeta0 zeta1 ", s"got '${out(2L)}'")
+    assert(out(3L) == "untouched document with its own words entirely")
+  }
+
   test("contaminatedIdsBloom equals exact contaminatedIds; sketch probe " +
        "rejects non-members") {
     import spark.implicits._
