@@ -540,4 +540,65 @@ object StreamOps {
           }
       }
   }
+
+  /**
+   * STEADY-STATE streaming ingest dedup against a persisted near-dup
+   * index ([[graft.ops.DedupOps.landNearDupIndex]]): a `foreachBatch`
+   * body that, per micro-batch, (1) optionally near-dedups WITHIN the
+   * batch (batch [[graft.ops.DedupOps.nearDedup]] semantics — two fresh
+   * near-dup rows arriving in one batch would both miss the index),
+   * (2) probes the landed index with the batch
+   * ([[graft.ops.DedupOps.nearDedupAgainstIndex]] — bucketed scans, zero
+   * landed-side recompute), (3) folds accepted rows back via
+   * [[graft.ops.DedupOps.appendNearDupIndex]] so LATER batches catch
+   * near-dups of earlier accepted documents, then (4) hands the accepted
+   * batch to `sink`. Wire it as
+   * `stream.writeStream.foreachBatch(StreamOps.dedupAgainstIndexBatch(...)(sink)).start()`.
+   *
+   * This is the unbounded-horizon complement to the stateful in-stream
+   * ops: [[streamingMinHashNearDedup]] bounds its memory by the
+   * WATERMARK horizon (a near-dup of last week's doc passes), while the
+   * index remembers every accepted document for the life of the index at
+   * zero state-store cost — the dedup a steady-state crawl ingest needs.
+   * Sketch parameters ride in the index's meta table (land/probe drift is
+   * unrepresentable); the accepted batch is pinned with a
+   * `localCheckpoint` BEFORE the append mutates the very tables the probe
+   * plan reads, then `sink` receives the pinned frame.
+   *
+   * Delivery: micro-batch replays re-run the probe and re-offer the batch
+   * to the append, which is idempotent per document identity
+   * (`xxhash64(text)` anti-join) — the index converges under
+   * at-least-once replays; `sink` sees the standard foreachBatch
+   * at-least-once contract and should be idempotent on `batchId` as
+   * usual.
+   *
+   * Visibility: foreachBatch runs in the stream's CLONED SparkSession, so
+   * probe-then-append stays self-consistent batch over batch. A DIFFERENT
+   * session probing the same index concurrently reads through its own
+   * relation cache and sees appends only after `REFRESH TABLE
+   * <name>_shingles / _bands` — standard catalog-table semantics, not a
+   * property of this operator.
+   */
+  def dedupAgainstIndexBatch(idCol: String, textCol: String, name: String,
+                             threshold: Double = 0.7, maxRefBucket: Int = 0,
+                             dedupWithinBatch: Boolean = true,
+                             appendAccepted: Boolean = true)
+                            (sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val D = graft.ops.DedupOps
+    (batch: DataFrame, batchId: Long) => {
+      val m = batch.sparkSession.table(s"${name}_meta").head()
+      val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
+        m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
+      val inBatch =
+        if (dedupWithinBatch)
+          D.nearDedup(batch, idCol, textCol, numHashes, bands, shingleSize,
+            threshold)
+        else batch
+      val accepted = D.nearDedupAgainstIndex(inBatch, idCol, textCol, name,
+          threshold, maxRefBucket)
+        .localCheckpoint()
+      if (appendAccepted) D.appendNearDupIndex(accepted, textCol, name)
+      sink(accepted, batchId)
+    }
+  }
 }

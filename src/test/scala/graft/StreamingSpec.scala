@@ -483,4 +483,63 @@ class StreamingSpec extends SparkTestBase {
     assert(df.count() == 199)
     assert(df.columns.take(3).toSeq == Seq("cast_id", "scan_order", "pressure"))
   }
+
+  test("dedupAgainstIndexBatch: landed near-dups drop, the append makes " +
+       "batch 2 catch batch-1 survivors, within-batch twins collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic pseudo-random 30-word docs over a 503-word vocabulary;
+    // distinct seeds share almost no shingles, "+ tail" stays ~0.93 Jaccard
+    def words(seed: Long): String = {
+      var s = seed * 2654435761L + 11L
+      (0 until 30).map { _ =>
+        s = (s * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffffffffL
+        "w" + (s % 503)
+      }.mkString(" ")
+    }
+    val idx = "graft_stream_idx_spec"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val corpus = Seq((0L, words(1)), (1L, words(2))).toDF("doc_id", "text")
+    graft.ops.DedupOps.landNearDupIndex(corpus, "text", idx,
+      numHashes = 64, bands = 16, path = Some(s"$tmp/$idx"))
+    try {
+      val accepted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamOps.dedupAgainstIndexBatch("doc_id", "text", idx,
+          threshold = 0.7) { (df, bid) =>
+            val ids = df.select("doc_id").collect().map(_.getLong(0))
+            accepted.synchronized { accepted ++= ids.map(bid -> _) }
+          })
+        .start()
+      try {
+        input.addData(
+          (10L, words(1) + " tail"),                 // near-dup of landed 0 -> drop
+          (11L, words(7)),                           // novel -> accept
+          (12L, words(9)), (13L, words(9) + " tail")) // twins -> lower id only
+        q.processAllAvailable()
+        input.addData(
+          (20L, words(7) + " tail"),                 // near-dup of ACCEPTED 11:
+                                                     // caught only via the append
+          (21L, words(5)))                           // novel -> accept
+        q.processAllAvailable()
+      } finally q.stop()
+      val ids = accepted.map(_._2).toSet
+      assert(ids == Set(11L, 12L, 21L), s"accepted: ${accepted.toSeq.sorted}")
+      // and the index itself grew: survivors' identities are probeable now.
+      // The appends ran in the STREAM's cloned session; this session's
+      // relation cache is stale (standard cross-session catalog-table
+      // semantics, pinned here) until an explicit refresh
+      Seq("_shingles", "_bands").foreach(s =>
+        spark.catalog.refreshTable(s"$idx$s"))
+      val again = graft.ops.DedupOps.nearDedupAgainstIndex(
+        Seq((30L, words(5) + " tail")).toDF("doc_id", "text"),
+        "doc_id", "text", idx, threshold = 0.7)
+      assert(again.isEmpty, "a near-dup of batch-2 survivor 21 must drop")
+    } finally {
+      Seq("_meta", "_shingles", "_bands").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS $idx$s")
+      }
+    }
+  }
 }
