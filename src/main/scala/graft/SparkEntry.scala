@@ -392,6 +392,30 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q84_corpus_diff" -> ((s: SparkSession, dir: String) => {
+      // snapshot audit between two corpus versions: every-7th doc removed,
+      // every-5th edited, 15 new docs appended — unchanged ids emit no row
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newer = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      graft.ops.SampleOps.corpusDiff(d, newer, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q83_ngram_lm_score" -> ((s: SparkSession, dir: String) => {
+      // CCNet-style quality scoring: a trigram LM trained on the 90%
+      // "reference" slice scores the held-out 10% by mean negative
+      // log-probability (micro-nat-exact; md5-31 keys, DuckDB-replayable)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = TextOps.trainNgramLm(d.filter(col("doc_id") % 10 =!= 0), "text", n = 3)
+      TextOps.ngramLogProbScore(d.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    }),
+
     "q81_duplicate_spans" -> ((s: SparkSession, dir: String) => {
       // substring-level dedup: exact copies (whole-doc spans) and hybrid
       // docs (an original plus a unique tail — the span stops where the
@@ -1097,6 +1121,90 @@ object SparkEntry {
         |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q84_corpus_diff" ->
+      // digest equality == text equality absent sha2 collisions (the q62
+      // rule), so the oracle compares texts directly
+      """WITH older AS (SELECT doc_id, text FROM documents),
+        |newer AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 15
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS DISTINCT FROM n.text THEN 'changed' END AS change
+        |FROM older o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+        |   OR o.text IS DISTINCT FROM n.text
+        |ORDER BY doc_id""".stripMargin,
+
+    "q83_ngram_lm_score" ->
+      // first-principles replay of the trigram LM: per-char tokenization
+      // (the q69/q81 CTE pattern), contexts via a bounded self-join,
+      // md5-31 keys (q64's hash form), add-1 smoothing over the train
+      // vocabulary, and per-position micro-nat flooring so the per-doc
+      // aggregation sums INTEGERS — ln() ulp drift cannot reorder-diverge
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+        |  FROM documents
+        |), cls AS (
+        |  SELECT doc_id, text, i,
+        |    substr(lower(text), i, 1) BETWEEN 'a' AND 'z'
+        |      OR substr(text, i, 1) BETWEEN '0' AND '9' AS alnum,
+        |    i = 1 OR NOT (substr(lower(text), i - 1, 1) BETWEEN 'a' AND 'z'
+        |      OR substr(text, i - 1, 1) BETWEEN '0' AND '9') AS prev_non
+        |  FROM pos
+        |), truns AS (
+        |  SELECT doc_id, text, i,
+        |    SUM(CASE WHEN alnum AND prev_non THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS tok_idx
+        |  FROM cls WHERE alnum
+        |), tk AS (
+        |  SELECT doc_id, text, tok_idx, min(i) AS cs, max(i) AS ce
+        |  FROM truns GROUP BY doc_id, text, tok_idx
+        |), tok AS (
+        |  SELECT doc_id, tok_idx,
+        |    substr(lower(text), CAST(cs AS INT), CAST(ce - cs + 1 AS INT)) AS tt
+        |  FROM tk
+        |), ctx AS (
+        |  SELECT a.doc_id, a.tok_idx AS i,
+        |    string_agg(b.tt, ' ' ORDER BY b.tok_idx) AS c
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+        |    AND b.tok_idx BETWEEN a.tok_idx - 2 AND a.tok_idx - 1
+        |  GROUP BY a.doc_id, a.tok_idx HAVING count(*) = 2
+        |), pr AS (
+        |  SELECT c.doc_id, c.i,
+        |    (('0x' || substr(md5(c.c), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT AS ctx_h,
+        |    (('0x' || substr(md5(t.tt), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT AS tok_h
+        |  FROM ctx c JOIN tok t ON t.doc_id = c.doc_id AND t.tok_idx = c.i
+        |), grams AS (
+        |  SELECT ctx_h, tok_h, count(*) AS cnt FROM pr
+        |  WHERE doc_id % 10 <> 0 GROUP BY ctx_h, tok_h
+        |), ctxs AS (
+        |  SELECT ctx_h, sum(cnt) AS ctx_cnt FROM grams GROUP BY ctx_h
+        |), vocab AS (
+        |  SELECT count(DISTINCT (('0x' || substr(md5(tt), 1, 16))::UBIGINT
+        |    & 2147483647::UBIGINT)::BIGINT) AS v
+        |  FROM tok WHERE doc_id % 10 <> 0
+        |), scored AS (
+        |  SELECT s.doc_id,
+        |    CAST(floor(ln((coalesce(g.cnt, 0) + 1.0)
+        |      / (coalesce(x.ctx_cnt, 0) + 1.0 * (SELECT v FROM vocab)))
+        |      * 1e6 + 0.5) AS BIGINT) AS lpu
+        |  FROM pr s
+        |  LEFT JOIN grams g ON g.ctx_h = s.ctx_h AND g.tok_h = s.tok_h
+        |  LEFT JOIN ctxs x ON x.ctx_h = s.ctx_h
+        |  WHERE s.doc_id % 10 = 0
+        |)
+        |SELECT doc_id, count(*) AS n_scored,
+        |  round(-(CAST(sum(lpu) AS DOUBLE) / 1e6) / count(*), 6) AS avg_neg_logp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q81_duplicate_spans" -> (DuplicateSpanCtes +
       """

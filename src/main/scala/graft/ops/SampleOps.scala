@@ -211,4 +211,31 @@ object SampleOps {
     df.withColumn("pack_id", (cumBefore / lit(budget)).cast("long"))
       .withColumn("pack_offset", (cumBefore % lit(budget)).cast("long"))
   }
+
+  /**
+   * Corpus SNAPSHOT DIFF: classify every id across two corpus versions as
+   * `added` (only in `newer`), `removed` (only in `older`) or `changed`
+   * (present in both, text digest differs) — the audit a versioned
+   * training-data pipeline runs between crawls before deciding what to
+   * re-process (unchanged ids, the overwhelming bulk, emit NO row).
+   *
+   * Shape at 100 TB: both sides reduce map-side to (id, sha2-256 digest)
+   * — document bodies never enter the join — then one full-outer hash
+   * join on the id. Null texts digest to null and compare null-safely
+   * (two null texts = unchanged). Output: (idCol, change).
+   */
+  def corpusDiff(older: DataFrame, newer: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = older.select(col(idCol), sha2(col(textCol), 256).as("__d_old"),
+      lit(1).as("__in_old"))
+    val n = newer.select(col(idCol), sha2(col(textCol), 256).as("__d_new"),
+      lit(1).as("__in_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("__d_old") <=> col("__d_new")), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col(idCol), col("change"))
+  }
 }

@@ -415,6 +415,107 @@ object TextOps {
   /** Content-defined fingerprint: sha2-256 of the token-normalized text
     * (whitespace/punctuation-insensitive — two docs differing only in
     * formatting collide, which is the point). */
+  /**
+   * An n-gram language model trained in-engine ([[trainNgramLm]]): hashed
+   * (context, token) counts plus the context marginals and the training
+   * vocabulary size — everything [[ngramLogProbScore]] needs for
+   * add-alpha-smoothed conditional probabilities. `grams` and `contexts`
+   * are LAZY distributed frames (the model can exceed any driver's
+   * memory); persist or land them when scoring more than once.
+   */
+  final case class NgramLm(n: Int, vocabSize: Long,
+                           grams: DataFrame, contexts: DataFrame)
+
+  /**
+   * Train an n-gram LM over the hashed token stream — the CCNet-style
+   * quality signal: score candidate documents by cross-entropy under a
+   * model of a trusted reference corpus, and filter on the score
+   * (Wenzek et al. 2020, arXiv:1911.00359 §4.3 use a 5-gram KenLM; the
+   * add-alpha n-gram here is its engine-native, exactly-reproducible
+   * counterpart).
+   *
+   * Counts are keyed by the engine-portable md5-31 hash of the context
+   * (the n-1 preceding tokens joined with spaces) and of the token, so
+   * the DuckDB oracle reproduces every key; hash collisions merge counts
+   * IDENTICALLY in both engines (the hash IS the identity, as in
+   * [[hashingTfVector]]). Scale shape: position pairs explode map-side
+   * from each doc's token array, counts partial-aggregate before one
+   * shuffle on the 8-byte key pair, the context marginal reuses the gram
+   * aggregate, and nothing ever collects to the driver except the single
+   * vocabulary-size scalar.
+   */
+  def trainNgramLm(corpus: DataFrame, textCol: String, n: Int = 3): NgramLm = {
+    require(n >= 2, s"n must be >= 2 (unigrams have no context), got $n")
+    val X = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+    val toksC = tokens(col(textCol))
+    val pairs = corpus
+      .select(toksC.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(explode(transform(sequence(lit(n), size(col("__t"))),
+        i => struct(
+          X.md5Hash31(array_join(slice(col("__t"), i - (n - 1), lit(n - 1)), " "))
+            .as("ctx_h"),
+          X.md5Hash31(element_at(col("__t"), i)).as("tok_h")))).as("__g"))
+      .select(col("__g.ctx_h").as("ctx_h"), col("__g.tok_h").as("tok_h"))
+    val grams = pairs.groupBy(col("ctx_h"), col("tok_h"))
+      .agg(count(lit(1)).as("cnt"))
+    val contexts = grams.groupBy(col("ctx_h")).agg(sum(col("cnt")).as("ctx_cnt"))
+    val vocabSize = corpus.select(explode(toksC).as("__tok"))
+      .select(X.md5Hash31(col("__tok")).as("__h")).distinct().count()
+    NgramLm(n, vocabSize, grams, contexts)
+  }
+
+  /**
+   * Score documents under a trained [[NgramLm]]: for every position with a
+   * full (n-1)-token context, `p(tok | ctx) = (cnt + alpha) /
+   * (ctx_cnt + alpha * V)` (add-alpha smoothing over the training
+   * vocabulary; unseen context => uniform 1/V), and the document score is
+   * the mean negative log-probability — low = fluent under the reference
+   * model, high = out-of-domain/garbled, the CCNet filtering axis.
+   * Documents with fewer than n tokens carry no full-context position and
+   * emit no row.
+   *
+   * Exactness: ln() is the one non-IEEE-exact step (engines differ by an
+   * ulp), so each position's logp is fixed to integer MICRO-NATS first —
+   * `floor(logp * 1e6 + 0.5)`, the q70 rounding rule — and the per-doc
+   * aggregation sums integers (any order, any engine, same result). The
+   * returned `avg_neg_logp` divides that exact sum once at the end.
+   * Scale shape: two hash joins on 8-byte keys (grams, then contexts);
+   * a small model broadcasts under AQE, a corpus-scale model shuffles
+   * positions by key — never document text.
+   */
+  def ngramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+                        lm: NgramLm, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0 && java.lang.Double.isFinite(alpha),
+      s"alpha must be positive, got $alpha")
+    require(lm.vocabSize > 0, "model has an empty vocabulary")
+    val X = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+    val n = lm.n
+    val toksC = tokens(col(textCol))
+    val pos = docs
+      .select(col(idCol), toksC.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), explode(transform(sequence(lit(n), size(col("__t"))),
+        i => struct(
+          X.md5Hash31(array_join(slice(col("__t"), i - (n - 1), lit(n - 1)), " "))
+            .as("ctx_h"),
+          X.md5Hash31(element_at(col("__t"), i)).as("tok_h")))).as("__g"))
+      .select(col(idCol), col("__g.ctx_h").as("ctx_h"), col("__g.tok_h").as("tok_h"))
+    val logp = log(
+      (coalesce(col("cnt"), lit(0L)).cast(DoubleType) + lit(alpha)) /
+      (coalesce(col("ctx_cnt"), lit(0L)).cast(DoubleType)
+        + lit(alpha * lm.vocabSize.toDouble)))
+    pos
+      .join(lm.grams, Seq("ctx_h", "tok_h"), "left")
+      .join(lm.contexts, Seq("ctx_h"), "left")
+      .select(col(idCol),
+        floor(logp * lit(1e6) + lit(0.5)).cast(LongType).as("__lpu"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        round(-(sum(col("__lpu")).cast(DoubleType) / lit(1e6))
+          / count(lit(1)), 6).as("avg_neg_logp"))
+  }
+
   def fingerprint(text: Column): Column =
     sha2(array_join(tokens(text), " "), 256)
 

@@ -604,6 +604,59 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("corpusDiff: added/removed/changed classified; unchanged and " +
+       "null-to-null texts emit no row; null-to-text is a change") {
+    import spark.implicits._
+    val older = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val newer = Seq((1L, "same"), (2L, "has changed"), (6L, "brand new"),
+      (4L, null.asInstanceOf[String]), (5L, "text now"))
+      .toDF("doc_id", "text")
+    val diff = graft.ops.SampleOps.corpusDiff(older, newer, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 5L -> "changed",
+      6L -> "added"), s"got $diff")
+  }
+
+  test("trainNgramLm / ngramLogProbScore: hand-computed bigram " +
+       "probabilities; unseen contexts back off to uniform 1/V; short and " +
+       "in-domain docs behave") {
+    import spark.implicits._
+    // train "a b a b a c": bigrams (a,b)x2 (b,a)x2 (a,c)x1;
+    // ctx_cnt(a)=3, ctx_cnt(b)=2; V=3
+    val lm = TextOps.trainNgramLm(Seq("a b a b a c").toDF("text"), "text", n = 2)
+    assert(lm.vocabSize == 3L)
+    val counts = lm.grams.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(counts.values.toSeq.sorted == Seq(1L, 2L, 2L))
+
+    val scored = TextOps.ngramLogProbScore(
+      Seq((0L, "a b a"),   // p(b|a)=(2+1)/(3+3)=1/2, p(a|b)=(2+1)/(2+3)=3/5
+          (1L, "z z z"),   // unseen ctx twice: p=(0+1)/(0+3)=1/3
+          (2L, "a"),       // 1 token < n -> no row
+          (3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def microNat(ps: Seq[Double]): Double = {
+      val sum = ps.map(p => math.floor(math.log(p) * 1e6 + 0.5).toLong).sum
+      BigDecimal(-(sum.toDouble / 1e6) / ps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(scored.keySet == Set(0L, 1L))
+    assert(scored(0L) == ((2L, microNat(Seq(0.5, 0.6)))), s"got ${scored(0L)}")
+    assert(scored(1L) == ((2L, microNat(Seq(1.0 / 3, 1.0 / 3)))), s"got ${scored(1L)}")
+
+    // the quality axis: a doc of in-domain bigrams scores LOWER (more
+    // probable) than an out-of-domain doc under the same model
+    val sep = TextOps.ngramLogProbScore(
+      Seq((10L, "a b a b"), (11L, "q r s t")).toDF("doc_id", "text"),
+      "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sep(10L) < sep(11L),
+      s"in-domain must be more probable: ${sep.toSeq.sorted}")
+  }
+
   test("duplicateSpans: a shared 10-token paragraph surfaces as ONE merged " +
        "span per doc with exact char provenance; within-doc repeats and " +
        "sub-k overlaps stay invisible") {
