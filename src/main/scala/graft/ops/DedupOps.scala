@@ -1181,16 +1181,33 @@ object DedupOps {
    * char_start, char_end - char_start + 1)` is the duplicated region.
    */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8, minDf: Int = 2): DataFrame = {
+                     k: Int = 8, minDf: Int = 2): DataFrame =
+    duplicateSpansWithHandle(df, idCol, textCol, k, minDf)._1
+
+  /** [[duplicateSpans]] plus the staged-cache unpersist handle (the
+    * [[nearDuplicatePairsWithHandle]] convention): the tokenized+offset
+    * corpus is referenced THREE times (gram document-frequency, the
+    * semi-join back, the char-offset join), so it stages through one
+    * persist — without it each reference re-scans and re-tokenizes the
+    * 100 TB table. Pass `StorageLevel.NONE` to opt out (the recompute
+    * trade); call the handle once the result is consumed. */
+  def duplicateSpansWithHandle(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 8, minDf: Int = 2,
+                               tokenStorage: org.apache.spark.storage.StorageLevel =
+                                 org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, () => Unit) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minDf >= 2, s"minDf must be >= 2 (1 would flag every gram), got $minDf")
     requireIdColFree(idCol)
     val X = org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
     val toks = col("__toff").getField("toks")
     val n = size(toks)
-    val withT = df
+    val staged = df
       .select(col(idCol), X.tokenizeWithOffsets(col(textCol)).as("__toff"))
       .filter(n >= k)
+    val withT =
+      if (tokenStorage == org.apache.spark.storage.StorageLevel.NONE) staged
+      else staged.persist(tokenStorage)
     val grams = withT.select(col(idCol),
         posexplode(transform(sequence(lit(1), n - k + 1),
           i => xxhash64(array_join(slice(toks, i, lit(k)), " "))))
@@ -1210,7 +1227,7 @@ object DedupOps {
         when(col("__prev").isNull || col("__pos") - col("__prev") > k, 1L)
           .otherwise(0L))
       .withColumn("__run", sum(col("__new")).over(wOrd))
-    runs.groupBy(col(idCol), col("__run"))
+    val result = runs.groupBy(col(idCol), col("__run"))
       .agg(min(col("__pos")).as("tok_start"),
         (max(col("__pos")) + lit(k - 1)).as("tok_end"),
         count(lit(1)).as("n_dup_grams"))
@@ -1223,6 +1240,11 @@ object DedupOps {
         element_at(col("__toff").getField("ends"), col("tok_end").cast(IntegerType))
           .cast(LongType).as("char_end"),
         col("n_dup_grams"))
+    (result, () => {
+      if (tokenStorage != org.apache.spark.storage.StorageLevel.NONE) {
+        withT.unpersist(); ()
+      }
+    })
   }
 
   /**
