@@ -420,11 +420,17 @@ object TextOps {
    * (context, token) counts plus the context marginals and the training
    * vocabulary size — everything [[ngramLogProbScore]] needs for
    * add-alpha-smoothed conditional probabilities. `grams` and `contexts`
-   * are LAZY distributed frames (the model can exceed any driver's
-   * memory); persist or land them when scoring more than once.
+   * are distributed frames (the model can exceed any driver's memory);
+   * with the default `cache = true` the gram table is persisted — the
+   * context marginal derives FROM it, so an uncached model re-runs the
+   * full training aggregation TWICE per scoring query. Call
+   * [[NgramLm.unpersist]] when done with the model.
    */
   final case class NgramLm(n: Int, vocabSize: Long,
-                           grams: DataFrame, contexts: DataFrame)
+                           grams: DataFrame, contexts: DataFrame) {
+    /** Release the cached gram table (no-op for `cache = false` models). */
+    def unpersist(): Unit = { grams.unpersist(); () }
+  }
 
   /**
    * Train an n-gram LM over the hashed token stream — the CCNet-style
@@ -444,7 +450,8 @@ object TextOps {
    * aggregate, and nothing ever collects to the driver except the single
    * vocabulary-size scalar.
    */
-  def trainNgramLm(corpus: DataFrame, textCol: String, n: Int = 3): NgramLm = {
+  def trainNgramLm(corpus: DataFrame, textCol: String, n: Int = 3,
+                   cache: Boolean = true): NgramLm = {
     require(n >= 2, s"n must be >= 2 (unigrams have no context), got $n")
     val X = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
     val toksC = tokens(col(textCol))
@@ -457,8 +464,11 @@ object TextOps {
             .as("ctx_h"),
           X.md5Hash31(element_at(col("__t"), i)).as("tok_h")))).as("__g"))
       .select(col("__g.ctx_h").as("ctx_h"), col("__g.tok_h").as("tok_h"))
-    val grams = pairs.groupBy(col("ctx_h"), col("tok_h"))
+    val gramsPlain = pairs.groupBy(col("ctx_h"), col("tok_h"))
       .agg(count(lit(1)).as("cnt"))
+    val grams = if (cache)
+      gramsPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else gramsPlain
     val contexts = grams.groupBy(col("ctx_h")).agg(sum(col("cnt")).as("ctx_cnt"))
     val vocabSize = corpus.select(explode(toksC).as("__tok"))
       .select(X.md5Hash31(col("__tok")).as("__h")).distinct().count()
