@@ -392,6 +392,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q85_ngram_lm_indexed" -> ((s: SparkSession, dir: String) => {
+      // q83's steady-state shape: the reference LM lands once as bucketed
+      // tables; scoring reads counts instead of re-training. Same oracle
+      // as q83 — the landed path must be row-identical to the direct path.
+      val idx = "graft_q85_" + math.abs(dir.hashCode).toString
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextOps.landNgramLm(d.filter(col("doc_id") % 10 =!= 0), "text", idx,
+        n = 3, path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      TextOps.ngramLogProbScoreIndexed(d.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", idx)
+        .orderBy(col("doc_id"))
+    }),
+
     "q84_corpus_diff" -> ((s: SparkSession, dir: String) => {
       // snapshot audit between two corpus versions: every-7th doc removed,
       // every-5th edited, 15 new docs appended — unchanged ids emit no row
@@ -1120,35 +1133,14 @@ object SparkEntry {
         |  FROM rg GROUP BY doc_id, run
         |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
-
-    "q84_corpus_diff" ->
-      // digest equality == text equality absent sha2 collisions (the q62
-      // rule), so the oracle compares texts directly
-      """WITH older AS (SELECT doc_id, text FROM documents),
-        |newer AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 15
-        |)
-        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-        |  CASE WHEN o.doc_id IS NULL THEN 'added'
-        |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.text IS DISTINCT FROM n.text THEN 'changed' END AS change
-        |FROM older o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id
-        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
-        |   OR o.text IS DISTINCT FROM n.text
-        |ORDER BY doc_id""".stripMargin,
-
-    "q83_ngram_lm_score" ->
-      // first-principles replay of the trigram LM: per-char tokenization
-      // (the q69/q81 CTE pattern), contexts via a bounded self-join,
-      // md5-31 keys (q64's hash form), add-1 smoothing over the train
-      // vocabulary, and per-position micro-nat flooring so the per-doc
-      // aggregation sums INTEGERS — ln() ulp drift cannot reorder-diverge
-      """WITH pos AS (
+  /** q83's DuckDB oracle, shared verbatim by q85 (landed-model path):
+    * first-principles replay of the trigram LM — per-char tokenization
+    * (the q69/q81 CTE pattern), contexts via a bounded self-join, md5-31
+    * keys (q64's hash form), add-1 smoothing over the train vocabulary,
+    * and per-position micro-nat flooring so the per-doc aggregation sums
+    * INTEGERS — ln() ulp drift cannot reorder-diverge. */
+  private val NgramLmOracleSql: String =
+    """WITH pos AS (
         |  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
         |  FROM documents
         |), cls AS (
@@ -1204,7 +1196,34 @@ object SparkEntry {
         |)
         |SELECT doc_id, count(*) AS n_scored,
         |  round(-(CAST(sum(lpu) AS DOUBLE) / 1e6) / count(*), 6) AS avg_neg_logp
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q84_corpus_diff" ->
+      // digest equality == text equality absent sha2 collisions (the q62
+      // rule), so the oracle compares texts directly
+      """WITH older AS (SELECT doc_id, text FROM documents),
+        |newer AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 15
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS DISTINCT FROM n.text THEN 'changed' END AS change
+        |FROM older o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+        |   OR o.text IS DISTINCT FROM n.text
+        |ORDER BY doc_id""".stripMargin,
+
+    "q83_ngram_lm_score" -> NgramLmOracleSql,
+
+    "q85_ngram_lm_indexed" -> NgramLmOracleSql,
+
 
     "q81_duplicate_spans" -> (DuplicateSpanCtes +
       """

@@ -526,6 +526,62 @@ object TextOps {
           / count(lit(1)), 6).as("avg_neg_logp"))
   }
 
+  /**
+   * Land a trained n-gram LM as catalog tables, so every subsequent
+   * [[ngramLogProbScoreIndexed]] batch skips the training aggregation —
+   * the land-once / score-many move of
+   * [[graft.ops.DedupOps.landNearDupIndex]] applied to the quality model
+   * (a reference LM is trained once per corpus release and scores every
+   * crawl batch after). Three tables:
+   *
+   *  - `<name>_grams` (ctx_h, tok_h, cnt), BUCKETED by ctx_h: the scoring
+   *    join clusters on the context hash, so a bucketed scan feeds both
+   *    the gram and marginal joins without re-shuffling the model;
+   *  - `<name>_contexts` (ctx_h, ctx_cnt), bucketed the same;
+   *  - `<name>_meta` (n, vocab_size): parameter pinning, landed FIRST —
+   *    scoring accepts NO sketch parameters (the q75 meta-table rule), so
+   *    training with one n and scoring under another is unrepresentable.
+   */
+  def landNgramLm(corpus: DataFrame, textCol: String, name: String,
+                  n: Int = 3, buckets: Int = 8,
+                  path: Option[String] = None): Unit = {
+    val spark = corpus.sparkSession
+    val metaTbl = s"${name}_meta"
+    if (!spark.catalog.tableExists(metaTbl)) {
+      val lm = trainNgramLm(corpus, textCol, n, cache = true)
+      try {
+        import spark.implicits._
+        val w = Seq((lm.n, lm.vocabSize)).toDF("n", "vocab_size")
+          .write.mode("overwrite").format("parquet")
+        path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
+        graft.sources.BucketedLand.landOnce(lm.grams, s"${name}_grams",
+          "ctx_h", Seq("ctx_h", "tok_h"), buckets, path.map(p => s"${p}_grams"))
+        graft.sources.BucketedLand.landOnce(lm.contexts, s"${name}_contexts",
+          "ctx_h", Seq("ctx_h"), buckets, path.map(p => s"${p}_contexts"))
+      } finally lm.unpersist()
+    } else {
+      val m = spark.table(metaTbl).head()
+      require(m.getAs[Int]("n") == n,
+        s"landNgramLm('$name'): existing model has n = ${m.getAs[Int]("n")} " +
+        s"!= requested $n; drop the model tables or land under another name")
+    }
+  }
+
+  /** Score against a landed [[landNgramLm]] model: reads (n, V) from the
+    * meta table and the counts from the bucketed tables — row-identical to
+    * [[ngramLogProbScore]] with the in-session model (same join pipeline,
+    * one source of truth for the arithmetic). */
+  def ngramLogProbScoreIndexed(docs: DataFrame, idCol: String, textCol: String,
+                               name: String, alpha: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"no n-gram LM '$name' in the session catalog — run landNgramLm first")
+    val m = spark.table(s"${name}_meta").head()
+    val lm = NgramLm(m.getAs[Int]("n"), m.getAs[Long]("vocab_size"),
+      spark.table(s"${name}_grams"), spark.table(s"${name}_contexts"))
+    ngramLogProbScore(docs, idCol, textCol, lm, alpha)
+  }
+
   def fingerprint(text: Column): Column =
     sha2(array_join(tokens(text), " "), 256)
 

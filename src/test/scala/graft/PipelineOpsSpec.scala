@@ -604,6 +604,38 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("landNgramLm: indexed scoring is row-identical to the in-session " +
+       "model; re-landing under a different n refuses") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val vocabW = Array("the", "cat", "sat", "on", "mat", "dog", "ran", "far")
+    def doc() = Seq.fill(15)(vocabW(rng.nextInt(vocabW.length))).mkString(" ")
+    val train = (0 until 30).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+    val score = (100 until 110).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+    val idx = "graft_lm_spec_idx"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    try {
+      TextOps.landNgramLm(train, "text", idx, n = 3, path = Some(s"$tmp/$idx"))
+      val direct = TextOps.ngramLogProbScore(score, "doc_id", "text",
+        TextOps.trainNgramLm(train, "text", n = 3))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val indexed = TextOps.ngramLogProbScoreIndexed(score, "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(direct == indexed && direct.nonEmpty,
+        s"landed-model scoring must be row-identical: $direct vs $indexed")
+      val err = intercept[IllegalArgumentException] {
+        TextOps.landNgramLm(train, "text", idx, n = 4, path = Some(s"$tmp/$idx"))
+      }
+      assert(err.getMessage.contains("n ="))
+      // idempotent re-land with the SAME n is the no-op path
+      TextOps.landNgramLm(train, "text", idx, n = 3, path = Some(s"$tmp/$idx"))
+    } finally {
+      Seq("_meta", "_grams", "_contexts").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS $idx$s")
+      }
+    }
+  }
+
   test("corpusDiff: added/removed/changed classified; unchanged and " +
        "null-to-null texts emit no row; null-to-text is a change") {
     import spark.implicits._
