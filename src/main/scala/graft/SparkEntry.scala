@@ -387,8 +387,11 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val dups = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      // nCells <= 0: clamp(ceil(n/128), 16, 16384) cells — the linear-
+      // candidates scale default (fixed 16 cells measured 35x at 10x data);
+      // the oracle embeds the same formula as a subquery
       SimOps.semanticDedupPairs(e.unionByName(dups), "vec_id", "embedding",
-          threshold = 0.9, nCells = 16)
+          threshold = 0.9, nCells = 0)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -468,7 +471,7 @@ object SparkEntry {
       val dups = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       SimOps.semanticDedup(e.unionByName(dups), "vec_id", "embedding",
-          threshold = 0.9, nCells = 16)
+          threshold = 0.9, nCells = 0)
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
@@ -1036,18 +1039,26 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared CTE prefix of the q79/q80 semantic-dedup oracles: q40's
-    * planted-copies corpus, q42's data-derived codebook (16 lowest ids of
-    * the unioned corpus = original vec_id < 16) and argmax-cosine cell
-    * assignment, then within-cell pairs at cosine >= 0.9. All folds are
-    * DOUBLE[] list_inner_product — bit-exact vs the native expressions. */
+    * planted-copies corpus, the data-derived codebook — the
+    * `clamp(ceil(n/128), 16, 16384)` LOWEST ids of the unioned corpus,
+    * the exact occupancy-targeting formula `semanticDedupPairs` derives
+    * for `nCells <= 0` (dense 0-based vec_ids, so lowest-k-ids == id < k)
+    * — argmax-cosine cell assignment, then within-cell pairs at cosine
+    * >= 0.9. All folds are DOUBLE[] list_inner_product — bit-exact vs
+    * the native expressions. */
   private val SemanticDedupCtes: String =
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id < 20
+        |), ncells AS (
+        |  SELECT least(16384, greatest(16,
+        |    CAST(ceil(count(*) / 128.0) AS BIGINT))) AS k
+        |  FROM base
         |), c AS (
-        |  SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < 16
+        |  SELECT vec_id AS cent_id, v AS cv FROM base
+        |  WHERE vec_id < (SELECT k FROM ncells)
         |), assign AS (
         |  SELECT b.vec_id, b.v, c.cent_id,
         |    row_number() OVER (PARTITION BY b.vec_id ORDER BY

@@ -1199,6 +1199,10 @@ object DedupOps {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minDf >= 2, s"minDf must be >= 2 (1 would flag every gram), got $minDf")
     requireIdColFree(idCol)
+    require(!Set("span_id", "tok_start", "tok_end", "char_start", "char_end",
+        "n_dup_grams", "__toff", "__pos", "__gh", "__prev", "__new", "__run",
+        "__stext", "__cuts", "__rk").contains(idCol),
+      s"idCol '$idCol' collides with a duplicateSpans internal/output column — rename it first")
     val X = org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
     val toks = col("__toff").getField("toks")
     val n = size(toks)

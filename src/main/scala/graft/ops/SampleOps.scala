@@ -226,6 +226,9 @@ object SampleOps {
    */
   def corpusDiff(older: DataFrame, newer: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
+    require(!Set("change", "__d_old", "__d_new", "__in_old", "__in_new")
+        .contains(idCol),
+      s"idCol '$idCol' collides with a corpusDiff internal/output column — rename it first")
     val o = older.select(col(idCol), sha2(col(textCol), 256).as("__d_old"),
       lit(1).as("__in_old"))
     val n = newer.select(col(idCol), sha2(col(textCol), 256).as("__d_new"),

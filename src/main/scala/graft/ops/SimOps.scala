@@ -615,12 +615,17 @@ object SimOps {
    * rides as a reference object), the self-join is an equi-join on the
    * cell id carrying ids only, and vectors join back for colliding pairs
    * AFTER candidate generation — the candidates-first LSH shape. Candidate
-   * volume is Σ_c n_c²/2, so `nCells` must scale with the corpus (~n/1000
-   * cells keeps expected occupancy ~1000; pass `trainCodebook = true` so
-   * the cells track cluster structure instead of the id order). `maxCell`
-   * drops cells wider than the cap from candidate generation (0 =
-   * uncapped) — oversized cells are embedding-space boilerplate, the same
-   * skew guard as the LSH paths' `maxBucket`, emitting the same
+   * volume is Σ_c n_c²/2, so `nCells` MUST scale with the corpus — a fixed
+   * cell count turns this quadratic (measured: 35× wall at 10× data with
+   * 16 cells). Pass `nCells <= 0` to derive `clamp(ceil(n/128), 16,
+   * 16384)` from the corpus (one count() job, the [[lshCosineTopK]]
+   * derive convention): expected occupancy ~128, candidate volume ~64·n —
+   * linear. The 16384 cap bounds the driver-side codebook collect; beyond
+   * ~2M vectors prefer `trainCodebook = true` (cells track cluster
+   * structure, occupancy stays balanced) plus `maxCell` for the tail.
+   * `maxCell` drops cells wider than the cap from candidate generation
+   * (0 = uncapped) — oversized cells are embedding-space boilerplate, the
+   * same skew guard as the LSH paths' `maxBucket`, emitting the same
    * [[graft.ops.DedupOps.ObservedMetrics]] bucket/candidate/verified
    * counters so a scale run records its candidate behavior.
    *
@@ -630,12 +635,23 @@ object SimOps {
    * probing neighbor cells).
    */
   def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double = 0.9, nCells: Int = 16,
+                         threshold: Double = 0.9, nCells: Int = 0,
                          trainCodebook: Boolean = false, lloydIters: Int = 5,
                          trainSample: Int = 4096, maxCell: Int = 0): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"threshold must be a cosine in [-1, 1], got $threshold")
-    val cents = resolveCodebook(corpus, idCol, vecCol, nCells, trainCodebook,
+    // internal/output names — an id column reusing one would resolve
+    // ambiguously deep in the plan (the ADVICE r3 fail-loudly convention)
+    require(!Set("id_a", "id_b", "cell", "cos_sim", "__cell", "__cn",
+        "__va", "__vb").contains(idCol),
+      s"idCol '$idCol' collides with a semanticDedup internal column — rename it first")
+    val k =
+      if (nCells > 0) nCells
+      else {
+        val n = corpus.count()
+        math.min(16384, math.max(16, math.ceil(n / 128.0).toInt))
+      }
+    val cents = resolveCodebook(corpus, idCol, vecCol, k, trainCodebook,
       lloydIters, trainSample, "semanticDedupPairs")
     val vecs = corpus.select(col(idCol), col(vecCol))
     val assigned = vecs
@@ -675,7 +691,7 @@ object SimOps {
     * lower-id row IN THE SAME CELL (one pass, like
     * [[embeddingNearDedup]]'s lower-id survivor rule). */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double = 0.9, nCells: Int = 16,
+                    threshold: Double = 0.9, nCells: Int = 0,
                     trainCodebook: Boolean = false, lloydIters: Int = 5,
                     trainSample: Int = 4096, maxCell: Int = 0): DataFrame = {
     val losers = semanticDedupPairs(corpus, idCol, vecCol, threshold, nCells,

@@ -499,6 +499,10 @@ object TextOps {
     require(alpha > 0 && java.lang.Double.isFinite(alpha),
       s"alpha must be positive, got $alpha")
     require(lm.vocabSize > 0, "model has an empty vocabulary")
+    require(!Set("ctx_h", "tok_h", "cnt", "ctx_cnt", "n_scored",
+        "avg_neg_logp", "__t", "__g", "__lpu").contains(idCol),
+      s"idCol '$idCol' collides with an ngramLogProbScore internal/output " +
+      "column — rename it first")
     val X = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
     val n = lm.n
     val toksC = tokens(col(textCol))

@@ -306,6 +306,27 @@ class SimSearchSpec extends SparkTestBase {
       "the 10 planted copies (higher ids) must drop; every original stays")
   }
 
+  test("semanticDedupPairs: derived nCells keeps candidate density ~flat " +
+       "as the corpus grows (fixed cells would grow it linearly)") {
+    val rng = new scala.util.Random(5)
+    def corpus(n: Int) =
+      (0 until n).map(i => (i.toLong, Seq.fill(8)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+    def density(n: Int): Double = {
+      val (_, metrics) = ScalingProbe.runWithMetrics(spark,
+        SimOps.semanticDedupPairs(corpus(n), "vec_id", "embedding",
+          threshold = 0.999, nCells = 0))
+      ScalingProbe.aggregate(metrics)("candidate_pairs").toDouble / n
+    }
+    // 2048 -> 16 cells, 8192 -> 64 cells: occupancy (so candidates/row)
+    // stays ~constant; a fixed 16-cell codebook would grow density ~4x.
+    // Random gaussians spread unevenly over seed-sample cells, so allow
+    // 2.5x before calling it super-linear.
+    val d1 = density(2048)
+    val d2 = density(8192)
+    assert(d2 < d1 * 2.5,
+      s"candidate density must stay ~flat under the derive: $d1 -> $d2")
+  }
+
   test("semanticDedupPairs: maxCell drops oversized cells from candidate " +
        "generation and records the cap through the observed metrics") {
     val e = semanticCorpus().toDF("vec_id", "embedding")
