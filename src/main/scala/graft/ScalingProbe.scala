@@ -35,6 +35,7 @@ object ScalingProbe {
     DedupOps.ObservedMetrics.LshBucketMetrics,
     DedupOps.ObservedMetrics.NearDupCandidateMetrics,
     DedupOps.ObservedMetrics.NearDupVerifiedMetrics,
+    DedupOps.ObservedMetrics.SpanMetrics,
     ScaleUp.SpliceMetrics)
 
   /** Runs `df` to completion through the noop sink with a

@@ -408,6 +408,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q86_bpe_tokenize" -> ((s: SparkSession, dir: String) => {
+      // in-engine tokenizer training: 200 BPE merges learned from the 90%
+      // reference slice, subword counts for every document at scan speed.
+      // No DuckDB oracle (the merge loop is iterative, not SQL-expressible;
+      // the hand-derived-merge ScalaTest pins the algorithm) -> rows-only.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val merges = TextOps.trainBpeMerges(
+        d.filter(col("doc_id") % 10 =!= 0), "text", numMerges = 200)
+      d.select(col("doc_id"),
+          TextOps.bpeSubwordCount(col("text"), merges).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q84_corpus_diff" -> ((s: SparkSession, dir: String) => {
       // snapshot audit between two corpus versions: every-7th doc removed,
       // every-5th edited, 15 new docs appended — unchanged ids emit no row

@@ -136,6 +136,11 @@ object DedupOps {
     val LshBucketMetrics = "graft.lsh.buckets"
     val NearDupCandidateMetrics = "graft.neardup.candidates"
     val NearDupVerifiedMetrics = "graft.neardup.verified"
+    /** [[duplicateSpans]]: `dup_grams` (distinct gram hashes at/above
+      * minDf) and `dup_positions` (doc positions covered by them — the
+      * window-merge input, the count that must stay ~linear in the
+      * corpus). */
+    val SpanMetrics = "graft.spans"
   }
 
   /** Band-bucket skew cap shared by every LSH path (pairwise, direct
@@ -1221,8 +1226,12 @@ object DedupOps {
       .agg(count_distinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__gh"))
+      .observe(obsName(ObservedMetrics.SpanMetrics),
+        count(lit(1)).as("dup_grams"))
     val dupPos = grams.join(dupGrams, Seq("__gh"), "left_semi")
       .select(col(idCol), col("__pos"))
+      .observe(obsName(ObservedMetrics.SpanMetrics),
+        count(lit(1)).as("dup_positions"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos"))
     val runs = dupPos

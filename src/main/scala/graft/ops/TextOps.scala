@@ -586,6 +586,95 @@ object TextOps {
     ngramLogProbScore(docs, idCol, textCol, lm, alpha)
   }
 
+  /**
+   * Train a BPE subword tokenizer IN-ENGINE (Sennrich et al. 2016,
+   * arXiv:1508.07909): ONE distributed pass builds the word-frequency
+   * table (the classic BPE insight — merges depend only on word counts,
+   * never on word order or document boundaries), the top `maxWords`
+   * distinct words collect to the driver (bounded, the codebook-class
+   * collect: counts desc / word asc, deterministic under ties), and the
+   * merge loop runs driver-side over that table. Each iteration counts
+   * adjacent symbol pairs weighted by word frequency and merges the most
+   * frequent (ties resolve to the lexicographically smallest (left,
+   * right) pair, so retraining reproduces the identical merge list on any
+   * cluster layout). Words segment as code-point symbols plus a terminal
+   * `</w>`.
+   *
+   * Returns the ordered merge list — feed it to [[bpeEncode]] /
+   * [[bpeSubwordCount]], whose native kernel replays the same greedy so
+   * training words round-trip to their final training segmentation.
+   */
+  def trainBpeMerges(corpus: DataFrame, textCol: String, numMerges: Int,
+                     maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    require(numMerges >= 1 && numMerges <= (1 << 17),
+      s"numMerges must be in [1, ${1 << 17}], got $numMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    val words: Array[(String, Long)] = corpus
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] = words.map { case (w, c) =>
+      val syms = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + cc)
+        i += cc
+      }
+      syms += "</w>"
+      (syms.toArray, c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // max count; ties -> lexicographically smallest (left, right)
+        val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        vocab = vocab.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += syms(i) + syms(i + 1); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** BPE-segment text under a learned merge list ([[trainBpeMerges]]):
+    * tokenize (the standard lowercased alnum runs), then the native
+    * kernel replays the merges per word — subwords stream out flat, each
+    * word ending in its `</w>`-terminal symbol. The rank table rides as a
+    * codegen reference object; segmentation runs at scan speed. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+      .bpeEncode(tokens(text), merges)
+
+  /** Subword count under a learned BPE — the "how many tokens will my LLM
+    * see" column the pack/budget ops consume. */
+  def bpeSubwordCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeEncode(text, merges)).cast(LongType)
+
   def fingerprint(text: Column): Column =
     sha2(array_join(tokens(text), " "), 256)
 

@@ -636,6 +636,37 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("trainBpeMerges: hand-derived merge sequence on a planted corpus; " +
+       "bpeEncode replays training segmentation and handles unseen words") {
+    import spark.implicits._
+    // corpus = "aaab" x3: symbols [a a a b </w>]; pair counts per round:
+    //  r1: (a,a)=6 -> merge (a,a)            => [aa a b </w>]
+    //  r2: (aa,a)=(a,b)=(b,</w>)=3, lex smallest (a,b) => [aa ab </w>]
+    //  r3: (aa,ab)=(ab,</w>)=3, lex smallest (aa,ab)   => [aaab </w>]
+    //  r4: (aaab,</w>)=3                               => [aaab</w>]
+    val corpus = Seq("aaab aaab", "aaab").toDF("text")
+    val merges = TextOps.trainBpeMerges(corpus, "text", numMerges = 4)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("aaab", "</w>")),
+      s"got $merges")
+    // asking for more merges than the corpus supports stops at exhaustion
+    assert(TextOps.trainBpeMerges(corpus, "text", numMerges = 50) == merges)
+
+    val enc = Seq((0L, "aaab"), (1L, "aab"), (2L, "xyz aaab"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.bpeEncode(col("text"), merges).as("sw"),
+        TextOps.bpeSubwordCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    // training word round-trips to its final segmentation
+    assert(enc(0L) == ((Seq("aaab</w>"), 1L)), s"got ${enc(0L)}")
+    // unseen word: rank-0 (a,a) fires once, nothing else applies
+    assert(enc(1L) == ((Seq("aa", "b", "</w>"), 3L)), s"got ${enc(1L)}")
+    // unknown characters pass through as single symbols, per word
+    assert(enc(2L)._1 == Seq("x", "y", "z", "</w>", "aaab</w>"), s"got ${enc(2L)}")
+
+    // determinism: retraining yields the identical list
+    assert(TextOps.trainBpeMerges(corpus, "text", numMerges = 4) == merges)
+  }
+
   test("corpusDiff: added/removed/changed classified; unchanged and " +
        "null-to-null texts emit no row; null-to-text is a change") {
     import spark.implicits._

@@ -100,6 +100,32 @@ class ScalingMetricsSpec extends SparkTestBase {
       "linearity is the cap's, not the corpus'")
   }
 
+  test("duplicateSpans: dup_positions density stays ~flat across ScaleUp " +
+       "factors (copy-tagging keeps span volume linear)") {
+    val base = corpus(150, planted = 15)
+    def density(factor: Int): (Double, Long) = {
+      val scaled =
+        if (factor == 1) base else ScaleUp.scaleDocuments(base, factor)
+      val (spans, done) = DedupOps.duplicateSpansWithHandle(
+        scaled, "doc_id", "text", k = 8)
+      try {
+        val (_, metrics) = ScalingProbe.runWithMetrics(spark, spans,
+          waitForPrefix = DedupOps.ObservedMetrics.SpanMetrics)
+        val agg = ScalingProbe.aggregate(metrics)
+        (agg("dup_positions").toDouble / (150L * factor),
+          agg("dup_grams"))
+      } finally done()
+    }
+    val (d2, g2) = density(2)
+    val (d6, g6) = density(6)
+    assert(g2 > 0 && g6 > 0, s"planted spans must surface grams: $g2 / $g6")
+    // each copy reproduces exactly the planted tail-token near-dup pairs
+    // (copy-tagged 8-grams are disjoint across copies), so positions per
+    // doc must stay ~constant; 2x + slack rejects quadratic growth
+    assert(d2 > 0 && d6 <= d2 * 2.0 + 0.05,
+      s"dup-position density grew super-linearly: $d2/doc at 2x vs $d6/doc at 6x")
+  }
+
   test("scaleDocuments: copy 0 verbatim, per-copy pairs exact, no cross-copy pairs") {
     val n = 40
     val planted = 5
