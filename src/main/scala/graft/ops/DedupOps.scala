@@ -1284,17 +1284,36 @@ object DedupOps {
    */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 8, minDf: Int = 2,
-                          out: String = "clean_text"): DataFrame = {
+                          out: String = "clean_text"): DataFrame =
+    stripDuplicateSpansWithHandle(df, idCol, textCol, k, minDf, out)._1
+
+  /** [[stripDuplicateSpans]] plus the staged-token-cache unpersist handle
+    * (and the `StorageLevel.NONE` opt-out), threaded through from the
+    * underlying [[duplicateSpansWithHandle]] — the plain variant keeps
+    * the session-lifetime cache trade, which a per-crawl-batch caller in
+    * a long-lived session should NOT accept. */
+  def stripDuplicateSpansWithHandle(df: DataFrame, idCol: String,
+                                    textCol: String, k: Int = 8, minDf: Int = 2,
+                                    out: String = "clean_text",
+                                    tokenStorage: org.apache.spark.storage.StorageLevel =
+                                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, () => Unit) = {
     require(!df.columns.contains(out),
       s"output column '$out' already exists — rename it first")
-    val spans = duplicateSpans(df, idCol, textCol, k, minDf)
+    val (spans, done) =
+      duplicateSpansWithHandle(df, idCol, textCol, k, minDf, tokenStorage)
     val spanText = df.select(col(idCol), col(textCol))
       .join(spans, Seq(idCol))
       .select(col(idCol), col("tok_start"), col("char_start"), col("char_end"),
         col(textCol).substr(col("char_start").cast(IntegerType),
           (col("char_end") - col("char_start") + 1).cast(IntegerType)).as("__stext"))
+    // hash first for shuffle-key size, the text second for exactness: two
+    // different span texts colliding on xxhash64 alone would share one
+    // rank-1 keeper, excising every occurrence of the losing text — the
+    // one collision class here that destroys data (unlike the gram-hash
+    // trade, which also needs minDf agreement to matter)
     val wKeep = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("__stext")))
+      .partitionBy(xxhash64(col("__stext")), col("__stext"))
       .orderBy(col(idCol), col("tok_start"))
     val cuts = spanText
       .withColumn("__rk", row_number().over(wKeep))
@@ -1315,10 +1334,11 @@ object DedupOps {
     val tail = text.substr(
       (element_at(cutsC, -1).getField("ce") + 1).cast(IntegerType),
       (length(text) - element_at(cutsC, -1).getField("ce")).cast(IntegerType))
-    df.join(cuts, Seq(idCol), "left")
+    val result = df.join(cuts, Seq(idCol), "left")
       .withColumn(out,
         when(cutsC.isNull, text)
           .otherwise(concat(concat_ws("", pieces), tail)))
       .drop("__cuts")
+    (result, done)
   }
 }

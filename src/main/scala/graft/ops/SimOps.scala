@@ -637,7 +637,23 @@ object SimOps {
   def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.9, nCells: Int = 0,
                          trainCodebook: Boolean = false, lloydIters: Int = 5,
-                         trainSample: Int = 4096, maxCell: Int = 0): DataFrame = {
+                         trainSample: Int = 4096, maxCell: Int = 0): DataFrame =
+    semanticDedupPairsWithHandle(corpus, idCol, vecCol, threshold, nCells,
+      trainCodebook, lloydIters, trainSample, maxCell)._1
+
+  /** [[semanticDedupPairs]] plus the staged-cache unpersist handle (the
+    * [[graft.ops.DedupOps.nearDuplicatePairsWithHandle]] convention): the
+    * (id, vector) projection is referenced up to five times — the derive
+    * count, the codebook collect, the cell assignment, and both verify
+    * joins — so it stages through one persist; without it each reference
+    * re-runs the caller's upstream. `StorageLevel.NONE` opts out. */
+  def semanticDedupPairsWithHandle(corpus: DataFrame, idCol: String, vecCol: String,
+                                   threshold: Double = 0.9, nCells: Int = 0,
+                                   trainCodebook: Boolean = false, lloydIters: Int = 5,
+                                   trainSample: Int = 4096, maxCell: Int = 0,
+                                   vecStorage: org.apache.spark.storage.StorageLevel =
+                                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, () => Unit) = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"threshold must be a cosine in [-1, 1], got $threshold")
     // internal/output names — an id column reusing one would resolve
@@ -645,15 +661,18 @@ object SimOps {
     require(!Set("id_a", "id_b", "cell", "cos_sim", "__cell", "__cn",
         "__va", "__vb").contains(idCol),
       s"idCol '$idCol' collides with a semanticDedup internal column — rename it first")
+    val staged = corpus.select(col(idCol), col(vecCol))
+    val vecs =
+      if (vecStorage == org.apache.spark.storage.StorageLevel.NONE) staged
+      else staged.persist(vecStorage)
     val k =
       if (nCells > 0) nCells
       else {
-        val n = corpus.count()
+        val n = vecs.count()
         math.min(16384, math.max(16, math.ceil(n / 128.0).toInt))
       }
-    val cents = resolveCodebook(corpus, idCol, vecCol, k, trainCodebook,
+    val cents = resolveCodebook(vecs, idCol, vecCol, k, trainCodebook,
       lloydIters, trainSample, "semanticDedupPairs")
-    val vecs = corpus.select(col(idCol), col(vecCol))
     val assigned = vecs
       .select(col(idCol),
         org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
@@ -677,7 +696,7 @@ object SimOps {
       .filter(col("id_a") < col("id_b"))
       .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupCandidateMetrics),
         count(lit(1)).as("candidate_pairs"))
-    candidates
+    val result = candidates
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
       .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 6))
@@ -685,6 +704,11 @@ object SimOps {
       .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupVerifiedMetrics),
         count(lit(1)).as("verified_pairs"))
       .select(col("id_a"), col("id_b"), col("__cell").as("cell"), col("cos_sim"))
+    (result, () => {
+      if (vecStorage != org.apache.spark.storage.StorageLevel.NONE) {
+        vecs.unpersist(); ()
+      }
+    })
   }
 
   /** Semantic dedup: drop rows whose vector semantically duplicates a

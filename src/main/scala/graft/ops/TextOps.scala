@@ -252,8 +252,10 @@ object TextOps {
    * Result of [[trainLinearModel]]. `losses(i)` is the mean logistic loss
    * at the weights BEFORE iteration i's update, measured on iteration i's
    * batch (the full corpus unless `sampleFraction < 1`); `batchSizes(i)`
-   * is that batch's row count. `itersRun < iters` means the relative-loss
-   * early stop fired.
+   * is that batch's row count. An iteration whose hash-gated batch drew
+   * EMPTY records `(NaN, 0)` — a no-op for the weights — so both arrays
+   * always index by iteration (`losses.length == itersRun`).
+   * `itersRun < iters` means the relative-loss early stop fired.
    */
   final case class LinearTrainResult(weights: Array[Double], bias: Double,
                                      itersRun: Int, losses: Array[Double],
@@ -405,7 +407,11 @@ object TextOps {
           prevLoss = curLoss
         }
         // an empty hash-gated batch (tiny fraction, tiny corpus) is a
-        // no-op iteration: no update, no loss sample
+        // no-op iteration for the WEIGHTS, but it still records a (NaN, 0)
+        // entry so losses(i)/batchSizes(i) always mean iteration i (the
+        // LinearTrainResult contract); prevLoss carries over, so tol
+        // compares the nearest REAL losses, never against NaN
+        if (nBatch == 0L) { losses += Double.NaN; batchSizes += 0L }
         it += 1
       }
       LinearTrainResult(w, b, it, losses.result(), batchSizes.result())
@@ -551,23 +557,33 @@ object TextOps {
                   path: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val metaTbl = s"${name}_meta"
-    if (!spark.catalog.tableExists(metaTbl)) {
+    val metaExists = spark.catalog.tableExists(metaTbl)
+    if (metaExists) {
+      val m = spark.table(metaTbl).head()
+      require(m.getAs[Int]("n") == n,
+        s"landNgramLm('$name'): existing model has n = ${m.getAs[Int]("n")} " +
+        s"!= requested $n; drop the model tables or land under another name")
+    }
+    // the data tables land OUTSIDE the meta gate (landOnce carries its own
+    // tableExists check), so a crash between the meta write and the grams
+    // landing self-heals on re-run instead of bricking the name — the
+    // landNearDupIndex shape. Meta still lands FIRST on a fresh land, so a
+    // mid-landing retry with different parameters hits the n-check above.
+    if (!metaExists || !spark.catalog.tableExists(s"${name}_grams")
+        || !spark.catalog.tableExists(s"${name}_contexts")) {
       val lm = trainNgramLm(corpus, textCol, n, cache = true)
       try {
-        import spark.implicits._
-        val w = Seq((lm.n, lm.vocabSize)).toDF("n", "vocab_size")
-          .write.mode("overwrite").format("parquet")
-        path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
+        if (!metaExists) {
+          import spark.implicits._
+          val w = Seq((lm.n, lm.vocabSize)).toDF("n", "vocab_size")
+            .write.mode("overwrite").format("parquet")
+          path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
+        }
         graft.sources.BucketedLand.landOnce(lm.grams, s"${name}_grams",
           "ctx_h", Seq("ctx_h", "tok_h"), buckets, path.map(p => s"${p}_grams"))
         graft.sources.BucketedLand.landOnce(lm.contexts, s"${name}_contexts",
           "ctx_h", Seq("ctx_h"), buckets, path.map(p => s"${p}_contexts"))
       } finally lm.unpersist()
-    } else {
-      val m = spark.table(metaTbl).head()
-      require(m.getAs[Int]("n") == n,
-        s"landNgramLm('$name'): existing model has n = ${m.getAs[Int]("n")} " +
-        s"!= requested $n; drop the model tables or land under another name")
     }
   }
 
@@ -615,7 +631,7 @@ object TextOps {
       .orderBy(col("__c").desc, col("__w"))
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var vocab: Array[(Array[String], Long)] = words.map { case (w, c) =>
+    val vocab: Array[(Array[String], Long)] = words.map { case (w, c) =>
       val syms = scala.collection.mutable.ArrayBuffer[String]()
       var i = 0
       while (i < w.length) {
@@ -626,36 +642,82 @@ object TextOps {
       syms += "</w>"
       (syms.toArray, c)
     }
+    // INCREMENTAL trainer (the classic shape): pair counts update only for
+    // the words a merge touches, and the argmax comes from a lazy-deletion
+    // max-heap — a merge costs O(affected words), not O(corpus symbols),
+    // so numMerges x vocabulary stays tractable at the permitted maxima.
+    val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
+    val pairWords = scala.collection.mutable
+      .HashMap[(String, String), scala.collection.mutable.Set[Int]]()
+    // max count first; ties -> lexicographically SMALLEST (left, right)
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val l = y._2.compareTo(x._2)
+          if (l != 0) l else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    def updatePairs(wi: Int, syms: Array[String], c: Long, sign: Int,
+                    push: Boolean): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val nc = pairCounts.getOrElse(p, 0L) + sign * c
+        if (nc <= 0L) { pairCounts.remove(p); () }
+        else {
+          pairCounts.update(p, nc)
+          if (push) heap.enqueue((nc, p._1, p._2))
+        }
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p, scala.collection.mutable.Set[Int]()) += wi
+        i += 1
+      }
+    }
+    vocab.indices.foreach(wi =>
+      updatePairs(wi, vocab(wi)._1, vocab(wi)._2, 1, push = false))
+    pairCounts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
-      val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
-      vocab.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
-          i += 1
-        }
+      // lazy deletion: discard heap entries whose count is stale
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (pairCounts.getOrElse((l, r), 0L) == c) best = (l, r)
       }
-      if (pairCounts.isEmpty) exhausted = true
+      if (best == null) exhausted = true
       else {
-        // max count; ties -> lexicographically smallest (left, right)
-        val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
         merges += best
-        vocab = vocab.map { case (syms, c) =>
-          if (syms.length < 2) (syms, c)
-          else {
+        // the merged pair never recurs (all its occurrences fuse into the
+        // new symbol), so its membership set retires with it
+        val affected = pairWords.remove(best)
+          .getOrElse(scala.collection.mutable.Set.empty[Int])
+        affected.foreach { wi =>
+          val (syms, c) = vocab(wi)
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == best._1 && syms(i + 1) == best._2
+            i += 1
+          }
+          if (has) { // membership sets are never pruned, so entries can be stale
+            updatePairs(wi, syms, c, -1, push = true)
             val out = scala.collection.mutable.ArrayBuffer[String]()
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
-                out += syms(i) + syms(i + 1); i += 2
-              } else { out += syms(i); i += 1 }
+            var p = 0
+            while (p < syms.length) {
+              if (p < syms.length - 1 && syms(p) == best._1 && syms(p + 1) == best._2) {
+                out += syms(p) + syms(p + 1); p += 2
+              } else { out += syms(p); p += 1 }
             }
-            (out.toArray, c)
+            vocab(wi) = (out.toArray, c)
+            updatePairs(wi, vocab(wi)._1, c, 1, push = true)
           }
         }
+        pairCounts.remove(best)
       }
     }
     merges.toSeq

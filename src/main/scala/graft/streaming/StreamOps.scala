@@ -565,12 +565,17 @@ object StreamOps {
    * `localCheckpoint` BEFORE the append mutates the very tables the probe
    * plan reads, then `sink` receives the pinned frame.
    *
-   * Delivery: micro-batch replays re-run the probe and re-offer the batch
-   * to the append, which is idempotent per document identity
-   * (`xxhash64(text)` anti-join) — the index converges under
-   * at-least-once replays; `sink` sees the standard foreachBatch
-   * at-least-once contract and should be idempotent on `batchId` as
-   * usual.
+   * Delivery: the SINK runs BEFORE the append. The order is load-bearing:
+   * appended-first, a replayed batch would probe against its own
+   * just-appended documents, accept nothing, and the sink would
+   * permanently miss the rows the failed attempt accepted — silent loss.
+   * Sink-first, a replay re-probes an unchanged-for-these-docs index
+   * (the append is idempotent per `xxhash64(text)` identity, so even a
+   * replay AFTER a successful append re-accepts nothing it shouldn't:
+   * those docs were already delivered by the attempt that appended them),
+   * re-delivers the same accepted rows, and retries the append — the
+   * index converges and `sink` sees the standard foreachBatch
+   * at-least-once contract (idempotent on `batchId` as usual).
    *
    * Visibility: foreachBatch runs in the stream's CLONED SparkSession, so
    * probe-then-append stays self-consistent batch over batch. A DIFFERENT
@@ -597,8 +602,10 @@ object StreamOps {
       val accepted = D.nearDedupAgainstIndex(inBatch, idCol, textCol, name,
           threshold, maxRefBucket)
         .localCheckpoint()
-      if (appendAccepted) D.appendNearDupIndex(accepted, textCol, name)
+      // sink FIRST (see the delivery note above): a doc may only enter the
+      // index via an attempt that already delivered it
       sink(accepted, batchId)
+      if (appendAccepted) D.appendNearDupIndex(accepted, textCol, name)
     }
   }
 }

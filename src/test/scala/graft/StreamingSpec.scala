@@ -542,4 +542,42 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("dedupAgainstIndexBatch: a replay after a transient sink failure " +
+       "re-delivers the accepted rows (sink-before-append invariant)") {
+    def words(seed: Long): String = {
+      var s = seed * 2654435761L + 11L
+      (0 until 30).map { _ =>
+        s = (s * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffffffffL
+        "w" + (s % 503)
+      }.mkString(" ")
+    }
+    val idx = "graft_replay_idx_spec"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ridx").toString
+    graft.ops.DedupOps.landNearDupIndex(
+      Seq((0L, words(1))).toDF("doc_id", "text"), "text", idx,
+      numHashes = 64, bands = 16, path = Some(s"$tmp/$idx"))
+    try {
+      val delivered = scala.collection.mutable.ArrayBuffer[Long]()
+      var failOnce = true
+      val fn = StreamOps.dedupAgainstIndexBatch("doc_id", "text", idx,
+        threshold = 0.7) { (df, _) =>
+          val ids = df.select("doc_id").collect().map(_.getLong(0))
+          if (failOnce) { failOnce = false; throw new RuntimeException("transient") }
+          delivered ++= ids
+        }
+      val batch = Seq((10L, words(7))).toDF("doc_id", "text")
+      // attempt 1: the sink throws BEFORE the append runs, so the index
+      // must be unchanged — were the append first, the replay would
+      // self-match doc 10 against its own entry and deliver NOTHING
+      intercept[RuntimeException] { fn(batch, 0L) }
+      fn(batch, 0L) // the replay
+      assert(delivered.toSeq == Seq(10L),
+        s"replay must re-deliver the accepted row: $delivered")
+    } finally {
+      Seq("_meta", "_shingles", "_bands").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS $idx$s")
+      }
+    }
+  }
 }
