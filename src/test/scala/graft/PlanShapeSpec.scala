@@ -121,7 +121,12 @@ class PlanShapeSpec extends SparkTestBase {
       Seq("q25_near_dup_pairs", "q27_simhash", "q31_langid", "q32_quality",
           "q37_section", "q44_repetition", "q45_hash_split",
           "q49_stratified_sample", "q50_pack_sequences",
-          "q51_vocabulary").foreach { q =>
+          "q51_vocabulary",
+          // round-9 families: semantic dedup, duplicate spans, ngram LM,
+          // corpus diff, BPE — all native expressions / column algebra
+          "q79_semantic_pairs", "q80_semantic_dedup", "q81_duplicate_spans",
+          "q82_strip_spans", "q83_ngram_lm_score", "q84_corpus_diff",
+          "q86_bpe_tokenize").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
