@@ -646,6 +646,16 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    "q87_weighted_sample" -> ((s: SparkSession, dir: String) => {
+      // quality-weighted sampling: keep probability = per-row weight
+      // (here length-derived, in (0,1)), decided by the same engine-
+      // portable md5 hash gate as q45's splits — map-side, no shuffle
+      val d = t(s, dir, "documents")
+        .withColumn("w", col("n_chars") / lit(600.0))
+      graft.ops.SampleOps.weightedSampleByHash(d, "doc_id", "w")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2226,6 +2236,15 @@ object SparkEntry {
         |       ELSE 0.0 END AS top_token_frac
         |FROM base b LEFT JOIN tf ON b.doc_id = tf.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    "q87_weighted_sample" ->
+      // the q45 hash family with a per-row cut: keep iff
+      // hash < clamp(n_chars/600) * 2^31 (weight 1.0 keeps always)
+      """SELECT doc_id FROM documents
+        |WHERE CAST((('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |        & 2147483647::UBIGINT)::BIGINT AS DOUBLE)
+        |  < least(greatest(n_chars / 600.0, 0.0), 1.0) * 2147483648.0
+        |ORDER BY doc_id""".stripMargin,
 
     "q45_hash_split" ->
       """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

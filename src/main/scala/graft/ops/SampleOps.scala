@@ -44,6 +44,25 @@ object SampleOps {
   }
 
   /**
+   * Deterministic QUALITY-WEIGHTED sample: each row's keep probability is
+   * its own `weightCol` value (clamped to [0, 1]) — the
+   * sample-proportional-to-quality-score step (DCLM-style) between scoring
+   * and training. Same hash-gate mechanics as [[sampleByHash]] with a
+   * PER-ROW cut: keep iff `hash(salt:key) < clamp(weight) * 2^31`, so the
+   * decision is a pure function of (salt, key, weight) — map-side, no
+   * shuffle, stable across runs/engines, and monotone in the weight (a row
+   * kept at weight w is kept at any w' >= w under the same salt; null
+   * weights drop). Scaling by 2^31 keeps weight-1.0 rows ALWAYS, the
+   * [[sampleByHash]] boundary rule.
+   */
+  def weightedSampleByHash(df: DataFrame, keyCol: String, weightCol: String,
+                           salt: String = "graft"): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter(keyHash(col(keyCol), salt).cast("double") <
+      w * (DedupOps.P31 + 1).toDouble)
+  }
+
+  /**
    * Deterministic STRATIFIED sample: per-stratum keep rates (e.g. keep 100%
    * of low-resource languages, 10% of English) — the standard corpus
    * rebalancing step before training. Map-side like [[sampleByHash]]: each

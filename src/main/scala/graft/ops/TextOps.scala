@@ -723,6 +723,32 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Land a learned BPE merge list as a catalog table (rank, left,
+    * right) — train once per corpus release, tokenize every batch after
+    * ([[loadBpeMerges]] + [[bpeEncode]]). The table is tiny (numMerges
+    * rows); rank order IS the merge order, so a round-trip reproduces
+    * the identical segmentation. Idempotent: an existing table wins
+    * (drop it to re-land). */
+  def landBpeMerges(merges: Seq[(String, String)], spark: org.apache.spark.sql.SparkSession,
+                    name: String, path: Option[String] = None): Unit = {
+    if (!spark.catalog.tableExists(name)) {
+      import spark.implicits._
+      val w = merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .write.mode("overwrite").format("parquet")
+      path.fold(w)(p => w.option("path", p)).saveAsTable(name)
+    }
+  }
+
+  /** Load a landed merge list in rank order. */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession, name: String): Seq[(String, String)] = {
+    require(spark.catalog.tableExists(name),
+      s"no BPE merge table '$name' in the session catalog — run landBpeMerges first")
+    spark.table(name).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** BPE-segment text under a learned merge list ([[trainBpeMerges]]):
     * tokenize (the standard lowercased alnum runs), then the native
     * kernel replays the merges per word — subwords stream out flat, each

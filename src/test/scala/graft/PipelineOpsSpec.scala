@@ -667,6 +667,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(TextOps.trainBpeMerges(corpus, "text", numMerges = 4) == merges)
   }
 
+  test("weightedSampleByHash: weight 1 keeps all, 0/null keep none, kept " +
+       "set is monotone in the weight") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, 0.3))
+    def kept(w: java.lang.Double): Set[Long] = {
+      val d = rows.map { case (i, _) => (i, w) }.toDF("doc_id", "w")
+      graft.ops.SampleOps.weightedSampleByHash(d, "doc_id", "w")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(kept(1.0).size == 400 && kept(5.0).size == 400, "w >= 1 keeps all")
+    assert(kept(0.0).isEmpty && kept(null).isEmpty && kept(-2.0).isEmpty)
+    val k03 = kept(0.3)
+    val k06 = kept(0.6)
+    assert(k03.nonEmpty && k03.size < 400, s"0.3 must genuinely sample: ${k03.size}")
+    assert(k03.subsetOf(k06), "kept set must be monotone in the weight")
+    // rate roughly tracks the weight (hash-uniformity; generous bounds)
+    assert(k03.size > 400 * 0.15 && k03.size < 400 * 0.45, s"got ${k03.size}")
+  }
+
+  test("landBpeMerges/loadBpeMerges round-trip preserves rank order; " +
+       "re-landing is a no-op") {
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val tbl = "graft_bpe_spec_tbl"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    try {
+      TextOps.landBpeMerges(merges, spark, tbl, Some(s"$tmp/$tbl"))
+      assert(TextOps.loadBpeMerges(spark, tbl) == merges)
+      // idempotent: landing a DIFFERENT list under the same name is a
+      // no-op (existing table wins) — drop to retrain
+      TextOps.landBpeMerges(Seq(("x", "y")), spark, tbl, Some(s"$tmp/$tbl"))
+      assert(TextOps.loadBpeMerges(spark, tbl) == merges)
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $tbl"); () }
+  }
+
   test("corpusDiff: added/removed/changed classified; unchanged and " +
        "null-to-null texts emit no row; null-to-text is a change") {
     import spark.implicits._
