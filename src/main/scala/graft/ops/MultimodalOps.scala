@@ -372,6 +372,56 @@ object MultimodalOps {
       imageDHashes(media, batchSize).filter(col("dhash").isNotNull),
       "media_id", "dhash", bands, radius, maxBucket)
 
+  /** 64-bit audio DELTA hash — the 1-D dHash: RMS energy over 65 equal
+    * time segments of the decoded mono signal, bit i set iff segment i's
+    * energy < segment i+1's. Comparisons are scale-monotone, so the hash
+    * is invariant under uniform gain (the audio analog of dHash's
+    * lighting invariance) and robust to re-encoding that preserves the
+    * energy envelope; radically different program material flips ~half
+    * the bits. */
+  private[graft] def ahash64(samples: Array[Double]): Long = {
+    val env = audioFeatures(samples, 65)
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (env(i) < env(i + 1)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Perceptual fingerprints for audio blobs: (media_id, ahash), NULL for
+    * rows no JDK codec decodes — undecodable blobs leave the dedup flow
+    * (the [[imageDHashes]] rule). Same mapPartitions batch shape. */
+  def audioAHashes(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
+          Row(r.getLong(idIdx),
+            decodeAudio(bytes).map(s => java.lang.Long.valueOf(ahash64(s))).orNull)
+        }
+      }
+    }
+  }
+
+  /** Audio near-dup pairs: delta-hash fingerprints through the same batch
+    * banded Hamming machinery as [[imageNearDupPairs]] — modality parity
+    * for the dedup family (text SimHash / image dHash / audio aHash all
+    * share [[graft.ops.DedupOps.hammingNearDupPairs]]'s contract, caps,
+    * and observe metrics). */
+  def audioNearDupPairs(media: DataFrame, bands: Int = 4, radius: Int = -1,
+                        maxBucket: Int = 0, batchSize: Int = 64): DataFrame =
+    DedupOps.hammingNearDupPairs(
+      audioAHashes(media, batchSize).filter(col("ahash").isNotNull),
+      "media_id", "ahash", bands, radius, maxBucket)
+
   /** Frame sampling for video rows: every `stride`-th frame index from the
     * metadata (pure expressions — the heavy decode happens downstream only
     * for sampled frames, which is the 100 TB-relevant property). */

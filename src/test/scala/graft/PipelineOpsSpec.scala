@@ -296,6 +296,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(feats(1L) != f0, "stub features must not masquerade as RMS features")
   }
 
+  test("audio near-dup: gain-scaled copy hashes identically (delta hash " +
+       "is level-invariant) and pairs at Hamming 0; different program " +
+       "material stays out; undecodable bytes leave the flow") {
+    import javax.sound.sampled._
+    // 16 kHz mono PCM with a seeded per-segment amplitude envelope —
+    // adjacent-segment energies differ, so every delta bit is decisive
+    def wavBytes(seed: Int, gain: Double): Array[Byte] = {
+      val n = 16000
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val seg = i * 130 / n
+        val amp = ((((seg + seed) * 2654435761L) >>> 8) % 1000).toDouble / 1000.0
+        val base = if ((i / 10) % 2 == 0) amp else -amp
+        val s = (base * gain * 30000).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(16000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (0L, wavBytes(7, 1.0)),   // original
+      (1L, wavBytes(7, 0.5)),   // same program at half gain -> same hash
+      (2L, wavBytes(99, 1.0)),  // different program -> far in Hamming
+      (3L, "not audio".getBytes("UTF-8"))) // undecodable -> excluded
+      .toDF("media_id", "bytes")
+    val hashes = MultimodalOps.audioAHashes(rows)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashes(3L).isEmpty, "undecodable bytes must hash to null")
+    assert(hashes(0L) == hashes(1L),
+      s"half-gain copy must hash identically: ${hashes(0L)} vs ${hashes(1L)}")
+    assert(java.lang.Long.bitCount(hashes(0L).get ^ hashes(2L).get) > 10,
+      "different program material must sit far in Hamming space")
+    val pairs = MultimodalOps.audioNearDupPairs(rows, bands = 4, radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 0L)),
+      s"exactly the planted gain pair at Hamming 0: ${pairs.toSeq}")
+  }
+
   test("multimodal: animated GIF decodes to per-frame luminance; single " +
        "images and non-GIF video fall back to stub") {
     import java.awt.image.BufferedImage
