@@ -422,6 +422,59 @@ object MultimodalOps {
       audioAHashes(media, batchSize).filter(col("ahash").isNotNull),
       "media_id", "ahash", bands, radius, maxBucket)
 
+  /** Per-sampled-frame dHashes for video blobs: (media_id, frame_pos,
+    * dhash) with `frame_pos` the 0-based position WITHIN the sample
+    * (stride applied at decode, so only consumed frames materialize —
+    * the [[decodeVideoFrames]] contract). Undecodable / single-image
+    * blobs emit no rows. */
+  def videoFrameDHashes(media: DataFrame, stride: Int = 30,
+                        maxFrames: Int = 16, batchSize: Int = 16): DataFrame = {
+    require(maxFrames >= 1 && maxFrames <= 1024,
+      s"maxFrames must be in [1, 1024] (frame ids pack into media_id*1024), got $maxFrames")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_pos", IntegerType),
+      StructField("dhash", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val bytes = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
+          decodeVideoFrames(bytes, stride, maxFrames).toSeq.flatMap(frames =>
+            frames.iterator.zipWithIndex.map { case (f, i) =>
+              Row(r.getLong(idIdx), i, dhash64(f))
+            })
+        }
+      }
+    }
+  }
+
+  /** Video near-dup pairs: two videos pair when ANY sampled frame pair
+    * sits within Hamming `radius` — shared-scene detection, robust to
+    * trims/re-encodes that preserve frames (the YouTube-dedup shape).
+    * Per-frame dHashes ride the shared banded machinery under a packed
+    * frame id (`media_id * 1024 + frame_pos`; media ids must be
+    * non-negative and < 2^52), frame pairs collapse to distinct video
+    * pairs keeping the MINIMUM frame Hamming, and same-video frame pairs
+    * drop. Output: (id_a, id_b, min_frame_hamming), id_a < id_b. */
+  def videoNearDupPairs(media: DataFrame, bands: Int = 4, radius: Int = -1,
+                        stride: Int = 30, maxFrames: Int = 16,
+                        maxBucket: Int = 0, batchSize: Int = 16): DataFrame = {
+    val fh = videoFrameDHashes(media, stride, maxFrames, batchSize)
+      .select((col("media_id") * 1024 + col("frame_pos")).as("__fid"),
+        col("dhash"))
+    DedupOps.hammingNearDupPairs(fh, "__fid", "dhash", bands, radius, maxBucket)
+      .select(floor(col("id_a") / 1024).cast(LongType).as("__ma"),
+        floor(col("id_b") / 1024).cast(LongType).as("__mb"), col("hamming"))
+      .filter(col("__ma") =!= col("__mb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("min_frame_hamming"))
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame index from the
     * metadata (pure expressions — the heavy decode happens downstream only
     * for sampled frames, which is the 100 TB-relevant property). */

@@ -375,6 +375,44 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(feats(1L) != f0, "non-video bytes must take the stub path")
   }
 
+  test("video near-dup: videos sharing one frame pair via that frame; " +
+       "disjoint videos and same-video frame pairs stay out") {
+    import java.awt.image.BufferedImage
+    // distinct 16x16 patterns with well-separated dHashes: horizontal
+    // gradients of different period/phase
+    def pattern(k: Int): BufferedImage = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = ((x * (k + 1) + y * k + (if ((x / (k + 2)) % 2 == 0) 0 else 128)) % 256)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def gif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val shared = pattern(1)
+    val rows = Seq(
+      (0L, gif(Seq(pattern(3), shared))),   // A: ends with the shared scene
+      (1L, gif(Seq(shared, pattern(5)))),   // B: starts with it -> pair (A,B)
+      (2L, gif(Seq(pattern(7), pattern(9)))), // C: disjoint scenes
+      (3L, "not a video".getBytes("UTF-8")))  // undecodable: no frames
+      .toDF("media_id", "bytes")
+    val pairs = MultimodalOps.videoNearDupPairs(rows, bands = 4, radius = 3,
+        stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 0L)),
+      s"exactly the shared-frame pair at Hamming 0: ${pairs.toSeq}")
+  }
+
   test("nearDuplicatePairsWithHandle: unpersist handle leaves no cached blocks") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (pairs, done) = DedupOps.nearDuplicatePairsWithHandle(docs, "doc_id", "text",
