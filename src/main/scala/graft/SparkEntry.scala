@@ -656,6 +656,50 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q88_sessions" -> ((s: SparkSession, dir: String) => {
+      // gap-based sessionization via Spark's NATIVE session_window (30-min
+      // inactivity rule); boundaries decided on unix_micros integers, the
+      // per-session value sum exact via the decimal trick. One shuffle on
+      // user_id; the oracle replays the session rule with a lag/running-sum
+      // window over epoch_us.
+      val sess = graft.ops.EventOps.sessionStats(t(s, dir, "events"),
+        "user_id", "ts", gapSeconds = 1800,
+        aggs = Seq(dsum(col("value")).as("total_value")))
+      sess.select(col("user_id"),
+          unix_micros(col("session_start").cast("timestamp")).as("start_us"),
+          unix_micros(col("session_end").cast("timestamp")).as("end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
+    "q89_windowed_events" -> ((s: SparkSession, dir: String) => {
+      // tumbling 1-hour event-time windows x event_type, with a typed JSON
+      // field pulled out of the props column (get_json_object, codegen'd)
+      // — the map-side bucket + two-phase hash agg shape
+      val ev = t(s, dir, "events")
+      graft.ops.EventOps.tumblingStats(ev, "ts", widthSeconds = 3600,
+          keyCols = Seq("event_type"),
+          aggs = Seq(
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("total_value"),
+            sum(graft.ops.EventOps.jsonField(col("props"), "$.k", "long"))
+              .as("sum_k")))
+        .select(unix_micros(col("bucket_start").cast("timestamp")).as("bucket_us"),
+          col("event_type"), col("n_events"), col("total_value"), col("sum_k"))
+        .orderBy(col("bucket_us"), col("event_type"))
+    }),
+
+    "q90_sessionize" -> ((s: SparkSession, dir: String) => {
+      // per-row session LABELING (the row-preserving sibling of q88):
+      // session_seq / session_id as pure functions of (user, ts, id) —
+      // two windows over one shared exchange on user_id
+      graft.ops.EventOps.sessionize(t(s, dir, "events"),
+          "user_id", "ts", "event_id", gapSeconds = 1800)
+        .select(col("event_id"), col("user_id"), col("session_seq"),
+          col("session_id"))
+        .orderBy(col("event_id"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2245,6 +2289,68 @@ object SparkEntry {
         |        & 2147483647::UBIGINT)::BIGINT AS DOUBLE)
         |  < least(greatest(n_chars / 600.0, 0.0), 1.0) * 2147483648.0
         |ORDER BY doc_id""".stripMargin,
+
+    "q88_sessions" ->
+      // replay of Spark's session_window rule on epoch_us integers: a row
+      // starts a session iff it is the user's first or the gap since the
+      // previous event is STRICTLY over 30 min (Spark merges an event
+      // landing exactly on the previous window's ts+gap bound —
+      // EventOpsSpec pins the boundary); session_end = last event + gap.
+      // Ties at equal us land in the same session whichever orders first,
+      // so the running sum is tie-order-independent.
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), s AS (
+        |  SELECT user_id, us, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM f
+        |)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, seq ORDER BY user_id, start_us""".stripMargin,
+
+    "q89_windowed_events" ->
+      // time_bucket's hour grid is epoch-aligned like Spark's window();
+      // props->>'k' is the same lenient string-extract-then-cast
+      // get_json_object performs (missing key / bad JSON -> NULL)
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  sum(CAST(props->>'k' AS BIGINT)) AS sum_k
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q90_sessionize" ->
+      // q88's lag/running-sum replay, kept per-row: seq is 0-based,
+      // session_id = 'user:seq'; ties break by event_id exactly as the
+      // Spark window's orderBy does
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |), f AS (
+        |  SELECT event_id, user_id, us,
+        |    CASE WHEN user_id IS NULL OR us IS NULL THEN 0
+        |         WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us NULLS LAST, event_id)
+        |), s AS (
+        |  SELECT event_id, user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us NULLS LAST, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS seq
+        |  FROM f
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN user_id IS NOT NULL AND us IS NOT NULL THEN seq END AS session_seq,
+        |  CASE WHEN user_id IS NOT NULL AND us IS NOT NULL
+        |       THEN CAST(user_id AS VARCHAR) || ':' || CAST(seq AS VARCHAR) END AS session_id
+        |FROM s ORDER BY event_id""".stripMargin,
 
     "q45_hash_split" ->
       """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

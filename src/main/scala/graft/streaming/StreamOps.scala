@@ -194,6 +194,34 @@ object StreamOps {
         avg(col("value")).as("mean_value"))
 
   /**
+   * Watermarked streaming SESSIONIZATION via Spark's native
+   * `session_window`: one row per (user, closed session) with `n_events`
+   * and the `valueCol` sum — session boundaries follow the batch
+   * [[graft.ops.EventOps.sessionStats]] rule exactly (an event exactly
+   * `gap` after the previous one merges; only a strictly larger gap
+   * splits), so a pipeline can reconcile its streaming and batch session
+   * tables row for row. Append mode: a session emits ONCE, when the
+   * event-time watermark passes its end (start + gap of silence), and its
+   * state is evicted — bounded memory at any horizon. Null-user /
+   * null-timestamp rows have no session and are filtered up front (the
+   * batch rule).
+   */
+  def streamingSessionStats(events: DataFrame, userCol: String, tsCol: String,
+                            valueCol: String, gapSeconds: Long,
+                            watermark: String = "10 minutes"): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapSeconds seconds").as("session"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+      .withColumn("session_start", col("session.start"))
+      .withColumn("session_end", col("session.end"))
+      .drop("session")
+  }
+
+  /**
    * Streaming exact dedup: drop documents whose sha2-256 digest was already
    * seen within the watermark horizon. Same digest-keyed principle as the
    * batch `DedupOps.exactDedup` — state stores 32-byte digests, never

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.EventOps
+
+class EventOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  // user 1: events at 0s, 60s, 1860s (gap == exactly 1800 -> MERGES, the
+  // event lands on the previous window's ts+gap bound), 3661s (gap 1801 >
+  // 1800 -> SPLITS); user 2: one event; plus a null-user and a null-ts row
+  private def fixture = Seq(
+    (1L, Option(1L), Option(ts(0))),
+    (2L, Option(1L), Option(ts(60))),
+    (3L, Option(1L), Option(ts(1860))),
+    (4L, Option(1L), Option(ts(3661))),
+    (5L, Option(2L), Option(ts(500))),
+    (6L, Option.empty[Long], Option(ts(100))),
+    (7L, Option(1L), Option.empty[Timestamp])
+  ).toDF("event_id", "user_id", "ts")
+
+  test("sessionize: exact-gap merges, gap+1 splits, null user/ts rows " +
+       "keep null labels without perturbing live sessions") {
+    val out = EventOps.sessionize(fixture, "user_id", "ts", "event_id", 1800)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("session_seq")).map(_.toLong),
+         Option(r.getAs[String]("session_id")))).toMap
+    assert(out(1L) == (Some(0L), Some("1:0")))
+    assert(out(2L) == (Some(0L), Some("1:0")))
+    assert(out(3L) == (Some(0L), Some("1:0")),
+      "an event exactly `gap` after the previous one must MERGE (session_window rule)")
+    assert(out(4L) == (Some(1L), Some("1:1")),
+      "a gap strictly over `gap` seconds must start a new session")
+    assert(out(5L) == (Some(0L), Some("2:0")))
+    assert(out(6L) == ((None, None)), "null user -> no session")
+    assert(out(7L) == ((None, None)), "null ts -> no session")
+  }
+
+  test("sessionStats agrees with sessionize boundaries and reports " +
+       "session_end = last event + gap") {
+    val out = EventOps.sessionStats(fixture, "user_id", "ts", 1800,
+        aggs = Seq(min(col("event_id")).as("first_event")))
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 0L, (1860L + 1800L) * 1000000L, 3L),
+      (1L, 3661L * 1000000L, (3661L + 1800L) * 1000000L, 1L),
+      (2L, 500L * 1000000L, (500L + 1800L) * 1000000L, 1L)))
+    // same number of sessions as distinct sessionize labels
+    val labels = EventOps.sessionize(fixture, "user_id", "ts", "event_id", 1800)
+      .filter(col("session_id").isNotNull)
+      .select(col("session_id")).distinct().count()
+    assert(labels == 3L)
+  }
+
+  test("tumblingStats buckets are epoch-aligned half-open hours; null ts " +
+       "excluded; jsonField is lenient on missing keys and bad JSON") {
+    val ev = Seq(
+      (1L, Option(ts(3599)), """{"k": 2}"""),   // hour 0 (inclusive end edge)
+      (2L, Option(ts(3600)), """{"k": 5}"""),   // hour 1 (half-open)
+      (3L, Option(ts(3601)), """{"nope": 1}"""), // missing key -> null
+      (4L, Option(ts(7199)), "not json"),        // malformed -> null
+      (5L, Option.empty[Timestamp], """{"k": 9}""")
+    ).toDF("event_id", "ts", "props")
+    val out = EventOps.tumblingStats(ev, "ts", 3600, Nil,
+        Seq(count(lit(1)).as("n"),
+          sum(EventOps.jsonField(col("props"), "$.k", "long")).as("sum_k")))
+      .select(unix_micros(col("bucket_start")).as("b"), col("n"), col("sum_k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Long]("sum_k")).map(_.toLong))).toSet
+    assert(out == Set(
+      (0L, 1L, Some(2L)),
+      (3600L * 1000000L, 3L, Some(5L))))
+  }
+
+  test("sessionize shares ONE exchange between its two windows") {
+    val plan = EventOps.sessionize(fixture, "user_id", "ts", "event_id", 1800)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected the lag and running-sum windows to reuse one exchange, got $exchanges in:\n$plan")
+  }
+}

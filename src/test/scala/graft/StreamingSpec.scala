@@ -69,6 +69,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingSessionStats closes sessions once the watermark passes, " +
+       "merges across micro-batches, and matches the batch session rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sess = StreamOps.streamingSessionStats(
+      input.toDF().toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", gapSeconds = 10, watermark = "5 seconds")
+    val q = sess.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 events at 0s and 10s (gap == 10 merges), user 2 at 1s
+      input.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0), (2L, ts(1), 5.0))
+      q.processAllAvailable()
+      // batch 2: user 1 again at 12s (still merging), then a far-future
+      // event at 100s advances the watermark to 95s, closing every session
+      input.addData((1L, ts(12), 4.0), (9L, ts(100), 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sess_stream ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 3L, 7.0), (2L, 1L, 5.0)),
+        s"got ${rows.toSeq}: user 1's three events must merge into ONE " +
+          "session across micro-batches; user 9's session stays open")
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops repeated digests across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
