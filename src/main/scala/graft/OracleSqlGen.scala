@@ -118,6 +118,49 @@ object OracleSqlGen {
 
   private val cosineSql = cosineSqlFor("a", "b")
 
+  /** Shared CTE body for the q91/q92 random projection: `(vec_id, j, ip)`
+    * rows via cross join against the literal pre-scaled rows, exactly the
+    * left-to-right fold MatProjectExpr performs. */
+  private def projRowsSql(outDim: Int, dim: Int): String = {
+    val rows = SimOps.projectionMatrix(outDim, dim, 42L)
+    s"""SELECT e.vec_id, r.j, list_inner_product(e.v, r.row) AS ip
+       |  FROM e CROSS JOIN (VALUES
+       |    ${planesValues(rows)}) r(j, row)""".stripMargin
+  }
+
+  /** q91: random-projection (JL) dim reduction, exploded to
+    * (vec_id, dim, proj) — bit-exact against MatProjectExpr because both
+    * engines fold the SAME pre-scaled row literals left-to-right. */
+  def randomProjectionSql(outDim: Int, dim: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |)
+       |SELECT vec_id, j AS dim, ip AS proj
+       |FROM (${projRowsSql(outDim, dim)})
+       |ORDER BY vec_id, dim""".stripMargin
+
+  /** q92: exact cosine top-k in the PROJECTED space (queries vec_id < 20,
+    * k = 5) — the reduced-dimension ANN path, oracle-exact end to end. */
+  def annProjectedSql(outDim: Int, dim: Int, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), proj AS (
+       |  SELECT vec_id, list(ip ORDER BY j) AS v
+       |  FROM (${projRowsSql(outDim, dim)})
+       |  GROUP BY vec_id
+       |), scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $cosineSql AS cos_sim
+       |  FROM proj a JOIN proj b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 20
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** q30: LSH-bucketed approximate top-k (6 planes, dim 64, seed 42 — the
     * exact planes SimOps generates; queries = vec_id < 20, k = 5). */
   def annLshSql: String = {

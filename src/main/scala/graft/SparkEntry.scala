@@ -873,6 +873,32 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    "q91_random_projection" -> ((s: SparkSession, dir: String) => {
+      // JL dimensionality reduction at ingest: 64 -> 16 dims via a
+      // deterministic pre-scaled Gaussian matrix (native one-pass kernel,
+      // matrix as a codegen reference object) — downstream ANN scans and
+      // shuffles carry a quarter of the bytes. Bit-exact: both engines
+      // fold the same row literals left-to-right.
+      val m = SimOps.projectionMatrix(outDim = 16, dim = 64)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(SimOps.randomProject(col("embedding"), m)).as(Seq("dim", "p")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("p").as("proj"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    "q92_ann_projected" -> ((s: SparkSession, dir: String) => {
+      // exact cosine top-k in the PROJECTED 16-dim space — the
+      // reduced-dimension ANN path (project once at ingest, search cheap
+      // forever); q29's contract shape, oracle-exact end to end
+      val m = SimOps.projectionMatrix(outDim = 16, dim = 64)
+      val proj = t(s, dir, "embeddings")
+        .select(col("vec_id"), SimOps.randomProject(col("embedding"), m).as("p"))
+      SimOps.cosineTopK(proj, proj.filter(col("vec_id") < 20), "vec_id", "p", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q66_hashing_tfidf" -> ((s: SparkSession, dir: String) => {
       // the featurizer capstone: hashed TF re-weighted by smoothed idf
       TextOps.hashingTfIdf(t(s, dir, "documents"), "doc_id", "text", dim = 64)
@@ -1589,6 +1615,8 @@ object SparkEntry {
     "q26_near_dedup"     -> OracleSqlGen.nearDedupSql,
     "q48_near_dedup_cc"  -> OracleSqlGen.nearDedupConnectedSql,
     "q30_ann_lsh"        -> OracleSqlGen.annLshSql,
+    "q91_random_projection" -> OracleSqlGen.randomProjectionSql(outDim = 16, dim = 64),
+    "q92_ann_projected"  -> OracleSqlGen.annProjectedSql(outDim = 16, dim = 64, k = 5),
     "q63_ann_lsh_banded" -> OracleSqlGen.annLshBandedSql(bands = 3, nPlanes = 6, k = 5),
     "q36_barrier_layer"  -> OracleSqlGen.barrierLayerSql,
     "q40_embedding_near_dup" -> OracleSqlGen.embeddingNearDupSql,

@@ -109,6 +109,33 @@ object SimOps {
     Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Deterministic Gaussian random-projection matrix (`outDim` x `dim`,
+    * same seeded family as [[hyperplanes]]), rows PRE-SCALED by
+    * `1/sqrt(outDim)` — the Johnson–Lindenstrauss normalization that keeps
+    * expected norms (and with them dot products / cosines) approximately
+    * invariant, baked into the row values so no post-fold multiply exists
+    * to diverge between engines. */
+  def projectionMatrix(outDim: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val s = 1.0 / math.sqrt(outDim.toDouble)
+    hyperplanes(outDim, dim, seed).map(_.map(_ * s))
+  }
+
+  /**
+   * Random-projection dimensionality REDUCTION at ingest (JL transform):
+   * `array<double>` of `matrix.length` elements, element j the
+   * left-to-right dot fold of the vector with row j — a 64→16 reduction
+   * cuts every downstream ANN/near-dup scan and shuffle to a quarter of
+   * the bytes while approximately preserving cosines (distortion bound by
+   * the JL lemma; recall pinned in SimSearchSpec). Native one-pass codegen
+   * kernel; the matrix rides as a reference object. Land the projected
+   * column once and query it many times — the same ingest-time shape as
+   * [[l2Normalize]] / [[quantizeInt8]].
+   */
+  def randomProject(v: Column, matrix: Array[Array[Double]]): Column =
+    org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+      .matProject(v, matrix.toSeq)
+
   /** Sign-sketch bucket id: bit b = sign(v . plane_b). Native single-pass
     * expression; the planes ride as a codegen reference object instead of
     * per-plane literal arrays (at 48 planes x 1k dims the literal form was

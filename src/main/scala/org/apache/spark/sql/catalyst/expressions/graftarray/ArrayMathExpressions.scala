@@ -400,6 +400,111 @@ case class BandedSignSketchExpr(child: Expression, planes: Seq[Seq[Seq[Double]]]
 }
 
 /**
+ * Dense matrix-vector projection: output element `j` is the left-to-right
+ * double dot fold of the input vector with `matrix` row `j` — the identical
+ * fold [[DotProductExpr]] performs and DuckDB's `list_inner_product`
+ * replays, so projections are bit-exact oracle-able when the oracle embeds
+ * the same row literals. The random-projection (Johnson–Lindenstrauss)
+ * dimensionality-reduction kernel: rows are Gaussian directions pre-scaled
+ * by `1/sqrt(outDim)` at construction (see `SimOps.projectionMatrix`), so
+ * no post-fold multiply exists to diverge between engines.
+ *
+ * The matrix rides via `ctx.addReferenceObj` (one reference, fixed
+ * two-loop kernel — the [[BandedSignSketchExpr]] pattern, not outDim
+ * literal arrays). A vector whose length mismatches the rows, or with a
+ * null element, yields a null output; rows are validated uniform at
+ * construction. `matrix` is `Seq`-shaped so case-class equality — and
+ * Catalyst canonicalization/subexpression elimination — works by value.
+ */
+case class MatProjectExpr(child: Expression, matrix: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(matrix.nonEmpty, "need >= 1 projection row")
+  require(matrix.map(_.length).distinct.size == 1,
+    "all projection rows must have the same length")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // null on a null ELEMENT / length mismatch even over a non-null child
+  // (same janino-undeclared-isNull hazard as DotProductExpr)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mat_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val rows: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray
+  private def inDim = matrix.head.length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != inDim) return null
+    val vv = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      vv(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](rows.length)
+    var j = 0
+    while (j < rows.length) {
+      val r = rows(j)
+      var d = 0.0
+      i = 0
+      while (i < n) { d += vv(i) * r(i); i += 1 }
+      out(j) = d
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val rowsRef = ctx.addReferenceObj("projRows", rows, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val vv = ctx.freshName("vv"); val r = ctx.freshName("r")
+      val d = ctx.freshName("d"); val out = ctx.freshName("out")
+      s"""
+         |final int $n = $v.numElements();
+         |if ($n != $inDim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $vv = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $vv[$i] = (double) $v.$get($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double[] $out = new double[${rows.length}];
+         |    for (int $j = 0; $j < ${rows.length}; $j++) {
+         |      final double[] $r = $rowsRef[$j];
+         |      double $d = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) $d += $vv[$i] * $r[$i];
+         |      $out[$j] = $d;
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * IVF coarse-quantizer cell assignment: returns the id of the codebook
  * centroid with the highest cosine to the input vector, FIRST max on ties —
  * the same answer as the historical
@@ -559,6 +664,13 @@ object ArrayMathExpressions {
     * (`struct(scale, q)`); dequantize at use as `q * scale` per element. */
   def int8Quantize(v: Column): Column =
     ExpressionUtils.column(Int8QuantizeExpr(ExpressionUtils.expression(v)))
+
+  /** Column-API form: codegen'd dense matrix-vector projection
+    * (`array<double>`, one element per matrix row). The matrix travels as
+    * a reference object, not literals. */
+  def matProject(vec: Column, matrix: Seq[Array[Double]]): Column =
+    ExpressionUtils.column(
+      MatProjectExpr(ExpressionUtils.expression(vec), matrix.map(_.toSeq)))
 
   /** Column-API form: codegen'd all-bands sign sketch (`array<long>`, one
     * element per band). Planes travel as a reference object, not literals. */

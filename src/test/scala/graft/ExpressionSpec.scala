@@ -139,6 +139,58 @@ class ExpressionSpec extends SparkTestBase {
     }
   }
 
+  test("mat_project: per-row dot fold matches array_dot, null element and " +
+       "dim mismatch -> null, compiles under CODEGEN_ONLY") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+    val m = Seq(Array(1.0, 2.0, 3.0), Array(-0.5, 0.25, 4.0))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rows = (0 until 4).map { i =>
+      org.apache.spark.sql.Row(i.toLong, Seq(1.0 + i, -2.0, 0.5 * i))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val restore = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = df.select(col("id"),
+          ArrayMathExpressions.matProject(col("v"), m).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      (0 until 4).foreach { i =>
+        val v = Array(1.0 + i, -2.0, 0.5 * i)
+        val exp = m.map { row =>
+          var d = 0.0; var j = 0
+          while (j < 3) { d += v(j) * row(j); j += 1 }; d
+        }
+        assert(got(i.toLong) == exp, s"row $i")
+      }
+      // parity with array_dot per output element (the shared fold contract)
+      val viaDot = df.select(col("id"),
+          ArrayMathExpressions.dot(col("v"),
+            array(m.head.map(lit).toIndexedSeq: _*)).as("d0"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (0 until 4).foreach(i => assert(got(i.toLong).head == viaDot(i.toLong)))
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // null element / dim mismatch -> null output (nullable path)
+    import spark.implicits._
+    val odd = Seq(
+      (0L, Seq[java.lang.Double](1.0, null, 2.0)),
+      (1L, Seq[java.lang.Double](1.0, 2.0)),        // dim 2 != 3
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0))
+    ).toDF("id", "v")
+    val outs = odd.select(col("id"),
+        ArrayMathExpressions.matProject(col("v"), m).as("p"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(outs(0L) && outs(1L) && !outs(2L))
+  }
+
   test("nfc_normalize: composes combining marks, compat singletons, " +
        "zero-copy ASCII; normalizeText strips control chars") {
     import org.apache.spark.sql.functions._

@@ -65,6 +65,27 @@ class SimSearchSpec extends SparkTestBase {
       s"8x12 banded recall $banded — banding should recover the planted pairs")
   }
 
+  test("random projection 32->16 keeps planted cos>=0.955 partners top-1 " +
+       "for >=90% of queries; an exact copy projects to cosine exactly 1.0") {
+    val m = SimOps.projectionMatrix(outDim = 16, dim = dim, seed = 7L)
+    // exact copy of vector 0 under a fresh id: identical input -> identical
+    // projection -> cosine 1.0, deterministically
+    val withCopy = plantedCorpus :+ (9999L, plantedCorpus.head._2)
+    val e = withCopy.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val proj = e.select(col("vec_id"),
+      SimOps.randomProject(col("embedding"), m).as("p"))
+    val queries = proj.filter(col("vec_id") < 300 || col("vec_id") === 9999L)
+    val top = SimOps.cosineTopK(proj, queries, "vec_id", "p", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+    assert(top(9999L) == ((0L, 1.0)),
+      s"exact copy must project to cosine exactly 1.0, got ${top(9999L)}")
+    val recall = (0 until 150).count { i =>
+      top.get(2L * i).exists(_._1 == 2L * i + 1)
+    } / 150.0
+    assert(recall >= 0.9, s"projected top-1 partner recall $recall")
+  }
+
   test("banded results are a superset of single-band results at the same planes") {
     val e = plantedCorpus.take(200).map { case (id, v) => (id, v.toSeq) }
       .toDF("vec_id", "embedding")
