@@ -700,6 +700,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q93_shard_manifest" -> ((s: SparkSession, dir: String) => {
+      // corpus-landing audit: deterministic hash shards + a per-shard
+      // manifest (counts, token sums, order-independent key checksum) —
+      // the certificate a 100 TB corpus ships with so any engine can
+      // re-derive shard membership and detect drift. Map-side shard
+      // assignment, one two-phase hash agg.
+      val sharded = graft.ops.SampleOps.assignShards(
+        t(s, dir, "documents"), "doc_id", nShards = 8)
+      graft.ops.SampleOps.shardManifest(sharded, "doc_id", Some("n_chars"))
+        .orderBy(col("shard"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -770,6 +782,19 @@ object SparkEntry {
       graft.ops.SampleOps.resampleToMixture(t(s, dir, "documents"),
           "doc_id", "source",
           Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), totalRows = 230)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    "q94_mixture_tokens" -> ((s: SparkSession, dir: String) => {
+      // TOKEN-weighted data mixing: the 50/25/25 mix specified in tokens
+      // (n_chars as the proxy) — copy rates derive from per-source token
+      // SUMS, so a long-doc source replicates fewer documents for the
+      // same token mass; same deterministic hash-gated machinery as q55
+      graft.ops.SampleOps.resampleToMixtureTokens(t(s, dir, "documents"),
+          "doc_id", "source", "n_chars",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+          totalTokens = 60000)
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))
     }),
@@ -1927,6 +1952,34 @@ object SparkEntry {
         |SELECT doc_id, source, unnest(generate_series(0, copies - 1))::BIGINT AS epoch
         |FROM cop WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin,
 
+    "q94_mixture_tokens" ->
+      // q55's replay with per-source TOKEN sums in the denominator:
+      // ((w / W) * totalTokens) / T_s, W folded in sorted-source order,
+      // floor-based base/cut, q45's md5-31 hash family
+      """WITH sums AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+        |), par AS (
+        |  SELECT source,
+        |    ((CASE source WHEN 'src0' THEN 0.5::DOUBLE
+        |                  WHEN 'src1' THEN 0.25::DOUBLE
+        |                  ELSE 0.25::DOUBLE END
+        |      / (0.5::DOUBLE + 0.25::DOUBLE + 0.25::DOUBLE)) * 60000.0) / t AS r
+        |  FROM sums
+        |), cuts AS (
+        |  SELECT source, CAST(floor(r) AS BIGINT) AS base,
+        |    CAST(floor((r - floor(r)) * 2147483648.0) AS BIGINT) AS cut
+        |  FROM par
+        |), cop AS (
+        |  SELECT d.doc_id, d.source,
+        |    c.base + CASE WHEN
+        |      (('0x' || substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |        & 2147483647::UBIGINT)::BIGINT < c.cut THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN cuts c USING (source)
+        |)
+        |SELECT doc_id, source, unnest(generate_series(0, copies - 1))::BIGINT AS epoch
+        |FROM cop WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin,
+
     "q56_group_centroids" ->
       // parallel unnests zip element with its 1-based position; float
       // elements promote to double in both engines' avg, round(6) absorbs
@@ -2385,6 +2438,22 @@ object SparkEntry {
         |         & 2147483647::UBIGINT)::BIGINT % 10 AS split,
         |       count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q93_shard_manifest" ->
+      // the q45 md5-31 family under the 'graft-shard' salt; bit_xor is
+      // order-independent in both engines; DuckDB's HUGEINT sum cast back
+      // to BIGINT to match Spark's long
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    (('0x' || substr(md5('graft-shard:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT AS h
+        |  FROM documents
+        |)
+        |SELECT h % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+        |  bit_xor(h) AS key_checksum,
+        |  min(doc_id) AS min_key, max(doc_id) AS max_key
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q49_stratified_sample" ->
       // cut literals = (rate * 2^31).toLong for 0.25 / 0.5 / 1.0 (scaled by

@@ -165,6 +165,15 @@ object SampleOps {
         val cut = math.floor((r - math.floor(r)) * (DedupOps.P31 + 1).toDouble).toLong
         (s, base, cut)
     }
+    explodeCopies(df, keyCol, sourceCol, params, salt)
+  }
+
+  /** Shared tail of the mixture resamplers: map-side CASE chain picking
+    * (base copies, 31-bit fractional cut) per source, then one
+    * `explode(sequence(...))` emitting exactly the output multiplicity. */
+  private def explodeCopies(df: DataFrame, keyCol: String, sourceCol: String,
+                            params: Seq[(String, Long, Long)],
+                            salt: String): DataFrame = {
     val hash = keyHash(col(keyCol), salt)
     val copies = params.foldLeft(lit(0L)) { case (acc, (s, base, cut)) =>
       when(col(sourceCol) === s,
@@ -177,6 +186,55 @@ object SampleOps {
       .withColumn("epoch",
         explode(sequence(lit(0L), col(copiesCol) - 1, lit(1L))))
       .drop(copiesCol)
+  }
+
+  /**
+   * TOKEN-weighted mixture resampling: [[resampleToMixture]] with the copy
+   * rates derived from per-source TOKEN sums instead of row counts — the
+   * form a pre-training mix is actually specified in ("books should be 20%
+   * of the TOKENS", not of the documents; with 100x length spread between
+   * a web snippet and a book, row-proportioning misses the token mix by
+   * orders of magnitude). For source s with T_s tokens and normalized
+   * weight w_s, the copy rate is r_s = ((w_s / W) * totalTokens) / T_s:
+   * every row of s gets floor(r_s) copies plus a hash-gated extra, so the
+   * EXPECTED token output is w_s-proportioned while each row's multiplicity
+   * stays a pure function of (salt, key) — deterministic, engine-portable,
+   * layout-independent. Null or non-positive token counts contribute 0 to
+   * T_s and the rows still replicate at the source's rate (caller filters
+   * empties first if they should drop). Same scale shape as the row form:
+   * one tiny per-source agg, then map-side CASE + explode.
+   */
+  def resampleToMixtureTokens(df: DataFrame, keyCol: String, sourceCol: String,
+                              tokenCountCol: String,
+                              weights: Map[String, Double], totalTokens: Long,
+                              salt: String = "graft"): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (s, w) =>
+      require(w >= 0.0, s"weight for '$s' must be >= 0, got $w") }
+    val sortedW = weights.toSeq.sortBy(_._1)
+    val wSum = sortedW.map(_._2).sum
+    require(wSum > 0.0, "at least one weight must be positive")
+    val tokenSums = df
+      .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol))
+      .agg(sum(coalesce(col(tokenCountCol).cast("long"), lit(0L))).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.collect {
+      case (s, w) if w > 0.0 && tokenSums.getOrElse(s, 0L) <= 0L => s
+    }
+    require(missing.isEmpty,
+      s"resampleToMixtureTokens: positively-weighted source(s) ${missing.mkString(", ")} " +
+        "have no tokens in the corpus — fix the weights or the token column")
+    // ((w / W) * totalTokens) / T_s — the oracle replays this association order
+    val params = sortedW.collect {
+      case (s, w) if tokenSums.getOrElse(s, 0L) > 0L =>
+        val r = ((w / wSum) * totalTokens.toDouble) / tokenSums(s).toDouble
+        val base = math.floor(r).toLong
+        val cut = math.floor((r - math.floor(r)) * (DedupOps.P31 + 1).toDouble).toLong
+        (s, base, cut)
+    }
+    explodeCopies(df, keyCol, sourceCol, params, salt)
   }
 
   /**
@@ -229,6 +287,65 @@ object SampleOps {
     val cumBefore = coalesce(sum(col(tokenCountCol)).over(w), lit(0L))
     df.withColumn("pack_id", (cumBefore / lit(budget)).cast("long"))
       .withColumn("pack_offset", (cumBefore % lit(budget)).cast("long"))
+  }
+
+  /**
+   * Deterministic SHARD assignment: `shard` in [0, nShards) from the salted
+   * md5-31 of the key — the map-side, shuffle-free layout step before a
+   * training corpus lands as fixed shards. Expected-equal shard sizes at
+   * any corpus size (binomial concentration: ±0.1% at 10^9/1024 rows per
+   * shard); a pure function of (salt, key), so re-runs, re-partitions and
+   * other engines place every document identically. Same hash family as
+   * [[hashSplit]] — a different salt draws independent shards.
+   */
+  def assignShards(df: DataFrame, keyCol: String, nShards: Int,
+                   salt: String = "graft-shard"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.withColumn("shard", splitId(col(keyCol), nShards, salt))
+  }
+
+  /**
+   * Per-shard MANIFEST over a [[assignShards]]-labeled frame: one row per
+   * shard with `n_docs`, `n_tokens` (sum of `tokenCountCol` if given, else
+   * null), `key_checksum` (bit-XOR of the salted md5-31 key hashes — order-
+   * independent, engine-portable; 31-bit, so a drift DETECTOR, not a
+   * cryptographic seal) and `min_key`/`max_key`. One two-phase hash agg;
+   * every value is a pure function of the shard's row set, so two corpora
+   * disagree on a manifest row iff their shards differ.
+   */
+  def shardManifest(sharded: DataFrame, keyCol: String,
+                    tokenCountCol: Option[String] = None,
+                    salt: String = "graft-shard"): DataFrame = {
+    val tokens = tokenCountCol.map(c => sum(col(c).cast("long")))
+      .getOrElse(lit(null).cast("long"))
+    sharded.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_docs"),
+      tokens.as("n_tokens"),
+      bit_xor(keyHash(col(keyCol), salt)).as("key_checksum"),
+      min(col(keyCol)).as("min_key"),
+      max(col(keyCol)).as("max_key"))
+  }
+
+  /**
+   * Land a training corpus as deterministic SHARDS with a manifest:
+   * assigns shards ([[assignShards]]), writes `outDir/data` partitioned by
+   * `shard` (one directory per shard — the loader's unit of work), then
+   * reads the LANDED bytes back to compute and write `outDir/manifest`, so
+   * the manifest certifies what is on disk, not what was about to be
+   * written. Returns the manifest. Deterministic end to end: rewriting the
+   * same corpus reproduces identical shard membership and checksums on any
+   * cluster layout.
+   */
+  def writeShards(df: DataFrame, outDir: String, keyCol: String, nShards: Int,
+                  tokenCountCol: Option[String] = None,
+                  salt: String = "graft-shard"): DataFrame = {
+    val spark = df.sparkSession
+    assignShards(df, keyCol, nShards, salt)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/data")
+    val landed = spark.read.parquet(s"$outDir/data")
+    val manifest = shardManifest(landed, keyCol, tokenCountCol, salt)
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest")
   }
 
   /**

@@ -984,6 +984,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("bookz"))
   }
 
+  test("resampleToMixtureTokens: rates follow TOKEN sums not row counts; " +
+       "null token counts contribute zero; tokenless source fails loudly") {
+    import spark.implicits._
+    // 100 web docs x 10 tokens (1000 tokens) vs 2 book docs x 500 tokens
+    // (1000 tokens): a 50/50 TOKEN mix at 2000 total tokens must give
+    // BOTH sources rate 1.0 — exactly one copy each — where the row-based
+    // resampler would give books 50/2 = 25 copies per doc
+    val docs = ((0L until 100L).map(i => (i, "web", 10L)) ++
+      Seq((100L, "books", 500L), (101L, "books", 500L))).toDF("doc_id", "source", "n_tok")
+    val out = graft.ops.SampleOps.resampleToMixtureTokens(docs, "doc_id",
+      "source", "n_tok", Map("web" -> 0.5, "books" -> 0.5), totalTokens = 2000)
+      .select("doc_id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 102 && out.forall(_._2 == 0L),
+      s"rate 1.0 for both sources -> every doc exactly once, got ${out.length}")
+    // a null token count contributes 0 to the source sum but the row still
+    // replicates at the source rate
+    val withNull = docs.union(Seq((102L, "books", Option.empty[Long]))
+      .toDF("doc_id", "source", "n_tok"))
+    val out2 = graft.ops.SampleOps.resampleToMixtureTokens(withNull, "doc_id",
+      "source", "n_tok", Map("web" -> 0.5, "books" -> 0.5), totalTokens = 2000)
+    assert(out2.filter(col("doc_id") === 102L).count() >= 1L)
+    // a positively-weighted source with zero tokens fails loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.SampleOps.resampleToMixtureTokens(docs, "doc_id", "source",
+        "n_tok", Map("web" -> 0.5, "bookz" -> 0.5), totalTokens = 2000)
+    }
+    assert(err.getMessage.contains("bookz"))
+  }
+
   test("groupStats: percentile labels round decimally, sub-percent marks " +
        "get distinct names") {
     import spark.implicits._

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SampleOps
+
+class ShardSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def corpus = (0L until 200L).map(i => (i, s"doc $i body", i % 7 + 10))
+    .toDF("doc_id", "text", "n_tokens")
+
+  test("writeShards lands one directory per shard, reads back the full " +
+       "corpus, and the manifest certifies the landed data") {
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val manifest = SampleOps.writeShards(corpus, dir, "doc_id", nShards = 4,
+      tokenCountCol = Some("n_tokens"))
+    // one partition directory per shard
+    val shardDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // read-back parity: every row lands exactly once
+    val landed = spark.read.parquet(s"$dir/data")
+    assert(landed.count() == 200L)
+    assert(landed.select("doc_id").distinct().count() == 200L)
+    // manifest totals match the corpus
+    val m = manifest.collect().map(r => r.getAs[Int]("shard") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(m.values.map(_._1).sum == 200L)
+    assert(m.values.map(_._2).sum ==
+      corpus.agg(sum(col("n_tokens"))).head().getLong(0))
+    // manifest recomputed from the landed bytes agrees row for row
+    val recomputed = SampleOps.shardManifest(landed, "doc_id", Some("n_tokens"))
+    assert(recomputed.collect().toSet == manifest.collect().toSet)
+  }
+
+  test("shard assignment and checksums are pure functions of (salt, key): " +
+       "partitioning-invariant and idempotent across rewrites") {
+    val dir1 = Files.createTempDirectory("graft_shards_a").toString
+    val dir2 = Files.createTempDirectory("graft_shards_b").toString
+    val m1 = SampleOps.writeShards(corpus, dir1, "doc_id", 4,
+      Some("n_tokens")).collect().toSet
+    val m2 = SampleOps.writeShards(corpus.repartition(7), dir2, "doc_id", 4,
+      Some("n_tokens")).collect().toSet
+    assert(m1 == m2, "a 7-way repartition must not move any document")
+    // rewriting the same corpus over dir1 reproduces the identical manifest
+    val m3 = SampleOps.writeShards(corpus, dir1, "doc_id", 4,
+      Some("n_tokens")).collect().toSet
+    assert(m3 == m1)
+    // a single changed row flips exactly its shard's manifest row
+    val mutated = corpus.withColumn("doc_id",
+      when(col("doc_id") === 13L, lit(10013L)).otherwise(col("doc_id")))
+    val m4 = SampleOps.shardManifest(
+      SampleOps.assignShards(mutated, "doc_id", 4), "doc_id", Some("n_tokens"))
+      .collect().toSet
+    assert(m4 != m1, "manifest must detect a single-document drift")
+  }
+
+  test("tokenCountCol omitted -> null n_tokens; nShards = 1 degenerates " +
+       "to one shard holding everything") {
+    val m = SampleOps.shardManifest(
+      SampleOps.assignShards(corpus, "doc_id", 1), "doc_id")
+      .collect()
+    assert(m.length == 1)
+    assert(m.head.getAs[Long]("shard") == 0L)
+    assert(m.head.getAs[Long]("n_docs") == 200L)
+    assert(m.head.isNullAt(m.head.fieldIndex("n_tokens")))
+    assert(m.head.getAs[Long]("min_key") == 0L)
+    assert(m.head.getAs[Long]("max_key") == 199L)
+  }
+}
