@@ -799,6 +799,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
+    "q95_distinct_tokens" -> ((s: SparkSession, dir: String) => {
+      // lexical-diversity audit: exact distinct tokens per source (the
+      // oracle-checked path; approx = true swaps in mergeable HLL sketches
+      // for unbounded cardinality — spec-pinned against this exact answer)
+      TextOps.distinctTokens(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }),
+
     "q56_group_centroids" -> ((s: SparkSession, dir: String) => {
       // class-prototype centroids over the embeddings table: map-side
       // explode + partial agg, shuffle carries labels x dim partial sums
@@ -1951,6 +1959,16 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, unnest(generate_series(0, copies - 1))::BIGINT AS epoch
         |FROM cop WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin,
+
+    "q95_distinct_tokens" ->
+      // q51's tokenizer, count(DISTINCT) per source
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents
+        |)
+        |SELECT source, count(DISTINCT token) AS n_distinct_tokens
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     "q94_mixture_tokens" ->
       // q55's replay with per-source TOKEN sums in the denominator:

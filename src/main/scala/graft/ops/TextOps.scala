@@ -159,6 +159,18 @@ object TextOps {
     org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
       .nfcNormalize(regexp_replace(text, lit(ControlCharRe), lit("")))
 
+  /** Compression-ratio quality signal (deflated bytes / raw bytes, raw
+    * deflate level 6): templated or repetitive documents compress far below
+    * natural prose, making this the tokenizer-free complement to
+    * [[repetitionSignals]] — Gopher/DCLM pipelines gate on it directly
+    * (e.g. drop ratio < 0.2 as boilerplate, > 0.95 as binary junk). One
+    * native codegen pass per document, map-side; no DuckDB oracle exists
+    * (no SQL deflate), so the contract is spec-pinned against a reference
+    * JVM call plus ordering invariants. */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+      .deflateRatio(text)
+
   /** Hashing-trick term-frequency vector of width `dim` over the token
     * stream — the fixed-width featurizer a linear quality/language
     * classifier consumes (fastText-style). One-pass native codegen kernel;
@@ -788,6 +800,51 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
   }
+
+  /**
+   * Per-group distinct-token cardinality — the lexical-diversity audit of
+   * a corpus ("how many distinct words does each source contribute").
+   * `approx = false`: exact `count_distinct`, whose shuffle carries the
+   * distinct (group, token) pairs — right at vocabulary-scale
+   * cardinalities (q95's oracle-checked path). `approx = true`: a
+   * Datasketches HLL sketch per group — fixed KB-scale memory per group at
+   * ANY cardinality, the only shape that survives 10^9 distinct tokens.
+   */
+  def distinctTokens(df: DataFrame, groupCol: String, textCol: String,
+                     approx: Boolean = false): DataFrame = {
+    val tok = tempName(df, "__tok")
+    val exploded = df.select(col(groupCol), explode(tokens(col(textCol))).as(tok))
+    val agg =
+      if (approx) hll_sketch_estimate(hll_sketch_agg(col(tok)))
+      else count_distinct(col(tok))
+    exploded.groupBy(col(groupCol)).agg(agg.as("n_distinct_tokens"))
+  }
+
+  /**
+   * MERGEABLE per-group distinct-token sketches: one Datasketches HLL
+   * binary per group — the land-once shape for corpus-wide cardinality at
+   * scale. Build a sketch per ingest batch / shard / day, store the bytes,
+   * and [[mergeDistinctSketches]] unions any subset later WITHOUT
+   * re-scanning text: cardinality over arbitrary corpus slices from
+   * KB-scale summaries. `lgConfigK` trades size for accuracy (default 12 ≈
+   * 2% relative error).
+   */
+  def distinctTokenSketches(df: DataFrame, groupCol: String, textCol: String,
+                            lgConfigK: Int = 12): DataFrame = {
+    val tok = tempName(df, "__tok")
+    df.select(col(groupCol), explode(tokens(col(textCol))).as(tok))
+      .groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(tok), lit(lgConfigK)).as("token_sketch"))
+  }
+
+  /** Union [[distinctTokenSketches]] rows (any number of batches) back to
+    * one estimate per group. Sketch union is exact over the sketch state —
+    * merging per-batch sketches gives the SAME estimate as one pass over
+    * the union of the batches (spec-pinned). */
+  def mergeDistinctSketches(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("token_sketch"), lit(true)))
+        .as("n_distinct_tokens"))
 
   /**
    * Per-group distribution stats of a numeric column (corpus length/token

@@ -63,7 +63,8 @@ class ExpressionSpec extends SparkTestBase {
     // don't fit SQL literal builders), so it's deliberately absent here
     Seq("gsw_sigma0", "array_dot", "simhash64", "word_shingles",
         "lsh_band_keys", "md5_hash31", "max_token_freq", "hashing_tf",
-        "hashing_tf_sparse", "ascii_class_counts", "nfc_normalize").foreach { f =>
+        "hashing_tf_sparse", "ascii_class_counts", "nfc_normalize",
+        "deflate_ratio").foreach { f =>
       assert(injected.contains(f), s"$f missing from injected functions: $injected")
     }
   }
@@ -189,6 +190,44 @@ class ExpressionSpec extends SparkTestBase {
         ArrayMathExpressions.matProject(col("v"), m).as("p"))
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(outs(0L) && outs(1L) && !outs(2L))
+  }
+
+  test("deflate_ratio: repetitive text compresses far below prose, empty " +
+       "-> 1.0, null -> null, matches the reference JVM call, SQL-registered") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.grafttext.GraftTextKernels
+    import spark.implicits._
+    org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+      .registerInto(spark)
+    val boiler = "click here to subscribe " * 100
+    val prose = "The pressure sensor drifted nine dbar during the second " +
+      "upcast, which the lag correction only partially absorbed; we flag " +
+      "casts twelve through fifteen for manual review and rerun binning."
+    val docs = Seq((0L, Option(boiler)), (1L, Option(prose)),
+      (2L, Option("")), (3L, Option.empty[String])).toDF("id", "text")
+    val got = docs.select(col("id"),
+        graft.ops.TextOps.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(0L).exists(_ < 0.1), s"boilerplate ratio ${got(0L)}")
+    assert(got(1L).exists(r => r > 0.4 && r < 1.0), s"prose ratio ${got(1L)}")
+    assert(got(2L).contains(1.0), "empty -> 1.0 by convention")
+    assert(got(3L).isEmpty, "null text -> null ratio")
+    // parity with the reference kernel call (the deterministic contract —
+    // golden bytes would overfit a zlib build)
+    Seq(boiler, prose).foreach { t =>
+      val direct = GraftTextKernels.deflateRatio(UTF8String.fromString(t))
+      val viaDf = docs.filter(col("text") === t)
+        .select(graft.ops.TextOps.compressionRatio(col("text")))
+        .head().getDouble(0)
+      assert(viaDf == direct)
+    }
+    // SQL registration round-trip
+    val sqlVal = spark.sql("SELECT deflate_ratio('aaaaaaaaaaaaaaaaaaaa')")
+      .head().getDouble(0)
+    assert(sqlVal ==
+      GraftTextKernels.deflateRatio(UTF8String.fromString("a" * 20)))
   }
 
   test("nfc_normalize: composes combining marks, compat singletons, " +

@@ -1014,6 +1014,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("bookz"))
   }
 
+  test("distinctTokens: approx HLL estimate within 5% of exact; per-batch " +
+       "sketches merge to the same estimate as one pass over the union") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    // two sources with known-ish distinct vocabularies (~800 and ~300)
+    val docs = (0L until 400L).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      val vocab = if (src == "a") 800 else 300
+      val words = Seq.fill(20)(s"w${rng.nextInt(vocab)}").mkString(" ")
+      (i, src, words)
+    }.toDF("doc_id", "source", "text")
+    val exact = graft.ops.TextOps.distinctTokens(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.ops.TextOps.distinctTokens(docs, "source", "text",
+        approx = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (src, n) =>
+      val est = approx(src).toDouble
+      assert(math.abs(est - n) / n < 0.05, s"$src: exact $n, HLL $est")
+    }
+    // mergeability: sketches per 4 disjoint batches, unioned, give the
+    // SAME estimate as one sketch over everything
+    val single = graft.ops.TextOps.mergeDistinctSketches(
+      graft.ops.TextOps.distinctTokenSketches(docs, "source", "text"), "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batched = graft.ops.TextOps.mergeDistinctSketches(
+      (0 until 4).map(b =>
+        graft.ops.TextOps.distinctTokenSketches(
+          docs.filter(col("doc_id") % 4 === b), "source", "text"))
+        .reduce(_ unionByName _), "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(single == batched,
+      s"sketch union must be pass-shape-independent: $single vs $batched")
+  }
+
   test("groupStats: percentile labels round decimally, sub-percent marks " +
        "get distinct names") {
     import spark.implicits._

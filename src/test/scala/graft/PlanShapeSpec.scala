@@ -126,7 +126,13 @@ class PlanShapeSpec extends SparkTestBase {
           // corpus diff, BPE — all native expressions / column algebra
           "q79_semantic_pairs", "q80_semantic_dedup", "q81_duplicate_spans",
           "q82_strip_spans", "q83_ngram_lm_score", "q84_corpus_diff",
-          "q86_bpe_tokenize").foreach { q =>
+          "q86_bpe_tokenize",
+          // late round-9 families: event sessions/windows, random
+          // projection, shard manifests, token-weighted mixture — window
+          // algebra, mat_project, and hash/CASE column chains throughout
+          "q88_sessions", "q89_windowed_events", "q90_sessionize",
+          "q91_random_projection", "q92_ann_projected", "q93_shard_manifest",
+          "q94_mixture_tokens").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
