@@ -712,6 +712,28 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    "q96_funnel" -> ((s: SparkSession, dir: String) => {
+      // ordered conversion funnel view -> click -> signup -> purchase:
+      // each step is a per-user scalar agg over that step's events only
+      // (predicate pushed to the scan), chained by at-or-after joins on
+      // user-id scalars — never an event-sequence materialization
+      graft.ops.EventOps.funnel(t(s, dir, "events"), "user_id", "ts", Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "signup" -> (col("event_type") === "signup"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .orderBy(col("step_index"))
+    }),
+
+    "q97_retention" -> ((s: SparkSession, dir: String) => {
+      // daily cohort retention over a 30-day horizon: first-event cohort
+      // per user (exact long floor-div bucketing), distinct-active counts
+      // per (cohort, period) — integers end to end
+      graft.ops.EventOps.retention(t(s, dir, "events"), "user_id", "ts",
+          cohortWidthSeconds = 86400, horizonPeriods = 30)
+        .orderBy(col("cohort_start_us"), col("period"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2450,6 +2472,56 @@ object SparkEntry {
         |  CASE WHEN user_id IS NOT NULL AND us IS NOT NULL
         |       THEN CAST(user_id AS VARCHAR) || ':' || CAST(seq AS VARCHAR) END AS session_id
         |FROM s ORDER BY event_id""".stripMargin,
+
+    "q96_funnel" ->
+      // chained per-user min-ts CTEs: step k's completion = earliest step-k
+      // event at-or-after the step-(k-1) completion (same-microsecond
+      // counts, the Spark op's '>=' rule)
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), s0 AS (
+        |  SELECT user_id, min(us) AS done FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s1 AS (
+        |  SELECT e.user_id, min(e.us) AS done FROM e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us >= s0.done GROUP BY e.user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.us) AS done FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'signup' AND e.us >= s1.done GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.us) AS done FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us >= s2.done GROUP BY e.user_id
+        |)
+        |SELECT * FROM (
+        |  SELECT 'view' AS step, 0 AS step_index, (SELECT count(*) FROM s0) AS n_users
+        |  UNION ALL SELECT 'click', 1, (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 'signup', 2, (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM s3)
+        |) ORDER BY step_index""".stripMargin,
+
+    "q97_retention" ->
+      // exact long floor-div bucketing (the pmod form, negative-safe like
+      // the Spark op); '//' keeps DuckDB in integer division
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), b AS (
+        |  SELECT user_id, us,
+        |    (us - ((us % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS bk
+        |  FROM e
+        |), c AS (
+        |  SELECT user_id, min(us) AS first_us FROM e GROUP BY user_id
+        |), cb AS (
+        |  SELECT user_id,
+        |    (first_us - ((first_us % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS cohort
+        |  FROM c
+        |)
+        |SELECT cohort * 86400000000 AS cohort_start_us, bk - cohort AS period,
+        |  count(DISTINCT b.user_id) AS n_users
+        |FROM b JOIN cb USING (user_id)
+        |WHERE bk - cohort <= 30
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q45_hash_split" ->
       """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

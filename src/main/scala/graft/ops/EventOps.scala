@@ -121,4 +121,82 @@ object EventOps {
     * lenient semi-structured props accessor. Codegen'd path, no UDF. */
   def jsonField(json: Column, path: String, dataType: String): Column =
     get_json_object(json, path).cast(dataType)
+
+  /**
+   * Ordered FUNNEL completion: for each step k, the number of users who
+   * completed steps 1..k in order, where step k's completion time is the
+   * user's EARLIEST event matching `steps(k)` at-or-after their step-(k-1)
+   * completion (same-timestamp completion counts — two conversion events
+   * in one microsecond tick are "in order" for any useful funnel).
+   * Output: `(step, step_index, n_users)`, n_users non-increasing.
+   *
+   * Shape: one aggregation per step over the events of that step only —
+   * k-1 joins of per-user SCALARS (one row per qualifying user, never
+   * event-by-event), so the event table is scanned once per step with the
+   * step predicate pushed to the scan, and every shuffle carries user ids
+   * + one timestamp. No per-user sequence materialization anywhere.
+   */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+             steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.map(_._1).distinct.size == steps.size,
+      "step names must be distinct")
+    val live = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    // fold: completions(k) = per-user min ts of step-k events at/after
+    // completions(k-1); one lazy plan, no driver actions
+    val (_, counts) = steps.zipWithIndex.foldLeft(
+      (Option.empty[DataFrame], Seq.empty[DataFrame])) {
+      case ((prev, acc), ((name, pred), i)) =>
+        val stepEvents = live.filter(pred)
+          .select(col(userCol).as("__u"), micros(col(tsCol)).as("__ts"))
+        val eligible = prev match {
+          case None => stepEvents
+          case Some(p) => stepEvents.join(p, Seq("__u"))
+            .filter(col("__ts") >= col("__done"))
+            .select(col("__u"), col("__ts"))
+        }
+        val completed = eligible.groupBy(col("__u"))
+          .agg(min(col("__ts")).as("__done"))
+        val row = completed.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("step"), lit(i).as("step_index"),
+            col("n_users"))
+        (Some(completed), acc :+ row)
+    }
+    counts.reduce(_ unionByName _)
+  }
+
+  /**
+   * COHORT RETENTION: bucket every user into the cohort of their first
+   * event (`cohortWidthSeconds`-wide epoch-aligned buckets), then count
+   * how many of each cohort's users are active in each later period.
+   * Output: `(cohort_start_us, period, n_users)` for periods 0..horizon
+   * (period 0 = the cohort bucket itself, so its n_users is the cohort
+   * size). The retention-curve table every activity dashboard is built on.
+   *
+   * Shape: one agg for first-events (per-user scalar), a broadcast-sized
+   * join back (user -> cohort), then one distinct-count agg keyed on
+   * (cohort, period) — integers all the way; no window over raw events.
+   */
+  def retention(df: DataFrame, userCol: String, tsCol: String,
+                cohortWidthSeconds: Long, horizonPeriods: Int): DataFrame = {
+    require(cohortWidthSeconds > 0, "cohortWidthSeconds must be positive")
+    require(horizonPeriods >= 0, "horizonPeriods must be >= 0")
+    val widthUs = cohortWidthSeconds * 1000000L
+    val live = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), micros(col(tsCol)).as("__ts"))
+    // exact long floorDiv (pmod keeps pre-epoch timestamps bucketing
+    // down): (us - pmod(us, w)) is an exact multiple of w, so the double
+    // division is exact for any representable bucket index
+    def bucket(us: Column): Column =
+      ((us - pmod(us, lit(widthUs))) / widthUs).cast("long")
+    val cohorts = live.groupBy(col("__u"))
+      .agg(bucket(min(col("__ts"))).as("__cohort"))
+    live.join(cohorts, Seq("__u"))
+      .withColumn("__period", bucket(col("__ts")) - col("__cohort"))
+      .filter(col("__period") <= horizonPeriods)
+      .groupBy(col("__cohort"), col("__period"))
+      .agg(count_distinct(col("__u")).as("n_users"))
+      .select((col("__cohort") * widthUs).as("cohort_start_us"),
+        col("__period").as("period"), col("n_users"))
+  }
 }

@@ -81,6 +81,47 @@ class EventOpsSpec extends SparkTestBase {
       (3600L * 1000000L, 3L, Some(5L))))
   }
 
+  test("funnel: steps must complete in order (at-or-after, same-ts counts), " +
+       "counts are non-increasing, users missing step 1 never enter") {
+    val ev = Seq(
+      // u1 completes view->click->signup but its purchase PRECEDES signup
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(10), "signup"),
+      (1L, ts(5), "purchase"),
+      // u2 completes everything; signup and purchase share a timestamp
+      (2L, ts(0), "view"), (2L, ts(1), "click"), (2L, ts(2), "signup"),
+      (2L, ts(2), "purchase"),
+      // u3 never views -> appears in no step
+      (3L, ts(5), "click"), (3L, ts(6), "signup"), (3L, ts(7), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.ops.EventOps.funnel(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "signup" -> (col("event_type") === "signup"),
+        "purchase" -> (col("event_type") === "purchase")))
+      .collect().map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(out == Map("view" -> 2L, "click" -> 2L, "signup" -> 2L,
+      "purchase" -> 1L), s"got $out")
+  }
+
+  test("retention: first-event cohorts, period 0 = cohort size, horizon " +
+       "filter drops late activity") {
+    val day = 86400L
+    val ev = Seq(
+      (1L, ts(100)),            // u1 cohort day 0
+      (1L, ts(2 * day + 5)),    // u1 active day 2
+      (2L, ts(day + 3)),        // u2 cohort day 1
+      (3L, ts(200)),            // u3 cohort day 0
+      (3L, ts(35 * day))        // u3 active day 35 -> beyond horizon 30
+    ).toDF("user_id", "ts")
+    val out = graft.ops.EventOps.retention(ev, "user_id", "ts",
+        cohortWidthSeconds = day, horizonPeriods = 30)
+      .collect().map(r => (r.getAs[Long]("cohort_start_us"),
+        r.getAs[Long]("period"), r.getAs[Long]("n_users"))).toSet
+    val w = day * 1000000L
+    assert(out == Set((0L, 0L, 2L), (0L, 2L, 1L), (w, 0L, 1L)), s"got $out")
+  }
+
   test("sessionize shares ONE exchange between its two windows") {
     val plan = EventOps.sessionize(fixture, "user_id", "ts", "event_id", 1800)
       .queryExecution.executedPlan.toString

@@ -132,7 +132,8 @@ class PlanShapeSpec extends SparkTestBase {
           // algebra, mat_project, and hash/CASE column chains throughout
           "q88_sessions", "q89_windowed_events", "q90_sessionize",
           "q91_random_projection", "q92_ann_projected", "q93_shard_manifest",
-          "q94_mixture_tokens").foreach { q =>
+          "q94_mixture_tokens", "q95_distinct_tokens", "q96_funnel",
+          "q97_retention").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
