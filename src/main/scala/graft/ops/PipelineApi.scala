@@ -134,6 +134,27 @@ object pipeline {
                             salt: String = "graft"): DataFrame =
         SampleOps.resampleToMixture(df, keyCol, sourceCol, weights, totalRows, salt)
 
+      def resampleToMixtureTokens(sourceCol: String, tokenCountCol: String,
+                                  weights: Map[String, Double],
+                                  totalTokens: Long, keyCol: String = "doc_id",
+                                  salt: String = "graft"): DataFrame =
+        SampleOps.resampleToMixtureTokens(df, keyCol, sourceCol, tokenCountCol,
+          weights, totalTokens, salt)
+
+      def weightedSampleByHash(weightCol: String, keyCol: String = "doc_id",
+                               salt: String = "graft"): DataFrame =
+        SampleOps.weightedSampleByHash(df, keyCol, weightCol, salt)
+
+      def assignShards(nShards: Int, keyCol: String = "doc_id",
+                       salt: String = "graft-shard"): DataFrame =
+        SampleOps.assignShards(df, keyCol, nShards, salt)
+
+      def writeShards(outDir: String, nShards: Int,
+                      keyCol: String = "doc_id",
+                      tokenCountCol: Option[String] = None,
+                      salt: String = "graft-shard"): DataFrame =
+        SampleOps.writeShards(df, outDir, keyCol, nShards, tokenCountCol, salt)
+
       def packSequences(budget: Long, splitCol: String = "split",
                         orderCol: String = "doc_id",
                         tokenCountCol: String = "n_tokens"): DataFrame =
@@ -168,6 +189,33 @@ object pipeline {
                      percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
                      approx: Boolean = false, accuracy: Int = 10000): DataFrame =
         TextOps.groupStats(df, groupCol, valueCol, percentiles, approx, accuracy)
+
+      def distinctTokens(groupCol: String, textCol: String = "text",
+                         approx: Boolean = false): DataFrame =
+        TextOps.distinctTokens(df, groupCol, textCol, approx)
+
+      def compressionRatio(textCol: String = "text",
+                           out: String = "compression_ratio"): DataFrame =
+        df.withColumn(out, TextOps.compressionRatio(col(textCol)))
+
+      // --- event analytics -----------------------------------------------
+
+      def sessionize(gapSeconds: Long, userCol: String = "user_id",
+                     tsCol: String = "ts", idCol: String = "event_id"): DataFrame =
+        EventOps.sessionize(df, userCol, tsCol, idCol, gapSeconds)
+
+      def sessionStats(gapSeconds: Long, userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       aggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+        EventOps.sessionStats(df, userCol, tsCol, gapSeconds, aggs)
+
+      def funnel(steps: Seq[(String, org.apache.spark.sql.Column)],
+                 userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+        EventOps.funnel(df, userCol, tsCol, steps)
+
+      def retention(cohortWidthSeconds: Long, horizonPeriods: Int,
+                    userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+        EventOps.retention(df, userCol, tsCol, cohortWidthSeconds, horizonPeriods)
     }
   }
 }

@@ -116,4 +116,45 @@ class FluentApiSpec extends SparkTestBase {
       DedupOps.exactDedupAgainst(docs, "text", landed, "text")
         .orderBy("doc_id").collect().toSeq)
   }
+
+  test("wave-2 fluent methods mirror their explicit operators") {
+    import graft.ops.pipeline.implicits._
+    import graft.ops.{EventOps, SampleOps, TextOps}
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "src0", "alpha beta gamma alpha", 22L),
+      (1L, "src0", "alpha beta", 10L),
+      (2L, "src1", "delta epsilon zeta", 18L)
+    ).toDF("doc_id", "source", "text", "n_tok")
+    assert(docs.distinctTokens("source").orderBy("source").collect().toSeq ==
+      TextOps.distinctTokens(docs, "source", "text").orderBy("source")
+        .collect().toSeq)
+    assert(docs.compressionRatio().select("compression_ratio").collect()
+      .forall(!_.isNullAt(0)))
+    assert(docs.assignShards(4).orderBy("doc_id").collect().toSeq ==
+      SampleOps.assignShards(docs, "doc_id", 4).orderBy("doc_id")
+        .collect().toSeq)
+    assert(docs.resampleToMixtureTokens("source", "n_tok",
+        Map("src0" -> 0.5, "src1" -> 0.5), totalTokens = 50)
+      .orderBy("doc_id", "epoch").collect().toSeq ==
+      SampleOps.resampleToMixtureTokens(docs, "doc_id", "source", "n_tok",
+        Map("src0" -> 0.5, "src1" -> 0.5), 50)
+        .orderBy("doc_id", "epoch").collect().toSeq)
+    assert(docs.weightedSampleByHash("n_tok").collect().length ==
+      SampleOps.weightedSampleByHash(docs, "doc_id", "n_tok").collect().length)
+
+    val ev = Seq((1L, 10L, new java.sql.Timestamp(1000L)),
+      (2L, 10L, new java.sql.Timestamp(5000000L)),
+      (3L, 11L, new java.sql.Timestamp(2000L)))
+      .toDF("event_id", "user_id", "ts")
+    assert(ev.sessionize(gapSeconds = 1800).orderBy("event_id").collect().toSeq ==
+      EventOps.sessionize(ev, "user_id", "ts", "event_id", 1800)
+        .orderBy("event_id").collect().toSeq)
+    assert(ev.retention(cohortWidthSeconds = 3600, horizonPeriods = 5)
+      .collect().toSet ==
+      EventOps.retention(ev, "user_id", "ts", 3600, 5).collect().toSet)
+    assert(ev.funnel(Seq("any" -> lit(true))).collect().toSeq ==
+      EventOps.funnel(ev, "user_id", "ts", Seq("any" -> lit(true)))
+        .collect().toSeq)
+  }
 }
