@@ -734,6 +734,28 @@ object SparkEntry {
         .orderBy(col("cohort_start_us"), col("period"))
     }),
 
+    "q98_bm25" -> ((s: SparkSession, dir: String) => {
+      // ranked keyword retrieval (decontamination audit / quality triage):
+      // Okapi BM25 top-10 for a 3-term query; the only full-corpus pass is
+      // the one-row (N, total_dl) stats broadcast
+      graft.ops.SearchOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "query", "filter"), k = 10)
+        .orderBy(col("rank"))
+    }),
+
+    "q99_bm25_indexed" -> ((s: SparkSession, dir: String) => {
+      // q98's steady-state shape: postings land once bucketed by token;
+      // the query prunes to its terms' buckets. Same oracle as q98 — the
+      // landed path must be row-identical to the inline path.
+      val idx = "graft_q99_" + math.abs(dir.hashCode).toString
+      graft.ops.SearchOps.landSearchIndex(t(s, dir, "documents"), "doc_id",
+        "text", idx,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      graft.ops.SearchOps.bm25AgainstIndex(s, idx,
+          terms = Seq("spark", "query", "filter"), k = 10)
+        .orderBy(col("rank"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -1298,6 +1320,47 @@ object SparkEntry {
     * keys (q64's hash form), add-1 smoothing over the train vocabulary,
     * and per-position micro-nat flooring so the per-doc aggregation sums
     * INTEGERS — ln() ulp drift cannot reorder-diverge. */
+  /** Okapi BM25 replay (q98/q99). The scored CTE's parenthesization mirrors
+    * SearchOps.bm25Term EXACTLY — float arithmetic is association-sensitive
+    * — and per-term contributions go through DECIMAL(18,9) before the
+    * per-doc sum (order-independent exact aggregate), so the rank order is
+    * deterministic in both engines. */
+  private val Bm25OracleSql: String =
+    """WITH tokarr AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), dl AS (
+      |  SELECT doc_id, coalesce(len(toks), 0) AS dl FROM tokarr
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, coalesce(sum(dl), 0) AS total_dl FROM dl
+      |), post AS (
+      |  SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS token FROM tokarr)
+      |  WHERE token IN ('spark', 'query', 'filter')
+      |  GROUP BY doc_id, token
+      |), dfreq AS (
+      |  SELECT token, count(*) AS df FROM post GROUP BY token
+      |), scored AS (
+      |  SELECT p.doc_id,
+      |    CAST((ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * p.tf)
+      |      * (1.2 + 1.0)
+      |      / (p.tf + 1.2 * ((1.0 - 0.75)
+      |          + (0.75 * d.dl) / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+      |      AS DECIMAL(18,9)) AS c
+      |  FROM post p
+      |  JOIN dfreq f USING (token)
+      |  JOIN dl d USING (doc_id)
+      |  CROSS JOIN stats s
+      |), agg AS (
+      |  SELECT doc_id, sum(c) AS sc FROM scored GROUP BY doc_id
+      |), top AS (
+      |  SELECT doc_id, sc FROM agg ORDER BY sc DESC, doc_id LIMIT 10
+      |)
+      |SELECT doc_id, CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) AS score,
+      |  row_number() OVER (ORDER BY sc DESC, doc_id) AS rank
+      |FROM top ORDER BY rank""".stripMargin
+
   private val NgramLmOracleSql: String =
     """WITH pos AS (
         |  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
@@ -2524,6 +2587,10 @@ object SparkEntry {
         |FROM b JOIN cb USING (user_id)
         |WHERE bk - cohort <= 30
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q98_bm25" -> Bm25OracleSql,
+    // the landed path must be row-identical to the inline path
+    "q99_bm25_indexed" -> Bm25OracleSql,
 
     "q45_hash_split" ->
       """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SearchOps
+
+/**
+ * BM25 retrieval: hand-computed reference scores on a tiny corpus (the
+ * formula replayed in driver Scala with the same decimal staging the engine
+ * uses), the inline-vs-landed row-identity contract, the bucket-pruning
+ * plan shape of the landed path, and the null/empty/absent-term edges.
+ */
+class SearchOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry apple durian"),
+    (4L, "")).toDF("doc_id", "text")
+
+  /** Driver-side replay of SearchOps.bm25Term + the decimal sum + round(6):
+    * same association order, same DECIMAL(18,9) HALF_UP staging. */
+  private def expectedScore(tfs: Map[String, Long], dl: Long,
+                            dfs: Map[String, Long], nDocs: Long,
+                            totalDl: Long, k1: Double = 1.2,
+                            b: Double = 0.75): Double = {
+    val avgdl = totalDl.toDouble / nDocs
+    val sum = tfs.foldLeft(BigDecimal(0)) { case (acc, (term, tf)) =>
+      val df = dfs(term)
+      val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      val denom = tf + k1 * ((1.0 - b) + (b * dl) / avgdl)
+      val c = (idf * tf) * (k1 + 1.0) / denom
+      acc + BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    sum.toDouble // decimal(18,9) sums are exact; round(x, 6) below
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25TopK matches the hand-computed Okapi formula, ranks ties by id, " +
+       "and counts empty docs in N/avgdl") {
+    val got = SearchOps.bm25TopK(corpus, "doc_id", "text",
+      terms = Seq("apple", "cherry"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // N = 4 (the empty doc counts), total_dl = 3 + 2 + 3 + 0 = 8
+    val dfs = Map("apple" -> 2L, "cherry" -> 2L)
+    val e1 = round6(expectedScore(Map("apple" -> 2L), 3, dfs, 4, 8))
+    val e2 = round6(expectedScore(Map("cherry" -> 1L), 2, dfs, 4, 8))
+    val e3 = round6(expectedScore(Map("apple" -> 1L, "cherry" -> 1L), 3, dfs, 4, 8))
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert(byId == Map(1L -> e1, 2L -> e2, 3L -> e3), s"got ${byId.toList}")
+    // d3 matches both terms -> highest; d1's double-tf apple next; the
+    // shorter all-cherry d2 last (hand-checked orders)
+    assert(got.sortBy(_._3).map(_._1).toList == List(3L, 1L, 2L))
+  }
+
+  test("absent terms contribute nothing; all-absent query is empty; " +
+       "k caps the result") {
+    val withAbsent = SearchOps.bm25TopK(corpus, "doc_id", "text",
+      Seq("apple", "cherry", "zzz_absent"), k = 10).collect()
+    val without = SearchOps.bm25TopK(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 10).collect()
+    assert(withAbsent.map(_.toSeq).toSet == without.map(_.toSeq).toSet)
+    assert(SearchOps.bm25TopK(corpus, "doc_id", "text",
+      Seq("zzz_absent"), k = 10).count() == 0)
+    val capped = SearchOps.bm25TopK(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 2).collect()
+    assert(capped.length == 2 && capped.map(_.getLong(2)).toSet == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      SearchOps.bm25TopK(corpus, "doc_id", "text", Seq.empty)
+    }
+  }
+
+  test("landed index path is row-identical to the inline path, reads " +
+       "bucket-pruned postings, and land-once is idempotent") {
+    val idx = "graft_test_search_idx"
+    Seq(s"${idx}_meta", s"${idx}_postings", s"${idx}_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    SearchOps.landSearchIndex(corpus, "doc_id", "text", idx, buckets = 4)
+    val viaIndex = SearchOps.bm25AgainstIndex(spark, idx,
+      Seq("apple", "cherry"), k = 10)
+    val inline = SearchOps.bm25TopK(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 10)
+    assert(viaIndex.collect().map(_.toSeq).toList ==
+           inline.collect().map(_.toSeq).toList,
+      "landed path must be row-identical to the inline path")
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"postings should read as a bucketed scan:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"token IN (...) should prune postings buckets:\n$plan")
+    // idempotent re-land: no-op, same rows
+    SearchOps.landSearchIndex(corpus, "doc_id", "text", idx, buckets = 4)
+    assert(SearchOps.bm25AgainstIndex(spark, idx, Seq("apple"), k = 10)
+      .count() == 2)
+    intercept[IllegalArgumentException] {
+      SearchOps.bm25AgainstIndex(spark, "graft_no_such_index", Seq("x"))
+    }
+    Seq(s"${idx}_meta", s"${idx}_postings", s"${idx}_terms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("null text rows count toward corpus stats and never match") {
+    val withNull = corpus.unionByName(
+      Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = SearchOps.bm25TopK(withNull, "doc_id", "text",
+      Seq("apple"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // N = 5 now, total_dl unchanged at 8
+    val dfs = Map("apple" -> 2L)
+    assert(got == Map(
+      1L -> round6(expectedScore(Map("apple" -> 2L), 3, dfs, 5, 8)),
+      3L -> round6(expectedScore(Map("apple" -> 1L), 3, dfs, 5, 8))))
+  }
+}
