@@ -605,6 +605,35 @@ object OracleSqlGen {
        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp <> id)
        |ORDER BY doc_id""".stripMargin
 
+  /** q100: keep-best canonical near-dedup — q48's component closure, but
+    * the survivor per component is the argmax of (length(text) DESC,
+    * doc_id ASC) instead of the minimum id. The planted perturbed copies
+    * are LONGER than their originals, so the keep-best survivors invert
+    * q48's choice on every planted cluster — the two queries pin each
+    * other's selection rules apart. */
+  def nearDedupKeepBestSql: String =
+    s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
+       |edges AS (
+       |  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
+       |), sym AS (
+       |  SELECT id_a AS id, id_b AS reach FROM edges
+       |  UNION
+       |  SELECT id_b AS id, id_a AS reach FROM edges
+       |), walk AS (
+       |  SELECT id, reach FROM sym
+       |  UNION
+       |  SELECT w.id, s.reach FROM walk w JOIN sym s ON s.id = w.reach
+       |), comp AS (
+       |  SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
+       |), ranked AS (
+       |  SELECT c.id, row_number() OVER (
+       |    PARTITION BY c.comp ORDER BY length(t.text) DESC, c.id) AS rn
+       |  FROM comp c JOIN corpus t ON t.doc_id = c.id
+       |)
+       |SELECT doc_id FROM corpus
+       |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
+       |ORDER BY doc_id""".stripMargin
+
   // --- smooth: mirror-extended convolution as per-user list arithmetic ----
 
   /**

@@ -756,6 +756,20 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q100_near_dedup_keep_best" -> ((s: SparkSession, dir: String) => {
+      // canonical selection: q48's planted clusters, but keep the LONGEST
+      // member (the perturbed copies are longer, so the survivor set
+      // inverts q48's min-id choice on every cluster)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+      DedupOps.nearDedupKeepBest(d.unionByName(perturbed), "doc_id", "text",
+          score = length(col("text")).cast(LongType),
+          numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 100)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2591,6 +2605,7 @@ object SparkEntry {
     "q98_bm25" -> Bm25OracleSql,
     // the landed path must be row-identical to the inline path
     "q99_bm25_indexed" -> Bm25OracleSql,
+    "q100_near_dedup_keep_best" -> OracleSqlGen.nearDedupKeepBestSql,
 
     "q45_hash_split" ->
       """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

@@ -836,6 +836,87 @@ object DedupOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Canonical-selection near-dedup: like [[nearDedupConnected]] (exact
+   * component semantics over the verified near-dup graph) but the survivor
+   * of each duplicate cluster is chosen by QUALITY — highest `score`,
+   * ties broken by lowest id — instead of lowest id. This is the curation
+   * move real pipelines want: among near-identical crawls of a page, keep
+   * the longest / highest-quality capture, not whichever arrived first.
+   *
+   * Scale shape: identical to [[nearDedupConnected]] up through the
+   * component labels (banded candidates, verified edges only, scale-adaptive
+   * local-union-find vs distributed closure). The added selection runs on
+   * the LABELED docs only — bounded by the duplicate count, not the corpus
+   * — via one join to fetch their scores and one per-component window.
+   *
+   * @param score quality expression evaluated against `df`'s columns
+   *              (e.g. `length(col("text"))`); must be deterministic and
+   *              non-null for a total survivor order.
+   */
+  def nearDedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+                        score: Column,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleSize: Int = 3, threshold: Double = 0.7,
+                        maxBucket: Int = 0, maxIter: Int = 20,
+                        shingleStorage: org.apache.spark.storage.StorageLevel =
+                          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+                        localPairLimit: Int = 1 << 20): DataFrame = {
+    val (pairs, done) = nearDuplicatePairsWithHandle(df, idCol, textCol,
+      numHashes, bands, shingleSize, threshold, maxBucket, shingleStorage)
+    val spark = df.sparkSession
+    val idType = df.schema(idCol).dataType
+    val idIsIntegral = idType match {
+      case LongType | IntegerType => true
+      case _ => false
+    }
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (idIsIntegral)
+        pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit(localPairLimit + 1).collect()
+      else Array.empty
+    val useLocal = idIsIntegral && probe.length <= localPairLimit
+    // (id, comp) labels for every doc that appears in a verified edge;
+    // comp = the component's minimum id on both paths (min-union locally,
+    // min-label closure distributed), so the two are interchangeable
+    val labels: DataFrame =
+      if (useLocal) {
+        done()
+        val parent = collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val members = collection.mutable.Set.empty[Long]
+        probe.foreach { row =>
+          val (x, y) = (row.getLong(0), row.getLong(1))
+          members += x; members += y
+          val (a, b) = (find(x), find(y))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        import spark.implicits._
+        // broadcast: bounded by 2 * localPairLimit members
+        broadcast(members.toSeq.map(id => (id, find(id))).toDF("id", "comp")
+          .select(col("id").cast(idType).as("id"), col("comp")))
+      } else {
+        val materialized = pairs.localCheckpoint()
+        val l = connectedMinLabelsOpt(materialized, maxIter).getOrElse(
+          connectedStars(materialized, maxIter.max(30)))
+        done()
+        l
+      }
+    val scored = labels.join(
+      df.select(col(idCol).as("id"), score.as("__sc")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp")).orderBy(col("__sc").desc, col("id"))
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for given id pairs — deterministic rational
     * arithmetic, DuckDB-oracle-able. `pairs` must have (id_a, id_b). */
   def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,

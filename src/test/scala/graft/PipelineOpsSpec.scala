@@ -549,6 +549,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(keptStars == kept, s"stars path diverged: $keptStars")
   }
 
+  test("nearDedupKeepBest keeps the highest-score member per cluster, ties " +
+       "break on min id, and the local/distributed paths agree") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (10L, base),                                // cluster A, len = base
+      (20L, base + " extra trailing tail"),       // cluster A, LONGEST -> wins
+      (30L, base.replace("mu", "nu")),            // cluster A (via 10/20)
+      (40L, "tie candidate text one two three"),  // cluster B, equal length
+      (41L, "tie candidate text one two four"),   // cluster B, equal length
+      (99L, "completely unrelated content about catalyst plan shapes")
+    ).toDF("doc_id", "text")
+    val score = length(col("text")).cast("long")
+    val kept = DedupOps.nearDedupKeepBest(docs, "doc_id", "text", score,
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // cluster A: 20 is longest; cluster B: equal scores -> min id 40
+    assert(kept == Seq(20L, 40L, 99L), s"kept: $kept")
+    // the distributed closure path must pick identical survivors
+    val keptDist = DedupOps.nearDedupKeepBest(docs, "doc_id", "text", score,
+        numHashes = 64, bands = 32, threshold = 0.5, localPairLimit = 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptDist == kept, s"distributed path diverged: $keptDist")
+    // and with a constant score it degenerates to nearDedupConnected's
+    // min-id rule — the two ops pin each other's selection apart
+    val keptConst = DedupOps.nearDedupKeepBest(docs, "doc_id", "text",
+        lit(1L), numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val keptCc = DedupOps.nearDedupConnected(docs, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptConst == keptCc, s"constant-score keep-best $keptConst != " +
+      s"min-id dedup $keptCc")
+  }
+
   test("auto ccAlgorithm escalates min-label to stars on a >20-hop chain " +
        "(default arguments succeed)") {
     // sliding windows over distinct tokens: doc i = tokens[i, i+10). The
