@@ -770,6 +770,15 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q101_key_skew" -> ((s: SparkSession, dir: String) => {
+      // shuffle pre-flight: hottest join-key values with exact integer
+      // share (ppm) and the salt fan-out that levels each to one average
+      // partition — all long arithmetic, reproducible anywhere
+      graft.ops.StatsOps.keySkewProfile(t(s, dir, "events"), "user_id",
+          k = 20, nPartitions = 32)
+        .orderBy(col("rank"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2606,6 +2615,27 @@ object SparkEntry {
     // the landed path must be row-identical to the inline path
     "q99_bm25_indexed" -> Bm25OracleSql,
     "q100_near_dedup_keep_best" -> OracleSqlGen.nearDedupKeepBestSql,
+
+    "q101_key_skew" ->
+      // integer-exact replay: floor-division ppm share, ceil-division salt
+      // factor; NULL keys sort first like the Spark asc_nulls_first
+      """WITH counts AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS n_rows
+        |  FROM events GROUP BY 1
+        |), totals AS (
+        |  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |         count(*) AS n_keys FROM counts
+        |), top AS (
+        |  SELECT key_value, n_rows FROM counts
+        |  ORDER BY n_rows DESC, key_value NULLS FIRST LIMIT 20
+        |)
+        |SELECT
+        |  row_number() OVER (ORDER BY n_rows DESC, key_value NULLS FIRST) AS rank,
+        |  key_value, n_rows,
+        |  (n_rows * 1000000) // t.total_rows AS share_ppm,
+        |  greatest(1, (n_rows * 32 + t.total_rows - 1) // t.total_rows) AS salt_factor,
+        |  t.n_keys, t.total_rows
+        |FROM top CROSS JOIN totals t ORDER BY rank""".stripMargin,
 
     "q45_hash_split" ->
       """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Shuffle-planning diagnostics. At 100 TB the difference between a job that
+ * finishes and one that dies on a straggler is usually ONE hot key — a null
+ * join column, a default user id, a boilerplate domain. This profiler is
+ * the pre-flight check: run it on a prospective join/groupBy key, read off
+ * the hot keys' share and the recommended salt fan-out, then decide
+ * broadcast / salting / AQE skew-join before launching the real job.
+ *
+ * Everything is integer arithmetic (counts, floor-division ppm shares,
+ * ceil-division salt factors) — exactly reproducible in any engine, so the
+ * profile itself is oracle-checkable.
+ */
+object StatsOps {
+
+  /**
+   * Top-`k` hottest values of `keyCol` with exact integer diagnostics:
+   *
+   *  - `share_ppm`: the key's row share in parts-per-million
+   *    (`n_rows * 1e6 DIV total`), floor division;
+   *  - `salt_factor`: the minimum salt fan-out that levels this key to at
+   *    most one average partition's rows —
+   *    `max(1, ceil(n_rows * nPartitions / total))`, the number a caller
+   *    plugs straight into a salted-join key (`pmod(rand_suffix, salt)`);
+   *  - `n_keys` / `total_rows`: corpus-wide context on every row.
+   *
+   * NULL keys profile like any other value (a null join column is the
+   * single most common skew culprit — hiding it would defeat the tool).
+   * Plan shape: one two-phase hash agg over the key, a one-row totals
+   * aggregate broadcast onto the top-k (TakeOrderedAndProject, never a
+   * global sort), and the rank window runs on k rows.
+   */
+  def keySkewProfile(df: DataFrame, keyCol: String, k: Int = 20,
+                     nPartitions: Int = 200): DataFrame = {
+    require(k > 0 && nPartitions > 0,
+      "keySkewProfile: k and nPartitions must be positive")
+    val counts = df
+      .groupBy(col(keyCol).cast(StringType).as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts
+      .orderBy(col("n_rows").desc, col("key_value").asc_nulls_first)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col("key_value").asc_nulls_first)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      // floor/ceil division in pure long arithmetic — bit-reproducible
+      .withColumn("share_ppm",
+        expr("n_rows * 1000000 DIV total_rows"))
+      .withColumn("salt_factor",
+        greatest(lit(1L),
+          expr(s"(n_rows * $nPartitions + total_rows - 1) DIV total_rows")))
+      .select(col("rank"), col("key_value"), col("n_rows"), col("share_ppm"),
+        col("salt_factor"), col("n_keys"), col("total_rows"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.StatsOps
+
+/** Key-skew profiler: planted hot key + null-key visibility + exact integer
+  * share/salt arithmetic. */
+class StatsOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("keySkewProfile surfaces the hot key, counts nulls, and computes " +
+       "exact ppm shares and ceil-division salt factors") {
+    // 100 rows: key 7 x 60, null x 25, keys 1..15 x 1 each
+    val rows: Seq[Option[Long]] =
+      Seq.fill(60)(Some(7L)) ++ Seq.fill(25)(None) ++ (1L to 15L).map(Some(_))
+    val df = rows.toDF("k")
+    val got = StatsOps.keySkewProfile(df, "k", k = 3, nPartitions = 10)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    // 17 distinct keys (7, null, 1..15 minus 7 = 1..15 includes 7? no:
+    // 7 repeats merge) -> keys are {7, null, 1..15} = 16 distinct
+    val expected = Seq(
+      // rank, key, n, share_ppm = n*1e6 DIV 100, salt = ceil(n*10/100)
+      (1L, Some("7"), 61L, 610000L, 7L, 16L, 100L),
+      (2L, None, 25L, 250000L, 3L, 16L, 100L),
+      (3L, Some("1"), 1L, 10000L, 1L, 16L, 100L))
+    assert(got.toSeq == expected, s"got: ${got.toList}")
+  }
+
+  test("keySkewProfile on a uniform key recommends salt 1 everywhere") {
+    val df = (1L to 40L).map(i => i % 8).toDF("k")
+    val got = StatsOps.keySkewProfile(df, "k", k = 8, nPartitions = 16)
+      .collect().map(r => (r.getLong(2), r.getLong(4)))
+    assert(got.forall { case (n, salt) => n == 5L && salt == 2L },
+      s"5/40 rows * 16 partitions = ceil(2.0) = 2: ${got.toList}")
+    val one = StatsOps.keySkewProfile(df, "k", k = 8, nPartitions = 8)
+      .collect().map(_.getLong(4))
+    assert(one.forall(_ == 1L), s"exactly one partition's worth -> salt 1")
+    intercept[IllegalArgumentException] {
+      StatsOps.keySkewProfile(df, "k", k = 0)
+    }
+  }
+}
