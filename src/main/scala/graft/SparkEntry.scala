@@ -779,6 +779,14 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q102_transitions" -> ((s: SparkSession, dir: String) => {
+      // behavioral Markov matrix: (prev -> next) event-type counts within
+      // 30-minute sessions + row-normalized probabilities
+      graft.ops.EventOps.transitions(t(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type", gapSeconds = 1800)
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2636,6 +2644,31 @@ object SparkEntry {
         |  greatest(1, (n_rows * 32 + t.total_rows - 1) // t.total_rows) AS salt_factor,
         |  t.n_keys, t.total_rows
         |FROM top CROSS JOIN totals t ORDER BY rank""".stripMargin,
+
+    "q102_transitions" ->
+      // q90's lag-window replay reduced to the (prev, next) pair stream;
+      // null user/ts/type rows are out up front (a null type would alias
+      // the session-start lag null)
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |), l AS (
+        |  SELECT event_type AS next_type, us,
+        |    lag(event_type) OVER w AS prev_type,
+        |    lag(us) OVER w AS prev_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), c AS (
+        |  SELECT prev_type, next_type, count(*) AS n_transitions
+        |  FROM l
+        |  WHERE prev_type IS NOT NULL AND us - prev_us <= 1800000000
+        |  GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n_transitions,
+        |  round(CAST(n_transitions AS DOUBLE) /
+        |        sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS prob
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
 
     "q45_hash_split" ->
       """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

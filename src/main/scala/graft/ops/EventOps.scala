@@ -126,6 +126,49 @@ object EventOps {
     get_json_object(json, path).cast(dataType)
 
   /**
+   * Markov TRANSITION MATRIX of `typeCol`: counts and row-normalized
+   * probabilities of (prev_type -> next_type) over consecutive events of
+   * the same user, where "consecutive" means ordered by (timestamp,
+   * `idCol`) with a gap of at most `gapSeconds` — transitions never cross a
+   * session boundary (the [[sessionize]] split rule). Rows with a null
+   * user, timestamp, or type are excluded up front: a null type would be
+   * indistinguishable from the session-start lag null, and null users/ts
+   * have no sequence position (the [[sessionStats]] rule).
+   *
+   * Output: `(prev_type, next_type, n_transitions, prob)` where `prob` =
+   * n / Σ n over the same prev_type, rounded to 6 decimals.
+   *
+   * Shape: one window (partition user, order time) for the lag pair, one
+   * two-phase hash agg on (prev, next), and the normalizing window runs on
+   * the MATRIX (|types|² rows), not the events. The per-user window is the
+   * same exchange+sort every sequence op here pays; type cardinality is
+   * bounded, so the matrix is driver-size at any corpus scale.
+   */
+  def transitions(df: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String,
+                  gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val gapUs = gapSeconds * 1000000L
+    val live = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull
+      && col(typeCol).isNotNull)
+    val us = micros(col(tsCol))
+    val w = Window.partitionBy(col(userCol)).orderBy(us.asc, col(idCol).asc)
+    val pairs = live
+      .withColumn("__prev_type", lag(col(typeCol), 1).over(w))
+      .withColumn("__prev_us", lag(us, 1).over(w))
+      .filter(col("__prev_type").isNotNull &&
+        us - col("__prev_us") <= gapUs)
+    val counts = pairs
+      .groupBy(col("__prev_type").as("prev_type"),
+        col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wTot = Window.partitionBy(col("prev_type"))
+    counts.withColumn("prob",
+      round(col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(wTot), 6))
+  }
+
+  /**
    * Ordered FUNNEL completion: for each step k, the number of users who
    * completed steps 1..k in order, where step k's completion time is the
    * user's EARLIEST event matching `steps(k)` at-or-after their step-(k-1)

@@ -122,6 +122,36 @@ class EventOpsSpec extends SparkTestBase {
     assert(out == Set((0L, 0L, 2L), (0L, 2L, 1L), (w, 0L, 1L)), s"got $out")
   }
 
+  test("transitions: counts consecutive same-session pairs, splits at the " +
+       "gap, excludes null user/ts/type, and probs normalize per prev row") {
+    val ev = Seq(
+      // user 1: a->b->b within one session, then a gap > 1800 and b->a
+      (1L, Option(1L), Option(ts(0)), Option("a")),
+      (2L, Option(1L), Option(ts(10)), Option("b")),
+      (3L, Option(1L), Option(ts(20)), Option("b")),
+      (4L, Option(1L), Option(ts(2000)), Option("b")), // 1980s gap > 1800: no b->b
+      (5L, Option(1L), Option(ts(2010)), Option("a")), // b->a
+      // user 2: a->b (cross-user pairs must not count)
+      (6L, Option(2L), Option(ts(0)), Option("a")),
+      (7L, Option(2L), Option(ts(5)), Option("b")),
+      // excluded rows: null user / null ts / null type — the null type
+      // would otherwise fabricate a (b, null) and break the lag-null rule
+      (8L, Option.empty[Long], Option(ts(1)), Option("a")),
+      (9L, Option(1L), Option.empty[Timestamp], Option("a")),
+      (10L, Option(2L), Option(ts(8)), Option.empty[String])
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventOps.transitions(ev, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 1800)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // from a: a->b twice (u1, u2), nothing else -> prob 1.0
+    // from b: b->b once, b->a once -> 0.5 each
+    assert(got == Map(
+      ("a", "b") -> (2L, 1.0),
+      ("b", "b") -> (1L, 0.5),
+      ("b", "a") -> (1L, 0.5)), s"got $got")
+  }
+
   test("sessionize shares ONE exchange between its two windows") {
     val plan = EventOps.sessionize(fixture, "user_id", "ts", "event_id", 1800)
       .queryExecution.executedPlan.toString
