@@ -787,6 +787,21 @@ object SparkEntry {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    "q103_fuzzy_join" -> ((s: SparkSession, dir: String) => {
+      // entity resolution: planted one-substitution "titles" resolved back
+      // to their source docs via blocked (prefix/suffix) candidates +
+      // exact levenshtein verify — never all-pairs
+      val d = t(s, dir, "documents")
+      val base = d.select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      val probe = d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("#"),
+            substring(col("text"), 11, 14)).as("title"))
+      graft.ops.JoinOps.fuzzyJoinBlocked(probe, base, "doc_id", "doc_id",
+          "title", "title", maxDist = 2, blockChars = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2669,6 +2684,40 @@ object SparkEntry {
         |  round(CAST(n_transitions AS DOUBLE) /
         |        sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS prob
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    "q103_fuzzy_join" ->
+      // blocked-candidate replay: two block rows per record (prefix /
+      // explicit positive-start suffix), distinct pair hits, exact
+      // levenshtein verify
+      """WITH base AS (
+        |  SELECT doc_id, lower(substr(text, 1, 24)) AS key FROM documents
+        |), probe AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    lower(substr(text, 1, 9) || '#' || substr(text, 11, 14)) AS key
+        |  FROM documents WHERE doc_id < 40
+        |), lb AS (
+        |  SELECT doc_id AS id_a, key AS key_a, length(key) AS block_len,
+        |         0 AS block_id, substr(key, 1, 6) AS block_val
+        |  FROM probe WHERE key IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, key, length(key), 1,
+        |         substr(key, greatest(length(key) - 5, 1), 6)
+        |  FROM probe WHERE key IS NOT NULL
+        |), rb AS (
+        |  SELECT doc_id AS id_b, key AS key_b, length(key) AS block_len,
+        |         0 AS block_id, substr(key, 1, 6) AS block_val
+        |  FROM base WHERE key IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, key, length(key), 1,
+        |         substr(key, greatest(length(key) - 5, 1), 6)
+        |  FROM base WHERE key IS NOT NULL
+        |), cand AS (
+        |  SELECT DISTINCT id_a, key_a, id_b, key_b
+        |  FROM lb JOIN rb USING (block_id, block_len, block_val)
+        |)
+        |SELECT id_a, id_b, CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(key_a, key_b) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q45_hash_split" ->
       """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

@@ -82,4 +82,67 @@ object JoinOps {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightCol: String): DataFrame =
     asofJoin(left, right, keyCol, tsCol, Seq(rightCol))
+
+  /**
+   * BLOCKED FUZZY JOIN (entity resolution): pairs of (left, right) rows
+   * whose lowercased key strings are within Levenshtein distance
+   * `maxDist`, found WITHOUT the all-pairs comparison — candidates come
+   * from equi-joins on BLOCKING KEYS, exactly the banded-LSH move the
+   * dedup family uses for Jaccard, applied to edit distance.
+   *
+   * Blocking scheme: each row emits two block rows — `(0, len,
+   * prefix(blockChars))` and `(1, len, suffix(blockChars))` — and
+   * candidates are block-equality matches. Guarantees for a SINGLE
+   * SUBSTITUTION when the key is longer than `2 * blockChars`: the edit
+   * cannot touch both the prefix and the suffix, so one block always
+   * matches (length is preserved, so the length component never blocks a
+   * substitution). Insertions/deletions change the length and shift the
+   * suffix — the standard prefix-block recall trade; multi-edit pairs may
+   * need a smaller `blockChars` or extra passes. Verification is exact
+   * (`levenshtein`), so blocking affects RECALL only, never precision.
+   *
+   * Scale shape: the block join shuffles (block key, id, key string) —
+   * never full rows; the distinct collapses the ≤2 duplicate hits per
+   * pair; the levenshtein verify runs only on candidates. Block-key
+   * cardinality grows with the corpus, so bucket sizes stay bounded the
+   * way LSH bands do; a hot block (boilerplate prefix) surfaces in
+   * [[graft.ops.StatsOps.keySkewProfile]] on `block_val`.
+   *
+   * Output: `(id_a, id_b, dist)`, one row per qualifying pair. Null keys
+   * match nothing (dropped up front).
+   */
+  def fuzzyJoinBlocked(left: DataFrame, right: DataFrame,
+                       leftId: String, rightId: String,
+                       leftKey: String, rightKey: String,
+                       maxDist: Int = 2, blockChars: Int = 6): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(blockChars > 0, s"blockChars must be positive, got $blockChars")
+    def blockRows(df: DataFrame, id: String, key: String,
+                  idAs: String, keyAs: String): DataFrame = {
+      val k = lower(col(key))
+      df.select(col(id).as(idAs), k.as(keyAs))
+        .filter(col(keyAs).isNotNull)
+        .select(col(idAs), col(keyAs),
+          length(col(keyAs)).as("block_len"),
+          explode(array(
+            struct(lit(0).as("block_id"),
+              substring(col(keyAs), 1, blockChars).as("block_val")),
+            struct(lit(1).as("block_id"),
+              // suffix spelled as an explicit positive-start substring so
+              // short-string behavior is engine-portable (the whole string)
+              expr(s"substring($keyAs, greatest(length($keyAs) - ${blockChars - 1}, 1), $blockChars)")
+                .as("block_val")))).as("__b"))
+        .select(col(idAs), col(keyAs), col("block_len"),
+          col("__b.block_id"), col("__b.block_val"))
+    }
+    val lb = blockRows(left, leftId, leftKey, "id_a", "key_a")
+    val rb = blockRows(right, rightId, rightKey, "id_b", "key_b")
+    lb.join(rb, Seq("block_id", "block_len", "block_val"))
+      .select(col("id_a"), col("key_a"), col("id_b"), col("key_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -83,4 +83,47 @@ class JoinOpsSpec extends SparkTestBase {
       JoinOps.asofJoin(l, r, "k", "ts", Seq("v"))
     }
   }
+
+  test("fuzzyJoinBlocked: single substitutions are always recalled " +
+       "(prefix OR suffix block survives), verify is exact, nulls drop") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "completely different!!"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "name")
+    val probe = Seq(
+      // substitution INSIDE the 6-char prefix -> only the suffix block hits
+      (101L, "alphX beta gamma delta"),
+      // substitution INSIDE the 6-char suffix -> only the prefix block hits
+      (102L, "epsilon zeta eta thetX"),
+      // two substitutions, one per block: candidates come from NEITHER
+      // block (documented recall trade) -> no pair even though dist = 2
+      (103L, "Xlpha beta gamma deltX"),
+      // case-insensitive exact match -> dist 0
+      (104L, "ALPHA BETA GAMMA DELTA"),
+      (105L, null.asInstanceOf[String])
+    ).toDF("id", "name")
+    val got = JoinOps.fuzzyJoinBlocked(probe, base, "id", "id",
+        "name", "name", maxDist = 2, blockChars = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((101L, 1L, 1L), (102L, 2L, 1L), (104L, 1L, 0L)),
+      s"got $got")
+    // dist above maxDist is filtered even when a block matches
+    val strict = JoinOps.fuzzyJoinBlocked(probe, base, "id", "id",
+        "name", "name", maxDist = 0, blockChars = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((104L, 1L)), s"got $strict")
+    // short keys (below blockChars): both blocks are the whole string —
+    // still one candidate row after distinct, dist computed once
+    val sl = Seq((1L, "abc")).toDF("id", "name")
+    val sp = Seq((9L, "abd")).toDF("id", "name")
+    val short = JoinOps.fuzzyJoinBlocked(sp, sl, "id", "id",
+        "name", "name", maxDist = 1, blockChars = 6).collect()
+    // same length but different prefix-block value -> blocked out; exact
+    // same string would hit. Use equal strings to assert the dedup:
+    val same = JoinOps.fuzzyJoinBlocked(sl, sl, "id", "id",
+        "name", "name", maxDist = 1, blockChars = 6).collect()
+    assert(short.isEmpty && same.length == 1 && same(0).getLong(2) == 0L)
+  }
 }
