@@ -802,6 +802,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q104_curriculum" -> ((s: SparkSession, dir: String) => {
+      // staged-pretraining schedule: value-threshold quality tiers +
+      // deterministic intra-tier shuffle, all map-side scalars + one
+      // range-partitioned sort (no ntile / global window)
+      graft.ops.SampleOps.curriculumOrder(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars").cast(DoubleType), Seq(220.0, 380.0),
+          salt = "curr1")
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2718,6 +2728,21 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(key_a, key_b) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q104_curriculum" ->
+      // tier = count of thresholds at-or-below the score (map-side CASE
+      // sum); shuffle key = the q45 md5-31 family under the 'curr1' salt;
+      // the emitted key makes the schedule permutation hash-checkable
+      """SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars IS NOT NULL THEN CAST(
+        |    (CASE WHEN CAST(n_chars AS DOUBLE) >= 220.0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(n_chars AS DOUBLE) >= 380.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) END AS tier,
+        |  CASE WHEN doc_id IS NOT NULL THEN
+        |    (('0x' || substr(md5('curr1:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT END AS shuffle_key
+        |FROM documents
+        |ORDER BY tier NULLS LAST, shuffle_key NULLS LAST, doc_id NULLS LAST""".stripMargin,
 
     "q45_hash_split" ->
       """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

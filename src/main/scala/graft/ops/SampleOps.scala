@@ -113,6 +113,39 @@ object SampleOps {
   }
 
   /**
+   * CURRICULUM SCHEDULE: order the corpus into quality tiers for staged
+   * pretraining — tier 0 first (scores below `thresholds(0)`), the top
+   * tier last, each tier internally shuffled by the [[deterministicShuffle]]
+   * hash family so no tier streams in source/id order. The returned frame
+   * adds `tier` (= number of thresholds at or below the score) and
+   * `shuffle_key`, and IS the schedule: consume in row order (the dense
+   * step index is the row position after landing — at 100 TB the schedule
+   * is shard order, not a materialized counter).
+   *
+   * Scale shape: tier and shuffle key are pure map-side scalars (no
+   * window, no global rank — an `ntile` curriculum would single-partition
+   * the corpus); the only distributed work is the final range-partitioned
+   * sort, which is exactly what writing the schedule out costs anyway.
+   * Null scores have no place in a curriculum: `tier` is null and the
+   * rows sort last, after every scheduled tier.
+   */
+  def curriculumOrder(df: DataFrame, keyCol: String, score: Column,
+                      thresholds: Seq[Double],
+                      salt: String = "graft"): DataFrame = {
+    require(thresholds.nonEmpty, "curriculumOrder: need >= 1 threshold")
+    require(thresholds == thresholds.sorted && thresholds.distinct == thresholds,
+      s"thresholds must be strictly ascending, got $thresholds")
+    val tierExpr = thresholds.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(score >= lit(t), lit(1L)).otherwise(lit(0L))
+    }
+    df.withColumn("tier", when(score.isNotNull, tierExpr))
+      .withColumn("shuffle_key",
+        when(col(keyCol).isNotNull, keyHash(col(keyCol), salt)))
+      .orderBy(col("tier").asc_nulls_last, col("shuffle_key").asc_nulls_last,
+        col(keyCol).asc_nulls_last)
+  }
+
+  /**
    * Deterministic MIXTURE resampling: reshape the corpus to target
    * per-source weights, INCLUDING upsampling — the pre-training data-mixing
    * step ("2 epochs of books, 0.3 epochs of web"). For source s with n_s

@@ -209,6 +209,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(other != s1, "salt had no effect")
   }
 
+  test("curriculumOrder: threshold tiers (at-threshold promotes), null " +
+       "scores sort last with null tier, schedule is tier-then-hash, " +
+       "and the plan has no window") {
+    val d = Seq(
+      (1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(19.9)),
+      (4L, Some(35.0)), (5L, None), (6L, Some(5.0))
+    ).toDF("doc_id", "score")
+    val out = graft.ops.SampleOps.curriculumOrder(d, "doc_id", col("score"),
+      thresholds = Seq(20.0, 30.0), salt = "t1")
+    val rows = out.collect().map(r => (r.getLong(0),
+      Option(r.getAs[java.lang.Long]("tier")).map(_.toLong)))
+    val tiers = rows.toMap
+    // score == threshold promotes (>=); nulls get null tier
+    assert(tiers == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(0L),
+      4L -> Some(2L), 5L -> None, 6L -> Some(0L)), s"got $tiers")
+    // schedule order: tiers ascending, null-score row LAST
+    val order = rows.map(_._1).toSeq
+    assert(order.last == 5L, s"null-score row must schedule last: $order")
+    val tierSeq = rows.flatMap(_._2).toSeq
+    assert(tierSeq == tierSeq.sorted, s"tiers must be non-decreasing: $tierSeq")
+    // within tier 0 the order is the hash order, not id order (the three
+    // tier-0 ids appear in shuffle_key order)
+    val t0 = out.filter(col("tier") === 0)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shuffle_key")))
+    assert(t0.map(_._2).toSeq == t0.map(_._2).sorted.toSeq)
+    // map-side scalars + sort only: a window (ntile-style) would
+    // single-partition the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"curriculum must not use a window:\n$plan")
+    intercept[IllegalArgumentException] {
+      graft.ops.SampleOps.curriculumOrder(d, "doc_id", col("score"),
+        thresholds = Seq(30.0, 20.0))
+    }
+  }
+
   test("multimodal: feature extraction and frame sampling plumbing") {
     val d = Seq((0L, "abc"), (1L, "defgh"), (2L, "ijklmnop")).toDF("doc_id", "text")
     val media = MultimodalOps.syntheticMedia(d, "doc_id", "text")
