@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /**
  * One band stage of [[StreamOps.streamingBandedNearDedup]]: keyed by the
@@ -152,6 +152,73 @@ private[streaming] class MinHashBandDedupProcessor(setIdx: Int, tsIdx: Int,
 }
 
 /**
+ * Per-user state for [[StreamOps.streamingTransitions]]: `pending` buffers
+ * (event-time ms, type) rows the watermark has not yet passed; `anchor` is
+ * the LAST FINALIZED event, the chain head for the next transition. Rows
+ * finalize in event-time order once the watermark passes them, so
+ * out-of-order arrivals within the watermark produce exactly the batch
+ * pair sequence; the engine drops beyond-watermark stragglers before they
+ * reach the processor, which is what makes the anchor monotone. A timer at
+ * the earliest pending ts flushes buffered rows without new traffic, and a
+ * timer at anchor + gap clears the anchor once nothing can ever chain to
+ * it — idle users hold zero state.
+ */
+private[streaming] class TransitionProcessor(tsIdx: Int, typeIdx: Int,
+    gapMs: Long, outSchema: org.apache.spark.sql.types.StructType)
+    extends StatefulProcessor[Long, Row, Row] {
+
+  @transient private var pending: ListState[(Long, String)] = _
+  @transient private var anchor: ValueState[(Long, String)] = _
+
+  private val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    pending = getHandle.getListState[(Long, String)]("pending", pairEnc,
+      TTLConfig.NONE)
+    anchor = getHandle.getValueState[(Long, String)]("anchor", pairEnc,
+      TTLConfig.NONE)
+  }
+
+  private def finalizeReady(key: Long, wm: Long): Iterator[Row] = {
+    val all = pending.get().toVector
+    val (ready, rest) = all.partition(_._1 <= wm)
+    val out = Vector.newBuilder[Row]
+    if (ready.nonEmpty) {
+      var last = Option(anchor.get())
+      ready.sorted.foreach { case (ts, tp) =>
+        last.foreach { case (pts, ptp) =>
+          if (ts >= pts && ts - pts <= gapMs)
+            out += new org.apache.spark.sql.catalyst.expressions
+              .GenericRowWithSchema(
+                Array(key, ptp, tp, new Timestamp(ts)), outSchema)
+        }
+        last = Some((ts, tp))
+      }
+      anchor.update(last.get)
+      if (rest.isEmpty) pending.clear() else pending.put(rest.toArray)
+    }
+    if (rest.nonEmpty) getHandle.registerTimer(rest.map(_._1).min + 1)
+    else Option(anchor.get()).foreach { case (ts, _) =>
+      if (wm > ts + gapMs) anchor.clear()
+      else getHandle.registerTimer(ts + gapMs + 1)
+    }
+    out.result().iterator
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Row],
+                               tv: TimerValues): Iterator[Row] = {
+    val fresh = rows.map(r =>
+      (r.getTimestamp(tsIdx).getTime, r.getString(typeIdx))).toArray
+    if (fresh.nonEmpty) pending.appendList(fresh)
+    finalizeReady(key, tv.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[Row] =
+    finalizeReady(key, tv.getCurrentWatermarkInMs())
+}
+
+/**
  * Structured Streaming surface. The reference is batch-only (files), but the
  * engine's data model — many casts keyed by `cast_id`, ordered by scan —
  * extends naturally to live instrument feeds: `readStream` -> the same
@@ -219,6 +286,49 @@ object StreamOps {
       .withColumn("session_start", col("session.start"))
       .withColumn("session_end", col("session.end"))
       .drop("session")
+  }
+
+  /**
+   * Streaming TRANSITION EVENTS — the pair stream behind the batch
+   * [[graft.ops.EventOps.transitions]] matrix, emitted live: one append-mode
+   * row `(user, prev_type, next_type, ts)` per consecutive same-user pair
+   * with gap <= `gapSeconds`, finalized once the event-time watermark
+   * passes the LATER event. Out-of-order arrivals within the watermark
+   * slot into their event-time position (a late middle event yields
+   * a->b, b->c — never the naive arrival-order a->c); beyond-watermark
+   * stragglers are dropped by the engine, the loss every watermark op
+   * accepts. Null user/ts/type rows are filtered up front (the batch
+   * rule), and aggregating this stream's (prev_type, next_type) counts
+   * over any horizon reproduces the batch matrix on the same events.
+   *
+   * State per user: the not-yet-final tail of their event stream (bounded
+   * by the watermark horizon) plus one anchor event, cleared by timer once
+   * the gap rule makes chaining impossible — idle users hold nothing.
+   */
+  def streamingTransitions(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, gapSeconds: Long,
+                           watermark: String = "10 minutes"): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    requireRocksDb(events)
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol).cast("long").as(userCol), col(tsCol), col(typeCol))
+      .withWatermark(tsCol, watermark)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(userCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("prev_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("next_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(tsCol,
+        org.apache.spark.sql.types.TimestampType)))
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    base.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .transformWithState(
+        new TransitionProcessor(1, 2, gapSeconds * 1000L, outSchema),
+        tsCol, OutputMode.Append(), rowEnc)
   }
 
   /**

@@ -606,4 +606,62 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streamingTransitions: out-of-order arrivals slot into event-time " +
+       "order, gaps split, and the emitted pairs match the batch matrix") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val trans = StreamOps.streamingTransitions(
+        input.toDF().toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", gapSeconds = 1800,
+        watermark = "10 minutes")
+      val q = trans.writeStream.format("memory").queryName("trans_stream")
+        .outputMode("append").start()
+      try {
+        // user 1 arrives OUT OF ORDER: a@0, c@300 first, then b@200 —
+        // arrival order would fabricate a->c; event-time order must give
+        // a->b, b->c. user 2: a@0 then b far beyond the gap -> no pair.
+        input.addData((1L, ts(0), "a"), (1L, ts(300), "c"), (2L, ts(0), "a"))
+        q.processAllAvailable()
+        input.addData((1L, ts(200), "b"), (2L, ts(5000), "b"))
+        q.processAllAvailable()
+        // advance the watermark far past everything so all pairs finalize
+        input.addData((9L, ts(100000), "z"))
+        q.processAllAvailable()
+        input.addData((9L, ts(200000), "z"))
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT user_id, prev_type, next_type, ts FROM trans_stream")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getTimestamp(3)))
+          .toSet
+        // user 9's z events are 100000s apart (>> gap) -> never pair;
+        // they exist only to push the watermark forward
+        assert(got == Set(
+          (1L, "a", "b", ts(200)),
+          (1L, "b", "c", ts(300))), s"got $got")
+        // the streamed pair counts reproduce the batch matrix on the
+        // same events (the op's headline contract)
+        val batchEvents = Seq(
+          (1L, Option(1L), Option(ts(0)), Option("a")),
+          (2L, Option(1L), Option(ts(300)), Option("c")),
+          (3L, Option(1L), Option(ts(200)), Option("b")),
+          (4L, Option(2L), Option(ts(0)), Option("a")),
+          (5L, Option(2L), Option(ts(5000)), Option("b")),
+          (6L, Option(9L), Option(ts(100000)), Option("z")),
+          (7L, Option(9L), Option(ts(200000)), Option("z"))
+        ).toDF("event_id", "user_id", "ts", "event_type")
+        val batch = graft.ops.EventOps.transitions(batchEvents, "user_id",
+            "ts", "event_id", "event_type", gapSeconds = 1800)
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val streamed = got.toSeq.groupBy(p => (p._2, p._3))
+          .map { case (k, v) => k -> v.size.toLong }
+        assert(streamed == batch,
+          s"streamed matrix $streamed != batch matrix $batch")
+      } finally q.stop()
+    }
+  }
 }
