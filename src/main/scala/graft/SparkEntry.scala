@@ -812,6 +812,15 @@ object SparkEntry {
           salt = "curr1")
     }),
 
+    "q105_collocations" -> ((s: SparkSession, dir: String) => {
+      // phrase-mining pre-pass: top adjacent-token bigrams by PMI,
+      // micro-nat-quantized before ranking so ln() ulp drift cannot
+      // reorder the top-k across engines
+      TextOps.collocations(t(s, dir, "documents"), "doc_id", "text",
+          k = 30, minCount = 5)
+        .orderBy(col("rank"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2743,6 +2752,50 @@ object SparkEntry {
         |      & 2147483647::UBIGINT)::BIGINT END AS shuffle_key
         |FROM documents
         |ORDER BY tier NULLS LAST, shuffle_key NULLS LAST, doc_id NULLS LAST""".stripMargin,
+
+    "q105_collocations" ->
+      // PMI = ln((n_pair * Nuni^2) / (Nbi * c_a * c_b)) in one
+      // integer-ratio argument; floor(x*1e6 + 0.5) micro-nats BEFORE the
+      // rank so both engines order identical integers
+      """WITH tokarr AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), uni AS (
+        |  SELECT unnest(toks) AS tok FROM tokarr
+        |), idx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 1)) AS i
+        |  FROM tokarr
+        |), bi0 AS (
+        |  SELECT toks[CAST(i AS INT)] AS token_a,
+        |         toks[CAST(i + 1 AS INT)] AS token_b
+        |  FROM idx
+        |), uc AS (
+        |  SELECT tok, count(*) AS c FROM uni GROUP BY tok
+        |), bc AS (
+        |  SELECT token_a, token_b, count(*) AS n_pair FROM bi0
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |), tot AS (
+        |  SELECT count(*) AS nuni FROM uni
+        |), totb AS (
+        |  SELECT count(*) AS nbi FROM bi0
+        |), sc AS (
+        |  SELECT b.token_a, b.token_b, b.n_pair,
+        |    CAST(floor(ln((CAST(b.n_pair AS DOUBLE) * t.nuni * t.nuni)
+        |        / (CAST(tb.nbi AS DOUBLE) * ca.c * cb.c))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS pu
+        |  FROM bc b
+        |  JOIN uc ca ON ca.tok = b.token_a
+        |  JOIN uc cb ON cb.tok = b.token_b
+        |  CROSS JOIN tot t CROSS JOIN totb tb
+        |), top AS (
+        |  SELECT * FROM sc ORDER BY pu DESC, token_a, token_b LIMIT 30
+        |)
+        |SELECT token_a, token_b, n_pair,
+        |  CAST(pu AS DOUBLE) / 1000000.0 AS pmi,
+        |  row_number() OVER (ORDER BY pu DESC, token_a, token_b) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
 
     "q45_hash_split" ->
       """SELECT (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT

@@ -802,6 +802,61 @@ object TextOps {
   }
 
   /**
+   * Top-k adjacent-token COLLOCATIONS by pointwise mutual information —
+   * the tokenizer-vocabulary / phrase-mining pre-pass ("new york",
+   * "machine learning" score high; frequent-but-independent pairs score
+   * ~0). PMI = ln(P(ab) / (P(a)·P(b))) with bigram probabilities over
+   * adjacent-pair count N_bi and unigram probabilities over token count
+   * N_uni, computed as one integer-ratio argument so both engines fold
+   * the same doubles; the ln lands in integer MICRO-NATS
+   * (`floor(x*1e6 + 0.5)`, the n-gram LM rule) BEFORE ranking, so an
+   * ulp of ln() drift can never reorder the top-k across engines.
+   * `minCount` gates rare pairs (tiny-count PMI is noise — the classic
+   * estimator pathology).
+   *
+   * Shape: one posexplode + one per-doc lag window (the q102 transition
+   * shape applied to tokens), two hash aggs (unigrams, bigrams), one
+   * one-row totals broadcast, and the rank window runs on k rows after a
+   * distributed TakeOrdered. Output: `(token_a, token_b, n_pair, pmi,
+   * rank)`, pmi in nats rounded to 6 decimals.
+   */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 30, minCount: Long = 5): DataFrame = {
+    require(k > 0 && minCount >= 1,
+      "collocations: k must be positive and minCount >= 1")
+    val pos = df.select(col(idCol).as("__doc"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    // one pass over the exploded tokens yields both totals: every row is a
+    // unigram; every row beyond position 0 closes a bigram
+    val totals = pos.agg(count(lit(1)).as("__nuni"),
+      sum(when(col("__pos") >= 1, lit(1L)).otherwise(lit(0L))).as("__nbi"))
+    val uni = pos.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc")).orderBy(col("__pos"))
+    val bi = pos
+      .withColumn("__prev", lag(col("__tok"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("token_a"), col("__tok").as("token_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val ca = uni.select(col("__tok").as("token_a"), col("__c").as("__ca"))
+    val cb = uni.select(col("__tok").as("token_b"), col("__c").as("__cb"))
+    val scored = bi.join(ca, "token_a").join(cb, "token_b")
+      .crossJoin(broadcast(totals))
+      .withColumn("__pu",
+        floor(log((col("n_pair").cast(DoubleType) * col("__nuni") * col("__nuni"))
+            / (col("__nbi").cast(DoubleType) * col("__ca") * col("__cb")))
+          * lit(1e6) + lit(0.5)).cast(LongType))
+    val top = scored
+      .orderBy(col("__pu").desc, col("token_a"), col("token_b")).limit(k)
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pu").desc, col("token_a"), col("token_b"))
+    top.withColumn("rank", row_number().over(wr).cast(LongType))
+      .select(col("token_a"), col("token_b"), col("n_pair"),
+        (col("__pu").cast(DoubleType) / lit(1e6)).as("pmi"), col("rank"))
+  }
+
+  /**
    * Per-group distinct-token cardinality — the lexical-diversity audit of
    * a corpus ("how many distinct words does each source contribute").
    * `approx = false`: exact `count_distinct`, whose shuffle carries the

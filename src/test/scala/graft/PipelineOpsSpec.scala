@@ -193,6 +193,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows(1L)._1 == 0.0 && rows(1L)._2 < 0.2, s"varied: ${rows(1L)}")
   }
 
+  test("collocations: hand-computed PMI, micro-nat tie-break on bigram " +
+       "strings, minCount gates rare pairs") {
+    // unigrams a:3 b:2 c:1 (N=6); bigrams (a,b):2 (b,a):1 (a,c):1 (N=4)
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.collocations(d, "doc_id", "text",
+        k = 10, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    def pmi(np: Long, ca: Long, cb: Long): Double =
+      math.floor(math.log((np.toDouble * 6 * 6) / (4.0 * ca * cb))
+        * 1e6 + 0.5) / 1e6
+    // PMI(a,b) = PMI(a,c) = ln 3 -> exact micro-nat tie, broken by
+    // token_b ('b' < 'c'); PMI(b,a) = ln 1.5 ranks last
+    assert(got.toList == List(
+      ("a", "b", 2L, pmi(2, 3, 2), 1L),
+      ("a", "c", 1L, pmi(1, 3, 1), 2L),
+      ("b", "a", 1L, pmi(1, 2, 3), 3L)), s"got ${got.toList}")
+    // minCount = 2 keeps only the repeated pair
+    val gated = graft.ops.TextOps.collocations(d, "doc_id", "text",
+        k = 10, minCount = 2).collect()
+    assert(gated.length == 1 && gated(0).getString(0) == "a"
+      && gated(0).getString(1) == "b")
+  }
+
   test("hash split is deterministic, covers all splits, sample rate ~ requested") {
     val d = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val s1 = graft.ops.SampleOps.hashSplit(d, "doc_id", 10)

@@ -133,7 +133,11 @@ class PlanShapeSpec extends SparkTestBase {
           "q88_sessions", "q89_windowed_events", "q90_sessionize",
           "q91_random_projection", "q92_ann_projected", "q93_shard_manifest",
           "q94_mixture_tokens", "q95_distinct_tokens", "q96_funnel",
-          "q97_retention").foreach { q =>
+          "q97_retention",
+          // wave-3 families: BM25 scoring, skew profiling, transitions,
+          // blocked fuzzy join, curriculum — column algebra end to end
+          "q98_bm25", "q101_key_skew", "q102_transitions",
+          "q103_fuzzy_join", "q104_curriculum").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
