@@ -821,6 +821,23 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q106_bm25_appended" -> ((s: SparkSession, dir: String) => {
+      // steady-state retrieval ingest: land 80% of the corpus, FOLD the
+      // remaining 20% in via appendSearchIndex — scores must equal q98's
+      // full-corpus inline computation (same oracle)
+      val idx = "graft_q106_" + math.abs(dir.hashCode).toString
+      val d = t(s, dir, "documents")
+      graft.ops.SearchOps.landSearchIndex(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", idx,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      graft.ops.SearchOps.appendSearchIndex(d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", idx,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      graft.ops.SearchOps.bm25AgainstIndex(s, idx,
+          terms = Seq("spark", "query", "filter"), k = 10)
+        .orderBy(col("rank"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2656,6 +2673,8 @@ object SparkEntry {
     "q98_bm25" -> Bm25OracleSql,
     // the landed path must be row-identical to the inline path
     "q99_bm25_indexed" -> Bm25OracleSql,
+    // land + append must reconstruct the full corpus exactly
+    "q106_bm25_appended" -> Bm25OracleSql,
     "q100_near_dedup_keep_best" -> OracleSqlGen.nearDedupKeepBestSql,
 
     "q101_key_skew" ->

@@ -111,59 +111,124 @@ object SearchOps {
         col("rank").cast(LongType).as("rank"))
   }
 
+  /** Tokenized staging shared by land and append: `(doc_id, __toks, __dl)`. */
+  private def stageTok(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", coalesce(size(col("__toks")).cast(LongType), lit(0L)))
+
+  private def postingsOf(tok: DataFrame): DataFrame = tok
+    .select(col("doc_id"), col("__dl").as("dl"),
+      explode(col("__toks")).as("token"))
+    .groupBy(col("token"), col("doc_id"))
+    .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+
+  /** Recompute `<name>_meta` from the landed `<name>_docs` table — the one
+    * source of truth for corpus stats, so a crashed append converges to a
+    * consistent meta on the next call. */
+  private def refreshMeta(spark: SparkSession, name: String,
+                          path: Option[String]): Unit = {
+    import spark.implicits._
+    val r = spark.table(s"${name}_docs")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t"))
+      .head()
+    val w = Seq((r.getAs[Long]("n"), r.getAs[Long]("t")))
+      .toDF("n_docs", "total_dl")
+      .write.mode("overwrite").format("parquet")
+    path.fold(w)(p => w.option("path", s"${p}_meta"))
+      .saveAsTable(s"${name}_meta")
+  }
+
   /**
    * Land the inverted index once as catalog tables (the land-once /
    * query-many move of [[graft.ops.DedupOps.landNearDupIndex]]):
    *
-   *  - `<name>_meta` `(n_docs, total_dl)` — corpus stats, landed FIRST so a
-   *    partially-landed index self-heals on re-run but can never serve
-   *    stats from one corpus with postings from another;
+   *  - `<name>_docs` `(doc_id, dl)` BUCKETED by doc_id — the corpus
+   *    membership table: [[appendSearchIndex]]'s idempotency anti-join key
+   *    and the single source the meta stats recompute from;
    *  - `<name>_postings` `(token, doc_id, tf, dl)` BUCKETED by token,
    *    sorted (token, doc_id): `token IN (...)` prunes buckets, and dl is
    *    denormalized onto the posting so querying never joins a doc-length
-   *    table;
-   *  - `<name>_terms` `(token, df)` bucketed by token — document
-   *    frequencies, one tiny row per distinct term.
+   *    table. Document frequencies are derived from the PRUNED postings at
+   *    query time (cheap after bucket pruning) instead of a separate table
+   *    — one fewer artifact that could drift under incremental appends;
+   *  - `<name>_meta` `(n_docs, total_dl)` — corpus stats, recomputed from
+   *    `_docs` so land/append crashes self-heal.
    */
   def landSearchIndex(docs: DataFrame, idCol: String, textCol: String,
                       name: String, buckets: Int = 8,
                       path: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    val metaTbl = s"${name}_meta"
-    val metaExists = spark.catalog.tableExists(metaTbl)
-    if (!metaExists || !spark.catalog.tableExists(s"${name}_postings")
-        || !spark.catalog.tableExists(s"${name}_terms")) {
-      val tok = docs.select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("__toks"))
-        .withColumn("__dl", coalesce(size(col("__toks")).cast(LongType), lit(0L)))
-      if (!metaExists) {
-        import spark.implicits._
-        val r = tok.agg(count(lit(1)).as("n"),
-          coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
-        val w = Seq((r.getAs[Long]("n"), r.getAs[Long]("t")))
-          .toDF("n_docs", "total_dl")
-          .write.mode("overwrite").format("parquet")
-        path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
-      }
-      val post = tok
-        .select(col("doc_id"), col("__dl").as("dl"),
-          explode(col("__toks")).as("token"))
-        .groupBy(col("token"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-        .select(col("token"), col("doc_id"), col("tf"), col("dl"))
-      graft.sources.BucketedLand.landOnce(post, s"${name}_postings",
-        "token", Seq("token", "doc_id"), buckets, path.map(p => s"${p}_postings"))
-      val dfreq = spark.table(s"${name}_postings")
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      graft.sources.BucketedLand.landOnce(dfreq, s"${name}_terms",
-        "token", Seq("token"), buckets, path.map(p => s"${p}_terms"))
+    if (!spark.catalog.tableExists(s"${name}_meta")
+        || !spark.catalog.tableExists(s"${name}_postings")
+        || !spark.catalog.tableExists(s"${name}_docs")) {
+      val tok = stageTok(docs, idCol, textCol)
+      graft.sources.BucketedLand.landOnce(postingsOf(tok),
+        s"${name}_postings", "token", Seq("token", "doc_id"), buckets,
+        path.map(p => s"${p}_postings"))
+      graft.sources.BucketedLand.landOnce(
+        tok.select(col("doc_id"), col("__dl").as("dl")),
+        s"${name}_docs", "doc_id", Seq("doc_id"), buckets,
+        path.map(p => s"${p}_docs"))
+      refreshMeta(spark, name, path)
     }
   }
 
+  /**
+   * Fold accepted documents into a landed [[landSearchIndex]] — the
+   * steady-state ingest move ([[graft.ops.DedupOps.appendNearDupIndex]]
+   * applied to retrieval): postings and doc rows append under the landed
+   * bucket specs, and the meta stats recompute from `_docs`. Crash
+   * convergence: postings land FIRST, the `_docs` row is the commit
+   * marker (the anti-join key), and meta always recomputes — a retry
+   * after a mid-append failure re-appends postings whose duplicates
+   * COLLAPSE at read time ([[bm25AgainstIndex]] aggregates per (token,
+   * doc) before scoring), then lands the marker. Returns the number of
+   * new documents folded in.
+   */
+  def appendSearchIndex(accepted: DataFrame, idCol: String, textCol: String,
+                        name: String, path: Option[String] = None): Long = {
+    val spark = accepted.sparkSession
+    require(spark.catalog.tableExists(s"${name}_docs"),
+      s"no search index '$name' in the session catalog — run landSearchIndex first")
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${name}_postings"))
+      .bucketSpec.getOrElse(throw new IllegalStateException(
+        s"appendSearchIndex('$name'): postings table is not bucketed"))
+    // snapshot the batch before any table it reads gets written (the
+    // appendNearDupIndex rule: inserts invalidate cached plans that
+    // reference the target)
+    val staged = stageTok(accepted, idCol, textCol)
+      .dropDuplicates("doc_id")
+      .join(spark.table(s"${name}_docs").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val n = staged.count()
+    if (n > 0) {
+      postingsOf(staged).write.mode("append")
+        .bucketBy(spec.numBuckets, "token").sortBy("token", "doc_id")
+        .format("parquet").saveAsTable(s"${name}_postings")
+      staged.select(col("doc_id"), col("__dl").as("dl"))
+        .write.mode("append")
+        .bucketBy(spec.numBuckets, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(s"${name}_docs")
+    }
+    // unconditional: heals a stale meta left by a crash between the docs
+    // append and a previous refresh
+    refreshMeta(spark, name, path)
+    n
+  }
+
   /** BM25 against a landed [[landSearchIndex]]: corpus stats from the meta
-    * table, postings/df from the bucketed tables pruned to the query terms
-    * — zero corpus-side recompute, row-identical to [[bm25TopK]] on the
-    * same corpus (same [[scoreAndRank]] tail). */
+    * table, postings pruned to the query terms by bucket, document
+    * frequencies derived from the pruned postings — zero corpus-side
+    * recompute, row-identical to [[bm25TopK]] on the same corpus (same
+    * [[scoreAndRank]] tail). The per-(token, doc) aggregate collapses the
+    * duplicate postings a crashed-and-retried append can leave, so reads
+    * are correct at every point of the append protocol. */
   def bm25AgainstIndex(spark: SparkSession, name: String, terms: Seq[String],
                        k: Int = 10, k1: Double = 1.2,
                        b: Double = 0.75): DataFrame = {
@@ -175,8 +240,9 @@ object SearchOps {
       .select(col("n_docs").as("__n_docs"), col("total_dl").as("__total_dl"))
     val post = spark.table(s"${name}_postings")
       .filter(col("token").isInCollection(lowered))
-    val dfreq = spark.table(s"${name}_terms")
-      .filter(col("token").isInCollection(lowered))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(max(col("tf")).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
     scoreAndRank(post, broadcast(dfreq), broadcast(stats), "doc_id", k, k1, b)
   }
 }

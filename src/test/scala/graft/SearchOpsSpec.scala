@@ -75,7 +75,7 @@ class SearchOpsSpec extends SparkTestBase {
   test("landed index path is row-identical to the inline path, reads " +
        "bucket-pruned postings, and land-once is idempotent") {
     val idx = "graft_test_search_idx"
-    Seq(s"${idx}_meta", s"${idx}_postings", s"${idx}_terms")
+    Seq(s"${idx}_meta", s"${idx}_postings", s"${idx}_docs")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     SearchOps.landSearchIndex(corpus, "doc_id", "text", idx, buckets = 4)
     val viaIndex = SearchOps.bm25AgainstIndex(spark, idx,
@@ -97,7 +97,41 @@ class SearchOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SearchOps.bm25AgainstIndex(spark, "graft_no_such_index", Seq("x"))
     }
-    Seq(s"${idx}_meta", s"${idx}_postings", s"${idx}_terms")
+    Seq(s"${idx}_meta", s"${idx}_postings", s"${idx}_docs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("appendSearchIndex folds new docs in (stats refresh, scores match " +
+       "a fresh full-corpus index), skips already-landed ids, and needs " +
+       "a landed index") {
+    val idx = "graft_test_search_append"
+    Seq(s"${idx}_meta", s"${idx}_postings", s"${idx}_docs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val day0 = corpus.filter(col("doc_id") =!= 3L)
+      SearchOps.landSearchIndex(day0, "doc_id", "text", idx, buckets = 4)
+      val added = SearchOps.appendSearchIndex(
+        corpus.filter(col("doc_id") === 3L), "doc_id", "text", idx)
+      assert(added == 1L, s"added $added")
+      // post-append scores must equal the inline computation on the FULL
+      // corpus — meta, postings, and df all see the appended doc
+      val viaIndex = SearchOps.bm25AgainstIndex(spark, idx,
+        Seq("apple", "cherry"), k = 10).collect().map(_.toSeq).toList
+      val inline = SearchOps.bm25TopK(corpus, "doc_id", "text",
+        Seq("apple", "cherry"), k = 10).collect().map(_.toSeq).toList
+      assert(viaIndex == inline,
+        s"appended index diverged:\n$viaIndex\nvs\n$inline")
+      // re-appending the same doc is a no-op (anti-join on _docs)
+      assert(SearchOps.appendSearchIndex(
+        corpus.filter(col("doc_id") === 3L), "doc_id", "text", idx) == 0L)
+      assert(SearchOps.bm25AgainstIndex(spark, idx,
+        Seq("apple", "cherry"), k = 10).collect().map(_.toSeq).toList
+        == inline, "no-op append must not change scores")
+      intercept[IllegalArgumentException] {
+        SearchOps.appendSearchIndex(corpus, "doc_id", "text",
+          "graft_no_such_index")
+      }
+    } finally Seq(s"${idx}_meta", s"${idx}_postings", s"${idx}_docs")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
