@@ -756,6 +756,14 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q107_winnow" -> ((s: SparkSession, dir: String) => {
+      // MOSS winnowing: rightmost-min fingerprint per 4-window of 3-gram
+      // hashes — positional overlap detection with the w+k-1 guarantee
+      DedupOps.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "q100_near_dedup_keep_best" -> ((s: SparkSession, dir: String) => {
       // canonical selection: q48's planted clusters, but keep the LONGEST
       // member (the perturbed copies are longer, so the survivor set
@@ -2675,6 +2683,36 @@ object SparkEntry {
     "q99_bm25_indexed" -> Bm25OracleSql,
     // land + append must reconstruct the full corpus exactly
     "q106_bm25_appended" -> Bm25OracleSql,
+
+    "q107_winnow" ->
+      // the rightmost-min tie rule rides inside the struct order
+      // (h asc, -i asc == pos desc); md5-31 grams replay exactly
+      """WITH tokarr AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 2)) AS i
+        |  FROM tokarr
+        |), grams AS (
+        |  SELECT doc_id, i,
+        |    (('0x' || substr(md5(array_to_string(
+        |        toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT AS h
+        |  FROM idx
+        |), win AS (
+        |  SELECT doc_id, i, h,
+        |    min(struct_pack(h := h, np := -i)) OVER (PARTITION BY doc_id
+        |      ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c
+        |  FROM grams
+        |)
+        |SELECT DISTINCT doc_id, CAST(-(m.np) - 1 AS BIGINT) AS pos,
+        |  m.h AS gram_hash
+        |FROM win WHERE c = 4
+        |ORDER BY doc_id, pos""".stripMargin,
     "q100_near_dedup_keep_best" -> OracleSqlGen.nearDedupKeepBestSql,
 
     "q101_key_skew" ->

@@ -21,6 +21,61 @@ import org.apache.spark.sql.types._
  */
 object DedupOps {
 
+  /**
+   * WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+   * algorithm): from every window of `w` consecutive k-gram hashes, select
+   * the RIGHTMOST MINIMUM — the classic local fingerprinting scheme whose
+   * guarantee is positional: any shared token run of at least `w + k - 1`
+   * tokens between two documents shares at least one selected fingerprint,
+   * so an equi-join on `gram_hash` detects partial overlap (plagiarism,
+   * quotation, template reuse) that whole-document sketches dilute away.
+   * Complements [[duplicateSpans]]: spans need corpus-frequency evidence,
+   * winnowing needs only the two documents.
+   *
+   * Output: `(<idCol>, pos, gram_hash)` — distinct selected fingerprints,
+   * `pos` the 0-based token position of the gram, ~1/w of the grams per
+   * doc (density 2/(w+1) in expectation).
+   *
+   * Shape: one posexplode + per-doc windows over ONE exchange (lead-built
+   * k-grams, then a rolling `min(struct(hash, -pos))` whose struct order
+   * encodes the rightmost-min tie rule), distinct on the selected rows.
+   * Hashes are the engine-portable md5-31 family, so the selection replays
+   * exactly in SQL.
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 2, s"w must be >= 2, got $w")
+    val W = org.apache.spark.sql.expressions.Window
+    val K = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    val pos = df.select(col(idCol),
+      posexplode(graft.ops.TextOps.tokens(col(textCol)))
+        .as(Seq("__p", "__t")))
+    val wOrd = W.partitionBy(col(idCol)).orderBy(col("__p"))
+    val gramCols = (0 until k).map(j =>
+      if (j == 0) col("__t") else lead(col("__t"), j).over(wOrd))
+    // concat_ws skips nulls, so a truncated tail gram would silently
+    // shorten — gate on the FINAL lead instead (lead(j) null implies
+    // lead(k-1) null for j < k-1)
+    val lastTok = if (k == 1) col("__t") else lead(col("__t"), k - 1).over(wOrd)
+    val grams = pos
+      .withColumn("__g", concat_ws(" ", gramCols: _*))
+      .withColumn("__gate", lastTok)
+      .filter(col("__gate").isNotNull)
+      .withColumn("__h", K.md5Hash31(col("__g")))
+    val winWin = W.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("__m",
+        min(struct(col("__h").as("h"), (-col("__p")).as("np"))).over(winWin))
+      .withColumn("__cnt", count(lit(1)).over(winWin))
+      .filter(col("__cnt") === w) // full windows only, the paper's scheme
+      .select(col(idCol), (-col("__m.np")).cast(LongType).as("pos"),
+        col("__m.h").as("gram_hash"))
+      .distinct()
+  }
+
   /** Word n-gram shingles (distinct, first-occurrence order), the unit of
     * Jaccard similarity. Native codegen expression over the token array's
     * raw `UTF8String`s (graftdedup.ShinglesExpr) — per-element Catalyst

@@ -129,6 +129,23 @@ object SampleOps {
    * Null scores have no place in a curriculum: `tier` is null and the
    * rows sort last, after every scheduled tier.
    */
+  /** Derive `nTiers - 1` ascending thresholds for [[curriculumOrder]] from
+    * the score distribution itself (equi-populated tiers up to score ties):
+    * `approx_percentile` at the interior quantiles — a one-row aggregate at
+    * any corpus size, the bounded-memory sketch the exact-ntile curriculum
+    * this module deliberately avoids would need a global sort for.
+    * Duplicate quantile values (heavily tied scores) collapse, so the
+    * returned list is strictly ascending and may be shorter than
+    * `nTiers - 1`. */
+  def quantileThresholds(df: DataFrame, score: Column, nTiers: Int,
+                         accuracy: Int = 10000): Seq[Double] = {
+    require(nTiers >= 2, s"need >= 2 tiers, got $nTiers")
+    val qs = (1 until nTiers).map(_.toDouble / nTiers)
+    val row = df.agg(percentile_approx(score,
+      array(qs.map(lit(_)): _*), lit(accuracy)).as("q")).head()
+    row.getSeq[Double](0).distinct.sorted
+  }
+
   def curriculumOrder(df: DataFrame, keyCol: String, score: Column,
                       thresholds: Seq[Double],
                       salt: String = "graft"): DataFrame = {

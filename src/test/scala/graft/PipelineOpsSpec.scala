@@ -193,6 +193,55 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows(1L)._1 == 0.0 && rows(1L)._2 < 0.2, s"varied: ${rows(1L)}")
   }
 
+  test("winnowFingerprints: every full window selects a fingerprint " +
+       "(coverage guarantee), shared runs >= w+k-1 tokens share a hash, " +
+       "selection is ~1/w dense") {
+    val rng = new scala.util.Random(7)
+    val words = (0 until 400).map(_ => s"w${rng.nextInt(5000)}")
+    val docA = (1L, words.mkString(" "))
+    // doc B: different prefix/suffix, but shares words[100..139] (40 >> 6)
+    val docB = (2L, ((0 until 80).map(_ => s"x${rng.nextInt(5000)}") ++
+      words.slice(100, 140) ++
+      (0 until 80).map(_ => s"y${rng.nextInt(5000)}")).mkString(" "))
+    val fps = DedupOps.winnowFingerprints(
+      Seq(docA, docB).toDF("doc_id", "text"), "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = fps.filter(_._1 == 1L)
+    // coverage: every window of 4 consecutive gram positions contains a
+    // selected position (the winnowing guarantee, checked exhaustively)
+    val selPos = a.map(_._2).toSet
+    val nGrams = 400 - 2
+    (3 until nGrams).foreach { t =>
+      assert((t - 3 to t).exists(q => selPos.contains(q.toLong)),
+        s"window ending at $t has no fingerprint")
+    }
+    // density ~ 2/(w+1) = 0.4: allow a generous band
+    assert(a.length > nGrams / 5 && a.length < nGrams * 3 / 5,
+      s"selected ${a.length} of $nGrams grams")
+    // overlap: the 40-token shared run guarantees >= 1 common hash
+    val shared = a.map(_._3).toSet
+      .intersect(fps.filter(_._1 == 2L).map(_._3).toSet)
+    assert(shared.nonEmpty, "shared 40-token run must share a fingerprint")
+    // hand-check the rightmost-min rule on a tiny fixed case: doc of 7
+    // tokens -> 5 grams; recompute selection in driver scala
+    val tiny = Seq((9L, "a b c d e f g")).toDF("doc_id", "text")
+    val toks = Array("a", "b", "c", "d", "e", "f", "g")
+    val hashes = (0 to 4).map { i =>
+      org.apache.spark.sql.catalyst.expressions.graftdedup.GraftHashKernels
+        .md5Hash31(org.apache.spark.unsafe.types.UTF8String.fromString(
+          toks.slice(i, i + 3).mkString(" ")))
+    }
+    val expected = (3 to 4).flatMap { t =>
+      val win = (t - 3 to t)
+      val minH = win.map(hashes).min
+      Some(win.filter(q => hashes(q) == minH).max)
+    }.distinct.map(q => (9L, q.toLong, hashes(q))).toSet
+    val gotTiny = DedupOps.winnowFingerprints(tiny, "doc_id", "text",
+      k = 3, w = 4).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotTiny == expected, s"got $gotTiny expected $expected")
+  }
+
   test("collocations: hand-computed PMI, micro-nat tie-break on bigram " +
        "strings, minCount gates rare pairs") {
     // unigrams a:3 b:2 c:1 (N=6); bigrams (a,b):2 (b,a):1 (a,c):1 (N=4)
@@ -266,6 +315,19 @@ class PipelineOpsSpec extends SparkTestBase {
       graft.ops.SampleOps.curriculumOrder(d, "doc_id", col("score"),
         thresholds = Seq(30.0, 20.0))
     }
+    // quantile-derived thresholds feed straight back in: 3 tiers over
+    // 1..90 -> cuts near 30/60, every tier non-empty
+    val wide = (1L to 90L).map(i => (i, i.toDouble)).toDF("doc_id", "score")
+    val cuts = graft.ops.SampleOps.quantileThresholds(wide, col("score"), 3)
+    assert(cuts.length == 2 && cuts == cuts.sorted
+      && cuts.head > 20 && cuts.head < 40 && cuts(1) > 50 && cuts(1) < 70,
+      s"cuts: $cuts")
+    val tiered = graft.ops.SampleOps.curriculumOrder(wide, "doc_id",
+        col("score"), cuts)
+      .groupBy("tier").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiered.keySet == Set(0L, 1L, 2L) && tiered.values.forall(_ > 20),
+      s"tier sizes: $tiered")
   }
 
   test("multimodal: feature extraction and frame sampling plumbing") {
