@@ -764,6 +764,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    "q108_winnow_overlap" -> ((s: SparkSession, dir: String) => {
+      // the MOSS match step: 80-char excerpts resolve back to their
+      // source docs via a fingerprint equi-join — partial overlap no
+      // whole-doc sketch would see
+      val d = t(s, dir, "documents")
+      val probes = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          substring(col("text"), 30, 80).as("text"))
+      DedupOps.winnowOverlapPairs(probes, d, "doc_id", "doc_id",
+          "text", "text", k = 3, w = 4, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q100_near_dedup_keep_best" -> ((s: SparkSession, dir: String) => {
       // canonical selection: q48's planted clusters, but keep the LONGEST
       // member (the perturbed copies are longer, so the survivor set
@@ -1410,6 +1423,35 @@ object SparkEntry {
     * keys (q64's hash form), add-1 smoothing over the train vocabulary,
     * and per-position micro-nat flooring so the per-doc aggregation sums
     * INTEGERS — ln() ulp drift cannot reorder-diverge. */
+  /** Winnowing CTE chain over source CTE `src`, names prefixed `p` —
+    * q107's selection pipeline, reusable per side for the q108 overlap
+    * join. Emits `<p>fp(doc_id, gram_hash)`. */
+  private def winnowCtes(src: String, p: String): String =
+    s"""${p}tokarr AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM $src
+       |), ${p}idx AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(1, len(toks) - 2)) AS i
+       |  FROM ${p}tokarr
+       |), ${p}grams AS (
+       |  SELECT doc_id, i,
+       |    (('0x' || substr(md5(array_to_string(
+       |        toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')), 1, 16))::UBIGINT
+       |      & 2147483647::UBIGINT)::BIGINT AS h
+       |  FROM ${p}idx
+       |), ${p}win AS (
+       |  SELECT doc_id, i, h,
+       |    min(struct_pack(h := h, np := -i)) OVER (PARTITION BY doc_id
+       |      ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c
+       |  FROM ${p}grams
+       |), ${p}fp AS (
+       |  SELECT DISTINCT doc_id, m.h AS gram_hash FROM ${p}win WHERE c = 4
+       |)""".stripMargin
+
   /** Okapi BM25 replay (q98/q99). The scored CTE's parenthesization mirrors
     * SearchOps.bm25Term EXACTLY — float arithmetic is association-sensitive
     * — and per-term contributions go through DECIMAL(18,9) before the
@@ -2713,6 +2755,19 @@ object SparkEntry {
         |  m.h AS gram_hash
         |FROM win WHERE c = 4
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q108_winnow_overlap" ->
+      (s"""WITH probes AS (
+         |  SELECT doc_id + 3000000 AS doc_id, substr(text, 30, 80) AS text
+         |  FROM documents WHERE doc_id < 30
+         |), corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |), ${winnowCtes("probes", "a")},
+         |${winnowCtes("corpus", "b")}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM afp a JOIN bfp b USING (gram_hash)
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""").stripMargin,
     "q100_near_dedup_keep_best" -> OracleSqlGen.nearDedupKeepBestSql,
 
     "q101_key_skew" ->

@@ -76,6 +76,46 @@ object DedupOps {
       .distinct()
   }
 
+  /**
+   * Cross-corpus OVERLAP PAIRS from [[winnowFingerprints]]: for every
+   * (left doc, right doc) sharing at least `minShared` distinct selected
+   * gram hashes, the shared-fingerprint count — the MOSS match step.
+   * By the winnowing guarantee a shared run of `w + k - 1` tokens always
+   * surfaces, so `minShared = 1` catches every such run; higher values
+   * trade recall for noise suppression on hash collisions.
+   *
+   * Shape: fingerprints on both sides (per-doc windows over one exchange
+   * each), then an equi-join ON THE HASH — candidates are bounded by
+   * fingerprint collisions (~2/(w+1) of grams per doc, never all-pairs) —
+   * and a count agg per pair. A boilerplate gram shared by B docs per
+   * side fans out B² pair rows; `maxHashDocs` caps the per-hash fan-out
+   * (0 = uncapped), dropping hashes that appear in more docs than the cap
+   * on either side — the near-dup family's hot-bucket rule.
+   */
+  def winnowOverlapPairs(left: DataFrame, right: DataFrame,
+                         leftId: String, rightId: String,
+                         leftText: String, rightText: String,
+                         k: Int = 3, w: Int = 4, minShared: Long = 1,
+                         maxHashDocs: Int = 0): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def fps(df: DataFrame, id: String, text: String, as: String) = {
+      val f = winnowFingerprints(df, id, text, k, w)
+        .select(col(id).as(as), col("gram_hash")).distinct()
+      if (maxHashDocs <= 0) f
+      else {
+        val wCnt = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram_hash"))
+        f.withColumn("__n", count(lit(1)).over(wCnt))
+          .filter(col("__n") <= maxHashDocs).drop("__n")
+      }
+    }
+    fps(left, leftId, leftText, "id_a")
+      .join(fps(right, rightId, rightText, "id_b"), "gram_hash")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Word n-gram shingles (distinct, first-occurrence order), the unit of
     * Jaccard similarity. Native codegen expression over the token array's
     * raw `UTF8String`s (graftdedup.ShinglesExpr) — per-element Catalyst

@@ -299,7 +299,11 @@ object StreamOps {
    * stragglers are dropped by the engine, the loss every watermark op
    * accepts. Null user/ts/type rows are filtered up front (the batch
    * rule), and aggregating this stream's (prev_type, next_type) counts
-   * over any horizon reproduces the batch matrix on the same events.
+   * over any horizon reproduces the batch matrix on the same events —
+   * with one documented tie divergence: SAME-microsecond events order by
+   * type string here (the stream carries no id column), where the batch
+   * op orders by its `idCol`; pairs across a same-timestamp tie can
+   * differ when the id order disagrees with the type order.
    *
    * State per user: the not-yet-final tail of their event stream (bounded
    * by the watermark horizon) plus one anchor event, cleared by timer once

@@ -242,6 +242,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(gotTiny == expected, s"got $gotTiny expected $expected")
   }
 
+  test("winnowOverlapPairs: an excerpt resolves to its source, unrelated " +
+       "docs stay out, and maxHashDocs drops boilerplate hashes") {
+    val rng = new scala.util.Random(11)
+    val src = (0 until 120).map(_ => s"s${rng.nextInt(9000)}").mkString(" ")
+    val corpus = Seq(
+      (1L, src),
+      (2L, (0 until 120).map(_ => s"u${rng.nextInt(9000)}").mkString(" "))
+    ).toDF("doc_id", "text")
+    // probe: tokens 40..69 of doc 1 (30 tokens >> w+k-1 = 6)
+    val probe = Seq(
+      (100L, src.split(" ").slice(40, 70).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = DedupOps.winnowOverlapPairs(probe, corpus, "doc_id", "doc_id",
+        "text", "text", k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 1 && got(0)._1 == 100L && got(0)._2 == 1L
+      && got(0)._3 >= 1L, s"got ${got.toList}")
+    // boilerplate suppression: a gram shared by EVERY corpus doc fans out
+    // to every pair; maxHashDocs = 1 on the corpus side drops it
+    val boiler = "common header line alpha beta gamma"
+    val bcorpus = Seq(
+      (1L, s"$boiler one two three four five six seven"),
+      (2L, s"$boiler eight nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val bprobe = Seq((100L, boiler)).toDF("doc_id", "text")
+    val uncapped = DedupOps.winnowOverlapPairs(bprobe, bcorpus, "doc_id",
+      "doc_id", "text", "text", k = 3, w = 4, minShared = 1).count()
+    val capped = DedupOps.winnowOverlapPairs(bprobe, bcorpus, "doc_id",
+      "doc_id", "text", "text", k = 3, w = 4, minShared = 1,
+      maxHashDocs = 1).count()
+    assert(uncapped == 2L && capped < uncapped,
+      s"uncapped $uncapped capped $capped")
+  }
+
   test("collocations: hand-computed PMI, micro-nat tie-break on bigram " +
        "strings, minCount gates rare pairs") {
     // unigrams a:3 b:2 c:1 (N=6); bigrams (a,b):2 (b,a):1 (a,c):1 (N=4)
