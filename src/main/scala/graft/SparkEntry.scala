@@ -859,6 +859,48 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q109_salted_join" -> ((s: SparkSession, dir: String) => {
+      // skew-mitigated join, end to end: plant a hot key (30% of events
+      // collapse onto key 0), PROFILE it (q101's pre-flight, driver-size
+      // top-k), then salted-join facts against the per-key dim using the
+      // profiler's own salt factors. The salt decides placement only, so
+      // the result — aggregated back per event_type to verify every row
+      // joined exactly once — is bit-identical to the plain join the
+      // oracle runs.
+      val ev = t(s, dir, "events")
+        .withColumn("skew_key",
+          when(pmod(col("user_id"), lit(10L)) < 3, lit(0L))
+            .otherwise(pmod(col("user_id"), lit(50L))))
+      val dim = ev.groupBy(col("skew_key"))
+        .agg(count(lit(1)).as("key_n"), dsum(col("value")).as("key_total"))
+      val hot = graft.ops.StatsOps.keySkewProfile(ev, "skew_key",
+          k = 5, nPartitions = 32)
+        .select(col("key_value"), col("salt_factor")).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      graft.ops.JoinOps.saltedJoin(ev, dim, "skew_key", "event_id", hot)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("key_n")).as("sum_key_n"),
+          dsum(col("key_total")).as("sum_key_total"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q110_interval_join" -> ((s: SparkSession, dir: String) => {
+      // incident-window association: every event inside [t, t+5min) of any
+      // error event, via the overlap-bucket equi-join (never a nested-loop
+      // theta join); per-incident counts + exact decimal value sums
+      val us = unix_micros(col("ts").cast(TimestampType))
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), us.as("us"), col("value"), col("event_type"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("us").as("lo"),
+          (col("us") + 300000000L).as("hi"))
+      graft.ops.JoinOps.intervalJoin(ev.select(col("us"), col("value")),
+          incidents, "us", "lo", "hi", bucketWidth = 300000000L)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy(col("incident_id"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2790,6 +2832,44 @@ object SparkEntry {
         |  greatest(1, (n_rows * 32 + t.total_rows - 1) // t.total_rows) AS salt_factor,
         |  t.n_keys, t.total_rows
         |FROM top CROSS JOIN totals t ORDER BY rank""".stripMargin,
+
+    "q109_salted_join" ->
+      // the PLAIN join — salting is placement-only, so the salted plan
+      // must reproduce this exactly; sum(key_n) pins join multiplicity
+      // (a double-counted salted replica would inflate it)
+      """WITH f AS (
+        |  SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id % 50 END
+        |           AS skew_key, event_type, value
+        |  FROM events
+        |), d AS (
+        |  SELECT skew_key, count(*) AS key_n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS key_total
+        |  FROM f GROUP BY 1
+        |), j AS (
+        |  SELECT f.event_type, d.key_n, d.key_total
+        |  FROM f JOIN d USING (skew_key)
+        |)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(key_n) AS BIGINT) AS sum_key_n,
+        |  CAST(sum(CAST(key_total AS DECIMAL(18,2))) AS DOUBLE) AS sum_key_total
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q110_interval_join" ->
+      // the theta-join the bucketed equi-join must reproduce: every event
+      // with lo <= us < hi of any error-event window
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS us, value, event_type
+        |  FROM events WHERE ts IS NOT NULL
+        |), iv AS (
+        |  SELECT event_id AS incident_id, us AS lo, us + 300000000 AS hi
+        |  FROM e WHERE event_type = 'error'
+        |), j AS (
+        |  SELECT iv.incident_id, e.value
+        |  FROM e JOIN iv ON e.us >= iv.lo AND e.us < iv.hi
+        |)
+        |SELECT incident_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q102_transitions" ->
       // q90's lag-window replay reduced to the (prev, next) pair stream;

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,102 @@ object JoinOps {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightCol: String): DataFrame =
     asofJoin(left, right, keyCol, tsCol, Seq(rightCol))
+
+  /**
+   * SALTED EQUI-JOIN: the inner join of `fact` and `dim` on `keyCol`,
+   * rewritten so a HOT key's rows spread over `saltFactor` shuffle
+   * partitions instead of landing on one straggler task — the standard
+   * manual skew mitigation applied as an operator, fed directly by
+   * [[graft.ops.StatsOps.keySkewProfile]]'s `salt_factor` column.
+   *
+   * Mechanics: the fact side appends a salt column — `0` for cold keys,
+   * `pmod(md5_31("graft-salt:" + rowCol), factor)` for a hot key (any
+   * per-row column works as `rowCol`; the salt only decides PLACEMENT,
+   * never membership, so the result is bit-identical to the plain join) —
+   * and the dim side EXPLODES each hot row into `factor` replicas, one per
+   * salt value. The join is then an ordinary equi-join on `(key, salt)`:
+   * each fact row carries exactly one salt and the dim side carries every
+   * salt, so each matching pair meets exactly once.
+   *
+   * `hotKeys` maps key value (as string, the profiler's `key_value`
+   * representation) to its salt factor. It is DRIVER-SIZE by construction
+   * — the profiler's top-k — and rides into the plan as a literal CASE
+   * chain, so the cold path pays one comparison per hot key and zero
+   * shuffle-side state. Keys absent from the map behave exactly as in a
+   * plain join; factors <= 1 mean "not actually hot" and join unsalted.
+   * Null fact keys match nothing, as in any equi-join.
+   *
+   * Scale shape: dim-side replication costs `sum(factors)` extra rows —
+   * the dim table is the SMALL side (that is why the join skews) — while
+   * the fact side, the 100 TB side, gains one map-side scalar. This is
+   * the remedy for the case AQE's skew-join split cannot handle: a
+   * shuffle HASH join or an aggregation keyed on the join key downstream,
+   * where one partition would otherwise hold the whole hot key.
+   */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                 rowCol: String, hotKeys: Map[String, Int]): DataFrame = {
+    val saltCol = TextOps.tempName(fact, "__salt")
+    val factorOf: Column => Column = key => {
+      val hot = hotKeys.filter(_._2 > 1)
+      if (hot.isEmpty) lit(1)
+      else hot.foldLeft(when(lit(false), lit(1))) { case (c, (k, f)) =>
+        c.when(key.cast("string") === lit(k), lit(f))
+      }.otherwise(lit(1))
+    }
+    val factSalted = fact.withColumn(saltCol,
+      pmod(org.apache.spark.sql.catalyst.expressions.graftdedup
+        .HashSketchExpressions
+        .md5Hash31(concat_ws(":", lit("graft-salt"), col(rowCol).cast("string"))),
+        factorOf(col(keyCol))).cast("int"))
+    val dimSalted = dim.withColumn(saltCol,
+      explode(sequence(lit(0), factorOf(col(keyCol)) - 1)))
+    factSalted.join(dimSalted, Seq(keyCol, saltCol)).drop(saltCol)
+  }
+
+  /**
+   * INTERVAL (point-in-range) JOIN: every `(point, interval)` pair with
+   * `lo <= point < hi`, computed as an EQUI-join on overlap buckets
+   * instead of the non-equi theta-join Spark would otherwise plan as
+   * BroadcastNestedLoop (O(|points| x |intervals|) comparisons — the
+   * classic range-join blowup). Domain is integer (epoch micros, byte
+   * offsets, numeric buckets): callers convert timestamps up front so the
+   * containment decision is exact long arithmetic in any engine.
+   *
+   * Mechanics: a point lands in bucket `floorDiv(p, w)`; an interval
+   * emits one row per bucket it overlaps, `floorDiv(lo, w) ..
+   * floorDiv(hi-1, w)` (half-open, so empty and inverted intervals emit
+   * nothing). A point's single bucket meets each overlapping interval's
+   * matching bucket row exactly once, so the exact containment filter
+   * after the equi-join needs no dedup.
+   *
+   * Scale shape: the shuffle carries points once and intervals
+   * `ceil(len/w)` times — choose `bucketWidth` near the TYPICAL interval
+   * length so the expansion stays O(1) per interval (w too small explodes
+   * interval replicas; w too large piles unrelated points into shared
+   * buckets and the filter does the work). A boilerplate bucket (one hot
+   * time window × everything) surfaces in [[StatsOps.keySkewProfile]] on
+   * the bucket key, and AQE's skew split handles moderate cases. Null
+   * points / bounds match nothing.
+   */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointCol: String, loCol: String, hiCol: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val bCol = TextOps.tempName(points, "__bucket")
+    // exact long floorDiv via pmod (negative-safe, engine-portable)
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    val p = points.filter(col(pointCol).isNotNull)
+      .withColumn(bCol, floorDiv(col(pointCol)))
+    val iv = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) < col(hiCol))
+      .withColumn(bCol,
+        explode(sequence(floorDiv(col(loCol)), floorDiv(col(hiCol) - 1))))
+    p.join(iv, Seq(bCol))
+      .filter(col(loCol) <= col(pointCol) && col(pointCol) < col(hiCol))
+      .drop(bCol)
+  }
 
   /**
    * BLOCKED FUZZY JOIN (entity resolution): pairs of (left, right) rows

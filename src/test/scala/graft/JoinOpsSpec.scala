@@ -126,4 +126,71 @@ class JoinOpsSpec extends SparkTestBase {
         "name", "name", maxDist = 1, blockChars = 6).collect()
     assert(short.isEmpty && same.length == 1 && same(0).getLong(2) == 0L)
   }
+
+  test("saltedJoin: result identical to the plain join (hot, cold, and " +
+       "absent keys; factor <= 1 entries; null fact keys drop); dim rows " +
+       "replicate factor-ways and fact salts stay inside the factor") {
+    val fact = Seq(
+      (1L, "hot", 10.0), (2L, "hot", 20.0), (3L, "hot", 30.0),
+      (4L, "cold", 40.0), (5L, "warm", 50.0),
+      (6L, "orphan", 60.0), // no dim row -> inner join drops it
+      (7L, null.asInstanceOf[String], 70.0)
+    ).toDF("row_id", "k", "v")
+    val dim = Seq(
+      ("hot", 100L), ("cold", 200L), ("warm", 300L), ("unused", 400L)
+    ).toDF("k", "attr")
+    val hot = Map("hot" -> 3, "warm" -> 1, "missing" -> 5)
+    val got = JoinOps.saltedJoin(fact, dim, "k", "row_id", hot)
+      .select("row_id", "k", "v", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val want = fact.join(dim, Seq("k"))
+      .select("row_id", "k", "v", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"salted join diverged: got $got want $want")
+    assert(want.map(_._1) == Set(1L, 2L, 3L, 4L, 5L))
+    // empty hot map degenerates to the plain join
+    val plain = JoinOps.saltedJoin(fact, dim, "k", "row_id", Map.empty)
+      .count()
+    assert(plain == 5)
+  }
+
+  test("intervalJoin: half-open containment across bucket boundaries; " +
+       "intervals spanning many buckets; empty/inverted/null intervals " +
+       "and null points match nothing; no duplicate pairs") {
+    val points = Seq(0L, 5L, 9L, 10L, 19L, 20L, 35L, 100L)
+      .map(p => (p, s"p$p")).toDF("x", "pid")
+    val intervals = Seq(
+      (1L, 5L, 10L),    // single bucket (w=10): hits 5, 9 (10 excluded)
+      (2L, 8L, 22L),    // spans buckets 0,1,2: hits 9, 10, 19, 20 (22 excl)
+      (3L, 0L, 1L),     // hits exactly 0
+      (4L, 30L, 30L),   // empty -> nothing
+      (5L, 40L, 30L),   // inverted -> nothing
+      (6L, 90L, 200L)   // wide interval, many buckets: hits 100
+    ).toDF("iid", "lo", "hi")
+    val got = JoinOps.intervalJoin(points, intervals, "x", "lo", "hi",
+        bucketWidth = 10L)
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = Set((1L, 5L), (1L, 9L), (2L, 9L), (2L, 10L), (2L, 19L),
+      (2L, 20L), (3L, 0L), (6L, 100L))
+    assert(got.toSet == want, s"got ${got.toSet}")
+    assert(got.length == got.toSet.size, "duplicate (interval, point) pairs")
+    // nulls on either side match nothing
+    val np = Seq(Tuple2(null.asInstanceOf[java.lang.Long], "pn"))
+      .toDF("x", "pid")
+    val ni = Seq((7L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L)))
+      .toDF("iid", "lo", "hi")
+    assert(JoinOps.intervalJoin(np, intervals, "x", "lo", "hi", 10L)
+      .count() == 0)
+    assert(JoinOps.intervalJoin(points, ni, "x", "lo", "hi", 10L)
+      .count() == 0)
+    // negative domain: floorDiv bucketing stays exact below zero
+    val negP = Seq((-15L, "n1"), (-1L, "n2")).toDF("x", "pid")
+    val negI = Seq((8L, -20L, -10L), (9L, -5L, 1L)).toDF("iid", "lo", "hi")
+    val neg = JoinOps.intervalJoin(negP, negI, "x", "lo", "hi", 10L)
+      .select("iid", "x").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(neg == Set((8L, -15L), (9L, -1L)), s"got $neg")
+  }
 }
