@@ -901,6 +901,24 @@ object SparkEntry {
         .orderBy(col("incident_id"))
     }),
 
+    "q111_cms_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      // mergeable frequency summary: a 4x2048 count-min sketch built as
+      // ONE hash aggregation (shuffle bounded by sketch dims, not corpus
+      // size), point-queried for the exact top-20 tokens; est >= exact
+      // always, the overestimate gap is the collision error the oracle
+      // reproduces cell for cell
+      val d = t(s, dir, "documents")
+      val items = d.select(explode(TextOps.tokens(col("text"))).as("token"))
+      val sketch = graft.ops.SketchOps.cmsSketch(items, "token",
+        depth = 4, width = 2048)
+      val probes = TextOps.vocabulary(d, "doc_id", "text", k = 20)
+        .select(col("token"), col("n_occurrences").as("exact"))
+      graft.ops.SketchOps.cmsEstimate(sketch, probes, "token",
+          depth = 4, width = 2048)
+        .select(col("token"), col("exact"), col("est"))
+        .orderBy(col("token"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -2870,6 +2888,36 @@ object SparkEntry {
         |SELECT incident_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q111_cms_heavy_hitters" ->
+      // cell-for-cell sketch replay: the same md5-31 bucket per (row,
+      // token), counter = occurrences per cell, estimate = min over the
+      // token's 4 cells; probes = the exact top-20 vocabulary
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), probes AS (
+        |  SELECT token, count(*) AS exact FROM tok
+        |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 20
+        |), rows_ AS (
+        |  SELECT unnest(generate_series(0, 3)) AS cms_row
+        |), cells AS (
+        |  SELECT cms_row,
+        |    (('0x' || substr(md5('graft-cms' || CAST(cms_row AS VARCHAR) || ':' || token), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT % 2048 AS cms_bucket,
+        |    count(*) AS cnt
+        |  FROM tok CROSS JOIN rows_ GROUP BY 1, 2
+        |), lookup AS (
+        |  SELECT p.token, p.exact, r.cms_row,
+        |    (('0x' || substr(md5('graft-cms' || CAST(r.cms_row AS VARCHAR) || ':' || p.token), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT % 2048 AS cms_bucket
+        |  FROM probes p CROSS JOIN rows_ r
+        |)
+        |SELECT l.token, CAST(l.exact AS BIGINT) AS exact,
+        |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+        |FROM lookup l LEFT JOIN cells c USING (cms_row, cms_bucket)
+        |GROUP BY l.token, l.exact ORDER BY l.token""".stripMargin,
 
     "q102_transitions" ->
       // q90's lag-window replay reduced to the (prev, next) pair stream;

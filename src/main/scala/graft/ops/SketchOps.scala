@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005, "An improved data stream
+ * summary: the count-min sketch and its applications"): a `depth x width`
+ * counter table answering "how often did key x occur?" with a one-sided
+ * error — the estimate is NEVER below the true count, and exceeds it by
+ * more than `2N/width` with probability at most `(1/2)^depth`. The sketch
+ * is the frequency summary a 100 TB corpus ships with: `depth*width`
+ * counters regardless of corpus size or vocabulary, mergeable across
+ * shards/days by plain counter addition, queryable later without touching
+ * the corpus.
+ *
+ * Spark-first shape: the counter table IS a DataFrame aggregation —
+ * explode each occurrence into its `depth` (row, bucket) cells and run one
+ * two-phase hash agg. The map-side partial aggregation clamps the shuffle
+ * at `depth * width` rows PER TASK no matter how many occurrences flow
+ * through, which is the whole point of the sketch — the shuffle cost is a
+ * function of the sketch dims, not the data. No custom
+ * TypedImperativeAggregate needed; Catalyst's HashAggregate already is the
+ * sketch builder.
+ *
+ * Hashing: row `r` buckets key `k` at `md5_31("<salt><r>:<k>") % width` —
+ * the engine-portable md5-31 family every sampling/split path here uses,
+ * so any engine (the DuckDB oracle included) can rebuild the identical
+ * sketch bit for bit. md5's 31-bit slices are pairwise-independent-enough
+ * across the `<r>:` prefixes for the CM guarantee in practice.
+ */
+object SketchOps {
+
+  private def md5_31(c: Column): Column =
+    org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions.md5Hash31(c)
+
+  private def bucketOf(key: Column, row: Column, width: Int,
+                       salt: String): Column =
+    pmod(md5_31(concat(lit(salt), row.cast("string"), lit(":"),
+      key.cast("string"))), lit(width)).cast("int")
+
+  /**
+   * Build the counter table over `items` (ONE ROW PER OCCURRENCE — explode
+   * token arrays upstream): `(cms_row, cms_bucket, cnt)`, at most
+   * `depth * width` rows, zero-count cells absent. Null keys carry no
+   * frequency and are skipped. Merging two sketches of the same
+   * (depth, width, salt) is `union.groupBy(row, bucket).sum(cnt)`.
+   */
+  def cmsSketch(items: DataFrame, keyCol: String, depth: Int, width: Int,
+                salt: String = "graft-cms"): DataFrame = {
+    require(depth > 0 && width > 0,
+      s"cmsSketch: depth and width must be positive, got $depth x $width")
+    items.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("cms_row"))
+      .select(col("cms_row"),
+        bucketOf(col("__k"), col("cms_row"), width, salt).as("cms_bucket"))
+      .groupBy(col("cms_row"), col("cms_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Point-query the sketch: append `est` (long) to every `probes` row —
+   * the minimum over the key's `depth` counters, with absent cells read
+   * as zero. `est >= true count` always; collisions only ever inflate it.
+   *
+   * The sketch side is `depth * width` rows — broadcast-size by
+   * construction — so the lookup join is a map-side broadcast hash join:
+   * probing costs the probe scan, nothing corpus-shaped. (depth, width,
+   * salt) must match the building call; there is no way to detect a
+   * mismatch from the counters, so wrap them in a meta row when landing a
+   * sketch to disk (the q75/q76 param-pinning pattern).
+   */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int, width: Int,
+                  salt: String = "graft-cms"): DataFrame = {
+    require(depth > 0 && width > 0,
+      s"cmsEstimate: depth and width must be positive, got $depth x $width")
+    val probeCols = probes.columns.map(col)
+    probes
+      .withColumn("__cms_row",
+        explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("__cms_bucket",
+        bucketOf(col(keyCol), col("__cms_row"), width, salt))
+      .join(broadcast(sketch.select(col("cms_row").as("__cms_row"),
+          col("cms_bucket").as("__cms_bucket"), col("cnt"))),
+        Seq("__cms_row", "__cms_bucket"), "left")
+      .groupBy(probeCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SketchOps
+
+class SketchOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("cmsSketch/cmsEstimate: estimates never undercount (one-sided " +
+       "error), exact on a collision-free sketch, absent keys read as " +
+       "collisions only, null keys carry no frequency") {
+    // planted frequencies: a x 5, b x 3, c x 1, plus nulls that must vanish
+    val occurrences = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c") ++
+      Seq(null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("k")
+    val d = 3; val w = 64
+    val sketch = SketchOps.cmsSketch(occurrences, "k", d, w)
+    val cells = sketch.collect()
+    assert(cells.length <= d * w)
+    // total mass per row = number of non-null occurrences (9)
+    val perRow = sketch.groupBy("cms_row").agg(sum("cnt")).collect()
+      .map(r => r.getLong(1))
+    assert(perRow.length == d && perRow.forall(_ == 9L), perRow.toSeq)
+    val probes = Seq(("a", 5L), ("b", 3L), ("c", 1L), ("zzz", 0L))
+      .toDF("k", "true_n")
+    val est = SketchOps.cmsEstimate(sketch, probes, "k", d, w)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // one-sided: est >= true count for every key, including the absent one
+    est.foreach { case (k, (n, e)) =>
+      assert(e >= n, s"undercount for $k: est $e < true $n") }
+    // at 9 occurrences in a 64-wide sketch, min-over-3-rows is exact with
+    // overwhelming margin for the planted keys; pin it to catch hash or
+    // grouping regressions
+    assert(est("a") == ((5L, 5L)) && est("b") == ((3L, 3L)) &&
+      est("c") == ((1L, 1L)), est)
+  }
+
+  test("cmsSketch merge: union + re-aggregate of two shard sketches " +
+       "equals the sketch of the concatenated corpus") {
+    val shard1 = Seq("x", "x", "y").toDF("k")
+    val shard2 = Seq("x", "z").toDF("k")
+    val d = 2; val w = 32
+    val merged = SketchOps.cmsSketch(shard1, "k", d, w)
+      .unionByName(SketchOps.cmsSketch(shard2, "k", d, w))
+      .groupBy("cms_row", "cms_bucket").agg(sum("cnt").as("cnt"))
+    val direct = SketchOps.cmsSketch(shard1.unionByName(shard2), "k", d, w)
+    val m = merged.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val g = direct.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m == g, s"merged $m != direct $g")
+  }
+
+  test("cmsEstimate under forced collisions (width 1): every estimate " +
+       "is the full stream length — the documented overestimate mode") {
+    val occ = Seq("a", "a", "b", "c").toDF("k")
+    val sketch = SketchOps.cmsSketch(occ, "k", 2, 1)
+    val probes = Seq("a", "b", "never-seen").toDF("k")
+    val est = SketchOps.cmsEstimate(sketch, probes, "k", 2, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 4L, "b" -> 4L, "never-seen" -> 4L), est)
+  }
+}
