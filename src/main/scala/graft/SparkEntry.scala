@@ -919,6 +919,25 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    "q112_pagerank" -> ((s: SparkSession, dir: String) => {
+      // link-graph authority in fixed-point long arithmetic (bit-identical
+      // on any engine/layout): a deterministic 3-out expander over doc_ids
+      // plus hub edges (doc -> doc_id % 16) concentrating rank on 16
+      // hubs; 5 power steps, damping 0.85, ranks in pico-units
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val ex = d.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_docs"))
+        .select(col("src"),
+          pmod(col("src") * 31 + col("j") * 1009, col("n_docs")).as("dst"))
+      val hub = d.select(col("doc_id").as("src"),
+        pmod(col("doc_id"), lit(16L)).as("dst"))
+      graft.ops.GraphOps.pageRank(ex.unionByName(hub), "src", "dst",
+          iters = 5)
+        .orderBy(col("rank_u").desc, col("node")).limit(30)
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -1517,6 +1536,44 @@ object SparkEntry {
     * — and per-term contributions go through DECIMAL(18,9) before the
     * per-doc sum (order-independent exact aggregate), so the rank order is
     * deterministic in both engines. */
+  /** q112's oracle: the fixed-point power iteration unrolled into one CTE
+    * chain per step — pure long floor-division arithmetic, so the replay
+    * is bit-identical to the Spark loop. */
+  private val PageRankOracleSql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum(r.rank_u // d.out_deg) AS BIGINT) AS in_sum
+         |  FROM edges e JOIN deg d USING (src)
+         |  JOIN r${i - 1} r ON r.node = e.src GROUP BY 1
+         |), r$i AS (
+         |  SELECT nd2.node,
+         |    ((150000 * (1000000000000 // n.n_nodes)) // 1000000)
+         |      + ((850000 * coalesce(c.in_sum, 0)) // 1000000) AS rank_u
+         |  FROM nodes nd2 CROSS JOIN n LEFT JOIN c$i c ON c.node = nd2.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ndocs AS (SELECT count(*) AS n_docs FROM documents),
+       |edges AS (
+       |  SELECT doc_id AS src,
+       |    (doc_id * 31 + j * 1009) % ndocs.n_docs AS dst
+       |  FROM documents CROSS JOIN ndocs
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) jj
+       |  UNION ALL
+       |  SELECT doc_id, doc_id % 16 FROM documents
+       |), deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM
+       |    (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+       |), n AS (SELECT count(*) AS n_nodes FROM nodes),
+       |r0 AS (
+       |  SELECT node, (1000000000000 // n_nodes) AS rank_u
+       |  FROM nodes CROSS JOIN n
+       |), $steps
+       |SELECT node, rank_u FROM r5
+       |ORDER BY rank_u DESC, node LIMIT 30""".stripMargin
+  }
+
   private val Bm25OracleSql: String =
     """WITH tokarr AS (
       |  SELECT doc_id, list_filter(
@@ -2918,6 +2975,8 @@ object SparkEntry {
         |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
         |FROM lookup l LEFT JOIN cells c USING (cms_row, cms_bucket)
         |GROUP BY l.token, l.exact ORDER BY l.token""".stripMargin,
+
+    "q112_pagerank" -> PageRankOracleSql,
 
     "q102_transitions" ->
       // q90's lag-window replay reduced to the (prev, next) pair stream;
