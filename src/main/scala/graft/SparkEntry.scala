@@ -938,6 +938,40 @@ object SparkEntry {
         .orderBy(col("rank_u").desc, col("node")).limit(30)
     }),
 
+    "q113_standardize_embeddings" -> ((s: SparkSession, dir: String) => {
+      // per-source feature normalization: z-score each (label, dim) cell
+      // — the centroid aggregation pattern plus a broadcast stats join
+      // back; constant dims -> 0.0, never NaN
+      graft.ops.SimOps.standardizeEmbeddings(t(s, dir, "embeddings"),
+          "vec_id", "label", "embedding")
+        // exploded to (vec_id, dim, z) rows — the q65 oracle-output shape
+        // (the comparators don't order array cells)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("vec_std")).as(Seq("dim", "z")))
+        .select(col("vec_id"), col("label"),
+          col("dim").cast(LongType).as("dim"), col("z"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    "q114_markup_strip" -> ((s: SparkSession, dir: String) => {
+      // web-corpus text extraction: wrap each doc in deterministic HTML
+      // (tags, entities, a script element, an anchor), then strip to
+      // running text + the link-density boilerplate signal — a fixed
+      // RE2-portable regex pipeline the oracle replays verbatim
+      val d = t(s, dir, "documents")
+      val id = col("doc_id").cast(StringType)
+      val html = concat(
+        lit("<html><body><h1>Doc "), id,
+        lit("</h1><p class=\"main\">"), col("text"),
+        lit("</p><a href=\"/d/"), id, lit("\">see &amp; doc "), id,
+        lit("</a><script>var x = 1 < 2;</script>"),
+        lit("<style>p { color: red }</style>&nbsp;&lt;end&gt;</body></html>"))
+      d.select(col("doc_id"),
+          TextOps.stripMarkup(html).as("clean_text"),
+          TextOps.linkDensity(html).as("link_density"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q49_stratified_sample" -> ((s: SparkSession, dir: String) => {
       // corpus rebalancing: downsample the dominant language, keep the rest
       // (map-side pure-function-of-key, like q45's splits)
@@ -1536,6 +1570,20 @@ object SparkEntry {
     * — and per-term contributions go through DECIMAL(18,9) before the
     * per-doc sum (order-independent exact aggregate), so the rank order is
     * deterministic in both engines. */
+  /** The q114 strip pipeline as nested DuckDB calls over `inExpr` — one
+    * definition expanded for both the clean text and the anchor-text
+    * numerator so the two sides cannot drift. Mirrors
+    * [[graft.ops.TextOps.stripMarkup]] stage for stage. */
+  private def stripPipeSql(inExpr: String): String =
+    s"""trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+       |    regexp_replace(regexp_replace(regexp_replace($inExpr,
+       |        '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+       |      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+       |    '<[^>]*>', ' ', 'g'),
+       |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |  '&nbsp;', ' '), '&amp;', '&'),
+       |  '[ \\t\\r\\n]+', ' ', 'g'))""".stripMargin
+
   /** q112's oracle: the fixed-point power iteration unrolled into one CTE
     * chain per step — pure long floor-division arithmetic, so the replay
     * is bit-identical to the Spark loop. */
@@ -2977,6 +3025,53 @@ object SparkEntry {
         |GROUP BY l.token, l.exact ORDER BY l.token""".stripMargin,
 
     "q112_pagerank" -> PageRankOracleSql,
+
+    "q113_standardize_embeddings" ->
+      // same explode -> (label, dim) stats -> z rebuild; constant dims
+      // (stddev_pop = 0) pin to 0.0 exactly like the Spark guard
+      """WITH ex AS (
+        |  SELECT vec_id, label,
+        |    unnest(embedding) AS v,
+        |    unnest(generate_series(1, len(embedding))) - 1 AS dim
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), st AS (
+        |  SELECT label, dim, avg(CAST(v AS DOUBLE)) AS mu,
+        |    stddev_pop(CAST(v AS DOUBLE)) AS sigma
+        |  FROM ex GROUP BY 1, 2
+        |), z AS (
+        |  SELECT vec_id, e.label, dim,
+        |    CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
+        |         ELSE round((CAST(v AS DOUBLE) - mu) / sigma, 6) END AS z
+        |  FROM ex e JOIN st USING (label, dim)
+        |)
+        |SELECT vec_id, label, dim, z FROM z ORDER BY vec_id, dim""".stripMargin,
+
+    "q114_markup_strip" ->
+      // identical HTML construction + the shared strip pipeline; link
+      // density = stripped anchor chars / stripped total chars
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</h1><p class="main">' || text ||
+        |    '</p><a href="/d/' || CAST(doc_id AS VARCHAR) ||
+        |    '">see &amp; doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</a><script>var x = 1 < 2;</script>' ||
+        |    '<style>p { color: red }</style>&nbsp;&lt;end&gt;</body></html>'
+        |      AS html
+        |  FROM documents
+        |), stripped AS (
+        |  SELECT doc_id,
+        |    ${stripPipeSql("html")} AS clean_text,
+        |    ${stripPipeSql(
+             "array_to_string(regexp_extract_all(html, " +
+             "'(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1), ' ')")} AS anchor_text
+        |  FROM h
+        |)
+        |SELECT doc_id, clean_text,
+        |  CASE WHEN length(clean_text) > 0
+        |    THEN round(CAST(length(anchor_text) AS DOUBLE) / length(clean_text), 6)
+        |    ELSE 0.0 END AS link_density
+        |FROM stripped ORDER BY doc_id""".stripMargin,
 
     "q102_transitions" ->
       // q90's lag-window replay reduced to the (prev, next) pair stream;

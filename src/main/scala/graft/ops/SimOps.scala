@@ -628,6 +628,44 @@ object SimOps {
         s => s.getField("centroid")).as("centroid"))
 
   /**
+   * Per-group Z-SCORE STANDARDIZATION of an embedding column: replace each
+   * vector element with `(x - mean) / stddev` of its `(group, dim)` cell —
+   * the feature-normalization step before mixing embedding sources whose
+   * scales differ (two encoders, two snapshots, image vs text towers).
+   * Constant dims (`stddev_pop = 0`, including single-vector groups) map
+   * to `0.0` rather than NaN; z-scores land rounded to `decimals` (the
+   * [[groupCentroids]] determinism rule — sub-ulp distributed-summation
+   * drift is absorbed by the rounding).
+   *
+   * Shape: the same posexplode + two-phase (group, dim) aggregation as
+   * [[groupCentroids]] — shuffle volume is groups x dim partial
+   * aggregates, independent of row count — then the stats join BACK is
+   * broadcast-size (groups x dim rows) onto the exploded stream, and the
+   * reassembling collect_list groups each row's own elements (dim-bounded,
+   * never a corpus-wide collect).
+   *
+   * Output: `(idCol, byCol, vec_std: array<double>)`, one row per input
+   * row that carries a non-null vector.
+   */
+  def standardizeEmbeddings(df: DataFrame, idCol: String, byCol: String,
+                            vecCol: String, decimals: Int = 6): DataFrame = {
+    val ex = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(byCol),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .withColumn("__v", col("__v").cast(DoubleType))
+    val stats = ex.groupBy(col(byCol), col("dim"))
+      .agg(avg(col("__v")).as("__mu"), stddev_pop(col("__v")).as("__sigma"))
+    ex.join(broadcast(stats), Seq(byCol, "dim"))
+      .withColumn("__z",
+        when(col("__sigma").isNull || col("__sigma") === 0.0, lit(0.0))
+          .otherwise(round((col("__v") - col("__mu")) / col("__sigma"),
+            decimals)))
+      .groupBy(col(idCol), col(byCol))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("__z")))),
+        s => s.getField("__z")).as("vec_std"))
+  }
+
+  /**
    * SEMANTIC near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
    * arXiv:2303.09540): cluster the embedding corpus into IVF cells with
    * the same coarse quantizer as [[ivfTopK]], then compare ONLY

@@ -1078,4 +1078,60 @@ object TextOps {
       .withColumn("top_token_frac", topFrac)
       .drop(tokCol)
   }
+
+  // --- markup stripping (web-corpus text extraction) ----------------------
+
+  /**
+   * Strip HTML/XML markup down to running text — the extraction step
+   * between a crawled page and every text operator above. Deliberately a
+   * fixed REGEX PIPELINE (not a DOM parse): each stage is a codegen'd
+   * `regexp_replace`/`replace` whose pattern avoids backreferences and
+   * lookaround, so the identical pipeline runs on RE2-based engines (the
+   * DuckDB oracle replays it verbatim) and the whole thing stays
+   * map-side at scan speed. Stages:
+   *
+   *  1. drop `<script>`/`<style>` elements WITH their contents
+   *     (`(?is)` + lazy body match);
+   *  2. drop every remaining tag (`<[^>]*>` -> one space, so adjacent
+   *     block elements don't weld words together);
+   *  3. decode the five predefined entities + `&nbsp;` (amp LAST, so
+   *     `&amp;lt;` decodes to the literal `&lt;` and not `<`);
+   *  4. collapse ASCII whitespace runs and trim.
+   *
+   * Malformed markup degrades gracefully (an unclosed `<` eats to the
+   * next `>` or stays literal); this is the documented trade of the
+   * regex approach vs a parser.
+   */
+  def stripMarkup(html: Column): Column = {
+    // two passes, not one alternation-with-backreference: RE2 engines
+    // have no \1, and <script>...</style> must NOT close a script
+    val noScript = regexp_replace(html,
+      lit("(?is)<script\\b[^>]*>.*?</script\\s*>"), lit(" "))
+    val noStyle = regexp_replace(noScript,
+      lit("(?is)<style\\b[^>]*>.*?</style\\s*>"), lit(" "))
+    val noTags = regexp_replace(noStyle, lit("<[^>]*>"), lit(" "))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, lit("[ \\t\\r\\n]+"), lit(" ")))
+  }
+
+  /**
+   * LINK DENSITY: characters of anchor-element text over characters of
+   * the full stripped text, in [0, 1] rounded to 6 decimals — the
+   * boilerplate-page signal (nav/footer/link-farm pages score high, main
+   * content pages low) every web-corpus quality filter thresholds on.
+   * Anchor text is measured through the same strip pipeline as the
+   * denominator so nested markup inside `<a>` does not inflate it;
+   * pages stripping to nothing score 0.
+   */
+  def linkDensity(html: Column): Column = {
+    val anchors = array_join(
+      regexp_extract_all(html, lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1)),
+      " ")
+    val anchorChars = length(stripMarkup(anchors)).cast(DoubleType)
+    val totalChars = length(stripMarkup(html)).cast(DoubleType)
+    when(totalChars > 0, round(anchorChars / totalChars, 6))
+      .otherwise(lit(0.0))
+  }
 }

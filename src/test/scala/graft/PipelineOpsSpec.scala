@@ -1903,4 +1903,55 @@ class PipelineOpsSpec extends SparkTestBase {
     val rep = TextOps.repetitionSignals(d, "text")
     assert(rep.select("__tok").first().getString(0) == "USER DATA")
   }
+
+  test("standardizeEmbeddings: hand-checked z-scores per (label, dim); " +
+       "constant dims and singleton groups pin to 0.0; null vectors drop") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 0, Array(1.0f, 5.0f, 7.0f)),
+      (2L, 0, Array(3.0f, 5.0f, 3.0f)),
+      (3L, 1, Array(9.0f, 9.0f, 9.0f)),
+      (4L, 2, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "label", "embedding")
+    val got = SimOps.standardizeEmbeddings(d, "vec_id", "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    // label 0, dim 0: values (1, 3), mu 2, sigma_pop 1 -> z = -1, +1
+    // label 0, dim 1: constant 5 -> sigma 0 -> 0.0
+    // label 0, dim 2: values (7, 3), mu 5, sigma_pop 2 -> z = +1, -1
+    assert(got(1L) == Seq(-1.0, 0.0, 1.0), got(1L))
+    assert(got(2L) == Seq(1.0, 0.0, -1.0), got(2L))
+    // singleton group: every dim constant -> all zeros
+    assert(got(3L) == Seq(0.0, 0.0, 0.0), got(3L))
+    assert(!got.contains(4L), "null vector leaked through")
+  }
+
+  test("stripMarkup + linkDensity: script/style bodies vanish, tags " +
+       "become spacing, entities decode with amp last, whitespace " +
+       "collapses; density counts stripped anchor chars only") {
+    import spark.implicits._
+    val html = "<html><body>\n  <h1>Ti&amp;tle</h1>" +
+      "<script type=\"x\">if (a < b) { alert('nope') }</script>" +
+      "<style>h1 { color: red }</style>" +
+      "<p>one&nbsp;two   three<br/>four</p>" +
+      "<a href=\"/x\"><b>bold</b> link</a>" +
+      "&amp;lt; stays&#39;s</body></html>"
+    val d = Seq(Tuple1(html)).toDF("h")
+    val clean = d.select(TextOps.stripMarkup(col("h"))).first().getString(0)
+    assert(clean == "Ti&tle one two three four bold link &lt; stays's",
+      s"got [$clean]")
+    // anchor text "bold link" (9 chars after stripping the nested <b>)
+    val dens = d.select(TextOps.linkDensity(col("h"))).first().getDouble(0)
+    assert(dens == math.rint(9.0 / clean.length * 1e6) / 1e6 ||
+      math.abs(dens - 9.0 / clean.length) < 1e-6, s"got $dens")
+    // no markup at all: identity modulo whitespace collapse; no anchors -> 0
+    val plain = Seq(Tuple1("just  text")).toDF("h")
+    assert(plain.select(TextOps.stripMarkup(col("h"))).first().getString(0)
+      == "just text")
+    assert(plain.select(TextOps.linkDensity(col("h"))).first().getDouble(0)
+      == 0.0)
+    // empty page strips to nothing -> density 0, not NaN
+    val empty = Seq(Tuple1("<p></p>")).toDF("h")
+    assert(empty.select(TextOps.linkDensity(col("h"))).first().getDouble(0)
+      == 0.0)
+  }
 }
