@@ -216,6 +216,48 @@ object pipeline {
       def retention(cohortWidthSeconds: Long, horizonPeriods: Int,
                     userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
         EventOps.retention(df, userCol, tsCol, cohortWidthSeconds, horizonPeriods)
+
+      // --- wave-4: skew joins, sketches, graph, normalization -------------
+
+      def saltedJoin(dim: DataFrame, keyCol: String,
+                     hotKeys: Map[String, Int],
+                     rowCol: String = "doc_id"): DataFrame =
+        JoinOps.saltedJoin(df, dim, keyCol, rowCol, hotKeys)
+
+      def intervalJoin(intervals: DataFrame, pointCol: String,
+                       loCol: String, hiCol: String,
+                       bucketWidth: Long): DataFrame =
+        JoinOps.intervalJoin(df, intervals, pointCol, loCol, hiCol, bucketWidth)
+
+      def keySkewProfile(keyCol: String, k: Int = 20,
+                         nPartitions: Int = 200): DataFrame =
+        StatsOps.keySkewProfile(df, keyCol, k, nPartitions)
+
+      def cmsSketch(keyCol: String, depth: Int, width: Int,
+                    salt: String = "graft-cms"): DataFrame =
+        SketchOps.cmsSketch(df, keyCol, depth, width, salt)
+
+      def cmsEstimate(sketch: DataFrame, keyCol: String, depth: Int,
+                      width: Int, salt: String = "graft-cms"): DataFrame =
+        SketchOps.cmsEstimate(sketch, df, keyCol, depth, width, salt)
+
+      def pageRank(srcCol: String, dstCol: String, iters: Int,
+                   dampingPpm: Long = 850000L): DataFrame =
+        GraphOps.pageRank(df, srcCol, dstCol, iters, dampingPpm)
+
+      def standardizeEmbeddings(idCol: String = "vec_id",
+                                byCol: String = "label",
+                                vecCol: String = "embedding",
+                                decimals: Int = 6): DataFrame =
+        SimOps.standardizeEmbeddings(df, idCol, byCol, vecCol, decimals)
+
+      def stripMarkup(textCol: String = "text",
+                      out: String = "clean_text"): DataFrame =
+        df.withColumn(out, TextOps.stripMarkup(col(textCol)))
+
+      def linkDensity(textCol: String = "text",
+                      out: String = "link_density"): DataFrame =
+        df.withColumn(out, TextOps.linkDensity(col(textCol)))
     }
   }
 }

@@ -157,4 +157,42 @@ class FluentApiSpec extends SparkTestBase {
       EventOps.funnel(ev, "user_id", "ts", Seq("any" -> lit(true)))
         .collect().toSeq)
   }
+
+  test("fluent wave-4 surface delegates to the operator objects") {
+    import graft.ops.pipeline.implicits._
+    import graft.ops.{GraphOps, JoinOps, SimOps, SketchOps, StatsOps, TextOps}
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "<p>alpha</p><a href=x>link</a>"),
+      (1L, "beta beta gamma")
+    ).toDF("doc_id", "text")
+    assert(docs.stripMarkup().select("clean_text").collect().map(_.getString(0)).toSeq ==
+      docs.select(TextOps.stripMarkup($"text")).collect().map(_.getString(0)).toSeq)
+    assert(docs.linkDensity().select("link_density").collect().map(_.getDouble(0)).toSeq ==
+      docs.select(TextOps.linkDensity($"text")).collect().map(_.getDouble(0)).toSeq)
+    assert(docs.keySkewProfile("text", k = 2, nPartitions = 4).collect().toSeq ==
+      StatsOps.keySkewProfile(docs, "text", 2, 4).collect().toSeq)
+    val occ = Seq("a", "a", "b").toDF("k")
+    val sk = occ.cmsSketch("k", 2, 16)
+    assert(sk.collect().toSet ==
+      SketchOps.cmsSketch(occ, "k", 2, 16).collect().toSet)
+    assert(occ.distinct().cmsEstimate(sk, "k", 2, 16).collect().toSet ==
+      SketchOps.cmsEstimate(sk, occ.distinct(), "k", 2, 16).collect().toSet)
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    assert(e.pageRank("s", "d", iters = 2).collect().toSet ==
+      GraphOps.pageRank(e, "s", "d", 2).collect().toSet)
+    val emb = Seq((1L, 0, Array(1.0f, 2.0f)), (2L, 0, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "label", "embedding")
+    assert(emb.standardizeEmbeddings().collect().toSet ==
+      SimOps.standardizeEmbeddings(emb, "vec_id", "label", "embedding")
+        .collect().toSet)
+    val pts = Seq((5L, "p")).toDF("x", "t")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    assert(pts.intervalJoin(ivs, "x", "lo", "hi", 10L).collect().toSeq ==
+      JoinOps.intervalJoin(pts, ivs, "x", "lo", "hi", 10L).collect().toSeq)
+    val dim = Seq(("p", 1L)).toDF("t", "attr")
+    assert(pts.saltedJoin(dim, "t", Map("p" -> 2), rowCol = "x")
+      .collect().toSeq ==
+      JoinOps.saltedJoin(pts, dim, "t", "x", Map("p" -> 2)).collect().toSeq)
+  }
 }

@@ -137,7 +137,13 @@ class PlanShapeSpec extends SparkTestBase {
           // wave-3 families: BM25 scoring, skew profiling, transitions,
           // blocked fuzzy join, curriculum — column algebra end to end
           "q98_bm25", "q101_key_skew", "q102_transitions",
-          "q103_fuzzy_join", "q104_curriculum").foreach { q =>
+          "q103_fuzzy_join", "q104_curriculum",
+          // wave-4 families: salted/interval joins (hash + explode column
+          // algebra), CMS sketch (md5-31 buckets), fixed-point pagerank,
+          // z-score standardization, markup regex pipeline
+          "q109_salted_join", "q110_interval_join", "q111_cms_heavy_hitters",
+          "q112_pagerank", "q113_standardize_embeddings",
+          "q114_markup_strip").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
