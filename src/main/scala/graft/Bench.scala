@@ -53,7 +53,13 @@ object Bench {
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
+    // SPARK_GRAFT_ONLY=q25_near_dup_pairs,q74_... restricts the suite —
+    // for targeted scaling datapoints on new queries without paying the
+    // full-suite wall clock (driver runs always leave it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     if (sys.env.get("SPARK_GRAFT_WARM").contains("head")) runOnce(names.head)
     else names.foreach(runOnce)
     // don't let warmup-pass garbage land in the first timed slot

@@ -336,6 +336,54 @@ object StreamOps {
   }
 
   /**
+   * Streaming INTERVAL JOIN — the live sibling of
+   * [[graft.ops.JoinOps.intervalJoin]] for the fixed-duration window case
+   * (incident windows, promo windows, attribution horizons): every
+   * `points` row whose event time lands in `[w.ts, w.ts + windowSeconds)`
+   * of some `windows` row, as append-mode output finalized by the
+   * watermark.
+   *
+   * This is Spark's native stream-stream symmetric hash join carrying the
+   * batch op's OVERLAP-BUCKET key: Structured Streaming refuses a pure
+   * range condition (no equality — state lookup would be a scan), so each
+   * point emits its two candidate start-buckets (`floor(t/w)` and the one
+   * before — a window containing `t` must START in `(t-w, t]`, which
+   * spans exactly those two width-`w` buckets) and each window emits its
+   * one. The bucket equality routes state lookups; the event-time range
+   * condition keeps exactness AND gives the engine the watermark bound it
+   * uses to evict both sides' buffers as time advances. A (point, window)
+   * pair meets at most once (the window has one bucket), so no dedup.
+   * Late rows beyond the watermark drop, the standard trade.
+   *
+   * `windows` must carry `windowTsCol` plus whatever payload columns the
+   * caller wants (disjoint names from `points` — the usual join-column
+   * discipline). Nulls on either time column never match (SQL comparison
+   * semantics); rows with them are filtered up front so they cannot stall
+   * the watermark.
+   */
+  def streamingIntervalJoin(points: DataFrame, windows: DataFrame,
+                            pointTsCol: String, windowTsCol: String,
+                            windowSeconds: Long,
+                            watermark: String = "10 minutes"): DataFrame = {
+    require(windowSeconds > 0,
+      s"windowSeconds must be positive, got $windowSeconds")
+    val wUs = windowSeconds * 1000000L
+    val p = points.filter(col(pointTsCol).isNotNull)
+      .withWatermark(pointTsCol, watermark)
+      .withColumn("__p_bucket", explode(array(
+        expr(s"unix_micros($pointTsCol) DIV $wUs"),
+        expr(s"unix_micros($pointTsCol) DIV $wUs - 1"))))
+    val w = windows.filter(col(windowTsCol).isNotNull)
+      .withWatermark(windowTsCol, watermark)
+      .withColumn("__w_bucket", expr(s"unix_micros($windowTsCol) DIV $wUs"))
+    p.join(w, expr(
+      s"__p_bucket = __w_bucket AND " +
+      s"$pointTsCol >= $windowTsCol AND " +
+      s"$pointTsCol < $windowTsCol + INTERVAL $windowSeconds SECONDS"))
+      .drop("__p_bucket", "__w_bucket")
+  }
+
+  /**
    * Streaming exact dedup: drop documents whose sha2-256 digest was already
    * seen within the watermark horizon. Same digest-keyed principle as the
    * batch `DedupOps.exactDedup` — state stores 32-byte digests, never

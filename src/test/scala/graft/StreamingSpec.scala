@@ -95,6 +95,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingIntervalJoin associates points to fixed windows across " +
+       "micro-batches, half-open bound, and reconciles with the batch " +
+       "intervalJoin on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val points = MemoryStream[(Long, Timestamp)]
+    val windows = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.streamingIntervalJoin(
+      points.toDF().toDF("point_id", "pts"),
+      windows.toDF().toDF("window_id", "wts"),
+      "pts", "wts", windowSeconds = 10, watermark = "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").start()
+    try {
+      // window at 10s covers [10, 20); points at 9 (out), 10 (in),
+      // 19 (in), 20 (out, half-open)
+      windows.addData((100L, ts(10)))
+      points.addData((1L, ts(9)), (2L, ts(10)))
+      q.processAllAvailable()
+      // a LATER micro-batch point still lands in the buffered window;
+      // a second window arriving after some points still catches them
+      points.addData((3L, ts(19)), (4L, ts(20)))
+      windows.addData((200L, ts(18)))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_id, point_id FROM ij_stream ORDER BY window_id, point_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 2L), (100L, 3L), (200L, 3L), (200L, 4L)),
+        s"got $got")
+      // batch reconciliation: the same rows through JoinOps.intervalJoin
+      import spark.implicits._
+      val bp = Seq((1L, 9L), (2L, 10L), (3L, 19L), (4L, 20L))
+        .toDF("point_id", "pus")
+      val bw = Seq((100L, 10L, 20L), (200L, 18L, 28L))
+        .toDF("window_id", "lo", "hi")
+      val batch = graft.ops.JoinOps.intervalJoin(bp, bw, "pus", "lo", "hi", 10L)
+        .select("window_id", "point_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == got, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("streamingExactDedup drops repeated digests across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
