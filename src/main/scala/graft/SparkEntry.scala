@@ -919,6 +919,30 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    "q115_cms_landed" -> ((s: SparkSession, dir: String) => {
+      // steady-state frequency serving: land the sketch on 80% of the
+      // corpus, fold the rest in as a counter SEGMENT (pure insert,
+      // idempotent by segment id), then probe — cell-identical to q111's
+      // inline full-corpus sketch, so it ships the same oracle
+      val name = "graft_q115_" + math.abs(dir.hashCode).toString
+      val d = t(s, dir, "documents")
+      def toks(dd: org.apache.spark.sql.DataFrame) =
+        dd.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+      graft.ops.SketchOps.landCmsSketch(
+        toks(d.filter(col("doc_id") % 5 =!= 0)), "token", name,
+        depth = 4, width = 2048,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$name"))
+      graft.ops.SketchOps.appendToCmsSketch(
+        toks(d.filter(col("doc_id") % 5 === 0)), "token", name,
+        segmentId = "ingest-1")
+      val probes = TextOps.vocabulary(d, "doc_id", "text", k = 20)
+        .select(col("token"), col("n_occurrences").as("exact"))
+      graft.ops.SketchOps.cmsEstimateAgainstSketch(probes, "token", name)
+        .select(col("token"), col("exact"), col("est"))
+        .orderBy(col("token"))
+    }),
+
     "q112_pagerank" -> ((s: SparkSession, dir: String) => {
       // link-graph authority in fixed-point long arithmetic (bit-identical
       // on any engine/layout): a deterministic 3-out expander over doc_ids
@@ -1583,6 +1607,38 @@ object SparkEntry {
        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
        |  '&nbsp;', ' '), '&amp;', '&'),
        |  '[ \\t\\r\\n]+', ' ', 'g'))""".stripMargin
+
+  /** q111/q115's oracle: cell-for-cell CMS replay — the same md5-31 bucket
+    * per (row, token), counter = occurrences per cell, estimate = min over
+    * the token's 4 cells; probes = the exact top-20 vocabulary. Shared by
+    * the inline (q111) and landed+appended (q115) paths: counter addition
+    * IS sketch merging, so both must produce identical cells. */
+  private val CmsOracleSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      |  FROM documents
+      |), probes AS (
+      |  SELECT token, count(*) AS exact FROM tok
+      |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 20
+      |), rows_ AS (
+      |  SELECT unnest(generate_series(0, 3)) AS cms_row
+      |), cells AS (
+      |  SELECT cms_row,
+      |    (('0x' || substr(md5('graft-cms' || CAST(cms_row AS VARCHAR) || ':' || token), 1, 16))::UBIGINT
+      |      & 2147483647::UBIGINT)::BIGINT % 2048 AS cms_bucket,
+      |    count(*) AS cnt
+      |  FROM tok CROSS JOIN rows_ GROUP BY 1, 2
+      |), lookup AS (
+      |  SELECT p.token, p.exact, r.cms_row,
+      |    (('0x' || substr(md5('graft-cms' || CAST(r.cms_row AS VARCHAR) || ':' || p.token), 1, 16))::UBIGINT
+      |      & 2147483647::UBIGINT)::BIGINT % 2048 AS cms_bucket
+      |  FROM probes p CROSS JOIN rows_ r
+      |)
+      |SELECT l.token, CAST(l.exact AS BIGINT) AS exact,
+      |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+      |FROM lookup l LEFT JOIN cells c USING (cms_row, cms_bucket)
+      |GROUP BY l.token, l.exact ORDER BY l.token""".stripMargin
 
   /** q112's oracle: the fixed-point power iteration unrolled into one CTE
     * chain per step — pure long floor-division arithmetic, so the replay
@@ -2994,35 +3050,14 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q111_cms_heavy_hitters" ->
-      // cell-for-cell sketch replay: the same md5-31 bucket per (row,
-      // token), counter = occurrences per cell, estimate = min over the
-      // token's 4 cells; probes = the exact top-20 vocabulary
-      """WITH tok AS (
-        |  SELECT unnest(list_filter(
-        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
-        |  FROM documents
-        |), probes AS (
-        |  SELECT token, count(*) AS exact FROM tok
-        |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 20
-        |), rows_ AS (
-        |  SELECT unnest(generate_series(0, 3)) AS cms_row
-        |), cells AS (
-        |  SELECT cms_row,
-        |    (('0x' || substr(md5('graft-cms' || CAST(cms_row AS VARCHAR) || ':' || token), 1, 16))::UBIGINT
-        |      & 2147483647::UBIGINT)::BIGINT % 2048 AS cms_bucket,
-        |    count(*) AS cnt
-        |  FROM tok CROSS JOIN rows_ GROUP BY 1, 2
-        |), lookup AS (
-        |  SELECT p.token, p.exact, r.cms_row,
-        |    (('0x' || substr(md5('graft-cms' || CAST(r.cms_row AS VARCHAR) || ':' || p.token), 1, 16))::UBIGINT
-        |      & 2147483647::UBIGINT)::BIGINT % 2048 AS cms_bucket
-        |  FROM probes p CROSS JOIN rows_ r
-        |)
-        |SELECT l.token, CAST(l.exact AS BIGINT) AS exact,
-        |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
-        |FROM lookup l LEFT JOIN cells c USING (cms_row, cms_bucket)
-        |GROUP BY l.token, l.exact ORDER BY l.token""".stripMargin,
+    // cell-for-cell sketch replay: the same md5-31 bucket per (row,
+    // token), counter = occurrences per cell, estimate = min over the
+    // token's 4 cells; probes = the exact top-20 vocabulary
+    "q111_cms_heavy_hitters" -> CmsOracleSql,
+
+    // the landed+appended sketch must be cell-identical to the inline
+    // full-corpus sketch (counter addition IS merging) -> same oracle
+    "q115_cms_landed" -> CmsOracleSql,
 
     "q112_pagerank" -> PageRankOracleSql,
 

@@ -89,4 +89,106 @@ object SketchOps {
       .groupBy(probeCols: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // --- landed sketch: land once, append segments, estimate many ----------
+
+  /**
+   * Land a CMS as catalog tables — the steady-state shape for a corpus
+   * that grows by ingest batches:
+   *
+   *  - `<name>_meta` `(depth, width, salt)`: parameter pinning — a probe
+   *    or append under different params reads garbage with no way to
+   *    detect it from the counters, so every later call takes its params
+   *    from here (the q75/q76 meta-table rule);
+   *  - `<name>_counters` `(segment, cms_row, cms_bucket, cnt)`:
+   *    LOG-STRUCTURED — each landing/append writes its own `segment`'s
+   *    rows and never rewrites existing ones. A cell's total is the SUM
+   *    across segments (CMS counters are additive), so appends are
+   *    pure inserts: crash-safe, and idempotent because a segment that
+   *    is already present is skipped (counters carry no key identity, so
+   *    segment tags are the ONLY way to make re-delivery harmless).
+   *
+   * Meta lands first (the crash-retry rule: a retry with different
+   * params hits the check, not half-landed tables).
+   */
+  def landCmsSketch(items: DataFrame, keyCol: String, name: String,
+                    depth: Int, width: Int, salt: String = "graft-cms",
+                    segment: String = "base",
+                    path: Option[String] = None): Unit = {
+    val spark = items.sparkSession
+    val metaTbl = s"${name}_meta"
+    if (!spark.catalog.tableExists(metaTbl)) {
+      import spark.implicits._
+      val w = Seq((depth, width, salt)).toDF("depth", "width", "salt")
+        .write.mode("overwrite").format("parquet")
+      path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
+    } else {
+      val m = spark.table(metaTbl).head()
+      val have = (m.getAs[Int]("depth"), m.getAs[Int]("width"),
+        m.getAs[String]("salt"))
+      require(have == ((depth, width, salt)),
+        s"landCmsSketch('$name'): existing sketch has (depth, width, salt)" +
+        s" = $have != requested ($depth, $width, $salt); drop the tables " +
+        "or land under another name")
+    }
+    if (!spark.catalog.tableExists(s"${name}_counters")) {
+      val seg = cmsSketch(items, keyCol, depth, width, salt)
+        .select(lit(segment).as("segment"), col("cms_row"),
+          col("cms_bucket"), col("cnt"))
+      val w = seg.write.mode("overwrite").format("parquet")
+      path.fold(w)(p => w.option("path", s"${p}_counters"))
+        .saveAsTable(s"${name}_counters")
+    }
+  }
+
+  /**
+   * Fold an ingest batch into a landed sketch as a new counter SEGMENT —
+   * a pure insert (no rewrite of landed cells, so a crash mid-append
+   * leaves the sketch readable and the retry completes the same
+   * segment). A `segmentId` already present is skipped and the call
+   * returns false: re-delivered batches cannot double-count, which
+   * matters precisely because CMS counters carry no key identity to
+   * dedup on. Params come from the meta table, never the call site.
+   */
+  def appendToCmsSketch(items: DataFrame, keyCol: String, name: String,
+                        segmentId: String): Boolean = {
+    val spark = items.sparkSession
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"no CMS sketch '$name' in the session catalog — run landCmsSketch first")
+    val m = spark.table(s"${name}_meta").head()
+    val (depth, width, salt) = (m.getAs[Int]("depth"), m.getAs[Int]("width"),
+      m.getAs[String]("salt"))
+    val seen = spark.table(s"${name}_counters")
+      .filter(col("segment") === segmentId).limit(1).count() > 0
+    if (seen) false
+    else {
+      cmsSketch(items, keyCol, depth, width, salt)
+        .select(lit(segmentId).as("segment"), col("cms_row"),
+          col("cms_bucket"), col("cnt"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${name}_counters")
+      true
+    }
+  }
+
+  /**
+   * Point-query a landed sketch: params from the meta table, cell totals
+   * summed across segments, then the usual min over the key's `depth`
+   * cells. The counters table is `depth * width * segments` rows —
+   * broadcast-size — so probing stays a map-side broadcast join at any
+   * corpus size. Identical to [[cmsEstimate]] over the sketch of the
+   * concatenated corpus (counter addition IS sketch merging).
+   */
+  def cmsEstimateAgainstSketch(probes: DataFrame, keyCol: String,
+                               name: String): DataFrame = {
+    val spark = probes.sparkSession
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"no CMS sketch '$name' in the session catalog — run landCmsSketch first")
+    val m = spark.table(s"${name}_meta").head()
+    val merged = spark.table(s"${name}_counters")
+      .groupBy(col("cms_row"), col("cms_bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    cmsEstimate(merged, probes, keyCol, m.getAs[Int]("depth"),
+      m.getAs[Int]("width"), m.getAs[String]("salt"))
+  }
 }

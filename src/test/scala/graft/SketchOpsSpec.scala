@@ -60,4 +60,41 @@ class SketchOpsSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est == Map("a" -> 4L, "b" -> 4L, "never-seen" -> 4L), est)
   }
+
+  test("landed CMS: land + segment append equals the one-shot sketch; " +
+       "re-delivered segments are skipped; param drift is refused") {
+    val name = "graft_cms_spec_" + System.nanoTime()
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_bucketed/$name"
+    val base = Seq("a", "a", "b").toDF("k")
+    val more = Seq("a", "c", "c").toDF("k")
+    try {
+      SketchOps.landCmsSketch(base, "k", name, depth = 3, width = 32,
+        path = Some(tmp))
+      assert(SketchOps.appendToCmsSketch(more, "k", name, "seg-1"))
+      // re-delivery of the same segment: skipped, counters unchanged
+      assert(!SketchOps.appendToCmsSketch(more, "k", name, "seg-1"))
+      val probes = Seq("a", "b", "c", "zz").toDF("k")
+      val landed = SketchOps.cmsEstimateAgainstSketch(probes, "k", name)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val oneShot = SketchOps.cmsEstimate(
+          SketchOps.cmsSketch(base.unionByName(more), "k", 3, 32),
+          probes, "k", 3, 32)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(landed == oneShot, s"landed $landed != one-shot $oneShot")
+      assert(landed("a") == 3L && landed("c") == 2L)
+      // landing again with different params must refuse, not corrupt
+      val err = intercept[IllegalArgumentException] {
+        SketchOps.landCmsSketch(base, "k", name, depth = 2, width = 32,
+          path = Some(tmp))
+      }
+      assert(err.getMessage.contains("depth, width, salt"))
+      // estimating against a missing sketch fails loudly
+      intercept[IllegalArgumentException] {
+        SketchOps.cmsEstimateAgainstSketch(probes, "k", name + "_nope")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_meta")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_counters")
+    }
+  }
 }
