@@ -943,6 +943,30 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    "q116_weighted_topk" -> ((s: SparkSession, dir: String) => {
+      // quality-weighted curation without replacement: keep the 5 docs
+      // per language with the largest u^(1/weight) priority (A-ES), u
+      // from the md5-31 gate, ranking in integer micro-nats — membership
+      // is a pure function of (salt, doc_id, n_chars) on any engine
+      graft.ops.SampleOps.weightedTopKPerGroup(
+          t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 5)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
+    "q117_corpus_report" -> ((s: SparkSession, dir: String) => {
+      // the corpus-audit ROLLUP: per (source, lang) cells, per-source
+      // subtotals, and the grand total in one pass — grouping_id
+      // disambiguates subtotal rows from genuine null dimension values
+      t(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(TextOps.tokenCount(col("text"))).as("total_tokens"),
+          grouping_id().cast(IntegerType).as("gid"))
+        .orderBy(col("gid"), col("source"), col("lang"))
+    }),
+
     "q112_pagerank" -> ((s: SparkSession, dir: String) => {
       // link-graph authority in fixed-point long arithmetic (bit-identical
       // on any engine/layout): a deterministic 3-out expander over doc_ids
@@ -3058,6 +3082,40 @@ object SparkEntry {
     // the landed+appended sketch must be cell-identical to the inline
     // full-corpus sketch (counter addition IS merging) -> same oracle
     "q115_cms_landed" -> CmsOracleSql,
+
+    "q116_weighted_topk" ->
+      // the A-ES priority replay: same md5-31 uniform, same micro-nat
+      // quantized ln(u)/w ranking, same tie-break
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (('0x' || substr(md5('graft-wtopk:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT AS h31,
+        |    CAST(n_chars AS DOUBLE) AS w
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(ln((h31 + 1) / 2147483648.0) / w * 1000000 + 0.5)
+        |      AS BIGINT) AS qk
+        |  FROM h
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY qk DESC, doc_id)
+        |      AS sample_rank
+        |  FROM q
+        |)
+        |SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM r WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+
+    "q117_corpus_report" ->
+      // same ROLLUP lattice; token counts via the regexp_count-equivalent
+      // token-run pattern the q13 family pins
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(GROUPING(source, lang) AS INT) AS gid
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY gid, source, lang""".stripMargin,
 
     "q112_pagerank" -> PageRankOracleSql,
 

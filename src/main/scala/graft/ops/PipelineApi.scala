@@ -251,6 +251,11 @@ object pipeline {
                                 decimals: Int = 6): DataFrame =
         SimOps.standardizeEmbeddings(df, idCol, byCol, vecCol, decimals)
 
+      def weightedTopKPerGroup(groupCol: String, weightCol: String, k: Int,
+                               keyCol: String = "doc_id",
+                               salt: String = "graft-wtopk"): DataFrame =
+        SampleOps.weightedTopKPerGroup(df, groupCol, keyCol, weightCol, k, salt)
+
       def stripMarkup(textCol: String = "text",
                       out: String = "clean_text"): DataFrame =
         df.withColumn(out, TextOps.stripMarkup(col(textCol)))

@@ -318,6 +318,52 @@ object SampleOps {
   }
 
   /**
+   * Deterministic WEIGHTED TOP-K per group — sampling WITHOUT replacement
+   * with inclusion probability proportional to each row's own weight
+   * (A-ES / Efraimidis-Spirakis priority sampling: rank by `u^(1/w)` for
+   * a per-row uniform `u`, keep the k largest per group). The curation
+   * step "keep the k best-ish docs per domain, quality-weighted, but
+   * reproducibly" — where [[capPerGroup]] is the unweighted version.
+   *
+   * Determinism contract (the [[weightedSampleByHash]] family): `u` comes
+   * from the md5-31 hash of `(salt, key)` mapped to `(0, 1]` — never
+   * `rand()` — so membership is a pure function of (salt, key, weight),
+   * identical on any engine, partitioning, or retry. Ranking uses
+   * `ln(u)/w` (monotone in `u^(1/w)`, both negative) quantized to
+   * integer MICRO-NATS (`floor(x*1e6 + 0.5)`, the PMI/n-gram-LM rule) so
+   * an ulp of `ln` drift cannot reorder rows across engines; ties break
+   * by the key column. Rows with null, zero, or negative weights never
+   * qualify (a zero-weight row must have zero inclusion probability).
+   *
+   * Shape: one map-side scalar per row + the same single
+   * window-partitioned top-k as [[capPerGroup]] — Spark's
+   * WindowGroupLimit pushes the k-row maintenance below the sort, so no
+   * group ever materializes fully. Output: the input rows that made the
+   * cut, plus their 1-based `sample_rank`.
+   */
+  def weightedTopKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                           weightCol: String, k: Int,
+                           salt: String = "graft-wtopk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qk = TextOps.tempName(df, "__wtopk_q")
+    // u in (0, 1]: (h + 1) / 2^31 over the inclusive [0, 2^31 - 1] range
+    val u = (keyHash(col(keyCol), salt).cast("double") + 1.0) /
+      (DedupOps.P31 + 1).toDouble
+    val lnOverW = org.apache.spark.sql.functions.log(u) /
+      col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(qk).desc, col(keyCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(qk,
+        org.apache.spark.sql.functions.floor(lnOverW * 1e6 + 0.5))
+      .withColumn("sample_rank",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop(qk)
+  }
+
+  /**
    * Deterministic sequence PACKING: group consecutive docs (in `orderCol`
    * order within each `splitCol` partition) into packs of at most `budget`
    * tokens — the pretraining step that concatenates documents into

@@ -1904,6 +1904,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rep.select("__tok").first().getString(0) == "USER DATA")
   }
 
+  test("weightedTopKPerGroup: driver replay of the A-ES priority rule; " +
+       "zero/negative/null weights excluded; heavier rows win more often " +
+       "than lighter ones over many draws") {
+    import spark.implicits._
+    import graft.ops.SampleOps
+    val d = (0L until 40L).map(i => (i, s"g${i % 2}",
+      if (i == 7L) 0.0 else if (i == 9L) -1.0 else (i % 5 + 1).toDouble))
+      .toDF("id", "grp", "w") // ids 7, 9 are never eligible
+    val got = SampleOps.weightedTopKPerGroup(d, "grp", "id", "w", k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    // exact driver replay of the documented rule
+    def h31(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-wtopk:$s".getBytes("UTF-8"))
+      val hi = java.nio.ByteBuffer.wrap(md).getLong(0)
+      hi & 0x7fffffffL
+    }
+    val want = (0L until 40L).filter(i => i != 7L && i != 9L)
+      .map { i =>
+        val w = (i % 5 + 1).toDouble
+        val u = (h31(i.toString) + 1).toDouble / 2147483648.0
+        (s"g${i % 2}", i, math.floor(math.log(u) / w * 1e6 + 0.5).toLong)
+      }
+      .groupBy(_._1).flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, id, _), rk) => (g, id, rk + 1L) }
+      }.toSet
+    assert(got.toSet == want, s"got ${got.toSet}\nwant $want")
+    // statistical sanity: weight-5 rows beat weight-1 rows on average
+    val many = (0L until 2000L).map(i =>
+      (i, "g", if (i % 2 == 0) 5.0 else 1.0)).toDF("id", "grp", "w")
+    val kept = SampleOps.weightedTopKPerGroup(many, "grp", "id", "w", k = 200)
+      .collect().map(_.getLong(0))
+    val heavy = kept.count(_ % 2 == 0)
+    assert(heavy > 120, s"only $heavy/200 heavy rows kept — weighting inert?")
+  }
+
   test("standardizeEmbeddings: hand-checked z-scores per (label, dim); " +
        "constant dims and singleton groups pin to 0.0; null vectors drop") {
     import spark.implicits._

@@ -143,7 +143,8 @@ class PlanShapeSpec extends SparkTestBase {
           // z-score standardization, markup regex pipeline
           "q109_salted_join", "q110_interval_join", "q111_cms_heavy_hitters",
           "q112_pagerank", "q113_standardize_embeddings",
-          "q114_markup_strip").foreach { q =>
+          "q114_markup_strip", "q116_weighted_topk",
+          "q117_corpus_report").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
