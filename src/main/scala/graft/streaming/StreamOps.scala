@@ -798,4 +798,32 @@ object StreamOps {
       if (appendAccepted) D.appendNearDupIndex(accepted, textCol, name)
     }
   }
+
+  /**
+   * Streaming COUNT-MIN maintenance: a `foreachBatch` body that folds each
+   * micro-batch's items into a landed
+   * [[graft.ops.SketchOps.landCmsSketch]] sketch as the counter segment
+   * `"<segmentPrefix><batchId>"`. Structured Streaming re-runs a failed
+   * micro-batch under the SAME batch id, and
+   * [[graft.ops.SketchOps.appendToCmsSketch]] skips a segment that is
+   * already present — so the sketch gets each batch's counts EXACTLY
+   * ONCE across crash/retry without any transaction machinery: the
+   * engine's at-least-once delivery composes with the segment-id
+   * idempotency into effective exactly-once, the same contract the
+   * batch-id-keyed sinks in the Structured Streaming docs rely on.
+   *
+   * Usage: `items.writeStream.foreachBatch(cmsUpdateBatch("tok", name))`
+   * where `items` carries one row per occurrence (explode upstream).
+   * Estimates at any point come from
+   * [[graft.ops.SketchOps.cmsEstimateAgainstSketch]] and reflect every
+   * fully-committed batch.
+   */
+  def cmsUpdateBatch(keyCol: String, name: String,
+                     segmentPrefix: String = "stream-")
+                    : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.ops.SketchOps.appendToCmsSketch(batch, keyCol, name,
+        s"$segmentPrefix$batchId")
+      ()
+    }
 }

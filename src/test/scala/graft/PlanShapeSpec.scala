@@ -180,6 +180,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("wave-4 plan shapes: interval join is an equi-join (no nested " +
+       "loop), weighted top-k keeps the WindowGroupLimit pushdown, the " +
+       "rollup report scans the corpus once via Expand") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the whole point of the bucketed interval join: a range-only theta
+    // join would plan BroadcastNestedLoop and compare |points| x |intervals|
+    val ijPlan = SparkEntry.queries("q110_interval_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!ijPlan.contains("BroadcastNestedLoopJoin") &&
+      !ijPlan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$ijPlan")
+    val tkPlan = graft.ops.SampleOps.weightedTopKPerGroup(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "lang", "doc_id", "n_chars", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(tkPlan.contains("WindowGroupLimit"),
+      s"weighted top-k must keep the rank pushdown:\n$tkPlan")
+    // rollup = ONE scan through Expand, never a scan per grouping set
+    val rrPlan = SparkEntry.queries("q117_corpus_report")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(rrPlan.contains("Expand") &&
+      countOccurrences(rrPlan, "documents.parquet") <= 1,
+      s"rollup must expand one scan:\n$rrPlan")
+    // salted join: the join keys carry the salt column on both sides
+    val fact = Seq((1L, "k1", 1.0)).toDF("row_id", "k", "v")
+    val dim = Seq(("k1", 2L)).toDF("k", "attr")
+    val sjPlan = graft.ops.JoinOps.saltedJoin(fact, dim, "k", "row_id",
+        Map("k1" -> 4))
+      .queryExecution.optimizedPlan.toString
+    assert(sjPlan.contains("__salt"),
+      s"salted join lost its salt key:\n$sjPlan")
+  }
+
   test("capPerGroup plans a WindowGroupLimit below the sort (per-group " +
        "top-n maintained map-side, no full-group materialization)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

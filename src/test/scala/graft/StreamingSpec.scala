@@ -136,6 +136,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cmsUpdateBatch folds micro-batches into the landed sketch as " +
+       "batch-id segments; a replayed batch id cannot double-count") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val name = "graft_cms_stream_" + System.nanoTime()
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_bucketed/$name"
+    try {
+      graft.ops.SketchOps.landCmsSketch(
+        Seq("a").toDF("k"), "k", name, depth = 3, width = 32,
+        path = Some(tmp))
+      val input = MemoryStream[String]
+      val q = input.toDF().toDF("k").writeStream
+        .foreachBatch(StreamOps.cmsUpdateBatch("k", name))
+        .outputMode("append").start()
+      try {
+        input.addData("a", "b", "b")
+        q.processAllAvailable()
+        input.addData("c")
+        q.processAllAvailable()
+        val est = graft.ops.SketchOps.cmsEstimateAgainstSketch(
+            Seq("a", "b", "c").toDF("k"), "k", name)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(est == Map("a" -> 2L, "b" -> 2L, "c" -> 1L), est)
+        // simulate the engine replaying batch 0 after a crash: same
+        // segment id -> the append is skipped, counts unchanged
+        StreamOps.cmsUpdateBatch("k", name)(Seq("a", "b", "b").toDF("k"), 0L)
+        val replayed = graft.ops.SketchOps.cmsEstimateAgainstSketch(
+            Seq("a", "b").toDF("k"), "k", name)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(replayed == Map("a" -> 2L, "b" -> 2L),
+          s"replayed batch double-counted: $replayed")
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_meta")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_counters")
+    }
+  }
+
   test("streamingExactDedup drops repeated digests across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
