@@ -605,6 +605,27 @@ object OracleSqlGen {
        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp <> id)
        |ORDER BY doc_id""".stripMargin
 
+  /** q118: the canonical-mapping provenance table — q48's component
+    * closure emitted as (id, canonical) rows instead of the survivor
+    * filter; canonicals map to themselves, unclustered docs emit no row. */
+  def canonicalMappingSql: String =
+    s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
+       |edges AS (
+       |  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
+       |), sym AS (
+       |  SELECT id_a AS id, id_b AS reach FROM edges
+       |  UNION
+       |  SELECT id_b AS id, id_a AS reach FROM edges
+       |), walk AS (
+       |  SELECT id, reach FROM sym
+       |  UNION
+       |  SELECT w.id, s.reach FROM walk w JOIN sym s ON s.id = w.reach
+       |), comp AS (
+       |  SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
+       |)
+       |SELECT id AS doc_id, comp AS canonical_id FROM comp
+       |ORDER BY doc_id""".stripMargin
+
   /** q100: keep-best canonical near-dedup — q48's component closure, but
     * the survivor per component is the argmax of (length(text) DESC,
     * doc_id ASC) instead of the minimum id. The planted perturbed copies

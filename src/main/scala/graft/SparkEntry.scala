@@ -943,6 +943,19 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    "q118_canonical_mapping" -> ((s: SparkSession, dir: String) => {
+      // the dedup provenance table (q48's planted clusters): every doc in
+      // a duplicate cluster mapped to its surviving canonical — what a
+      // consumer needs to re-attribute metadata after the drop
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+      DedupOps.canonicalMapping(d.unionByName(perturbed), "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     "q116_weighted_topk" -> ((s: SparkSession, dir: String) => {
       // quality-weighted curation without replacement: keep the 5 docs
       // per language with the largest u^(1/weight) priority (A-ES), u
@@ -2109,6 +2122,7 @@ object SparkEntry {
     "q78_near_dedup_index_append" -> OracleSqlGen.nearDedupIndexAppendSql(64, 16),
     "q26_near_dedup"     -> OracleSqlGen.nearDedupSql,
     "q48_near_dedup_cc"  -> OracleSqlGen.nearDedupConnectedSql,
+    "q118_canonical_mapping" -> OracleSqlGen.canonicalMappingSql,
     "q30_ann_lsh"        -> OracleSqlGen.annLshSql,
     "q91_random_projection" -> OracleSqlGen.randomProjectionSql(outDim = 16, dim = 64),
     "q92_ann_projected"  -> OracleSqlGen.annProjectedSql(outDim = 16, dim = 64, k = 5),

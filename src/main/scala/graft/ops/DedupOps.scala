@@ -932,6 +932,35 @@ object DedupOps {
   }
 
   /**
+   * CANONICAL MAPPING — the provenance table a dedup pass should ship
+   * with: one row `(id, canonical_id)` for every document that belongs to
+   * a duplicate cluster, mapping it to the cluster's surviving minimum id
+   * (canonicals map to themselves). Downstream consumers need this to
+   * re-attribute citations, merge metadata, or explain "where did my doc
+   * go" after [[nearDedupConnected]] dropped it — the mapping is exactly
+   * the information the drop discards.
+   *
+   * Scale shape: [[nearDuplicatePairsWithHandle]]'s banded candidates +
+   * verified edges (never all-pairs), then the same min-label/star
+   * closure as [[nearDedupConnected]] — everything after the pair step is
+   * bounded by the DUPLICATE count, not the corpus. Docs in no cluster
+   * emit no row (the mapping is sparse by construction; left-join it back
+   * and coalesce to the doc's own id for a total function).
+   */
+  def canonicalMapping(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shingleSize: Int = 3, threshold: Double = 0.7,
+                       maxBucket: Int = 0, maxIter: Int = 20): DataFrame = {
+    val (pairs, done) = nearDuplicatePairsWithHandle(df, idCol, textCol,
+      numHashes, bands, shingleSize, threshold, maxBucket)
+    val materialized = pairs.localCheckpoint()
+    val labels = connectedMinLabelsOpt(materialized, maxIter).getOrElse(
+      connectedStars(materialized, maxIter.max(30)))
+    done()
+    labels.select(col("id").as(idCol), col("comp").as("canonical_id"))
+  }
+
+  /**
    * Canonical-selection near-dedup: like [[nearDedupConnected]] (exact
    * component semantics over the verified near-dup graph) but the survivor
    * of each duplicate cluster is chosen by QUALITY — highest `score`,
