@@ -725,4 +725,31 @@ class ExpressionSpec extends SparkTestBase {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("kll_* SQL surface: sketch-agg, merge-agg, and quantile compose " +
+       "through real SQL; empty sketch reads null") {
+    import spark.implicits._
+    org.apache.spark.sql.catalyst.expressions.graftsketch.KllExpressions
+      .registerInto(spark)
+    (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("kll_in")
+    val row = spark.sql(
+      """SELECT g, kll_quantile(kll_sketch_agg(v, 200), 0.5d) AS p50
+        |FROM kll_in GROUP BY g""".stripMargin).collect().head
+    assert(row.getString(0) == "a" &&
+      row.getDouble(1) > 40 && row.getDouble(1) < 60, row.toString)
+    // merge path + empty sketch -> null quantile
+    val merged = spark.sql(
+      """WITH s AS (
+        |  SELECT v < 51 AS half, kll_sketch_agg(v, 200) AS sk
+        |  FROM kll_in GROUP BY 1
+        |)
+        |SELECT kll_quantile(kll_merge_agg(sk), 0.5d) AS p50 FROM s""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(merged > 40 && merged < 60, s"merged p50 = $merged")
+    val empty = spark.sql(
+      "SELECT kll_quantile(kll_sketch_agg(v, 200), 0.5d) " +
+      "FROM kll_in WHERE v < 0").collect().head
+    assert(empty.isNullAt(0), "empty sketch must read null")
+  }
 }

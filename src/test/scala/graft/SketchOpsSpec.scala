@@ -61,6 +61,37 @@ class SketchOpsSpec extends SparkTestBase {
     assert(est == Map("a" -> 4L, "b" -> 4L, "never-seen" -> 4L), est)
   }
 
+  test("KLL quantile sketches: estimates within rank tolerance of exact; " +
+       "merging batch sketches answers like a single pass; empty and " +
+       "all-null groups yield null quantiles") {
+    import graft.ops.SketchOps
+    // group a: 1..1000 uniformly; group b: constant 7; group n: all nulls
+    val rows = (1 to 1000).map(i => ("a", Some(i.toDouble))) ++
+      Seq.fill(10)(("b", Some(7.0))) ++
+      Seq.fill(3)(("n", None: Option[Double]))
+    val d = rows.toDF("g", "v")
+    val sk = SketchOps.quantileSketches(d, "g", "v", k = 200)
+    val est = SketchOps.mergedQuantiles(sk, "g", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // rank error at k=200 is well under 3%: p50 of 1..1000 within [440, 560]
+    val (p50a, p90a) = est("a")
+    assert(p50a.exists(v => v > 440 && v < 560), s"p50(a) = $p50a")
+    assert(p90a.exists(v => v > 840 && v < 960), s"p90(a) = $p90a")
+    assert(est("b") == ((Some(7.0), Some(7.0))), est("b"))
+    assert(est("n") == ((None, None)), est("n"))
+    // batch-split merge: two halves' sketches union to the same answer
+    // class as the single-pass sketch (identical data, same tolerance)
+    val half1 = (1 to 500).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val half2 = (501 to 1000).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val unioned = SketchOps.quantileSketches(half1, "g", "v")
+      .unionByName(SketchOps.quantileSketches(half2, "g", "v"))
+    val m = SketchOps.mergedQuantiles(unioned, "g", Seq(0.5))
+      .collect().head.getDouble(1)
+    assert(m > 440 && m < 560, s"merged p50 = $m")
+  }
+
   test("landed CMS: land + segment append equals the one-shot sketch; " +
        "re-delivered segments are skipped; param drift is refused") {
     val name = "graft_cms_spec_" + System.nanoTime()
