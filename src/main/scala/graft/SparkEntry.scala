@@ -943,6 +943,35 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    "q119_winsorize" -> ((s: SparkSession, dir: String) => {
+      // robust per-source length scaling: clamp n_chars into each
+      // source's exact [p5, p95] band — one groups-sized percentile agg
+      // broadcast back, bounds kept on every row for auditability
+      graft.ops.StatsOps.winsorize(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", loP = 0.05, hiP = 0.95)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q120_script_mix" -> ((s: SparkSession, dir: String) => {
+      // mixed-script routing signals on a deterministic multi-script
+      // corpus: every 3rd doc gains a Cyrillic tail, every 3rd+1 a Han
+      // tail — latin/cyrillic/han/digit fractions over non-space chars
+      val suffix = when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit(" привет мир 42"))
+        .when(pmod(col("doc_id"), lit(3L)) === 1, lit(" 你好世界 世界"))
+        .otherwise(lit(""))
+      TextOps.scriptSignals(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              concat(col("text"), suffix).as("text")),
+          "text")
+        .select(col("doc_id"), col("latin_frac"), col("cyrillic_frac"),
+          col("han_frac"), col("digit_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q118_canonical_mapping" -> ((s: SparkSession, dir: String) => {
       // the dedup provenance table (q48's planted clusters): every doc in
       // a duplicate cluster mapped to its surviving canonical — what a
@@ -3096,6 +3125,45 @@ object SparkEntry {
     // the landed+appended sketch must be cell-identical to the inline
     // full-corpus sketch (counter addition IS merging) -> same oracle
     "q115_cms_landed" -> CmsOracleSql,
+
+    "q119_winsorize" ->
+      // quantile_cont == Spark's exact linear-interpolation percentile
+      """WITH b AS (
+        |  SELECT source,
+        |    quantile_cont(n_chars, 0.05) AS n_chars_lo,
+        |    quantile_cont(n_chars, 0.95) AS n_chars_hi
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars, b.n_chars_lo, b.n_chars_hi,
+        |  CASE WHEN d.n_chars IS NULL THEN NULL
+        |    ELSE least(greatest(CAST(d.n_chars AS DOUBLE), b.n_chars_lo),
+        |      b.n_chars_hi) END AS n_chars_winsorized
+        |FROM documents d JOIN b USING (source) ORDER BY d.doc_id""".stripMargin,
+
+    "q120_script_mix" ->
+      // same planted suffixes; per-class counts via regexp_extract_all,
+      // denominators = non-space char counts
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' привет мир 42'
+        |         WHEN doc_id % 3 = 1 THEN ' 你好世界 世界'
+        |         ELSE '' END AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[ \t\r\n]+', '', 'g')) AS DOUBLE) AS ns,
+        |    len(regexp_extract_all(text, '[A-Za-z]')) AS lat,
+        |    len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS cyr,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS han,
+        |    len(regexp_extract_all(text, '[0-9]')) AS dig
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN ns > 0 THEN round(lat / ns, 6) ELSE 0.0 END AS latin_frac,
+        |  CASE WHEN ns > 0 THEN round(cyr / ns, 6) ELSE 0.0 END AS cyrillic_frac,
+        |  CASE WHEN ns > 0 THEN round(han / ns, 6) ELSE 0.0 END AS han_frac,
+        |  CASE WHEN ns > 0 THEN round(dig / ns, 6) ELSE 0.0 END AS digit_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q116_weighted_topk" ->
       // the A-ES priority replay: same md5-31 uniform, same micro-nat

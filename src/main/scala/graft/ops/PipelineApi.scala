@@ -256,6 +256,13 @@ object pipeline {
                                salt: String = "graft-wtopk"): DataFrame =
         SampleOps.weightedTopKPerGroup(df, groupCol, keyCol, weightCol, k, salt)
 
+      def winsorize(groupCol: String, valueCol: String,
+                    loP: Double = 0.01, hiP: Double = 0.99): DataFrame =
+        StatsOps.winsorize(df, groupCol, valueCol, loP, hiP)
+
+      def scriptSignals(textCol: String = "text"): DataFrame =
+        TextOps.scriptSignals(df, textCol)
+
       def stripMarkup(textCol: String = "text",
                       out: String = "clean_text"): DataFrame =
         df.withColumn(out, TextOps.stripMarkup(col(textCol)))

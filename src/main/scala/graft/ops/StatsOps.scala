@@ -60,4 +60,38 @@ object StatsOps {
       .select(col("rank"), col("key_value"), col("n_rows"), col("share_ppm"),
         col("salt_factor"), col("n_keys"), col("total_rows"))
   }
+
+  /**
+   * Per-group WINSORIZATION: clamp `valueCol` into its own group's
+   * `[loP, hiP]` exact percentile band — the robust-scaling step before a
+   * length/score feature feeds sampling weights or a classifier (one
+   * 10^8-char document otherwise owns the scale). Adds
+   * `<valueCol>_winsorized` plus the applied `__wlo`/`__whi` bounds
+   * renamed `<valueCol>_lo`/`<valueCol>_hi` so the clipping is auditable.
+   *
+   * Percentiles are Spark's exact linear-interpolation `percentile` —
+   * the same definition as DuckDB's `quantile_cont`, so the op is
+   * exactly oracle-able (the [[graft.ops.TextOps.groupStats]] rule; swap
+   * to approx_percentile upstream if a single group holds 10^9 rows).
+   * Shape: one two-phase percentile agg to a groups-sized table,
+   * broadcast back — no window over the corpus, no sort. Null values
+   * pass through null; a group's bounds come from its non-null values.
+   */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                loP: Double = 0.01, hiP: Double = 0.99): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP <= hiP,
+      s"need 0 <= loP <= hiP <= 1, got ($loP, $hiP)")
+    val v = col(valueCol).cast(DoubleType)
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, $loP)").as("__wlo"),
+      expr(s"percentile($valueCol, $hiP)").as("__whi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      // explicit null guard: greatest/least SKIP nulls (in Spark and
+      // DuckDB alike), which would clamp a null value to the lower bound
+      .withColumn(s"${valueCol}_winsorized",
+        when(v.isNull, lit(null).cast(DoubleType))
+          .otherwise(least(greatest(v, col("__wlo")), col("__whi"))))
+      .withColumnRenamed("__wlo", s"${valueCol}_lo")
+      .withColumnRenamed("__whi", s"${valueCol}_hi")
+  }
 }

@@ -1079,6 +1079,31 @@ object TextOps {
       .drop(tokCol)
   }
 
+  /**
+   * SCRIPT-MIX signals: the fraction of non-whitespace characters in the
+   * basic Latin, Cyrillic, CJK-unified (BMP), and decimal-digit classes —
+   * the cheap complement to [[langId]] for routing mixed-script corpora
+   * (a "French" page that is 60% Han is mislabeled; a 40%-digit page is a
+   * table dump). Fractions are rounded to 6 decimals over the non-space
+   * char count; empty/whitespace-only text scores 0.0 everywhere.
+   * Codegen'd `regexp_count` per class — map-side, no UDF. Supplementary-
+   * plane CJK (beyond U+9FFF) is outside the counted range (documented
+   * trade for BMP-range portability across regex engines).
+   */
+  def scriptSignals(df: DataFrame, textCol: String): DataFrame = {
+    val nonSpace = length(regexp_replace(col(textCol),
+      lit("[ \\t\\r\\n]+"), lit(""))).cast(DoubleType)
+    def frac(pattern: String): Column =
+      when(nonSpace > 0,
+        round(regexp_count(col(textCol), lit(pattern)).cast(DoubleType)
+          / nonSpace, 6))
+        .otherwise(lit(0.0))
+    df.withColumn("latin_frac", frac("[A-Za-z]"))
+      .withColumn("cyrillic_frac", frac("[Ѐ-ӿ]"))
+      .withColumn("han_frac", frac("[一-鿿]"))
+      .withColumn("digit_frac", frac("[0-9]"))
+  }
+
   // --- markup stripping (web-corpus text extraction) ----------------------
 
   /**

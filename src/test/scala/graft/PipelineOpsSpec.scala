@@ -1941,6 +1941,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(heavy > 120, s"only $heavy/200 heavy rows kept — weighting inert?")
   }
 
+  test("scriptSignals: hand-counted fractions over non-space chars; " +
+       "empty and whitespace-only text score zero everywhere") {
+    import spark.implicits._
+    // "ab Ж 12 你" -> non-space chars: a b Ж 1 2 你 = 6
+    val d = Seq((0L, "ab Ж 12 你"), (1L, ""), (2L, "   "),
+      (3L, "всё по-русски")).toDF("doc_id", "text")
+    val got = TextOps.scriptSignals(d, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    def approx(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    val (lat, cyr, han, dig) = got(0L)
+    assert(approx(lat, math.rint(2.0 / 6 * 1e6) / 1e6) &&
+      approx(cyr, math.rint(1.0 / 6 * 1e6) / 1e6) &&
+      approx(han, math.rint(1.0 / 6 * 1e6) / 1e6) &&
+      approx(dig, math.rint(2.0 / 6 * 1e6) / 1e6), got(0L))
+    assert(got(1L) == ((0.0, 0.0, 0.0, 0.0)) &&
+      got(2L) == ((0.0, 0.0, 0.0, 0.0)))
+    // "всё по-русски": 12 non-space chars, 11 Cyrillic + the hyphen
+    val (l3, c3, _, _) = got(3L)
+    assert(l3 == 0.0 && approx(c3, math.rint(11.0 / 12 * 1e6) / 1e6),
+      got(3L))
+  }
+
   test("standardizeEmbeddings: hand-checked z-scores per (label, dim); " +
        "constant dims and singleton groups pin to 0.0; null vectors drop") {
     import spark.implicits._

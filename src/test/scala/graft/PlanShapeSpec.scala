@@ -144,7 +144,8 @@ class PlanShapeSpec extends SparkTestBase {
           "q109_salted_join", "q110_interval_join", "q111_cms_heavy_hitters",
           "q112_pagerank", "q113_standardize_embeddings",
           "q114_markup_strip", "q116_weighted_topk",
-          "q117_corpus_report").foreach { q =>
+          "q117_corpus_report", "q119_winsorize",
+          "q120_script_mix").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")

@@ -42,4 +42,37 @@ class StatsOpsSpec extends SparkTestBase {
       StatsOps.keySkewProfile(df, "k", k = 0)
     }
   }
+
+  test("winsorize: values clamp into the group's exact percentile band; " +
+       "interior values untouched; nulls pass through; groups isolate") {
+    import spark.implicits._
+    // group a: 1..100 (p5 = 5.95, p95 = 95.05 under linear interpolation),
+    // group b: constant 7 -> band [7, 7], everything clamps to 7
+    val rows = (1 to 100).map(i => ("a", Option(i.toDouble))) ++
+      Seq(("b", Option(7.0)), ("b", Option(7.0)), ("b", None))
+    val d = rows.toDF("g", "v")
+    val got = graft.ops.StatsOps.winsorize(d, "g", "v", 0.05, 0.95)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val a = got.filter(_._1 == "a")
+    assert(a.forall { case (_, v, w) =>
+      (v, w) match {
+        case (Some(x), Some(y)) =>
+          if (x < 5.95) y == 5.95
+          else if (x > 95.05) y == 95.05
+          else y == x
+        case _ => false
+      }
+    }, a.take(8).toSeq)
+    // the band really clipped something on both sides
+    assert(a.exists { case (_, v, w) => v != w })
+    val b = got.filter(_._1 == "b")
+    assert(b.collect { case (_, Some(_), w) => w }.forall(_.contains(7.0)))
+    assert(b.exists { case (_, v, w) => v.isEmpty && w.isEmpty },
+      "null value must stay null, not clamp to the bound")
+    intercept[IllegalArgumentException] {
+      graft.ops.StatsOps.winsorize(d, "g", "v", 0.9, 0.1)
+    }
+  }
 }
