@@ -943,6 +943,17 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    "q121_join_overlap" -> ((s: SparkSession, dir: String) => {
+      // the join pre-flight: how do events.user_id (with planted nulls)
+      // and customer.c_custkey actually relate — distinct keys per side,
+      // shared keys, integer-ppm containment, null-row counts
+      val ev = t(s, dir, "events")
+        .select(when(pmod(col("user_id"), lit(37L)) === 0,
+          lit(null).cast(LongType)).otherwise(col("user_id")).as("user_id"))
+      graft.ops.StatsOps.joinKeyOverlap(ev, t(s, dir, "customer"),
+        "user_id", "c_custkey")
+    }),
+
     "q119_winsorize" -> ((s: SparkSession, dir: String) => {
       // robust per-source length scaling: clamp n_chars into each
       // source's exact [p5, p95] band — one groups-sized percentile agg
@@ -3125,6 +3136,31 @@ object SparkEntry {
     // the landed+appended sketch must be cell-identical to the inline
     // full-corpus sketch (counter addition IS merging) -> same oracle
     "q115_cms_landed" -> CmsOracleSql,
+
+    "q121_join_overlap" ->
+      // integer-exact replay: distinct key sets, shared join, ppm floor
+      // division, null-row counts
+      """WITH l AS (
+        |  SELECT CASE WHEN user_id % 37 = 0 THEN NULL ELSE user_id END AS k
+        |  FROM events
+        |), r AS (
+        |  SELECT c_custkey AS k FROM customer
+        |), lk AS (SELECT DISTINCT k FROM l WHERE k IS NOT NULL),
+        |rk AS (SELECT DISTINCT k FROM r WHERE k IS NOT NULL),
+        |s AS (SELECT count(*) AS n_shared_keys FROM lk JOIN rk USING (k)),
+        |lc AS (SELECT count(*) AS n_left_keys FROM lk),
+        |rc AS (SELECT count(*) AS n_right_keys FROM rk),
+        |ln_ AS (SELECT count(*) FILTER (WHERE k IS NULL) AS n_left_null_rows FROM l),
+        |rn_ AS (SELECT count(*) FILTER (WHERE k IS NULL) AS n_right_null_rows FROM r)
+        |SELECT n_left_keys, n_right_keys, n_shared_keys,
+        |  n_left_null_rows, n_right_null_rows,
+        |  CASE WHEN n_left_keys > 0
+        |    THEN (n_shared_keys * 1000000) // n_left_keys ELSE 0 END
+        |    AS left_in_right_ppm,
+        |  CASE WHEN n_right_keys > 0
+        |    THEN (n_shared_keys * 1000000) // n_right_keys ELSE 0 END
+        |    AS right_in_left_ppm
+        |FROM lc CROSS JOIN rc CROSS JOIN s CROSS JOIN ln_ CROSS JOIN rn_""".stripMargin,
 
     "q119_winsorize" ->
       // quantile_cont == Spark's exact linear-interpolation percentile

@@ -256,6 +256,10 @@ object pipeline {
                                salt: String = "graft-wtopk"): DataFrame =
         SampleOps.weightedTopKPerGroup(df, groupCol, keyCol, weightCol, k, salt)
 
+      def joinKeyOverlap(right: DataFrame, leftKey: String,
+                         rightKey: String): DataFrame =
+        StatsOps.joinKeyOverlap(df, right, leftKey, rightKey)
+
       def winsorize(groupCol: String, valueCol: String,
                     loP: Double = 0.01, hiP: Double = 0.99): DataFrame =
         StatsOps.winsorize(df, groupCol, valueCol, loP, hiP)

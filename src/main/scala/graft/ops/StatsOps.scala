@@ -62,6 +62,52 @@ object StatsOps {
   }
 
   /**
+   * JOIN-KEY OVERLAP profile — the second shuffle pre-flight next to
+   * [[keySkewProfile]]: before launching a join, measure how the two
+   * sides' key sets actually relate. One row:
+   *
+   *  - `n_left_keys` / `n_right_keys`: distinct non-null keys per side;
+   *  - `n_shared_keys`: distinct keys present on BOTH sides — the join's
+   *    effective key universe;
+   *  - `left_in_right_ppm` / `right_in_left_ppm`: containment ratios in
+   *    parts-per-million (floor division, integer-exact) — low
+   *    left-in-right means the fact side is mostly dangling (anti-join
+   *    fodder, or a key-normalization bug); 10^6 means perfect coverage;
+   *  - `n_left_null_rows` / `n_right_null_rows`: rows whose key is null —
+   *    they match NOTHING in an equi-join, and a surprise null pile is
+   *    the most common "why did my join drop rows" answer.
+   *
+   * Shape: one distinct-aggregate per side (shuffle carries keys only),
+   * one equi-join of the two DISTINCT key sets (each side already
+   * deduplicated, so the join output is bounded by min(n_left, n_right)),
+   * and three one-row aggregates broadcast together. Integer arithmetic
+   * end to end.
+   */
+  def joinKeyOverlap(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String): DataFrame = {
+    def sideStats(df: DataFrame, key: String) = {
+      val keys = df.select(col(key).as("__k"))
+      (keys.filter(col("__k").isNotNull).distinct(),
+       keys.agg(count(when(col("__k").isNull, 1)).as("nulls")))
+    }
+    val (lk, lnulls) = sideStats(left, leftKey)
+    val (rk, rnulls) = sideStats(right, rightKey)
+    val lCount = lk.agg(count(lit(1)).as("n_left_keys"))
+    val rCount = rk.agg(count(lit(1)).as("n_right_keys"))
+    val shared = lk.join(rk, Seq("__k"))
+      .agg(count(lit(1)).as("n_shared_keys"))
+    lCount.crossJoin(rCount).crossJoin(shared)
+      .crossJoin(lnulls.select(col("nulls").as("n_left_null_rows")))
+      .crossJoin(rnulls.select(col("nulls").as("n_right_null_rows")))
+      .withColumn("left_in_right_ppm",
+        when(col("n_left_keys") > 0,
+          expr("n_shared_keys * 1000000 DIV n_left_keys")).otherwise(0L))
+      .withColumn("right_in_left_ppm",
+        when(col("n_right_keys") > 0,
+          expr("n_shared_keys * 1000000 DIV n_right_keys")).otherwise(0L))
+  }
+
+  /**
    * Per-group WINSORIZATION: clamp `valueCol` into its own group's
    * `[loP, hiP]` exact percentile band — the robust-scaling step before a
    * length/score feature feeds sampling weights or a classifier (one

@@ -43,6 +43,30 @@ class StatsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("joinKeyOverlap: hand-checked distinct/shared/containment/null " +
+       "counts; disjoint and identical key sets at the extremes") {
+    import spark.implicits._
+    val l = Seq(Option(1L), Option(1L), Option(2L), Option(3L), None, None)
+      .toDF("k")
+    val r = Seq(Option(2L), Option(3L), Option(4L), None).toDF("j")
+    val row = graft.ops.StatsOps.joinKeyOverlap(l, r, "k", "j").collect().head
+    def f(n: String) = row.getLong(row.fieldIndex(n))
+    assert(f("n_left_keys") == 3 && f("n_right_keys") == 3 &&
+      f("n_shared_keys") == 2, row.toString)
+    assert(f("n_left_null_rows") == 2 && f("n_right_null_rows") == 1)
+    assert(f("left_in_right_ppm") == 666666 &&
+      f("right_in_left_ppm") == 666666, row.toString)
+    val disjoint = graft.ops.StatsOps.joinKeyOverlap(
+      Seq(1L, 2L).toDF("k"), Seq(9L).toDF("j"), "k", "j").collect().head
+    assert(disjoint.getLong(disjoint.fieldIndex("n_shared_keys")) == 0 &&
+      disjoint.getLong(disjoint.fieldIndex("left_in_right_ppm")) == 0)
+    val same = graft.ops.StatsOps.joinKeyOverlap(
+      Seq(5L, 6L).toDF("k"), Seq(5L, 6L, 6L).toDF("j"), "k", "j")
+      .collect().head
+    assert(same.getLong(same.fieldIndex("left_in_right_ppm")) == 1000000 &&
+      same.getLong(same.fieldIndex("right_in_left_ppm")) == 1000000)
+  }
+
   test("winsorize: values clamp into the group's exact percentile band; " +
        "interior values untouched; nulls pass through; groups isolate") {
     import spark.implicits._
