@@ -626,6 +626,29 @@ object OracleSqlGen {
        |SELECT id AS doc_id, comp AS canonical_id FROM comp
        |ORDER BY doc_id""".stripMargin
 
+  /** q123: cluster-size histogram — q118's component closure, rolled up
+    * to (cluster_size, n_clusters). Shares every constant with
+    * [[canonicalMappingSql]] so the two queries pin the same chain. */
+  def clusterSizeHistogramSql: String =
+    s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
+       |edges AS (
+       |  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
+       |), sym AS (
+       |  SELECT id_a AS id, id_b AS reach FROM edges
+       |  UNION
+       |  SELECT id_b AS id, id_a AS reach FROM edges
+       |), walk AS (
+       |  SELECT id, reach FROM sym
+       |  UNION
+       |  SELECT w.id, s.reach FROM walk w JOIN sym s ON s.id = w.reach
+       |), comp AS (
+       |  SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
+       |), sz AS (
+       |  SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp
+       |)
+       |SELECT cluster_size, count(*) AS n_clusters
+       |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** q100: keep-best canonical near-dedup — q48's component closure, but
     * the survivor per component is the argmax of (length(text) DESC,
     * doc_id ASC) instead of the minimum id. The planted perturbed copies

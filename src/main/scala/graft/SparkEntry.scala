@@ -954,6 +954,54 @@ object SparkEntry {
         "user_id", "c_custkey")
     }),
 
+    "q122_profile_columns" -> ((s: SparkSession, dir: String) => {
+      // the data-card profiler: one scan, one row per column with exact
+      // null/distinct counts and native-typed min/max rendered as strings
+      graft.ops.StatsOps.profileColumns(t(s, dir, "documents"))
+    }),
+
+    "q123_cluster_sizes" -> ((s: SparkSession, dir: String) => {
+      // what did dedup actually find: q118's exact provenance mapping
+      // rolled up to (cluster_size, n_clusters) — organic size-2 pairs
+      // vs a boilerplate mega-cluster read straight off this table
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+      DedupOps.clusterSizeHistogram(
+          DedupOps.canonicalMapping(d.unionByName(perturbed), "doc_id",
+            "text", numHashes = 64, bands = 16, threshold = 0.5,
+            maxBucket = 100))
+        .orderBy(col("cluster_size"))
+    }),
+
+    "q124_url_dedup" -> ((s: SparkSession, dir: String) => {
+      // crawl-URL dedup: deterministic synthetic URLs that differ only in
+      // case, www., default port, tracking params, and fragments collapse
+      // to one canonical form; keep the minimum doc_id per canonical
+      val id = col("doc_id")
+      val g  = pmod(id, lit(25L)).cast(StringType)
+      val url = concat(
+        when(pmod(id, lit(2L)) === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(pmod(id, lit(3L)) === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example.COM"),
+        when(pmod(id, lit(4L)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), g, lit("/page"),
+        when(pmod(id, lit(5L)) === 0,
+            concat(lit("?utm_source=feed&id="), g, lit("&utm_campaign=x")))
+          .when(pmod(id, lit(5L)) === 1,
+            concat(lit("?id="), g, lit("&gclid=abc")))
+          .otherwise(concat(lit("?id="), g)),
+        when(pmod(id, lit(6L)) === 0, lit("#section-2")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(id.as("doc_id"),
+          TextOps.canonicalizeUrl(url).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_dups"))
+        .orderBy(col("canonical_url"))
+    }),
+
     "q119_winsorize" -> ((s: SparkSession, dir: String) => {
       // robust per-source length scaling: clamp n_chars into each
       // source's exact [p5, p95] band — one groups-sized percentile agg
@@ -3161,6 +3209,92 @@ object SparkEntry {
         |    THEN (n_shared_keys * 1000000) // n_right_keys ELSE 0 END
         |    AS right_in_left_ppm
         |FROM lc CROSS JOIN rc CROSS JOIN s CROSS JOIN ln_ CROSS JOIN rn_""".stripMargin,
+
+    "q122_profile_columns" ->
+      // one SELECT per column; min/max in native type, then cast — the
+      // same binary UTF-8 string ordering on both engines
+      """WITH p AS (
+        |  SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*), count(*) - count(text),
+        |    count(DISTINCT text), CAST(min(text) AS VARCHAR),
+        |    CAST(max(text) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*) - count(lang),
+        |    count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+        |    CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source),
+        |    count(DISTINCT source), CAST(min(source) AS VARCHAR),
+        |    CAST(max(source) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |    CAST(max(n_chars) AS VARCHAR) FROM documents
+        |)
+        |SELECT * FROM p ORDER BY column_name""".stripMargin,
+
+    "q123_cluster_sizes" -> OracleSqlGen.clusterSizeHistogramSql,
+
+    "q124_url_dedup" ->
+      // same URL synthesis, same regex pipeline (RE2 both sides); DuckDB
+      // needs the explicit 'g' flag only on the multi-param strip
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.Example.COM'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/Docs/' || CAST(doc_id % 25 AS VARCHAR) || '/page'
+        |    || (CASE WHEN doc_id % 5 = 0
+        |          THEN '?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR) || '&utm_campaign=x'
+        |        WHEN doc_id % 5 = 1
+        |          THEN '?id=' || CAST(doc_id % 25 AS VARCHAR) || '&gclid=abc'
+        |        ELSE '?id=' || CAST(doc_id % 25 AS VARCHAR) END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 1)) AS scheme,
+        |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2)) AS host0,
+        |    regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 3) AS rest0,
+        |    trim(url) AS u0
+        |  FROM u
+        |), hostfix AS (
+        |  SELECT doc_id, scheme, u0,
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |           WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        |           ELSE host0 END, '^www\.', '') AS host,
+        |    regexp_replace(rest0, '#.*$', '') AS nofrag
+        |  FROM parts
+        |), stripd AS (
+        |  SELECT doc_id, scheme, host, u0, nofrag,
+        |    regexp_replace(nofrag,
+        |      '[?&](utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS notrack
+        |  FROM hostfix
+        |), sep AS (
+        |  SELECT doc_id, scheme, host, u0,
+        |    regexp_replace(
+        |      CASE WHEN strpos(nofrag, '?') > 0 AND strpos(notrack, '?') = 0
+        |        THEN regexp_replace(notrack, '^([^&]*)&', '\1?')
+        |        ELSE notrack END,
+        |      '[?&]$', '') AS rest
+        |  FROM stripd
+        |), canon AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme <> '' THEN scheme || '://' || host || rest
+        |         ELSE u0 END AS canonical_url
+        |  FROM sep
+        |)
+        |SELECT canonical_url, min(doc_id) AS keeper_doc_id,
+        |  count(*) AS n_dups
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     "q119_winsorize" ->
       // quantile_cont == Spark's exact linear-interpolation percentile

@@ -961,6 +961,29 @@ object DedupOps {
   }
 
   /**
+   * CLUSTER-SIZE HISTOGRAM over a [[canonicalMapping]] (or any
+   * `(id, canonical)` provenance table): one row per observed duplicate
+   * cluster size with the number of clusters of that size. This is the
+   * one-glance answer to "what did dedup actually find" — a corpus
+   * dominated by size-2 clusters is organic duplication; a single
+   * size-10^6 cluster is boilerplate (or a bug in the shingle rule), and
+   * the difference decides whether the drop is safe to ship.
+   *
+   * Shape: two chained two-phase hash aggs, both partial-aggregable
+   * map-side; the first shuffles only `(canonical, count)` pairs bounded
+   * by the DUPLICATE-cluster count (the mapping is sparse — docs outside
+   * any cluster have no row), the second shuffles distinct sizes only.
+   * Nothing here touches document bodies.
+   */
+  def clusterSizeHistogram(mapping: DataFrame,
+                           canonicalCol: String = "canonical_id"): DataFrame =
+    mapping
+      .groupBy(col(canonicalCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
+  /**
    * Canonical-selection near-dedup: like [[nearDedupConnected]] (exact
    * component semantics over the verified near-dup graph) but the survivor
    * of each duplicate cluster is chosen by QUALITY — highest `score`,

@@ -108,6 +108,49 @@ object StatsOps {
   }
 
   /**
+   * One-pass DATASET PROFILE — the "data card" a corpus drop ships with:
+   * one output row per column with `n_rows`, `n_nulls`, exact
+   * `n_distinct`, and `min_value`/`max_value` rendered as strings (the
+   * min/max are taken in the column's NATIVE type, then cast, so numeric
+   * columns order numerically, not lexically). This is the first query a
+   * pipeline runs against an unfamiliar 100 TB delivery: null-riddled
+   * join keys, constant columns, and cardinality blowups all surface
+   * here before any real job is launched.
+   *
+   * Shape: ONE aggregate over the data — Spark plans the multiple exact
+   * `count(DISTINCT)`s as a single Expand + two-phase agg (rows replicate
+   * #columns ways map-side, but the corpus is still scanned once and the
+   * shuffle carries only distinct values per column). The unpivot to long
+   * format runs on the one-row aggregate via `stack`, driver-free. For
+   * 10^9-distinct columns swap `count_distinct` for
+   * `approx_count_distinct` upstream; exact is the right default for a
+   * profile that feeds join planning.
+   */
+  def profileColumns(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val names = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(names.nonEmpty, "profileColumns: no columns to profile")
+    val aggs = Seq(count(lit(1)).as("__n_rows")) ++ names.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast(StringType).as(s"__min_$c"),
+        max(col(c)).cast(StringType).as(s"__max_$c"))
+    }
+    val wide  = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = names.map { c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`"
+    }.mkString(", ")
+    wide
+      .select(col("__n_rows"), expr(
+        s"stack(${names.length}, $stackArgs) AS " +
+          "(column_name, __nonnull, n_distinct, min_value, max_value)"))
+      .select(col("column_name"), col("__n_rows").as("n_rows"),
+        (col("__n_rows") - col("__nonnull")).as("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+      .orderBy(col("column_name"))
+  }
+
+  /**
    * Per-group WINSORIZATION: clamp `valueCol` into its own group's
    * `[loP, hiP]` exact percentile band — the robust-scaling step before a
    * length/score feature feeds sampling weights or a classifier (one

@@ -1159,4 +1159,54 @@ object TextOps {
     when(totalChars > 0, round(anchorChars / totalChars, 6))
       .otherwise(lit(0.0))
   }
+
+  /**
+   * URL CANONICALIZATION — the normalization pass before URL-keyed dedup
+   * of a web crawl. Two crawls of the same page differ in case, default
+   * ports, `www.`, tracking parameters, and fragments; dedup on the RAW
+   * url misses all of them. Rules (each a fixed RE2-portable regex, so
+   * any engine replays the pipeline):
+   *
+   *  1. trim surrounding whitespace;
+   *  2. lowercase the scheme and the host (path/query case is
+   *     significant per RFC 3986 and left alone);
+   *  3. drop a default port (`:80` for http, `:443` for https);
+   *  4. drop a leading `www.` label;
+   *  5. drop the fragment (`#...` — never sent to the server);
+   *  6. drop tracking parameters (`utm_*`, `fbclid`, `gclid`, `ref`)
+   *     wherever they sit in the query string, then repair the
+   *     separators (leading `&` after a removed first param, dangling
+   *     `?`/`&`).
+   *
+   * Inputs that do not parse as `scheme://authority...` pass through
+   * with only the trim applied — a profiler concern, not a crash.
+   * Pure map-side scalar: codegen'd regex ops, no shuffle, scan speed.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val parse  = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+    val scheme = lower(regexp_extract(u, parse, 1))
+    val host0  = lower(regexp_extract(u, parse, 2))
+    val rest0  = regexp_extract(u, parse, 3)
+    // default port (rule 3) then www. (rule 4); order is irrelevant —
+    // the patterns touch opposite ends of the authority
+    val host1 = when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .otherwise(host0)
+    val host = regexp_replace(host1, "^www\\.", "")
+    val noFrag = regexp_replace(rest0, "#.*$", "")
+    // tracking params: strip `(?|&)name=value`, then normalize the
+    // separator of whatever param ended up first, then dangling tails
+    val noTrack = regexp_replace(noFrag,
+      "[?&](?:utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&#]*", "")
+    // promote the now-first param's `&` to `?` ONLY when the strip
+    // actually consumed the `?` — a literal `&` in a query-less path
+    // must not be touched
+    val lostQuery = (instr(noFrag, "?") > 0) && (instr(noTrack, "?") === 0)
+    val fixedSep = when(lostQuery,
+        regexp_replace(noTrack, "^([^&]*)&", "$1?"))
+      .otherwise(noTrack)
+    val rest = regexp_replace(fixedSep, "[?&]$", "")
+    when(scheme =!= "", concat(scheme, lit("://"), host, rest)).otherwise(u)
+  }
 }

@@ -2015,4 +2015,49 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(empty.select(TextOps.linkDensity(col("h"))).first().getDouble(0)
       == 0.0)
   }
+
+  test("canonicalizeUrl: case/port/www/fragment/tracking variants collapse " +
+       "to one form; literal & in a query-less path survives; non-URLs " +
+       "pass through trimmed") {
+    import spark.implicits._
+    val cases = Seq(
+      // every rule at once
+      "  HTTPS://WWW.Example.COM:443/Docs/3/page?utm_source=a&id=9&utm_campaign=b#frag "
+        -> "https://example.com/Docs/3/page?id=9",
+      // tracking param first consumed the `?` -> next param promoted
+      "http://example.com:80/p?gclid=x&id=2" -> "http://example.com/p?id=2",
+      // ALL params tracking -> query vanishes entirely
+      "https://News.example.com/p?utm_x=1&fbclid=2&ref=nav"
+        -> "https://news.example.com/p",
+      // path case is significant and kept; non-default port kept
+      "https://example.com:8443/CaseSensitive/Path"
+        -> "https://example.com:8443/CaseSensitive/Path",
+      // literal & in a query-less path: separator repair must NOT fire
+      "https://example.com/a&b" -> "https://example.com/a&b",
+      // :443 on plain http is NOT a default port -> kept
+      "http://example.com:443/p" -> "http://example.com:443/p",
+      // unparseable input -> trim only
+      "  not a url  " -> "not a url")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"[$in] -> got [$g], want [$want]")
+    }
+  }
+
+  test("clusterSizeHistogram: planted components of size 2 and 3 roll up " +
+       "to exact (size, count) rows; bodies never consulted") {
+    import spark.implicits._
+    // a canonical mapping as canonicalMapping would emit it: cluster A
+    // {1,2,3} -> 1, clusters B {10,11} -> 10, C {20,21} -> 20
+    val mapping = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("doc_id", "canonical_id")
+    val got = DedupOps.clusterSizeHistogram(mapping)
+      .orderBy("cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 2L), (3L, 1L)), s"got $got")
+  }
 }

@@ -99,4 +99,28 @@ class StatsOpsSpec extends SparkTestBase {
       graft.ops.StatsOps.winsorize(d, "g", "v", 0.9, 0.1)
     }
   }
+
+  test("profileColumns: exact null/distinct counts; numeric min/max order " +
+       "numerically before the string cast; all-null column -> null " +
+       "min/max; column subset respected") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(2L), Option("b"), Option.empty[Long]),
+      (Option(10L), Option("a"), Option.empty[Long]),
+      (Option(10L), None, Option.empty[Long]),
+      (None, Option("a"), Option.empty[Long])).toDF("n", "s", "z")
+    val got = StatsOps.profileColumns(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5)))).toSeq
+    assert(got == Seq(
+      // numeric ordering: min 2, max 10 (lexically "10" < "2")
+      ("n", 4L, 1L, 2L, Some("2"), Some("10")),
+      ("s", 4L, 1L, 2L, Some("a"), Some("b")),
+      ("z", 4L, 4L, 0L, None, None)), s"got $got")
+    val sub = StatsOps.profileColumns(df, Seq("s")).collect()
+    assert(sub.length == 1 && sub.head.getString(0) == "s")
+    intercept[IllegalArgumentException] {
+      StatsOps.profileColumns(df.select())
+    }
+  }
 }
