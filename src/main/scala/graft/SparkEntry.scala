@@ -1002,6 +1002,28 @@ object SparkEntry {
         .orderBy(col("canonical_url"))
     }),
 
+    "q125_contamination_report" -> ((s: SparkSession, dir: String) => {
+      // q46's decontamination upgraded to evidence: per flagged doc, how
+      // many distinct 5-grams hit the probe set, out of how many, as ppm
+      val d = t(s, dir, "documents")
+      DedupOps.contaminationReport(d, "doc_id", "text",
+          d.filter(col("doc_id") < 3), "text", shingleSize = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q126_ewma" -> ((s: SparkSession, dir: String) => {
+      // per-user smoothed metric in event-time order; every 17th value
+      // nulled to pin the carry rule (state repeats, trend not reset)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          when(pmod(col("event_id"), lit(17L)) === 0,
+            lit(null).cast(DoubleType)).otherwise(col("value")).as("value"))
+      graft.ops.EventOps.ewma(ev, "user_id", "ts", "event_id", "value",
+          alpha = 0.5)
+        .select(col("event_id"), col("user_id"), col("value"), col("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
     "q119_winsorize" -> ((s: SparkSession, dir: String) => {
       // robust per-source length scaling: clamp n_chars into each
       // source's exact [p5, p95] band — one groups-sized percentile agg
@@ -3295,6 +3317,55 @@ object SparkEntry {
         |SELECT canonical_url, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_dups
         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+    "q125_contamination_report" ->
+      // q46's shingle chain with per-doc counts; integer floor-div ppm
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+        |      ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM tok
+        |), probe AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 3
+        |), d AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh
+        |), agg AS (
+        |  SELECT d.doc_id, count(*) AS n_shingles,
+        |    count(p.g) AS n_contaminated
+        |  FROM d LEFT JOIN probe p ON d.g = p.g
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT doc_id, n_shingles, n_contaminated,
+        |  (n_contaminated * 1000000) // n_shingles AS contamination_ppm
+        |FROM agg WHERE n_contaminated > 0 ORDER BY doc_id""".stripMargin,
+
+    "q126_ewma" ->
+      // the recurrence replayed per user by a recursive CTE advancing one
+      // time-ordered row per step (q22 lp_filter precedent): same IEEE
+      // ops in the same order -> bit-exact; null values carry the state
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, event_id, rn, value, value AS ewma
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.rn, e.value,
+        |    CASE WHEN e.value IS NULL THEN r.ewma
+        |         WHEN r.ewma IS NULL THEN e.value
+        |         ELSE 0.5 * e.value + 0.5 * r.ewma END
+        |  FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT event_id, user_id, value, ewma
+        |FROM rec ORDER BY event_id""".stripMargin,
 
     "q119_winsorize" ->
       // quantile_cont == Spark's exact linear-interpolation percentile

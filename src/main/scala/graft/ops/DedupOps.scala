@@ -1106,6 +1106,41 @@ object DedupOps {
   }
 
   /**
+   * CONTAMINATION REPORT — [[contaminatedIds]] upgraded from a boolean to
+   * evidence: for every flagged document, how many of its DISTINCT word
+   * n-grams hit the probe set (`n_contaminated`), out of how many
+   * (`n_shingles`), with the ratio as integer ppm. A boolean can't
+   * distinguish one incidental 13-gram from a wholesale benchmark paste;
+   * the ppm decides drop-vs-keep and the counts are what a data audit
+   * ships. Only contaminated docs emit a row (the report stays sparse at
+   * corpus scale — clean docs are the overwhelming majority).
+   *
+   * Scale shape: identical to [[contaminatedIds]] — probe shingles
+   * broadcast (the small side by construction), the corpus explosion is
+   * map-side into a broadcast-hash left join, and the only shuffle is the
+   * per-doc count aggregation keyed on the id. Integer floor-division ppm
+   * — exactly replayable on any engine.
+   */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          probes: DataFrame, probeTextCol: String,
+                          shingleSize: Int = 13): DataFrame = {
+    val probeSh = probes
+      .select(explode(shingles(col(probeTextCol), shingleSize)).as("__sh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    docs
+      .select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), shingleSize))).as("__sh"))
+      .join(broadcast(probeSh), Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .withColumn("contamination_ppm",
+        expr("n_contaminated * 1000000 DIV n_shingles"))
+  }
+
+  /**
    * Corpus-frequency segment dedup (the RefinedWeb / CCNet line-dedup rule):
    * drop every line whose EXACT text appears in more than `maxDocFreq`
    * distinct documents — boilerplate headers, navigation chrome, cookie

@@ -245,4 +245,70 @@ object EventOps {
       .select((col("__cohort") * widthUs).as("cohort_start_us"),
         col("__period").as("period"), col("n_users"))
   }
+
+  /**
+   * Per-key EWMA (exponentially-weighted moving average) of `valueCol` in
+   * event-time order — the standard smoothed-metric signal (latency
+   * trend, spend rate, engagement decay) a monitoring or feature pipeline
+   * derives per user/device/session. Recurrence (pandas
+   * `ewm(alpha).mean(adjust=False)` shape): first non-null value seeds the
+   * state, then `y = alpha*x + (1-alpha)*y_prev`. Null values CARRY: the
+   * output repeats the current state (null before any value arrives) and
+   * the state is unchanged — a missing measurement must not reset the
+   * trend.
+   *
+   * The recurrence is order-sensitive, so this is a sequential kernel in
+   * the [[graft.ops.SeqOps]] family, NOT a window function: one shuffle on
+   * `keyCol` (`groupByKey` → in-memory sort on `(tsCol, tieCol)` →
+   * linear fold), parallelism from key count. Per-key event counts are
+   * bounded (10^3..10^6); both engines evaluate `alpha*x + beta*prev`
+   * with the same IEEE ops in the same order, so a recursive-CTE oracle
+   * replays it bit-exactly (the q22 lp_filter precedent). `tieCol` must
+   * make the sort total (a unique event id) — without it, same-timestamp
+   * rows would make the fold order engine-dependent.
+   */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valueCol: String, alpha: Double = 0.5,
+           out: String = "ewma"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"ewma: alpha must be in (0, 1], got $alpha")
+    val beta = 1.0 - alpha
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx  = schema.fieldIndex(tsCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+    val valIdx = schema.fieldIndex(valueCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        out, org.apache.spark.sql.types.DoubleType, nullable = true))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    def asLong(v: Any): Long = v match {
+      case null => Long.MinValue
+      case n: java.lang.Number => n.longValue()
+      case t: java.sql.Timestamp => t.getTime * 1000L + t.getNanos / 1000 % 1000
+      case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
+      case l: java.time.LocalDateTime => // TIMESTAMP_NTZ; only the ORDER
+        // matters here, and the UTC mapping is monotonic
+        l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000
+      case other => throw new IllegalArgumentException(
+        s"ewma: unsupported order value $other")
+    }
+    df.groupByKey(r => String.valueOf(r.get(keyIdx)))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(r => (asLong(r.get(tsIdx)), asLong(r.get(tieIdx))))
+        var state: java.lang.Double = null
+        rows.iterator.map { r =>
+          r.get(valIdx) match {
+            case null => // carry
+            case n: java.lang.Number =>
+              val x = n.doubleValue()
+              state = if (state == null) x else alpha * x + beta * state
+            case other => throw new IllegalArgumentException(
+              s"ewma: non-numeric value $other")
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (state: Any))
+        }
+      }
+  }
 }

@@ -159,4 +159,46 @@ class EventOpsSpec extends SparkTestBase {
     assert(exchanges == 1,
       s"expected the lag and running-sum windows to reuse one exchange, got $exchanges in:\n$plan")
   }
+
+  test("ewma: seeds on the first non-null, folds alpha*x + (1-alpha)*prev " +
+       "in time order with the id tie-break, carries through nulls, and " +
+       "leading nulls emit null") {
+    import spark.implicits._
+    // user u: values 4, null, 8, 2 in ts order (tie on ts=20 broken by id);
+    // user v: leading null, then 10
+    val df = Seq(
+      ("u", 10L, 1L, Option(4.0)),
+      ("u", 20L, 2L, Option.empty[Double]), // carry: state stays 4.0
+      ("u", 20L, 3L, Option(8.0)),          // 0.5*8 + 0.5*4 = 6.0
+      ("u", 30L, 4L, Option(2.0)),          // 0.5*2 + 0.5*6 = 4.0
+      ("v", 5L, 5L, Option.empty[Double]),  // no state yet -> null out
+      ("v", 6L, 6L, Option(10.0))           // seeds at 10
+    ).toDF("u", "ts", "id", "v")
+    val got = EventOps.ewma(df, "u", "ts", "id", "v")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        Option(r.get(r.fieldIndex("ewma"))).map(_.asInstanceOf[Double])))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(1L -> Some(4.0), 2L -> Some(4.0), 3L -> Some(6.0),
+      4L -> Some(4.0), 5L -> None, 6L -> Some(10.0)), s"got $got")
+    intercept[IllegalArgumentException] {
+      EventOps.ewma(df, "u", "ts", "id", "v", alpha = 0.0)
+    }
+  }
+
+  test("contaminationReport: exact distinct-shingle counts and floor-div " +
+       "ppm; clean docs emit no row") {
+    import spark.implicits._
+    // probe: "a b c d e" -> one 5-gram. doc 10 contains it among 3
+    // distinct 5-grams; doc 11 shares nothing
+    val docs = Seq(
+      (10L, "a b c d e f g"),     // 5-grams: abcde, bcdef, cdefg
+      (11L, "x y z w q r")).toDF("doc_id", "text")
+    val probes = Seq(Tuple1("a b c d e")).toDF("text")
+    val got = graft.ops.DedupOps.contaminationReport(
+        docs, "doc_id", "text", probes, "text", shingleSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((10L, 3L, 1L, 333333L)), s"got $got")
+  }
 }
