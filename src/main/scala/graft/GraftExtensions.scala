@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions.all.foreach(ext.injectFunction)
     org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions.all.foreach(ext.injectFunction)
     org.apache.spark.sql.catalyst.expressions.graftsketch.KllExpressions.all.foreach(ext.injectFunction)
+    org.apache.spark.sql.catalyst.expressions.graftsketch.MisraGriesExpressions.all.foreach(ext.injectFunction)
   }
 }

@@ -27,6 +27,7 @@ object Shell {
     org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions.registerInto(spark)
     org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions.registerInto(spark)
     org.apache.spark.sql.catalyst.expressions.graftsketch.KllExpressions.registerInto(spark)
+    org.apache.spark.sql.catalyst.expressions.graftsketch.MisraGriesExpressions.registerInto(spark)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       val p = new java.io.File(s"$sfDir/$t.parquet")

@@ -1024,6 +1024,16 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q127_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      // guaranteed token heavy hitters: a Misra-Gries candidate pass (≤49
+      // counters of aggregate state) then an exact recount — every token
+      // with count strictly over n/50, exact counts, no stowaways
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      graft.ops.SketchOps.heavyHitters(toks, "token", k = 50)
+        .orderBy(col("n_rows").desc, col("token"))
+    }),
+
     "q119_winsorize" -> ((s: SparkSession, dir: String) => {
       // robust per-source length scaling: clamp n_chars into each
       // source's exact [p5, p95] band — one groups-sized percentile agg
@@ -3366,6 +3376,19 @@ object SparkEntry {
         |)
         |SELECT event_id, user_id, value, ewma
         |FROM rec ORDER BY event_id""".stripMargin,
+
+    "q127_heavy_hitters" ->
+      // the exact definition the two-phase MG query guarantees: every
+      // token with count*k strictly over n, exact counts, floor-div ppm
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents
+        |), tot AS (SELECT count(*) AS n FROM tok),
+        |c AS (SELECT token, count(*) AS n_rows FROM tok GROUP BY token)
+        |SELECT c.token, c.n_rows, (c.n_rows * 1000000) // t.n AS share_ppm
+        |FROM c CROSS JOIN tot t WHERE c.n_rows * 50 > t.n
+        |ORDER BY c.n_rows DESC, c.token""".stripMargin,
 
     "q119_winsorize" ->
       // quantile_cont == Spark's exact linear-interpolation percentile

@@ -239,4 +239,50 @@ object SketchOps {
       d.withColumn(label(p), Kll.kllQuantile(col("__merged"), p))
     }.drop("__merged")
   }
+
+  // --- Misra-Gries heavy hitters: sketch narrows, exact verifies ----------
+
+  private def Mg = org.apache.spark.sql.catalyst.expressions.graftsketch
+    .MisraGriesExpressions
+
+  /**
+   * GUARANTEED heavy hitters of `keyCol`: every key whose exact count
+   * strictly exceeds `n / k` (n = non-null rows), with its EXACT count
+   * and integer-ppm share — no false positives, no false negatives, at
+   * any corpus size, in two passes neither of which shuffles more than
+   * O(k) state:
+   *
+   *  1. one [[MisraGriesExpressions.mgCandidatesAgg]] pass — ≤ k-1
+   *     candidate keys per task ride the agg buffers (the MG superset
+   *     guarantee: no true heavy hitter can be missing), collected with
+   *     the total count in the same job;
+   *  2. one exact recount of the candidate keys alone — a broadcast
+   *     membership filter at scan speed, then a tiny groupBy bounded by
+   *     k, filtered by the exact `count * k > n` rule.
+   *
+   * The MG summary content is partition-order-dependent; the FINAL result
+   * is not (the exact filter decides membership). This is the engine's
+   * standard sketch-narrows/exact-verifies move (bloom decontamination,
+   * line-dedup exactVerify) applied to frequency. The driver holds ≤ k-1
+   * candidate strings — bounded by the parameter, never by the corpus.
+   */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"heavyHitters: k must be >= 2, got $k")
+    val first = df.agg(
+      Mg.mgCandidatesAgg(col(keyCol), k).as("__cands"),
+      count(col(keyCol)).as("__n")).head()
+    val cands = first.getSeq[String](0)
+    val n = first.getLong(1)
+    if (cands.isEmpty || n == 0L)
+      return df.sparkSession.emptyDataFrame
+        .withColumn(keyCol, lit(null).cast("string"))
+        .withColumn("n_rows", lit(null).cast("long"))
+        .withColumn("share_ppm", lit(null).cast("long"))
+        .limit(0)
+    df.filter(col(keyCol).isInCollection(cands))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") * k > n)
+      .withColumn("share_ppm", expr(s"n_rows * 1000000 DIV ${n}L"))
+  }
 }

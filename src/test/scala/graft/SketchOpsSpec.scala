@@ -128,4 +128,62 @@ class SketchOpsSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS ${name}_counters")
     }
   }
+
+  test("heavyHitters: exactly the keys with count*k > n, exact counts, " +
+       "under any partitioning; near-threshold keys adjudicated exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // n = 1000; k = 10 -> threshold: count > 100.
+    // hot: 300 + 101 (barely over); cold: 100 (exactly n/k -> OUT),
+    // 99, and 500 singletons
+    val rows = Seq.fill(300)("hot") ++ Seq.fill(101)("warm") ++
+      Seq.fill(100)("edge") ++ Seq.fill(99)("near") ++
+      (1 to 400).map(i => s"one$i")
+    assert(rows.length == 1000)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("w").repartition(parts)
+      val got = graft.ops.SketchOps.heavyHitters(df, "w", k = 10)
+        .orderBy(desc("n_rows"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(got == Seq(("hot", 300L, 300000L), ("warm", 101L, 101000L)),
+        s"parts=$parts got $got")
+    }
+    // all-distinct corpus: no heavy hitters, empty (not failing) result
+    val none = SketchOpsSpecHelper.distinct1k(spark)
+    assert(graft.ops.SketchOps.heavyHitters(none, "w", k = 10).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.ops.SketchOps.heavyHitters(rows.toDF("w"), "w", k = 1)
+    }
+  }
+
+  test("mg_candidates_agg: superset guarantee holds on an adversarial " +
+       "decrement-heavy stream; SQL surface registered") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 30% 'a' among 7000 distinct fillers: candidates MUST contain 'a'
+    val rows = Seq.fill(3000)("a") ++ (1 to 7000).map(i => s"f$i")
+    val df = rows.toDF("w").repartition(16)
+    val cands = df.agg(
+      org.apache.spark.sql.catalyst.expressions.graftsketch
+        .MisraGriesExpressions.mgCandidatesAgg(col("w"), 20).as("c"))
+      .head().getSeq[String](0)
+    assert(cands.size <= 19, s"state bound violated: ${cands.size}")
+    assert(cands.contains("a"), s"true heavy hitter evicted: $cands")
+    df.createOrReplaceTempView("mg_spec_words")
+    org.apache.spark.sql.catalyst.expressions.graftsketch
+      .MisraGriesExpressions.registerInto(spark)
+    val viaSql = spark.sql(
+      "SELECT mg_candidates_agg(w, 20) FROM mg_spec_words")
+      .head().getSeq[String](0)
+    assert(viaSql.contains("a"))
+  }
+}
+
+object SketchOpsSpecHelper {
+  def distinct1k(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (1 to 1000).map(i => s"d$i").toDF("w")
+  }
 }
