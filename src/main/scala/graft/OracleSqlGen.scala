@@ -649,6 +649,61 @@ object OracleSqlGen {
        |SELECT cluster_size, count(*) AS n_clusters
        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** q128: the distributed integer Lloyd recurrence unrolled — one
+    * (assign, update) CTE pair per iteration, then the final assignment.
+    * Every value is an exact integer in a double (quantize/floor rules
+    * identical to [[graft.ops.SimOps.kmeansAssignInt]]), so no summation
+    * order or tie can drift between engines. */
+  def kmeansIntSql(k: Int, iters: Int, scale: Int): String = {
+    def distExpr(qc: String, cv: String): String =
+      s"(list_inner_product($qc, $qc) - 2*list_inner_product($qc, $cv)" +
+        s" + list_inner_product($cv, $cv))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> floor(x * $scale + 0.5)) AS q
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |    q AS cv
+         |  FROM q ORDER BY vec_id LIMIT $k
+         |)""".stripMargin)
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb.append(
+        s""", a$i AS (
+           |  SELECT vec_id, q, cid,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ${distExpr("q", "cv")}, cid) AS rn
+           |  FROM q CROSS JOIN $prev
+           |), u$i AS (
+           |  SELECT cid, dim, floor(sum(v) / count(*)) AS cv_d
+           |  FROM (
+           |    SELECT cid, unnest(q) AS v,
+           |      unnest(generate_series(1, len(q))) - 1 AS dim
+           |    FROM a$i WHERE rn = 1
+           |  ) GROUP BY cid, dim
+           |), c$i AS (
+           |  SELECT $prev.cid, COALESCE(n.cv, $prev.cv) AS cv
+           |  FROM $prev LEFT JOIN (
+           |    SELECT cid, list(cv_d ORDER BY dim) AS cv FROM u$i GROUP BY cid
+           |  ) n USING (cid)
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""", fin AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ${distExpr("q", "cv")}, cid) AS rn
+         |  FROM q CROSS JOIN c$iters
+         |)
+         |SELECT vec_id, cid AS cluster_id FROM fin WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
   /** q100: keep-best canonical near-dedup — q48's component closure, but
     * the survivor per component is the argmax of (length(text) DESC,
     * doc_id ASC) instead of the minimum id. The planted perturbed copies

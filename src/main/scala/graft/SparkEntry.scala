@@ -1034,6 +1034,15 @@ object SparkEntry {
         .orderBy(col("n_rows").desc, col("token"))
     }),
 
+    "q128_kmeans" -> ((s: SparkSession, dir: String) => {
+      // full-corpus distributed Lloyd in exact integer arithmetic: 8
+      // clusters, 3 iterations, milli-unit quantization — per-iteration
+      // shuffle is (k x dim) rows, bit-identical on any engine
+      graft.ops.SimOps.kmeansAssignInt(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 3)
+        .orderBy(col("vec_id"))
+    }),
+
     "q119_winsorize" -> ((s: SparkSession, dir: String) => {
       // robust per-source length scaling: clamp n_chars into each
       // source's exact [p5, p95] band — one groups-sized percentile agg
@@ -3389,6 +3398,8 @@ object SparkEntry {
         |SELECT c.token, c.n_rows, (c.n_rows * 1000000) // t.n AS share_ppm
         |FROM c CROSS JOIN tot t WHERE c.n_rows * 50 > t.n
         |ORDER BY c.n_rows DESC, c.token""".stripMargin,
+
+    "q128_kmeans" -> OracleSqlGen.kmeansIntSql(k = 8, iters = 3, scale = 1000),
 
     "q119_winsorize" ->
       // quantile_cont == Spark's exact linear-interpolation percentile

@@ -372,6 +372,79 @@ object SimOps {
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
   }
 
+  /**
+   * DISTRIBUTED integer-exact Lloyd k-means over the FULL corpus — the
+   * scale sibling of [[trainIvfCodebook]] (which trains on a bounded
+   * driver sample): every iteration is one corpus-wide assignment map plus
+   * one `(cluster, dim)`-keyed aggregation, so it trains on 10^9 vectors
+   * with per-iteration shuffle bounded by `k x dim` rows, never by corpus
+   * size. Returns the final `(vec_id, cluster_id)` assignment under the
+   * trained centroids.
+   *
+   * Engine-portable determinism (the fixed-point PageRank rule applied to
+   * k-means): vectors quantize to INTEGER-VALUED doubles
+   * (`floor(x*scale + 0.5)` — exact in IEEE doubles up to 2^53, so sums
+   * and products are exact integers and no summation order can drift),
+   * distances are exact integers (`q.q - 2 q.c + c.c` via the native
+   * codegen dot), argmin ties break to the lowest centroid id, and the
+   * centroid update is `floor(sum/count)` per dimension — every step
+   * replayable bit-for-bit by any engine, which is what makes the whole
+   * iterative algorithm DuckDB-oracle-able. Init: the quantized vectors
+   * of the `k` smallest ids (deterministic, sample-free); empty clusters
+   * keep their previous centroid.
+   *
+   * Driver state per iteration: `k x dim` longs (the codebook pattern —
+   * bounded by parameters, not data). The assignment expression compiles
+   * the centroids as literals into whole-stage codegen.
+   */
+  def kmeansAssignInt(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 1, s"kmeansAssignInt: k must be >= 1, got $k")
+    require(iters >= 0, s"kmeansAssignInt: iters must be >= 0, got $iters")
+    require(scale >= 1 && scale <= 1000000,
+      s"kmeansAssignInt: scale must be in [1, 1e6], got $scale")
+    // Spark's floor(double) yields LONG; cast back — the values are the
+    // same exact integers either way, doubles keep the native dot applicable
+    val qcol = transform(col(vecCol).cast(ArrayType(DoubleType)),
+      x => floor(x * scale + lit(0.5)).cast(DoubleType))
+    val q = corpus
+      .select(col(idCol).cast(LongType).as("vec_id"), qcol.as("__q"))
+      .filter(col("__q").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Double]] = q.orderBy(col("vec_id")).limit(k)
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(cents.nonEmpty, "kmeansAssignInt: empty corpus")
+      def assignCol(cs: Array[Array[Double]]): Column = {
+        val dists: Array[Column] = cs.map { c =>
+          val cc = c.map(x => x * x).sum // exact integer-valued double
+          val cLit = array(c.map(lit(_)): _*)
+          dot(col("__q"), col("__q")) - lit(2.0) * dot(col("__q"), cLit) + lit(cc)
+        }
+        val arr = array(dists.toIndexedSeq: _*)
+        // first position of the min -> lowest centroid id on ties
+        (array_position(arr, array_min(arr)) - 1).cast(LongType)
+      }
+      for (_ <- 1 to iters) {
+        val stats = q.select(assignCol(cents).as("__cl"),
+            posexplode(col("__q")).as(Seq("__dim", "__v")))
+          .groupBy(col("__cl"), col("__dim"))
+          .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        val next = cents.map(_.clone())
+        stats.foreach { r =>
+          val cl = r.getLong(0).toInt
+          val d  = r.getInt(1)
+          next(cl)(d) = math.floor(r.getDouble(2) / r.getLong(3))
+        }
+        cents = next
+      }
+      q.select(col("vec_id"), assignCol(cents).as("cluster_id"))
+        // materialize before unpersist (caller gets a plain result)
+        .localCheckpoint()
+    } finally q.unpersist()
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, nCells: Int = 16,
               nProbe: Int = 4, trainCodebook: Boolean = false,

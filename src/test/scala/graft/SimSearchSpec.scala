@@ -365,4 +365,44 @@ class SimSearchSpec extends SparkTestBase {
     assert(agg("candidate_pairs") > 0L && agg("verified_pairs") == 0L,
       s"capped cell's pairs must vanish, others verify nothing: $agg")
   }
+
+  test("kmeansAssignInt: planted blobs converge to their own clusters " +
+       "regardless of partitioning; empty clusters keep centroids; " +
+       "0 iterations = assignment under the raw seeds") {
+    import spark.implicits._
+    // two tight blobs far apart; ids chosen so the k-smallest-id seeds
+    // (0 and 1) land ONE IN EACH blob — Lloyd then separates and refines
+    def pt(base: Double, jitter: Double) = Array(base + jitter, base - jitter)
+    val blobA = Seq(0L) ++ (2L to 10L)   // around 0.1
+    val blobB = Seq(1L) ++ (11L to 19L)  // around 0.9
+    val rows =
+      blobA.zipWithIndex.map { case (id, i) =>
+        (id, pt(0.1, 0.001 * i).map(_.toFloat)) } ++
+      blobB.zipWithIndex.map { case (id, i) =>
+        (id, pt(0.9, 0.001 * i).map(_.toFloat)) }
+    for (parts <- Seq(1, 5)) {
+      val df = rows.toDF("vec_id", "embedding").repartition(parts)
+      val got = SimOps.kmeansAssignInt(df, "vec_id", "embedding",
+          k = 2, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val aCl = blobA.map(got).toSet
+      val bCl = blobB.map(got).toSet
+      assert(aCl.size == 1 && bCl.size == 1 && aCl != bCl,
+        s"parts=$parts: blobs must separate, got $got")
+    }
+    // k=3 over 2 blobs: the third (empty) cluster keeps its seed centroid
+    // and the result is still a legal total assignment
+    val df3 = rows.toDF("vec_id", "embedding")
+    val got3 = SimOps.kmeansAssignInt(df3, "vec_id", "embedding",
+        k = 3, iters = 2).collect()
+    assert(got3.length == 20 && got3.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 3))
+    // iters = 0: assignment under untouched seeds; seed rows assign to
+    // themselves (distance 0, lowest id tie-break)
+    val got0 = SimOps.kmeansAssignInt(df3, "vec_id", "embedding",
+        k = 2, iters = 0).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got0(0L) == 0L && got0(1L) == 1L)
+    intercept[IllegalArgumentException] {
+      SimOps.kmeansAssignInt(df3, "vec_id", "embedding", k = 0, iters = 1)
+    }
+  }
 }
