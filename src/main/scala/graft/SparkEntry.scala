@@ -1043,6 +1043,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q129_margin_matches" -> ((s: SparkSession, dir: String) => {
+      // bitext-style mining between the even- and odd-id halves: mutual
+      // best cosine match + ratio margin over both 4-NN neighborhoods,
+      // integer micro-unit sums so no float accumulation order can drift
+      val e = t(s, dir, "embeddings")
+      graft.ops.SimOps.marginMutualMatches(
+          e.filter(pmod(col("vec_id"), lit(2L)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2L)) === 1),
+          "vec_id", "embedding", k = 4, minMarginMicro = 1000000L)
+        .orderBy(col("src_id"))
+    }),
+
     "q119_winsorize" -> ((s: SparkSession, dir: String) => {
       // robust per-source length scaling: clamp n_chars into each
       // source's exact [p5, p95] band — one groups-sized percentile agg
@@ -3400,6 +3412,49 @@ object SparkEntry {
         |ORDER BY c.n_rows DESC, c.token""".stripMargin,
 
     "q128_kmeans" -> OracleSqlGen.kmeansIntSql(k = 8, iters = 3, scale = 1000),
+
+    "q129_margin_matches" ->
+      // raw-double cosine for ranking (same IEEE fold), micro-int sums
+      // for the neighborhoods, one positive floor division for the margin
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), l AS (SELECT vec_id AS src_id, v AS lv FROM e WHERE vec_id % 2 = 0),
+        |r AS (SELECT vec_id AS tgt_id, v AS rv FROM e WHERE vec_id % 2 = 1),
+        |p AS (
+        |  SELECT src_id, tgt_id,
+        |    (CASE WHEN sqrt(list_inner_product(lv, lv))
+        |               * sqrt(list_inner_product(rv, rv)) > 0
+        |      THEN list_inner_product(lv, rv)
+        |           / (sqrt(list_inner_product(lv, lv))
+        |              * sqrt(list_inner_product(rv, rv)))
+        |      ELSE 0.0 END) AS c
+        |  FROM l CROSS JOIN r
+        |), pm AS (
+        |  SELECT src_id, tgt_id, c,
+        |    CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS cm
+        |  FROM p
+        |), ranked AS (
+        |  SELECT src_id, tgt_id, c, cm,
+        |    row_number() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rf,
+        |    row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS rb
+        |  FROM pm
+        |), sl AS (
+        |  SELECT src_id, CAST(sum(cm) AS BIGINT) AS s_l
+        |  FROM ranked WHERE rf <= 4 GROUP BY src_id
+        |), sr AS (
+        |  SELECT tgt_id, CAST(sum(cm) AS BIGINT) AS s_r
+        |  FROM ranked WHERE rb <= 4 GROUP BY tgt_id
+        |), m AS (
+        |  SELECT k.src_id, k.tgt_id, k.cm AS cos_micro,
+        |    CASE WHEN (s_l + s_r) > 0
+        |      THEN CAST((k.cm * 8 * 1000000) // (s_l + s_r) AS BIGINT)
+        |      ELSE 0 END AS margin_micro
+        |  FROM ranked k JOIN sl USING (src_id) JOIN sr USING (tgt_id)
+        |  WHERE k.rf = 1 AND k.rb = 1
+        |)
+        |SELECT src_id, tgt_id, cos_micro, margin_micro
+        |FROM m WHERE margin_micro >= 1000000 ORDER BY src_id""".stripMargin,
 
     "q119_winsorize" ->
       // quantile_cont == Spark's exact linear-interpolation percentile

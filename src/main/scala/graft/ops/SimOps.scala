@@ -445,6 +445,66 @@ object SimOps {
     } finally q.unpersist()
   }
 
+  /**
+   * MARGIN-BASED MUTUAL-NEAREST matching between two embedding sets —
+   * the parallel-corpus mining rule (Artetxe & Schwenk 2019's ratio
+   * margin, the CCMatrix recipe): a pair `(x, y)` is emitted iff `y` is
+   * `x`'s single best cosine match AND `x` is `y`'s, and the match
+   * stands out above both local neighborhoods —
+   * `margin = cos(x,y) / ((avg_topk(x) + avg_topk(y)) / 2)`, thresholded.
+   * Mutual-best kills the hub problem (one vector matching everything);
+   * the margin kills dense-region false positives where everything is
+   * close to everything.
+   *
+   * Engine-portable determinism: ranking uses the raw double cosine
+   * (identical IEEE fold on both engines), while every SUM crosses into
+   * integer micro-units first (`floor(c*1e6 + 0.5)`) so neighborhood
+   * sums are order-independent exact integers, and the margin itself is
+   * one positive-integer floor division — the PMI/A-ES quantization rule.
+   * Ties in ranking break by partner id.
+   *
+   * Scale shape: `right` broadcasts (pass the smaller side — query sets,
+   * a day's ingest); the cross product never shuffles and all windows
+   * partition by one side's id. For two 10^9-vector corpora, prefilter
+   * candidates with the banded-LSH machinery ([[lshCosineTopK]] /
+   * [[embeddingNearDupPairs]]) and apply the same mutual+margin tail.
+   */
+  def marginMutualMatches(left: DataFrame, right: DataFrame,
+                          idCol: String, vecCol: String,
+                          k: Int = 4, minMarginMicro: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"marginMutualMatches: k must be >= 1, got $k")
+    val l = left.select(col(idCol).cast(LongType).as("src_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__lv"))
+      .filter(col("__lv").isNotNull)
+    val r = right.select(col(idCol).cast(LongType).as("tgt_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__rv"))
+      .filter(col("__rv").isNotNull)
+    val c = cosine(col("__lv"), col("__rv"))
+    val pairs = l.crossJoin(broadcast(r))
+      .select(col("src_id"), col("tgt_id"), c.as("__c"),
+        floor(c * 1000000d + lit(0.5)).as("__cm"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("__c").desc, col("tgt_id"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tgt_id")).orderBy(col("__c").desc, col("src_id"))
+    val ranked = pairs
+      .withColumn("__rf", row_number().over(wF))
+      .withColumn("__rb", row_number().over(wB))
+    val sl = ranked.filter(col("__rf") <= k)
+      .groupBy(col("src_id")).agg(sum(col("__cm")).as("__sl"))
+    val sr = ranked.filter(col("__rb") <= k)
+      .groupBy(col("tgt_id")).agg(sum(col("__cm")).as("__sr"))
+    ranked.filter(col("__rf") === 1 && col("__rb") === 1)
+      .join(sl, Seq("src_id")).join(sr, Seq("tgt_id"))
+      .withColumn("margin_micro",
+        when(col("__sl") + col("__sr") > 0,
+          expr(s"__cm * ${2 * k}L * 1000000L DIV (__sl + __sr)"))
+          .otherwise(lit(0L)))
+      .filter(col("margin_micro") >= minMarginMicro)
+      .select(col("src_id"), col("tgt_id"), col("__cm").as("cos_micro"),
+        col("margin_micro"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, nCells: Int = 16,
               nProbe: Int = 4, trainCodebook: Boolean = false,

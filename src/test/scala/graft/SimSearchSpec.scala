@@ -405,4 +405,27 @@ class SimSearchSpec extends SparkTestBase {
       SimOps.kmeansAssignInt(df3, "vec_id", "embedding", k = 0, iters = 1)
     }
   }
+
+  test("marginMutualMatches: mutual-best pairs only (one-directional " +
+       "best is dropped), margin over the threshold, and an impossible " +
+       "threshold empties the result") {
+    import spark.implicits._
+    val left = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val right = Seq(
+      (1L, Array(0.95f, 0.05f)),  // mutual with 0
+      (3L, Array(0.90f, 0.10f)),  // best-left is 0, but 0 prefers 1 -> out
+      (5L, Array(0.05f, 0.95f))   // mutual with 2
+    ).toDF("vec_id", "embedding")
+    val got = SimOps.marginMutualMatches(left, right, "vec_id", "embedding",
+        k = 2, minMarginMicro = 1000000L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(got.keySet == Set((0L, 1L), (2L, 5L)), s"got $got")
+    assert(got.values.forall(_ >= 1000000L), s"margins: $got")
+    val none = SimOps.marginMutualMatches(left, right, "vec_id", "embedding",
+      k = 2, minMarginMicro = 100000000L)
+    assert(none.count() == 0)
+  }
 }
