@@ -274,6 +274,43 @@ object pipeline {
       def linkDensity(textCol: String = "text",
                       out: String = "link_density"): DataFrame =
         df.withColumn(out, TextOps.linkDensity(col(textCol)))
+
+      // --- wave 5 --------------------------------------------------------
+
+      def profileColumns(columns: Seq[String] = Nil): DataFrame =
+        StatsOps.profileColumns(df, columns)
+
+      def canonicalizeUrls(urlCol: String = "url",
+                           out: String = "canonical_url"): DataFrame =
+        df.withColumn(out, TextOps.canonicalizeUrl(col(urlCol)))
+
+      def clusterSizeHistogram(canonicalCol: String = "canonical_id"): DataFrame =
+        DedupOps.clusterSizeHistogram(df, canonicalCol)
+
+      def contaminationReport(probes: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              probeTextCol: String = "text",
+                              shingleSize: Int = 13): DataFrame =
+        DedupOps.contaminationReport(df, idCol, textCol, probes,
+          probeTextCol, shingleSize)
+
+      def ewma(valueCol: String, alpha: Double = 0.5,
+               keyCol: String = "user_id", tsCol: String = "ts",
+               tieCol: String = "event_id", out: String = "ewma"): DataFrame =
+        EventOps.ewma(df, keyCol, tsCol, tieCol, valueCol, alpha, out)
+
+      def heavyHitters(keyCol: String, k: Int): DataFrame =
+        SketchOps.heavyHitters(df, keyCol, k)
+
+      def kmeansAssignInt(k: Int, iters: Int, idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          scale: Int = 1000): DataFrame =
+        SimOps.kmeansAssignInt(df, idCol, vecCol, k, iters, scale)
+
+      def marginMutualMatches(right: DataFrame, idCol: String = "vec_id",
+                              vecCol: String = "embedding", k: Int = 4,
+                              minMarginMicro: Long = 1000000L): DataFrame =
+        SimOps.marginMutualMatches(df, right, idCol, vecCol, k, minMarginMicro)
     }
   }
 }

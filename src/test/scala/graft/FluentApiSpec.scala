@@ -195,4 +195,39 @@ class FluentApiSpec extends SparkTestBase {
       .collect().toSeq ==
       JoinOps.saltedJoin(pts, dim, "t", "x", Map("p" -> 2)).collect().toSeq)
   }
+
+  test("fluent wave-5 surface delegates to the operator objects") {
+    import graft.ops.pipeline.implicits._
+    import graft.ops.{DedupOps, EventOps, SimOps, SketchOps, StatsOps, TextOps}
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta"), (1L, "alpha beta")).toDF("doc_id", "text")
+    assert(docs.profileColumns().collect().toSeq ==
+      StatsOps.profileColumns(docs).collect().toSeq)
+    val urls = Seq(Tuple1("HTTP://WWW.A.com/x?utm_a=1")).toDF("url")
+    assert(urls.canonicalizeUrls().select("canonical_url")
+      .collect().map(_.getString(0)).toSeq ==
+      urls.select(TextOps.canonicalizeUrl($"url"))
+        .collect().map(_.getString(0)).toSeq)
+    val mapping = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "canonical_id")
+    assert(mapping.clusterSizeHistogram().collect().toSeq ==
+      DedupOps.clusterSizeHistogram(mapping).collect().toSeq)
+    val probes = Seq(Tuple1("alpha beta")).toDF("text")
+    assert(docs.contaminationReport(probes, shingleSize = 2)
+      .collect().toSet ==
+      DedupOps.contaminationReport(docs, "doc_id", "text", probes, "text", 2)
+        .collect().toSet)
+    val ev = Seq((1L, 10L, 7L, 2.0), (2L, 20L, 7L, 4.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(ev.ewma("value").collect().toSet ==
+      EventOps.ewma(ev, "user_id", "ts", "event_id", "value").collect().toSet)
+    val words = Seq.fill(10)("w").toDF("k")
+    assert(words.heavyHitters("k", 3).collect().toSeq ==
+      SketchOps.heavyHitters(words, "k", 3).collect().toSeq)
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(emb.kmeansAssignInt(k = 2, iters = 1).collect().toSet ==
+      SimOps.kmeansAssignInt(emb, "vec_id", "embedding", 2, 1).collect().toSet)
+    assert(emb.marginMutualMatches(emb).collect().toSet ==
+      SimOps.marginMutualMatches(emb, emb, "vec_id", "embedding").collect().toSet)
+  }
 }

@@ -145,7 +145,11 @@ class PlanShapeSpec extends SparkTestBase {
           "q112_pagerank", "q113_standardize_embeddings",
           "q114_markup_strip", "q116_weighted_topk",
           "q117_corpus_report", "q119_winsorize",
-          "q120_script_mix").foreach { q =>
+          "q120_script_mix",
+          // wave-5 families: column profiler (stack over one agg), URL
+          // regex pipeline, contamination counts — column algebra only
+          "q122_profile_columns", "q124_url_dedup",
+          "q125_contamination_report").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
@@ -317,5 +321,27 @@ class PlanShapeSpec extends SparkTestBase {
       }
       assert(e3.getMessage.contains("not bucketed"))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("wave-5 plan shapes: contamination probes and margin-match right " +
+       "side broadcast (the corpus side never shuffles into the join)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cPlan = graft.ops.DedupOps.contaminationReport(
+        docs, "doc_id", "text",
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 3),
+        "text", shingleSize = 5)
+      .queryExecution.executedPlan.toString
+    assert(cPlan.contains("BroadcastHashJoin"),
+      s"probe shingles must broadcast onto the corpus scan:\n$cPlan")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val mPlan = graft.ops.SimOps.marginMutualMatches(
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2L)) === 1),
+        "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(mPlan.contains("BroadcastNestedLoopJoin"),
+      s"the right set must broadcast into the cross product:\n$mPlan")
   }
 }
