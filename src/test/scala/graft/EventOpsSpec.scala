@@ -186,6 +186,27 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ewma identities: alpha = 1 reproduces the input; a constant " +
+       "series stays constant at any alpha") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => ("u", i, i, (i % 7).toDouble))
+      .toDF("u", "ts", "id", "v")
+    val a1 = EventOps.ewma(df, "u", "ts", "id", "v", alpha = 1.0)
+      .collect()
+    a1.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("ewma")) ==
+        r.getDouble(r.fieldIndex("v")), r.toString)
+    }
+    val const = (1L to 50L).map(i => ("u", i, i, 3.25)).toDF("u", "ts", "id", "v")
+    val ac = EventOps.ewma(const, "u", "ts", "id", "v", alpha = 0.3)
+      .collect()
+    ac.foreach { r =>
+      // fp tolerance: 0.3*c + 0.7*c re-associates the constant each step
+      assert(math.abs(r.getDouble(r.fieldIndex("ewma")) - 3.25) < 1e-9,
+        r.toString)
+    }
+  }
+
   test("contaminationReport: exact distinct-shingle counts and floor-div " +
        "ppm; clean docs emit no row") {
     import spark.implicits._

@@ -2046,6 +2046,27 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("canonicalizeUrl is IDEMPOTENT over an enumerated grid of scheme/" +
+       "case/port/www/params/fragment combinations") {
+    import spark.implicits._
+    // 2*3*3*4*2 = 144 combinations
+    val urls = for {
+      scheme <- Seq("http://", "HTTPS://")
+      host   <- Seq("WWW.Ex.COM", "sub.ex.com:443", "ex.com:8080")
+      path   <- Seq("", "/A/b", "/a&b")
+      query  <- Seq("", "?utm_x=1", "?id=1&utm_x=2&gclid=3", "?a=1&b=2")
+      frag   <- Seq("", "#f")
+    } yield scheme + host + path + query + frag
+    val once = urls.toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u")).as("c1"))
+      .select(col("c1"), TextOps.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    once.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"not idempotent: [${r.getString(0)}] -> [${r.getString(1)}]")
+    }
+  }
+
   test("clusterSizeHistogram: planted components of size 2 and 3 roll up " +
        "to exact (size, count) rows; bodies never consulted") {
     import spark.implicits._
