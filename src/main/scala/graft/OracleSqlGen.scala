@@ -123,19 +123,29 @@ object OracleSqlGen {
     * left-to-right fold MatProjectExpr performs. */
   private def projRowsSql(outDim: Int, dim: Int): String = {
     val rows = SimOps.projectionMatrix(outDim, dim, 42L)
+    // NOTE: DuckDB's double summation (list_inner_product, long `+`
+    // chains, list_reduce alike) is vectorized and can differ ±1 ulp from
+    // a strict left-to-right fold — consumers must quantize or rank,
+    // never compare the raw doubles (q91 learned this at sf0.1).
     s"""SELECT e.vec_id, r.j, list_inner_product(e.v, r.row) AS ip
        |  FROM e CROSS JOIN (VALUES
        |    ${planesValues(rows)}) r(j, row)""".stripMargin
   }
 
   /** q91: random-projection (JL) dim reduction, exploded to
-    * (vec_id, dim, proj) — bit-exact against MatProjectExpr because both
-    * engines fold the SAME pre-scaled row literals left-to-right. */
+    * (vec_id, dim, proj_micro). Micro-quantized, NOT raw doubles: DuckDB
+    * evaluates double summation with vectorized kernels that drift ±1 ulp
+    * from MatProjectExpr's strict left-to-right loop (verified against
+    * list_inner_product, an explicit left-associated term chain, AND
+    * list_reduce — all three return the same vectorized result), so the
+    * engine-portable contract is the micro-unit integer, same as the
+    * PMI/A-ES scores. */
   def randomProjectionSql(outDim: Int, dim: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |)
-       |SELECT vec_id, j AS dim, ip AS proj
+       |SELECT vec_id, j AS dim,
+       |  CAST(floor(ip * 1000000 + 0.5) AS BIGINT) AS proj_micro
        |FROM (${projRowsSql(outDim, dim)})
        |ORDER BY vec_id, dim""".stripMargin
 

@@ -1372,14 +1372,18 @@ object SparkEntry {
       // JL dimensionality reduction at ingest: 64 -> 16 dims via a
       // deterministic pre-scaled Gaussian matrix (native one-pass kernel,
       // matrix as a codegen reference object) — downstream ANN scans and
-      // shuffles carry a quarter of the bytes. Bit-exact: both engines
-      // fold the same row literals left-to-right.
+      // shuffles carry a quarter of the bytes. Output in integer
+      // micro-units: DuckDB's dot-product kernels sum VECTORIZED (±1 ulp
+      // vs the strict left-to-right fold — measured, not hypothetical;
+      // it cost this query a hash at sf0.1 when one raw double crossed
+      // the comparator's 12-sig-digit boundary), so raw-double equality
+      // is not an engine-portable contract; floor(x*1e6 + 0.5) is.
       val m = SimOps.projectionMatrix(outDim = 16, dim = 64)
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           posexplode(SimOps.randomProject(col("embedding"), m)).as(Seq("dim", "p")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
-          col("p").as("proj"))
+          floor(col("p") * 1000000d + lit(0.5)).as("proj_micro"))
         .orderBy(col("vec_id"), col("dim"))
     }),
 
