@@ -219,6 +219,75 @@ private[streaming] class TransitionProcessor(tsIdx: Int, typeIdx: Int,
 }
 
 /**
+ * Per-key state for [[StreamOps.streamingEwma]]: `pending` buffers
+ * `(ts ms, tie, value, isNull)` rows the watermark has not passed;
+ * `ewmaState` is `(current ewma, seeded flag)` and persists for the key's
+ * lifetime. Rows finalize in `(ts, tie)` order once the watermark passes
+ * them — the same discipline as [[TransitionProcessor]] — so out-of-order
+ * arrivals inside the watermark fold in exactly the batch order. A timer
+ * at the earliest pending ts flushes buffered rows when no new traffic
+ * arrives for the key.
+ */
+private[streaming] class EwmaProcessor(tsIdx: Int, tieIdx: Int, valIdx: Int,
+    alpha: Double, outSchema: org.apache.spark.sql.types.StructType)
+    extends StatefulProcessor[Long, Row, Row] {
+
+  @transient private var pending: ListState[(Long, Long, Double, Boolean)] = _
+  @transient private var ewmaState: ValueState[(Double, Long)] = _
+
+  private val beta = 1.0 - alpha
+  private val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+    Encoders.scalaDouble, Encoders.scalaBoolean)
+  private val stEnc = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    pending = getHandle.getListState[(Long, Long, Double, Boolean)](
+      "pending", rowEnc, TTLConfig.NONE)
+    ewmaState = getHandle.getValueState[(Double, Long)]("ewma", stEnc,
+      TTLConfig.NONE)
+  }
+
+  private def finalizeReady(key: Long, wm: Long): Iterator[Row] = {
+    val all = pending.get().toVector
+    val (ready, rest) = all.partition(_._1 <= wm)
+    val out = Vector.newBuilder[Row]
+    if (ready.nonEmpty) {
+      var st: Option[Double] = Option(ewmaState.get()).collect {
+        case (v, seeded) if seeded == 1L => v
+      }
+      ready.sortBy(r => (r._1, r._2)).foreach { case (ts, tie, v, isNull) =>
+        if (!isNull) st = Some(st.fold(v)(prev => alpha * v + beta * prev))
+        out += new org.apache.spark.sql.catalyst.expressions
+          .GenericRowWithSchema(
+            Array(key, tie, new Timestamp(ts),
+              if (isNull) null else java.lang.Double.valueOf(v),
+              st.map(java.lang.Double.valueOf).orNull),
+            outSchema)
+      }
+      st.foreach(v => ewmaState.update((v, 1L)))
+      if (rest.isEmpty) pending.clear() else pending.put(rest.toArray)
+    }
+    if (rest.nonEmpty) getHandle.registerTimer(rest.map(_._1).min + 1)
+    out.result().iterator
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Row],
+                               tv: TimerValues): Iterator[Row] = {
+    val fresh = rows.map { r =>
+      val isNull = r.isNullAt(valIdx)
+      (r.getTimestamp(tsIdx).getTime, r.getLong(tieIdx),
+        if (isNull) 0.0 else r.getDouble(valIdx), isNull)
+    }.toArray
+    if (fresh.nonEmpty) pending.appendList(fresh)
+    finalizeReady(key, tv.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[Row] =
+    finalizeReady(key, tv.getCurrentWatermarkInMs())
+}
+
+/**
  * Structured Streaming surface. The reference is batch-only (files), but the
  * engine's data model — many casts keyed by `cast_id`, ordered by scan —
  * extends naturally to live instrument feeds: `readStream` -> the same
@@ -332,6 +401,59 @@ object StreamOps {
     base.groupByKey(_.getLong(0))(Encoders.scalaLong)
       .transformWithState(
         new TransitionProcessor(1, 2, gapSeconds * 1000L, outSchema),
+        tsCol, OutputMode.Append(), rowEnc)
+  }
+
+  /**
+   * Streaming EWMA — the live sibling of [[graft.ops.EventOps.ewma]]:
+   * per-key exponentially-weighted metric smoothing in EVENT-TIME order,
+   * robust to out-of-order arrival within the watermark. Each finalized
+   * event emits `(key, tie, ts, value, ewma)` where `ewma` is the state
+   * AFTER folding that event — replaying the batch recurrence exactly
+   * (first non-null seeds; `y = alpha*x + (1-alpha)*y_prev`; null values
+   * carry state and emit the current value), so the streamed rows
+   * reconcile row-for-row with the batch op on the same events
+   * (spec-pinned). The recurrence is order-sensitive, which is exactly
+   * why the processor buffers rows until the watermark passes them — the
+   * [[TransitionProcessor]] discipline — instead of folding in arrival
+   * order.
+   *
+   * State per key: the un-finalized tail (bounded by the watermark
+   * horizon) plus ONE (ewma, seeded) pair that persists for the key's
+   * lifetime — a running metric has no retirement point; cap key
+   * cardinality upstream if the key space is unbounded. Late rows beyond
+   * the watermark drop (the engine's standard trade). Null key / null ts
+   * rows are filtered up front: a null key is not a series, and a null
+   * event time cannot be ordered (the batch op sorts them first — feed
+   * them a synthetic floor timestamp upstream if they must participate).
+   */
+  def streamingEwma(events: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valueCol: String, alpha: Double = 0.5,
+                    watermark: String = "10 minutes"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"streamingEwma: alpha must be in (0, 1], got $alpha")
+    requireRocksDb(events)
+    val base = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("long").as(keyCol), col(tsCol),
+        col(tieCol).cast("long").as(tieCol),
+        col(valueCol).cast("double").as(valueCol))
+      .withWatermark(tsCol, watermark)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(keyCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(tieCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(tsCol,
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField(valueCol,
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ewma",
+        org.apache.spark.sql.types.DoubleType)))
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    base.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .transformWithState(
+        new EwmaProcessor(1, 2, 3, alpha, outSchema),
         tsCol, OutputMode.Append(), rowEnc)
   }
 

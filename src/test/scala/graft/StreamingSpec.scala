@@ -743,4 +743,63 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("streamingEwma: out-of-order rows fold in event-time order, nulls " +
+       "carry state across micro-batches, and the finalized rows " +
+       "reconcile with the batch op row-for-row") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Timestamp, Long, Option[Double])]
+      val out = StreamOps.streamingEwma(
+        input.toDF().toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", alpha = 0.5,
+        watermark = "10 minutes")
+      val q = out.writeStream.format("memory").queryName("ewma_stream")
+        .outputMode("append").start()
+      try {
+        // user 1 OUT OF ORDER: 4@0 and 8@300 arrive before null@200 —
+        // arrival-order folding would give 4, 6, 6; event-time order
+        // must give 4, 4 (null carries), 6. user 2: leading null -> null.
+        input.addData((1L, ts(0), 1L, Some(4.0)), (1L, ts(300), 3L, Some(8.0)),
+          (2L, ts(0), 4L, None))
+        q.processAllAvailable()
+        input.addData((1L, ts(200), 2L, None), (2L, ts(400), 5L, Some(10.0)))
+        q.processAllAvailable()
+        // push the watermark far past everything
+        input.addData((9L, ts(100000), 6L, Some(0.0)))
+        q.processAllAvailable()
+        input.addData((9L, ts(200000), 7L, Some(0.0)))
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT user_id, event_id, value, ewma FROM ewma_stream " +
+          "WHERE user_id IN (1, 2)")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Double])))
+          .toSet
+        assert(got == Set(
+          (1L, 1L, Some(4.0), Some(4.0)),
+          (1L, 2L, None, Some(4.0)),      // null carries, does not reset
+          (1L, 3L, Some(8.0), Some(6.0)), // 0.5*8 + 0.5*4
+          (2L, 4L, None, None),           // no state yet
+          (2L, 5L, Some(10.0), Some(10.0))), s"got $got")
+        // row-for-row reconciliation with the batch kernel on the same events
+        val batchEvents = Seq(
+          (1L, ts(0), 1L, Option(4.0)), (1L, ts(300), 3L, Option(8.0)),
+          (2L, ts(0), 4L, Option.empty[Double]),
+          (1L, ts(200), 2L, Option.empty[Double]),
+          (2L, ts(400), 5L, Option(10.0))
+        ).toDF("user_id", "ts", "event_id", "value")
+        val batch = graft.ops.EventOps.ewma(batchEvents, "user_id", "ts",
+            "event_id", "value", alpha = 0.5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Double]),
+            Option(r.get(4)).map(_.asInstanceOf[Double])))
+          .toSet
+        assert(got == batch, s"streamed $got != batch $batch")
+      } finally q.stop()
+    }
+  }
 }
