@@ -1055,6 +1055,47 @@ object SparkEntry {
         .orderBy(col("src_id"))
     }),
 
+    "q130_distinctive_terms" -> ((s: SparkSession, dir: String) => {
+      // c-TF-IDF: what vocabulary distinguishes each source — group-df
+      // idf in integer micro-nats times integer tf, top 10 per source;
+      // tokens present in every source score exactly 0
+      TextOps.distinctiveTerms(t(s, dir, "documents"), "source", "text",
+          k = 10)
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    "q131_token_drift" -> ((s: SparkSession, dir: String) => {
+      // PSI drift between two snapshots: B keeps even ids and every 10th
+      // doc gains a planted marker suffix — the marker tokens and the
+      // dropped-half shift must surface as the top contributors
+      val d = t(s, dir, "documents")
+      val b = d.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(10L)) === 0,
+              lit(" driftmarker alpha beta")).otherwise(lit("")))
+            .as("text"))
+      TextOps.tokenDrift(d, b, "text", k = 20)
+        .orderBy(col("contrib_pico").desc, col("token"))
+    }),
+
+    "q132_embedding_outliers" -> ((s: SparkSession, dir: String) => {
+      // vector-space QC: distance to own label's centroid in exact
+      // integer arithmetic, flagged over the label's p95 — mislabeled or
+      // corrupt vectors surface here before they poison training
+      graft.ops.SimOps.embeddingOutliers(t(s, dir, "embeddings"),
+          "vec_id", "label", "embedding", hiP = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
+    "q133_hopping_windows" -> ((s: SparkSession, dir: String) => {
+      // sliding 1-hour windows every 15 min x event_type: each event in
+      // exactly 4 windows, micro-quantized value sums (integer-exact)
+      graft.ops.EventOps.hoppingStats(t(s, dir, "events"), "ts",
+          "event_type", "value", widthSeconds = 3600, hopSeconds = 900)
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
     "q119_winsorize" -> ((s: SparkSession, dir: String) => {
       // robust per-source length scaling: clamp n_chars into each
       // source's exact [p5, p95] band — one groups-sized percentile agg
@@ -3459,6 +3500,117 @@ object SparkEntry {
         |)
         |SELECT src_id, tgt_id, cos_micro, margin_micro
         |FROM m WHERE margin_micro >= 1000000 ORDER BY src_id""".stripMargin,
+
+    "q130_distinctive_terms" ->
+      // same tokenizer, same micro-nat idf quantization, same rank rule
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, tok, count(*) AS tf FROM tok GROUP BY source, tok
+        |), dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |ng AS (SELECT count(DISTINCT source) AS ng FROM tf),
+        |sc AS (
+        |  SELECT tf.source, tf.tok, tf.tf, dfq.df,
+        |    tf.tf * CAST(floor(ln(CAST(ng.ng AS DOUBLE) / dfq.df) * 1000000
+        |      + 0.5) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN ng
+        |), r AS (
+        |  SELECT source, tok, tf, df, score_micro,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score_micro DESC, tok) AS rank
+        |  FROM sc
+        |)
+        |SELECT source, tok AS token, tf, df, score_micro,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+
+    "q131_token_drift" ->
+      // add-one smoothed PSI per token, pico-nat-quantized BEFORE any
+      // summation; same planted B-snapshot
+      """WITH b AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 10 = 0 THEN ' driftmarker alpha beta'
+        |         ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), ta AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents
+        |), tb AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS tok
+        |  FROM b
+        |), ca AS (SELECT tok, count(*) AS c_a FROM ta GROUP BY tok),
+        |cb AS (SELECT tok, count(*) AS c_b FROM tb GROUP BY tok),
+        |j AS (
+        |  SELECT COALESCE(ca.tok, cb.tok) AS tok,
+        |    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+        |), tot AS (
+        |  SELECT sum(c_a) AS na, sum(c_b) AS nb, count(*) AS v FROM j
+        |), sc AS (
+        |  SELECT tok, c_a, c_b,
+        |    CAST(floor(
+        |      ((CAST(c_a + 1 AS DOUBLE) / (na + v))
+        |        - (CAST(c_b + 1 AS DOUBLE) / (nb + v)))
+        |      * ln((CAST(c_a + 1 AS DOUBLE) / (na + v))
+        |           / (CAST(c_b + 1 AS DOUBLE) / (nb + v)))
+        |      * 1000000000000 + 0.5) AS BIGINT) AS contrib_pico
+        |  FROM j CROSS JOIN tot
+        |)
+        |SELECT tok AS token, c_a, c_b, contrib_pico
+        |FROM sc ORDER BY contrib_pico DESC, token LIMIT 20""".stripMargin,
+
+    "q132_embedding_outliers" ->
+      // milli-unit integer distances (vectorized summation exact on
+      // integer-valued doubles), exact-percentile threshold per label
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> floor(x * 1000 + 0.5)) AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), cd AS (
+        |  SELECT label, dim, floor(sum(v) / count(*)) AS c
+        |  FROM (
+        |    SELECT label, unnest(q) AS v,
+        |      unnest(generate_series(1, len(q))) - 1 AS dim
+        |    FROM q
+        |  ) GROUP BY label, dim
+        |), cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+        |d AS (
+        |  SELECT vec_id, q.label,
+        |    CAST(list_inner_product(q.q, q.q)
+        |      - 2*list_inner_product(q.q, cent.cv)
+        |      + list_inner_product(cent.cv, cent.cv) AS BIGINT) AS dist2
+        |  FROM q JOIN cent ON q.label = cent.label
+        |), thr AS (
+        |  SELECT label, quantile_cont(dist2, 0.95) AS t FROM d GROUP BY label
+        |)
+        |SELECT d.vec_id, d.label, d.dist2, thr.t AS dist2_threshold,
+        |  d.dist2 > thr.t AS is_outlier
+        |FROM d JOIN thr USING (label) ORDER BY d.vec_id""".stripMargin,
+
+    "q133_hopping_windows" ->
+      // hop-aligned window starts from integer microseconds; 4 windows
+      // per event; micro-int value sums
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+        |  FROM events WHERE ts IS NOT NULL
+        |), w AS (
+        |  SELECT unnest(generate_series(
+        |      us - us % 900000000 - CAST(2700000000 AS BIGINT),
+        |      us - us % 900000000, 900000000)) AS window_start_us,
+        |    event_type, vm
+        |  FROM e
+        |)
+        |SELECT window_start_us, event_type, count(*) AS n_events,
+        |  CAST(sum(vm) AS BIGINT) AS sum_value_micro
+        |FROM w GROUP BY window_start_us, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
 
     "q119_winsorize" ->
       // quantile_cont == Spark's exact linear-interpolation percentile

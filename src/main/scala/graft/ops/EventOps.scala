@@ -247,6 +247,48 @@ object EventOps {
   }
 
   /**
+   * HOPPING (sliding) WINDOW aggregation — the overlapping-window sibling
+   * of [[tumblingStats]]: windows of `widthSeconds` starting every
+   * `hopSeconds` (width must be a multiple of hop), so each event lands in
+   * exactly `width/hop` windows. The moving-rate view every ops dashboard
+   * wants ("events and value per hour, updated every 15 minutes") without
+   * double-counting a tumbling grid would impose.
+   *
+   * Pure integer arithmetic: microsecond timestamps, window starts are
+   * exact multiples of the hop (the `(us - pmod(us, hop))` trick), and
+   * the value sums are MICRO-QUANTIZED per event before aggregation
+   * (`floor(v*1e6 + 0.5)` then integer sums) — order-independent exact,
+   * the q91 rule. Shape: a map-side explode of `width/hop` window-start
+   * rows per event, then one two-phase hash agg on (window_start, type);
+   * shuffle carries ints only.
+   */
+  def hoppingStats(df: DataFrame, tsCol: String, typeCol: String,
+                   valueCol: String, widthSeconds: Long,
+                   hopSeconds: Long): DataFrame = {
+    require(widthSeconds > 0 && hopSeconds > 0 &&
+      widthSeconds % hopSeconds == 0,
+      s"hoppingStats: width ($widthSeconds) must be a positive multiple " +
+        s"of hop ($hopSeconds)")
+    val widthUs = widthSeconds * 1000000L
+    val hopUs = hopSeconds * 1000000L
+    val nWin = (widthSeconds / hopSeconds).toInt
+    val us = micros(col(tsCol))
+    // latest window containing t starts at t - (t mod hop); the others
+    // step back by one hop each
+    val lastStart = us - pmod(us, lit(hopUs))
+    val starts = sequence(lastStart - lit((nWin - 1).toLong * hopUs),
+      lastStart, lit(hopUs))
+    df.filter(col(tsCol).isNotNull)
+      .select(explode(starts).as("window_start_us"), col(typeCol),
+        floor(col(valueCol).cast("double") * 1000000d + lit(0.5))
+          .as("__vm"))
+      // a window start below epoch-of-first-hop is still valid; no filter
+      .groupBy(col("window_start_us"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__vm")).as("sum_value_micro"))
+  }
+
+  /**
    * Per-key EWMA (exponentially-weighted moving average) of `valueCol` in
    * event-time order — the standard smoothed-metric signal (latency
    * trend, spend rate, engagement decay) a monitoring or feature pipeline

@@ -311,6 +311,28 @@ object pipeline {
                               vecCol: String = "embedding", k: Int = 4,
                               minMarginMicro: Long = 1000000L): DataFrame =
         SimOps.marginMutualMatches(df, right, idCol, vecCol, k, minMarginMicro)
+
+      // --- wave 6 --------------------------------------------------------
+
+      def distinctiveTerms(groupCol: String = "source",
+                           textCol: String = "text", k: Int = 10): DataFrame =
+        TextOps.distinctiveTerms(df, groupCol, textCol, k)
+
+      def tokenDrift(snapshotB: DataFrame, textCol: String = "text",
+                     k: Int = 20): DataFrame =
+        TextOps.tokenDrift(df, snapshotB, textCol, k)
+
+      def embeddingOutliers(idCol: String = "vec_id",
+                            labelCol: String = "label",
+                            vecCol: String = "embedding",
+                            hiP: Double = 0.95): DataFrame =
+        SimOps.embeddingOutliers(df, idCol, labelCol, vecCol, hiP)
+
+      def hoppingStats(widthSeconds: Long, hopSeconds: Long,
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       valueCol: String = "value"): DataFrame =
+        EventOps.hoppingStats(df, tsCol, typeCol, valueCol,
+          widthSeconds, hopSeconds)
     }
   }
 }

@@ -446,6 +446,55 @@ object SimOps {
   }
 
   /**
+   * EMBEDDING OUTLIER FLAGS per label — the vector-space data-quality
+   * check (mislabeled rows, corrupt encodes, off-distribution injections
+   * surface as far-from-centroid points): squared L2 distance of every
+   * vector to its OWN label's centroid, flagged when the distance exceeds
+   * the label's `hiP` exact percentile. Integer-exact end to end (the
+   * kmeansAssignInt rule): vectors quantize to milli-unit integer-valued
+   * doubles, centroids are `floor(sum/count)` per dimension, distances
+   * are exact integers via the native dot — so the only float in the
+   * whole op is the percentile interpolation, computed identically from
+   * identical integers on any engine.
+   *
+   * Shape: one (label, dim) partial agg for centroids (shuffle = labels ×
+   * dim rows, corpus-independent), centroid arrays broadcast back, one
+   * map-side distance pass, one labels-sized percentile agg broadcast
+   * for the threshold. No window over the corpus.
+   */
+  def embeddingOutliers(corpus: DataFrame, idCol: String, labelCol: String,
+                        vecCol: String, hiP: Double = 0.95,
+                        scale: Int = 1000): DataFrame = {
+    require(hiP > 0 && hiP < 1, s"embeddingOutliers: hiP in (0,1), got $hiP")
+    require(scale >= 1 && scale <= 1000000,
+      s"embeddingOutliers: scale must be in [1, 1e6], got $scale")
+    val qcol = transform(col(vecCol).cast(ArrayType(DoubleType)),
+      x => floor(x * scale + lit(0.5)).cast(DoubleType))
+    val q = corpus.select(col(idCol), col(labelCol).as("__lbl"), qcol.as("__q"))
+      .filter(col("__q").isNotNull)
+    val cents = q
+      .select(col("__lbl"), posexplode(col("__q")).as(Seq("__dim", "__v")))
+      .groupBy(col("__lbl"), col("__dim"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__c", floor(col("__s") / col("__n")).cast(DoubleType))
+      .groupBy(col("__lbl"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__dim"), col("__c")))),
+        s => s.getField("__c")).as("__cent"))
+    val d2 = dot(col("__q"), col("__q")) -
+      lit(2.0) * dot(col("__q"), col("__cent")) +
+      dot(col("__cent"), col("__cent"))
+    val dists = q.join(broadcast(cents), Seq("__lbl"))
+      .select(col(idCol), col("__lbl"), d2.cast(LongType).as("dist2"))
+    val thresholds = dists.groupBy(col("__lbl"))
+      .agg(expr(s"percentile(dist2, $hiP)").as("__thr"))
+    dists.join(broadcast(thresholds), Seq("__lbl"))
+      .select(col(idCol), col("__lbl").as(labelCol), col("dist2"),
+        col("__thr").as("dist2_threshold"),
+        (col("dist2") > col("__thr")).as("is_outlier"))
+  }
+
+  /**
    * MARGIN-BASED MUTUAL-NEAREST matching between two embedding sets —
    * the parallel-corpus mining rule (Artetxe & Schwenk 2019's ratio
    * margin, the CCMatrix recipe): a pair `(x, y)` is emitted iff `y` is

@@ -1161,6 +1161,88 @@ object TextOps {
   }
 
   /**
+   * DISTINCTIVE TERMS per group (class-based TF-IDF, the BERTopic/c-TF-IDF
+   * move): for each group, the top-`k` tokens by
+   * `tf_{t,g} * ln(n_groups / df_t)` where `df_t` counts GROUPS containing
+   * the token — "what vocabulary distinguishes this source/cluster from
+   * the others", the first question a corpus audit asks after mixture
+   * shares. Tokens present in every group score exactly 0 (ln 1) — generic
+   * stopwords self-suppress without a list.
+   *
+   * Engine-portable: the idf is quantized to integer micro-nats FIRST
+   * (`floor(ln(n_groups/df)*1e6 + 0.5)`, the PMI rule — the ln of a ratio
+   * of small exact integers), then multiplied by the integer tf, so the
+   * score is an exact integer and ranking cannot drift. Shape: one
+   * (group, token) hash agg over the exploded tokens, a token-keyed df
+   * agg joined back (both partial-aggregable; shuffle carries token keys,
+   * never text), a broadcast one-row group count, and a per-group rank
+   * window on the scored rows.
+   */
+  def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
+                       k: Int = 10): DataFrame = {
+    require(k > 0, s"distinctiveTerms: k must be positive, got $k")
+    val tok = df.select(col(groupCol).as("__g"),
+      explode(tokens(col(textCol))).as("__tok"))
+    val tf = tok.groupBy(col("__g"), col("__tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
+    val ng = tf.agg(count_distinct(col("__g")).as("__ng"))
+    val scored = tf.join(dfreq, Seq("__tok")).crossJoin(broadcast(ng))
+      .withColumn("score_micro",
+        col("tf") * floor(log(col("__ng").cast(DoubleType) / col("df"))
+          * lit(1e6) + lit(0.5)).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"))
+      .orderBy(col("score_micro").desc, col("__tok"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("__g").as(groupCol), col("__tok").as("token"),
+        col("tf"), col("df"), col("score_micro"), col("rank"))
+  }
+
+  /**
+   * TOKEN-DISTRIBUTION DRIFT between two corpus snapshots — PSI
+   * (population stability index) with per-token attribution: for every
+   * token in the union vocabulary, `(p - q) * ln(p / q)` with add-one
+   * smoothing (`p = (c_a+1)/(n_a+V)`, V = union vocab size), the top
+   * contributors ranked. This is the release-gate check between two
+   * corpus drops: PSI < 0.1 is noise, > 0.25 means the token mix moved
+   * and downstream models will feel it — and the per-token rows say WHY
+   * (which vocabulary appeared/vanished).
+   *
+   * Each contribution quantizes to integer pico-nats BEFORE any
+   * summation (`floor(term * 1e12 + 0.5)`), so the total PSI is an exact
+   * integer sum — no float accumulation order anywhere (the lesson the
+   * q91 ulp hunt taught). Shape: one token-count agg per side (8-byte
+   * token-hash... no — token keys; bodies never move), a full outer join
+   * on the union vocabulary, one-row totals broadcast.
+   */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 k: Int = 20): DataFrame = {
+    require(k > 0, s"tokenDrift: k must be positive, got $k")
+    def counts(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("c"))
+    val ca = counts(a).withColumnRenamed("c", "c_a")
+    val cb = counts(b).withColumnRenamed("c", "c_b")
+    val joined = ca.join(cb, Seq("__tok"), "full_outer")
+      .select(col("__tok"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = joined.agg(sum(col("c_a")).as("__na"),
+      sum(col("c_b")).as("__nb"), count(lit(1)).as("__v"))
+    val p = (col("c_a") + 1).cast(DoubleType) / (col("__na") + col("__v"))
+    val q = (col("c_b") + 1).cast(DoubleType) / (col("__nb") + col("__v"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("contrib_pico",
+        floor((p - q) * log(p / q) * lit(1e12) + lit(0.5)).cast(LongType))
+      .select(col("__tok").as("token"), col("c_a"), col("c_b"),
+        col("contrib_pico"))
+      .orderBy(col("contrib_pico").desc, col("token"))
+      .limit(k)
+  }
+
+  /**
    * URL CANONICALIZATION — the normalization pass before URL-keyed dedup
    * of a web crawl. Two crawls of the same page differ in case, default
    * ports, `www.`, tracking parameters, and fragments; dedup on the RAW

@@ -230,4 +230,26 @@ class FluentApiSpec extends SparkTestBase {
     assert(emb.marginMutualMatches(emb).collect().toSet ==
       SimOps.marginMutualMatches(emb, emb, "vec_id", "embedding").collect().toSet)
   }
+
+  test("fluent wave-6 surface delegates to the operator objects") {
+    import graft.ops.pipeline.implicits._
+    import graft.ops.{EventOps, SimOps, TextOps}
+    import spark.implicits._
+    val docs = Seq(("s1", 1L, "alpha beta"), ("s2", 2L, "alpha gamma"))
+      .toDF("source", "doc_id", "text")
+    assert(docs.distinctiveTerms(k = 2).collect().toSet ==
+      TextOps.distinctiveTerms(docs, "source", "text", 2).collect().toSet)
+    assert(docs.tokenDrift(docs).collect().toSet ==
+      TextOps.tokenDrift(docs, docs, "text").collect().toSet)
+    val emb = Seq((1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 0, Array(0.8f, 0.2f))).toDF("vec_id", "label", "embedding")
+    assert(emb.embeddingOutliers().collect().toSet ==
+      SimOps.embeddingOutliers(emb, "vec_id", "label", "embedding")
+        .collect().toSet)
+    val ev = Seq((new java.sql.Timestamp(1700000000000L), "a", 1.0))
+      .toDF("ts", "event_type", "value")
+    assert(ev.hoppingStats(3600, 900).collect().toSet ==
+      EventOps.hoppingStats(ev, "ts", "event_type", "value", 3600, 900)
+        .collect().toSet)
+  }
 }

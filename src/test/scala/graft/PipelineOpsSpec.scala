@@ -2046,6 +2046,92 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("distinctiveTerms: everywhere-tokens score exactly 0, group-unique " +
+       "tokens score tf * micro-nat idf, rank caps at k") {
+    import spark.implicits._
+    val docs = Seq(
+      ("g1", "common uniqueone uniqueone uniqueone common"),
+      ("g2", "common uniquetwo")).toDF("source", "text")
+    val got = TextOps.distinctiveTerms(docs, "source", "text", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sortBy(t => (t._1, t._6))
+    // ln(2) micro-nats = 693147
+    val ln2 = math.floor(math.log(2.0) * 1e6 + 0.5).toLong
+    assert(got == Seq(
+      ("g1", "uniqueone", 3L, 1L, 3 * ln2, 1L),
+      ("g1", "common", 2L, 2L, 0L, 2L),
+      ("g2", "uniquetwo", 1L, 1L, ln2, 1L),
+      ("g2", "common", 1L, 2L, 0L, 2L)), s"got $got")
+  }
+
+  test("tokenDrift: identical snapshots contribute ~0 per token; a " +
+       "B-only marker and an A-heavy token surface as top contributors") {
+    import spark.implicits._
+    val a = Seq((1L, "x x x x y"), (2L, "x y")).toDF("doc_id", "text")
+    val same = TextOps.tokenDrift(a, a, "text")
+      .collect().map(_.getLong(3))
+    assert(same.forall(_ == 0L), s"identical snapshots must be 0: ${same.toSeq}")
+    val b = Seq((1L, "x y y y marker marker")).toDF("doc_id", "text")
+    val got = TextOps.tokenDrift(a, b, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // PSI contributions are nonnegative up to quantization; x (A-heavy)
+    // and marker (B-only) must be the two biggest
+    assert(got.map(_._1).take(2).toSet == Set("x", "marker"), s"got $got")
+    assert(got.forall(_._4 >= 0L), s"PSI terms are nonnegative: $got")
+    // hand-check the marker row: c_a=0, c_b=2, na=7, nb=6, v=3
+    val m = got.find(_._1 == "marker").get
+    val p = 1.0 / 10; val q = 3.0 / 9
+    val want = math.floor((p - q) * math.log(p / q) * 1e12 + 0.5).toLong
+    assert(m == ("marker", 0L, 2L, want), s"got $m want $want")
+  }
+
+  test("embeddingOutliers: a far-from-centroid plant flags, the tight " +
+       "cluster does not; distances are exact integers") {
+    import spark.implicits._
+    val rows =
+      (0L to 18L).map(i => (i, 0, Array(0.1f + 0.001f * i, 0.2f))) :+
+      (99L, 0, Array(5.0f, 5.0f)) // far outlier in label 0
+    val got = graft.ops.SimOps.embeddingOutliers(
+        rows.toDF("vec_id", "label", "embedding"),
+        "vec_id", "label", "embedding", hiP = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(got(99L)._2, s"plant must flag: $got")
+    assert((0L to 18L).count(i => got(i)._2) == 0,
+      s"tight cluster must not flag: $got")
+    // distance of the plant: centroid is floor of per-dim means incl. the
+    // plant; recompute in integer space
+    val qs = rows.map(_._3.map(x => math.floor(x * 1000 + 0.5)))
+    val c = Array(0, 1).map(d => math.floor(qs.map(_(d)).sum / qs.size.toDouble))
+    val want = Array(0, 1).map(d => { val df = qs.last(d) - c(d); df * df }).sum
+    assert(got(99L)._1 == want.toLong, s"got ${got(99L)._1} want $want")
+  }
+
+  test("hoppingStats: an event lands in exactly width/hop windows with " +
+       "hop-aligned starts; micro sums integer-exact; width%hop enforced") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 1700000000L * 1000L // ms
+    val ev = Seq((new Timestamp(t0), "a", 1.25))
+      .toDF("ts", "event_type", "value")
+    val got = graft.ops.EventOps.hoppingStats(ev, "ts", "event_type",
+        "value", widthSeconds = 3600, hopSeconds = 900)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val us = 1700000000L * 1000000L
+    val last = us - us % 900000000L
+    val wantStarts = (3 to 0 by -1).map(i => last - i * 900000000L)
+    assert(got.map(_._1) == wantStarts, s"got $got")
+    assert(got.forall(g => g._2 == "a" && g._3 == 1L && g._4 == 1250000L))
+    intercept[IllegalArgumentException] {
+      graft.ops.EventOps.hoppingStats(ev, "ts", "event_type", "value",
+        widthSeconds = 3600, hopSeconds = 1000)
+    }
+  }
+
   test("canonicalizeUrl is IDEMPOTENT over an enumerated grid of scheme/" +
        "case/port/www/params/fragment combinations") {
     import spark.implicits._

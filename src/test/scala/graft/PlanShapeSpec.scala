@@ -149,7 +149,11 @@ class PlanShapeSpec extends SparkTestBase {
           // wave-5 families: column profiler (stack over one agg), URL
           // regex pipeline, contamination counts — column algebra only
           "q122_profile_columns", "q124_url_dedup",
-          "q125_contamination_report").foreach { q =>
+          "q125_contamination_report",
+          // wave-6 families: c-TF-IDF, PSI drift, hopping windows —
+          // micro-nat/pico-nat quantized column algebra end to end
+          "q130_distinctive_terms", "q131_token_drift",
+          "q133_hopping_windows").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
