@@ -1096,6 +1096,61 @@ object SparkEntry {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    "q134_set_similarity_join" -> ((s: SparkSession, dir: String) => {
+      // exact Jaccard set join via prefix filtering (never all-pairs):
+      // token sets of docs 0-199 against planted perturbed copies
+      // (+1000000) and exact copies (+2000000) — absolute-id bounds keep
+      // the oracle's brute-force cross product constant at any SF
+      val dd = t(s, dir, "documents")
+      def sets(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val left = sets(dd.filter(col("doc_id") < 200))
+      val right = sets(
+        dd.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" perturbed tail token")).as("text")))
+        .unionByName(sets(
+          dd.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text"))))
+      DedupOps.setSimilarityJoin(left, "doc_id", right, "doc_id",
+          "toks", thresholdMilli = 700)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q135_join_cardinality" -> ((s: SparkSession, dir: String) => {
+      // the third join pre-flight: EXACT output rows of events x orders
+      // on the user key, plus the hot key driving it, without running
+      // the join — integer arithmetic from two count aggregates
+      graft.ops.StatsOps.joinCardinality(t(s, dir, "events"),
+        t(s, dir, "orders"), "user_id", "o_custkey")
+    }),
+
+    "q136_session_paths" -> ((s: SparkSession, dir: String) => {
+      // user-journey mining: top 3-step event-type paths within gap
+      // sessions — counts are pure functions of (user, ts, id, type)
+      graft.ops.EventOps.sessionPaths(t(s, dir, "events"), "user_id",
+          "ts", "event_id", "event_type", gapSeconds = 1800, n = 3, k = 15)
+        .orderBy(col("rank"))
+    }),
+
+    "q137_profile_segments" -> ((s: SparkSession, dir: String) => {
+      // mergeable profiling: three hash-disjoint segments profiled
+      // independently, then merged with NO re-scan — exact counts and
+      // native-typed min/max (the HLL distinct estimate is spec-pinned;
+      // the oracle checks the exactly-mergeable stats)
+      val d = t(s, dir, "documents")
+      val cols = Seq("doc_id", "lang", "n_chars")
+      val segs = (0 until 3).map(i =>
+        graft.ops.StatsOps.profileSegment(
+          d.filter(pmod(col("doc_id"), lit(3L)) === i), cols))
+      graft.ops.StatsOps.mergeProfileSegments(
+          segs.reduce(_ unionByName _), cols)
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("min_value"), col("max_value"))
+        .orderBy(col("column_name"))
+    }),
+
     "q119_winsorize" -> ((s: SparkSession, dir: String) => {
       // robust per-source length scaling: clamp n_chars into each
       // source's exact [p5, p95] band — one groups-sized percentile agg
@@ -3611,6 +3666,117 @@ object SparkEntry {
         |  CAST(sum(vm) AS BIGINT) AS sum_value_micro
         |FROM w GROUP BY window_start_us, event_type
         |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "q134_set_similarity_join" ->
+      // brute-force exact Jaccard over the bounded id ranges — the prefix
+      // filter must be invisible in the result
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS s
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id AS id_a, s AS sa FROM tok
+        |  WHERE doc_id < 200 AND len(s) > 0
+        |), pr AS (
+        |  SELECT doc_id + 1000000 AS id_b,
+        |    list_distinct(list_filter(string_split_regex(
+        |      lower(text || ' perturbed tail token'), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS sb
+        |  FROM documents WHERE doc_id < 50
+        |), cp AS (
+        |  SELECT doc_id + 2000000 AS id_b, s AS sb FROM tok
+        |  WHERE doc_id >= 100 AND doc_id < 300
+        |), r AS (
+        |  SELECT * FROM pr UNION ALL SELECT * FROM cp
+        |), p AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa, sb)) AS BIGINT) AS inter_size,
+        |    CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS BIGINT)
+        |      AS union_size
+        |  FROM l CROSS JOIN r WHERE len(sb) > 0
+        |)
+        |SELECT id_a, id_b, inter_size, union_size,
+        |  (inter_size * 1000) // union_size AS jaccard_milli
+        |FROM p WHERE inter_size * 1000 >= union_size * 700
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q135_join_cardinality" ->
+      """WITH lc AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), rc AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS c
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        |), con AS (
+        |  SELECT lc.k, CAST(lc.c * rc.c AS BIGINT) AS o
+        |  FROM lc JOIN rc USING (k)
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM events) AS n_left_rows,
+        |    (SELECT count(*) FROM orders) AS n_right_rows,
+        |    CAST(COALESCE((SELECT sum(o) FROM con), 0) AS BIGINT)
+        |      AS join_output_rows
+        |), hot AS (SELECT k, o FROM con ORDER BY o DESC, k LIMIT 1)
+        |SELECT n_left_rows, n_right_rows, join_output_rows,
+        |  CASE WHEN greatest(n_left_rows, n_right_rows) > 0
+        |    THEN (join_output_rows * 1000000)
+        |         // greatest(n_left_rows, n_right_rows)
+        |    ELSE 0 END AS expansion_ppm,
+        |  (SELECT k FROM hot) AS hot_key,
+        |  (SELECT o FROM hot) AS hot_key_rows
+        |FROM tot""".stripMargin,
+
+    "q136_session_paths" ->
+      // q90's session closure + a per-session lead chain; || NULL kills
+      // boundary-crossing paths on both engines
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (
+        |  SELECT event_id, user_id, event_type, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT event_id, user_id, event_type, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM f
+        |), p AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER w2
+        |    || '>' || lead(event_type, 2) OVER w2 AS path
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id, seq ORDER BY us, event_id)
+        |), c AS (
+        |  SELECT path, count(*) AS n_paths FROM p
+        |  WHERE path IS NOT NULL GROUP BY path
+        |), r AS (
+        |  SELECT path, n_paths,
+        |    row_number() OVER (ORDER BY n_paths DESC, path) AS rank
+        |  FROM c
+        |)
+        |SELECT path, n_paths, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    "q137_profile_segments" ->
+      // the merged profile's exactly-mergeable stats: counts and
+      // native-typed min/max equal the one-shot corpus profile
+      """WITH p AS (
+        |  SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*) - count(lang),
+        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents
+        |)
+        |SELECT * FROM p ORDER BY column_name""".stripMargin,
 
     "q119_winsorize" ->
       // quantile_cont == Spark's exact linear-interpolation percentile

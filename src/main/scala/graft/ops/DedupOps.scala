@@ -1106,6 +1106,73 @@ object DedupOps {
   }
 
   /**
+   * SET-SIMILARITY JOIN with PREFIX FILTERING (the SSJoin/AllPairs move,
+   * Bayardo et al. 2007): all cross-side pairs whose Jaccard similarity
+   * over an array column meets `thresholdMilli/1000`, WITHOUT the
+   * all-pairs cross product. The filter is the classic prefix principle:
+   * order every set by GLOBAL token frequency (rarest first — the
+   * canonical order that makes prefixes selective), keep each record's
+   * first `n - ceil(t·n) + 1` tokens, and only pairs sharing a PREFIX
+   * token can possibly reach the threshold — everything else is pruned
+   * before any join. Survivors get an exact integer Jaccard verify, so
+   * the result is EXACT (the filter only over-generates, never drops).
+   *
+   * This is the generic-array sibling of the MinHash text machinery: use
+   * it on tag sets, category arrays, shingle sets — any array column —
+   * when you want exact Jaccard semantics rather than LSH recall. All
+   * integer arithmetic (`inter·1000 ≥ t·union`), exactly oracle-able.
+   *
+   * Scale shape: one global frequency agg (token keys), one rank window
+   * per side (both windows of a side share one exchange on the id), a
+   * candidate equi-join on prefix tokens carrying IDS ONLY, and the
+   * verify join fetches the two sets for surviving candidates only. The
+   * rarest-first order is what keeps prefix-token buckets small — a
+   * frequency-descending order would put every record in the same
+   * stopword bucket.
+   */
+  def setSimilarityJoin(left: DataFrame, leftId: String,
+                        right: DataFrame, rightId: String,
+                        setCol: String, thresholdMilli: Int): DataFrame = {
+    require(thresholdMilli >= 1 && thresholdMilli <= 1000,
+      s"setSimilarityJoin: thresholdMilli in [1, 1000], got $thresholdMilli")
+    val l = left.select(col(leftId).cast(LongType).as("id_a"),
+      array_distinct(col(setCol)).as("__sa"))
+      .filter(col("__sa").isNotNull && size(col("__sa")) > 0)
+    val r = right.select(col(rightId).cast(LongType).as("id_b"),
+      array_distinct(col(setCol)).as("__sb"))
+      .filter(col("__sb").isNotNull && size(col("__sb")) > 0)
+    val freq = l.select(explode(col("__sa")).as("__t"))
+      .unionAll(r.select(explode(col("__sb")).as("__t")))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__f"))
+    def prefixTokens(df: DataFrame, idc: String, setc: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idc)).orderBy(col("__f"), col("__t"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idc))
+      df.select(col(idc), explode(col(setc)).as("__t"))
+        .join(freq, Seq("__t"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        // prefix length n - ceil(t*n) + 1, ceil in integer arithmetic
+        .filter(col("__rn") <=
+          col("__n") - expr(s"(__n * $thresholdMilli + 999) DIV 1000") + 1)
+        .select(col(idc), col("__t"))
+    }
+    val cand = prefixTokens(l, "id_a", "__sa")
+      .join(prefixTokens(r, "id_b", "__sb"), Seq("__t"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val verified = cand.join(l, Seq("id_a")).join(r, Seq("id_b"))
+      .withColumn("inter_size",
+        size(array_intersect(col("__sa"), col("__sb"))).cast(LongType))
+      .withColumn("union_size",
+        (size(col("__sa")) + size(col("__sb"))).cast(LongType) - col("inter_size"))
+      .filter(col("inter_size") * 1000 >= col("union_size") * thresholdMilli)
+    verified.select(col("id_a"), col("id_b"), col("inter_size"),
+      col("union_size"),
+      expr("inter_size * 1000 DIV union_size").as("jaccard_milli"))
+  }
+
+  /**
    * CONTAMINATION REPORT — [[contaminatedIds]] upgraded from a boolean to
    * evidence: for every flagged document, how many of its DISTINCT word
    * n-grams hit the probe set (`n_contaminated`), out of how many

@@ -247,6 +247,45 @@ object EventOps {
   }
 
   /**
+   * SESSION PATH MINING: the top-`k` length-`n` event-type sequences
+   * occurring inside sessions ("view>cart>checkout"), the user-journey
+   * summary a product pipeline derives right after sessionization. Paths
+   * never cross a session boundary (the window partitions by session id),
+   * and the event order inside a session is the sessionize order
+   * (`ts`, then the id tie-break) — so the counts are a pure function of
+   * the data, replayable by any engine.
+   *
+   * Shape: [[sessionize]]'s one exchange on the user column, a lead
+   * window per session (same exchange family), then a two-phase hash agg
+   * on the path string and a k-row rank window. Rows with a null
+   * user/timestamp carry no session and are excluded (they cannot order).
+   */
+  def sessionPaths(df: DataFrame, userCol: String, tsCol: String,
+                   tieCol: String, typeCol: String, gapSeconds: Long,
+                   n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, s"sessionPaths: n must be >= 2, got $n")
+    require(k >= 1, s"sessionPaths: k must be >= 1, got $k")
+    val labeled = sessionize(df, userCol, tsCol, tieCol, gapSeconds)
+      .filter(col("session_id").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("session_id"))
+      .orderBy(micros(col(tsCol)), col(tieCol))
+    val legs = (0 until n).map(i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+    val full = legs.map(_.isNotNull).reduce(_ && _)
+    val path = concat_ws(">", legs: _*)
+    val counts = labeled
+      .withColumn("__path", when(full, path))
+      .filter(col("__path").isNotNull)
+      .groupBy(col("__path")).agg(count(lit(1)).as("n_paths"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_paths").desc, col("__path"))
+    counts.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__path").as("path"), col("n_paths"), col("rank"))
+  }
+
+  /**
    * HOPPING (sliding) WINDOW aggregation — the overlapping-window sibling
    * of [[tumblingStats]]: windows of `widthSeconds` starting every
    * `hopSeconds` (width must be a multiple of hop), so each event lands in

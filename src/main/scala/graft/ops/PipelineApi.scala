@@ -333,6 +333,32 @@ object pipeline {
                        valueCol: String = "value"): DataFrame =
         EventOps.hoppingStats(df, tsCol, typeCol, valueCol,
           widthSeconds, hopSeconds)
+
+      // --- wave 7 --------------------------------------------------------
+
+      def setSimilarityJoin(right: DataFrame, setCol: String,
+                            thresholdMilli: Int,
+                            leftId: String = "doc_id",
+                            rightId: String = "doc_id"): DataFrame =
+        DedupOps.setSimilarityJoin(df, leftId, right, rightId, setCol,
+          thresholdMilli)
+
+      def joinCardinality(right: DataFrame, leftKey: String,
+                          rightKey: String): DataFrame =
+        StatsOps.joinCardinality(df, right, leftKey, rightKey)
+
+      def sessionPaths(gapSeconds: Long, n: Int = 3, k: Int = 20,
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       tieCol: String = "event_id",
+                       typeCol: String = "event_type"): DataFrame =
+        EventOps.sessionPaths(df, userCol, tsCol, tieCol, typeCol,
+          gapSeconds, n, k)
+
+      def profileSegment(columns: Seq[String] = Nil): DataFrame =
+        StatsOps.profileSegment(df, columns)
+
+      def mergeProfileSegments(columns: Seq[String]): DataFrame =
+        StatsOps.mergeProfileSegments(df, columns)
     }
   }
 }

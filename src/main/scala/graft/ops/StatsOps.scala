@@ -108,6 +108,65 @@ object StatsOps {
   }
 
   /**
+   * JOIN OUTPUT-SIZE pre-flight — the third check in the shuffle-planning
+   * trio ([[keySkewProfile]]: is one key hot; [[joinKeyOverlap]]: do the
+   * key sets relate; this: HOW MANY ROWS will the join emit). The exact
+   * inner-equi-join output count is `Σ_k cl(k) · cr(k)` over shared keys
+   * — computable from two key-count aggregates without running the join,
+   * which is how you catch a 10^12-row accidental many-to-many BEFORE
+   * launching it. One row:
+   *
+   *  - `n_left_rows` / `n_right_rows`: input sizes;
+   *  - `join_output_rows`: the exact inner-join row count;
+   *  - `expansion_ppm`: `output · 10^6 DIV max(left, right)` — over 10^6
+   *    means the join AMPLIFIES its larger input (the many-to-many smell);
+   *  - `hot_key` / `hot_key_rows`: the single key contributing the most
+   *    output rows (ties → lexically smallest key) — the row that tells
+   *    you WHERE the explosion lives.
+   *
+   * Shape: one count agg per side (shuffle = distinct keys), an equi-join
+   * of the two count tables (bounded by distinct-key counts, not rows),
+   * and a one-row aggregate. Pure integer arithmetic.
+   */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String): DataFrame = {
+    def counts(df: DataFrame, key: String) = df
+      .filter(col(key).isNotNull)
+      .groupBy(col(key).cast(StringType).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val lc = counts(left, leftKey)
+    val rc = counts(right, rightKey)
+    val contrib = lc.join(rc.withColumnRenamed("__c", "__cr"), Seq("__k"))
+      .select(col("__k"), (col("__c") * col("__cr")).as("__out"))
+    // hot key via a rank window on the contrib table (bounded by the
+    // shared-key count, not by rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__out").desc, col("__k").asc)
+    val hot = contrib.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__k").as("hot_key"), col("__out").as("hot_key_rows"))
+    val totals = left.agg(count(lit(1)).as("n_left_rows"))
+      .crossJoin(right.agg(count(lit(1)).as("n_right_rows")))
+      .crossJoin(contrib.agg(
+        coalesce(sum(col("__out")), lit(0L)).as("join_output_rows")))
+    val withHot = totals.crossJoin(
+      hot.unionByName(
+        // empty-intersection guard: emit a null hot key instead of
+        // dropping the row entirely; the real hot row (non-null rows)
+        // sorts first when one exists
+        left.sparkSession.sql(
+          "SELECT CAST(NULL AS STRING) hot_key, CAST(NULL AS BIGINT) hot_key_rows"))
+        .orderBy(col("hot_key_rows").desc_nulls_last).limit(1))
+    withHot.withColumn("expansion_ppm",
+      when(greatest(col("n_left_rows"), col("n_right_rows")) > 0,
+        expr("join_output_rows * 1000000 DIV " +
+          "greatest(n_left_rows, n_right_rows)")).otherwise(0L))
+      .select(col("n_left_rows"), col("n_right_rows"),
+        col("join_output_rows"), col("expansion_ppm"),
+        col("hot_key"), col("hot_key_rows"))
+  }
+
+  /**
    * One-pass DATASET PROFILE — the "data card" a corpus drop ships with:
    * one output row per column with `n_rows`, `n_nulls`, exact
    * `n_distinct`, and `min_value`/`max_value` rendered as strings (the
@@ -147,6 +206,65 @@ object StatsOps {
       .select(col("column_name"), col("__n_rows").as("n_rows"),
         (col("__n_rows") - col("__nonnull")).as("n_nulls"),
         col("n_distinct"), col("min_value"), col("max_value"))
+      .orderBy(col("column_name"))
+  }
+
+  /**
+   * MERGEABLE PROFILE SEGMENTS — the landed form of [[profileColumns]]
+   * for corpora that arrive in batches: each batch computes ONE wide
+   * segment row ([[profileSegment]]) holding per-column counts, native-
+   * typed min/max, and an HLL distinct sketch (Spark's own
+   * `hll_sketch_agg`); any union of segment rows later merges to the
+   * corpus profile ([[mergeProfileSegments]]) with NO re-scan — counts
+   * add, min/max fold in the native type (so numerics stay numeric until
+   * the final render), sketches union. This is how a 100 TB delivery
+   * keeps per-day profiles and answers "profile of any date range" from
+   * kilobytes.
+   *
+   * Exactness split: `n_rows`/`n_nulls`/`min`/`max` merge EXACTLY;
+   * `n_distinct_est` is the HLL estimate (±~2%), the price of
+   * mergeability — [[profileColumns]] remains the exact one-shot.
+   */
+  def profileSegment(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val names = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(names.nonEmpty, "profileSegment: no columns to profile")
+    val aggs = Seq(count(lit(1)).as("__n_rows")) ++ names.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        expr(s"hll_sketch_agg(`$c`)").as(s"__hll_$c"),
+        min(col(c)).as(s"__min_$c"),
+        max(col(c)).as(s"__max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge [[profileSegment]] rows to the long-format corpus profile.
+    * `columns` must match the profiled set. */
+  def mergeProfileSegments(segments: DataFrame,
+                           columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "mergeProfileSegments: no columns")
+    val aggs = Seq(sum(col("__n_rows")).as("__n_rows")) ++
+      columns.flatMap { c =>
+        Seq(
+          sum(col(s"__nn_$c")).as(s"__nn_$c"),
+          expr(s"hll_union_agg(`__hll_$c`)").as(s"__hll_$c"),
+          min(col(s"__min_$c")).as(s"__min_$c"),
+          max(col(s"__max_$c")).as(s"__max_$c"))
+      }
+    val wide = segments.agg(aggs.head, aggs.tail: _*)
+      .select(col("*") +: columns.map(c =>
+        expr(s"hll_sketch_estimate(`__hll_$c`)").as(s"__nd_$c")): _*)
+    val stackArgs = columns.map { c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, CAST(`__min_$c` AS STRING), " +
+        s"CAST(`__max_$c` AS STRING)"
+    }.mkString(", ")
+    wide
+      .select(col("__n_rows"), expr(
+        s"stack(${columns.length}, $stackArgs) AS " +
+          "(column_name, __nonnull, n_distinct_est, min_value, max_value)"))
+      .select(col("column_name"), col("__n_rows").as("n_rows"),
+        (col("__n_rows") - col("__nonnull")).as("n_nulls"),
+        col("n_distinct_est"), col("min_value"), col("max_value"))
       .orderBy(col("column_name"))
   }
 

@@ -252,4 +252,33 @@ class FluentApiSpec extends SparkTestBase {
       EventOps.hoppingStats(ev, "ts", "event_type", "value", 3600, 900)
         .collect().toSet)
   }
+
+  test("fluent wave-7 surface delegates to the operator objects") {
+    import graft.ops.pipeline.implicits._
+    import graft.ops.{DedupOps, EventOps, StatsOps}
+    import spark.implicits._
+    val l = Seq((1L, Seq("a", "b", "c"))).toDF("doc_id", "s")
+    val r = Seq((2L, Seq("a", "b", "d"))).toDF("doc_id", "s")
+    assert(l.setSimilarityJoin(r, "s", 500).collect().toSeq ==
+      DedupOps.setSimilarityJoin(l, "doc_id", r, "doc_id", "s", 500)
+        .collect().toSeq)
+    val lk = Seq(1L, 1L).toDF("k")
+    val rk = Seq(1L).toDF("j")
+    assert(lk.joinCardinality(rk, "k", "j").collect().toSeq ==
+      StatsOps.joinCardinality(lk, rk, "k", "j").collect().toSeq)
+    val ev7 = Seq(
+      (7L, new java.sql.Timestamp(1L), 1L, "a"),
+      (7L, new java.sql.Timestamp(2L), 2L, "b"),
+      (7L, new java.sql.Timestamp(3L), 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(ev7.sessionPaths(1800).collect().toSeq ==
+      EventOps.sessionPaths(ev7, "user_id", "ts", "event_id",
+        "event_type", 1800).collect().toSeq)
+    val df7 = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val seg = df7.profileSegment(Seq("id", "s"))
+    assert(seg.mergeProfileSegments(Seq("id", "s")).collect().toSeq ==
+      StatsOps.mergeProfileSegments(
+        StatsOps.profileSegment(df7, Seq("id", "s")), Seq("id", "s"))
+        .collect().toSeq)
+  }
 }

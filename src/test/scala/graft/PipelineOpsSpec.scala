@@ -2046,6 +2046,116 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("setSimilarityJoin equals the brute-force all-pairs Jaccard on a " +
+       "deterministic corpus — the prefix filter may only over-generate " +
+       "candidates, never drop a qualifying pair") {
+    import spark.implicits._
+    // 40 synthetic sets over a 30-token alphabet, deterministic mix of
+    // sizes and overlaps (hash-driven), plus planted identical pairs
+    def setOf(i: Long): Seq[String] =
+      (0 until 12).map(j => s"t${(i * 7 + j * j) % 30}").distinct
+    val left = (0L to 19L).map(i => (i, setOf(i))).toDF("id", "s")
+    val right = ((20L to 39L).map(i => (i, setOf(i - 20 + 3))) :+
+      (99L, setOf(5L))).toDF("id", "s")
+    val got = graft.ops.DedupOps.setSimilarityJoin(
+        left, "id", right, "id", "s", thresholdMilli = 600)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // brute force in Scala
+    val want = (for {
+      (ia, sa) <- (0L to 19L).map(i => (i, setOf(i).toSet))
+      (ib, sb) <- ((20L to 39L).map(i => (i, setOf(i - 20 + 3).toSet)) :+
+        (99L, setOf(5L).toSet))
+      inter = (sa & sb).size.toLong
+      uni = sa.size + sb.size - inter
+      if inter * 1000 >= uni * 600
+    } yield (ia, ib) -> ((inter, uni, inter * 1000 / uni))).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}:\n" +
+      s"missing=${(want.keySet -- got.keySet).toSeq.sorted}\n" +
+      s"extra=${(got.keySet -- want.keySet).toSeq.sorted}")
+    assert(want.contains((5L, 99L)), "planted identical pair must qualify")
+  }
+
+  test("joinCardinality: exact output rows, hot key with smallest-key " +
+       "tie-break, and the disjoint-keys null row") {
+    import spark.implicits._
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 1L, 2L, 2L, 2L, 9L).toDF("j")
+    val row = graft.ops.StatsOps.joinCardinality(l, r, "k", "j")
+      .collect().head
+    def f(n: String) = row.getLong(row.fieldIndex(n))
+    // key 1: 3*2=6; key 2: 1*3=3 -> total 9, hot key "1"
+    assert(f("n_left_rows") == 5 && f("n_right_rows") == 6 &&
+      f("join_output_rows") == 9, row.toString)
+    assert(f("expansion_ppm") == 9L * 1000000 / 6, row.toString)
+    assert(row.getString(row.fieldIndex("hot_key")) == "1" &&
+      f("hot_key_rows") == 6, row.toString)
+    // tie: keys "1" and "2" both contribute 4 -> smallest key wins
+    val lt = Seq(1L, 1L, 2L, 2L).toDF("k")
+    val rt = Seq(1L, 1L, 2L, 2L).toDF("j")
+    val tie = graft.ops.StatsOps.joinCardinality(lt, rt, "k", "j")
+      .collect().head
+    assert(tie.getString(tie.fieldIndex("hot_key")) == "1", tie.toString)
+    // disjoint: zero output, null hot key
+    val dis = graft.ops.StatsOps.joinCardinality(
+      Seq(1L).toDF("k"), Seq(2L).toDF("j"), "k", "j").collect().head
+    assert(dis.getLong(dis.fieldIndex("join_output_rows")) == 0 &&
+      dis.isNullAt(dis.fieldIndex("hot_key")), dis.toString)
+  }
+
+  test("sessionPaths: paths never cross a session boundary; counts and " +
+       "rank order hand-checked") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    // user 1 session A: a,b,c,b,c -> abc? paths: a>b>c, b>c>b, c>b>c
+    // then a 1-hour gap -> session B: a,b,c -> a>b>c again
+    val ev = Seq(
+      (1L, ts(0), 1L, "a"), (1L, ts(10), 2L, "b"), (1L, ts(20), 3L, "c"),
+      (1L, ts(30), 4L, "b"), (1L, ts(40), 5L, "c"),
+      (1L, ts(10000), 6L, "a"), (1L, ts(10010), 7L, "b"),
+      (1L, ts(10020), 8L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.EventOps.sessionPaths(ev, "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800, n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(("a>b>c", 2L, 1L), ("b>c>b", 1L, 2L),
+      ("c>b>c", 1L, 3L)), s"got $got")
+    // the boundary path c>a>b (last of A + first two of B) must NOT exist
+    assert(!got.exists(_._1 == "c>a>b"))
+  }
+
+  test("profileSegment/mergeProfileSegments: merged exact stats equal the " +
+       "one-shot profile; HLL distinct estimate within 5% of exact") {
+    import spark.implicits._
+    val df = (1L to 900L).map(i => (i, s"s${i % 7}", if (i % 10 == 0) None else Some(i % 50)))
+      .toDF("id", "s", "v")
+    val cols = Seq("id", "s", "v")
+    val segs = (0 until 4).map(i =>
+      graft.ops.StatsOps.profileSegment(df.filter(pmod(col("id"), lit(4L)) === i), cols))
+    val merged = graft.ops.StatsOps.mergeProfileSegments(
+      segs.reduce(_ unionByName _), cols)
+    val exact = graft.ops.StatsOps.profileColumns(df, cols)
+    val m = merged.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Number].doubleValue()),
+        r.getString(4), r.getString(5))).toMap
+    val e = exact.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    cols.foreach { c =>
+      assert(m(c)._1 == e(c)._1 && m(c)._2 == e(c)._2,
+        s"$c counts: ${m(c)} vs ${e(c)}")
+      assert(m(c)._4 == e(c)._4 && m(c)._5 == e(c)._5,
+        s"$c min/max: ${m(c)} vs ${e(c)}")
+      val est = m(c)._3.get
+      assert(math.abs(est - e(c)._3) <= math.max(1.0, 0.05 * e(c)._3),
+        s"$c distinct estimate $est vs exact ${e(c)._3}")
+    }
+  }
+
   test("distinctiveTerms: everywhere-tokens score exactly 0, group-unique " +
        "tokens score tf * micro-nat idf, rank caps at k") {
     import spark.implicits._

@@ -153,7 +153,11 @@ class PlanShapeSpec extends SparkTestBase {
           // wave-6 families: c-TF-IDF, PSI drift, hopping windows —
           // micro-nat/pico-nat quantized column algebra end to end
           "q130_distinctive_terms", "q131_token_drift",
-          "q133_hopping_windows").foreach { q =>
+          "q133_hopping_windows",
+          // wave-7 families: prefix-filtered set join, join-size
+          // pre-flight, session paths, mergeable profiles
+          "q134_set_similarity_join", "q135_join_cardinality",
+          "q136_session_paths", "q137_profile_segments").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
