@@ -3426,18 +3426,24 @@ object SparkEntry {
         |           ELSE host0 END, '^www\.', '') AS host,
         |    regexp_replace(rest0, '#.*$', '') AS nofrag
         |  FROM parts
-        |), stripd AS (
-        |  SELECT doc_id, scheme, host, u0, nofrag,
-        |    regexp_replace(nofrag,
-        |      '[?&](utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS notrack
+        |), split_pq AS (
+        |  SELECT doc_id, scheme, host, u0,
+        |    regexp_extract(nofrag, '^([^?]*)', 1) AS path,
+        |    CASE WHEN strpos(nofrag, '?') > 0
+        |      THEN regexp_extract(nofrag, '^[^?]*\?(.*)$', 1)
+        |      ELSE '' END AS query0
         |  FROM hostfix
+        |), stripd AS (
+        |  SELECT doc_id, scheme, host, u0, path,
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(query0,
+        |        '(^|&)(utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+        |      '^&+', ''), '&+$', '') AS query
+        |  FROM split_pq
         |), sep AS (
         |  SELECT doc_id, scheme, host, u0,
-        |    regexp_replace(
-        |      CASE WHEN strpos(nofrag, '?') > 0 AND strpos(notrack, '?') = 0
-        |        THEN regexp_replace(notrack, '^([^&]*)&', '\1?')
-        |        ELSE notrack END,
-        |      '[?&]$', '') AS rest
+        |    CASE WHEN query <> '' THEN path || '?' || query ELSE path END
+        |      AS rest
         |  FROM stripd
         |), canon AS (
         |  SELECT doc_id,
@@ -3540,15 +3546,18 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS rb
         |  FROM pm
         |), sl AS (
-        |  SELECT src_id, CAST(sum(cm) AS BIGINT) AS s_l
+        |  SELECT src_id, CAST(sum(cm) AS BIGINT) AS s_l,
+        |    CAST(count(*) AS BIGINT) AS n_l
         |  FROM ranked WHERE rf <= 4 GROUP BY src_id
         |), sr AS (
-        |  SELECT tgt_id, CAST(sum(cm) AS BIGINT) AS s_r
+        |  SELECT tgt_id, CAST(sum(cm) AS BIGINT) AS s_r,
+        |    CAST(count(*) AS BIGINT) AS n_r
         |  FROM ranked WHERE rb <= 4 GROUP BY tgt_id
         |), m AS (
         |  SELECT k.src_id, k.tgt_id, k.cm AS cos_micro,
-        |    CASE WHEN (s_l + s_r) > 0
-        |      THEN CAST((k.cm * 8 * 1000000) // (s_l + s_r) AS BIGINT)
+        |    CASE WHEN (s_l * n_r + s_r * n_l) > 0
+        |      THEN CAST((k.cm * 2 * n_l * n_r * 1000000)
+        |                // (s_l * n_r + s_r * n_l) AS BIGINT)
         |      ELSE 0 END AS margin_micro
         |  FROM ranked k JOIN sl USING (src_id) JOIN sr USING (tgt_id)
         |  WHERE k.rf = 1 AND k.rb = 1

@@ -1135,12 +1135,17 @@ object DedupOps {
                         setCol: String, thresholdMilli: Int): DataFrame = {
     require(thresholdMilli >= 1 && thresholdMilli <= 1000,
       s"setSimilarityJoin: thresholdMilli in [1, 1000], got $thresholdMilli")
+    // null ids (including CAST failures on non-numeric id columns) drop
+    // here explicitly — they would otherwise merge into one bogus record
+    // in the window stage and silently vanish in the candidate join
     val l = left.select(col(leftId).cast(LongType).as("id_a"),
       array_distinct(col(setCol)).as("__sa"))
-      .filter(col("__sa").isNotNull && size(col("__sa")) > 0)
+      .filter(col("id_a").isNotNull &&
+        col("__sa").isNotNull && size(col("__sa")) > 0)
     val r = right.select(col(rightId).cast(LongType).as("id_b"),
       array_distinct(col(setCol)).as("__sb"))
-      .filter(col("__sb").isNotNull && size(col("__sb")) > 0)
+      .filter(col("id_b").isNotNull &&
+        col("__sb").isNotNull && size(col("__sb")) > 0)
     val freq = l.select(explode(col("__sa")).as("__t"))
       .unionAll(r.select(explode(col("__sb")).as("__t")))
       .groupBy(col("__t")).agg(count(lit(1)).as("__f"))

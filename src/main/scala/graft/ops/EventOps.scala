@@ -374,7 +374,10 @@ object EventOps {
       case other => throw new IllegalArgumentException(
         s"ewma: unsupported order value $other")
     }
-    df.groupByKey(r => String.valueOf(r.get(keyIdx)))(
+    // prefix disambiguates a NULL key from the literal string "null"
+    // (the classic dirty-data artifact) — they must fold as two series
+    df.groupByKey(r =>
+        if (r.isNullAt(keyIdx)) " " else "v" + String.valueOf(r.get(keyIdx)))(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(r => (asLong(r.get(tsIdx)), asLong(r.get(tieIdx))))

@@ -409,7 +409,7 @@ object SimOps {
       x => floor(x * scale + lit(0.5)).cast(DoubleType))
     val q = corpus
       .select(col(idCol).cast(LongType).as("vec_id"), qcol.as("__q"))
-      .filter(col("__q").isNotNull)
+      .filter(col("vec_id").isNotNull && col("__q").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents: Array[Array[Double]] = q.orderBy(col("vec_id")).limit(k)
@@ -484,8 +484,13 @@ object SimOps {
     val d2 = dot(col("__q"), col("__q")) -
       lit(2.0) * dot(col("__q"), col("__cent")) +
       dot(col("__cent"), col("__cent"))
+    // materialize ONCE: the distance pass feeds both the threshold agg
+    // and the output join, and the broadcast join leaves no Exchange for
+    // ReuseExchange to dedup — without this the dominant corpus scan
+    // runs twice
     val dists = q.join(broadcast(cents), Seq("__lbl"))
       .select(col(idCol), col("__lbl"), d2.cast(LongType).as("dist2"))
+      .localCheckpoint()
     val thresholds = dists.groupBy(col("__lbl"))
       .agg(expr(s"percentile(dist2, $hiP)").as("__thr"))
     dists.join(broadcast(thresholds), Seq("__lbl"))
@@ -524,10 +529,10 @@ object SimOps {
     require(k >= 1, s"marginMutualMatches: k must be >= 1, got $k")
     val l = left.select(col(idCol).cast(LongType).as("src_id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("__lv"))
-      .filter(col("__lv").isNotNull)
+      .filter(col("src_id").isNotNull && col("__lv").isNotNull)
     val r = right.select(col(idCol).cast(LongType).as("tgt_id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("__rv"))
-      .filter(col("__rv").isNotNull)
+      .filter(col("tgt_id").isNotNull && col("__rv").isNotNull)
     val c = cosine(col("__lv"), col("__rv"))
     val pairs = l.crossJoin(broadcast(r))
       .select(col("src_id"), col("tgt_id"), c.as("__c"),
@@ -539,15 +544,23 @@ object SimOps {
     val ranked = pairs
       .withColumn("__rf", row_number().over(wF))
       .withColumn("__rb", row_number().over(wB))
+    // ACTUAL neighborhood sizes, not k: a side with fewer than k
+    // partners must average over what exists, or small partitions
+    // inflate every margin (review finding)
     val sl = ranked.filter(col("__rf") <= k)
-      .groupBy(col("src_id")).agg(sum(col("__cm")).as("__sl"))
+      .groupBy(col("src_id")).agg(sum(col("__cm")).as("__sl"),
+        count(lit(1)).as("__nl"))
     val sr = ranked.filter(col("__rb") <= k)
-      .groupBy(col("tgt_id")).agg(sum(col("__cm")).as("__sr"))
+      .groupBy(col("tgt_id")).agg(sum(col("__cm")).as("__sr"),
+        count(lit(1)).as("__nr"))
+    // margin = 2c / (sl/nl + sr/nr) in integer arithmetic:
+    // 2*c*nl*nr / (sl*nr + sr*nl); bounded: cm<=1e6, n<=k
     ranked.filter(col("__rf") === 1 && col("__rb") === 1)
       .join(sl, Seq("src_id")).join(sr, Seq("tgt_id"))
       .withColumn("margin_micro",
-        when(col("__sl") + col("__sr") > 0,
-          expr(s"__cm * ${2 * k}L * 1000000L DIV (__sl + __sr)"))
+        when(col("__sl") * col("__nr") + col("__sr") * col("__nl") > 0,
+          expr("__cm * 2L * __nl * __nr * 1000000L DIV " +
+            "(__sl * __nr + __sr * __nl)"))
           .otherwise(lit(0L)))
       .filter(col("margin_micro") >= minMarginMicro)
       .select(col("src_id"), col("tgt_id"), col("__cm").as("cos_micro"),

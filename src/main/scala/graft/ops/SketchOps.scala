@@ -268,9 +268,13 @@ object SketchOps {
    */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, s"heavyHitters: k must be >= 2, got $k")
+    // profile the STRING form: the MG aggregate is string-typed, and the
+    // cast is value-injective for the int/long/string keys this serves
+    // (the recount below compares in the same cast space)
+    val key = col(keyCol).cast("string")
     val first = df.agg(
-      Mg.mgCandidatesAgg(col(keyCol), k).as("__cands"),
-      count(col(keyCol)).as("__n")).head()
+      Mg.mgCandidatesAgg(key, k).as("__cands"),
+      count(key).as("__n")).head()
     val cands = first.getSeq[String](0)
     val n = first.getLong(1)
     if (cands.isEmpty || n == 0L)
@@ -279,8 +283,8 @@ object SketchOps {
         .withColumn("n_rows", lit(null).cast("long"))
         .withColumn("share_ppm", lit(null).cast("long"))
         .limit(0)
-    df.filter(col(keyCol).isInCollection(cands))
-      .groupBy(col(keyCol))
+    df.filter(key.isInCollection(cands))
+      .groupBy(key.as(keyCol))
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") * k > n)
       .withColumn("share_ppm", expr(s"n_rows * 1000000 DIV ${n}L"))

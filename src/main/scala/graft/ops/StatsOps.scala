@@ -231,7 +231,10 @@ object StatsOps {
     val aggs = Seq(count(lit(1)).as("__n_rows")) ++ names.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        expr(s"hll_sketch_agg(`$c`)").as(s"__hll_$c"),
+        // sketch over the STRING form: hll_sketch_agg rejects
+        // double/timestamp/boolean inputs, and the cast is
+        // value-injective so distinct counts are unchanged
+        expr(s"hll_sketch_agg(CAST(`$c` AS STRING))").as(s"__hll_$c"),
         min(col(c)).as(s"__min_$c"),
         max(col(c)).as(s"__max_$c"))
     }

@@ -1181,8 +1181,12 @@ object TextOps {
   def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
                        k: Int = 10): DataFrame = {
     require(k > 0, s"distinctiveTerms: k must be positive, got $k")
-    val tok = df.select(col(groupCol).as("__g"),
-      explode(tokens(col(textCol))).as("__tok"))
+    // null groups drop up front: count_distinct(group) would exclude
+    // them from n_groups while their tokens inflated df, driving scores
+    // of everywhere-tokens negative instead of the documented 0
+    val tok = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(tokens(col(textCol))).as("__tok"))
     val tf = tok.groupBy(col("__g"), col("__tok"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
@@ -1277,18 +1281,21 @@ object TextOps {
       .otherwise(host0)
     val host = regexp_replace(host1, "^www\\.", "")
     val noFrag = regexp_replace(rest0, "#.*$", "")
-    // tracking params: strip `(?|&)name=value`, then normalize the
-    // separator of whatever param ended up first, then dangling tails
-    val noTrack = regexp_replace(noFrag,
-      "[?&](?:utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&#]*", "")
-    // promote the now-first param's `&` to `?` ONLY when the strip
-    // actually consumed the `?` — a literal `&` in a query-less path
-    // must not be touched
-    val lostQuery = (instr(noFrag, "?") > 0) && (instr(noTrack, "?") === 0)
-    val fixedSep = when(lostQuery,
-        regexp_replace(noTrack, "^([^&]*)&", "$1?"))
-      .otherwise(noTrack)
-    val rest = regexp_replace(fixedSep, "[?&]$", "")
+    // split path and query FIRST — tracking-param surgery must never
+    // touch the path (a literal `&` in a query-less path is legal and
+    // an earlier separator-repair regex corrupted it)
+    val path = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query0 = when(instr(noFrag, "?") > 0,
+      regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)).otherwise(lit(""))
+    // strip `name=value` tracking params wherever they sit (the leading
+    // anchor consumes the first param, `&`-anchored matches the rest;
+    // non-overlapping scan handles consecutive params), then collapse
+    // the separators the removals left behind
+    val query1 = regexp_replace(query0,
+      "(?:^|&)(?:utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&]*", "")
+    val query = regexp_replace(regexp_replace(query1, "^&+", ""), "&+$", "")
+    val rest = when(query =!= "", concat(path, lit("?"), query))
+      .otherwise(path)
     when(scheme =!= "", concat(scheme, lit("://"), host, rest)).otherwise(u)
   }
 }

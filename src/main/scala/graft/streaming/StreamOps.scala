@@ -249,17 +249,21 @@ private[streaming] class EwmaProcessor(tsIdx: Int, tieIdx: Int, valIdx: Int,
 
   private def finalizeReady(key: Long, wm: Long): Iterator[Row] = {
     val all = pending.get().toVector
-    val (ready, rest) = all.partition(_._1 <= wm)
+    // pending keys are MICROS; the watermark is millis — a row is final
+    // once its whole millisecond has passed
+    val (ready, rest) = all.partition(_._1 / 1000 <= wm)
     val out = Vector.newBuilder[Row]
     if (ready.nonEmpty) {
       var st: Option[Double] = Option(ewmaState.get()).collect {
         case (v, seeded) if seeded == 1L => v
       }
-      ready.sortBy(r => (r._1, r._2)).foreach { case (ts, tie, v, isNull) =>
+      ready.sortBy(r => (r._1, r._2)).foreach { case (us, tie, v, isNull) =>
         if (!isNull) st = Some(st.fold(v)(prev => alpha * v + beta * prev))
+        val t = new Timestamp(us / 1000)
+        t.setNanos(((us % 1000000L) * 1000L).toInt)
         out += new org.apache.spark.sql.catalyst.expressions
           .GenericRowWithSchema(
-            Array(key, tie, new Timestamp(ts),
+            Array(key, tie, t,
               if (isNull) null else java.lang.Double.valueOf(v),
               st.map(java.lang.Double.valueOf).orNull),
             outSchema)
@@ -267,7 +271,8 @@ private[streaming] class EwmaProcessor(tsIdx: Int, tieIdx: Int, valIdx: Int,
       st.foreach(v => ewmaState.update((v, 1L)))
       if (rest.isEmpty) pending.clear() else pending.put(rest.toArray)
     }
-    if (rest.nonEmpty) getHandle.registerTimer(rest.map(_._1).min + 1)
+    if (rest.nonEmpty)
+      getHandle.registerTimer(rest.map(_._1).min / 1000 + 1)
     out.result().iterator
   }
 
@@ -275,7 +280,12 @@ private[streaming] class EwmaProcessor(tsIdx: Int, tieIdx: Int, valIdx: Int,
                                tv: TimerValues): Iterator[Row] = {
     val fresh = rows.map { r =>
       val isNull = r.isNullAt(valIdx)
-      (r.getTimestamp(tsIdx).getTime, r.getLong(tieIdx),
+      val t = r.getTimestamp(tsIdx)
+      // MICROsecond order key — the batch kernel orders by micros, and
+      // the reconciliation contract dies at ms truncation when two
+      // same-millisecond events' tie order disagrees with time order
+      val us = t.getTime * 1000L + t.getNanos / 1000 % 1000
+      (us, r.getLong(tieIdx),
         if (isNull) 0.0 else r.getDouble(valIdx), isNull)
     }.toArray
     if (fresh.nonEmpty) pending.appendList(fresh)
@@ -434,10 +444,13 @@ object StreamOps {
       s"streamingEwma: alpha must be in (0, 1], got $alpha")
     requireRocksDb(events)
     val base = events
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).cast("long").as(keyCol), col(tsCol),
         col(tieCol).cast("long").as(tieCol),
         col(valueCol).cast("double").as(valueCol))
+      // filter AFTER the casts: a non-numeric key/tie casts to null and
+      // must drop here, not NPE inside groupByKey/the processor
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(tieCol).isNotNull)
       .withWatermark(tsCol, watermark)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(keyCol,

@@ -2034,6 +2034,13 @@ class PipelineOpsSpec extends SparkTestBase {
         -> "https://example.com:8443/CaseSensitive/Path",
       // literal & in a query-less path: separator repair must NOT fire
       "https://example.com/a&b" -> "https://example.com/a&b",
+      // literal & in the path WITH a fully-stripped query: the path must
+      // survive untouched (the pre-review separator repair corrupted it
+      // to /a?b)
+      "https://example.com/a&b?utm_x=1" -> "https://example.com/a&b",
+      // consecutive tracking params in the lead
+      "https://example.com/p?utm_a=1&utm_b=2&id=3"
+        -> "https://example.com/p?id=3",
       // :443 on plain http is NOT a default port -> kept
       "http://example.com:443/p" -> "http://example.com:443/p",
       // unparseable input -> trim only

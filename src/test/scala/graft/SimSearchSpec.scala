@@ -427,5 +427,16 @@ class SimSearchSpec extends SparkTestBase {
     val none = SimOps.marginMutualMatches(left, right, "vec_id", "embedding",
       k = 2, minMarginMicro = 100000000L)
     assert(none.count() == 0)
+    // sides smaller than k: the denominator must average over the ACTUAL
+    // neighborhood (review finding) — a single pair's margin is exactly
+    // 1.0 (cos / its own neighborhood average), not inflated by k
+    val one = SimOps.marginMutualMatches(
+      Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      Seq((1L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4, minMarginMicro = 0L)
+      .collect()
+    assert(one.length == 1 &&
+      one.head.getLong(one.head.fieldIndex("margin_micro")) == 1000000L,
+      one.toSeq.toString)
   }
 }

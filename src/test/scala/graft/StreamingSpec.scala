@@ -802,4 +802,41 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("streamingEwma orders SAME-MILLISECOND events by their microsecond " +
+       "parts, matching the batch kernel (ms truncation would fold by the " +
+       "tie id instead)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Timestamp, Long, Option[Double])]
+      val out = StreamOps.streamingEwma(
+        input.toDF().toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", alpha = 0.5,
+        watermark = "10 minutes")
+      val q = out.writeStream.format("memory").queryName("ewma_us_stream")
+        .outputMode("append").start()
+      try {
+        // two events in the SAME millisecond, micro parts 900 then 100 —
+        // and tie ids DISAGREEING with time order: event_id 1 is LATER
+        def tsUs(us: Long): Timestamp = {
+          val t = new Timestamp(1700000000000L + us / 1000)
+          t.setNanos(((us % 1000000L) * 1000L).toInt)
+          t
+        }
+        input.addData((1L, tsUs(900), 1L, Some(10.0)),
+          (1L, tsUs(100), 2L, Some(0.0)))
+        q.processAllAvailable()
+        input.addData((9L, tsUs(100000L * 1000000L), 3L, Some(0.0)))
+        q.processAllAvailable()
+        input.addData((9L, tsUs(200000L * 1000000L), 4L, Some(0.0)))
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT event_id, ewma FROM ewma_us_stream WHERE user_id = 1")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+        // time order: id2 (v=0, us=100) seeds, then id1 (v=10, us=900)
+        // folds -> 5.0. A ms-truncating fold would order by id: 10, 5.
+        assert(got == Map(2L -> 0.0, 1L -> 5.0), s"got $got")
+      } finally q.stop()
+    }
+  }
 }
