@@ -659,6 +659,41 @@ object OracleSqlGen {
        |SELECT cluster_size, count(*) AS n_clusters
        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** q139: the dedup impact report — q118's component closure joined back
+    * to document byte sizes, rolled to one row of integer aggregates. */
+  def dedupImpactSql: String =
+    s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
+       |edges AS (
+       |  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
+       |), sym AS (
+       |  SELECT id_a AS id, id_b AS reach FROM edges
+       |  UNION
+       |  SELECT id_b AS id, id_a AS reach FROM edges
+       |), walk AS (
+       |  SELECT id, reach FROM sym
+       |  UNION
+       |  SELECT w.id, s.reach FROM walk w JOIN sym s ON s.id = w.reach
+       |), comp AS (
+       |  SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
+       |), dropped AS (
+       |  SELECT count(*) AS n_dropped,
+       |    CAST(COALESCE(sum(length(t.text)), 0) AS BIGINT) AS bytes_dropped
+       |  FROM comp c JOIN corpus t ON t.doc_id = c.id
+       |  WHERE c.id <> c.comp
+       |), clustered AS (
+       |  SELECT count(*) AS n_docs_in_clusters,
+       |    count(DISTINCT comp) AS n_clusters
+       |  FROM comp
+       |), tot AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(COALESCE(sum(length(text)), 0) AS BIGINT) AS bytes_total
+       |  FROM corpus
+       |)
+       |SELECT n_docs, bytes_total, n_docs_in_clusters, n_clusters,
+       |  n_dropped, bytes_dropped,
+       |  (bytes_dropped * 1000000) // bytes_total AS drop_ppm
+       |FROM tot CROSS JOIN clustered CROSS JOIN dropped""".stripMargin
+
   /** q128: the distributed integer Lloyd recurrence unrolled — one
     * (assign, update) CTE pair per iteration, then the final assignment.
     * Every value is an exact integer in a double (quantize/floor rules

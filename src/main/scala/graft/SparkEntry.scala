@@ -1134,6 +1134,53 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q138_rate_spikes" -> ((s: SparkSession, dir: String) => {
+      // ops COMPOSITION: hopping windows -> per-type z-scores over the
+      // window counts -> spike flags — the rate-anomaly monitor every
+      // event pipeline wants; the generator's own rate variation
+      // exercises the z math (no planting needed)
+      val win = graft.ops.EventOps.hoppingStats(t(s, dir, "events"), "ts",
+        "event_type", "value", widthSeconds = 3600, hopSeconds = 900)
+      val stats = win.groupBy(col("event_type"))
+        .agg(avg(col("n_events")).as("__mu"),
+          stddev_pop(col("n_events")).as("__sigma"))
+      win.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z",
+          when(col("__sigma") > 0,
+            round((col("n_events") - col("__mu")) / col("__sigma"), 6))
+            .otherwise(lit(0.0)))
+        .withColumn("is_spike", col("z") > 2.0)
+        .select(col("window_start_us"), col("event_type"), col("n_events"),
+          col("z"), col("is_spike"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
+    "q139_dedup_impact" -> ((s: SparkSession, dir: String) => {
+      // the dedup impact report: q118's provenance mapping joined back to
+      // document sizes — docs in clusters, clusters, dropped docs, bytes
+      // saved, integer ppm — the one-row summary a drop decision reads
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+      val corpus = d.unionByName(perturbed)
+      val mapping = DedupOps.canonicalMapping(corpus, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 100)
+      val dropped = mapping.filter(col("doc_id") =!= col("canonical_id"))
+        .join(corpus, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_dropped"),
+          coalesce(sum(length(col("text")).cast(LongType)), lit(0L))
+            .as("bytes_dropped"))
+      val clustered = mapping.agg(count(lit(1)).as("n_docs_in_clusters"),
+        count_distinct(col("canonical_id")).as("n_clusters"))
+      corpus.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text")).cast(LongType)), lit(0L))
+            .as("bytes_total"))
+        .crossJoin(clustered).crossJoin(dropped)
+        .withColumn("drop_ppm",
+          expr("bytes_dropped * 1000000 DIV bytes_total"))
+    }),
+
     "q137_profile_segments" -> ((s: SparkSession, dir: String) => {
       // mergeable profiling: three hash-disjoint segments profiled
       // independently, then merged with NO re-scan — exact counts and
@@ -3675,6 +3722,37 @@ object SparkEntry {
         |  CAST(sum(vm) AS BIGINT) AS sum_value_micro
         |FROM w GROUP BY window_start_us, event_type
         |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "q138_rate_spikes" ->
+      // q133's window CTE + per-type count stats + the q113 z rule
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type
+        |  FROM events WHERE ts IS NOT NULL
+        |), w AS (
+        |  SELECT unnest(generate_series(
+        |      us - us % 900000000 - CAST(2700000000 AS BIGINT),
+        |      us - us % 900000000, 900000000)) AS window_start_us,
+        |    event_type
+        |  FROM e
+        |), win AS (
+        |  SELECT window_start_us, event_type, count(*) AS n_events
+        |  FROM w GROUP BY window_start_us, event_type
+        |), st AS (
+        |  SELECT event_type, avg(n_events) AS mu,
+        |    stddev_pop(n_events) AS sigma
+        |  FROM win GROUP BY event_type
+        |)
+        |SELECT w2.window_start_us, w2.event_type, w2.n_events,
+        |  CASE WHEN st.sigma > 0
+        |    THEN round((w2.n_events - st.mu) / st.sigma, 6)
+        |    ELSE 0.0 END AS z,
+        |  (CASE WHEN st.sigma > 0
+        |    THEN round((w2.n_events - st.mu) / st.sigma, 6)
+        |    ELSE 0.0 END) > 2.0 AS is_spike
+        |FROM win w2 JOIN st USING (event_type)
+        |ORDER BY w2.window_start_us, w2.event_type""".stripMargin,
+
+    "q139_dedup_impact" -> OracleSqlGen.dedupImpactSql,
 
     "q134_set_similarity_join" ->
       // brute-force exact Jaccard over the bounded id ranges — the prefix

@@ -157,7 +157,9 @@ class PlanShapeSpec extends SparkTestBase {
           // wave-7 families: prefix-filtered set join, join-size
           // pre-flight, session paths, mergeable profiles
           "q134_set_similarity_join", "q135_join_cardinality",
-          "q136_session_paths", "q137_profile_segments").foreach { q =>
+          "q136_session_paths", "q137_profile_segments",
+          // composition queries: window algebra + broadcast stats joins
+          "q138_rate_spikes").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
