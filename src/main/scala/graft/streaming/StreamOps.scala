@@ -471,6 +471,40 @@ object StreamOps {
   }
 
   /**
+   * Streaming HOPPING WINDOWS — the live sibling of
+   * [[graft.ops.EventOps.hoppingStats]], expressed with Spark's NATIVE
+   * sliding `window()` (the engine plans a TumblingWindow-style expand of
+   * `width/hop` rows per event and a watermarked streaming aggregation —
+   * exactly the batch op's shape, state evicted as the watermark
+   * passes). Emits `(window_start_us, <typeCol>, n_events,
+   * sum_value_micro)` in append mode, finalized per watermark; the value
+   * sum is micro-quantized per event BEFORE aggregation, so the counts
+   * and sums reconcile exactly with the batch op on the same events
+   * (spec-pinned — window boundaries agree because both sides compute
+   * hop-aligned integer starts).
+   */
+  def streamingHoppingStats(events: DataFrame, tsCol: String,
+                            typeCol: String, valueCol: String,
+                            widthSeconds: Long, hopSeconds: Long,
+                            watermark: String = "10 minutes"): DataFrame = {
+    require(widthSeconds > 0 && hopSeconds > 0 &&
+      widthSeconds % hopSeconds == 0,
+      s"streamingHoppingStats: width ($widthSeconds) must be a positive " +
+        s"multiple of hop ($hopSeconds)")
+    events
+      .filter(col(tsCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        window(col(tsCol), s"$widthSeconds seconds", s"$hopSeconds seconds"),
+        col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol).cast("double") * 1000000d + lit(0.5)))
+          .as("sum_value_micro"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col(typeCol), col("n_events"), col("sum_value_micro"))
+  }
+
+  /**
    * Streaming INTERVAL JOIN — the live sibling of
    * [[graft.ops.JoinOps.intervalJoin]] for the fixed-duration window case
    * (incident windows, promo windows, attribution horizons): every

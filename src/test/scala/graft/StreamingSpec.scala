@@ -803,6 +803,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streamingHoppingStats reconciles with the batch hopping windows " +
+       "row-for-row once the watermark finalizes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.streamingHoppingStats(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", widthSeconds = 3600, hopSeconds = 900)
+    val q = out.writeStream.format("memory").queryName("hop_stream")
+      .outputMode("append").start()
+    try {
+      val evs = Seq((ts(0), "a", 1.25), (ts(100), "a", 2.5),
+        (ts(950), "b", -0.75), (ts(4000), "a", 3.0))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // far-future sentinel pushes the watermark past everything real
+      input.addData((ts(10000000), "zz", 0.0))
+      q.processAllAvailable()
+      input.addData((ts(20000000), "zz", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_start_us, event_type, n_events, sum_value_micro " +
+        "FROM hop_stream WHERE event_type <> 'zz'")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      import spark.implicits._
+      val batch = graft.ops.EventOps.hoppingStats(
+          evs.toDF("ts", "event_type", "value"),
+          "ts", "event_type", "value", 3600, 900)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == batch, s"streamed $got\n!= batch $batch")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingEwma orders SAME-MILLISECOND events by their microsecond " +
        "parts, matching the batch kernel (ms truncation would fold by the " +
        "tie id instead)") {
