@@ -153,7 +153,7 @@ private[streaming] class MinHashBandDedupProcessor(setIdx: Int, tsIdx: Int,
 
 /**
  * Per-user state for [[StreamOps.streamingTransitions]]: `pending` buffers
- * (event-time ms, type) rows the watermark has not yet passed; `anchor` is
+ * (event-time MICROS, type) rows the watermark has not yet passed; `anchor` is
  * the LAST FINALIZED event, the chain head for the next transition. Rows
  * finalize in event-time order once the watermark passes them, so
  * out-of-order arrivals within the watermark produce exactly the batch
@@ -181,34 +181,42 @@ private[streaming] class TransitionProcessor(tsIdx: Int, typeIdx: Int,
 
   private def finalizeReady(key: Long, wm: Long): Iterator[Row] = {
     val all = pending.get().toVector
-    val (ready, rest) = all.partition(_._1 <= wm)
+    // pending keys are MICROS (the batch op's order precision — same-ms
+    // different-us events must chain in time order); wm is millis
+    val (ready, rest) = all.partition(_._1 / 1000 <= wm)
     val out = Vector.newBuilder[Row]
     if (ready.nonEmpty) {
       var last = Option(anchor.get())
-      ready.sorted.foreach { case (ts, tp) =>
-        last.foreach { case (pts, ptp) =>
-          if (ts >= pts && ts - pts <= gapMs)
+      ready.sorted.foreach { case (us, tp) =>
+        last.foreach { case (pus, ptp) =>
+          if (us >= pus && us - pus <= gapMs * 1000L) {
+            val t = new Timestamp(us / 1000)
+            t.setNanos(((us % 1000000L) * 1000L).toInt)
             out += new org.apache.spark.sql.catalyst.expressions
               .GenericRowWithSchema(
-                Array(key, ptp, tp, new Timestamp(ts)), outSchema)
+                Array(key, ptp, tp, t), outSchema)
+          }
         }
-        last = Some((ts, tp))
+        last = Some((us, tp))
       }
       anchor.update(last.get)
       if (rest.isEmpty) pending.clear() else pending.put(rest.toArray)
     }
-    if (rest.nonEmpty) getHandle.registerTimer(rest.map(_._1).min + 1)
-    else Option(anchor.get()).foreach { case (ts, _) =>
-      if (wm > ts + gapMs) anchor.clear()
-      else getHandle.registerTimer(ts + gapMs + 1)
+    if (rest.nonEmpty)
+      getHandle.registerTimer(rest.map(_._1).min / 1000 + 1)
+    else Option(anchor.get()).foreach { case (us, _) =>
+      if (wm > us / 1000 + gapMs) anchor.clear()
+      else getHandle.registerTimer(us / 1000 + gapMs + 1)
     }
     out.result().iterator
   }
 
   override def handleInputRows(key: Long, rows: Iterator[Row],
                                tv: TimerValues): Iterator[Row] = {
-    val fresh = rows.map(r =>
-      (r.getTimestamp(tsIdx).getTime, r.getString(typeIdx))).toArray
+    val fresh = rows.map { r =>
+      val t = r.getTimestamp(tsIdx)
+      (t.getTime * 1000L + t.getNanos / 1000 % 1000, r.getString(typeIdx))
+    }.toArray
     if (fresh.nonEmpty) pending.appendList(fresh)
     finalizeReady(key, tv.getCurrentWatermarkInMs())
   }
@@ -220,7 +228,7 @@ private[streaming] class TransitionProcessor(tsIdx: Int, typeIdx: Int,
 
 /**
  * Per-key state for [[StreamOps.streamingEwma]]: `pending` buffers
- * `(ts ms, tie, value, isNull)` rows the watermark has not passed;
+ * `(ts MICROS, tie, value, isNull)` rows the watermark has not passed;
  * `ewmaState` is `(current ewma, seeded flag)` and persists for the key's
  * lifetime. Rows finalize in `(ts, tie)` order once the watermark passes
  * them — the same discipline as [[TransitionProcessor]] — so out-of-order
