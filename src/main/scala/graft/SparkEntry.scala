@@ -1155,6 +1155,15 @@ object SparkEntry {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    "q140_phrase_search" -> ((s: SparkSession, dir: String) => {
+      // quote-level retrieval: docs containing the exact consecutive
+      // phrase "hash join", with match counts — the positional-postings
+      // n-way equi-join (term-filtered before any shuffle)
+      graft.ops.SearchOps.phraseSearch(t(s, dir, "documents"), "doc_id",
+          "text", Seq("hash", "join"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q139_dedup_impact" -> ((s: SparkSession, dir: String) => {
       // the dedup impact report: q118's provenance mapping joined back to
       // document sizes — docs in clusters, clusters, dropped docs, bytes
@@ -3753,6 +3762,23 @@ object SparkEntry {
         |ORDER BY w2.window_start_us, w2.event_type""".stripMargin,
 
     "q139_dedup_impact" -> OracleSqlGen.dedupImpactSql,
+
+    "q140_phrase_search" ->
+      // positional postings via parallel unnest; same (doc, pos - i) join
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS t
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |    unnest(generate_series(1, len(t))) - 1 AS pos
+        |  FROM tk
+        |), a0 AS (SELECT doc_id, pos AS anchor FROM p WHERE tok = 'hash'),
+        |a1 AS (SELECT doc_id, pos - 1 AS anchor FROM p WHERE tok = 'join')
+        |SELECT a0.doc_id, count(*) AS n_matches
+        |FROM a0 JOIN a1 USING (doc_id, anchor)
+        |GROUP BY a0.doc_id ORDER BY a0.doc_id""".stripMargin,
 
     "q134_set_similarity_join" ->
       // brute-force exact Jaccard over the bounded id ranges — the prefix

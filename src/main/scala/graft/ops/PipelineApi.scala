@@ -359,6 +359,10 @@ object pipeline {
 
       def mergeProfileSegments(columns: Seq[String]): DataFrame =
         StatsOps.mergeProfileSegments(df, columns)
+
+      def phraseSearch(phrase: Seq[String], idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+        SearchOps.phraseSearch(df, idCol, textCol, phrase)
     }
   }
 }

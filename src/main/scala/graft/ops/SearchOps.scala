@@ -39,6 +39,44 @@ import org.apache.spark.sql.types._
  */
 object SearchOps {
 
+  /**
+   * EXACT PHRASE SEARCH over a POSITIONAL index — the boolean sibling of
+   * [[bm25TopK]]: documents containing the query tokens CONSECUTIVELY, in
+   * order, with the match count. BM25 answers "most relevant to these
+   * words"; this answers "contains this exact wording" — the right tool
+   * for quote-level decontamination audits ("which corpus docs contain
+   * this benchmark question verbatim?") and boilerplate hunting.
+   *
+   * Plan: posexplode to positional postings `(token, doc, pos)`, filter
+   * to the PHRASE'S tokens before any shuffle (codegen InSet — the row
+   * count reaching the join is the phrase terms' occurrence total, not
+   * the corpus token count), then an n-way self-equi-join on
+   * `(doc, pos - i)`: token i must sit exactly i after token 0. The join
+   * chain is length `phrase.size` (phrases are short); each leg is an
+   * equi-join Catalyst plans as a hash join keyed on ints. Output
+   * `(<idCol>, n_matches)`, one row per matching doc.
+   *
+   * Rare-first note: the anchor leg is the phrase's FIRST token; if its
+   * postings dwarf the others', AQE's size estimates still build the hash
+   * side from the smaller leg — no manual reorder needed at this join
+   * shape.
+   */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val norm = phrase.map(_.toLowerCase)
+    val pos = docs
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .filter(col("__tok").isInCollection(norm.distinct))
+    val legs = norm.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("__tok") === t)
+        .select(col(idCol), (col("__pos") - i).as("__anchor"))
+    }
+    val matches = legs.reduce((a, b) => a.join(b, Seq(idCol, "__anchor")))
+    matches.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Postings table `(token, <idCol>, tf)` over [[TextOps.tokens]] — one row
     * per distinct (term, document). One explode + one two-phase hash agg. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -159,7 +159,9 @@ class PlanShapeSpec extends SparkTestBase {
           "q134_set_similarity_join", "q135_join_cardinality",
           "q136_session_paths", "q137_profile_segments",
           // composition queries: window algebra + broadcast stats joins
-          "q138_rate_spikes").foreach { q =>
+          "q138_rate_spikes",
+          // positional phrase search: term-filtered postings equi-joins
+          "q140_phrase_search").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")

@@ -147,4 +147,29 @@ class SearchOpsSpec extends SparkTestBase {
       1L -> round6(expectedScore(Map("apple" -> 2L), 3, dfs, 5, 8)),
       3L -> round6(expectedScore(Map("apple" -> 1L), 3, dfs, 5, 8))))
   }
+
+  test("phraseSearch: consecutive-and-in-order only; overlapping matches " +
+       "counted; repeated-token phrases; case-folded query") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big hash join beats a sort"),      // one match
+      (2L, "hash join and hash join again"),   // two matches
+      (3L, "join hash"),                       // wrong order -> no match
+      (4L, "hash x join"),                     // not consecutive -> no
+      (5L, "go go go"),                        // repeated-token phrase test
+      (6L, "nothing here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.SearchOps.phraseSearch(docs, "doc_id", "text",
+        Seq("HASH", "Join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L), s"got $got")
+    val rep = graft.ops.SearchOps.phraseSearch(docs, "doc_id", "text",
+        Seq("go", "go"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // "go go go": positions (0,1) and (1,2) -> 2 overlapping matches
+    assert(rep == Map(5L -> 2L), s"got $rep")
+    intercept[IllegalArgumentException] {
+      graft.ops.SearchOps.phraseSearch(docs, "doc_id", "text", Nil)
+    }
+  }
 }
