@@ -157,6 +157,33 @@ class SketchOpsSpec extends SparkTestBase {
     }
   }
 
+  test("mg_candidates_agg aggregates a STREAM (update mode): the summary " +
+       "folds across micro-batches and keeps the planted heavy hitter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("w")
+      .groupBy()
+      .agg(org.apache.spark.sql.catalyst.expressions.graftsketch
+        .MisraGriesExpressions.mgCandidatesAgg(col("w"), 10).as("cands"))
+    val q = agg.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: hot key + fillers; batch 2: more fillers — the TypedImperativeAggregate
+      // state must carry across micro-batches
+      input.addData(Seq.fill(50)("hot") ++ (1 to 30).map(i => s"f$i"): _*)
+      q.processAllAvailable()
+      input.addData((31 to 60).map(i => s"g$i"): _*)
+      q.processAllAvailable()
+      val cands = spark.sql("SELECT cands FROM mg_stream")
+        .collect().last.getSeq[String](0)
+      assert(cands.size <= 9, s"state bound: $cands")
+      assert(cands.contains("hot"), s"hot key evicted across batches: $cands")
+    } finally q.stop()
+  }
+
   test("mg_candidates_agg: superset guarantee holds on an adversarial " +
        "decrement-heavy stream; SQL surface registered") {
     import spark.implicits._
