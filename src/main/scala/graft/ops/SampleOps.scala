@@ -437,14 +437,39 @@ object SampleOps {
    */
   def writeShards(df: DataFrame, outDir: String, keyCol: String, nShards: Int,
                   tokenCountCol: Option[String] = None,
-                  salt: String = "graft-shard"): DataFrame = {
+                  salt: String = "graft-shard"): DataFrame =
+    writeShards(df, outDir, keyCol, nShards, tokenCountCol, salt, "parquet")
+
+  /**
+   * [[writeShards]] with a data format: `"parquet"` (the default — typed,
+   * splittable, what downstream Spark jobs read) or `"json"` (JSON LINES
+   * — one object per row, the interchange format LLM trainer loaders
+   * consume directly). The manifest is parquet either way, computed from
+   * a re-read of the LANDED data so it certifies what is actually on
+   * disk, not what was about to be written — for json that also
+   * round-trips the values through the trainer's own parse path, so a
+   * lossy serialization would fail the manifest checksum instead of
+   * corrupting a training run silently.
+   */
+  def writeShards(df: DataFrame, outDir: String, keyCol: String, nShards: Int,
+                  tokenCountCol: Option[String], salt: String,
+                  format: String): DataFrame = {
+    require(format == "parquet" || format == "json",
+      s"writeShards: format must be parquet or json, got $format")
     val spark = df.sparkSession
     assignShards(df, keyCol, nShards, salt)
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/data")
+      .write.mode("overwrite").partitionBy("shard").format(format)
+      .save(s"$outDir/data")
     // partition discovery infers shard as INT; cast back to long so the
-    // landed manifest's schema matches shardManifest(assignShards(...))
-    val landed = spark.read.parquet(s"$outDir/data")
-      .withColumn("shard", col("shard").cast("long"))
+    // landed manifest's schema matches shardManifest(assignShards(...));
+    // json re-reads with the writer's schema (minus the partition col) so
+    // integer-valued fields keep their types
+    val landed0 = if (format == "json") {
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        df.schema.fields)
+      spark.read.schema(dataSchema).format(format).load(s"$outDir/data")
+    } else spark.read.format(format).load(s"$outDir/data")
+    val landed = landed0.withColumn("shard", col("shard").cast("long"))
     val manifest = shardManifest(landed, keyCol, tokenCountCol, salt)
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
     spark.read.parquet(s"$outDir/manifest")

@@ -2057,10 +2057,13 @@ class PipelineOpsSpec extends SparkTestBase {
        "deterministic corpus — the prefix filter may only over-generate " +
        "candidates, never drop a qualifying pair") {
     import spark.implicits._
-    // 40 synthetic sets over a 30-token alphabet, deterministic mix of
-    // sizes and overlaps (hash-driven), plus planted identical pairs
+    // 40 synthetic sets over a 30-token alphabet with VARYING SIZES
+    // (5..20 by residue — the prefix-length formula must hold across
+    // asymmetric pairs) and hash-driven overlaps, plus planted
+    // identical pairs and threshold-boundary near-misses
     def setOf(i: Long): Seq[String] =
-      (0 until 12).map(j => s"t${(i * 7 + j * j) % 30}").distinct
+      (0 until (5 + (i % 4).toInt * 5))
+        .map(j => s"t${(i * 7 + j * j) % 30}").distinct
     val left = (0L to 19L).map(i => (i, setOf(i))).toDF("id", "s")
     val right = ((20L to 39L).map(i => (i, setOf(i - 20 + 3))) :+
       (99L, setOf(5L))).toDF("id", "s")

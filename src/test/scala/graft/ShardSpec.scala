@@ -40,6 +40,29 @@ class ShardSpec extends SparkTestBase {
     assert(recomputed.collect().toSet == manifest.collect().toSet)
   }
 
+  test("writeShards format=json: JSONL files a trainer loader can read " +
+       "line-by-line; manifest identical to the parquet landing") {
+    val dirP = Files.createTempDirectory("graft_shards_p").toString
+    val dirJ = Files.createTempDirectory("graft_shards_j").toString
+    val mp = SampleOps.writeShards(corpus, dirP, "doc_id", 4,
+      Some("n_tokens"), "graft-shard", "parquet")
+    val mj = SampleOps.writeShards(corpus, dirJ, "doc_id", 4,
+      Some("n_tokens"), "graft-shard", "json")
+    // the manifest certifies the LANDED json round-trips identically
+    assert(mj.collect().toSet == mp.collect().toSet)
+    // the files really are JSON lines: raw-text parse of one shard file
+    val shard0 = new java.io.File(s"$dirJ/data/shard=0").listFiles()
+      .filter(f => f.getName.endsWith(".json"))
+    assert(shard0.nonEmpty, "expected .json part files")
+    val lines = scala.io.Source.fromFile(shard0.head).getLines().toSeq
+    assert(lines.nonEmpty && lines.forall(l =>
+      l.startsWith("{") && l.endsWith("}") && l.contains("\"doc_id\"")),
+      lines.take(2).toString)
+    intercept[IllegalArgumentException] {
+      SampleOps.writeShards(corpus, dirJ, "doc_id", 4, None, "s", "csv")
+    }
+  }
+
   test("shard assignment and checksums are pure functions of (salt, key): " +
        "partitioning-invariant and idempotent across rewrites") {
     val dir1 = Files.createTempDirectory("graft_shards_a").toString
