@@ -1419,6 +1419,56 @@ object DedupOps {
     (result, unpersist)
   }
 
+  /**
+   * STREAMING-SAFE contamination flag: adds `out` (boolean) marking rows
+   * sharing a word n-gram with the probe set, via a bloom filter built
+   * ONCE from the (static) probe side at query-construction time. The
+   * batch ops ([[contaminatedIds]]/[[contaminatedIdsBloom]]) end in
+   * `.distinct()` — stateful, so they cannot run over a stream; this is
+   * the per-row STATELESS form that `readStream` pipelines drop or route
+   * on at ingest rate.
+   *
+   * Error model is ONE-SIDED the safe way around: a truly contaminated
+   * row ALWAYS flags (bloom has no false negatives); an fpp-sized trickle
+   * of clean rows flags spuriously — route flagged rows to the batch
+   * exact verify (the [[contaminatedIdsBloom]] semi-join) instead of
+   * dropping them blind if that trickle matters. The realized rate
+   * tracks `fpp` at realistic probe-set sizes (measured ~0.9% at the 1%
+   * setting over 100 items); Spark's sketch sizing distorts DEGENERATE
+   * single-digit-item blooms (measured ~6% regardless of bits) — an eval
+   * benchmark probe set is never that small, but don't unit-test fpp
+   * with one shingle.
+   *
+   * The per-shingle membership probe runs inside an `exists` lambda
+   * (interpreted per element — fine at ingest rate; the corpus-scan paths
+   * keep the native explode+join shape). Null text flags false.
+   */
+  def streamingContaminationFlag(docs: DataFrame, textCol: String,
+                                 probes: DataFrame, probeTextCol: String,
+                                 shingleSize: Int = 13, fpp: Double = 0.01,
+                                 expectedDistinctProbes: Long = 0L,
+                                 out: String = "maybe_contaminated"): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val probeSh = probes
+      .select(explode(shingles(col(probeTextCol), shingleSize)).as("__sh"))
+      .distinct()
+    val nEst =
+      if (expectedDistinctProbes > 0) expectedDistinctProbes
+      else probeSh.count().max(1L)
+    val numBits = math.ceil(
+      -nEst.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+    val sketchExprs = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    val bloom = probeSh
+      .select(sketchExprs.bloomAggregate(xxhash64(col("__sh")), nEst, numBits))
+      .head().getAs[Array[Byte]](0)
+    docs.withColumn(out,
+      coalesce(
+        exists(shingles(col(textCol), shingleSize),
+          sh => sketchExprs.bloomMightContain(bloom, xxhash64(sh))),
+        lit(false)))
+  }
+
   /** 64-bit SimHash over tokens (term-frequency weighted). Native codegen
     * expression hashing the raw `UTF8String` bytes inside the whole-stage
     * span (graftdedup.SimHash64Expr — no UDF boundary, no per-token String

@@ -803,6 +803,40 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streamingContaminationFlag: a contaminated doc ALWAYS flags on a " +
+       "live stream (no false negatives), clean docs pass; null text " +
+       "flags false") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // realistic probe-set size (~100 distinct shingles): Spark's bloom
+    // sizing honors fpp here; a single-shingle probe set would not (see
+    // the op's scaladoc)
+    val probes = (0 until 20).map(i =>
+      Tuple1(s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i " +
+        s"theta$i iota$i")).toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val flagged = graft.ops.DedupOps.streamingContaminationFlag(
+      input.toDF().toDF("doc_id", "text").withColumn("text",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("doc_id") === 99L,
+          org.apache.spark.sql.functions.lit(null:String))
+          .otherwise(org.apache.spark.sql.functions.col("text"))),
+      "text", probes, "text", shingleSize = 5, fpp = 0.001)
+    val q = flagged.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "prefix words then alpha7 beta7 gamma7 delta7 epsilon7 pasted"),
+        (2L, "totally unrelated clean content nothing shared here"),
+        (99L, "ignored"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, maybe_contaminated FROM contam_stream")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == Map(1L -> true, 2L -> false, 99L -> false), s"got $got")
+    } finally q.stop()
+  }
+
   test("streamingHoppingStats reconciles with the batch hopping windows " +
        "row-for-row once the watermark finalizes them") {
     implicit val sqlCtx = spark.sqlContext
