@@ -1155,6 +1155,16 @@ object SparkEntry {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    "q141_vocab_coverage" -> ((s: SparkSession, dir: String) => {
+      // tokenizer fit: per-doc occurrence-weighted coverage against the
+      // corpus's own top-50 vocabulary (the q51 ranking) — low rows are
+      // the encoding/language outliers a tokenizer will shatter
+      val d = t(s, dir, "documents")
+      TextOps.vocabCoverage(d, "doc_id", "text",
+          TextOps.vocabulary(d, "doc_id", "text", k = 50))
+        .orderBy(col("doc_id"))
+    }),
+
     "q140_phrase_search" -> ((s: SparkSession, dir: String) => {
       // quote-level retrieval: docs containing the exact consecutive
       // phrase "hash join", with match counts — the positional-postings
@@ -3762,6 +3772,28 @@ object SparkEntry {
         |ORDER BY w2.window_start_us, w2.event_type""".stripMargin,
 
     "q139_dedup_impact" -> OracleSqlGen.dedupImpactSql,
+
+    "q141_vocab_coverage" ->
+      // q51's top-50 ranking as the vocab; occurrence-weighted coverage
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), voc AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n_occurrences
+        |    FROM tok GROUP BY token
+        |    ORDER BY n_occurrences DESC, token LIMIT 50
+        |  )
+        |), agg AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    count(v.token) AS n_in_vocab
+        |  FROM tok t LEFT JOIN voc v ON t.token = v.token
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_in_vocab,
+        |  (n_in_vocab * 1000000) // n_tokens AS coverage_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q140_phrase_search" ->
       // positional postings via parallel unnest; same (doc, pos - i) join

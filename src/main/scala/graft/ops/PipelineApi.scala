@@ -363,6 +363,11 @@ object pipeline {
       def phraseSearch(phrase: Seq[String], idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame =
         SearchOps.phraseSearch(df, idCol, textCol, phrase)
+
+      def vocabCoverage(vocab: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        vocabTokenCol: String = "token"): DataFrame =
+        TextOps.vocabCoverage(df, idCol, textCol, vocab, vocabTokenCol)
     }
   }
 }

@@ -802,6 +802,36 @@ object TextOps {
   }
 
   /**
+   * VOCABULARY COVERAGE per document — the tokenizer-fit signal: what
+   * fraction of a document's token OCCURRENCES fall inside a given
+   * vocabulary (a [[vocabulary]] result, a landed tokenizer vocab, a
+   * benchmark's word list). Low coverage means the tokenizer will
+   * shatter the doc into bytes/unknowns — route it to a different
+   * tokenizer, or surface it as an encoding/language outlier. Output:
+   * `(<idCol>, n_tokens, n_in_vocab, coverage_ppm)` — occurrence-
+   * weighted (a rare OOV word repeated 100 times hurts 100 tokens of
+   * training data, so it counts 100 times), integer floor-div ppm.
+   * Token-less documents emit no row (there is nothing to cover).
+   *
+   * Shape: one explode + a BROADCAST membership join (vocabularies are
+   * small by definition) + one per-doc count agg — shuffle carries
+   * (id, counts) only, bodies never move.
+   */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, vocabTokenCol: String = "token"): DataFrame = {
+    val v = broadcast(vocab
+      .select(col(vocabTokenCol).as("__tok")).distinct()
+      .withColumn("__in", lit(1)))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .join(v, Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__in")).as("n_in_vocab"))
+      .withColumn("coverage_ppm",
+        expr("n_in_vocab * 1000000 DIV n_tokens"))
+  }
+
+  /**
    * Top-k adjacent-token COLLOCATIONS by pointwise mutual information —
    * the tokenizer-vocabulary / phrase-mining pre-pass ("new york",
    * "machine learning" score high; frequent-but-independent pairs score

@@ -2166,6 +2166,26 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("vocabCoverage: occurrence-weighted ppm hand-checked; full and " +
+       "zero coverage at the extremes; token-less docs emit no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "in in out"),       // 2 of 3 in vocab
+      (2L, "in in in"),        // full coverage
+      (3L, "out nope"),        // zero coverage
+      (4L, "   ")              // no tokens -> no row
+    ).toDF("doc_id", "text")
+    val vocab = Seq(Tuple1("in")).toDF("token")
+    val got = TextOps.vocabCoverage(docs, "doc_id", "text", vocab)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 666666L),
+      (2L, 3L, 3L, 1000000L),
+      (3L, 2L, 0L, 0L)), s"got $got")
+  }
+
   test("distinctiveTerms: everywhere-tokens score exactly 0, group-unique " +
        "tokens score tf * micro-nat idf, rank caps at k") {
     import spark.implicits._

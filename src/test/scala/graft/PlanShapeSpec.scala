@@ -161,7 +161,7 @@ class PlanShapeSpec extends SparkTestBase {
           // composition queries: window algebra + broadcast stats joins
           "q138_rate_spikes",
           // positional phrase search: term-filtered postings equi-joins
-          "q140_phrase_search").foreach { q =>
+          "q140_phrase_search", "q141_vocab_coverage").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
         assert(!hasUdf, s"$q plan contains a ScalaUDF:\n$plan")
