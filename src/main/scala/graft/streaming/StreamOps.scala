@@ -513,6 +513,41 @@ object StreamOps {
   }
 
   /**
+   * Streaming RATE-SPIKE detection — the live form of the q138
+   * composition, split the way production monitoring actually works: the
+   * per-type BASELINE (`mu`, `sigma` over window counts) comes from a
+   * LANDED batch table (history is the baseline — a live stream cannot
+   * compute its own long-run stats), and the stream contributes only the
+   * current hopping-window counts. Each finalized window row joins the
+   * broadcast baseline and emits `z` (rounded 6) and `is_spike`
+   * (`z > threshold`); unknown event types (no baseline row) emit a null
+   * z and never flag — surface them separately rather than paging on
+   * day-one noise.
+   *
+   * Stateless beyond the watermarked window aggregation itself
+   * ([[streamingHoppingStats]]); the baseline join is a broadcast hash
+   * join per micro-batch.
+   */
+  def streamingRateSpikes(events: DataFrame, baseline: DataFrame,
+                          tsCol: String, typeCol: String, valueCol: String,
+                          widthSeconds: Long, hopSeconds: Long,
+                          zThreshold: Double = 2.0,
+                          watermark: String = "10 minutes"): DataFrame = {
+    val win = streamingHoppingStats(events, tsCol, typeCol, valueCol,
+      widthSeconds, hopSeconds, watermark)
+    val base = broadcast(baseline.select(col(typeCol),
+      col("mu").cast("double").as("__mu"),
+      col("sigma").cast("double").as("__sigma")))
+    win.join(base, Seq(typeCol), "left")
+      .withColumn("z",
+        when(col("__sigma") > 0,
+          round((col("n_events") - col("__mu")) / col("__sigma"), 6)))
+      .withColumn("is_spike", coalesce(col("z") > zThreshold, lit(false)))
+      .select(col("window_start_us"), col(typeCol), col("n_events"),
+        col("z"), col("is_spike"))
+  }
+
+  /**
    * Streaming INTERVAL JOIN — the live sibling of
    * [[graft.ops.JoinOps.intervalJoin]] for the fixed-duration window case
    * (incident windows, promo windows, attribution horizons): every

@@ -803,6 +803,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streamingRateSpikes: a planted burst flags against the landed " +
+       "baseline; normal-rate windows and unknown types do not") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // baseline: type a averages 2 events/window, sigma 1
+    val baseline = Seq(("a", 2.0, 1.0)).toDF("event_type", "mu", "sigma")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.streamingRateSpikes(
+      input.toDF().toDF("ts", "event_type", "value"), baseline,
+      "ts", "event_type", "value", widthSeconds = 3600, hopSeconds = 900,
+      zThreshold = 2.0)
+    val q = out.writeStream.format("memory").queryName("spike_stream")
+      .outputMode("append").start()
+    try {
+      // burst: 8 'a' events in one second (z = 6) + one 'mystery' event
+      val burst = (0 until 8).map(i => (ts(i), "a", 1.0)) :+
+        ((ts(0), "mystery", 1.0))
+      input.addData(burst: _*)
+      q.processAllAvailable()
+      input.addData((ts(10000000), "zz", 0.0))
+      q.processAllAvailable()
+      input.addData((ts(20000000), "zz", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_type, n_events, z, is_spike FROM spike_stream " +
+        "WHERE event_type IN ('a', 'mystery')")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+        .toSet
+      // each of the 4 overlapping windows holds all 8 'a' events
+      assert(got.collect { case ("a", n, z, s) => (n, z, s) } ==
+        Set((8L, Some(6.0), true)), s"got $got")
+      // unknown type: null z, never flags
+      assert(got.collect { case ("mystery", n, z, s) => (n, z, s) } ==
+        Set((1L, None, false)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streamingContaminationFlag: a contaminated doc ALWAYS flags on a " +
        "live stream (no false negatives), clean docs pass; null text " +
        "flags false") {
