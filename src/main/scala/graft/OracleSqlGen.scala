@@ -598,19 +598,7 @@ object OracleSqlGen {
     * MINIMUM id among everything reachable from it. */
   def nearDedupConnectedSql: String =
     s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
-       |edges AS (
-       |  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
-       |), sym AS (
-       |  SELECT id_a AS id, id_b AS reach FROM edges
-       |  UNION
-       |  SELECT id_b AS id, id_a AS reach FROM edges
-       |), walk AS (
-       |  SELECT id, reach FROM sym
-       |  UNION
-       |  SELECT w.id, s.reach FROM walk w JOIN sym s ON s.id = w.reach
-       |), comp AS (
-       |  SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
-       |)
+       |${componentClosure(0.5)}
        |SELECT doc_id FROM corpus
        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp <> id)
        |ORDER BY doc_id""".stripMargin
@@ -618,10 +606,13 @@ object OracleSqlGen {
   /** q118: the canonical-mapping provenance table — q48's component
     * closure emitted as (id, canonical) rows instead of the survivor
     * filter; canonicals map to themselves, unclustered docs emit no row. */
-  def canonicalMappingSql: String =
-    s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
-       |edges AS (
-       |  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
+  /** The near-dup component closure shared by every provenance-family
+    * oracle (q118/q123/q139): verified edges -> symmetric reach ->
+    * recursive walk -> min-label components. ONE definition so the
+    * oracles cannot desynchronize (review finding). */
+  private def componentClosure(threshold: Double): String =
+    s"""edges AS (
+       |  SELECT id_a, id_b FROM jac WHERE jaccard >= $threshold
        |), sym AS (
        |  SELECT id_a AS id, id_b AS reach FROM edges
        |  UNION
@@ -632,7 +623,11 @@ object OracleSqlGen {
        |  SELECT w.id, s.reach FROM walk w JOIN sym s ON s.id = w.reach
        |), comp AS (
        |  SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
-       |)
+       |)""".stripMargin
+
+  def canonicalMappingSql: String =
+    s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
+       |${componentClosure(0.5)}
        |SELECT id AS doc_id, comp AS canonical_id FROM comp
        |ORDER BY doc_id""".stripMargin
 
@@ -641,19 +636,7 @@ object OracleSqlGen {
     * [[canonicalMappingSql]] so the two queries pin the same chain. */
   def clusterSizeHistogramSql: String =
     s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
-       |edges AS (
-       |  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
-       |), sym AS (
-       |  SELECT id_a AS id, id_b AS reach FROM edges
-       |  UNION
-       |  SELECT id_b AS id, id_a AS reach FROM edges
-       |), walk AS (
-       |  SELECT id, reach FROM sym
-       |  UNION
-       |  SELECT w.id, s.reach FROM walk w JOIN sym s ON s.id = w.reach
-       |), comp AS (
-       |  SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
-       |), sz AS (
+       |${componentClosure(0.5)}, sz AS (
        |  SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp
        |)
        |SELECT cluster_size, count(*) AS n_clusters
@@ -663,19 +646,7 @@ object OracleSqlGen {
     * to document byte sizes, rolled to one row of integer aggregates. */
   def dedupImpactSql: String =
     s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
-       |edges AS (
-       |  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
-       |), sym AS (
-       |  SELECT id_a AS id, id_b AS reach FROM edges
-       |  UNION
-       |  SELECT id_b AS id, id_a AS reach FROM edges
-       |), walk AS (
-       |  SELECT id, reach FROM sym
-       |  UNION
-       |  SELECT w.id, s.reach FROM walk w JOIN sym s ON s.id = w.reach
-       |), comp AS (
-       |  SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
-       |), dropped AS (
+       |${componentClosure(0.5)}, dropped AS (
        |  SELECT count(*) AS n_dropped,
        |    CAST(COALESCE(sum(length(t.text)), 0) AS BIGINT) AS bytes_dropped
        |  FROM comp c JOIN corpus t ON t.doc_id = c.id
@@ -757,19 +728,7 @@ object OracleSqlGen {
     * other's selection rules apart. */
   def nearDedupKeepBestSql: String =
     s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
-       |edges AS (
-       |  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
-       |), sym AS (
-       |  SELECT id_a AS id, id_b AS reach FROM edges
-       |  UNION
-       |  SELECT id_b AS id, id_a AS reach FROM edges
-       |), walk AS (
-       |  SELECT id, reach FROM sym
-       |  UNION
-       |  SELECT w.id, s.reach FROM walk w JOIN sym s ON s.id = w.reach
-       |), comp AS (
-       |  SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
-       |), ranked AS (
+       |${componentClosure(0.5)}, ranked AS (
        |  SELECT c.id, row_number() OVER (
        |    PARTITION BY c.comp ORDER BY length(t.text) DESC, c.id) AS rn
        |  FROM comp c JOIN corpus t ON t.doc_id = c.id

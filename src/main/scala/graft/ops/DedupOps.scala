@@ -1448,25 +1448,42 @@ object DedupOps {
                                  shingleSize: Int = 13, fpp: Double = 0.01,
                                  expectedDistinctProbes: Long = 0L,
                                  out: String = "maybe_contaminated"): DataFrame = {
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    val probeSh = probes
-      .select(explode(shingles(col(probeTextCol), shingleSize)).as("__sh"))
-      .distinct()
-    val nEst =
-      if (expectedDistinctProbes > 0) expectedDistinctProbes
-      else probeSh.count().max(1L)
-    val numBits = math.ceil(
-      -nEst.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+    val bloom = buildProbeBloom(probes, probeTextCol, shingleSize, fpp,
+      expectedDistinctProbes)
     val sketchExprs = org.apache.spark.sql.catalyst.expressions.graftdedup
       .HashSketchExpressions
-    val bloom = probeSh
-      .select(sketchExprs.bloomAggregate(xxhash64(col("__sh")), nEst, numBits))
-      .head().getAs[Array[Byte]](0)
     docs.withColumn(out,
       coalesce(
         exists(shingles(col(textCol), shingleSize),
           sh => sketchExprs.bloomMightContain(bloom, xxhash64(sh))),
         lit(false)))
+  }
+
+  /** Build the probe-shingle bloom shared by the streaming flag and (in
+    * spirit) the batch bloom path: distinct shingles staged ONCE behind a
+    * cache so the sizing count and the aggregate don't tokenize the
+    * probes twice, optimal-bits sizing, one driver-held byte array. */
+  private def buildProbeBloom(probes: DataFrame, probeTextCol: String,
+                              shingleSize: Int, fpp: Double,
+                              expectedDistinctProbes: Long): Array[Byte] = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val probeSh = probes
+      .select(explode(shingles(col(probeTextCol), shingleSize)).as("__sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEst =
+        if (expectedDistinctProbes > 0) expectedDistinctProbes
+        else probeSh.count().max(1L)
+      val numBits = math.ceil(
+        -nEst.toDouble * math.log(fpp) / (math.log(2) * math.log(2)))
+        .toLong.max(64L)
+      probeSh
+        .select(org.apache.spark.sql.catalyst.expressions.graftdedup
+          .HashSketchExpressions
+          .bloomAggregate(xxhash64(col("__sh")), nEst, numBits))
+        .head().getAs[Array[Byte]](0)
+    } finally probeSh.unpersist()
   }
 
   /** 64-bit SimHash over tokens (term-frequency weighted). Native codegen

@@ -464,11 +464,12 @@ object SampleOps {
     // landed manifest's schema matches shardManifest(assignShards(...));
     // json re-reads with the writer's schema (minus the partition col) so
     // integer-valued fields keep their types
-    val landed0 = if (format == "json") {
-      val dataSchema = org.apache.spark.sql.types.StructType(
-        df.schema.fields)
-      spark.read.schema(dataSchema).format(format).load(s"$outDir/data")
-    } else spark.read.format(format).load(s"$outDir/data")
+    val landed0 = if (format == "json")
+      // re-read with the writer's schema so integer-valued fields keep
+      // their types (json inference would widen); the shard partition
+      // column is appended automatically
+      spark.read.schema(df.schema).format(format).load(s"$outDir/data")
+    else spark.read.format(format).load(s"$outDir/data")
     val landed = landed0.withColumn("shard", col("shard").cast("long"))
     val manifest = shardManifest(landed, keyCol, tokenCountCol, salt)
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest")

@@ -69,6 +69,11 @@ object SearchOps {
       .select(col(idCol),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
       .filter(col("__tok").isInCollection(norm.distinct))
+      // materialize ONCE: each join leg below re-derives this subtree,
+      // and without staging an n-token phrase would tokenize the corpus
+      // n times; after the InSet filter this is bounded by the phrase
+      // terms' postings, not the corpus (review finding)
+      .localCheckpoint()
     val legs = norm.zipWithIndex.map { case (t, i) =>
       pos.filter(col("__tok") === t)
         .select(col(idCol), (col("__pos") - i).as("__anchor"))

@@ -182,16 +182,18 @@ private[streaming] class TransitionProcessor(tsIdx: Int, typeIdx: Int,
   private def finalizeReady(key: Long, wm: Long): Iterator[Row] = {
     val all = pending.get().toVector
     // pending keys are MICROS (the batch op's order precision — same-ms
-    // different-us events must chain in time order); wm is millis
-    val (ready, rest) = all.partition(_._1 / 1000 <= wm)
+    // different-us events must chain in time order); wm is millis.
+    // floorDiv, not /: pre-epoch (negative) micros must round DOWN or the
+    // finalize/timer/nanos math breaks (review finding)
+    val (ready, rest) = all.partition(u => Math.floorDiv(u._1, 1000L) <= wm)
     val out = Vector.newBuilder[Row]
     if (ready.nonEmpty) {
       var last = Option(anchor.get())
       ready.sorted.foreach { case (us, tp) =>
         last.foreach { case (pus, ptp) =>
           if (us >= pus && us - pus <= gapMs * 1000L) {
-            val t = new Timestamp(us / 1000)
-            t.setNanos(((us % 1000000L) * 1000L).toInt)
+            val t = new Timestamp(Math.floorDiv(us, 1000L))
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
             out += new org.apache.spark.sql.catalyst.expressions
               .GenericRowWithSchema(
                 Array(key, ptp, tp, t), outSchema)
@@ -203,10 +205,10 @@ private[streaming] class TransitionProcessor(tsIdx: Int, typeIdx: Int,
       if (rest.isEmpty) pending.clear() else pending.put(rest.toArray)
     }
     if (rest.nonEmpty)
-      getHandle.registerTimer(rest.map(_._1).min / 1000 + 1)
+      getHandle.registerTimer(Math.floorDiv(rest.map(_._1).min, 1000L) + 1)
     else Option(anchor.get()).foreach { case (us, _) =>
-      if (wm > us / 1000 + gapMs) anchor.clear()
-      else getHandle.registerTimer(us / 1000 + gapMs + 1)
+      if (wm > Math.floorDiv(us, 1000L) + gapMs) anchor.clear()
+      else getHandle.registerTimer(Math.floorDiv(us, 1000L) + gapMs + 1)
     }
     out.result().iterator
   }
@@ -258,8 +260,8 @@ private[streaming] class EwmaProcessor(tsIdx: Int, tieIdx: Int, valIdx: Int,
   private def finalizeReady(key: Long, wm: Long): Iterator[Row] = {
     val all = pending.get().toVector
     // pending keys are MICROS; the watermark is millis — a row is final
-    // once its whole millisecond has passed
-    val (ready, rest) = all.partition(_._1 / 1000 <= wm)
+    // once its whole millisecond has passed (floorDiv: pre-epoch safe)
+    val (ready, rest) = all.partition(r => Math.floorDiv(r._1, 1000L) <= wm)
     val out = Vector.newBuilder[Row]
     if (ready.nonEmpty) {
       var st: Option[Double] = Option(ewmaState.get()).collect {
@@ -267,8 +269,8 @@ private[streaming] class EwmaProcessor(tsIdx: Int, tieIdx: Int, valIdx: Int,
       }
       ready.sortBy(r => (r._1, r._2)).foreach { case (us, tie, v, isNull) =>
         if (!isNull) st = Some(st.fold(v)(prev => alpha * v + beta * prev))
-        val t = new Timestamp(us / 1000)
-        t.setNanos(((us % 1000000L) * 1000L).toInt)
+        val t = new Timestamp(Math.floorDiv(us, 1000L))
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
         out += new org.apache.spark.sql.catalyst.expressions
           .GenericRowWithSchema(
             Array(key, tie, t,
@@ -280,7 +282,7 @@ private[streaming] class EwmaProcessor(tsIdx: Int, tieIdx: Int, valIdx: Int,
       if (rest.isEmpty) pending.clear() else pending.put(rest.toArray)
     }
     if (rest.nonEmpty)
-      getHandle.registerTimer(rest.map(_._1).min / 1000 + 1)
+      getHandle.registerTimer(Math.floorDiv(rest.map(_._1).min, 1000L) + 1)
     out.result().iterator
   }
 
@@ -541,7 +543,11 @@ object StreamOps {
     win.join(base, Seq(typeCol), "left")
       .withColumn("z",
         when(col("__sigma") > 0,
-          round((col("n_events") - col("__mu")) / col("__sigma"), 6)))
+          round((col("n_events") - col("__mu")) / col("__sigma"), 6))
+          // KNOWN type with a constant-rate (sigma = 0) baseline -> 0.0,
+          // matching the q138 batch rule; only a MISSING baseline row
+          // yields null (the unknown-type bucket)
+          .otherwise(when(col("__mu").isNotNull, lit(0.0))))
       .withColumn("is_spike", coalesce(col("z") > zThreshold, lit(false)))
       .select(col("window_start_us"), col(typeCol), col("n_events"),
         col("z"), col("is_spike"))
