@@ -1607,8 +1607,9 @@ object SparkEntry {
       // the latest reference event (event_id % 20 == 0) at-or-before its
       // timestamp, per user. The reference side is pre-aggregated to one
       // row per (user, ts) so the as-of winner is unambiguous; ts is
-      // TIMESTAMP(NANOS) read as BIGINT nanos (session nanosAsLong), which
-      // the oracle mirrors with epoch_ns()
+      // TIMESTAMP(MICROS, NTZ) in the testdata at every sf, joined under
+      // the pinned-UTC session. The oracle orders on epoch_ns(ts) — an
+      // equally monotone key (micros * 1000), so the as-of winner matches
       val ev = t(s, dir, "events")
       val ref = ev.filter(col("event_id") % 20 === 0)
         .groupBy(col("user_id"), col("ts"))
@@ -3203,19 +3204,26 @@ object SparkEntry {
       // time_bucket's hour grid is epoch-aligned like Spark's window().
       // The json_valid guard + TRY_CAST replay get_json_object's LENIENT
       // semantics (malformed JSON, missing key, non-numeric value -> NULL)
-      // — a bare props->>'k' / CAST would ABORT on rows Spark nulls
+      // — a bare props->>'k' / CAST would ABORT on rows Spark nulls.
+      // The outer CAST(... AS BIGINT) matters: DuckDB widens sum(BIGINT)
+      // to HUGEINT (int128), which different client fetch paths render
+      // differently (9 vs 9.0 vs Decimal('9')) — not an engine-portable
+      // result type. Every oracle must stay inside the portable-type
+      // whitelist enforced by OracleTypePortabilitySpec.
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us,
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-        |  sum(TRY_CAST(CASE WHEN json_valid(props) THEN props->>'k' END
-        |               AS BIGINT)) AS sum_k
+        |  CAST(sum(TRY_CAST(CASE WHEN json_valid(props) THEN props->>'k' END
+        |                    AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q90_sessionize" ->
       // q88's lag/running-sum replay, kept per-row: seq is 0-based,
       // session_id = 'user:seq'; ties break by event_id exactly as the
-      // Spark window's orderBy does
+      // Spark window's orderBy does. seq is CAST to BIGINT because
+      // DuckDB's windowed sum(INT) widens to HUGEINT (int128) — a
+      // non-portable result type (see q89 note).
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
         |), f AS (
@@ -3226,8 +3234,8 @@ object SparkEntry {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us NULLS LAST, event_id)
         |), s AS (
         |  SELECT event_id, user_id, us,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us NULLS LAST, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS seq
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us NULLS LAST, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS seq
         |  FROM f
         |)
         |SELECT event_id, user_id,
