@@ -3511,7 +3511,7 @@ object SparkEntry {
         |  SELECT doc_id, scheme, host, u0, path,
         |    regexp_replace(regexp_replace(
         |      regexp_replace(query0,
-        |        '(^|&)(utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+        |        '(^|&)(utm_[A-Za-z0-9]+|fbclid|gclid)=[^&]*', '', 'g'),
         |      '^&+', ''), '&+$', '') AS query
         |  FROM split_pq
         |), sep AS (
@@ -3733,15 +3733,17 @@ object SparkEntry {
 
     "q133_hopping_windows" ->
       // hop-aligned window starts from integer microseconds; 4 windows
-      // per event; micro-int value sums
+      // per event; micro-int value sums. The ((us % hop) + hop) % hop
+      // floor-mod matches Spark's pmod for pre-epoch (negative-micros)
+      // timestamps too — DuckDB's bare % is sign-of-dividend
       """WITH e AS (
         |  SELECT epoch_us(ts) AS us, event_type,
         |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
         |  FROM events WHERE ts IS NOT NULL
         |), w AS (
         |  SELECT unnest(generate_series(
-        |      us - us % 900000000 - CAST(2700000000 AS BIGINT),
-        |      us - us % 900000000, 900000000)) AS window_start_us,
+        |      us - ((us % 900000000) + 900000000) % 900000000 - CAST(2700000000 AS BIGINT),
+        |      us - ((us % 900000000) + 900000000) % 900000000, 900000000)) AS window_start_us,
         |    event_type, vm
         |  FROM e
         |)
@@ -3757,8 +3759,8 @@ object SparkEntry {
         |  FROM events WHERE ts IS NOT NULL
         |), w AS (
         |  SELECT unnest(generate_series(
-        |      us - us % 900000000 - CAST(2700000000 AS BIGINT),
-        |      us - us % 900000000, 900000000)) AS window_start_us,
+        |      us - ((us % 900000000) + 900000000) % 900000000 - CAST(2700000000 AS BIGINT),
+        |      us - ((us % 900000000) + 900000000) % 900000000, 900000000)) AS window_start_us,
         |    event_type
         |  FROM e
         |), win AS (

@@ -1135,14 +1135,16 @@ object DedupOps {
                         setCol: String, thresholdMilli: Int): DataFrame = {
     require(thresholdMilli >= 1 && thresholdMilli <= 1000,
       s"setSimilarityJoin: thresholdMilli in [1, 1000], got $thresholdMilli")
-    // null ids (including CAST failures on non-numeric id columns) drop
-    // here explicitly — they would otherwise merge into one bogus record
-    // in the window stage and silently vanish in the candidate join
-    val l = left.select(col(leftId).cast(LongType).as("id_a"),
+    // ids keep their NATIVE type (string keys join/group/window exactly as
+    // well as numeric ones — an earlier Long cast silently nulled-and-
+    // dropped string-keyed inputs); null ids drop here explicitly — they
+    // would otherwise merge into one bogus record in the window stage and
+    // silently vanish in the candidate join
+    val l = left.select(col(leftId).as("id_a"),
       array_distinct(col(setCol)).as("__sa"))
       .filter(col("id_a").isNotNull &&
         col("__sa").isNotNull && size(col("__sa")) > 0)
-    val r = right.select(col(rightId).cast(LongType).as("id_b"),
+    val r = right.select(col(rightId).as("id_b"),
       array_distinct(col(setCol)).as("__sb"))
       .filter(col("id_b").isNotNull &&
         col("__sb").isNotNull && size(col("__sb")) > 0)

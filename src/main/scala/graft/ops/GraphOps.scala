@@ -60,19 +60,20 @@ object GraphOps {
     // rank join reuses this partitioning instead of reshuffling the edges
     val edgesDeg = e.join(deg, Seq("__src"))
       .repartition(col("__src")).persist()
-    val nodes = e.select(col("__src").as("node"))
+    // the node set is persisted BEFORE the count subquery so the
+    // crossJoin's broadcast count reads the cached rows instead of
+    // re-running the union+distinct shuffle a second time at setup
+    val nodeIds = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
-      .distinct()
-      .crossJoin(broadcast(
-        e.select(col("__src").as("node"))
-          .union(e.select(col("__dst").as("node")))
-          .distinct().agg(count(lit(1)).as("__n"))))
+      .distinct().persist()
+    val nodes = nodeIds
+      .crossJoin(broadcast(nodeIds.agg(count(lit(1)).as("__n"))))
       .persist()
     val initU: Column = expr(s"$totalUnits DIV __n")
     val baseU: Column = expr(
       s"((${1000000L - dampingPpm}) * ($totalUnits DIV __n)) DIV 1000000")
     var rank = nodes.select(col("node"), col("__n"), initU.as("rank_u"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = edgesDeg
         .join(rank.select(col("node").as("__src"), col("rank_u")), Seq("__src"))
         .groupBy(col("__dst").as("node"))
@@ -82,6 +83,10 @@ object GraphOps {
         .select(col("node"), col("__n"),
           (baseU + expr(s"($dampingPpm * coalesce(__in_sum, 0L)) DIV 1000000"))
             .as("rank_u"))
+      // rank's lineage grows by a join+agg per superstep; truncate it
+      // periodically so deep iteration counts don't build an unbounded
+      // plan (the materialized vector is only |V| rows of 16 bytes)
+      if (i % 8 == 0 && i < iters) rank = rank.localCheckpoint()
     }
     rank.select(col("node"), col("rank_u"))
   }

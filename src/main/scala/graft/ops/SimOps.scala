@@ -415,6 +415,21 @@ object SimOps {
       var cents: Array[Array[Double]] = q.orderBy(col("vec_id")).limit(k)
         .collect().map(_.getSeq[Double](1).toArray)
       require(cents.nonEmpty, "kmeansAssignInt: empty corpus")
+      // Exactness guard: "bit-exact integer arithmetic in doubles" only
+      // holds while every intermediate stays below 2^53. The largest dot
+      // intermediate is bounded by maxAbs^2 * dim (q.q); check it from
+      // one small agg on the already-persisted quantized frame instead of
+      // silently degrading to inexact doubles on large |x|*scale or dim.
+      val g = q.select(
+        max(array_max(transform(col("__q"), x => abs(x)))).as("__m"),
+        max(size(col("__q"))).as("__d")).head()
+      val maxAbs = g.getDouble(0)
+      val maxDim = g.getInt(1)
+      require(maxAbs * maxAbs * maxDim < math.pow(2, 53),
+        s"kmeansAssignInt: max|quantized value|^2 * dim = " +
+          s"${maxAbs * maxAbs * maxDim} exceeds 2^53 — distances would " +
+          s"lose integer exactness; lower `scale` (=$scale) or normalize " +
+          s"the vectors first")
       def assignCol(cs: Array[Array[Double]]): Column = {
         val dists: Array[Column] = cs.map { c =>
           val cc = c.map(x => x * x).sum // exact integer-valued double
@@ -435,6 +450,11 @@ object SimOps {
         stats.foreach { r =>
           val cl = r.getLong(0).toInt
           val d  = r.getInt(1)
+          // same 2^53 bound for the per-cluster dimension sums: |sum| <=
+          // maxAbs * n members, detectable post-hoc from the exact count
+          require(maxAbs * r.getLong(3) < math.pow(2, 53),
+            s"kmeansAssignInt: cluster $cl dim-sum bound " +
+              s"${maxAbs * r.getLong(3)} exceeds 2^53 — lower `scale`")
           next(cl)(d) = math.floor(r.getDouble(2) / r.getLong(3))
         }
         cents = next

@@ -18,6 +18,18 @@ import org.apache.spark.sql.types._
  */
 object StatsOps {
 
+  /** Backtick-quote an arbitrary column name for splicing into SQL text or
+    * `col()` — backticks inside the name double per Spark's quoting rule,
+    * so a name containing quotes, dots, or backticks cannot generate
+    * broken SQL or resolve as a nested-field path. */
+  private def qi(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** SQL string literal of an arbitrary value (backslash escaping — the
+    * Spark/Hive literal rule). */
+  private def ql(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /**
    * Top-`k` hottest values of `keyCol` with exact integer diagnostics:
    *
@@ -190,14 +202,15 @@ object StatsOps {
     require(names.nonEmpty, "profileColumns: no columns to profile")
     val aggs = Seq(count(lit(1)).as("__n_rows")) ++ names.flatMap { c =>
       Seq(
-        count(col(c)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast(StringType).as(s"__min_$c"),
-        max(col(c)).cast(StringType).as(s"__max_$c"))
+        count(col(qi(c))).as(s"__nn_$c"),
+        count_distinct(col(qi(c))).as(s"__nd_$c"),
+        min(col(qi(c))).cast(StringType).as(s"__min_$c"),
+        max(col(qi(c))).cast(StringType).as(s"__max_$c"))
     }
     val wide  = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = names.map { c =>
-      s"'$c', `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`"
+      s"${ql(c)}, ${qi(s"__nn_$c")}, ${qi(s"__nd_$c")}, " +
+        s"${qi(s"__min_$c")}, ${qi(s"__max_$c")}"
     }.mkString(", ")
     wide
       .select(col("__n_rows"), expr(
@@ -230,13 +243,13 @@ object StatsOps {
     require(names.nonEmpty, "profileSegment: no columns to profile")
     val aggs = Seq(count(lit(1)).as("__n_rows")) ++ names.flatMap { c =>
       Seq(
-        count(col(c)).as(s"__nn_$c"),
+        count(col(qi(c))).as(s"__nn_$c"),
         // sketch over the STRING form: hll_sketch_agg rejects
         // double/timestamp/boolean inputs, and the cast is
         // value-injective so distinct counts are unchanged
-        expr(s"hll_sketch_agg(CAST(`$c` AS STRING))").as(s"__hll_$c"),
-        min(col(c)).as(s"__min_$c"),
-        max(col(c)).as(s"__max_$c"))
+        expr(s"hll_sketch_agg(CAST(${qi(c)} AS STRING))").as(s"__hll_$c"),
+        min(col(qi(c))).as(s"__min_$c"),
+        max(col(qi(c))).as(s"__max_$c"))
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -249,17 +262,18 @@ object StatsOps {
     val aggs = Seq(sum(col("__n_rows")).as("__n_rows")) ++
       columns.flatMap { c =>
         Seq(
-          sum(col(s"__nn_$c")).as(s"__nn_$c"),
-          expr(s"hll_union_agg(`__hll_$c`)").as(s"__hll_$c"),
-          min(col(s"__min_$c")).as(s"__min_$c"),
-          max(col(s"__max_$c")).as(s"__max_$c"))
+          sum(col(qi(s"__nn_$c"))).as(s"__nn_$c"),
+          expr(s"hll_union_agg(${qi(s"__hll_$c")})").as(s"__hll_$c"),
+          min(col(qi(s"__min_$c"))).as(s"__min_$c"),
+          max(col(qi(s"__max_$c"))).as(s"__max_$c"))
       }
     val wide = segments.agg(aggs.head, aggs.tail: _*)
       .select(col("*") +: columns.map(c =>
-        expr(s"hll_sketch_estimate(`__hll_$c`)").as(s"__nd_$c")): _*)
+        expr(s"hll_sketch_estimate(${qi(s"__hll_$c")})").as(s"__nd_$c")): _*)
     val stackArgs = columns.map { c =>
-      s"'$c', `__nn_$c`, `__nd_$c`, CAST(`__min_$c` AS STRING), " +
-        s"CAST(`__max_$c` AS STRING)"
+      s"${ql(c)}, ${qi(s"__nn_$c")}, ${qi(s"__nd_$c")}, " +
+        s"CAST(${qi(s"__min_$c")} AS STRING), " +
+        s"CAST(${qi(s"__max_$c")} AS STRING)"
     }.mkString(", ")
     wide
       .select(col("__n_rows"), expr(
@@ -291,10 +305,10 @@ object StatsOps {
                 loP: Double = 0.01, hiP: Double = 0.99): DataFrame = {
     require(loP >= 0 && hiP <= 1 && loP <= hiP,
       s"need 0 <= loP <= hiP <= 1, got ($loP, $hiP)")
-    val v = col(valueCol).cast(DoubleType)
-    val bounds = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile($valueCol, $loP)").as("__wlo"),
-      expr(s"percentile($valueCol, $hiP)").as("__whi"))
+    val v = col(qi(valueCol)).cast(DoubleType)
+    val bounds = df.groupBy(col(qi(groupCol))).agg(
+      expr(s"percentile(${qi(valueCol)}, $loP)").as("__wlo"),
+      expr(s"percentile(${qi(valueCol)}, $hiP)").as("__whi"))
     df.join(broadcast(bounds), Seq(groupCol))
       // explicit null guard: greatest/least SKIP nulls (in Spark and
       // DuckDB alike), which would clamp a null value to the lower bound

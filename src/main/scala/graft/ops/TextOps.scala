@@ -1289,16 +1289,32 @@ object TextOps {
    *  3. drop a default port (`:80` for http, `:443` for https);
    *  4. drop a leading `www.` label;
    *  5. drop the fragment (`#...` — never sent to the server);
-   *  6. drop tracking parameters (`utm_*`, `fbclid`, `gclid`, `ref`)
-   *     wherever they sit in the query string, then repair the
+   *  6. drop tracking parameters (`utm_*`, `fbclid`, `gclid` by
+   *     default) wherever they sit in the query string, then repair the
    *     separators (leading `&` after a removed first param, dangling
    *     `?`/`&`).
+   *
+   * The tracking set is configurable (`trackingParamPatterns`: RE2
+   * patterns, each matching a whole parameter NAME). `ref` is
+   * deliberately NOT in the default set: it is a functional parameter on
+   * many sites (`?ref=<branch>` selects a different page), so stripping
+   * it by default would merge genuinely different pages under URL-keyed
+   * dedup — callers whose crawl treats `ref` as referral tracking opt in
+   * with `defaultTrackingParams :+ "ref"`.
    *
    * Inputs that do not parse as `scheme://authority...` pass through
    * with only the trim applied — a profiler concern, not a crash.
    * Pure map-side scalar: codegen'd regex ops, no shuffle, scan speed.
    */
-  def canonicalizeUrl(url: Column): Column = {
+  val defaultTrackingParams: Seq[String] =
+    Seq("utm_[A-Za-z0-9]+", "fbclid", "gclid")
+
+  def canonicalizeUrl(url: Column,
+                      trackingParamPatterns: Seq[String]
+                        = defaultTrackingParams): Column = {
+    require(trackingParamPatterns.nonEmpty,
+      "canonicalizeUrl: empty tracking set — pass a pattern list or use " +
+        "the default")
     val u = trim(url)
     val parse  = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
     val scheme = lower(regexp_extract(u, parse, 1))
@@ -1322,7 +1338,7 @@ object TextOps {
     // non-overlapping scan handles consecutive params), then collapse
     // the separators the removals left behind
     val query1 = regexp_replace(query0,
-      "(?:^|&)(?:utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&]*", "")
+      s"(?:^|&)(?:${trackingParamPatterns.mkString("|")})=[^&]*", "")
     val query = regexp_replace(regexp_replace(query1, "^&+", ""), "&+$", "")
     val rest = when(query =!= "", concat(path, lit("?"), query))
       .otherwise(path)

@@ -2026,9 +2026,10 @@ class PipelineOpsSpec extends SparkTestBase {
         -> "https://example.com/Docs/3/page?id=9",
       // tracking param first consumed the `?` -> next param promoted
       "http://example.com:80/p?gclid=x&id=2" -> "http://example.com/p?id=2",
-      // ALL params tracking -> query vanishes entirely
+      // ALL params tracking -> query vanishes entirely; ref is NOT in
+      // the default strip set (functional on many sites, e.g. ?ref=<branch>)
       "https://News.example.com/p?utm_x=1&fbclid=2&ref=nav"
-        -> "https://news.example.com/p",
+        -> "https://news.example.com/p?ref=nav",
       // path case is significant and kept; non-default port kept
       "https://example.com:8443/CaseSensitive/Path"
         -> "https://example.com:8443/CaseSensitive/Path",
@@ -2051,6 +2052,24 @@ class PipelineOpsSpec extends SparkTestBase {
     got.zip(cases).foreach { case (g, (in, want)) =>
       assert(g == want, s"[$in] -> got [$g], want [$want]")
     }
+    // opt-in strip set: a crawl that treats ref as referral tracking
+    val optIn = Seq(Tuple1("https://example.com/p?ref=nav&id=1")).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u"),
+        TextOps.defaultTrackingParams :+ "ref"))
+      .collect().head.getString(0)
+    assert(optIn == "https://example.com/p?id=1", optIn)
+  }
+
+  test("setSimilarityJoin survives STRING ids (no silent Long-cast drop) " +
+       "and returns them in their native type") {
+    import spark.implicits._
+    val l = Seq(("doc-a", Seq("x", "y", "z"))).toDF("id", "s")
+    val r = Seq(("doc-b", Seq("x", "y", "z")),
+                ("doc-c", Seq("p", "q", "r"))).toDF("id", "s")
+    val rows = graft.ops.DedupOps.setSimilarityJoin(
+        l, "id", r, "id", "s", thresholdMilli = 900)
+      .collect().map(row => (row.getString(0), row.getString(1))).toSeq
+    assert(rows == Seq(("doc-a", "doc-b")), rows.toString)
   }
 
   test("setSimilarityJoin equals the brute-force all-pairs Jaccard on a " +
