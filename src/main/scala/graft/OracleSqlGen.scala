@@ -578,6 +578,88 @@ object OracleSqlGen {
        |WHERE doc_id NOT IN (SELECT iid FROM jac2 WHERE jaccard >= 0.5)
        |ORDER BY doc_id""".stripMargin
 
+  /** q143: the STREAMING ingest composite
+    * (`StreamOps.dedupAgainstIndexBatch`) replayed as a batch chain — two
+    * micro-batches through within-batch near-dedup → index probe → append.
+    * Replays, per batch: (1) the in-batch pairwise drop (id_a < id_b,
+    * drop id_b — the q26 rule) over the batch's own band keys, (2) the
+    * probe of the SURVIVORS against the reference side, (3) the append
+    * (batch-2's reference = ref ∪ batch-1 accepted, the q78 move). Output
+    * is (batch_id, doc_id) of accepted rows per batch. */
+  def streamIngestReplaySql(numHashes: Int, bands: Int): String =
+    s"""WITH ref AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+       |), b1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 AND doc_id < 300
+       |  UNION ALL
+       |  SELECT doc_id + 6000000 AS doc_id, text || ' perturbed tail token' AS text
+       |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 40
+       |), b2 AS (
+       |  SELECT doc_id + 7000000 AS doc_id, text || ' perturbed tail token' AS text
+       |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 8000000 AS doc_id, translate(text, 'aeiou', 'xyzvw') AS text
+       |  FROM documents WHERE doc_id % 5 = 0 AND doc_id >= 100 AND doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 9000000 AS doc_id, translate(text, 'aeiou', 'xyzvw') AS text
+       |  FROM documents WHERE doc_id % 5 = 0 AND doc_id >= 200 AND doc_id < 240
+       |  UNION ALL
+       |  SELECT doc_id + 9100000 AS doc_id,
+       |    translate(text, 'aeiou', 'xyzvw') || ' extra tail token' AS text
+       |  FROM documents WHERE doc_id % 5 = 0 AND doc_id >= 200 AND doc_id < 240
+       |), ${againstSide("r", "ref", numHashes, bands)},
+       |${againstSide("a", "b1", numHashes, bands)},
+       |${againstSide("b", "b2", numHashes, bands)},
+       |w1 AS (
+       |  SELECT DISTINCT y.doc_id AS iid, x.doc_id AS rid
+       |  FROM abandk x JOIN abandk y
+       |    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+       |), wj1 AS (
+       |${againstJac("w1", "ash", "ash")}
+       |), s1 AS (
+       |  SELECT doc_id FROM b1
+       |  WHERE doc_id NOT IN (SELECT iid FROM wj1 WHERE jaccard >= 0.5)
+       |), c1 AS (
+       |  SELECT DISTINCT a.doc_id AS iid, r.doc_id AS rid
+       |  FROM abandk a JOIN rbandk r ON a.band_id = r.band_id AND a.bk = r.bk
+       |  WHERE a.doc_id IN (SELECT doc_id FROM s1)
+       |), pj1 AS (
+       |${againstJac("c1", "ash", "rsh")}
+       |), acc1 AS (
+       |  SELECT doc_id FROM s1
+       |  WHERE doc_id NOT IN (SELECT iid FROM pj1 WHERE jaccard >= 0.5)
+       |), r2bandk AS (
+       |  SELECT * FROM rbandk
+       |  UNION ALL
+       |  SELECT * FROM abandk WHERE doc_id IN (SELECT doc_id FROM acc1)
+       |), r2sh AS (
+       |  SELECT * FROM rsh
+       |  UNION ALL
+       |  SELECT * FROM ash WHERE doc_id IN (SELECT doc_id FROM acc1)
+       |), w2 AS (
+       |  SELECT DISTINCT y.doc_id AS iid, x.doc_id AS rid
+       |  FROM bbandk x JOIN bbandk y
+       |    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+       |), wj2 AS (
+       |${againstJac("w2", "bsh", "bsh")}
+       |), s2 AS (
+       |  SELECT doc_id FROM b2
+       |  WHERE doc_id NOT IN (SELECT iid FROM wj2 WHERE jaccard >= 0.5)
+       |), c2 AS (
+       |  SELECT DISTINCT b.doc_id AS iid, r.doc_id AS rid
+       |  FROM bbandk b JOIN r2bandk r ON b.band_id = r.band_id AND b.bk = r.bk
+       |  WHERE b.doc_id IN (SELECT doc_id FROM s2)
+       |), pj2 AS (
+       |${againstJac("c2", "bsh", "r2sh")}
+       |), acc2 AS (
+       |  SELECT doc_id FROM s2
+       |  WHERE doc_id NOT IN (SELECT iid FROM pj2 WHERE jaccard >= 0.5)
+       |)
+       |SELECT CAST(0 AS BIGINT) AS batch_id, doc_id FROM acc1
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT) AS batch_id, doc_id FROM acc2
+       |ORDER BY batch_id, doc_id""".stripMargin
+
   /** q25: near-duplicate pairs (k=64, 16 bands, threshold 0.5). */
   def nearDupPairsSql: String =
     s"""WITH $corpusSql, ${minhashChain(64, 16, 3)}

@@ -1155,6 +1155,70 @@ object SparkEntry {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    "q143_stream_ingest_replay" -> ((s: SparkSession, dir: String) => {
+      // the STREAMING steady-state ingest composite
+      // (StreamOps.dedupAgainstIndexBatch) driven as two micro-batches —
+      // the same foreachBatch body Structured Streaming would invoke,
+      // with the sink collecting accepted rows. Exercises all four legs:
+      // WITHIN-batch near-dedup (+6000000 perturbed copies drop in batch
+      // 0, +9100000 second-variants drop in batch 1), the index PROBE
+      // (batch-0 base docs are disjoint from the landed corpus and
+      // survive), the APPEND (+7000000 perturbed copies of batch-0
+      // accepted docs are caught ONLY because batch 0 folded back), and
+      // novel-text survival (+8000000/+9000000 vowel-rotations)
+      val idx = "graft_q143_" + math.abs(dir.hashCode).toString
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      DedupOps.landNearDupIndex(d.filter(col("doc_id") % 5 =!= 0), "text",
+        idx, numHashes = 64, bands = 16,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      val m5 = d.filter(col("doc_id") % 5 === 0)
+      val b1 = m5.filter(col("doc_id") < 300)
+        .unionByName(m5.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 6000000).as("doc_id"),
+            concat(col("text"), lit(" perturbed tail token")).as("text")))
+      val b2 = m5.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 7000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+        .unionByName(m5.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+          .select((col("doc_id") + 8000000).as("doc_id"),
+            translate(col("text"), "aeiou", "xyzvw").as("text")))
+        .unionByName(m5.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+          .select((col("doc_id") + 9000000).as("doc_id"),
+            translate(col("text"), "aeiou", "xyzvw").as("text")))
+        .unionByName(m5.filter(col("doc_id") >= 200 && col("doc_id") < 240)
+          .select((col("doc_id") + 9100000).as("doc_id"),
+            concat(translate(col("text"), "aeiou", "xyzvw"),
+              lit(" extra tail token")).as("text")))
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val body = graft.streaming.StreamOps.dedupAgainstIndexBatch(
+        "doc_id", "text", idx, threshold = 0.5) { (df, bid) =>
+          accepted += df.select(lit(bid).as("batch_id"), col("doc_id")) }
+      body(b1, 0L)
+      body(b2, 1L)
+      accepted.reduce(_.unionByName(_))
+        .orderBy(col("batch_id"), col("doc_id"))
+    }),
+
+    "q142_rate_spikes_landed" -> ((s: SparkSession, dir: String) => {
+      // the PRODUCTION split of q138, and the batch-reconciliation form
+      // of StreamOps.streamingRateSpikes (shared spikeJoin — the oracle
+      // here covers the streaming composite's semantics): history
+      // (3/4 of events, 'error' withheld) lands the per-type (mu, sigma)
+      // baseline; the live quarter contributes only window counts.
+      // 'error' windows exercise the unknown-type path: null z, never a
+      // flag
+      val ev = t(s, dir, "events")
+      val history = ev.filter(col("event_id") % 4 =!= 0 &&
+        col("event_type") =!= "error")
+      val live = ev.filter(col("event_id") % 4 === 0)
+      val baseline = graft.ops.EventOps.windowCountBaseline(history, "ts",
+        "event_type", "value", widthSeconds = 3600, hopSeconds = 900)
+      graft.ops.EventOps.rateSpikesAgainstBaseline(live, baseline, "ts",
+          "event_type", "value", widthSeconds = 3600, hopSeconds = 900,
+          zThreshold = 1.0)
+        .orderBy(col("window_start_us"), col("event_type"))
+    }),
+
     "q141_vocab_coverage" -> ((s: SparkSession, dir: String) => {
       // tokenizer fit: per-doc occurrence-weighted coverage against the
       // corpus's own top-50 vocabulary (the q51 ranking) — low rows are
@@ -3782,6 +3846,54 @@ object SparkEntry {
         |ORDER BY w2.window_start_us, w2.event_type""".stripMargin,
 
     "q139_dedup_impact" -> OracleSqlGen.dedupImpactSql,
+
+    "q143_stream_ingest_replay" ->
+      OracleSqlGen.streamIngestReplaySql(64, 16),
+
+    "q142_rate_spikes_landed" ->
+      // history windows -> per-type avg/stddev_pop baseline ('error'
+      // withheld); live-quarter windows LEFT JOIN the baseline. Same
+      // floor-mod alignment as q133; unknown types emit null z and a
+      // false flag (the coalesce)
+      """WITH he AS (
+        |  SELECT epoch_us(ts) AS us, event_type FROM events
+        |  WHERE ts IS NOT NULL AND event_id % 4 <> 0
+        |    AND event_type <> 'error'
+        |), hw AS (
+        |  SELECT unnest(generate_series(
+        |      us - ((us % 900000000) + 900000000) % 900000000
+        |        - CAST(2700000000 AS BIGINT),
+        |      us - ((us % 900000000) + 900000000) % 900000000,
+        |      900000000)) AS ws, event_type
+        |  FROM he
+        |), hc AS (
+        |  SELECT ws, event_type, count(*) AS n FROM hw GROUP BY 1, 2
+        |), base AS (
+        |  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+        |  FROM hc GROUP BY 1
+        |), le AS (
+        |  SELECT epoch_us(ts) AS us, event_type FROM events
+        |  WHERE ts IS NOT NULL AND event_id % 4 = 0
+        |), lw AS (
+        |  SELECT unnest(generate_series(
+        |      us - ((us % 900000000) + 900000000) % 900000000
+        |        - CAST(2700000000 AS BIGINT),
+        |      us - ((us % 900000000) + 900000000) % 900000000,
+        |      900000000)) AS window_start_us, event_type
+        |  FROM le
+        |), lc AS (
+        |  SELECT window_start_us, event_type, count(*) AS n_events
+        |  FROM lw GROUP BY 1, 2
+        |), z AS (
+        |  SELECT lc.window_start_us, lc.event_type, lc.n_events,
+        |    CASE WHEN base.sigma > 0
+        |           THEN round((lc.n_events - base.mu) / base.sigma, 6)
+        |         WHEN base.mu IS NOT NULL THEN 0.0 END AS z
+        |  FROM lc LEFT JOIN base USING (event_type)
+        |)
+        |SELECT window_start_us, event_type, n_events, z,
+        |  coalesce(z > 1.0, false) AS is_spike
+        |FROM z ORDER BY window_start_us, event_type""".stripMargin,
 
     "q141_vocab_coverage" ->
       // q51's top-50 ranking as the vocab; occurrence-weighted coverage

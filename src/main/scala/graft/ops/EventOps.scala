@@ -328,6 +328,71 @@ object EventOps {
   }
 
   /**
+   * Join finalized hopping-window rows against a per-type BASELINE
+   * (`mu`, `sigma` over window counts) and emit `z` (rounded 6) and
+   * `is_spike`. Shared by the batch [[rateSpikesAgainstBaseline]] and
+   * streaming `StreamOps.streamingRateSpikes` so the two paths cannot
+   * drift: sigma > 0 → the z-score; a KNOWN type with a constant-rate
+   * (sigma = 0) baseline → 0.0 (the q138 rule); a MISSING baseline row →
+   * null z and never a flag (day-one types surface separately, they
+   * don't page).
+   */
+  private[graft] def spikeJoin(win: DataFrame, baseline: DataFrame,
+                               typeCol: String,
+                               zThreshold: Double): DataFrame = {
+    val base = broadcast(baseline.select(col(typeCol),
+      col("mu").cast("double").as("__mu"),
+      col("sigma").cast("double").as("__sigma")))
+    win.join(base, Seq(typeCol), "left")
+      .withColumn("z",
+        when(col("__sigma") > 0,
+          round((col("n_events") - col("__mu")) / col("__sigma"), 6))
+          .otherwise(when(col("__mu").isNotNull, lit(0.0))))
+      .withColumn("is_spike", coalesce(col("z") > zThreshold, lit(false)))
+      .select(col("window_start_us"), col(typeCol), col("n_events"),
+        col("z"), col("is_spike"))
+  }
+
+  /**
+   * Batch RATE-SPIKE detection against a LANDED baseline — the
+   * batch-reconciliation form of `StreamOps.streamingRateSpikes`, and the
+   * production split of the q138 composition: history owns the per-type
+   * `(mu, sigma)` stats (a live stream cannot compute its own long-run
+   * baseline), the current events contribute only hopping-window counts.
+   * Exactly the streaming op's output on the same finalized windows
+   * (StreamingSpec reconciles them row-for-row), which is what makes the
+   * streaming composite DuckDB-oracle-able through this op.
+   *
+   * Shape: [[hoppingStats]]' map-side window expand + one two-phase agg,
+   * then a broadcast join against the (types-sized) baseline — nothing
+   * here scales with history, which stays landed where it was profiled.
+   */
+  def rateSpikesAgainstBaseline(events: DataFrame, baseline: DataFrame,
+                                tsCol: String, typeCol: String,
+                                valueCol: String, widthSeconds: Long,
+                                hopSeconds: Long,
+                                zThreshold: Double = 2.0): DataFrame =
+    spikeJoin(
+      hoppingStats(events, tsCol, typeCol, valueCol, widthSeconds,
+        hopSeconds),
+      baseline, typeCol, zThreshold)
+
+  /**
+   * Per-type baseline stats over hopping-window counts — the landing half
+   * of the split: run this on history, persist the (types-sized) result,
+   * hand it to [[rateSpikesAgainstBaseline]] or the streaming form.
+   * `mu`/`sigma` are avg and population stddev of `n_events` per type
+   * (the q138 convention).
+   */
+  def windowCountBaseline(events: DataFrame, tsCol: String,
+                          typeCol: String, valueCol: String,
+                          widthSeconds: Long, hopSeconds: Long): DataFrame =
+    hoppingStats(events, tsCol, typeCol, valueCol, widthSeconds, hopSeconds)
+      .groupBy(col(typeCol))
+      .agg(avg(col("n_events")).as("mu"),
+        stddev_pop(col("n_events")).as("sigma"))
+
+  /**
    * Per-key EWMA (exponentially-weighted moving average) of `valueCol` in
    * event-time order — the standard smoothed-metric signal (latency
    * trend, spend rate, engagement decay) a monitoring or feature pipeline

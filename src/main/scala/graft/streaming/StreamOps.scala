@@ -535,22 +535,13 @@ object StreamOps {
                           widthSeconds: Long, hopSeconds: Long,
                           zThreshold: Double = 2.0,
                           watermark: String = "10 minutes"): DataFrame = {
-    val win = streamingHoppingStats(events, tsCol, typeCol, valueCol,
-      widthSeconds, hopSeconds, watermark)
-    val base = broadcast(baseline.select(col(typeCol),
-      col("mu").cast("double").as("__mu"),
-      col("sigma").cast("double").as("__sigma")))
-    win.join(base, Seq(typeCol), "left")
-      .withColumn("z",
-        when(col("__sigma") > 0,
-          round((col("n_events") - col("__mu")) / col("__sigma"), 6))
-          // KNOWN type with a constant-rate (sigma = 0) baseline -> 0.0,
-          // matching the q138 batch rule; only a MISSING baseline row
-          // yields null (the unknown-type bucket)
-          .otherwise(when(col("__mu").isNotNull, lit(0.0))))
-      .withColumn("is_spike", coalesce(col("z") > zThreshold, lit(false)))
-      .select(col("window_start_us"), col(typeCol), col("n_events"),
-        col("z"), col("is_spike"))
+    // the z/flag rules live in EventOps.spikeJoin, SHARED with the batch
+    // rateSpikesAgainstBaseline so the two paths cannot drift (and the
+    // batch form's DuckDB oracle covers this one's semantics)
+    graft.ops.EventOps.spikeJoin(
+      streamingHoppingStats(events, tsCol, typeCol, valueCol,
+        widthSeconds, hopSeconds, watermark),
+      baseline, typeCol, zThreshold)
   }
 
   /**

@@ -839,6 +839,26 @@ class StreamingSpec extends SparkTestBase {
       // unknown type: null z, never flags
       assert(got.collect { case ("mystery", n, z, s) => (n, z, s) } ==
         Set((1L, None, false)), s"got $got")
+      // batch reconciliation: the streamed rows equal the batch
+      // rateSpikesAgainstBaseline (shared spikeJoin) on the same events —
+      // the q142 oracle therefore covers this streaming composite
+      val burstBatch = burst.toDF("ts", "event_type", "value")
+      val batchRows = graft.ops.EventOps.rateSpikesAgainstBaseline(
+          burstBatch, baseline, "ts", "event_type", "value",
+          widthSeconds = 3600, hopSeconds = 900, zThreshold = 2.0)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+        .toSet
+      val streamRows = spark.sql(
+        "SELECT window_start_us, event_type, n_events, z, is_spike " +
+        "FROM spike_stream WHERE event_type IN ('a', 'mystery')")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+        .toSet
+      assert(streamRows == batchRows,
+        s"stream $streamRows != batch $batchRows")
     } finally q.stop()
   }
 
