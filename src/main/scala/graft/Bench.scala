@@ -42,24 +42,103 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Either[String, Double] =
+    def timed(thunk: () => Unit): Either[String, Double] =
       try {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        thunk()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // LAND/PROBE phase split (VERDICT r9 #7): the landed-index queries
+    // (q76/q78/q85/q99 family) mix one-time land cost and steady-state
+    // probe cost inside one timed entry, so their medians describe
+    // neither. These bench-only entries time the phases separately:
+    // `*_land` lands under a FRESH name every rep (true land cost, no
+    // landOnce skip), `*_probe` probes a PRE-LANDED steady index (the
+    // steady-state claim). They ride the same warmup + round-robin rep
+    // machinery as the contract queries.
+    import org.apache.spark.sql.functions._
+    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val tmp = sys.props("java.io.tmpdir")
+    var landSeq = 0
+    def freshName(tag: String): String = { landSeq += 1; s"graft_bland_${tag}_$landSeq" }
+    val D = graft.ops.DedupOps
+    val steadyNd = "graft_bsplit_nd"; val steadyLm = "graft_bsplit_lm"
+    val steadyBm = "graft_bsplit_bm"; val steadyIvf = "graft_bsplit_ivf"
+    def probeBatch = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 250)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(col("text"), lit(" perturbed tail token")).as("text"))
+    val phaseEntries: Seq[(String, () => Unit)] = Seq(
+      "near_dedup_index_land" -> (() => {
+        val n = freshName("nd")
+        D.landNearDupIndex(docs.filter(col("doc_id") % 5 =!= 0), "text", n,
+          numHashes = 64, bands = 16,
+          path = Some(s"$tmp/graft_bucketed/$n"))
+      }),
+      "near_dedup_index_probe" -> (() =>
+        noop(D.nearDedupAgainstIndex(probeBatch, "doc_id", "text",
+          steadyNd, threshold = 0.5))),
+      "ngram_lm_land" -> (() => {
+        val n = freshName("lm")
+        graft.ops.TextOps.landNgramLm(
+          docs.filter(col("doc_id") % 10 =!= 0), "text", n, n = 3,
+          path = Some(s"$tmp/graft_bucketed/$n"))
+      }),
+      "ngram_lm_probe" -> (() =>
+        noop(graft.ops.TextOps.ngramLogProbScoreIndexed(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          steadyLm))),
+      "bm25_land" -> (() => {
+        val n = freshName("bm")
+        graft.ops.SearchOps.landSearchIndex(docs, "doc_id", "text", n,
+          path = Some(s"$tmp/graft_bucketed/$n"))
+      }),
+      "bm25_probe" -> (() =>
+        noop(graft.ops.SearchOps.bm25AgainstIndex(spark, steadyBm,
+          terms = Seq("spark", "query", "filter"), k = 10))),
+      "ann_ivf_land" -> (() => {
+        val n = freshName("ivf")
+        graft.ops.SimOps.landAnnIndex(emb, "vec_id", "embedding", n,
+          nCells = 16, path = Some(s"$tmp/graft_bucketed/$n"))
+      }),
+      "ann_ivf_probe" -> (() =>
+        noop(graft.ops.SimOps.annTopKAgainstIndex(
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", steadyIvf,
+          k = 5, nProbe = 4))))
+    // land the steady probe targets once, OUTSIDE any timed slot
+    def landSteady(): Unit = {
+      D.landNearDupIndex(docs.filter(col("doc_id") % 5 =!= 0), "text",
+        steadyNd, numHashes = 64, bands = 16,
+        path = Some(s"$tmp/graft_bucketed/$steadyNd"))
+      graft.ops.TextOps.landNgramLm(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", steadyLm, n = 3, path = Some(s"$tmp/graft_bucketed/$steadyLm"))
+      graft.ops.SearchOps.landSearchIndex(docs, "doc_id", "text", steadyBm,
+        path = Some(s"$tmp/graft_bucketed/$steadyBm"))
+      graft.ops.SimOps.landAnnIndex(emb, "vec_id", "embedding", steadyIvf,
+        nCells = 16, path = Some(s"$tmp/graft_bucketed/$steadyIvf"))
+    }
+
+    val runners: Map[String, () => Unit] =
+      SparkEntry.queries.map { case (n, fn) =>
+        n -> (() => noop(fn(spark, sfDir)))
+      } ++ phaseEntries
+    def runOnce(name: String): Either[String, Double] = timed(runners(name))
 
     // SPARK_GRAFT_ONLY=q25_near_dup_pairs,q74_... restricts the suite —
     // for targeted scaling datapoints on new queries without paying the
     // full-suite wall clock (driver runs always leave it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    val names = (SparkEntry.queries.keys.toSeq ++ phaseEntries.map(_._1))
+      .sorted.filter(n => only.forall(_.contains(n)))
+    if (names.exists(_.endsWith("_probe"))) landSteady()
     if (sys.env.get("SPARK_GRAFT_WARM").contains("head")) runOnce(names.head)
     else names.foreach(runOnce)
     // don't let warmup-pass garbage land in the first timed slot
