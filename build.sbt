@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // generated classes; the JDK default 240m code cache can fill, silently
   // disabling the JIT mid-suite (10-20x tail-query slowdowns)
   "-XX:ReservedCodeCacheSize=1g",
+  // Catalyst's analyzer recursions (DeduplicateRelations, resolution) are
+  // plan-depth-deep; a 26-channel cast through the per-column QC chain
+  // overflows the JDK default 1m thread stack (spark-submit itself raises
+  // the stack for the same reason)
+  "-Xss32m",
 )

