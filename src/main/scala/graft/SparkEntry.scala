@@ -1155,6 +1155,47 @@ object SparkEntry {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    "q144_hybrid_rrf" -> ((s: SparkSession, dir: String) => {
+      // hybrid retrieval: BM25 top-20 for a 3-term query fused with the
+      // cosine top-20 around vec 0 (vec_id == doc_id in the testdata) by
+      // reciprocal-rank fusion — integer 1e9 DIV (60 + rank) units, so
+      // the fusion is exactly oracle-able on top of the two established
+      // ranking contracts
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val bm = graft.ops.SearchOps.bm25TopK(d, "doc_id", "text",
+          terms = Seq("spark", "query", "filter"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val cos = SimOps.cosineTopK(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.SearchOps.rrfFuse(Seq("bm25" -> bm, "cos" -> cos),
+          "doc_id", k = 10)
+        .orderBy(col("rank"))
+    }),
+
+    "q145_corpus_containment" -> ((s: SparkSession, dir: String) => {
+      // dataset-release audit: what fraction of corpus B's distinct
+      // trigrams is already in corpus A? B = the odd half plus copies of
+      // 30 even docs, so the containment is genuinely mixed
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = d.filter(col("doc_id") % 2 === 0)
+      val b = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 60)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      DedupOps.corpusContainment(a, "text", b, "text", shingleSize = 3)
+    }),
+
+    "q146_temperature_sample" -> ((s: SparkSession, dir: String) => {
+      // multilingual-style temperature rebalancing: per-source keep rates
+      // follow n^0.5 shares toward a 200-row budget; the md5 gate makes
+      // the kept set a pure function of (salt, doc_id)
+      graft.ops.SampleOps.temperatureSampleByHash(t(s, dir, "documents"),
+          "doc_id", "source", alpha = 0.5, targetRows = 200)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q143_stream_ingest_replay" -> ((s: SparkSession, dir: String) => {
       // the STREAMING steady-state ingest composite
       // (StreamOps.dedupAgainstIndexBatch) driven as two micro-batches —
@@ -3849,6 +3890,143 @@ object SparkEntry {
 
     "q143_stream_ingest_replay" ->
       OracleSqlGen.streamIngestReplaySql(64, 16),
+
+    "q144_hybrid_rrf" ->
+      // the q98 BM25 chain (top-20) + the q29 cosine chain (query 0,
+      // top-20) fused with integer 1e9 DIV (60 + rank) units; FULL OUTER
+      // preserves single-list docs, final ties break on doc_id
+      """WITH tokarr AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, coalesce(len(toks), 0) AS dl FROM tokarr
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, coalesce(sum(dl), 0) AS total_dl FROM dl
+        |), post AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM tokarr)
+        |  WHERE token IN ('spark', 'query', 'filter')
+        |  GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY token
+        |), scored AS (
+        |  SELECT p.doc_id,
+        |    CAST((ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * p.tf)
+        |      * (1.2 + 1.0)
+        |      / (p.tf + 1.2 * ((1.0 - 0.75)
+        |          + (0.75 * d.dl) / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+        |      AS DECIMAL(18,9)) AS c
+        |  FROM post p
+        |  JOIN dfreq f USING (token)
+        |  JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s
+        |), agg AS (
+        |  SELECT doc_id, sum(c) AS sc FROM scored GROUP BY doc_id
+        |), bmtop AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT)
+        |      AS rank_bm25
+        |  FROM (SELECT doc_id, sc FROM agg ORDER BY sc DESC, doc_id LIMIT 20)
+        |), ev AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), csc AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    round(CASE WHEN sqrt(list_inner_product(q.v, q.v))
+        |                  * sqrt(list_inner_product(c.v, c.v)) > 0
+        |      THEN list_inner_product(q.v, c.v)
+        |           / (sqrt(list_inner_product(q.v, q.v))
+        |              * sqrt(list_inner_product(c.v, c.v)))
+        |      ELSE 0.0 END, 6) AS cos_sim
+        |  FROM ev q JOIN ev c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id = 0
+        |), cranked AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT)
+        |      AS rank_cos
+        |  FROM csc
+        |), ctop AS (
+        |  SELECT doc_id, rank_cos FROM cranked WHERE rank_cos <= 20
+        |), fused AS (
+        |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |    b.rank_bm25, c.rank_cos,
+        |    coalesce(CAST(1000000000 AS BIGINT) // (60 + b.rank_bm25),
+        |             CAST(0 AS BIGINT))
+        |      + coalesce(CAST(1000000000 AS BIGINT) // (60 + c.rank_cos),
+        |                 CAST(0 AS BIGINT)) AS rrf_units
+        |  FROM bmtop b FULL OUTER JOIN ctop c ON b.doc_id = c.doc_id
+        |)
+        |SELECT doc_id, rank_bm25, rank_cos, rrf_units,
+        |  CAST(row_number() OVER (ORDER BY rrf_units DESC, doc_id) AS BIGINT)
+        |    AS rank
+        |FROM (SELECT * FROM fused ORDER BY rrf_units DESC, doc_id LIMIT 10)
+        |ORDER BY rank""".stripMargin,
+
+    "q145_corpus_containment" ->
+      // the DedupOps.shingles chain (tok -> per-doc distinct trigram sets,
+      // the againstSide construction) on both corpora, then corpus-level
+      // DISTINCT + a semi-join count; floor-division ppm
+      """WITH da AS (
+        |  SELECT text FROM documents WHERE doc_id % 2 = 0
+        |), db AS (
+        |  SELECT text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 2 = 0 AND doc_id < 60
+        |), atok AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS t FROM da
+        |), ash AS (
+        |  SELECT DISTINCT sg FROM (
+        |    SELECT unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS sg
+        |    FROM atok)
+        |), btok AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS t FROM db
+        |), bsh AS (
+        |  SELECT DISTINCT sg FROM (
+        |    SELECT unnest(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [array_to_string(t, ' ')] END) AS sg
+        |    FROM btok)
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM ash) AS n_shingles_a,
+        |  (SELECT count(*) FROM bsh) AS n_shingles_b,
+        |  (SELECT count(*) FROM bsh WHERE sg IN (SELECT sg FROM ash))
+        |    AS n_shared,
+        |  (SELECT count(*) FROM bsh WHERE sg IN (SELECT sg FROM ash))
+        |    * 1000000
+        |    // (SELECT count(*) FROM bsh) AS containment_ppm""".stripMargin,
+
+    "q146_temperature_sample" ->
+      // n^alpha micro-unit quantization BEFORE the normalizing sum (exact
+      // integer total), one double division for the rate, md5-31 gate —
+      // the q45/q87 replay pattern. sum(BIGINT) CAST back to BIGINT (the
+      // portability rule)
+      """WITH sizes AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source
+        |), pw AS (
+        |  SELECT source, n,
+        |    CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1000000) AS BIGINT)
+        |      AS pw
+        |  FROM sizes
+        |), tot AS (
+        |  SELECT CAST(sum(pw) AS BIGINT) AS tot FROM pw
+        |), cuts AS (
+        |  SELECT source,
+        |    CAST(floor(least(1.0, (200.0 * pw)
+        |        / (CAST(tot AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      * 2147483648.0) AS BIGINT) AS cut
+        |  FROM pw CROSS JOIN tot
+        |)
+        |SELECT doc_id, source FROM documents JOIN cuts USING (source)
+        |WHERE (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |       & 2147483647::UBIGINT)::BIGINT < cut
+        |ORDER BY doc_id""".stripMargin,
 
     "q142_rate_spikes_landed" ->
       // history windows -> per-type avg/stddev_pop baseline ('error'

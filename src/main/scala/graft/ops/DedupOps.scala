@@ -1341,6 +1341,74 @@ object DedupOps {
   }
 
   /**
+   * CROSS-CORPUS CONTAINMENT — the corpus-level version of the
+   * decontamination question: what fraction of corpus B's distinct word
+   * n-grams already appear in corpus A? The number a dataset release
+   * reads before claiming "v2 adds substantially new content", and the
+   * symmetric complement of [[contaminationReport]]'s per-doc view. One
+   * row out: `n_shingles_a`, `n_shingles_b`, `n_shared`, and
+   * `containment_ppm` = shared/B in integer parts-per-million (floor
+   * division — exactly replayable).
+   *
+   * Shape: two distinct-aggregations on the shingle key and one semi-join
+   * between the distinct sets, all standard two-phase hash aggs — map-side
+   * partials collapse each doc's repeated shingles before any exchange.
+   * This EXACT form shuffles the distinct shingle strings; at the 1e11+
+   * distinct-shingle scale run [[corpusContainmentSketch]] instead
+   * (kilobytes of state, mergeable, ±2% — and keep the exact form for
+   * audits of bounded slices).
+   */
+  def corpusContainment(a: DataFrame, aTextCol: String,
+                        b: DataFrame, bTextCol: String,
+                        shingleSize: Int = 3): DataFrame = {
+    val sa = a.select(explode(shingles(col(aTextCol), shingleSize)).as("__sh"))
+      .distinct()
+    val sb = b.select(explode(shingles(col(bTextCol), shingleSize)).as("__sh"))
+      .distinct()
+    val na = sa.agg(count(lit(1)).as("n_shingles_a"))
+    val nb = sb.agg(count(lit(1)).as("n_shingles_b"))
+    val shared = sb.join(sa, Seq("__sh"), "left_semi")
+      .agg(count(lit(1)).as("n_shared"))
+    na.crossJoin(nb).crossJoin(shared)
+      .withColumn("containment_ppm",
+        when(col("n_shingles_b") > 0,
+          expr("n_shared * 1000000 DIV n_shingles_b")).otherwise(0L))
+  }
+
+  /**
+   * [[corpusContainment]] at sketch scale: HLL sketches of A, B, and
+   * A ∪ B (Spark's own `hll_sketch_agg`/union estimate), intersection by
+   * inclusion–exclusion `|A| + |B| − |A∪B|`. State is kilobytes per
+   * corpus regardless of size and the per-corpus sketches are landable/
+   * mergeable (the profileSegment pattern), so "containment of any slice
+   * pair" answers without re-scanning either corpus. Estimates carry
+   * HLL's relative error (~2% at default lgK) AND the inclusion–exclusion
+   * subtraction amplifies it when the intersection is small — clamped at
+   * 0; the exact form is the audit path. Spec-pinned against the exact op
+   * (no portable SQL oracle: sketch internals are library-defined).
+   */
+  def corpusContainmentSketch(a: DataFrame, aTextCol: String,
+                              b: DataFrame, bTextCol: String,
+                              shingleSize: Int = 3): DataFrame = {
+    val sa = a.select(explode(shingles(col(aTextCol), shingleSize)).as("__sh"))
+    val sb = b.select(explode(shingles(col(bTextCol), shingleSize)).as("__sh"))
+    val ska = sa.agg(expr("hll_sketch_agg(__sh)").as("__ska"))
+    val skb = sb.agg(expr("hll_sketch_agg(__sh)").as("__skb"))
+    ska.crossJoin(skb)
+      .withColumn("est_a", expr("hll_sketch_estimate(__ska)"))
+      .withColumn("est_b", expr("hll_sketch_estimate(__skb)"))
+      .withColumn("est_union",
+        expr("hll_sketch_estimate(hll_union(__ska, __skb))"))
+      .withColumn("est_shared",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("containment_ppm",
+        when(col("est_b") > 0,
+          expr("est_shared * 1000000 DIV est_b")).otherwise(0L))
+      .select(col("est_a"), col("est_b"), col("est_shared"),
+        col("containment_ppm"))
+  }
+
+  /**
    * [[contaminatedIds]] for probe sets too large to broadcast exactly
    * (a full eval-suite union can run to 1e8+ distinct n-grams — hundreds of
    * GB as broadcast strings). Three-phase, identical results:

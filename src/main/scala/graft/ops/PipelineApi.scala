@@ -368,6 +368,30 @@ object pipeline {
                         textCol: String = "text",
                         vocabTokenCol: String = "token"): DataFrame =
         TextOps.vocabCoverage(df, idCol, textCol, vocab, vocabTokenCol)
+
+      // --- wave 8 (round 10) ---------------------------------------------
+
+      def temperatureSample(groupCol: String, alpha: Double,
+                            targetRows: Long, keyCol: String = "doc_id",
+                            salt: String = "graft"): DataFrame =
+        SampleOps.temperatureSampleByHash(df, keyCol, groupCol, alpha,
+          targetRows, salt)
+
+      def corpusContainment(other: DataFrame, textCol: String = "text",
+                            otherTextCol: String = "text",
+                            shingleSize: Int = 3): DataFrame =
+        DedupOps.corpusContainment(df, textCol, other, otherTextCol,
+          shingleSize)
+
+      def rateSpikesAgainstBaseline(baseline: DataFrame,
+                                    tsCol: String = "ts",
+                                    typeCol: String = "event_type",
+                                    valueCol: String = "value",
+                                    widthSeconds: Long = 3600,
+                                    hopSeconds: Long = 900,
+                                    zThreshold: Double = 2.0): DataFrame =
+        EventOps.rateSpikesAgainstBaseline(df, baseline, tsCol, typeCol,
+          valueCol, widthSeconds, hopSeconds, zThreshold)
     }
   }
 }

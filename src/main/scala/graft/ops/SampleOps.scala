@@ -85,6 +85,52 @@ object SampleOps {
   }
 
   /**
+   * TEMPERATURE-BASED group rebalancing (the multilingual-corpus
+   * `p_g ∝ n_g^alpha` rule, mBERT/XLM-R style): a group's share of the
+   * output follows its size raised to `alpha < 1`, boosting low-resource
+   * groups relative to their raw share; `targetRows` sets the output
+   * budget. Keep rate per group: `min(1, targetRows * q_g / n_g)` with
+   * `q_g = n_g^alpha / Σ_h n_h^alpha`, applied through the same
+   * deterministic md5-31 hash gate as [[sampleByHash]].
+   *
+   * Engine-portable arithmetic: each `n_g^alpha` is quantized to integer
+   * MICRO-UNITS (`floor(pow * 1e6)` — the q116 micro-nat rule) BEFORE the
+   * normalizing sum, so the only aggregate over doubles becomes an exact
+   * integer sum no engine can reorder-diverge; the remaining rate math is
+   * a single division of integers in doubles, reproducible
+   * expression-for-expression in any engine.
+   *
+   * Scale shape: one groups-sized count agg, a one-row integer total,
+   * cuts broadcast back, map-side gate — no shuffle of the corpus, no
+   * per-row state; identical to the [[stratifiedSampleByHash]] plan with
+   * the rate table COMPUTED instead of provided.
+   */
+  def temperatureSampleByHash(df: DataFrame, keyCol: String,
+                              groupCol: String, alpha: Double,
+                              targetRows: Long,
+                              salt: String = "graft"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureSampleByHash: alpha in (0, 1], got $alpha")
+    require(targetRows >= 0,
+      s"temperatureSampleByHash: targetRows must be >= 0, got $targetRows")
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val pw = sizes.withColumn("__pw",
+      floor(pow(col("__n").cast("double"), lit(alpha)) * lit(1e6))
+        .cast("long"))
+    val tot = pw.agg(sum(col("__pw")).as("__tot"))
+    val cuts = pw.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0),
+        (lit(targetRows.toDouble) * col("__pw")) /
+          (col("__tot").cast("double") * col("__n").cast("double"))))
+      .withColumn("__cut",
+        floor(col("__rate") * lit((DedupOps.P31 + 1).toDouble)).cast("long"))
+      .select(col(groupCol), col("__cut"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .filter(keyHash(col(keyCol), salt) < col("__cut"))
+      .drop("__cut")
+  }
+
+  /**
    * Deterministic global shuffle: order the corpus by the md5-31 hash of
    * the key (ties broken by the key itself) — the shuffle-before-packing /
    * epoch-reshuffle step of a training pipeline, as a pure function of

@@ -288,4 +288,46 @@ object SearchOps {
     val dfreq = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
     scoreAndRank(post, broadcast(dfreq), broadcast(stats), "doc_id", k, k1, b)
   }
+
+  /**
+   * RECIPROCAL RANK FUSION (Cormack/Clarke/Büttcher 2009) of N ranked
+   * lists — the standard hybrid-retrieval combiner: lexical BM25 and
+   * embedding-cosine rankings disagree on scale and calibration, but
+   * `Σ_lists 1/(kRrf + rank)` needs only the RANKS, which is why RRF is
+   * the default fusion in every hybrid search stack. Each input is a
+   * `(id, rank)` frame (any upstream retriever: [[bm25TopK]],
+   * `SimOps.cosineTopK`, a recency ranking...); an id missing from a list
+   * contributes 0 from it.
+   *
+   * Engine-portable arithmetic: contributions are integer
+   * `1e9 DIV (kRrf + rank)` units (floor division) summed as longs — no
+   * float reciprocals, so no engine can reorder-diverge a tie; final ties
+   * break on the id. Output: the id, one nullable `rank_<name>` column
+   * per input list (the provenance a relevance debugger reads),
+   * `rrf_units`, and the fused `rank`.
+   *
+   * Scale shape: inputs are top-k lists — k rows each by construction —
+   * so the N-way full-outer join and the final sort are driver-trivial
+   * regardless of corpus size; all the heavy lifting already happened in
+   * the upstream retrievers.
+   */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+              k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "rrfFuse: ranking names must be distinct")
+    require(k >= 1 && kRrf >= 0, s"rrfFuse: need k >= 1, kRrf >= 0")
+    val tagged = rankings.map { case (name, df) =>
+      df.select(col(idCol), col("rank").cast(LongType).as(s"rank_$name"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val units = rankings.map { case (name, _) =>
+      coalesce(expr(s"1000000000 DIV ($kRrf + `rank_$name`)"), lit(0L))
+    }.reduce(_ + _)
+    val scored = joined.withColumn("rrf_units", units)
+    val top = scored.orderBy(col("rrf_units").desc, col(idCol)).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_units").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
+  }
 }

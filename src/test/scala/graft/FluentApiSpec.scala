@@ -281,4 +281,27 @@ class FluentApiSpec extends SparkTestBase {
         StatsOps.profileSegment(df7, Seq("id", "s")), Seq("id", "s"))
         .collect().toSeq)
   }
+
+  test("fluent wave-8 surface delegates to the operator objects") {
+    import graft.ops.pipeline.implicits._
+    import graft.ops.{DedupOps, EventOps, SampleOps}
+    import spark.implicits._
+    val docs = (0 until 40).map(i =>
+      (i.toLong, if (i < 30) "big" else "small", s"tok$i words here"))
+      .toDF("doc_id", "source", "text")
+    assert(docs.temperatureSample("source", 0.5, 20).select("doc_id")
+        .collect().toSeq.sortBy(_.getLong(0)) ==
+      SampleOps.temperatureSampleByHash(docs, "doc_id", "source", 0.5, 20)
+        .select("doc_id").collect().toSeq.sortBy(_.getLong(0)))
+    val other = Seq((99L, "x", "tok1 words here")).toDF("doc_id", "source", "text")
+    assert(docs.corpusContainment(other).collect().toSeq ==
+      DedupOps.corpusContainment(docs, "text", other, "text")
+        .collect().toSeq)
+    val ev8 = Seq((new java.sql.Timestamp(1000L), "a", 1.0))
+      .toDF("ts", "event_type", "value")
+    val base8 = Seq(("a", 1.0, 0.5)).toDF("event_type", "mu", "sigma")
+    assert(ev8.rateSpikesAgainstBaseline(base8).collect().toSeq ==
+      EventOps.rateSpikesAgainstBaseline(ev8, base8, "ts", "event_type",
+        "value", 3600, 900).collect().toSeq)
+  }
 }

@@ -2326,4 +2326,88 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((2L, 2L), (3L, 1L)), s"got $got")
   }
+
+  test("rrfFuse: hand-computed fusion of two lists, single-list docs " +
+       "contribute one term, ties break on id") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = graft.ops.SearchOps.rrfFuse(
+        Seq("a" -> a, "b" -> b), "doc_id", k = 10, kRrf = 60)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("rrf_units")),
+        r.getLong(r.fieldIndex("rank")))).toSeq
+    def u(rank: Long) = 1000000000L / (60L + rank)
+    // 20: both lists (rank 2 in a, 1 in b); 10: a only; 40: b only; 30: a
+    val want = Seq(
+      (20L, u(2) + u(1), 1L),
+      (10L, u(1), 2L),
+      (40L, u(2), 3L),
+      (30L, u(3), 4L))
+    assert(got == want, s"got $got want $want")
+    // provenance columns survive with nulls for missing lists
+    val row40 = graft.ops.SearchOps.rrfFuse(
+        Seq("a" -> a, "b" -> b), "doc_id", k = 10)
+      .filter(col("doc_id") === 40L).collect().head
+    assert(row40.isNullAt(row40.fieldIndex("rank_a")) &&
+      row40.getLong(row40.fieldIndex("rank_b")) == 2L)
+  }
+
+  test("corpusContainment: hand-countable trigram sets; sketch variant " +
+       "agrees with the exact op on a disjoint+identical mix") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta"),
+                (2L, "one two three")).toDF("doc_id", "text")
+    // b shares doc 1's shingles exactly, adds a disjoint doc
+    val b = Seq((3L, "alpha beta gamma delta"),
+                (4L, "red green blue yellow")).toDF("doc_id", "text")
+    val r = graft.ops.DedupOps.corpusContainment(a, "text", b, "text", 3)
+      .collect().head
+    def f(n: String) = r.getLong(r.fieldIndex(n))
+    // a: {alpha beta gamma, beta gamma delta, one two three} = 3
+    // b: {alpha beta gamma, beta gamma delta, red green blue,
+    //     green blue yellow} = 4, shared = 2
+    assert(f("n_shingles_a") == 3 && f("n_shingles_b") == 4 &&
+      f("n_shared") == 2, r.toString)
+    assert(f("containment_ppm") == 2L * 1000000 / 4, r.toString)
+    // the HLL variant estimates the same quantities exactly at this
+    // cardinality (far below any HLL error onset)
+    val sk = graft.ops.DedupOps
+      .corpusContainmentSketch(a, "text", b, "text", 3).collect().head
+    def g(n: String) = sk.getLong(sk.fieldIndex(n))
+    assert(g("est_a") == 3 && g("est_b") == 4 && g("est_shared") == 2,
+      sk.toString)
+  }
+
+  test("temperatureSampleByHash: alpha=1 reproduces proportional rates; " +
+       "alpha<1 boosts the small group's share; deterministic across runs") {
+    import spark.implicits._
+    val df = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    // alpha=1: q_g = n_g/N -> rate = target/N for every group
+    val prop = graft.ops.SampleOps.temperatureSampleByHash(
+      df, "doc_id", "source", alpha = 1.0, targetRows = 500)
+    val byG = prop.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate = 0.5 for both groups; the md5 gate keeps ~half of each
+    assert(math.abs(byG("big") - 450.0) < 90, byG.toString)
+    assert(math.abs(byG("small") - 50.0) < 30, byG.toString)
+    // alpha=0.5: small's share of the OUTPUT rises above its 10% of input
+    val temp = graft.ops.SampleOps.temperatureSampleByHash(
+      df, "doc_id", "source", alpha = 0.5, targetRows = 500)
+    val byT = temp.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shareSmall = byT("small").toDouble / (byT("big") + byT("small"))
+    // expected shares: sqrt(900):sqrt(100) = 3:1 -> small ~25%
+    assert(shareSmall > 0.15 && shareSmall < 0.35,
+      s"small share $shareSmall (got $byT)")
+    // pure function of (salt, key): identical rerun
+    val again = graft.ops.SampleOps.temperatureSampleByHash(
+      df, "doc_id", "source", alpha = 0.5, targetRows = 500)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again ==
+      temp.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
