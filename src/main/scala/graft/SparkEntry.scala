@@ -1155,6 +1155,24 @@ object SparkEntry {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    "q147_domain_stats" -> ((s: SparkSession, dir: String) => {
+      // web-crawl audit: per-registrable-domain rows/bytes/share over a
+      // synthesized URL column exercising subdomains, a co.uk multi-part
+      // suffix, a port, an IPv4 host, and junk (null-domain bucket)
+      val id = col("doc_id")
+      val url = when(pmod(id, lit(6L)) === 0,
+          concat(lit("https://cdn."), col("source"), lit(".co.uk/p")))
+        .when(pmod(id, lit(6L)) === 1,
+          concat(lit("https://sub."), col("source"), lit(".net/x")))
+        .when(pmod(id, lit(6L)) === 2, lit("http://192.168.0.1/admin"))
+        .when(pmod(id, lit(6L)) === 3, lit("not a url"))
+        .otherwise(concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.COM:8443/page")))
+      TextOps.domainStats(
+          t(s, dir, "documents").withColumn("url", url), "url", "text")
+        .orderBy(col("domain").asc_nulls_first)
+    }),
+
     "q144_hybrid_rrf" -> ((s: SparkSession, dir: String) => {
       // hybrid retrieval: BM25 top-20 for a 3-term query fused with the
       // cosine top-20 around vec 0 (vec_id == doc_id in the testdata) by
@@ -3890,6 +3908,49 @@ object SparkEntry {
 
     "q143_stream_ingest_replay" ->
       OracleSqlGen.streamIngestReplaySql(64, 16),
+
+    "q147_domain_stats" ->
+      // urlHost + registrableDomain regex algebra replayed stage for
+      // stage (RE2 both engines); sum(len) CAST BIGINT (portability
+      // rule); null domains keep their own row. Row order irrelevant to
+      // the hasher
+      """WITH u AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'https://cdn.' || source || '.co.uk/p'
+        |         WHEN doc_id % 6 = 1 THEN 'https://sub.' || source || '.net/x'
+        |         WHEN doc_id % 6 = 2 THEN 'http://192.168.0.1/admin'
+        |         WHEN doc_id % 6 = 3 THEN 'not a url'
+        |         ELSE 'HTTPS://WWW.' || source || '.Example.COM:8443/page'
+        |    END AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, text,
+        |    nullif(regexp_replace(lower(regexp_extract(trim(url),
+        |      '^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)(?:.*)$', 1)),
+        |      ':\d+$', ''), '') AS host
+        |  FROM u
+        |), d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN regexp_matches(host,
+        |           '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$') THEN host
+        |         ELSE coalesce(
+        |           nullif(regexp_extract(host,
+        |             '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|ne\.jp|or\.jp|co\.kr|com\.br|com\.mx|com\.cn|com\.tw|co\.in|co\.za|com\.ar|com\.tr|co\.nz))$', 1), ''),
+        |           nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''),
+        |           host)
+        |    END AS domain
+        |  FROM h
+        |), per AS (
+        |  SELECT domain, count(*) AS n_docs,
+        |    CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS text_bytes
+        |  FROM d GROUP BY domain
+        |), tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM per
+        |)
+        |SELECT domain, n_docs, text_bytes,
+        |  n_docs * 1000000 // t AS share_ppm
+        |FROM per CROSS JOIN tot
+        |ORDER BY domain NULLS FIRST""".stripMargin,
 
     "q144_hybrid_rrf" ->
       // the q98 BM25 chain (top-20) + the q29 cosine chain (query 0,

@@ -383,6 +383,10 @@ object pipeline {
         DedupOps.corpusContainment(df, textCol, other, otherTextCol,
           shingleSize)
 
+      def domainStats(urlCol: String = "url",
+                      textCol: String = "text"): DataFrame =
+        TextOps.domainStats(df, urlCol, textCol)
+
       def rateSpikesAgainstBaseline(baseline: DataFrame,
                                     tsCol: String = "ts",
                                     typeCol: String = "event_type",

@@ -2380,6 +2380,25 @@ class PipelineOpsSpec extends SparkTestBase {
       sk.toString)
   }
 
+  test("registrableDomain: subdomains collapse, multi-part suffixes keep " +
+       "three labels, IPv4 passes whole, junk yields null") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://cdn.news.example.co.uk/x" -> "example.co.uk",
+      "https://a.b.example.com:8443/p" -> "example.com",
+      "HTTP://WWW.Example.ORG/" -> "example.org",
+      "https://192.168.0.1/admin" -> "192.168.0.1",
+      "https://localhost/x" -> "localhost", // single label: host itself
+      "not a url" -> null,
+      "https://sub.shop.com.au/y" -> "shop.com.au")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.registrableDomain(col("u")))
+      .collect().map(r => Option(r.getString(0)).orNull).toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"[$in] -> got [$g], want [$want]")
+    }
+  }
+
   test("temperatureSampleByHash: alpha=1 reproduces proportional rates; " +
        "alpha<1 boosts the small group's share; deterministic across runs") {
     import spark.implicits._
