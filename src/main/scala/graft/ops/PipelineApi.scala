@@ -387,6 +387,12 @@ object pipeline {
                       textCol: String = "text"): DataFrame =
         TextOps.domainStats(df, urlCol, textCol)
 
+      def cdcChunks(idCol: String = "doc_id", textCol: String = "text",
+                    minLen: Int = 16, maskBits: Int = 4, maxLen: Int = 64,
+                    windowLen: Int = 16): DataFrame =
+        TextOps.cdcChunks(df, idCol, textCol, minLen, maskBits, maxLen,
+          windowLen)
+
       def rateSpikesAgainstBaseline(baseline: DataFrame,
                                     tsCol: String = "ts",
                                     typeCol: String = "event_type",

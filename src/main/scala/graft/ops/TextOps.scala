@@ -1345,6 +1345,46 @@ object TextOps {
     when(scheme =!= "", concat(scheme, lit("://"), host, rest)).otherwise(u)
   }
 
+  /**
+   * CONTENT-DEFINED CHUNKING of the text column — the insertion-robust
+   * chunker (LBFS/FastCDC family) behind storage-level and delta dedup:
+   * chunk boundaries come from a rolling hash of the content itself
+   * (`graftdedup.GraftCdcKernel`), so an edit near the front
+   * re-synchronizes within one chunk and every later chunk keeps its
+   * identity — where fixed-size chunking shifts every boundary and loses
+   * all sharing. Output: one row per chunk with `chunk_id`,
+   * `char_start`/`char_len` (code points — substring-consistent on any
+   * engine), `chunk_text`, and the md5-31 `chunk_hash` the cross-doc
+   * sharing joins key on.
+   *
+   * Expected chunk size ≈ `minLen + 2^maskBits`, hard cap `maxLen`. Pure
+   * map-side: a codegen'd boundary expression + posexplode; no shuffle,
+   * no state. The 31-polynomial rolling hash (not a random gear table)
+   * keeps the whole chunker DuckDB-replayable — the q148 oracle walks
+   * the identical recurrence as a recursive CTE.
+   */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                minLen: Int = 16, maskBits: Int = 4,
+                maxLen: Int = 64, windowLen: Int = 16): DataFrame = {
+    val X = org.apache.spark.sql.catalyst.expressions.graftdedup.CdcExpressions
+    val H = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+    val st = transform(col("__ends"), (e, i) =>
+      struct(when(i === 0, lit(0)).otherwise(element_at(col("__ends"), i))
+        .as("s"), e.as("e")))
+    df.select(col(idCol), col(textCol),
+        X.cdcBoundaries(col(textCol), minLen, maskBits, maxLen, windowLen)
+          .as("__ends"))
+      .select(col(idCol), col(textCol),
+        posexplode(st).as(Seq("chunk_id", "__c")))
+      .select(col(idCol),
+        col("chunk_id").cast(LongType),
+        col("__c.s").cast(LongType).as("char_start"),
+        (col("__c.e") - col("__c.s")).cast(LongType).as("char_len"),
+        col(textCol).substr(col("__c.s") + 1, col("__c.e") - col("__c.s"))
+          .as("chunk_text"))
+      .withColumn("chunk_hash", H.md5Hash31(col("chunk_text")))
+  }
+
   /** Lowercased host of a URL, port stripped — null for inputs that do
     * not parse as `scheme://authority...`. The grouping key feeding
     * [[registrableDomain]]; shares [[canonicalizeUrl]]'s parse regex. */

@@ -2380,6 +2380,49 @@ class PipelineOpsSpec extends SparkTestBase {
       sk.toString)
   }
 
+  test("cdcChunks: chunks partition the text within [min, max] bounds; a " +
+       "front insertion preserves most chunk identities (the CDC resync " +
+       "property a fixed-size chunker lacks)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def sent(n: Int) = (0 until n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3)))
+      .mkString(" ")
+    val base = (0L until 20L).map(i => (i, sent(120))).toDF("doc_id", "text")
+    val chunks = graft.ops.TextOps.cdcChunks(base, "doc_id", "text",
+      minLen = 16, maskBits = 4, maxLen = 64)
+    // partition invariants: contiguous, within bounds (final chunk may be
+    // short), concatenation reproduces the text
+    val byDoc = chunks.orderBy("doc_id", "chunk_id").collect()
+      .groupBy(_.getLong(0))
+    val texts = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc.foreach { case (id, rows) =>
+      var expectStart = 0L
+      rows.foreach { r =>
+        assert(r.getLong(r.fieldIndex("char_start")) == expectStart)
+        expectStart += r.getLong(r.fieldIndex("char_len"))
+      }
+      val lens = rows.map(_.getLong(rows.head.fieldIndex("char_len")))
+      lens.init.foreach(l => assert(l >= 16 && l <= 64, s"doc $id len $l"))
+      assert(lens.last <= 64)
+      assert(rows.map(_.getString(rows.head.fieldIndex("chunk_text")))
+        .mkString == texts(id))
+    }
+    // resync: an inserted preamble keeps most chunk hashes
+    val edited = base.select(col("doc_id"),
+      concat(lit("xx yy inserted zz "), col("text")).as("text"))
+    val origH = chunks.select("doc_id", "chunk_hash").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val editC = graft.ops.TextOps.cdcChunks(edited, "doc_id", "text",
+      minLen = 16, maskBits = 4, maxLen = 64)
+      .select("doc_id", "chunk_hash").collect()
+    val (shared, total) = editC.foldLeft((0, 0)) { case ((s, t), r) =>
+      (s + (if (origH(r.getLong(0)).contains(r.getLong(1))) 1 else 0), t + 1)
+    }
+    assert(shared.toDouble / total > 0.5,
+      s"resync failed: $shared/$total chunks shared after a front edit")
+  }
+
   test("registrableDomain: subdomains collapse, multi-part suffixes keep " +
        "three labels, IPv4 passes whole, junk yields null") {
     import spark.implicits._
