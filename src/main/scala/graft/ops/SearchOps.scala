@@ -306,10 +306,12 @@ object SearchOps {
    * per input list (the provenance a relevance debugger reads),
    * `rrf_units`, and the fused `rank`.
    *
-   * Scale shape: inputs are top-k lists — k rows each by construction —
-   * so the N-way full-outer join and the final sort are driver-trivial
-   * regardless of corpus size; all the heavy lifting already happened in
-   * the upstream retrievers.
+   * Scale shape: the lists UNION into one frame and fuse in a single
+   * two-phase hash aggregate keyed on the id (per-list ranks recovered
+   * with max-of-tagged in the same agg) — no N-way outer join, no sort-
+   * merge, one shuffle of Σk rows total regardless of list count; the
+   * final top-k is a TakeOrderedAndProject over at most Σk fused rows.
+   * Ids must be unique WITHIN each list (they are, for rankings).
    */
   def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
               k: Int = 10, kRrf: Int = 60): DataFrame = {
@@ -318,14 +320,18 @@ object SearchOps {
       "rrfFuse: ranking names must be distinct")
     require(k >= 1 && kRrf >= 0, s"rrfFuse: need k >= 1, kRrf >= 0")
     val tagged = rankings.map { case (name, df) =>
-      df.select(col(idCol), col("rank").cast(LongType).as(s"rank_$name"))
+      df.select(col(idCol), lit(name).as("__list"),
+        col("rank").cast(LongType).as("__rank"))
     }
-    val joined = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
-    val units = rankings.map { case (name, _) =>
-      coalesce(expr(s"1000000000 DIV ($kRrf + `rank_$name`)"), lit(0L))
-    }.reduce(_ + _)
-    val scored = joined.withColumn("rrf_units", units)
-    val top = scored.orderBy(col("rrf_units").desc, col(idCol)).limit(k)
+    val aggs = rankings.map { case (name, _) =>
+      max(when(col("__list") === name, col("__rank"))).as(s"rank_$name")
+    } :+ sum(expr(s"1000000000 DIV ($kRrf + __rank)")).as("rrf_units")
+    val fused = tagged.reduce(_.unionByName(_))
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      // integer unit sums stay in long range for any sane list count
+      // (≤ 2^63 / 1.6e7 lists); cast pins the column type regardless
+      .withColumn("rrf_units", col("rrf_units").cast(LongType))
+    val top = fused.orderBy(col("rrf_units").desc, col(idCol)).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rrf_units").desc, col(idCol))
     top.withColumn("rank", row_number().over(w).cast(LongType))
