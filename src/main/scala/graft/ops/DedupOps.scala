@@ -1350,10 +1350,13 @@ object DedupOps {
    * `containment_ppm` = shared/B in integer parts-per-million (floor
    * division — exactly replayable).
    *
-   * Shape: two distinct-aggregations on the shingle key and one semi-join
-   * between the distinct sets, all standard two-phase hash aggs — map-side
-   * partials collapse each doc's repeated shingles before any exchange.
-   * This EXACT form shuffles the distinct shingle strings; at the 1e11+
+   * Shape: each corpus' shingles explode ONCE, tagged by side, and the
+   * whole audit is a single two-phase hash aggregate on the shingle key
+   * (membership flags via max) followed by a one-row flag-count agg — one
+   * scan per corpus, one shuffle, no join, no distinct-set recompute
+   * (the earlier two-distinct + semi-join form scanned each side twice).
+   * Map-side partials collapse a doc's repeated shingles before the
+   * exchange. This EXACT form shuffles the shingle strings; at the 1e11+
    * distinct-shingle scale run [[corpusContainmentSketch]] instead
    * (kilobytes of state, mergeable, ±2% — and keep the exact form for
    * audits of bounded slices).
@@ -1361,15 +1364,18 @@ object DedupOps {
   def corpusContainment(a: DataFrame, aTextCol: String,
                         b: DataFrame, bTextCol: String,
                         shingleSize: Int = 3): DataFrame = {
-    val sa = a.select(explode(shingles(col(aTextCol), shingleSize)).as("__sh"))
-      .distinct()
-    val sb = b.select(explode(shingles(col(bTextCol), shingleSize)).as("__sh"))
-      .distinct()
-    val na = sa.agg(count(lit(1)).as("n_shingles_a"))
-    val nb = sb.agg(count(lit(1)).as("n_shingles_b"))
-    val shared = sb.join(sa, Seq("__sh"), "left_semi")
-      .agg(count(lit(1)).as("n_shared"))
-    na.crossJoin(nb).crossJoin(shared)
+    val sa = a.select(explode(shingles(col(aTextCol), shingleSize)).as("__sh"),
+      lit(1).as("__a"), lit(0).as("__b"))
+    val sb = b.select(explode(shingles(col(bTextCol), shingleSize)).as("__sh"),
+      lit(0).as("__a"), lit(1).as("__b"))
+    sa.unionAll(sb)
+      .groupBy(col("__sh"))
+      .agg(max(col("__a")).as("__ina"), max(col("__b")).as("__inb"))
+      .agg(
+        coalesce(sum(col("__ina")), lit(0)).cast("long").as("n_shingles_a"),
+        coalesce(sum(col("__inb")), lit(0)).cast("long").as("n_shingles_b"),
+        coalesce(sum(when(col("__ina") === 1 && col("__inb") === 1, 1L)
+          .otherwise(0L)), lit(0L)).as("n_shared"))
       .withColumn("containment_ppm",
         when(col("n_shingles_b") > 0,
           expr("n_shared * 1000000 DIV n_shingles_b")).otherwise(0L))
