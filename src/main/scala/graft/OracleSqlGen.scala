@@ -660,6 +660,130 @@ object OracleSqlGen {
        |SELECT CAST(1 AS BIGINT) AS batch_id, doc_id FROM acc2
        |ORDER BY batch_id, doc_id""".stripMargin
 
+  /** The CDC sliding-window walk as recursive-CTE SQL: consumes a
+    * `corp(doc_id, text)` CTE already in scope, emits a `hashed(doc_id,
+    * clen, ch)` CTE — one row per chunk with its code-point length and
+    * md5-31 content hash. Replays `graftdedup.GraftCdcKernel` exactly:
+    * window-16 polynomial hash mod 2^31 (31^16 mod 2^31 = 1353309697;
+    * two's-complement `&` makes the eviction subtraction exact on both
+    * engines), cut at len >= minLen with low maskBits zero, forced cut at
+    * maxLen, final partial chunk closes at text end. Shared by the
+    * q148/q149 oracles so the recurrence lives in one place. */
+  def cdcWalkCtes(minLen: Int, maskBits: Int, maxLen: Int): String = {
+    val mask = (1 << maskBits) - 1
+    s"""walk AS (
+       |  SELECT doc_id, text, 0 AS pos, CAST(0 AS BIGINT) AS h,
+       |    0 AS last_b, false AS is_b
+       |  FROM corp
+       |  UNION ALL
+       |  SELECT doc_id, text, pos + 1, nh,
+       |    CASE WHEN bnd THEN pos + 1 ELSE last_b END,
+       |    bnd
+       |  FROM (
+       |    SELECT doc_id, text, pos, last_b, nh,
+       |      (((pos + 1 - last_b) >= $minLen AND (nh & $mask) = 0)
+       |        OR (pos + 1 - last_b) >= $maxLen) AS bnd
+       |    FROM (
+       |      SELECT doc_id, text, pos, last_b,
+       |        CASE WHEN pos >= 16
+       |          THEN ((h * 31 + ord(substr(text, pos + 1, 1))
+       |                 - ((CAST(ord(substr(text, pos - 15, 1)) AS BIGINT)
+       |                     * 1353309697) & 2147483647)) & 2147483647)
+       |          ELSE ((h * 31 + ord(substr(text, pos + 1, 1)))
+       |                & 2147483647)
+       |        END AS nh
+       |      FROM walk WHERE pos < len(text)
+       |    )
+       |  )
+       |), ends0 AS (
+       |  SELECT doc_id, text, pos AS e FROM walk WHERE is_b
+       |), lastpos AS (
+       |  SELECT doc_id, text, max(pos) AS n FROM walk
+       |  GROUP BY doc_id, text
+       |), fin AS (
+       |  SELECT l.doc_id, l.text, l.n AS e FROM lastpos l
+       |  LEFT JOIN ends0 x ON x.doc_id = l.doc_id AND x.e = l.n
+       |  WHERE l.n > 0 AND x.e IS NULL
+       |), ends AS (
+       |  SELECT * FROM ends0 UNION ALL SELECT * FROM fin
+       |), chunkspan AS (
+       |  SELECT doc_id, text, e,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
+       |  FROM ends
+       |), hashed AS (
+       |  SELECT doc_id, e - s AS clen,
+       |    (('0x' || substr(md5(substr(text, s + 1, e - s)), 1, 16))::UBIGINT
+       |     & 2147483647::UBIGINT)::BIGINT AS ch
+       |  FROM chunkspan
+       |)""".stripMargin
+  }
+
+  /** q148: CDC chunk sharing between originals and front-edited copies. */
+  def cdcChunksSql(minLen: Int, maskBits: Int, maxLen: Int): String =
+    s"""WITH RECURSIVE corp AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, 'zq inserted preamble token ' || text
+       |  FROM documents WHERE doc_id < 100
+       |), ${cdcWalkCtes(minLen, maskBits, maxLen)},
+       |orig AS (
+       |  SELECT DISTINCT doc_id AS orig_id, ch FROM hashed
+       |  WHERE doc_id < 1000000
+       |), cop AS (
+       |  SELECT doc_id, doc_id - 1000000 AS orig_id, ch FROM hashed
+       |  WHERE doc_id >= 1000000
+       |), tot AS (
+       |  SELECT doc_id, count(*) AS n_chunks FROM cop GROUP BY doc_id
+       |), shr AS (
+       |  SELECT c.doc_id, count(*) AS n_shared
+       |  FROM cop c JOIN orig o ON o.orig_id = c.orig_id AND o.ch = c.ch
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT t.doc_id, t.n_chunks,
+       |  coalesce(s.n_shared, CAST(0 AS BIGINT)) AS n_shared
+       |FROM tot t LEFT JOIN shr s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q149: the content-addressed delta-storage report between two corpus
+    * versions (the q84 corpusDiff construction: every-7th doc removed,
+    * every-5th edited, 15 appended). Distinct-chunk accounting: a chunk
+    * hash already in v1's store costs nothing to store for v2. */
+  def cdcDeltaSql(minLen: Int, maskBits: Int, maxLen: Int): String =
+    s"""WITH RECURSIVE corp AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END
+       |      AS text
+       |  FROM documents WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id,
+       |    translate(text, 'aeiou', 'xyzvw') AS text
+       |  FROM documents WHERE doc_id < 15
+       |), ${cdcWalkCtes(minLen, maskBits, maxLen)},
+       |flags AS (
+       |  SELECT ch, max(clen) AS clen,
+       |    max(CASE WHEN doc_id < 2000000 THEN 1 ELSE 0 END) AS in1,
+       |    max(CASE WHEN doc_id >= 2000000 THEN 1 ELSE 0 END) AS in2
+       |  FROM hashed GROUP BY ch
+       |)
+       |SELECT
+       |  CAST(sum(in2) AS BIGINT) AS n_chunks_v2,
+       |  CAST(sum(CASE WHEN in2 = 1 AND in1 = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_new_chunks,
+       |  CAST(sum(CASE WHEN in2 = 1 THEN clen ELSE 0 END) AS BIGINT)
+       |    AS chars_v2,
+       |  CAST(sum(CASE WHEN in2 = 1 AND in1 = 0 THEN clen ELSE 0 END)
+       |    AS BIGINT) AS chars_new,
+       |  CASE WHEN CAST(sum(CASE WHEN in2 = 1 THEN clen ELSE 0 END)
+       |              AS BIGINT) > 0
+       |    THEN CAST(sum(CASE WHEN in2 = 1 AND in1 = 0 THEN clen ELSE 0 END)
+       |           AS BIGINT) * 1000000
+       |         // CAST(sum(CASE WHEN in2 = 1 THEN clen ELSE 0 END)
+       |              AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS delta_ppm
+       |FROM flags""".stripMargin
+
   /** q25: near-duplicate pairs (k=64, 16 bands, threshold 0.5). */
   def nearDupPairsSql: String =
     s"""WITH $corpusSql, ${minhashChain(64, 16, 3)}

@@ -1155,6 +1155,24 @@ object SparkEntry {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    "q149_cdc_delta" -> ((s: SparkSession, dir: String) => {
+      // the content-addressed delta-storage report between the q84
+      // corpus versions (every-7th doc removed, every-5th edited, 15
+      // vowel-rotated genuinely-new docs appended): unchanged docs cost
+      // zero new chars, edited docs cost ~their tail chunk, new docs
+      // cost everything — the one-row release summary
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newer = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 15)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            translate(col("text"), "aeiou", "xyzvw").as("text")))
+      TextOps.cdcDeltaReport(d, newer, "doc_id", "text",
+        minLen = 16, maskBits = 4, maxLen = 64)
+    }),
+
     "q148_cdc_chunks" -> ((s: SparkSession, dir: String) => {
       // content-defined chunking resync property: each edited copy
       // (+1000000, a preamble INSERTED at the front) shares almost all
@@ -3937,79 +3955,13 @@ object SparkEntry {
       OracleSqlGen.streamIngestReplaySql(64, 16),
 
     "q148_cdc_chunks" ->
-      // the CDC SLIDING-WINDOW hash (window 16: h = (h*31 + cin
-      // - (cout * 31^16 mod 2^31)) & 2^31-1 — two's-complement & makes
-      // the subtraction exact mod 2^31 on both engines; cut at len>=16 &
-      // low-4-bits-zero or len>=64) walked as a recursive CTE, one
-      // character per iteration per doc; chunks hashed md5-31 and
-      // semi-join-counted against each original. 1353309697 = 31^16 mod
-      // 2^31
-      """WITH RECURSIVE corp AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, 'zq inserted preamble token ' || text
-        |  FROM documents WHERE doc_id < 100
-        |), walk AS (
-        |  SELECT doc_id, text, 0 AS pos, CAST(0 AS BIGINT) AS h,
-        |    0 AS last_b, false AS is_b
-        |  FROM corp
-        |  UNION ALL
-        |  SELECT doc_id, text, pos + 1, nh,
-        |    CASE WHEN bnd THEN pos + 1 ELSE last_b END,
-        |    bnd
-        |  FROM (
-        |    SELECT doc_id, text, pos, last_b, nh,
-        |      (((pos + 1 - last_b) >= 16 AND (nh & 15) = 0)
-        |        OR (pos + 1 - last_b) >= 64) AS bnd
-        |    FROM (
-        |      SELECT doc_id, text, pos, last_b,
-        |        CASE WHEN pos >= 16
-        |          THEN ((h * 31 + ord(substr(text, pos + 1, 1))
-        |                 - ((CAST(ord(substr(text, pos - 15, 1)) AS BIGINT)
-        |                     * 1353309697) & 2147483647)) & 2147483647)
-        |          ELSE ((h * 31 + ord(substr(text, pos + 1, 1)))
-        |                & 2147483647)
-        |        END AS nh
-        |      FROM walk WHERE pos < len(text)
-        |    )
-        |  )
-        |), ends0 AS (
-        |  SELECT doc_id, text, pos AS e FROM walk WHERE is_b
-        |), lastpos AS (
-        |  SELECT doc_id, text, max(pos) AS n FROM walk
-        |  GROUP BY doc_id, text
-        |), fin AS (
-        |  SELECT l.doc_id, l.text, l.n AS e FROM lastpos l
-        |  LEFT JOIN ends0 x ON x.doc_id = l.doc_id AND x.e = l.n
-        |  WHERE l.n > 0 AND x.e IS NULL
-        |), ends AS (
-        |  SELECT * FROM ends0 UNION ALL SELECT * FROM fin
-        |), chunks AS (
-        |  SELECT doc_id, text, e,
-        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s
-        |  FROM ends
-        |), hashed AS (
-        |  SELECT doc_id,
-        |    (('0x' || substr(md5(substr(text, s + 1, e - s)), 1, 16))::UBIGINT
-        |     & 2147483647::UBIGINT)::BIGINT AS ch
-        |  FROM chunks
-        |), orig AS (
-        |  SELECT DISTINCT doc_id AS orig_id, ch FROM hashed
-        |  WHERE doc_id < 1000000
-        |), cop AS (
-        |  SELECT doc_id, doc_id - 1000000 AS orig_id, ch FROM hashed
-        |  WHERE doc_id >= 1000000
-        |), tot AS (
-        |  SELECT doc_id, count(*) AS n_chunks FROM cop GROUP BY doc_id
-        |), shr AS (
-        |  SELECT c.doc_id, count(*) AS n_shared
-        |  FROM cop c JOIN orig o ON o.orig_id = c.orig_id AND o.ch = c.ch
-        |  GROUP BY c.doc_id
-        |)
-        |SELECT t.doc_id, t.n_chunks,
-        |  coalesce(s.n_shared, CAST(0 AS BIGINT)) AS n_shared
-        |FROM tot t LEFT JOIN shr s USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      // the CDC sliding-window walk lives in OracleSqlGen.cdcWalkCtes
+      // (shared with q149) — chunks hashed md5-31 and semi-join-counted
+      // against each original
+      OracleSqlGen.cdcChunksSql(16, 4, 64),
+
+    "q149_cdc_delta" ->
+      OracleSqlGen.cdcDeltaSql(16, 4, 64),
 
     "q147_domain_stats" ->
       // urlHost + registrableDomain regex algebra replayed stage for

@@ -393,6 +393,13 @@ object pipeline {
         TextOps.cdcChunks(df, idCol, textCol, minLen, maskBits, maxLen,
           windowLen)
 
+      def cdcDeltaReport(newer: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", minLen: Int = 16,
+                         maskBits: Int = 4, maxLen: Int = 64,
+                         windowLen: Int = 16): DataFrame =
+        TextOps.cdcDeltaReport(df, newer, idCol, textCol, minLen, maskBits,
+          maxLen, windowLen)
+
       def rateSpikesAgainstBaseline(baseline: DataFrame,
                                     tsCol: String = "ts",
                                     typeCol: String = "event_type",

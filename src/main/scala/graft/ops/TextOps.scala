@@ -1385,6 +1385,46 @@ object TextOps {
       .withColumn("chunk_hash", H.md5Hash31(col("chunk_text")))
   }
 
+  /**
+   * CONTENT-ADDRESSED DELTA-STORAGE report between two corpus versions —
+   * what [[cdcChunks]] exists for: chunk both versions, key storage on
+   * the chunk hash, and report how much of v2 is genuinely new bytes
+   * (chunks whose hash v1's store does not already hold). The number a
+   * dataset-versioning system reads before a release: `n_chunks_v2`,
+   * `n_new_chunks`, `chars_v2`, `chars_new`, and `delta_ppm` (new/total
+   * in integer ppm). Distinct-chunk accounting — a chunk appearing in
+   * ten v2 docs stores once.
+   *
+   * Shape: the [[graft.ops.DedupOps.corpusContainment]] single-pass
+   * pattern over chunk hashes — each version chunks map-side ONCE, one
+   * two-phase flag aggregate on the hash, a one-row finish. Bodies never
+   * shuffle beyond their own chunk rows.
+   */
+  def cdcDeltaReport(older: DataFrame, newer: DataFrame, idCol: String,
+                     textCol: String, minLen: Int = 16, maskBits: Int = 4,
+                     maxLen: Int = 64, windowLen: Int = 16): DataFrame = {
+    def side(df: DataFrame, in1: Int, in2: Int) =
+      cdcChunks(df, idCol, textCol, minLen, maskBits, maxLen, windowLen)
+        .select(col("chunk_hash").as("__ch"), col("char_len").as("__len"),
+          lit(in1).as("__in1"), lit(in2).as("__in2"))
+    side(older, 1, 0).unionAll(side(newer, 0, 1))
+      .groupBy(col("__ch"))
+      .agg(max(col("__len")).as("__len"), max(col("__in1")).as("__in1"),
+        max(col("__in2")).as("__in2"))
+      .agg(
+        coalesce(sum(col("__in2")), lit(0)).cast(LongType)
+          .as("n_chunks_v2"),
+        coalesce(sum(when(col("__in2") === 1 && col("__in1") === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_new_chunks"),
+        coalesce(sum(when(col("__in2") === 1, col("__len"))
+          .otherwise(0L)), lit(0L)).as("chars_v2"),
+        coalesce(sum(when(col("__in2") === 1 && col("__in1") === 0,
+          col("__len")).otherwise(0L)), lit(0L)).as("chars_new"))
+      .withColumn("delta_ppm",
+        when(col("chars_v2") > 0,
+          expr("chars_new * 1000000 DIV chars_v2")).otherwise(0L))
+  }
+
   /** Lowercased host of a URL, port stripped — null for inputs that do
     * not parse as `scheme://authority...`. The grouping key feeding
     * [[registrableDomain]]; shares [[canonicalizeUrl]]'s parse regex. */

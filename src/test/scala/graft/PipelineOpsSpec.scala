@@ -2423,6 +2423,30 @@ class PipelineOpsSpec extends SparkTestBase {
       s"resync failed: $shared/$total chunks shared after a front edit")
   }
 
+  test("cdcDeltaReport: identical versions cost zero new chars; an added " +
+       "doc costs exactly its distinct-chunk chars") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def sent(n: Int) = (0 until n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3)))
+      .mkString(" ")
+    val v1 = (0L until 10L).map(i => (i, sent(80))).toDF("doc_id", "text")
+    val same = graft.ops.TextOps.cdcDeltaReport(v1, v1, "doc_id", "text")
+      .collect().head
+    assert(same.getLong(same.fieldIndex("chars_new")) == 0L &&
+      same.getLong(same.fieldIndex("delta_ppm")) == 0L, same.toString)
+    val addedText = sent(60)
+    val v2 = v1.unionByName(Seq((99L, addedText)).toDF("doc_id", "text"))
+    val r = graft.ops.TextOps.cdcDeltaReport(v1, v2, "doc_id", "text")
+      .collect().head
+    // new chars = the added doc's chunks whose hash v1 lacks; random text
+    // shares nothing, and its distinct chunks cover the full text unless
+    // the doc repeats a chunk internally (it doesn't at this length)
+    assert(r.getLong(r.fieldIndex("chars_new")) == addedText.length,
+      s"$r vs len ${addedText.length}")
+    assert(r.getLong(r.fieldIndex("n_new_chunks")) > 0)
+  }
+
   test("registrableDomain: subdomains collapse, multi-part suffixes keep " +
        "three labels, IPv4 passes whole, junk yields null") {
     import spark.implicits._
