@@ -660,6 +660,49 @@ object OracleSqlGen {
        |SELECT CAST(1 AS BIGINT) AS batch_id, doc_id FROM acc2
        |ORDER BY batch_id, doc_id""".stripMargin
 
+  /** q150: the against-index MATCH EXPLANATION — per probe doc, how many
+    * distinct landed documents it near-duplicates (text-keyed identity:
+    * md5(text), mirroring the index's xxhash64(text) dedup of landed
+    * copies) and the best Jaccard. Unmatched probes emit no row. */
+  def nearDupMatchesSql(numHashes: Int, bands: Int): String =
+    s"""WITH ref AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 5 <> 0 AND doc_id < 300
+       |), inc AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    text || ' perturbed tail token' AS text
+       |  FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 50
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 5 <> 0 AND doc_id >= 100 AND doc_id < 110
+       |  UNION ALL
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 5 = 0 AND doc_id < 100
+       |), ${againstSide("i", "inc", numHashes, bands)},
+       |${againstSide("r", "ref", numHashes, bands)},
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS iid, r.doc_id AS rid
+       |  FROM ibandk i JOIN rbandk r ON i.band_id = r.band_id AND i.bk = r.bk
+       |), jac AS (
+       |  SELECT iid, rid,
+       |    round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+       |      THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |           / len(list_distinct(list_concat(sa.s, sb.s)))
+       |      ELSE 0.0 END, 6) AS jaccard
+       |  FROM cand
+       |  JOIN ish sa ON sa.doc_id = iid
+       |  JOIN rsh sb ON sb.doc_id = rid
+       |), m AS (
+       |  SELECT iid, rid, jaccard FROM jac WHERE jaccard >= 0.5
+       |), rtid AS (
+       |  SELECT doc_id, md5(text) AS tid FROM ref
+       |)
+       |SELECT m.iid AS doc_id,
+       |  CAST(count(DISTINCT r.tid) AS BIGINT) AS n_matched_refs,
+       |  max(m.jaccard) AS best_jaccard
+       |FROM m JOIN rtid r ON r.doc_id = m.rid
+       |GROUP BY m.iid ORDER BY doc_id""".stripMargin
+
   /** The CDC sliding-window walk as recursive-CTE SQL: consumes a
     * `corp(doc_id, text)` CTE already in scope, emits a `hashed(doc_id,
     * clen, ch)` CTE — one row per chunk with its code-point length and

@@ -1155,6 +1155,29 @@ object SparkEntry {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    "q150_near_dup_matches" -> ((s: SparkSession, dir: String) => {
+      // the audit companion of the against-index drop path: WHICH landed
+      // docs matched, and how strongly. Perturbed copies match their one
+      // base (high jaccard), exact copies match at 1.0, fresh docs emit
+      // no row (sparse report)
+      val idx = "graft_q150_" + math.abs(dir.hashCode).toString
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 300)
+      DedupOps.landNearDupIndex(ref, "text", idx, numHashes = 64,
+        bands = 16,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      val probes = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 5 =!= 0 &&
+            col("doc_id") >= 100 && col("doc_id") < 110)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100))
+      DedupOps.nearDupMatchesAgainstIndex(probes, "doc_id", "text", idx,
+          threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     "q149_cdc_delta" -> ((s: SparkSession, dir: String) => {
       // the content-addressed delta-storage report between the q84
       // corpus versions (every-7th doc removed, every-5th edited, 15
@@ -3962,6 +3985,9 @@ object SparkEntry {
 
     "q149_cdc_delta" ->
       OracleSqlGen.cdcDeltaSql(16, 4, 64),
+
+    "q150_near_dup_matches" ->
+      OracleSqlGen.nearDupMatchesSql(64, 16),
 
     "q147_domain_stats" ->
       // urlHost + registrableDomain regex algebra replayed stage for

@@ -479,6 +479,57 @@ object DedupOps {
   }
 
   /**
+   * The AUDIT companion of [[nearDedupAgainstIndex]]: instead of silently
+   * dropping matched rows, report per matched document HOW it matched —
+   * `n_matched_refs` (distinct landed documents over the threshold; the
+   * index's text-keyed identity, so two landed copies of one text count
+   * once) and `best_jaccard` (the strongest match, rounded 6). Documents
+   * with no match emit NO row — at steady state matches are the rare
+   * case and the report stays sparse. This is what a rejected-crawl
+   * triage or a dedup-quality dashboard reads; the drop path stays the
+   * cheap one.
+   *
+   * Same bucketed probe plan as the drop path (band equi-join carrying
+   * ids only, shingle fetch for surviving candidates only); the final
+   * per-doc rollup is a hash agg on the doc id.
+   */
+  def nearDupMatchesAgainstIndex(df: DataFrame, idCol: String,
+                                 textCol: String, name: String,
+                                 threshold: Double = 0.7,
+                                 maxRefBucket: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"no near-dup index '$name' in the session catalog — run " +
+      "landNearDupIndex first")
+    requireIdColFree(idCol)
+    val m = spark.table(s"${name}_meta").head()
+    val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
+    val incSh = df
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val incBands = lshBands(incSh.select(col(idCol),
+      minHashFromShingles(col("__sh"), numHashes).as("__sig")),
+      idCol, "__sig", bands)
+    val refBands = capBandBuckets(spark.table(s"${name}_bands"), maxRefBucket)
+    val candidates = incBands.join(refBands, Seq("band_id", "band_hash"))
+      .select(col(idCol), col("__ref_id")).distinct()
+    val joined = candidates
+      .join(incSh.select(col(idCol), col("__sh").as("__sh_i")), Seq(idCol))
+      .join(spark.table(s"${name}_shingles")
+        .select(col("__ref_id"), col("__sh").as("__sh_r")), Seq("__ref_id"))
+    val inter = size(array_intersect(col("__sh_i"), col("__sh_r"))).cast("double")
+    val union = size(array_union(col("__sh_i"), col("__sh_r"))).cast("double")
+    joined
+      .withColumn("__jac",
+        round(when(union > 0, inter / union).otherwise(lit(0.0)), 6))
+      .filter(col("__jac") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("__ref_id")).as("n_matched_refs"),
+        max(col("__jac")).as("best_jaccard"))
+  }
+
+  /**
    * Fold accepted ingest rows back into a landed near-dup index
    * ([[landNearDupIndex]]), so a day-N ingest catches near-duplicates of
    * day-1 ACCEPTED documents — without this, the index only ever knows the

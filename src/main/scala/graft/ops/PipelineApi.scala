@@ -393,6 +393,13 @@ object pipeline {
         TextOps.cdcChunks(df, idCol, textCol, minLen, maskBits, maxLen,
           windowLen)
 
+      def nearDupMatchesAgainstIndex(name: String, idCol: String = "doc_id",
+                                     textCol: String = "text",
+                                     threshold: Double = 0.7,
+                                     maxRefBucket: Int = 0): DataFrame =
+        DedupOps.nearDupMatchesAgainstIndex(df, idCol, textCol, name,
+          threshold, maxRefBucket)
+
       def cdcDeltaReport(newer: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text", minLen: Int = 16,
                          maskBits: Int = 4, maxLen: Int = 64,
