@@ -617,6 +617,52 @@ object StreamOps {
   }
 
   /**
+   * Streaming CHUNK-level dedup — the live leg of the CDC delta path
+   * (`TextOps.cdcChunks` / `cdcDeltaReport`): each document explodes into
+   * content-defined chunks map-side, and chunks whose md5-31 hash was
+   * already seen within the watermark horizon drop; what flows on is the
+   * stream of GENUINELY NEW chunk rows (id, chunk offsets, text, hash) —
+   * the content-addressed ingest feed a delta store appends. Because CDC
+   * boundaries resynchronize after edits, a re-crawled page with one
+   * changed paragraph contributes ~one chunk, not the whole page.
+   *
+   * State = one 8-byte-keyed row per distinct chunk hash in the horizon,
+   * evicted by the watermark (the [[streamingExactDedup]] contract);
+   * the chunker itself is a stateless codegen expression. Exactness
+   * caveat shared with the batch path: distinct hash == distinct content
+   * modulo md5-31 collisions (~n²/2³¹ — add a verify join downstream if
+   * a horizon holds billions of distinct chunks).
+   */
+  def streamingCdcChunkDedup(docs: DataFrame, idCol: String,
+                             textCol: String, tsCol: String,
+                             minLen: Int = 16, maskBits: Int = 4,
+                             maxLen: Int = 64, windowLen: Int = 16,
+                             watermark: String = "10 minutes"): DataFrame = {
+    val X = org.apache.spark.sql.catalyst.expressions.graftdedup.CdcExpressions
+    val H = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+    import org.apache.spark.sql.functions._
+    val st = transform(col("__ends"), (e, i) =>
+      struct(when(i === 0, lit(0)).otherwise(element_at(col("__ends"), i))
+        .as("s"), e.as("e")))
+    docs
+      .filter(col(textCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), col(textCol),
+        X.cdcBoundaries(col(textCol), minLen, maskBits, maxLen, windowLen)
+          .as("__ends"))
+      .select(col(idCol), col(tsCol), col(textCol),
+        posexplode(st).as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col(tsCol),
+        col("chunk_id").cast("long"),
+        col("__c.s").cast("long").as("char_start"),
+        (col("__c.e") - col("__c.s")).cast("long").as("char_len"),
+        col(textCol).substr(col("__c.s") + 1, col("__c.e") - col("__c.s"))
+          .as("chunk_text"))
+      .withColumn("chunk_hash", H.md5Hash31(col("chunk_text")))
+      .dropDuplicatesWithinWatermark("chunk_hash")
+  }
+
+  /**
    * Streaming NEAR-dedup, sketch-exact: drop documents whose 64-bit SimHash
    * over the token stream was already seen within the watermark horizon.
    * Token-identical documents — reformatted boilerplate, punctuation-only

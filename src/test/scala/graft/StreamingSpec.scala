@@ -193,6 +193,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingCdcChunkDedup: a re-crawled edited page contributes only " +
+       "its genuinely-new chunks, reconciling with the batch CDC sets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val body = (0 until 120).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3)))
+      .mkString(" ")
+    val edited = "xx inserted zz " + body
+    val fresh = (0 until 60).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3)))
+      .mkString(" ")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.streamingCdcChunkDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
+    val q = out.writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, ts(0), body))
+      q.processAllAvailable()
+      input.addData((1L, ts(1), edited), (2L, ts(2), fresh))
+      q.processAllAvailable()
+      def hashesOf(text: String): Set[Long] =
+        graft.ops.TextOps.cdcChunks(
+            Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text")
+          .collect().map(_.getLong(5)).toSet
+      val survivors1 = spark.sql(
+        "SELECT chunk_hash FROM cdc_stream WHERE doc_id = 1")
+        .collect().map(_.getLong(0)).toSet
+      // the edited doc's surviving chunks == its batch chunk set minus
+      // the original's (the delta), and that delta is SMALL (resync)
+      val want = hashesOf(edited) -- hashesOf(body)
+      assert(survivors1 == want, s"got $survivors1 want $want")
+      assert(survivors1.size.toDouble < hashesOf(edited).size / 2.0,
+        s"no resync: ${survivors1.size} of ${hashesOf(edited).size} chunks new")
+      // the fresh doc's chunks all flow
+      val survivors2 = spark.sql(
+        "SELECT count(*) FROM cdc_stream WHERE doc_id = 2")
+        .collect().head.getLong(0)
+      assert(survivors2 == hashesOf(fresh).size.toLong)
+    } finally q.stop()
+  }
+
   test("streamingNearDedup drops token-identical reformatted docs, keeps " +
        "distinct and token-less docs") {
     implicit val sqlCtx = spark.sqlContext
