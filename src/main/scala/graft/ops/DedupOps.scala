@@ -590,18 +590,41 @@ object DedupOps {
       // only widen the pre-DISTINCT candidate set) and then lands the
       // shingle rows — the index converges. The reverse order would make
       // the retry skip the doc with its band rows missing forever.
+      // repartition to the bucket hash before each append so every append
+      // adds at most numBuckets files (not numPartitions x numBuckets) —
+      // a steady-state stream appends every micro-batch, and the per-batch
+      // file constant is what the probe scans pay for until the next
+      // [[graft.sources.BucketedLand.compactTable]]
       lshBands(staged.select(col("__ref_id"),
           minHashFromShingles(col("__sh"), numHashes).as("__sig")),
         "__ref_id", "__sig", bands)
+        .repartition(spec.numBuckets, col("band_hash"))
         .write.mode("append")
         .bucketBy(spec.numBuckets, "band_hash").sortBy("band_hash")
         .format("parquet").saveAsTable(s"${name}_bands")
-      staged.write.mode("append")
+      staged.repartition(spec.numBuckets, col("__ref_id"))
+        .write.mode("append")
         .bucketBy(spec.numBuckets, "__ref_id").sortBy("__ref_id")
         .format("parquet").saveAsTable(s"${name}_shingles")
     }
     n
   }
+
+  /**
+   * Collapse a near-dup index's accumulated append files back to one file
+   * per bucket ([[graft.sources.BucketedLand.compactTable]] per table) —
+   * the maintenance step a steady-state streaming ingest
+   * ([[graft.streaming.StreamOps.dedupAgainstIndexBatch]]) schedules
+   * between batches: appends add files every micro-batch, probes pay a
+   * per-file open per bucket until compaction. Row-preserving; the meta
+   * table is a single row and never needs it. Returns per-table
+   * (filesBefore, filesAfter).
+   */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          name: String): Map[String, (Long, Long)] =
+    Seq(s"${name}_shingles", s"${name}_bands").map { t =>
+      t -> graft.sources.BucketedLand.compactTable(spark, t)
+    }.toMap
 
   /** Mersenne prime 2^31 - 1: the MinHash permutation modulus. Keeping every
     * operand under 2^31 makes `a*h + b` fit in 63 bits, so the identical

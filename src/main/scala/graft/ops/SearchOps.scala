@@ -251,10 +251,14 @@ object SearchOps {
       .localCheckpoint()
     val n = staged.count()
     if (n > 0) {
-      postingsOf(staged).write.mode("append")
+      // bucket-aligned appends: at most numBuckets files per append (see
+      // the appendNearDupIndex note; compactTable collapses the history)
+      postingsOf(staged).repartition(spec.numBuckets, col("token"))
+        .write.mode("append")
         .bucketBy(spec.numBuckets, "token").sortBy("token", "doc_id")
         .format("parquet").saveAsTable(s"${name}_postings")
       staged.select(col("doc_id"), col("__dl").as("dl"))
+        .repartition(spec.numBuckets, col("doc_id"))
         .write.mode("append")
         .bucketBy(spec.numBuckets, "doc_id").sortBy("doc_id")
         .format("parquet").saveAsTable(s"${name}_docs")
@@ -264,6 +268,21 @@ object SearchOps {
     refreshMeta(spark, name, path)
     n
   }
+
+  /**
+   * Collapse a search index's accumulated append files to one file per
+   * bucket ([[graft.sources.BucketedLand.compactTable]] on `_postings` and
+   * `_docs`; the single-row `_meta` never needs it). Row-preserving — and
+   * because [[bm25AgainstIndex]] aggregates per (token, doc) at read time,
+   * also safe to run at ANY point of the append protocol: duplicate
+   * postings left by a crashed-and-retried append survive compaction and
+   * keep collapsing at read. Returns per-table (filesBefore, filesAfter).
+   */
+  def compactSearchIndex(spark: SparkSession,
+                         name: String): Map[String, (Long, Long)] =
+    Seq(s"${name}_postings", s"${name}_docs").map { t =>
+      t -> graft.sources.BucketedLand.compactTable(spark, t)
+    }.toMap
 
   /** BM25 against a landed [[landSearchIndex]]: corpus stats from the meta
     * table, postings pruned to the query terms by bucket, document

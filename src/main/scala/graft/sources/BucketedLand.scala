@@ -24,7 +24,19 @@ object BucketedLand {
                path: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
-      val w = df.write.mode("overwrite")
+      // Align write partitions with bucket ids before the bucketed write:
+      // repartition(buckets, col) is the SAME Murmur3-pmod hash Spark
+      // assigns bucket ids with, so each task holds exactly one bucket and
+      // writes ONE file — without it every upstream task emits a file per
+      // bucket it touches (numTasks x buckets small files; 256 on the
+      // local 32-thread bench, tens of thousands from a real cluster
+      // write), and every later probe pays the per-file open cost. Write
+      // parallelism therefore equals `buckets`: size the bucket count to
+      // the corpus (8 suffices for the bench tables; a 100 TB land wants
+      // hundreds to low thousands of buckets, which this same line then
+      // turns into exactly that many write tasks and files).
+      val w = df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+        .write.mode("overwrite")
         .bucketBy(buckets, bucketCol)
         .sortBy(sortCols.head, sortCols.tail: _*)
         .format("parquet")
@@ -61,5 +73,79 @@ object BucketedLand {
           "under a different name")
     }
     spark.table(table)
+  }
+
+  /**
+   * Rewrite a bucketed table in place, collapsing its accumulated append
+   * files to ONE file per bucket. Every append (a streaming ingest's
+   * per-micro-batch [[graft.ops.DedupOps.appendNearDupIndex]], a corpus
+   * refresh's [[graft.ops.SearchOps.appendSearchIndex]]) adds up to
+   * numBuckets files; after thousands of micro-batches the probe side pays
+   * thousands of per-file opens per bucket. Compaction is the lifecycle
+   * step that restores the freshly-landed file shape without changing a
+   * single row — bucket spec, sort order, path, and schema are all taken
+   * from the catalog, so the rewritten table serves the same zero-exchange
+   * plans.
+   *
+   * Mechanics: the current contents are PINNED with a `localCheckpoint`
+   * (executor block storage — distributed, one extra copy of the table for
+   * the duration, never the driver), then written back with
+   * `mode(Overwrite)` through the same bucket-aligned repartition the land
+   * uses. The pin makes read-then-overwrite-same-table safe; it also means
+   * compaction of a table larger than cluster storage should instead
+   * re-land from upstream. NOT crash-atomic: the overwrite clears the
+   * target before committing, so a mid-compact crash loses the on-disk
+   * copy (the pinned copy dies with the session) — run it where a re-land
+   * is possible, the same operational contract as any
+   * non-transactional-metastore compaction.
+   *
+   * Returns (filesBefore, filesAfter) parquet data-file counts for
+   * observability; `filesAfter == numBuckets` on success.
+   */
+  def compactTable(spark: org.apache.spark.sql.SparkSession,
+                   table: String): (Long, Long) = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"compactTable('$table'): table is not bucketed — compaction " +
+        "preserves a bucket spec; for plain tables just rewrite"))
+    val bucketCol = spec.bucketColumnNames.head
+    val sortCols = spec.sortColumnNames
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    def dataFiles(): Long = {
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(loc)) 0L
+      else {
+        val it = fs.listFiles(loc, true)
+        var n = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+    }
+    val before = dataFiles()
+    val pinned = spark.table(table).localCheckpoint()
+    pinned.count() // materialize the pin BEFORE the target is cleared
+    val external = meta.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+    // explicit drop + location clear (the pin holds the data): a CTAS into
+    // a non-empty external location is rejected by default, so the
+    // overwrite is done by hand rather than via mode(Overwrite)
+    spark.sql(s"DROP TABLE `$table`")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (external && fs.exists(loc)) fs.delete(loc, true)
+    val aligned = pinned.repartition(spec.numBuckets,
+      org.apache.spark.sql.functions.col(bucketCol))
+    val w0 = aligned.write.mode("errorifexists")
+      .bucketBy(spec.numBuckets, bucketCol)
+    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
+             else w0
+    val w2 = w1.format("parquet")
+    // an external table must be re-created at ITS path, not the warehouse
+    (if (external) w2.option("path", meta.location.toString) else w2)
+      .saveAsTable(table)
+    (before, dataFiles())
   }
 }

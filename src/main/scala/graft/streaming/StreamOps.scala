@@ -1039,14 +1039,27 @@ object StreamOps {
       val m = batch.sparkSession.table(s"${name}_meta").head()
       val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
         m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
-      val inBatch =
-        if (dedupWithinBatch)
-          D.nearDedup(batch, idCol, textCol, numHashes, bands, shingleSize,
-            threshold)
-        else batch
+      // PIN the micro-batch before fanning out: the body references `batch`
+      // from the within-batch self-join, the index probe, and the append —
+      // each would re-evaluate the incoming plan (and a foreachBatch frame
+      // re-evaluates back into the SOURCE on some sinks). One batch-sized
+      // localCheckpoint collapses all of that to a single materialization.
+      val pinned = batch.localCheckpoint()
+      // Within-batch dedup holds the shingle-stage cache only for this
+      // invocation: nearDedup's fire-and-forget persist would accumulate a
+      // cached shingle table PER MICRO-BATCH for the life of the stream —
+      // the handle variant lets us release it once `accepted` is pinned.
+      val (inBatch, release) =
+        if (dedupWithinBatch) {
+          val (pairs, handle) = D.nearDuplicatePairsWithHandle(pinned, idCol,
+            textCol, numHashes, bands, shingleSize, threshold)
+          val losers = pairs.select(col("id_b").as(idCol)).distinct()
+          (pinned.join(losers, Seq(idCol), "left_anti"), handle)
+        } else (pinned, () => ())
       val accepted = D.nearDedupAgainstIndex(inBatch, idCol, textCol, name,
           threshold, maxRefBucket)
         .localCheckpoint()
+      release()
       // sink FIRST (see the delivery note above): a doc may only enter the
       // index via an attempt that already delivered it
       sink(accepted, batchId)

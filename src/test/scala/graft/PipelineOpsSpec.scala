@@ -1893,6 +1893,70 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(DedupOps.appendNearDupIndex(acc1, "text", idx) == 0L)
   }
 
+  test("compactNearDupIndex: collapses land+append file history to <= one " +
+       "file per bucket; probe results row-identical across compaction") {
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+      .toDF("doc_id", "text")
+    val addA = Seq(
+      (10L, "red orange yellow green blue indigo violet ultraviolet infrared x"))
+      .toDF("doc_id", "text")
+    val addB = Seq(
+      (20L, "north south east west up down left right forward backward spin"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (30L, "red orange yellow green blue indigo violet ultraviolet infrared x y"),
+      (31L, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail"),
+      (32L, "completely novel text with no indexed relative whatsoever here"))
+      .toDF("doc_id", "text")
+    val idx = "graft_compact_spec_idx"
+    Seq("_meta", "_bands", "_shingles").foreach { sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $idx$sfx")
+      val loc = new java.io.File(s"spark-warehouse/$idx$sfx")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    DedupOps.landNearDupIndex(base, "text", idx, numHashes = 64, bands = 16)
+    assert(DedupOps.appendNearDupIndex(addA, "text", idx) == 1L)
+    assert(DedupOps.appendNearDupIndex(addB, "text", idx) == 1L)
+    def probeIds(): Set[Long] =
+      DedupOps.nearDedupAgainstIndex(probe, "doc_id", "text", idx,
+        threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = probeIds()
+    assert(before == Set(32L),
+      "30 near-dups appended 10, 31 near-dups landed 0 — only 32 survives")
+    val stats = DedupOps.compactNearDupIndex(spark, idx)
+    stats.foreach { case (t, (nBefore, nAfter)) =>
+      assert(nAfter <= 8, s"$t: expected <= one file per bucket after " +
+        s"compaction, got $nAfter")
+      assert(nAfter <= nBefore, s"$t: compaction must never grow the " +
+        s"file count ($nBefore -> $nAfter)")
+    }
+    // the bands table is the deterministic shrink witness: every doc emits
+    // 16 band rows spread across the 8 buckets, so the land and each
+    // append each wrote ~8 files (24-ish total) that compaction collapses
+    // to <= 8. (The 3-doc shingles table can already be minimal — one file
+    // per populated bucket — so no strict shrink is asserted there.)
+    val (bandsBefore, bandsAfter) = stats(s"${idx}_bands")
+    assert(bandsBefore > bandsAfter,
+      s"bands: land + 2 appends wrote $bandsBefore files; compaction " +
+        s"must collapse them (got $bandsAfter)")
+    assert(probeIds() == before,
+      "compaction must be row-preserving: identical probe verdicts")
+    // the compacted table still serves another append cycle
+    val accP = DedupOps.nearDedupAgainstIndex(
+      Seq((40L, "totally fresh sentence about volcanic basalt columns ok"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx, threshold = 0.5)
+    assert(DedupOps.appendNearDupIndex(accP, "text", idx) == 1L)
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
