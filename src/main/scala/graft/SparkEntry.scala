@@ -1155,6 +1155,32 @@ object SparkEntry {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    "q151_quality_gate" -> ((s: SparkSession, dir: String) => {
+      // the per-document filter report (C4/Gopher/FineWeb release
+      // convention): kept verdict, first-failing rule (funnel
+      // attribution), all failing rules (independent attribution). The
+      // failed_rules array rides out joined to VARCHAR — the comparator
+      // cannot sort ARRAY columns (verify recipe)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        col("lang"))
+      graft.ops.GateOps.gate(d,
+          graft.ops.GateOps.standardTextRules("text", "lang"))
+        .select(col("doc_id"), col("kept"), col("fail_first"),
+          array_join(col("failed_rules"), ",").as("failed_rules"),
+          col("n_failed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q152_gate_funnel" -> ((s: SparkSession, dir: String) => {
+      // the per-rule funnel over the same ruleset: one aggregation, one
+      // collected row, k result rows built driver-side (bounded by the
+      // rule count, never the corpus)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        col("lang"))
+      graft.ops.GateOps.gateFunnel(d,
+        graft.ops.GateOps.standardTextRules("text", "lang"))
+    }),
+
     "q150_near_dup_matches" -> ((s: SparkSession, dir: String) => {
       // the audit companion of the against-index drop path: WHICH landed
       // docs matched, and how strongly. Perturbed copies match their one
@@ -3988,6 +4014,73 @@ object SparkEntry {
 
     "q150_near_dup_matches" ->
       OracleSqlGen.nearDupMatchesSql(64, 16),
+
+    "q151_quality_gate" ->
+      // flag CTE replays GateOps.standardTextRules verbatim: NULL
+      // predicate = FAIL via coalesce(p, false); fail_first is the same
+      // ordered CASE; concat_ws skips the NULL legs exactly like
+      // array_join over the concat-of-empty-arrays form; counts CAST
+      // BIGINT (the q89 HUGEINT lesson)
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    NOT coalesce(length(text) >= 150, FALSE) AS f0,
+        |    NOT coalesce(length(string_split(text, ' ')) >= 25, FALSE) AS f1,
+        |    NOT coalesce(
+        |      CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / length(string_split(text, ' ')) >= 0.32, FALSE) AS f2,
+        |    NOT coalesce(lang IN ('en'), FALSE) AS f3
+        |  FROM documents)
+        |SELECT doc_id, NOT (f0 OR f1 OR f2 OR f3) AS kept,
+        |  CASE WHEN f0 THEN 'min_chars' WHEN f1 THEN 'min_tokens'
+        |       WHEN f2 THEN 'diversity' WHEN f3 THEN 'lang' END AS fail_first,
+        |  concat_ws(',',
+        |    CASE WHEN f0 THEN 'min_chars' END,
+        |    CASE WHEN f1 THEN 'min_tokens' END,
+        |    CASE WHEN f2 THEN 'diversity' END,
+        |    CASE WHEN f3 THEN 'lang' END) AS failed_rules,
+        |  CAST((CASE WHEN f0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN f1 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN f2 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q152_gate_funnel" ->
+      // sequential-funnel replay: first-fail index once, per-rule first-
+      // fail + independent sums in ONE aggregate CTE, k rows via UNION ALL
+      // with n_in unwound cumulatively; every sum CAST BIGINT
+      """WITH f AS (
+        |  SELECT
+        |    NOT coalesce(length(text) >= 150, FALSE) AS f0,
+        |    NOT coalesce(length(string_split(text, ' ')) >= 25, FALSE) AS f1,
+        |    NOT coalesce(
+        |      CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / length(string_split(text, ' ')) >= 0.32, FALSE) AS f2,
+        |    NOT coalesce(lang IN ('en'), FALSE) AS f3
+        |  FROM documents),
+        |x AS (
+        |  SELECT CASE WHEN f0 THEN 0 WHEN f1 THEN 1 WHEN f2 THEN 2
+        |              WHEN f3 THEN 3 END AS ff, f0, f1, f2, f3 FROM f),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |    CAST(sum(CASE WHEN f0 THEN 1 ELSE 0 END) AS BIGINT) AS i0,
+        |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS i1,
+        |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS i2,
+        |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS i3
+        |  FROM x)
+        |SELECT CAST(0 AS BIGINT) AS rule_idx, 'min_chars' AS rule,
+        |  total AS n_in, d0 AS n_dropped, total - d0 AS n_out,
+        |  i0 AS n_fail_independent FROM a
+        |UNION ALL SELECT 1, 'min_tokens', total - d0, d1,
+        |  total - d0 - d1, i1 FROM a
+        |UNION ALL SELECT 2, 'diversity', total - d0 - d1, d2,
+        |  total - d0 - d1 - d2, i2 FROM a
+        |UNION ALL SELECT 3, 'lang', total - d0 - d1 - d2, d3,
+        |  total - d0 - d1 - d2 - d3, i3 FROM a
+        |ORDER BY rule_idx""".stripMargin,
 
     "q147_domain_stats" ->
       // urlHost + registrableDomain regex algebra replayed stage for

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Declarative rule gates — the "filter report" layer every corpus pipeline
+ * (C4, Gopher, RefinedWeb, FineWeb) publishes alongside its data release:
+ * not just WHICH documents were dropped but by WHICH rule, both as a
+ * per-document verdict ([[gate]]) and as the per-rule funnel table
+ * ([[gateFunnel]]) that shows where the corpus shrinks.
+ *
+ * Rules are ordered (name, pass-predicate Column) pairs, so the machinery
+ * is generic over any table — text quality gates, event sanity gates,
+ * embedding validity gates — and the predicates stay inside whole-stage
+ * codegen: the gate itself adds ZERO shuffles (a pure projection) and the
+ * funnel is ONE aggregation producing one row regardless of corpus size.
+ *
+ * A NULL predicate value counts as a FAILURE of that rule, not a pass —
+ * the safety default for data gates (a doc whose signal could not be
+ * computed should not silently ship), and the convention DuckDB oracles
+ * replay exactly via `coalesce(p, false)`.
+ */
+object GateOps {
+
+  private val OutCols = Seq("kept", "fail_first", "failed_rules", "n_failed")
+
+  private def checkRules(df: DataFrame, rules: Seq[(String, Column)]): Unit = {
+    require(rules.nonEmpty, "gate: at least one rule required")
+    val names = rules.map(_._1)
+    require(names.distinct == names,
+      s"gate: duplicate rule names in ${names.mkString(", ")}")
+    val clash = OutCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"gate: input already has output column(s) ${clash.mkString(", ")}")
+  }
+
+  /**
+   * Per-row verdict: `kept` (all rules pass), `fail_first` (the FIRST rule
+   * in declaration order that fails — the funnel attribution — null when
+   * kept), `failed_rules` (ALL failing rules, declaration order — the
+   * independent attribution) and `n_failed`. Keeps every input row; the
+   * caller filters on `kept` when it wants the surviving corpus, or ships
+   * the whole frame as the release's filter report.
+   */
+  def gate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    checkRules(df, rules)
+    val fails = rules.map { case (_, p) => !coalesce(p, lit(false)) }
+    val failFirst = rules.zip(fails).foldRight(lit(null).cast(StringType)) {
+      case (((name, _), f), acc) => when(f, lit(name)).otherwise(acc)
+    }
+    val emptyArr = array().cast(ArrayType(StringType, containsNull = false))
+    val failedArr = concat(rules.zip(fails).map { case ((name, _), f) =>
+      when(f, array(lit(name))).otherwise(emptyArr)
+    }: _*)
+    df.withColumn("failed_rules", failedArr)
+      .withColumn("kept", size(col("failed_rules")) === 0)
+      .withColumn("fail_first", failFirst)
+      .withColumn("n_failed", size(col("failed_rules")).cast(LongType))
+  }
+
+  /**
+   * The per-rule funnel: one row per rule with `n_in` (rows that survived
+   * every earlier rule), `n_dropped` (rows whose FIRST failure is this
+   * rule — so n_dropped sums to total minus kept), `n_out` (= n_in -
+   * n_dropped, the next rule's n_in) and `n_fail_independent` (rows
+   * failing this rule regardless of order — the overlap diagnostic: a rule
+   * whose independent count is large but whose n_dropped is small is
+   * shadowed by earlier rules).
+   *
+   * ONE aggregation over the corpus (2k+1 scalar sums for k rules), one
+   * collected row, and a k-row result built driver-side — bounded by the
+   * rule count, never the corpus.
+   */
+  def gateFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    checkRules(df, rules)
+    val spark = df.sparkSession
+    val fails = rules.map { case (_, p) => !coalesce(p, lit(false)) }
+    val firstIdx = rules.indices.zip(fails).foldRight(lit(null).cast(IntegerType)) {
+      case ((i, f), acc) => when(f, lit(i)).otherwise(acc)
+    }
+    val aggs = count(lit(1)).as("__total") +:
+      rules.indices.map(i => sum(when(firstIdx === i, 1L).otherwise(0L))
+        .as(s"__drop_$i")) ++:
+      rules.indices.zip(fails).map { case (i, f) =>
+        sum(when(f, 1L).otherwise(0L)).as(s"__fail_$i") }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = r.getAs[Long]("__total")
+    var nIn = total
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      val dropped = r.getAs[Long](s"__drop_$i")
+      val indep = r.getAs[Long](s"__fail_$i")
+      val row = Row(i.toLong, name, nIn, dropped, nIn - dropped, indep)
+      nIn -= dropped
+      row
+    }
+    val schema = StructType(Seq(
+      StructField("rule_idx", LongType, nullable = false),
+      StructField("rule", StringType, nullable = false),
+      StructField("n_in", LongType, nullable = false),
+      StructField("n_dropped", LongType, nullable = false),
+      StructField("n_out", LongType, nullable = false),
+      StructField("n_fail_independent", LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /**
+   * A reference text-quality ruleset over pure portable expressions
+   * (length, whitespace token count, distinct-token diversity, language
+   * tag) — the C4/Gopher-flavored defaults a release pipeline starts from
+   * before tuning. All four replay verbatim in a DuckDB oracle; signals
+   * needing tokenizer state (repetition 2-grams, langId n-gram scores)
+   * come from their dedicated ops and join the gate as extra rules.
+   */
+  def standardTextRules(textCol: String, langCol: String,
+                        minChars: Int = 150, minTokens: Int = 25,
+                        minDistinctRatio: Double = 0.32,
+                        keepLangs: Seq[String] = Seq("en"))
+      : Seq[(String, Column)] = {
+    val t = col(textCol)
+    val tok = split(t, " ")
+    Seq(
+      "min_chars" -> (length(t) >= minChars),
+      "min_tokens" -> (size(tok) >= minTokens),
+      "diversity" ->
+        (size(array_distinct(tok)).cast(DoubleType) /
+          size(tok).cast(DoubleType) >= minDistinctRatio),
+      "lang" -> col(langCol).isInCollection(keepLangs))
+  }
+}
