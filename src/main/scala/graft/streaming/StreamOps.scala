@@ -1028,11 +1028,22 @@ object StreamOps {
    * relation cache and sees appends only after `REFRESH TABLE
    * <name>_shingles / _bands` — standard catalog-table semantics, not a
    * property of this operator.
+   *
+   * Maintenance: every append adds up to numBuckets files, so a stream
+   * that runs for thousands of micro-batches accretes file history the
+   * probe scans pay for. `compactEvery = n` runs
+   * [[graft.ops.DedupOps.compactNearDupIndex]] after the append on every
+   * n-th batch (batchId % n == n - 1) — between batches, never
+   * concurrently with a probe, and AFTER the sink so a compaction crash
+   * can only lose file-layout work, never delivered rows (see
+   * compactTable's crash note: re-land from upstream if it dies
+   * mid-rewrite). 0 disables.
    */
   def dedupAgainstIndexBatch(idCol: String, textCol: String, name: String,
                              threshold: Double = 0.7, maxRefBucket: Int = 0,
                              dedupWithinBatch: Boolean = true,
-                             appendAccepted: Boolean = true)
+                             appendAccepted: Boolean = true,
+                             compactEvery: Int = 0)
                             (sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val D = graft.ops.DedupOps
     (batch: DataFrame, batchId: Long) => {
@@ -1064,6 +1075,8 @@ object StreamOps {
       // index via an attempt that already delivered it
       sink(accepted, batchId)
       if (appendAccepted) D.appendNearDupIndex(accepted, textCol, name)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        D.compactNearDupIndex(batch.sparkSession, name)
     }
   }
 

@@ -655,7 +655,7 @@ class StreamingSpec extends SparkTestBase {
       val q = input.toDF().toDF("doc_id", "text")
         .writeStream
         .foreachBatch(StreamOps.dedupAgainstIndexBatch("doc_id", "text", idx,
-          threshold = 0.7) { (df, bid) =>
+          threshold = 0.7, compactEvery = 2) { (df, bid) =>
             val ids = df.select("doc_id").collect().map(_.getLong(0))
             accepted.synchronized { accepted ++= ids.map(bid -> _) }
           })
@@ -684,6 +684,16 @@ class StreamingSpec extends SparkTestBase {
         Seq((30L, words(5) + " tail")).toDF("doc_id", "text"),
         "doc_id", "text", idx, threshold = 0.7)
       assert(again.isEmpty, "a near-dup of batch-2 survivor 21 must drop")
+      // compactEvery = 2 fired after batch 1 (the LAST batch), so the file
+      // history (land + 2 appends) is collapsed back to <= one file per
+      // bucket — and the probe above already proved the rewrite was
+      // row-preserving in the live stream
+      Seq("_shingles", "_bands").foreach { s =>
+        val files = new java.io.File(s"$tmp/$idx$s").listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        assert(files <= 8, s"$idx$s: expected <= one file per bucket " +
+          s"after in-stream compaction, got $files")
+      }
     } finally {
       Seq("_meta", "_shingles", "_bands").foreach { s =>
         spark.sql(s"DROP TABLE IF EXISTS $idx$s")
