@@ -416,6 +416,18 @@ object pipeline {
                                     zThreshold: Double = 2.0): DataFrame =
         EventOps.rateSpikesAgainstBaseline(df, baseline, tsCol, typeCol,
           valueCol, widthSeconds, hopSeconds, zThreshold)
+
+      def gate(rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+        GateOps.gate(df, rules)
+
+      def gateFunnel(rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+        GateOps.gateFunnel(df, rules)
+
+      /** [[GateOps.gate]] + keep-only-survivors in one step — the common
+        * chain position between dedup and sampling. */
+      def gateKeep(rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+        GateOps.gate(df, rules).filter(col("kept"))
+          .drop("kept", "fail_first", "failed_rules", "n_failed")
     }
   }
 }

@@ -304,4 +304,22 @@ class FluentApiSpec extends SparkTestBase {
       EventOps.rateSpikesAgainstBaseline(ev8, base8, "ts", "event_type",
         "value", 3600, 900).collect().toSeq)
   }
+
+  test("fluent gate surface delegates to GateOps; gateKeep drops the " +
+       "report columns and keeps survivors only") {
+    import graft.ops.pipeline.implicits._
+    import graft.ops.GateOps
+    import org.apache.spark.sql.functions.{col, length}
+    import spark.implicits._
+    val docs = Seq((1L, "long enough text right here"), (2L, "no"))
+      .toDF("doc_id", "text")
+    val rules = Seq("min_chars" -> (length(col("text")) >= 10))
+    assert(docs.gate(rules).collect().toSeq ==
+      GateOps.gate(docs, rules).collect().toSeq)
+    assert(docs.gateFunnel(rules).collect().toSeq ==
+      GateOps.gateFunnel(docs, rules).collect().toSeq)
+    val kept = docs.gateKeep(rules)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
