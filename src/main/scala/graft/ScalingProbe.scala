@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
 
-import graft.ops.DedupOps
+import graft.ops.{DedupOps, GateOps}
 
 /**
  * Scale-adjudication probe (`runMain graft.ScalingProbe <sfDir> [query...]`):
@@ -36,6 +36,7 @@ object ScalingProbe {
     DedupOps.ObservedMetrics.NearDupCandidateMetrics,
     DedupOps.ObservedMetrics.NearDupVerifiedMetrics,
     DedupOps.ObservedMetrics.SpanMetrics,
+    GateOps.FunnelMetrics,
     ScaleUp.SpliceMetrics)
 
   /** Runs `df` to completion through the noop sink with a

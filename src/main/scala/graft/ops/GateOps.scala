@@ -107,6 +107,33 @@ object GateOps {
         .SeqHasAsJava(rows).asJava), schema)
   }
 
+  /** Prefix of the `Dataset.observe` metric [[gateObserved]] emits (the
+    * [[graft.ops.DedupOps.ObservedMetrics]] convention: consumers match on
+    * the prefix; the suffix keeps CollectMetrics names unique within one
+    * query). The metric row carries `total`, `kept`, and one
+    * `fail_<rule>` independent-failure count per rule. */
+  val FunnelMetrics = "graft.gate.funnel"
+
+  /**
+   * [[gate]] plus the funnel counts as a `Dataset.observe` metric — the
+   * STREAMING funnel: in a `writeStream` the per-batch drop-by-rule
+   * counts arrive at a `StreamingQueryListener` (or
+   * `QueryExecutionListener` in batch) on rows already flowing, zero
+   * extra jobs and no second aggregation pass. Counts are accumulator
+   * semantics: per executed query, exact below any shuffle boundary
+   * (see the [[graft.ops.DedupOps.ObservedMetrics]] caveats on limited
+   * executions).
+   */
+  def gateObserved(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val gated = gate(df, rules)
+    val aggs = count(lit(1)).as("total") +:
+      sum(when(col("kept"), 1L).otherwise(0L)).as("kept") +:
+      rules.map { case (name, _) =>
+        sum(when(array_contains(col("failed_rules"), name), 1L)
+          .otherwise(0L)).as(s"fail_$name") }
+    gated.observe(DedupOps.obsName(FunnelMetrics), aggs.head, aggs.tail: _*)
+  }
+
   /**
    * A reference text-quality ruleset over pure portable expressions
    * (length, whitespace token count, distinct-token diversity, language

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.ops.GateOps
 
@@ -74,6 +76,50 @@ class GateOpsSpec extends SparkTestBase {
     assert(got(3) == ((3L, "lang", 2L, 1L, 1L, 1L)))
     // conservation: drops + survivors == total
     assert(got.map(_._4).sum + 1L == 6L)
+  }
+
+  test("gateObserved surfaces total/kept/per-rule failure counts to a " +
+       "QueryExecutionListener, consistent with gateFunnel") {
+    val (_, metrics) = ScalingProbe.runWithMetrics(spark,
+      GateOps.gateObserved(docs, rules),
+      waitForPrefix = GateOps.FunnelMetrics)
+    val rows = metrics.filter(_._1.startsWith(GateOps.FunnelMetrics)).values
+    assert(rows.nonEmpty, s"funnel metric missing; got ${metrics.keys}")
+    val m = rows.head
+    assert(m.getAs[Long]("total") == 6L)
+    assert(m.getAs[Long]("kept") == 1L)
+    // independent counts match the gateFunnel column for the same corpus
+    val indep = GateOps.gateFunnel(docs, rules).collect()
+      .map(r => (r.getString(1), r.getLong(5))).toMap
+    rules.foreach { case (name, _) =>
+      assert(m.getAs[Long](s"fail_$name") == indep(name),
+        s"observed fail_$name != funnel independent count")
+    }
+  }
+
+  test("gateObserved funnel counts arrive per micro-batch in streaming " +
+       "progress (zero-extra-job streaming funnel)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val gated = GateOps.gateObserved(
+      input.toDF().toDF("doc_id", "text", "lang"), rules)
+    val q = gated.writeStream.format("noop").start()
+    try {
+      input.addData((1L, "short", "en"),
+        (2L, ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+          "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+          "tango uniform victor whiskey xray yankee zulu one two three " +
+          "four"), "en"))
+      q.processAllAvailable()
+      val om = q.lastProgress.observedMetrics.asScala
+        .collectFirst { case (k, v) if k.startsWith(GateOps.FunnelMetrics) => v }
+      assert(om.nonEmpty,
+        s"no funnel metric in progress: ${q.lastProgress.observedMetrics}")
+      assert(om.get.getAs[Long]("total") == 2L)
+      assert(om.get.getAs[Long]("kept") == 1L)
+      assert(om.get.getAs[Long]("fail_min_chars") == 1L)
+    } finally q.stop()
   }
 
   test("gateFunnel row count is bounded by the rule count (one row per " +
