@@ -378,4 +378,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(mPlan.contains("BroadcastNestedLoopJoin"),
       s"the right set must broadcast into the cross product:\n$mPlan")
   }
+
+  test("quality gate is a pure projection: zero exchanges, no UDFs, one " +
+       "scan — and the funnel is ONE aggregation pass") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rules = graft.ops.GateOps.standardTextRules("text", "lang")
+    val gPlan = graft.ops.GateOps.gate(docs, rules)
+      .queryExecution.executedPlan.toString
+    assert(countOccurrences(gPlan, "Exchange") == 0, gPlan)
+    assert(!gPlan.contains("ScalaUDF"), gPlan)
+    assert(countOccurrences(gPlan, "FileScan parquet") == 1, gPlan)
+    // gateObserved must not change the shape: observe is a CollectMetrics
+    // wrapper on rows already flowing
+    val oPlan = graft.ops.GateOps.gateObserved(docs, rules)
+      .queryExecution.executedPlan.toString
+    assert(countOccurrences(oPlan, "Exchange") == 0, oPlan)
+    // funnel: one scan, one partial+final agg pair (single Exchange of
+    // 2k+1 partial sums), nothing per-group
+    val fPlan = graft.ops.GateOps.gateFunnel(docs, rules)
+    // gateFunnel returns a driver-built local frame; the corpus-side
+    // aggregation already ran — pin its shape via the gate's agg instead
+    val aggPlan = graft.ops.GateOps.gate(docs, rules)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(col("kept"), 1L)))
+      .queryExecution.executedPlan.toString
+    assert(countOccurrences(aggPlan, "Exchange") == 1, aggPlan)
+    assert(fPlan.collect().length == rules.length)
+  }
 }
