@@ -1155,6 +1155,24 @@ object SparkEntry {
         .orderBy(col("window_start_us"), col("event_type"))
     }),
 
+    "q153_ann_appended" -> ((s: SparkSession, dir: String) => {
+      // the ANN ingest path: index landed on 3/4 of the corpus (codebook
+      // = lowest-16 ids of THAT subset), the remaining quarter folded in
+      // via appendAnnIndex under the frozen codebook, then the q76 probe.
+      // Row-identical to direct IVF over the full corpus with the landed
+      // codebook — the oracle replays exactly that
+      val idx = "graft_q153_" + math.abs(dir.hashCode).toString
+      val e = t(s, dir, "embeddings")
+      SimOps.landAnnIndex(e.filter(col("vec_id") % 4 =!= 0), "vec_id",
+        "embedding", idx, nCells = 16,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      SimOps.appendAnnIndex(e.filter(col("vec_id") % 4 === 0), "vec_id",
+        "embedding", idx)
+      SimOps.annTopKAgainstIndex(e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", idx, k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q151_quality_gate" -> ((s: SparkSession, dir: String) => {
       // the per-document filter report (C4/Gopher/FineWeb release
       // convention): kept verdict, first-failing rule (funnel
@@ -4014,6 +4032,56 @@ object SparkEntry {
 
     "q150_near_dup_matches" ->
       OracleSqlGen.nearDupMatchesSql(64, 16),
+
+    "q153_ann_appended" ->
+      // q42/q76's IVF oracle with ONE change: the codebook CTE takes the
+      // 16 lowest ids of the LANDED subset (vec_id % 4 <> 0) — the frozen
+      // codebook appendAnnIndex assigns under — while cells and probes
+      // range over the full corpus (landed + appended)
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv FROM e
+        |  WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 16
+        |), assign AS (
+        |  SELECT e.vec_id, e.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(e.v, c.cv)
+        |             / (sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS rn
+        |  FROM e CROSS JOIN c
+        |), cell AS (
+        |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
+        |), probes AS (
+        |  SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cl,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(q.v, q.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(q.v, c.cv)
+        |             / (sqrt(list_inner_product(q.v, q.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS prn
+        |  FROM e q CROSS JOIN c WHERE q.vec_id < 5
+        |), scored AS (
+        |  SELECT p.query_id, ce.vec_id AS neighbor_id,
+        |    round(CASE WHEN sqrt(list_inner_product(p.qv, p.qv))
+        |                    * sqrt(list_inner_product(ce.v, ce.v)) > 0
+        |      THEN list_inner_product(p.qv, ce.v)
+        |           / (sqrt(list_inner_product(p.qv, p.qv))
+        |              * sqrt(list_inner_product(ce.v, ce.v)))
+        |      ELSE 0.0 END, 6) AS cos_sim
+        |  FROM probes p JOIN cell ce ON ce.cl = p.cl
+        |  WHERE p.prn <= 4 AND ce.vec_id <> p.query_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q151_quality_gate" ->
       // flag CTE replays GateOps.standardTextRules verbatim: NULL

@@ -758,6 +758,56 @@ object SimOps {
     }
   }
 
+  /**
+   * Fold NEW vectors into a landed [[landAnnIndex]] index — the ingest
+   * path a continuously-embedded crawl needs (the near-dup/search/CMS
+   * index families' append rule, applied to ANN): assign each new vector
+   * to its cell through the STORED codebook and append to the
+   * cell-partitioned table, so the next query batch's partition prune
+   * sees it with zero landed-side recompute and no re-land.
+   *
+   * The codebook is FROZEN: appended vectors join existing cells, which
+   * keeps every indexed query row-identical to the direct IVF over
+   * (landed + appended) under the landed codebook. A corpus that drifts
+   * far from the codebook's distribution eventually wants a re-land —
+   * the standard IVF operating contract, stated rather than hidden.
+   *
+   * Idempotent per vector id: an anti-join against the cells table
+   * skips ids already indexed, so a crashed-and-retried batch converges
+   * (the appendNearDupIndex protocol); the batch is pinned with a
+   * `localCheckpoint` BEFORE the append mutates the table the anti-join
+   * reads. Appends accrete one file per touched cell per batch — the
+   * partitioned-table analog of the bucketed-index file history; collapse
+   * with a re-land or per-cell partition overwrite when probe latency
+   * shows it. Returns the number of new vectors folded in.
+   */
+  def appendAnnIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                     name: String): Long = {
+    val spark = vectors.sparkSession
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"no ANN index '$name' in the session catalog — run landAnnIndex first")
+    require(spark.catalog.tableExists(s"${name}_cells"),
+      s"appendAnnIndex('$name'): cells table missing — the land did not " +
+        "complete; re-run landAnnIndex")
+    val cents = readAnnCentroids(spark, name)
+    val staged = vectors
+      .select(col(idCol).cast(LongType).as("__ann_id"),
+        col(vecCol).as("__ann_vec"))
+      .dropDuplicates("__ann_id")
+      .join(spark.table(s"${name}_cells").select("__ann_id"),
+        Seq("__ann_id"), "left_anti")
+      .localCheckpoint()
+    val n = staged.count()
+    if (n > 0) {
+      staged.withColumn("__cell",
+          org.apache.spark.sql.catalyst.expressions.graftarray
+            .ArrayMathExpressions.ivfCell(col("__ann_vec"), cents.toSeq))
+        .write.mode("append").partitionBy("__cell").format("parquet")
+        .saveAsTable(s"${name}_cells")
+    }
+    n
+  }
+
   private def readAnnCentroids(spark: org.apache.spark.sql.SparkSession,
                                name: String): Array[(Long, Array[Double])] =
     spark.table(s"${name}_centroids")

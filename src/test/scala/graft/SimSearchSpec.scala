@@ -284,6 +284,47 @@ class SimSearchSpec extends SparkTestBase {
     }
   }
 
+  test("appendAnnIndex: appended vectors become findable under the frozen " +
+       "codebook; row-identical to direct IVF over the union; idempotent") {
+    val all = semanticCorpus().toDF("vec_id", "embedding")
+    // land ids < 10000 (the 4 clusters), append the planted copies
+    // (10000..10009) — appended ids are ABOVE every landed id, so the
+    // landed codebook == the full-union codebook and direct ivfTopK on
+    // the union is the exact expected result
+    val landed = all.filter(col("vec_id") < 10000L)
+    val appended = all.filter(col("vec_id") >= 10000L)
+    val queries = all.filter(col("vec_id").isin(0L, 5L))
+    val idx = "graft_test_ann_append_idx"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annap").toString
+    try {
+      SimOps.landAnnIndex(landed, "vec_id", "embedding", idx, nCells = 8,
+        path = Some(s"$tmp/$idx"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val before = SimOps.annTopKAgainstIndex(queries, "vec_id", "embedding",
+        idx, k = 3, nProbe = 3)
+      assert(!rows(before).exists(_._3 >= 10000L),
+        "exact copies are not indexed yet — they cannot appear")
+      assert(SimOps.appendAnnIndex(appended, "vec_id", "embedding", idx) == 10L)
+      val after = SimOps.annTopKAgainstIndex(queries, "vec_id", "embedding",
+        idx, k = 3, nProbe = 3)
+      // the exact copy of each query (cos 1.0) must now be its top hit
+      val top = rows(after).filter(_._2 == 1)
+      assert(top == Set((0L, 1, 10000L, 1.0), (5L, 1, 10005L, 1.0)),
+        s"appended exact copies must rank first: $top")
+      val direct = SimOps.ivfTopK(all, queries, "vec_id", "embedding",
+        k = 3, nCells = 8, nProbe = 3)
+      assert(rows(after) == rows(direct),
+        "indexed-after-append must equal direct IVF over the union")
+      // idempotent: the same batch folds in nothing the second time
+      assert(SimOps.appendAnnIndex(appended, "vec_id", "embedding", idx) == 0L)
+    } finally {
+      Seq("_meta", "_centroids", "_cells").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS $idx$s")
+      }
+    }
+  }
+
   /** 4 tight clusters, cluster-major ids (0-99 cluster 0, 100-199 cluster
     * 1, ...), plus exact copies of ids 0..9 under ids 10000..10009.
     * Within-cluster cosine sits near 0.998 (noise 0.1 around norm-12
