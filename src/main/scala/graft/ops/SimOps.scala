@@ -777,9 +777,9 @@ object SimOps {
    * (the appendNearDupIndex protocol); the batch is pinned with a
    * `localCheckpoint` BEFORE the append mutates the table the anti-join
    * reads. Appends accrete one file per touched cell per batch — the
-   * partitioned-table analog of the bucketed-index file history; collapse
-   * with a re-land or per-cell partition overwrite when probe latency
-   * shows it. Returns the number of new vectors folded in.
+   * partitioned-table analog of the bucketed-index file history;
+   * [[compactAnnIndex]] collapses it back to one file per cell. Returns
+   * the number of new vectors folded in.
    */
   def appendAnnIndex(vectors: DataFrame, idCol: String, vecCol: String,
                      name: String): Long = {
@@ -807,6 +807,14 @@ object SimOps {
     }
     n
   }
+
+  /** Collapse the ANN cells table's append file history to one file per
+    * cell ([[graft.sources.BucketedLand.compactPartitionedTable]]); the
+    * centroids and meta tables are codebook-sized and never need it.
+    * Row-preserving. Returns (filesBefore, filesAfter). */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                      name: String): (Long, Long) =
+    graft.sources.BucketedLand.compactPartitionedTable(spark, s"${name}_cells")
 
   private def readAnnCentroids(spark: org.apache.spark.sql.SparkSession,
                                name: String): Array[(Long, Array[Double])] =

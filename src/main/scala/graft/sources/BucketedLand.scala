@@ -148,4 +148,53 @@ object BucketedLand {
       .saveAsTable(table)
     (before, dataFiles())
   }
+
+  /**
+   * [[compactTable]] for a PARTITIONED (not bucketed) table — the ANN
+   * index's cell-partitioned assignments accrete one file per touched
+   * partition per [[graft.ops.SimOps.appendAnnIndex]] batch the same way
+   * the bucketed tables do per append. Same pin-then-rewrite mechanics
+   * and crash contract as [[compactTable]]; each partition's rows coalesce
+   * through one shuffle on the partition column so the rewrite emits one
+   * file per partition value. Returns (filesBefore, filesAfter).
+   */
+  def compactPartitionedTable(spark: org.apache.spark.sql.SparkSession,
+                              table: String): (Long, Long) = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+    require(meta.partitionColumnNames.nonEmpty,
+      s"compactPartitionedTable('$table'): table is not partitioned — " +
+        "use compactTable for bucketed tables")
+    val partCols = meta.partitionColumnNames
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    def dataFiles(): Long = {
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(loc)) 0L
+      else {
+        val it = fs.listFiles(loc, true)
+        var n = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+    }
+    val before = dataFiles()
+    val pinned = spark.table(table).localCheckpoint()
+    pinned.count()
+    val external = meta.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+    spark.sql(s"DROP TABLE `$table`")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (external && fs.exists(loc)) fs.delete(loc, true)
+    val w = pinned
+      .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("errorifexists")
+      .partitionBy(partCols: _*)
+      .format("parquet")
+    (if (external) w.option("path", meta.location.toString) else w)
+      .saveAsTable(table)
+    (before, dataFiles())
+  }
 }

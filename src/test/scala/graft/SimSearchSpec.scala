@@ -318,6 +318,18 @@ class SimSearchSpec extends SparkTestBase {
         "indexed-after-append must equal direct IVF over the union")
       // idempotent: the same batch folds in nothing the second time
       assert(SimOps.appendAnnIndex(appended, "vec_id", "embedding", idx) == 0L)
+      // compaction collapses the land+append file history to one file per
+      // cell and preserves every probe row
+      val (nBefore, nAfter) = SimOps.compactAnnIndex(spark, idx)
+      assert(nAfter <= nBefore, s"compaction grew files: $nBefore -> $nAfter")
+      val nCellsUsed = spark.table(s"${idx}_cells")
+        .select("__cell").distinct().count()
+      assert(nAfter <= nCellsUsed,
+        s"expected <= one file per cell ($nCellsUsed), got $nAfter")
+      val afterCompact = SimOps.annTopKAgainstIndex(queries, "vec_id",
+        "embedding", idx, k = 3, nProbe = 3)
+      assert(rows(afterCompact) == rows(after),
+        "compaction must be row-preserving: identical probe results")
     } finally {
       Seq("_meta", "_centroids", "_cells").foreach { s =>
         spark.sql(s"DROP TABLE IF EXISTS $idx$s")
