@@ -76,86 +76,79 @@ object BucketedLand {
   }
 
   /**
-   * Rewrite a bucketed table in place, collapsing its accumulated append
-   * files to ONE file per bucket. Every append (a streaming ingest's
-   * per-micro-batch [[graft.ops.DedupOps.appendNearDupIndex]], a corpus
-   * refresh's [[graft.ops.SearchOps.appendSearchIndex]]) adds up to
-   * numBuckets files; after thousands of micro-batches the probe side pays
-   * thousands of per-file opens per bucket. Compaction is the lifecycle
-   * step that restores the freshly-landed file shape without changing a
-   * single row — bucket spec, sort order, path, and schema are all taken
-   * from the catalog, so the rewritten table serves the same zero-exchange
-   * plans.
+   * Collapse a bucketed table's accumulated append files to ONE file per
+   * bucket. Every append (a streaming ingest's per-micro-batch
+   * [[graft.ops.DedupOps.appendNearDupIndex]], a corpus refresh's
+   * [[graft.ops.SearchOps.appendSearchIndex]]) adds up to numBuckets
+   * files; after thousands of micro-batches the probe side pays thousands
+   * of per-file opens per bucket. Compaction restores the freshly-landed
+   * file shape without changing a single row — bucket spec, sort order,
+   * path, and schema are all taken from the catalog, so the rewritten
+   * table serves the same zero-exchange plans.
    *
-   * Mechanics: the current contents are PINNED with a `localCheckpoint`
-   * (executor block storage — distributed, one extra copy of the table for
-   * the duration, never the driver), then written back with
-   * `mode(Overwrite)` through the same bucket-aligned repartition the land
-   * uses. The pin makes read-then-overwrite-same-table safe; it also means
-   * compaction of a table larger than cluster storage should instead
-   * re-land from upstream. NOT crash-atomic: the overwrite clears the
-   * target before committing, so a mid-compact crash loses the on-disk
-   * copy (the pinned copy dies with the session) — run it where a re-land
-   * is possible, the same operational contract as any
-   * non-transactional-metastore compaction.
+   * Mechanics: SIDE-TABLE SWAP, not an in-place overwrite. The compacted
+   * rows are first written as `<table>__compact` (reading the LIVE table —
+   * a failure anywhere in the write leaves the original fully intact, and
+   * task retries after executor loss re-read durable table files, never a
+   * session-storage pin), and only then swapped in: managed tables drop
+   * the original and `ALTER TABLE RENAME` the side table over it (catalog
+   * move); external tables move the side DIRECTORY onto the original path
+   * and re-register the table at its unchanged location. At every step at
+   * least one complete on-disk copy of the data exists — a crash loses at
+   * most catalog metadata, recoverable by re-issuing the registration (or
+   * simply re-running compaction, which clears a stale side table first).
+   * The swap itself is the standard non-transactional-metastore window:
+   * a concurrent reader in ANOTHER session can observe the table briefly
+   * absent from the catalog; run compaction from the session that owns
+   * the index (the [[graft.streaming.StreamOps.dedupAgainstIndexBatch]]
+   * `compactEvery` placement), as with any such metastore.
    *
    * Returns (filesBefore, filesAfter) parquet data-file counts for
-   * observability; `filesAfter == numBuckets` on success.
+   * observability; `filesAfter <= numBuckets` on success.
    */
   def compactTable(spark: org.apache.spark.sql.SparkSession,
                    table: String): (Long, Long) = {
     val meta = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
-      s"compactTable('$table'): table is not bucketed — compaction " +
-        "preserves a bucket spec; for plain tables just rewrite"))
-    val bucketCol = spec.bucketColumnNames.head
+      s"compactTable('$table'): table is not bucketed — " +
+        "compactPartitionedTable handles partitioned tables; for plain " +
+        "tables just rewrite"))
+    val bCols = spec.bucketColumnNames
     val sortCols = spec.sortColumnNames
-    val loc = new org.apache.hadoop.fs.Path(meta.location)
-    def dataFiles(): Long = {
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(loc)) 0L
-      else {
-        val it = fs.listFiles(loc, true)
-        var n = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) n += 1
-        }
-        n
-      }
+    // FORCE the bucketed scan for the rewrite. With auto-bucketed-scan on
+    // (the default) the planner drops the bucketed layout for a plain
+    // multi-file scan (no join/agg wants it) while STILL eliding the
+    // explicit repartition (the catalog says the table satisfies the
+    // clustering) — the write then receives mixed-bucket partitions and
+    // emits up-to-numBuckets files PER TASK, i.e. compaction that doesn't
+    // compact. Forced, each scan task reads exactly the files of one
+    // bucket and the write emits exactly one file per bucket, zero
+    // exchange end to end.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoPrev = spark.conf.getOption(autoKey)
+    spark.conf.set(autoKey, "false")
+    try rewriteViaSideTable(spark, table, meta) { (live, w) =>
+      val aligned = live.repartition(spec.numBuckets,
+        bCols.map(org.apache.spark.sql.functions.col): _*)
+      val w0 = aligned.write.mode("errorifexists")
+        .bucketBy(spec.numBuckets, bCols.head, bCols.tail: _*)
+      val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
+               else w0
+      w(w1.format("parquet"))
+    } finally autoPrev match {
+      case Some(v) => spark.conf.set(autoKey, v)
+      case None    => spark.conf.unset(autoKey)
     }
-    val before = dataFiles()
-    val pinned = spark.table(table).localCheckpoint()
-    pinned.count() // materialize the pin BEFORE the target is cleared
-    val external = meta.tableType ==
-      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
-    // explicit drop + location clear (the pin holds the data): a CTAS into
-    // a non-empty external location is rejected by default, so the
-    // overwrite is done by hand rather than via mode(Overwrite)
-    spark.sql(s"DROP TABLE `$table`")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (external && fs.exists(loc)) fs.delete(loc, true)
-    val aligned = pinned.repartition(spec.numBuckets,
-      org.apache.spark.sql.functions.col(bucketCol))
-    val w0 = aligned.write.mode("errorifexists")
-      .bucketBy(spec.numBuckets, bucketCol)
-    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
-             else w0
-    val w2 = w1.format("parquet")
-    // an external table must be re-created at ITS path, not the warehouse
-    (if (external) w2.option("path", meta.location.toString) else w2)
-      .saveAsTable(table)
-    (before, dataFiles())
   }
 
   /**
    * [[compactTable]] for a PARTITIONED (not bucketed) table — the ANN
    * index's cell-partitioned assignments accrete one file per touched
    * partition per [[graft.ops.SimOps.appendAnnIndex]] batch the same way
-   * the bucketed tables do per append. Same pin-then-rewrite mechanics
-   * and crash contract as [[compactTable]]; each partition's rows coalesce
-   * through one shuffle on the partition column so the rewrite emits one
+   * the bucketed tables do per append. Same side-table-swap mechanics and
+   * crash contract as [[compactTable]]; each partition's rows coalesce
+   * through one shuffle on the partition columns so the rewrite emits one
    * file per partition value. Returns (filesBefore, filesAfter).
    */
   def compactPartitionedTable(spark: org.apache.spark.sql.SparkSession,
@@ -166,35 +159,86 @@ object BucketedLand {
       s"compactPartitionedTable('$table'): table is not partitioned — " +
         "use compactTable for bucketed tables")
     val partCols = meta.partitionColumnNames
-    val loc = new org.apache.hadoop.fs.Path(meta.location)
-    def dataFiles(): Long = {
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(loc)) 0L
-      else {
-        val it = fs.listFiles(loc, true)
-        var n = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) n += 1
-        }
-        n
-      }
+    rewriteViaSideTable(spark, table, meta) { (live, w) =>
+      w(live.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("errorifexists")
+        .partitionBy(partCols: _*)
+        .format("parquet"))
     }
-    val before = dataFiles()
-    val pinned = spark.table(table).localCheckpoint()
-    pinned.count()
+  }
+
+  /** Count the parquet data files under a location (recursive). */
+  private def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
+                               loc: org.apache.hadoop.fs.Path): Long = {
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) 0L
+    else {
+      val it = fs.listFiles(loc, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
+
+  /** The shared side-table-swap scaffolding of the two compaction
+    * variants (see [[compactTable]]'s durability contract). `body` writes
+    * the compacted rows: it receives the LIVE table frame and a callback
+    * that lands the prepared writer as the side table (managed, or at the
+    * side path for external originals). */
+  private def rewriteViaSideTable(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)(
+      body: (org.apache.spark.sql.DataFrame,
+             org.apache.spark.sql.DataFrameWriter[
+               org.apache.spark.sql.Row] => Unit) => Unit): (Long, Long) = {
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val external = meta.tableType ==
       org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
-    spark.sql(s"DROP TABLE `$table`")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (external && fs.exists(loc)) fs.delete(loc, true)
-    val w = pinned
-      .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("errorifexists")
-      .partitionBy(partCols: _*)
-      .format("parquet")
-    (if (external) w.option("path", meta.location.toString) else w)
-      .saveAsTable(table)
-    (before, dataFiles())
+    val side = s"${table}__compact"
+    val sideLoc = new org.apache.hadoop.fs.Path(
+      loc.getParent, loc.getName + "__compact")
+    // clear leftovers of a crashed earlier compaction attempt
+    spark.sql(s"DROP TABLE IF EXISTS `$side`")
+    if (fs.exists(sideLoc)) fs.delete(sideLoc, true)
+    val before = parquetFileCount(spark, loc)
+    // 1. side write, reading the live table — original untouched on failure
+    body(spark.table(table), w =>
+      (if (external) w.option("path", sideLoc.toString) else w)
+        .saveAsTable(side))
+    // 2. swap
+    if (external) {
+      // catalog-only drop (external), move the compacted directory onto
+      // the original path, then re-register at the unchanged location:
+      // the side table's catalog entry (now pointing at the moved-away
+      // path) is dropped and the original name re-created from the side
+      // table's metadata with only the location swapped back
+      val sideMeta = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(side))
+      spark.sql(s"DROP TABLE `$table`")
+      if (fs.exists(loc)) fs.delete(loc, true)
+      if (!fs.rename(sideLoc, loc)) throw new IllegalStateException(
+        s"compaction of '$table': rename $sideLoc -> $loc failed; data is " +
+          s"intact at $sideLoc — re-register manually or re-run compaction")
+      spark.sql(s"DROP TABLE `$side`")
+      spark.sessionState.catalog.createTable(
+        sideMeta.copy(
+          identifier = TableIdentifier(table),
+          storage = sideMeta.storage.copy(locationUri = Some(loc.toUri))),
+        ignoreIfExists = false)
+      if (meta.partitionColumnNames.nonEmpty)
+        spark.sql(s"ALTER TABLE `$table` RECOVER PARTITIONS")
+    } else {
+      // managed: drop deletes the old directory, rename moves the side
+      // table's warehouse directory into place
+      spark.sql(s"DROP TABLE `$table`")
+      spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
+    }
+    (before, parquetFileCount(spark,
+      new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)).location)))
   }
 }
