@@ -24,14 +24,18 @@ import org.apache.spark.sql.types._
  */
 object GateOps {
 
-  private val OutCols = Seq("kept", "fail_first", "failed_rules", "n_failed")
+  /** The report columns [[gate]] adds (and [[gateKeep]] strips). */
+  val OutCols: Seq[String] = Seq("kept", "fail_first", "failed_rules", "n_failed")
 
   private def checkRules(df: DataFrame, rules: Seq[(String, Column)]): Unit = {
     require(rules.nonEmpty, "gate: at least one rule required")
     val names = rules.map(_._1)
     require(names.distinct == names,
       s"gate: duplicate rule names in ${names.mkString(", ")}")
-    val clash = OutCols.filter(df.columns.contains)
+    // case-INsensitive clash check: withColumn resolves case-insensitively
+    // under the default spark.sql.caseSensitive=false, so a pre-existing
+    // "KEPT" column would be silently clobbered past an exact-case guard
+    val clash = OutCols.filter(o => df.columns.exists(_.equalsIgnoreCase(o)))
     require(clash.isEmpty,
       s"gate: input already has output column(s) ${clash.mkString(", ")}")
   }
@@ -106,6 +110,11 @@ object GateOps {
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)
   }
+
+  /** [[gate]] + keep-only-survivors, report columns stripped — the common
+    * chain position between dedup and sampling. */
+  def gateKeep(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    gate(df, rules).filter(col("kept")).drop(OutCols: _*)
 
   /** Prefix of the `Dataset.observe` metric [[gateObserved]] emits (the
     * [[graft.ops.DedupOps.ObservedMetrics]] convention: consumers match on

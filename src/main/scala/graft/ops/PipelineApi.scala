@@ -423,11 +423,8 @@ object pipeline {
       def gateFunnel(rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
         GateOps.gateFunnel(df, rules)
 
-      /** [[GateOps.gate]] + keep-only-survivors in one step — the common
-        * chain position between dedup and sampling. */
       def gateKeep(rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
-        GateOps.gate(df, rules).filter(col("kept"))
-          .drop("kept", "fail_first", "failed_rules", "n_failed")
+        GateOps.gateKeep(df, rules)
     }
   }
 }

@@ -1067,10 +1067,15 @@ object StreamOps {
           val losers = pairs.select(col("id_b").as(idCol)).distinct()
           (pinned.join(losers, Seq(idCol), "left_anti"), handle)
         } else (pinned, () => ())
-      val accepted = D.nearDedupAgainstIndex(inBatch, idCol, textCol, name,
-          threshold, maxRefBucket)
-        .localCheckpoint()
-      release()
+      // release in finally: a probe/checkpoint failure mid-attempt must
+      // not leak this attempt's shingle cache (CacheManager entries are
+      // not GC-collected — a crash-retrying stream would accumulate one
+      // per attempt, the exact leak the handle exists to prevent)
+      val accepted =
+        try D.nearDedupAgainstIndex(inBatch, idCol, textCol, name,
+            threshold, maxRefBucket)
+          .localCheckpoint()
+        finally release()
       // sink FIRST (see the delivery note above): a doc may only enter the
       // index via an attempt that already delivered it
       sink(accepted, batchId)

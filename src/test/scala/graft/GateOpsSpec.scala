@@ -60,6 +60,12 @@ class GateOpsSpec extends SparkTestBase {
       GateOps.gate(docs.withColumn("kept", lit(1)), Seq("a" -> lit(true)))
     }
     assert(clash.getMessage.contains("kept"))
+    // case-INsensitive: under default spark.sql.caseSensitive=false a
+    // pre-existing "KEPT" would be clobbered by withColumn("kept", ...)
+    val clashCase = intercept[IllegalArgumentException] {
+      GateOps.gate(docs.withColumn("KEPT", lit(1)), Seq("a" -> lit(true)))
+    }
+    assert(clashCase.getMessage.contains("kept"))
   }
 
   test("gateFunnel: hand-computed funnel — sequential attribution chains " +
