@@ -1173,6 +1173,60 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q154_paragraph_dedup" -> ((s: SparkSession, dir: String) => {
+      // Dolma-style first-occurrence paragraph dedup. The synthetic docs
+      // are single-paragraph, so two-paragraph docs are composed by
+      // pairing each doc with its successor: doc i = [text_i, text_i+1].
+      // Every text then appears twice — as doc i's first paragraph and
+      // doc i-1's second — and the (id, position) keeper rule resolves
+      // each doc to one surviving paragraph (the smallest id keeps both)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("__t2"))
+      val two = d.join(nxt, Seq("doc_id"))
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"), col("__t2")).as("text"))
+      DedupOps.paragraphDedup(two, "doc_id", "text")
+        .select(col("doc_id"), col("text_dedup"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q155_hard_negatives" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      // retrieval-training mining: 3 queries, gold = each query's top-2
+      // BM25 docs (mined with the same batch ranker), negatives = the
+      // next 10 under the same ranking — exclusion happens before the
+      // top-k window, so ranks re-pack and every row is usable
+      val d = t(s, dir, "documents")
+      val qs = Seq((0L, "spark query filter"), (1L, "stream window batch"),
+        (2L, "join merge sort")).toDF("qid", "qtext")
+      val gold = graft.ops.SearchOps.bm25TopKPerQuery(d, "doc_id", "text",
+          qs, "qid", "qtext", k = 2)
+        .select(col("qid"), col("doc_id"))
+      graft.ops.SearchOps.mineHardNegatives(d, "doc_id", "text",
+          qs, "qid", "qtext", gold, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q156_domain_quality" -> ((s: SparkSession, dir: String) => {
+      // per-site keep-or-drop ranking: q147's synthesized URL column,
+      // metric = n_chars, empirical-Bayes shrinkage toward the corpus
+      // mean with 100 pseudo-docs — exact integer micro-unit arithmetic
+      val id = col("doc_id")
+      val url = when(pmod(id, lit(6L)) === 0,
+          concat(lit("https://cdn."), col("source"), lit(".co.uk/p")))
+        .when(pmod(id, lit(6L)) === 1,
+          concat(lit("https://sub."), col("source"), lit(".net/x")))
+        .when(pmod(id, lit(6L)) === 2, lit("http://192.168.0.1/admin"))
+        .when(pmod(id, lit(6L)) === 3, lit("not a url"))
+        .otherwise(concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.COM:8443/page")))
+      TextOps.domainQualityRanking(
+          t(s, dir, "documents").withColumn("url", url),
+          "url", "n_chars", pseudoCount = 100)
+        .orderBy(col("shrunk_micro").desc, col("domain").asc_nulls_first)
+    }),
+
     "q151_quality_gate" -> ((s: SparkSession, dir: String) => {
       // the per-document filter report (C4/Gopher/FineWeb release
       // convention): kept verdict, first-failing rule (funnel
@@ -4082,6 +4136,139 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q154_paragraph_dedup" ->
+      // the keeper rule replayed by TEXT (the engine keys on xxhash64 —
+      // identical modulo 64-bit collisions, the q52 convention): rn over
+      // (doc_id, pos) per distinct paragraph; whitespace-only segments
+      // are never candidates; string_agg skips the CASE NULLs like the
+      // positional-filter rebuild; counts CAST BIGINT
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |two AS (
+        |  SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |), segs AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS seg,
+        |    unnest(generate_series(1,
+        |      len(string_split(text, chr(10) || chr(10))))) AS pos
+        |  FROM two
+        |), ranked AS (
+        |  SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn,
+        |    trim(seg) <> '' AS cand
+        |  FROM segs
+        |)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(
+        |    CASE WHEN (NOT cand) OR rn = 1 THEN seg END,
+        |    chr(10) || chr(10) ORDER BY pos), '') AS text_dedup,
+        |  CAST(count(CASE WHEN cand AND rn > 1 THEN 1 END) AS BIGINT)
+        |    AS n_removed
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q155_hard_negatives" ->
+      // the q98 BM25 chain generalized per-query: the same DECIMAL(18,9)
+      // staging, full ranking first (r0), gold = r0 <= 2, negatives
+      // re-ranked after exclusion — exactly the engine's anti-join-then-
+      // window order
+      """WITH tokarr AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, coalesce(len(toks), 0) AS dl FROM tokarr
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, coalesce(sum(dl), 0) AS total_dl FROM dl
+        |), qs(qid, qtext) AS (
+        |  VALUES (0, 'spark query filter'), (1, 'stream window batch'),
+        |         (2, 'join merge sort')
+        |), qterms AS (
+        |  SELECT DISTINCT qid, token FROM (
+        |    SELECT qid, unnest(list_filter(
+        |      string_split_regex(lower(qtext), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS token
+        |    FROM qs)
+        |), post AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM tokarr)
+        |  WHERE token IN (SELECT DISTINCT token FROM qterms)
+        |  GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY token
+        |), scored AS (
+        |  SELECT q.qid, p.doc_id,
+        |    CAST((ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * p.tf)
+        |      * (1.2 + 1.0)
+        |      / (p.tf + 1.2 * ((1.0 - 0.75)
+        |          + (0.75 * d.dl) / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+        |      AS DECIMAL(18,9)) AS c
+        |  FROM post p
+        |  JOIN qterms q USING (token)
+        |  JOIN dfreq f USING (token)
+        |  JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s
+        |), agg AS (
+        |  SELECT qid, doc_id, sum(c) AS sc FROM scored GROUP BY qid, doc_id
+        |), r0 AS (
+        |  SELECT qid, doc_id, sc, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sc DESC, doc_id) AS full_rank
+        |  FROM agg
+        |), negs AS (
+        |  SELECT qid, doc_id, sc,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sc DESC, doc_id) AS rank
+        |  FROM r0 WHERE full_rank > 2
+        |)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+        |  CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) AS score, rank
+        |FROM negs WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q156_domain_quality" ->
+      // q147's URL synthesis + registrable-domain algebra, then the
+      // integer shrinkage: micro-quantized metric, BIGINT-cast sums (the
+      // q89 HUGEINT rule), floor-division means — replayed term for term
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'https://cdn.' || source || '.co.uk/p'
+        |         WHEN doc_id % 6 = 1 THEN 'https://sub.' || source || '.net/x'
+        |         WHEN doc_id % 6 = 2 THEN 'http://192.168.0.1/admin'
+        |         WHEN doc_id % 6 = 3 THEN 'not a url'
+        |         ELSE 'HTTPS://WWW.' || source || '.Example.COM:8443/page'
+        |    END AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, n_chars,
+        |    nullif(regexp_replace(lower(regexp_extract(trim(url),
+        |      '^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)(?:.*)$', 1)),
+        |      ':\d+$', ''), '') AS host
+        |  FROM u
+        |), d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN regexp_matches(host,
+        |           '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$') THEN host
+        |         ELSE coalesce(
+        |           nullif(regexp_extract(host,
+        |             '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|com\.au|net\.au|org\.au|co\.jp|ne\.jp|or\.jp|co\.kr|com\.br|com\.mx|com\.cn|com\.tw|co\.in|co\.za|com\.ar|com\.tr|co\.nz))$', 1), ''),
+        |           nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''),
+        |           host)
+        |    END AS domain
+        |  FROM h
+        |), per AS (
+        |  SELECT domain, count(*) AS n_docs,
+        |    CAST(sum(coalesce(
+        |      CAST(floor(CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT),
+        |      0)) AS BIGINT) AS s
+        |  FROM d GROUP BY domain
+        |), g AS (
+        |  SELECT CAST(coalesce(sum(s), 0) AS BIGINT) AS gs,
+        |    CAST(coalesce(sum(n_docs), 1) AS BIGINT) AS gn
+        |  FROM per
+        |)
+        |SELECT domain, n_docs, s // n_docs AS mean_micro,
+        |  (s + 100 * (gs // gn)) // (n_docs + 100) AS shrunk_micro
+        |FROM per CROSS JOIN g
+        |ORDER BY shrunk_micro DESC, domain NULLS FIRST""".stripMargin,
 
     "q151_quality_gate" ->
       // flag CTE replays GateOps.standardTextRules verbatim: NULL

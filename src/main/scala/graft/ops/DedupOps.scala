@@ -1415,6 +1415,70 @@ object DedupOps {
   }
 
   /**
+   * FIRST-OCCURRENCE paragraph dedup (the Dolma-style sub-document exact
+   * dedup, complementing [[lineDedup]]'s frequency rule): every distinct
+   * non-whitespace paragraph keeps exactly ONE instance corpus-wide — the
+   * lexicographically smallest `(id, position)` — and every later
+   * instance is excised from its document, including repeats WITHIN one
+   * document. Where lineDedup drops only boilerplate frequent enough for
+   * a driver blocklist, this removes ALL cross-document paragraph
+   * duplication (syndicated articles, quoted reposts, mirrored sections),
+   * so the winner set is corpus-sized and nothing ever collects to the
+   * driver. Whitespace-only segments are never candidates (dropping blank
+   * paragraphs would mangle layout), and an untouched document
+   * reassembles byte-identically (its rebuild is skipped entirely).
+   *
+   * 100 TB shape: bodies never shuffle. The instance table carries
+   * `(xxhash64(paragraph), id, position)` — 24-ish bytes/paragraph — into
+   * one `min(struct(id, pos))` aggregation (partial-aggregable map-side)
+   * and one equi-join back on the hash; the per-document drop LIST
+   * (positions only, ints) is the only thing grouped to the document,
+   * then the rebuild is a map-side native codegen positional filter over
+   * the original text ([[org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions.dropSegmentsByIndex]]
+   * — no interpreted lambda, no body regroup). Hash-keyed like exact
+   * dedup's digests: a 64-bit collision (birthday-bounded at ~1e10
+   * distinct paragraphs) can wrongly drop a collider — the standard
+   * trade; key by a wider digest before the corpus outgrows it.
+   *
+   * Adds `out` (deduped text) and `n_removed` (excised paragraph count).
+   */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     delimiter: String = "\n\n",
+                     out: String = "text_dedup"): DataFrame = {
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val delimLit = java.util.regex.Pattern.quote(delimiter)
+    val segArr = split(col(textCol), delimLit)
+    // instance table: hash + coordinates only — paragraph text stays in
+    // the scan and never enters a shuffle
+    val inst = df
+      .select(col(idCol), posexplode(segArr).as(Seq("__pos", "__seg")))
+      .where(trim(col("__seg")) =!= "")
+      .select(col(idCol), col("__pos"), xxhash64(col("__seg")).as("__h"))
+    val keeper = inst
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
+    // non-keeper instances, folded to one int list per affected document;
+    // documents with nothing to drop simply have no row here
+    val dropCol = TextOps.tempName(df, "__drop")
+    val drops = inst
+      .join(keeper, Seq("__h"))
+      .where(struct(col(idCol), col("__pos")) =!= col("__keep"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as(dropCol))
+    val X = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    val segCol = TextOps.tempName(df, "__segs")
+    df.join(drops, Seq(idCol), "left")
+      .withColumn(segCol, segArr)
+      .withColumn(out, when(col(dropCol).isNull, col(textCol))
+        .otherwise(array_join(
+          X.dropSegmentsByIndex(col(segCol), col(dropCol)), delimiter)))
+      .withColumn("n_removed",
+        coalesce(size(col(dropCol)).cast(LongType), lit(0L)))
+      .drop(segCol, dropCol)
+  }
+
+  /**
    * CROSS-CORPUS CONTAINMENT — the corpus-level version of the
    * decontamination question: what fraction of corpus B's distinct word
    * n-grams already appear in corpus A? The number a dataset release

@@ -154,6 +154,90 @@ object SearchOps {
         col("rank").cast(LongType).as("rank"))
   }
 
+  /**
+   * BATCH BM25 — rank the corpus against a whole TABLE of queries in ONE
+   * pass ([[bm25TopK]] is its single-query special case): per query, the
+   * top `k` documents as `(<qidCol>, <idCol>, score, rank)`. This is the
+   * retrieval-training workhorse shape (mine candidates for thousands of
+   * training queries at once); with `exclude` it is hard-negative mining —
+   * see [[mineHardNegatives]].
+   *
+   * Scale shape: the corpus tokenizes ONCE. The union of all query terms
+   * prunes the postings BEFORE any shuffle via a broadcast semi-join on
+   * `token` (queries are the small side by construction — no driver
+   * collect, unlike the single-query InSet), so the exchange carries
+   * Σ tf over matched terms, not the corpus token count. Per-query term
+   * replication is a second broadcast join; the only wide shuffle is the
+   * `(qid, doc)` score aggregation, bounded by Σ over query terms of
+   * df(term). The per-query top-k window partitions by qid — each query's
+   * candidate set sorts independently. Query sets too large to broadcast
+   * should land the index ([[landSearchIndex]]) and shard the query table.
+   *
+   * Determinism: identical DECIMAL(18,9) staging as [[bm25TopK]]; ranks
+   * tie-break on the id.
+   */
+  def bm25TopKPerQuery(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, qidCol: String, qtextCol: String,
+                       k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                       exclude: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"bm25TopKPerQuery: k must be >= 1, got $k")
+    require(qidCol != idCol,
+      s"bm25TopKPerQuery: query id column '$qidCol' must be named " +
+        "differently from the document id column — alias one side")
+    val tok = docs.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", coalesce(size(col("__toks")).cast(LongType), lit(0L)))
+    val stats = tok.agg(count(lit(1)).as("__n_docs"),
+      sum(col("__dl")).as("__total_dl"))
+    // distinct terms per query (BM25 set semantics, as in the Seq form)
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(TextOps.tokens(col(qtextCol)))).as("token"))
+    val termSet = qterms.select(col("token")).distinct()
+    val post = tok
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("token"))
+      .join(broadcast(termSet), Seq("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
+    val dfreq = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = post
+      .join(broadcast(qterms), Seq("token"))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col(idCol),
+        bm25Term(col("tf"), col("df"), col("dl"), col("__n_docs"),
+          col("__total_dl"), k1, b).as("__c"))
+      .groupBy(col(qidCol), col(idCol)).agg(sum(col("__c")).as("__score"))
+    val pool = exclude match {
+      case Some(p) =>
+        scored.join(p.select(col(qidCol), col(idCol)),
+          Seq(qidCol, idCol), "left_anti")
+      case None => scored
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("__score").desc, col(idCol))
+    pool.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol),
+        round(col("__score").cast(DoubleType), 6).as("score"),
+        col("rank").cast(LongType).as("rank"))
+  }
+
+  /**
+   * HARD-NEGATIVE MINING (the DPR/contrastive-training recipe): per
+   * training query, the top-`k` BM25-ranked documents that are NOT its
+   * labeled positives — lexically close enough to fool a retriever,
+   * known not to be answers. `positives` is the `(qidCol, idCol)` gold
+   * table; exclusion happens BEFORE the top-k window, so every returned
+   * row is a usable negative and the k slots never waste on gold docs.
+   * Same plan as [[bm25TopKPerQuery]] plus one anti-join on the pair key.
+   */
+  def mineHardNegatives(docs: DataFrame, idCol: String, textCol: String,
+                        queries: DataFrame, qidCol: String, qtextCol: String,
+                        positives: DataFrame, k: Int = 10,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKPerQuery(docs, idCol, textCol, queries, qidCol, qtextCol,
+      k, k1, b, exclude = Some(positives))
+
   /** Tokenized staging shared by land and append: `(doc_id, __toks, __dl)`. */
   private def stageTok(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame =

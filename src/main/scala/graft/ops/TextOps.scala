@@ -1494,4 +1494,52 @@ object TextOps {
       .select(col("domain"), col("n_docs"),
         col("text_bytes").cast(LongType).as("text_bytes"), col("share_ppm"))
   }
+
+  /**
+   * DOMAIN QUALITY RANKING with empirical-Bayes shrinkage — the
+   * RefinedWeb-style domain-level filtering decision ("keep or drop this
+   * SITE") made honest about sample size: a domain's raw mean quality is
+   * pulled toward the corpus mean by `pseudoCount` phantom documents, so
+   * a 2-document domain with two lucky scores cannot outrank an
+   * established source, while a 10^6-document domain's shrunk score is
+   * its own mean. `metricCol` is any per-document numeric quality signal
+   * ([[qualityScore]]'s output, a classifier score, `n_chars`).
+   *
+   * Integer contract (engine-replayable): the metric quantizes to
+   * micro-units (`floor(x * 1e6 + 0.5)` — exact in IEEE doubles for
+   * |x| < ~4.5e9) BEFORE any aggregation, so every sum is an exact long
+   * and no float accumulation order exists; means and the shrunk score
+   * use BIGINT floor division. `shrunk_micro =
+   * (sum_micro + pseudoCount * global_mean_micro) DIV (n + pseudoCount)`
+   * with `global_mean_micro = total_sum DIV total_docs`. Long-overflow
+   * headroom: sums cap at rows × |metric|×1e6 — at 1e9 docs keep the
+   * metric under ~9e3 (quality scores are O(1); pre-scale larger
+   * metrics).
+   *
+   * Shape: one per-domain two-phase hash agg (shuffle = domain keys), a
+   * one-row global agg broadcast back — text never shuffles. Null
+   * domains keep their own row (the junk-URL bucket ranks too); null
+   * metrics count as 0 toward the mean (an unscored doc is evidence of
+   * nothing — it still dilutes the domain, deliberately).
+   */
+  def domainQualityRanking(df: DataFrame, urlCol: String, metricCol: String,
+                           pseudoCount: Int = 100): DataFrame = {
+    require(pseudoCount >= 1,
+      s"domainQualityRanking: pseudoCount must be >= 1, got $pseudoCount")
+    val micro = coalesce(
+      floor(col(metricCol).cast(DoubleType) * 1e6 + 0.5).cast(LongType),
+      lit(0L))
+    val per = df.select(registrableDomain(col(urlCol)).as("domain"),
+        micro.as("__m"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__m")).as("__sum"))
+    val glob = per.agg(coalesce(sum(col("__sum")), lit(0L)).as("__gs"),
+      coalesce(sum(col("n_docs")), lit(1L)).as("__gn"))
+    per.crossJoin(broadcast(glob))
+      .withColumn("mean_micro", expr("__sum DIV n_docs"))
+      .withColumn("shrunk_micro", expr(
+        s"(__sum + $pseudoCount * (__gs DIV __gn)) DIV (n_docs + $pseudoCount)"))
+      .select(col("domain"), col("n_docs"), col("mean_micro"),
+        col("shrunk_micro"))
+  }
 }

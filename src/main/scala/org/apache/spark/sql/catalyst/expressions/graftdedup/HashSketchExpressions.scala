@@ -7,7 +7,7 @@ package org.apache.spark.sql.catalyst.expressions.graftdedup
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -299,6 +299,34 @@ object GraftHashKernels {
         val s = segs.getUTF8String(i)
         if (java.util.Arrays.binarySearch(sorted, s) < 0) { kept(k) = s; k += 1 }
       }
+      i += 1
+    }
+    if (k == n) new GenericArrayData(kept)
+    else {
+      val out = new Array[Any](k)
+      System.arraycopy(kept, 0, out, 0, k)
+      new GenericArrayData(out)
+    }
+  }
+
+  /** paragraphDedup rebuild: keep segments whose 0-based POSITION is not
+    * in `drops` (ascending int array — the caller sorts). Unlike the
+    * blocklist rebuilds above, the drop set is a per-ROW column (each
+    * document drops different positions), so it arrives as a second
+    * ArrayData rather than a plan-constant reference object; the two-
+    * pointer walk costs O(n + |drops|) with zero allocation beyond the
+    * output. Out-of-range or null drop entries are ignored. */
+  def dropSegsByIndex(segs: ArrayData, drops: ArrayData): ArrayData = {
+    val n = segs.numElements()
+    val m = drops.numElements()
+    val kept = new Array[Any](n)
+    var k = 0
+    var i = 0
+    var d = 0
+    while (i < n) {
+      while (d < m && (drops.isNullAt(d) || drops.getInt(d) < i)) d += 1
+      if (d < m && !drops.isNullAt(d) && drops.getInt(d) == i) d += 1
+      else { kept(k) = if (segs.isNullAt(i)) null else segs.getUTF8String(i); k += 1 }
       i += 1
     }
     if (k == n) new GenericArrayData(kept)
@@ -771,6 +799,43 @@ case class SegmentsNotInTextExpr(child: Expression, blockedTexts: Seq[String])
     copy(child = newChild)
 }
 
+/** Native paragraphDedup rebuild (`(array<string>, array<int>) ->
+  * array<string>`): drops the segments at the given ascending 0-based
+  * positions (see [[GraftHashKernels.dropSegsByIndex]]). The drop set is a
+  * per-row COLUMN (each document excises its own duplicate positions), so
+  * unlike the blocklist rebuilds it is a second child expression, not a
+  * reference object — keeping the per-row filter inside whole-stage
+  * codegen instead of an interpreted `filter(transform(...))` lambda
+  * chain. */
+case class DropSegmentsByIndexExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = left.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "drop_segments_by_index"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<int>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(segs: Any, drops: Any): Any =
+    GraftHashKernels.dropSegsByIndex(
+      segs.asInstanceOf[ArrayData], drops.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, d) =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.dropSegsByIndex($s, $d)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashSketchExpressions {
 
   private def arity(fn: String, c: Seq[Expression], n: Int): Unit =
@@ -821,6 +886,13 @@ object HashSketchExpressions {
       (c: Seq[Expression]) => {
         arity("hashing_tf_sparse", c, 2)
         HashingTfSparseExpr(c(0), litInt("hashing_tf_sparse", c(1), "dim"))
+      }),
+    (FunctionIdentifier("drop_segments_by_index"),
+      new ExpressionInfo(classOf[DropSegmentsByIndexExpr].getName,
+        "drop_segments_by_index"),
+      (c: Seq[Expression]) => {
+        arity("drop_segments_by_index", c, 2)
+        DropSegmentsByIndexExpr(c(0), c(1))
       }))
 
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -866,6 +938,12 @@ object HashSketchExpressions {
   def segmentsNotInText(segs: Column, blockedTexts: Seq[String]): Column =
     ExpressionUtils.column(
       SegmentsNotInTextExpr(ExpressionUtils.expression(segs), blockedTexts))
+
+  /** Column-API form: codegen'd per-row positional segment filter (the
+    * paragraphDedup rebuild; the drop set is a column, not a constant). */
+  def dropSegmentsByIndex(segs: Column, dropIdx: Column): Column =
+    ExpressionUtils.column(DropSegmentsByIndexExpr(
+      ExpressionUtils.expression(segs), ExpressionUtils.expression(dropIdx)))
 
   /** Column-API form: codegen'd hashing-trick TF vector of width `dim`. */
   def hashingTf(tokens: Column, dim: Int): Column =

@@ -726,6 +726,46 @@ class ExpressionSpec extends SparkTestBase {
     }
   }
 
+  test("drop_segments_by_index: positional filter parity with a driver " +
+       "replay; out-of-range indices ignored; codegen-only; SQL surface") {
+    import spark.implicits._
+    val exprs = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    val rng = new scala.util.Random(71)
+    val vocab = Array("a", "", " ", "café 中文", "long segment text")
+    val rows = (0L until 50L).map { i =>
+      val segs = Seq.fill(rng.nextInt(8))(vocab(rng.nextInt(vocab.length)))
+      val drops = (0 until segs.length + 2)
+        .filter(_ => rng.nextBoolean()).sorted // may include out-of-range
+      (i, segs, drops)
+    } :+ (99L, Seq.empty[String], Seq(0, 1))
+    val d = rows.toDF("id", "segs", "drops")
+    val restore = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = d.select(col("id"),
+          exprs.dropSegmentsByIndex(col("segs"), col("drops")).as("kept"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      rows.foreach { case (id, segs, drops) =>
+        val exp = segs.zipWithIndex.collect {
+          case (s, i) if !drops.contains(i) => s
+        }
+        assert(got(id) == exp, s"id $id: got ${got(id)}, want $exp")
+      }
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    // SQL registration
+    exprs.registerInto(spark)
+    val viaSql = spark.sql(
+      "SELECT drop_segments_by_index(array('x', 'y', 'z'), array(1))")
+      .collect().head.getSeq[String](0)
+    assert(viaSql == Seq("x", "z"))
+  }
+
   test("kll_* SQL surface: sketch-agg, merge-agg, and quantile compose " +
        "through real SQL; empty sketch reads null") {
     import spark.implicits._

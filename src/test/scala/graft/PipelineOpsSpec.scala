@@ -875,6 +875,65 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("paragraphDedup: first occurrence by (id, position) wins corpus-wide, " +
+       "within-doc repeats excised, whitespace paragraphs and untouched " +
+       "docs preserved byte-identically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A\n\nB"),          // both first occurrences -> untouched
+      (2L, "B\n\nC\n\nB"),     // B already owned by (1, pos 1); both copies go
+      (3L, "  \n\nA"),         // whitespace para survives; A owned by (1, 0)
+      (4L, "Z"),               // unique -> byte-identical, no drop row at all
+      (5L, "Q\n\nQ")           // within-doc dup: (5,0) keeps, (5,1) drops
+    ).toDF("doc_id", "text")
+    val out = DedupOps.paragraphDedup(docs, "doc_id", "text")
+      .select("doc_id", "text_dedup", "n_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("A\n\nB", 0L))
+    assert(out(2L) == ("C", 2L))
+    assert(out(3L) == ("  ", 1L))
+    assert(out(4L) == ("Z", 0L))
+    assert(out(5L) == ("Q", 1L))
+    // regex-special delimiter is treated literally
+    val pipes = Seq((1L, "x||y"), (2L, "y||z")).toDF("doc_id", "text")
+    val p = DedupOps.paragraphDedup(pipes, "doc_id", "text", delimiter = "||")
+      .select("doc_id", "text_dedup", "n_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(p == Map(1L -> ("x||y", 0L), 2L -> ("z", 1L)), s"got $p")
+  }
+
+  test("domainQualityRanking: exact integer shrinkage toward the global " +
+       "mean; small domains pull hard, null metric counts as zero") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val rows = Seq(
+      // big.com: 4 docs, metric 2.0 each -> sum 8e6, mean 2e6
+      (1L, "https://a.big.com/x", Some(2.0)),
+      (2L, "https://big.com/y", Some(2.0)),
+      (3L, "https://www.big.com/z", Some(2.0)),
+      (4L, "https://big.com/w", Some(2.0)),
+      // lucky.net: 1 doc, metric 10.0 -> raw mean 10e6 but tiny sample
+      (5L, "https://lucky.net/", Some(10.0)),
+      // null metric dilutes its domain (counts as 0)
+      (6L, "https://big.com/null", None)
+    ).toDF("doc_id", "url", "metric")
+    val got = TextOps.domainQualityRanking(rows, "url", "metric",
+        pseudoCount = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // totals: sum 18e6 over 6 docs -> global mean 3e6 (floor)
+    // big.com: n=5 sum=8e6 -> mean 1_600_000; shrunk (8e6+2*3e6) DIV 7 = 2e6
+    // lucky.net: n=1 sum=10e6 -> mean 10e6; shrunk (10e6+6e6) DIV 3 = 5_333_333
+    assert(got("big.com") == (5L, 1600000L, 2000000L), s"got $got")
+    assert(got("lucky.net") == (1L, 10000000L, 5333333L), s"got $got")
+    // the 1-doc lucky domain's shrunk score is pulled from 10e6 to barely
+    // above the global mean -- the point of the pseudo-count
+    assert(got("lucky.net")._3 < got("lucky.net")._2)
+    intercept[IllegalArgumentException] {
+      TextOps.domainQualityRanking(rows, "url", "metric", pseudoCount = 0)
+    }
+  }
+
   test("landNgramLm: indexed scoring is row-identical to the in-session " +
        "model; re-landing under a different n refuses") {
     import spark.implicits._

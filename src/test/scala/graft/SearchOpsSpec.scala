@@ -172,4 +172,42 @@ class SearchOpsSpec extends SparkTestBase {
       graft.ops.SearchOps.phraseSearch(docs, "doc_id", "text", Nil)
     }
   }
+
+  test("bm25TopKPerQuery: row-identical to per-query bm25TopK calls; " +
+       "ranks are per-query; k caps each query independently") {
+    val queries = Seq((100L, "apple cherry"), (200L, "banana")).toDF("qid", "qtext")
+    val batch = SearchOps.bm25TopKPerQuery(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val single = Seq(100L -> Seq("apple", "cherry"), 200L -> Seq("banana"))
+      .flatMap { case (qid, terms) =>
+        SearchOps.bm25TopK(corpus, "doc_id", "text", terms, k = 2)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1), r.getLong(2)))
+      }.toSet
+    assert(batch == single, s"batch $batch vs single $single")
+    // duplicate query terms collapse (set semantics, like the Seq form)
+    val dup = SearchOps.bm25TopKPerQuery(corpus, "doc_id", "text",
+        Seq((1L, "apple apple cherry")).toDF("qid", "qtext"),
+        "qid", "qtext", k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val plain = batch.filter(_._1 == 100L).map(r => (r._2, r._3))
+    assert(dup == plain, s"qtf must not double-count: $dup vs $plain")
+    intercept[IllegalArgumentException] {
+      SearchOps.bm25TopKPerQuery(corpus, "doc_id", "text",
+        queries.withColumnRenamed("qid", "doc_id"), "doc_id", "qtext", k = 2)
+    }
+  }
+
+  test("mineHardNegatives: positives are excluded BEFORE the top-k window, " +
+       "so ranks re-pack and the k slots fill with negatives") {
+    val queries = Seq((7L, "apple cherry")).toDF("qid", "qtext")
+    // full ranking for this query is 3, 1, 2 (hand-checked in the bm25TopK
+    // spec); excluding gold doc 3 must promote 1 and 2 to ranks 1 and 2
+    val positives = Seq((7L, 3L)).toDF("qid", "doc_id")
+    val negs = SearchOps.mineHardNegatives(corpus, "doc_id", "text",
+        queries, "qid", "qtext", positives, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(negs.toList.sortBy(_._2) == List((1L, 1L), (2L, 2L)), s"got ${negs.toList}")
+  }
 }
