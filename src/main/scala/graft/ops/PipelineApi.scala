@@ -425,6 +425,28 @@ object pipeline {
 
       def gateKeep(rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
         GateOps.gateKeep(df, rules)
+
+      def paragraphDedup(idCol: String = "doc_id", textCol: String = "text",
+                         delimiter: String = "\n\n"): DataFrame =
+        DedupOps.paragraphDedup(df, idCol, textCol, delimiter)
+
+      def bm25TopKPerQuery(queries: DataFrame, k: Int = 10,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           qidCol: String = "qid",
+                           qtextCol: String = "qtext"): DataFrame =
+        SearchOps.bm25TopKPerQuery(df, idCol, textCol, queries, qidCol,
+          qtextCol, k)
+
+      def mineHardNegatives(queries: DataFrame, positives: DataFrame,
+                            k: Int = 10, idCol: String = "doc_id",
+                            textCol: String = "text", qidCol: String = "qid",
+                            qtextCol: String = "qtext"): DataFrame =
+        SearchOps.mineHardNegatives(df, idCol, textCol, queries, qidCol,
+          qtextCol, positives, k)
+
+      def domainQualityRanking(metricCol: String, urlCol: String = "url",
+                               pseudoCount: Int = 100): DataFrame =
+        TextOps.domainQualityRanking(df, urlCol, metricCol, pseudoCount)
     }
   }
 }

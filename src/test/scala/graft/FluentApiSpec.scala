@@ -322,4 +322,29 @@ class FluentApiSpec extends SparkTestBase {
     assert(kept.columns.toSeq == Seq("doc_id", "text"))
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("fluent wrappers delegate for paragraphDedup, batch BM25 / hard " +
+       "negatives, and domain quality ranking") {
+    import graft.ops.pipeline.implicits._
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    assert(docs.paragraphDedup(delimiter = " ").collect().toSet ==
+      graft.ops.DedupOps.paragraphDedup(docs, "doc_id", "text", " ")
+        .collect().toSet)
+    val qs = Seq((0L, "alpha")).toDF("qid", "qtext")
+    assert(docs.bm25TopKPerQuery(qs, k = 2).collect().toSeq ==
+      graft.ops.SearchOps.bm25TopKPerQuery(docs, "doc_id", "text",
+        qs, "qid", "qtext", k = 2).collect().toSeq)
+    val pos = Seq((0L, 1L)).toDF("qid", "doc_id")
+    assert(docs.mineHardNegatives(qs, pos, k = 2).collect().toSeq ==
+      graft.ops.SearchOps.mineHardNegatives(docs, "doc_id", "text",
+        qs, "qid", "qtext", pos, k = 2).collect().toSeq)
+    val withUrl = docs.withColumn("url",
+      org.apache.spark.sql.functions.lit("https://a.example.com/"))
+      .withColumn("m", col("doc_id") * 2)
+    assert(withUrl.domainQualityRanking("m").collect().toSeq ==
+      graft.ops.TextOps.domainQualityRanking(withUrl, "url", "m")
+        .collect().toSeq)
+  }
 }

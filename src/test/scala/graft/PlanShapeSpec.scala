@@ -406,4 +406,56 @@ class PlanShapeSpec extends SparkTestBase {
     assert(countOccurrences(aggPlan, "Exchange") == 1, aggPlan)
     assert(fPlan.collect().length == rules.length)
   }
+
+  test("paragraphDedup never shuffles bodies; rebuild is the native " +
+       "positional filter, not a lambda") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = DedupOps.paragraphDedup(docs, "doc_id", "text",
+        delimiter = " ")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, plan)
+    // shuffle keys are the paragraph hash and the doc id — the text
+    // column never partitions an exchange
+    exchanges.foreach { l =>
+      assert(!l.contains("text#"), s"body used as shuffle key: $l\n$plan")
+    }
+    assert(plan.contains("drop_segments_by_index"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+  }
+
+  test("bm25TopKPerQuery: postings prune via broadcast joins — no " +
+       "sort-merge join anywhere, rank limit pushed below the sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = Seq((0L, "spark query filter"), (1L, "stream window batch"))
+      .toDF("qid", "qtext")
+    val plan = graft.ops.SearchOps.bm25TopKPerQuery(docs, "doc_id", "text",
+        qs, "qid", "qtext", k = 5)
+      .queryExecution.executedPlan.toString
+    // every join (term prune, per-query replication, dfreq, stats) is a
+    // broadcast — the corpus side never co-shuffles with a dimension
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(countOccurrences(plan, "BroadcastHashJoin") >= 3, plan)
+    // per-query top-k: WindowGroupLimit keeps per-partition heaps below
+    // the rank window's sort
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("domainQualityRanking: the global row REUSES the per-domain " +
+       "exchange at runtime — corpus scanned and regex'd once") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("url", concat(lit("https://s"),
+        pmod(col("doc_id"), lit(7L)), lit(".example.com/x")))
+    val q = graft.ops.TextOps.domainQualityRanking(docs, "url", "n_chars")
+    q.collect() // drive AQE to the FINAL plan — reuse resolves at runtime
+    val plan = q.queryExecution.executedPlan.toString
+    // the one-row global agg derives from the same per-domain subtree;
+    // exchange reuse must collapse the second map side (scan + the
+    // regex-heavy domain projection) into a shuffle-read of the first
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
