@@ -1227,6 +1227,26 @@ object SparkEntry {
         .orderBy(col("shrunk_micro").desc, col("domain").asc_nulls_first)
     }),
 
+    "q157_hard_negatives_indexed" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      // q155 at steady state: the same mining against a LANDED search
+      // index — postings bucket-pruned to the batch's term union, zero
+      // corpus re-tokenization; row-identical to the inline path (shared
+      // scoring tail), so the oracle is q155's SQL verbatim
+      val idx = "graft_q157_" + math.abs(dir.hashCode).toString
+      graft.ops.SearchOps.landSearchIndex(t(s, dir, "documents"),
+        "doc_id", "text", idx,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      val qs = Seq((0L, "spark query filter"), (1L, "stream window batch"),
+        (2L, "join merge sort")).toDF("qid", "qtext")
+      val gold = graft.ops.SearchOps.bm25AgainstIndexPerQuery(s, idx,
+          qs, "qid", "qtext", k = 2)
+        .select(col("qid"), col("doc_id"))
+      graft.ops.SearchOps.bm25AgainstIndexPerQuery(s, idx, qs, "qid",
+          "qtext", k = 10, exclude = Some(gold))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "q151_quality_gate" -> ((s: SparkSession, dir: String) => {
       // the per-document filter report (C4/Gopher/FineWeb release
       // convention): kept verdict, first-failing rule (funnel
@@ -2347,6 +2367,65 @@ object SparkEntry {
       |SELECT doc_id, CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) AS score,
       |  row_number() OVER (ORDER BY sc DESC, doc_id) AS rank
       |FROM top ORDER BY rank""".stripMargin
+
+  /** q155/q157's shared oracle: the q98 BM25 chain generalized
+    * per-query — DECIMAL(18,9) staging, full ranking first (r0),
+    * gold = full_rank <= 2, negatives re-ranked after exclusion
+    * (exactly the engine's anti-join-then-window order). The landed
+    * q157 path shares scoreAndRankPerQuery with the inline q155, so
+    * one SQL serves both (the q99-reuses-q98 convention). */
+  private val HardNegativesOracleSql: String =
+    """WITH tokarr AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, coalesce(len(toks), 0) AS dl FROM tokarr
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, coalesce(sum(dl), 0) AS total_dl FROM dl
+        |), qs(qid, qtext) AS (
+        |  VALUES (0, 'spark query filter'), (1, 'stream window batch'),
+        |         (2, 'join merge sort')
+        |), qterms AS (
+        |  SELECT DISTINCT qid, token FROM (
+        |    SELECT qid, unnest(list_filter(
+        |      string_split_regex(lower(qtext), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS token
+        |    FROM qs)
+        |), post AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM tokarr)
+        |  WHERE token IN (SELECT DISTINCT token FROM qterms)
+        |  GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY token
+        |), scored AS (
+        |  SELECT q.qid, p.doc_id,
+        |    CAST((ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * p.tf)
+        |      * (1.2 + 1.0)
+        |      / (p.tf + 1.2 * ((1.0 - 0.75)
+        |          + (0.75 * d.dl) / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+        |      AS DECIMAL(18,9)) AS c
+        |  FROM post p
+        |  JOIN qterms q USING (token)
+        |  JOIN dfreq f USING (token)
+        |  JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s
+        |), agg AS (
+        |  SELECT qid, doc_id, sum(c) AS sc FROM scored GROUP BY qid, doc_id
+        |), r0 AS (
+        |  SELECT qid, doc_id, sc, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sc DESC, doc_id) AS full_rank
+        |  FROM agg
+        |), negs AS (
+        |  SELECT qid, doc_id, sc,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sc DESC, doc_id) AS rank
+        |  FROM r0 WHERE full_rank > 2
+        |)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+        |  CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) AS score, rank
+        |FROM negs WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   private val NgramLmOracleSql: String =
     """WITH pos AS (
@@ -4167,62 +4246,13 @@ object SparkEntry {
         |    AS n_removed
         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q155_hard_negatives" ->
-      // the q98 BM25 chain generalized per-query: the same DECIMAL(18,9)
-      // staging, full ranking first (r0), gold = r0 <= 2, negatives
-      // re-ranked after exclusion — exactly the engine's anti-join-then-
-      // window order
-      """WITH tokarr AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents
-        |), dl AS (
-        |  SELECT doc_id, coalesce(len(toks), 0) AS dl FROM tokarr
-        |), stats AS (
-        |  SELECT count(*) AS n_docs, coalesce(sum(dl), 0) AS total_dl FROM dl
-        |), qs(qid, qtext) AS (
-        |  VALUES (0, 'spark query filter'), (1, 'stream window batch'),
-        |         (2, 'join merge sort')
-        |), qterms AS (
-        |  SELECT DISTINCT qid, token FROM (
-        |    SELECT qid, unnest(list_filter(
-        |      string_split_regex(lower(qtext), '[^a-z0-9]+'),
-        |      x -> x <> '')) AS token
-        |    FROM qs)
-        |), post AS (
-        |  SELECT doc_id, token, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(toks) AS token FROM tokarr)
-        |  WHERE token IN (SELECT DISTINCT token FROM qterms)
-        |  GROUP BY doc_id, token
-        |), dfreq AS (
-        |  SELECT token, count(*) AS df FROM post GROUP BY token
-        |), scored AS (
-        |  SELECT q.qid, p.doc_id,
-        |    CAST((ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * p.tf)
-        |      * (1.2 + 1.0)
-        |      / (p.tf + 1.2 * ((1.0 - 0.75)
-        |          + (0.75 * d.dl) / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
-        |      AS DECIMAL(18,9)) AS c
-        |  FROM post p
-        |  JOIN qterms q USING (token)
-        |  JOIN dfreq f USING (token)
-        |  JOIN dl d USING (doc_id)
-        |  CROSS JOIN stats s
-        |), agg AS (
-        |  SELECT qid, doc_id, sum(c) AS sc FROM scored GROUP BY qid, doc_id
-        |), r0 AS (
-        |  SELECT qid, doc_id, sc, row_number() OVER (PARTITION BY qid
-        |    ORDER BY sc DESC, doc_id) AS full_rank
-        |  FROM agg
-        |), negs AS (
-        |  SELECT qid, doc_id, sc,
-        |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY sc DESC, doc_id) AS rank
-        |  FROM r0 WHERE full_rank > 2
-        |)
-        |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
-        |  CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) AS score, rank
-        |FROM negs WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q155_hard_negatives" -> HardNegativesOracleSql,
+
+    "q157_hard_negatives_indexed" ->
+      // same oracle as q155: the landed path shares the per-query scoring
+      // tail with the inline one (scoreAndRankPerQuery), so the contract
+      // is row-identity — the q99-reuses-q98 convention
+      HardNegativesOracleSql,
 
     "q156_domain_quality" ->
       // q147's URL synthesis + registrable-domain algebra, then the

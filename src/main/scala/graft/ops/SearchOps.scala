@@ -199,6 +199,20 @@ object SearchOps {
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
     val dfreq = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    scoreAndRankPerQuery(post, qterms, dfreq, stats, qidCol, idCol,
+      k, k1, b, exclude)
+  }
+
+  /** Shared per-query scoring tail: postings `(idCol, token, tf, dl)` x
+    * per-query terms `(qidCol, token)` x dfreq x one-row stats ->
+    * per-query top-k. The inline ([[bm25TopKPerQuery]]) and landed
+    * ([[bm25AgainstIndexPerQuery]]) batch paths both end here, so the two
+    * are row-identical by construction (the [[scoreAndRank]] rule). */
+  private def scoreAndRankPerQuery(post: DataFrame, qterms: DataFrame,
+                                   dfreq: DataFrame, stats: DataFrame,
+                                   qidCol: String, idCol: String, k: Int,
+                                   k1: Double, b: Double,
+                                   exclude: Option[DataFrame]): DataFrame = {
     val scored = post
       .join(broadcast(qterms), Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
@@ -220,6 +234,58 @@ object SearchOps {
       .select(col(qidCol), col(idCol),
         round(col("__score").cast(DoubleType), 6).as("score"),
         col("rank").cast(LongType).as("rank"))
+  }
+
+  /**
+   * [[bm25TopKPerQuery]] against a LANDED [[landSearchIndex]] — the
+   * steady-state batch-retrieval shape (mine hard negatives for a new
+   * query set without re-tokenizing the corpus): stats from the meta
+   * table, postings pruned to the query batch's term UNION by bucket,
+   * zero corpus-side recompute. Row-identical to the inline path on the
+   * same corpus (shared [[scoreAndRankPerQuery]] tail; duplicate
+   * postings from a crashed-and-retried append collapse in the per-
+   * (token, doc) aggregate, as in [[bm25AgainstIndex]]).
+   *
+   * The distinct term union COLLECTS to the driver to become the literal
+   * `token IN (...)` the planner needs for bucket pruning — bounded by
+   * the same broadcastability assumption the query table already
+   * carries, and guarded loudly by `maxQueryTerms` (the blocklist rule:
+   * a cap that fails, never truncates). `exclude` = gold pairs, as in
+   * [[mineHardNegatives]].
+   */
+  def bm25AgainstIndexPerQuery(spark: SparkSession, name: String,
+                               queries: DataFrame, qidCol: String,
+                               qtextCol: String, k: Int = 10,
+                               k1: Double = 1.2, b: Double = 0.75,
+                               exclude: Option[DataFrame] = None,
+                               maxQueryTerms: Int = 100000): DataFrame = {
+    require(k >= 1, s"bm25AgainstIndexPerQuery: k must be >= 1, got $k")
+    require(qidCol != "doc_id",
+      "bm25AgainstIndexPerQuery: the landed doc id column is 'doc_id' — " +
+        "name the query id column differently")
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"no search index '$name' in the session catalog — run landSearchIndex first")
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(TextOps.tokens(col(qtextCol)))).as("token"))
+    val termList = qterms.select(col("token")).distinct()
+      .limit(maxQueryTerms + 1).collect().map(_.getString(0)).toSeq
+    if (termList.length > maxQueryTerms)
+      throw new IllegalStateException(
+        s"bm25AgainstIndexPerQuery: query batch has more than " +
+          s"$maxQueryTerms distinct terms — shard the query table or " +
+          "raise maxQueryTerms")
+    val stats = spark.table(s"${name}_meta")
+      .select(col("n_docs").as("__n_docs"), col("total_dl").as("__total_dl"))
+    val pruned =
+      if (termList.isEmpty) spark.table(s"${name}_postings").filter(lit(false))
+      else spark.table(s"${name}_postings")
+        .filter(col("token").isInCollection(termList))
+    val post = pruned
+      .groupBy(col("token"), col("doc_id"))
+      .agg(max(col("tf")).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    scoreAndRankPerQuery(post, qterms, dfreq, stats, qidCol, "doc_id",
+      k, k1, b, exclude)
   }
 
   /**

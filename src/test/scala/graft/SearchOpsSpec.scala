@@ -199,6 +199,40 @@ class SearchOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bm25AgainstIndexPerQuery: row-identical to the inline batch path " +
+       "(with and without exclusion), bucket-pruned postings, term-cap " +
+       "guard, empty-token query batch yields empty") {
+    val idx = "graft_test_search_batch"
+    Seq(s"${idx}_meta", s"${idx}_postings", s"${idx}_docs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      SearchOps.landSearchIndex(corpus, "doc_id", "text", idx, buckets = 4)
+      val qs = Seq((10L, "apple cherry"), (20L, "banana")).toDF("qid", "qtext")
+      val landed = SearchOps.bm25AgainstIndexPerQuery(spark, idx,
+        qs, "qid", "qtext", k = 5)
+      val inline = SearchOps.bm25TopKPerQuery(corpus, "doc_id", "text",
+        qs, "qid", "qtext", k = 5)
+      assert(landed.collect().map(_.toSeq).toSet ==
+             inline.collect().map(_.toSeq).toSet)
+      val plan = landed.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"term union should prune postings buckets:\n$plan")
+      val pos = Seq((10L, 3L)).toDF("qid", "doc_id")
+      assert(SearchOps.bm25AgainstIndexPerQuery(spark, idx, qs, "qid",
+          "qtext", k = 5, exclude = Some(pos)).collect().map(_.toSeq).toSet ==
+        SearchOps.bm25TopKPerQuery(corpus, "doc_id", "text", qs, "qid",
+          "qtext", k = 5, exclude = Some(pos)).collect().map(_.toSeq).toSet)
+      // a query batch that tokenizes to nothing is empty, not an error
+      assert(SearchOps.bm25AgainstIndexPerQuery(spark, idx,
+        Seq((1L, "...")).toDF("qid", "qtext"), "qid", "qtext").isEmpty)
+      intercept[IllegalStateException] {
+        SearchOps.bm25AgainstIndexPerQuery(spark, idx, qs, "qid", "qtext",
+          maxQueryTerms = 2)
+      }
+    } finally Seq(s"${idx}_meta", s"${idx}_postings", s"${idx}_docs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("mineHardNegatives: positives are excluded BEFORE the top-k window, " +
        "so ranks re-pack and the k slots fill with negatives") {
     val queries = Seq((7L, "apple cherry")).toDF("qid", "qtext")
