@@ -1247,6 +1247,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q158_paragraph_store" -> ((s: SparkSession, dir: String) => {
+      // q154 at steady state: docs < 250 land as the paragraph-hash
+      // store; the "incoming batch" pairs each doc >= 250 with the text
+      // of doc - 250, so every batch doc carries one store-owned
+      // paragraph (excised via the bucketed hash probe) and one fresh
+      // one (first-occurrence-kept within the batch)
+      val store = "graft_q158_" + math.abs(dir.hashCode).toString
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      DedupOps.landParagraphStore(d.filter(col("doc_id") < 250), "text",
+        store,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$store"))
+      val older = d.select((col("doc_id") + 250).as("doc_id"),
+        col("text").as("__t2"))
+      val batch = d.filter(col("doc_id") >= 250).join(older, Seq("doc_id"))
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"), col("__t2")).as("text"))
+      DedupOps.paragraphDedupAgainstStore(batch, "doc_id", "text", store)
+        .select(col("doc_id"), col("text_dedup"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q151_quality_gate" -> ((s: SparkSession, dir: String) => {
       // the per-document filter report (C4/Gopher/FineWeb release
       // convention): kept verdict, first-failing rule (funnel
@@ -4253,6 +4274,47 @@ object SparkEntry {
       // tail with the inline one (scoreAndRankPerQuery), so the contract
       // is row-identity — the q99-reuses-q98 convention
       HardNegativesOracleSql,
+
+    "q158_paragraph_store" ->
+      // the against-store rule replayed by TEXT (the q154/q52
+      // convention): store = distinct v1 paragraphs; batch paragraphs
+      // excise when store-owned, else first-occurrence within the batch
+      """WITH v1 AS (
+        |  SELECT text FROM documents WHERE doc_id < 250
+        |), store AS (
+        |  SELECT DISTINCT seg FROM (
+        |    SELECT unnest(string_split(text, chr(10) || chr(10))) AS seg
+        |    FROM v1)
+        |  WHERE trim(seg) <> ''
+        |), batch AS (
+        |  SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 250
+        |  WHERE a.doc_id >= 250
+        |), segs AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS seg,
+        |    unnest(generate_series(1,
+        |      len(string_split(text, chr(10) || chr(10))))) AS pos
+        |  FROM batch
+        |), marked AS (
+        |  SELECT s.doc_id, s.pos, s.seg,
+        |    trim(s.seg) <> '' AS cand,
+        |    st.seg IS NOT NULL AS seen
+        |  FROM segs s LEFT JOIN store st ON s.seg = st.seg
+        |), rk AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM marked WHERE cand AND NOT seen
+        |), verdict AS (
+        |  SELECT m.doc_id, m.pos, m.seg,
+        |    (NOT m.cand) OR (NOT m.seen AND r.rn = 1) AS keep
+        |  FROM marked m LEFT JOIN rk r USING (doc_id, pos)
+        |)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN keep THEN seg END,
+        |    chr(10) || chr(10) ORDER BY pos), '') AS text_dedup,
+        |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_removed
+        |FROM verdict GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q156_domain_quality" ->
       // q147's URL synthesis + registrable-domain algebra, then the

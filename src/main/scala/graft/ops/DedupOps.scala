@@ -1446,23 +1446,46 @@ object DedupOps {
                      delimiter: String = "\n\n",
                      out: String = "text_dedup"): DataFrame = {
     require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val inst = paragraphInstances(df, idCol, textCol, delimiter)
+    val keeper = inst
+      .groupBy(col("para_hash"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
+    // non-keeper instances; documents with nothing to drop contribute none
+    val dropInst = inst
+      .join(keeper, Seq("para_hash"))
+      .where(struct(col(idCol), col("__pos")) =!= col("__keep"))
+      .select(col(idCol), col("__pos"))
+    excisePositions(df, idCol, textCol, delimiter, out, dropInst)
+  }
+
+  /** The paragraph-instance table shared by the dedup-family heads:
+    * `(idCol, __pos, para_hash)` — hash + coordinates only, paragraph
+    * text stays in the scan and never enters a shuffle. Whitespace-only
+    * segments are excluded (never dedup candidates). */
+  private def paragraphInstances(df: DataFrame, idCol: String,
+                                 textCol: String,
+                                 delimiter: String): DataFrame = {
+    val delimLit = java.util.regex.Pattern.quote(delimiter)
+    df.select(col(idCol),
+        posexplode(split(col(textCol), delimLit)).as(Seq("__pos", "__seg")))
+      .where(trim(col("__seg")) =!= "")
+      .select(col(idCol), col("__pos"),
+        xxhash64(col("__seg")).as("para_hash"))
+  }
+
+  /** Shared rebuild tail of the paragraph-dedup family: fold the dropped
+    * instances `(idCol, __pos)` into one sorted int list per affected
+    * document, then excise those positions from the original text
+    * map-side through the native positional filter — the only thing
+    * grouped to a document is its drop-position ints, and untouched
+    * documents (no drop row) skip the rebuild entirely. */
+  private def excisePositions(df: DataFrame, idCol: String, textCol: String,
+                              delimiter: String, out: String,
+                              dropInst: DataFrame): DataFrame = {
     val delimLit = java.util.regex.Pattern.quote(delimiter)
     val segArr = split(col(textCol), delimLit)
-    // instance table: hash + coordinates only — paragraph text stays in
-    // the scan and never enters a shuffle
-    val inst = df
-      .select(col(idCol), posexplode(segArr).as(Seq("__pos", "__seg")))
-      .where(trim(col("__seg")) =!= "")
-      .select(col(idCol), col("__pos"), xxhash64(col("__seg")).as("__h"))
-    val keeper = inst
-      .groupBy(col("__h"))
-      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
-    // non-keeper instances, folded to one int list per affected document;
-    // documents with nothing to drop simply have no row here
     val dropCol = TextOps.tempName(df, "__drop")
-    val drops = inst
-      .join(keeper, Seq("__h"))
-      .where(struct(col(idCol), col("__pos")) =!= col("__keep"))
+    val drops = dropInst
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as(dropCol))
     val X = org.apache.spark.sql.catalyst.expressions.graftdedup
@@ -1476,6 +1499,129 @@ object DedupOps {
       .withColumn("n_removed",
         coalesce(size(col(dropCol)).cast(LongType), lit(0L)))
       .drop(segCol, dropCol)
+  }
+
+  /**
+   * Land the distinct-paragraph-hash STORE that makes [[paragraphDedup]]
+   * incremental — the Dolma operating shape: yesterday's corpus owns its
+   * paragraphs, and today's batch only needs to know WHICH hashes exist,
+   * not where. The store is one bucketed column of `xxhash64` longs
+   * (8 B/distinct paragraph — a 10^10-paragraph corpus stores ~80 GB,
+   * 0.1% of its text), so probes are a bucketed equi-join that never
+   * rereads or reshuffles the landed corpus. The delimiter is pinned in
+   * a meta table (the [[landNearDupIndex]] rule: probes accept no
+   * parameter the store already owns). Idempotent per session via
+   * [[graft.sources.BucketedLand.landOnce]];
+   * [[graft.sources.BucketedLand.compactTable]] on `<name>_paras`
+   * collapses append history.
+   */
+  def landParagraphStore(reference: DataFrame, refTextCol: String,
+                         name: String, delimiter: String = "\n\n",
+                         buckets: Int = 8,
+                         path: Option[String] = None): Unit = {
+    val spark = reference.sparkSession
+    val metaTbl = s"${name}_meta"
+    if (!spark.catalog.tableExists(metaTbl)) {
+      import spark.implicits._
+      val w = Seq(Tuple1(delimiter)).toDF("delimiter")
+        .write.mode("overwrite").format("parquet")
+      path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
+    } else {
+      val have = spark.table(metaTbl).head().getAs[String]("delimiter")
+      require(have == delimiter,
+        s"landParagraphStore('$name'): existing store was landed with " +
+          s"delimiter ${have.map(_.toInt).mkString("[", ",", "]")} != " +
+          s"requested ${delimiter.map(_.toInt).mkString("[", ",", "]")}; " +
+          "drop the store tables or land under another name")
+    }
+    val delimLit = java.util.regex.Pattern.quote(delimiter)
+    val hashes = reference
+      .select(explode(split(col(refTextCol), delimLit)).as("__seg"))
+      .where(trim(col("__seg")) =!= "")
+      .select(xxhash64(col("__seg")).as("para_hash"))
+      .distinct()
+    graft.sources.BucketedLand.landOnce(hashes, s"${name}_paras",
+      "para_hash", Seq("para_hash"), buckets, path.map(p => s"${p}_paras"))
+    ()
+  }
+
+  /**
+   * [[paragraphDedup]] against a landed [[landParagraphStore]]: excise
+   * every paragraph the STORE already owns, and apply the first-
+   * occurrence rule WITHIN the incoming batch to the rest — so the
+   * result is exactly what [[paragraphDedup]] over (landed corpus ++
+   * batch) would emit for the batch's documents, without touching the
+   * landed corpus. One left join of the instance table (ints only)
+   * against the bucketed hash store — the store side never shuffles —
+   * then the shared min-struct/rebuild tail. Adds `out` + `n_removed`.
+   */
+  def paragraphDedupAgainstStore(df: DataFrame, idCol: String,
+                                 textCol: String, name: String,
+                                 out: String = "text_dedup"): DataFrame = {
+    val spark = df.sparkSession
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"no paragraph store '$name' in the session catalog — run " +
+        "landParagraphStore first")
+    val delimiter = spark.table(s"${name}_meta").head()
+      .getAs[String]("delimiter")
+    val inst = paragraphInstances(df, idCol, textCol, delimiter)
+    val marked = inst.join(
+      spark.table(s"${name}_paras").withColumn("__seen", lit(true)),
+      Seq("para_hash"), "left")
+    val seenDrops = marked.where(col("__seen"))
+      .select(col(idCol), col("__pos"))
+    val fresh = marked.where(col("__seen").isNull)
+      .select(col("para_hash"), col(idCol), col("__pos"))
+    val keeper = fresh.groupBy(col("para_hash"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
+    val freshDrops = fresh.join(keeper, Seq("para_hash"))
+      .where(struct(col(idCol), col("__pos")) =!= col("__keep"))
+      .select(col(idCol), col("__pos"))
+    excisePositions(df, idCol, textCol, delimiter, out,
+      seenDrops.union(freshDrops))
+  }
+
+  /**
+   * Fold a deduped batch's surviving paragraphs into the store — the
+   * steady-state ingest move ([[graft.ops.DedupOps.appendNearDupIndex]]
+   * applied to paragraph identity). `textCol` should be the DEDUPED text
+   * ([[paragraphDedupAgainstStore]]'s `out` column), so only paragraphs
+   * that actually shipped gain ownership. Anti-join idempotent: hashes
+   * already stored append nothing, so a crashed-and-retried batch
+   * converges. The batch's new hashes pin via `localCheckpoint` BEFORE
+   * the mutating append (the append-protocol rule: inserts invalidate
+   * cached plans over the target). Returns the number of new distinct
+   * paragraphs stored.
+   */
+  def appendParagraphStore(accepted: DataFrame, textCol: String,
+                           name: String): Long = {
+    val spark = accepted.sparkSession
+    require(spark.catalog.tableExists(s"${name}_paras"),
+      s"no paragraph store '$name' in the session catalog — run " +
+        "landParagraphStore first")
+    val delimiter = spark.table(s"${name}_meta").head()
+      .getAs[String]("delimiter")
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${name}_paras"))
+      .bucketSpec.getOrElse(throw new IllegalStateException(
+        s"appendParagraphStore('$name'): store table is not bucketed"))
+    val delimLit = java.util.regex.Pattern.quote(delimiter)
+    val fresh = accepted
+      .select(explode(split(col(textCol), delimLit)).as("__seg"))
+      .where(trim(col("__seg")) =!= "")
+      .select(xxhash64(col("__seg")).as("para_hash"))
+      .distinct()
+      .join(spark.table(s"${name}_paras"), Seq("para_hash"), "left_anti")
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) {
+      fresh.repartition(spec.numBuckets, col("para_hash"))
+        .write.mode("append")
+        .bucketBy(spec.numBuckets, "para_hash").sortBy("para_hash")
+        .format("parquet").saveAsTable(s"${name}_paras")
+    }
+    n
   }
 
   /**

@@ -430,6 +430,11 @@ object pipeline {
                          delimiter: String = "\n\n"): DataFrame =
         DedupOps.paragraphDedup(df, idCol, textCol, delimiter)
 
+      def paragraphDedupAgainstStore(name: String,
+                                     idCol: String = "doc_id",
+                                     textCol: String = "text"): DataFrame =
+        DedupOps.paragraphDedupAgainstStore(df, idCol, textCol, name)
+
       def bm25TopKPerQuery(queries: DataFrame, k: Int = 10,
                            idCol: String = "doc_id", textCol: String = "text",
                            qidCol: String = "qid",

@@ -1086,6 +1086,49 @@ object StreamOps {
   }
 
   /**
+   * Streaming PARAGRAPH dedup against a landed
+   * [[graft.ops.DedupOps.landParagraphStore]] — the sub-document
+   * complement of [[dedupAgainstIndexBatch]]: each micro-batch's
+   * documents are EXCISED (not dropped whole) of every paragraph the
+   * store already owns, first-occurrence-deduped within the batch, the
+   * rebuilt documents delivered to `sink`, and the survivors' paragraph
+   * hashes folded into the store so later batches (and replays) see
+   * them. Unbounded horizon at 8 bytes per distinct paragraph of state,
+   * zero state-store cost.
+   *
+   * Same load-bearing order as [[dedupAgainstIndexBatch]]: the batch
+   * pins first (the against-store plan references it from the instance
+   * explode AND the rebuild join); the deduped result pins BEFORE the
+   * append mutates the very `_paras` table the probe plan reads; the
+   * SINK runs before the append, so a paragraph gains store ownership
+   * only through an attempt that already delivered its document — a
+   * replayed batch re-probes an effectively-unchanged store (the append
+   * is idempotent per hash) and re-delivers the same rows, the standard
+   * at-least-once contract. `compactEvery = n` collapses the append
+   * file history every n-th batch, after the sink.
+   */
+  def paragraphDedupBatch(idCol: String, textCol: String, name: String,
+                          out: String = "text_dedup",
+                          appendAccepted: Boolean = true,
+                          compactEvery: Int = 0)
+                         (sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val D = graft.ops.DedupOps
+    (batch: DataFrame, batchId: Long) => {
+      val pinned = batch.localCheckpoint()
+      val deduped = D.paragraphDedupAgainstStore(pinned, idCol, textCol,
+          name, out)
+        .localCheckpoint()
+      sink(deduped, batchId)
+      if (appendAccepted) D.appendParagraphStore(deduped, out, name)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        graft.sources.BucketedLand.compactTable(batch.sparkSession,
+          s"${name}_paras")
+        ()
+      }
+    }
+  }
+
+  /**
    * Streaming COUNT-MIN maintenance: a `foreachBatch` body that folds each
    * micro-batch's items into a landed
    * [[graft.ops.SketchOps.landCmsSketch]] sketch as the counter segment

@@ -902,6 +902,52 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(p == Map(1L -> ("x||y", 0L), 2L -> ("z", 1L)), s"got $p")
   }
 
+  test("paragraph store: against-store dedup equals batch paragraphDedup " +
+       "over (landed ++ batch); appends make batch 2 catch batch-1 " +
+       "survivors; idempotent; delimiter drift refuses") {
+    import spark.implicits._
+    val store = "graft_para_store_spec"
+    Seq("_meta", "_paras").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $store$sfx"))
+    try {
+      val v1 = Seq((1L, "A\n\nB"), (2L, "C")).toDF("doc_id", "text")
+      DedupOps.landParagraphStore(v1, "text", store)
+      val batch = Seq(
+        (10L, "B\n\nX"),       // B owned by the store -> drop; X fresh
+        (11L, "X\n\nY"),       // X's batch keeper is (10, 1) -> drop here
+        (12L, "C")             // fully owned -> empty
+      ).toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "text_dedup", "n_removed")
+          .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+          .toMap
+      val got = rows(DedupOps.paragraphDedupAgainstStore(batch, "doc_id",
+        "text", store))
+      assert(got == Map(10L -> ("X", 1L), 11L -> ("Y", 1L), 12L -> ("", 1L)),
+        s"got $got")
+      // THE contract: identical to the one-shot batch op over the union,
+      // restricted to the batch's documents (store ids precede batch ids)
+      val viaUnion = rows(DedupOps.paragraphDedup(v1.union(batch), "doc_id",
+        "text").filter(col("doc_id") >= 10L))
+      assert(got == viaUnion, s"store path $got != union path $viaUnion")
+      // append the SURVIVING text: X and Y gain ownership, C's empty
+      // survivor adds nothing
+      val deduped = DedupOps.paragraphDedupAgainstStore(batch, "doc_id",
+        "text", store)
+      assert(DedupOps.appendParagraphStore(deduped, "text_dedup", store) == 2L)
+      assert(DedupOps.appendParagraphStore(deduped, "text_dedup", store) == 0L,
+        "re-append of the same batch must be a no-op")
+      val batch2 = rows(DedupOps.paragraphDedupAgainstStore(
+        Seq((20L, "Y\n\nZ")).toDF("doc_id", "text"), "doc_id", "text", store))
+      assert(batch2 == Map(20L -> ("Z", 1L)),
+        s"batch-1 survivor Y must now be owned: $batch2")
+      intercept[IllegalArgumentException] {
+        DedupOps.landParagraphStore(v1, "text", store, delimiter = "\n")
+      }
+    } finally Seq("_meta", "_paras").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $store$sfx"))
+  }
+
   test("domainQualityRanking: exact integer shrinkage toward the global " +
        "mean; small domains pull hard, null metric counts as zero") {
     import spark.implicits._

@@ -632,6 +632,53 @@ class StreamingSpec extends SparkTestBase {
     assert(df.columns.take(3).toSeq == Seq("cast_id", "scan_order", "pressure"))
   }
 
+  test("paragraphDedupBatch: store-owned paragraphs excise, the append " +
+       "makes batch 2 catch batch-1 survivors, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = "graft_stream_para_spec"
+    Seq("_meta", "_paras").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $store$s"))
+    graft.ops.DedupOps.landParagraphStore(
+      Seq((0L, "ALPHA\n\nBETA")).toDF("doc_id", "text"), "text", store)
+    try {
+      val delivered =
+        scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamOps.paragraphDedupBatch("doc_id", "text", store) {
+          (df, bid) =>
+            val rows = df.select("doc_id", "text_dedup", "n_removed")
+              .collect().map(r => (bid, r.getLong(0), r.getString(1),
+                r.getLong(2)))
+            delivered.synchronized { delivered ++= rows }
+        })
+        .start()
+      try {
+        input.addData(
+          (10L, "BETA\n\nGAMMA"),   // BETA store-owned -> excised
+          (11L, "GAMMA\n\nDELTA"))  // GAMMA's batch keeper is (10, 1)
+        q.processAllAvailable()
+        input.addData(
+          (20L, "DELTA\n\nEPSILON")) // DELTA owned via batch-1's append
+        q.processAllAvailable()
+      } finally q.stop()
+      val byDoc = delivered.map(r => r._2 -> (r._3, r._4)).toMap
+      assert(byDoc == Map(
+        10L -> ("GAMMA", 1L), 11L -> ("DELTA", 1L),
+        20L -> ("EPSILON", 1L)), s"delivered: $delivered")
+      // appends ran in the stream's cloned session; refresh, then verify
+      // batch-2's survivor owns its paragraph for any later batch
+      spark.catalog.refreshTable(s"${store}_paras")
+      val again = graft.ops.DedupOps.paragraphDedupAgainstStore(
+        Seq((30L, "EPSILON\n\nZETA")).toDF("doc_id", "text"),
+        "doc_id", "text", store)
+        .select("text_dedup").head().getString(0)
+      assert(again == "ZETA", s"got '$again'")
+    } finally Seq("_meta", "_paras").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $store$s"))
+  }
+
   test("dedupAgainstIndexBatch: landed near-dups drop, the append makes " +
        "batch 2 catch batch-1 survivors, within-batch twins collapse") {
     implicit val sqlCtx = spark.sqlContext
