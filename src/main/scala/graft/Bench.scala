@@ -72,6 +72,7 @@ object Bench {
     val D = graft.ops.DedupOps
     val steadyNd = "graft_bsplit_nd"; val steadyLm = "graft_bsplit_lm"
     val steadyBm = "graft_bsplit_bm"; val steadyIvf = "graft_bsplit_ivf"
+    val steadyPs = "graft_bsplit_ps"
     def probeBatch = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 250)
       .select((col("doc_id") + 3000000).as("doc_id"),
         concat(col("text"), lit(" perturbed tail token")).as("text"))
@@ -111,7 +112,22 @@ object Bench {
       "ann_ivf_probe" -> (() =>
         noop(graft.ops.SimOps.annTopKAgainstIndex(
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", steadyIvf,
-          k = 5, nProbe = 4))))
+          k = 5, nProbe = 4))),
+      "paragraph_store_land" -> (() => {
+        val n = freshName("ps")
+        D.landParagraphStore(docs.filter(col("doc_id") % 5 =!= 0), "text", n,
+          path = Some(s"$tmp/graft_bucketed/$n"))
+      }),
+      "paragraph_store_probe" -> (() =>
+        noop(D.paragraphDedupAgainstStore(probeBatch, "doc_id", "text",
+          steadyPs))),
+      "bm25_batch_probe" -> (() => {
+        import spark.implicits._
+        val qs = Seq((0L, "spark query filter"), (1L, "stream window batch"),
+          (2L, "join merge sort")).toDF("qid", "qtext")
+        noop(graft.ops.SearchOps.bm25AgainstIndexPerQuery(spark, steadyBm,
+          qs, "qid", "qtext", k = 10))
+      }))
     // land the steady probe targets once, OUTSIDE any timed slot
     def landSteady(): Unit = {
       D.landNearDupIndex(docs.filter(col("doc_id") % 5 =!= 0), "text",
@@ -123,6 +139,8 @@ object Bench {
         path = Some(s"$tmp/graft_bucketed/$steadyBm"))
       graft.ops.SimOps.landAnnIndex(emb, "vec_id", "embedding", steadyIvf,
         nCells = 16, path = Some(s"$tmp/graft_bucketed/$steadyIvf"))
+      D.landParagraphStore(docs.filter(col("doc_id") % 5 =!= 0), "text",
+        steadyPs, path = Some(s"$tmp/graft_bucketed/$steadyPs"))
     }
 
     val runners: Map[String, () => Unit] =
