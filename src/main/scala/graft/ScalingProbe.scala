@@ -36,6 +36,7 @@ object ScalingProbe {
     DedupOps.ObservedMetrics.NearDupCandidateMetrics,
     DedupOps.ObservedMetrics.NearDupVerifiedMetrics,
     DedupOps.ObservedMetrics.SpanMetrics,
+    DedupOps.ObservedMetrics.ParagraphMetrics,
     GateOps.FunnelMetrics,
     ScaleUp.SpliceMetrics)
 

@@ -236,6 +236,12 @@ object DedupOps {
       * window-merge input, the count that must stay ~linear in the
       * corpus). */
     val SpanMetrics = "graft.spans"
+    /** [[paragraphDedupAgainstStore]]: `instances` (non-whitespace
+      * paragraph instances in the batch — the probe's input size) and
+      * `store_hits` (instances the store already owned — the excision
+      * rate a steady-state ingest dashboard watches). Both ~linear in
+      * batch bytes by construction. */
+    val ParagraphMetrics = "graft.paragraphs"
   }
 
   /** Band-bucket skew cap shared by every LSH path (pairwise, direct
@@ -1566,8 +1572,11 @@ object DedupOps {
       .getAs[String]("delimiter")
     val inst = paragraphInstances(df, idCol, textCol, delimiter)
     val marked = inst.join(
-      spark.table(s"${name}_paras").withColumn("__seen", lit(true)),
-      Seq("para_hash"), "left")
+        spark.table(s"${name}_paras").withColumn("__seen", lit(true)),
+        Seq("para_hash"), "left")
+      .observe(obsName(ObservedMetrics.ParagraphMetrics),
+        count(lit(1)).as("instances"),
+        count(col("__seen")).as("store_hits"))
     val seenDrops = marked.where(col("__seen"))
       .select(col(idCol), col("__pos"))
     val fresh = marked.where(col("__seen").isNull)

@@ -71,6 +71,29 @@ class ScalingMetricsSpec extends SparkTestBase {
     assert(agg("max_bucket_width") >= 1L)
   }
 
+  test("paragraphDedupAgainstStore surfaces instances/store_hits to a " +
+       "listener with exact hand-countable values") {
+    val store = "graft_scaling_para_spec"
+    Seq("_meta", "_paras").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $store$s"))
+    try {
+      DedupOps.landParagraphStore(
+        Seq((0L, "P1\n\nP2")).toDF("doc_id", "text"), "text", store)
+      val batch = Seq(
+        (10L, "P2\n\nF1"),          // 2 instances, 1 store hit
+        (11L, "F1\n\nF2\n\n  ")     // 2 non-ws instances, 0 hits
+      ).toDF("doc_id", "text")
+      val (_, metrics) = ScalingProbe.runWithMetrics(spark,
+        DedupOps.paragraphDedupAgainstStore(batch, "doc_id", "text", store),
+        waitForPrefix = DedupOps.ObservedMetrics.ParagraphMetrics)
+      val agg = ScalingProbe.aggregate(metrics.filter(
+        _._1.startsWith(DedupOps.ObservedMetrics.ParagraphMetrics)))
+      assert(agg("instances") == 4L, s"got $agg")
+      assert(agg("store_hits") == 1L, s"got $agg")
+    } finally Seq("_meta", "_paras").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $store$s"))
+  }
+
   test("candidate_pairs stays ~linear across ScaleUp factors (cap not binding)") {
     val base = corpus(200, planted = 20)
     def run(factor: Int): (Double, Double, Long) = {
