@@ -346,5 +346,16 @@ class FluentApiSpec extends SparkTestBase {
     assert(withUrl.domainQualityRanking("m").collect().toSeq ==
       graft.ops.TextOps.domainQualityRanking(withUrl, "url", "m")
         .collect().toSeq)
+    val store = "graft_fluent_para_store"
+    Seq("_meta", "_paras").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $store$s"))
+    try {
+      graft.ops.DedupOps.landParagraphStore(
+        docs.limit(1), "text", store, delimiter = " ")
+      assert(docs.paragraphDedupAgainstStore(store).collect().toSet ==
+        graft.ops.DedupOps.paragraphDedupAgainstStore(docs, "doc_id",
+          "text", store).collect().toSet)
+    } finally Seq("_meta", "_paras").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $store$s"))
   }
 }
