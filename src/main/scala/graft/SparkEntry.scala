@@ -1268,6 +1268,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q159_paragraph_stream_replay" -> ((s: SparkSession, dir: String) => {
+      // the STREAMING paragraph-dedup composite
+      // (StreamOps.paragraphDedupBatch) driven as two micro-batches — the
+      // q143 pattern at sub-document granularity. Batch 0 docs pair
+      // text_i with store-owned text_{i-100} (excised via the landed
+      // store); batch 1 docs pair text_i with text_{i-50} — batch 0's
+      // SURVIVING first paragraphs, owned only because batch 0's sink-
+      // then-append folded them in
+      val store = "graft_q159_" + math.abs(dir.hashCode).toString
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      DedupOps.landParagraphStore(d.filter(col("doc_id") < 100), "text",
+        store,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$store"))
+      def twoPara(lo: Int, hi: Int, shift: Int): DataFrame = {
+        val older = d.select((col("doc_id") + shift).as("doc_id"),
+          col("text").as("__t2"))
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .join(older, Seq("doc_id"))
+          .select(col("doc_id"),
+            concat_ws("\n\n", col("text"), col("__t2")).as("text"))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val body = graft.streaming.StreamOps.paragraphDedupBatch(
+        "doc_id", "text", store) { (df, bid) =>
+          out += df.select(lit(bid).as("batch_id"), col("doc_id"),
+            col("text_dedup"), col("n_removed")) }
+      body(twoPara(100, 150, 100), 0L)
+      body(twoPara(150, 200, 50), 1L)
+      out.reduce(_.unionByName(_))
+        .orderBy(col("batch_id"), col("doc_id"))
+    }),
+
     "q151_quality_gate" -> ((s: SparkSession, dir: String) => {
       // the per-document filter report (C4/Gopher/FineWeb release
       // convention): kept verdict, first-failing rule (funnel
@@ -4315,6 +4347,87 @@ object SparkEntry {
         |    chr(10) || chr(10) ORDER BY pos), '') AS text_dedup,
         |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_removed
         |FROM verdict GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q159_paragraph_stream_replay" ->
+      // the two-batch replay by TEXT: batch 0 against the landed store,
+      // batch 1 against store ∪ batch-0 survivors (the sink-then-append
+      // leg) — each batch runs the identical q158 CTE chain
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |store0 AS (
+        |  SELECT DISTINCT seg FROM (
+        |    SELECT unnest(string_split(text, chr(10) || chr(10))) AS seg
+        |    FROM base WHERE doc_id < 100)
+        |  WHERE trim(seg) <> ''
+        |), b1 AS (
+        |  SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id - 100
+        |  WHERE a.doc_id >= 100 AND a.doc_id < 150
+        |), s1 AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS seg,
+        |    unnest(generate_series(1,
+        |      len(string_split(text, chr(10) || chr(10))))) AS pos
+        |  FROM b1
+        |), m1 AS (
+        |  SELECT s.doc_id, s.pos, s.seg, trim(s.seg) <> '' AS cand,
+        |    st.seg IS NOT NULL AS seen
+        |  FROM s1 s LEFT JOIN store0 st ON s.seg = st.seg
+        |), r1 AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM m1 WHERE cand AND NOT seen
+        |), v1 AS (
+        |  SELECT m.doc_id, m.pos, m.seg,
+        |    (NOT m.cand) OR (NOT m.seen AND r.rn = 1) AS keep
+        |  FROM m1 m LEFT JOIN r1 r USING (doc_id, pos)
+        |), out1 AS (
+        |  SELECT doc_id,
+        |    COALESCE(string_agg(CASE WHEN keep THEN seg END,
+        |      chr(10) || chr(10) ORDER BY pos), '') AS text_dedup,
+        |    CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_removed
+        |  FROM v1 GROUP BY doc_id
+        |), store1 AS (
+        |  SELECT seg FROM store0
+        |  UNION
+        |  SELECT DISTINCT seg FROM (
+        |    SELECT unnest(string_split(text_dedup, chr(10) || chr(10))) AS seg
+        |    FROM out1)
+        |  WHERE trim(seg) <> ''
+        |), b2 AS (
+        |  SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id - 50
+        |  WHERE a.doc_id >= 150 AND a.doc_id < 200
+        |), s2 AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS seg,
+        |    unnest(generate_series(1,
+        |      len(string_split(text, chr(10) || chr(10))))) AS pos
+        |  FROM b2
+        |), m2 AS (
+        |  SELECT s.doc_id, s.pos, s.seg, trim(s.seg) <> '' AS cand,
+        |    st.seg IS NOT NULL AS seen
+        |  FROM s2 s LEFT JOIN store1 st ON s.seg = st.seg
+        |), r2 AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM m2 WHERE cand AND NOT seen
+        |), v2 AS (
+        |  SELECT m.doc_id, m.pos, m.seg,
+        |    (NOT m.cand) OR (NOT m.seen AND r.rn = 1) AS keep
+        |  FROM m2 m LEFT JOIN r2 r USING (doc_id, pos)
+        |), out2 AS (
+        |  SELECT doc_id,
+        |    COALESCE(string_agg(CASE WHEN keep THEN seg END,
+        |      chr(10) || chr(10) ORDER BY pos), '') AS text_dedup,
+        |    CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_removed
+        |  FROM v2 GROUP BY doc_id
+        |)
+        |SELECT CAST(0 AS BIGINT) AS batch_id, doc_id, text_dedup, n_removed
+        |FROM out1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS batch_id, doc_id, text_dedup, n_removed
+        |FROM out2
+        |ORDER BY batch_id, doc_id""".stripMargin,
 
     "q156_domain_quality" ->
       // q147's URL synthesis + registrable-domain algebra, then the
