@@ -1300,6 +1300,30 @@ object SparkEntry {
         .orderBy(col("batch_id"), col("doc_id"))
     }),
 
+    "q160_perplexity_buckets" -> ((s: SparkSession, dir: String) => {
+      // the CCNet head/middle/tail decision table: tertile the held-out
+      // slice by its q83 LM score, report per-bucket counts + score
+      // range — what a perplexity-filtered pipeline reads before picking
+      // keep thresholds. ntile gives EXACT tertiles; fine for an eval
+      // slice (3 report rows), but the global-order window moves the
+      // scored slice to one partition — corpus-scale bucketing should
+      // cut on approx quantiles (the KLL path) with a map-side gate
+      // instead
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = TextOps.trainNgramLm(d.filter(col("doc_id") % 10 =!= 0),
+        "text", n = 3)
+      val scored = TextOps.ngramLogProbScore(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", lm)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_neg_logp"), col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(w).cast(LongType))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_neg_logp")).as("min_score"),
+          max(col("avg_neg_logp")).as("max_score"))
+        .orderBy(col("bucket"))
+    }),
+
     "q151_quality_gate" -> ((s: SparkSession, dir: String) => {
       // the per-document filter report (C4/Gopher/FineWeb release
       // convention): kept verdict, first-failing rule (funnel
@@ -2562,6 +2586,22 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q83_ngram_lm_score" -> NgramLmOracleSql,
+
+    "q160_perplexity_buckets" ->
+      // the q83 chain as a derived table, tertiled: ntile splits on the
+      // identical (score, doc_id) total order in both engines; min/max
+      // of the round(6) scores are selections, not arithmetic — portable
+      ("WITH lm_scores AS (\n  SELECT * FROM (\n" +
+        NgramLmOracleSql.linesIterator.map("    " + _).mkString("\n") +
+        "\n  )\n), bucketed AS (\n" +
+        "  SELECT avg_neg_logp,\n" +
+        "    ntile(3) OVER (ORDER BY avg_neg_logp, doc_id) AS bucket\n" +
+        "  FROM lm_scores\n)\n" +
+        "SELECT CAST(bucket AS BIGINT) AS bucket,\n" +
+        "  count(*) AS n_docs,\n" +
+        "  min(avg_neg_logp) AS min_score,\n" +
+        "  max(avg_neg_logp) AS max_score\n" +
+        "FROM bucketed GROUP BY bucket ORDER BY bucket"),
 
     "q85_ngram_lm_indexed" -> NgramLmOracleSql,
 
