@@ -902,6 +902,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(p == Map(1L -> ("x||y", 0L), 2L -> ("z", 1L)), s"got $p")
   }
 
+  test("paragraphDedup invariants on random corpora: idempotent (a second " +
+       "pass removes nothing) and exact accounting (removed = instances - " +
+       "distinct paragraphs)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 97)) {
+      val rng = new scala.util.Random(seed)
+      // small paragraph vocabulary forces heavy cross-doc duplication
+      val vocab = (0 until 12).map(i => s"para$i content ${"x" * (i % 4)}")
+      val docs = (0L until 30L).map { id =>
+        val n = 1 + rng.nextInt(5)
+        (id, Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString("\n\n"))
+      }.toDF("doc_id", "text")
+      val once = DedupOps.paragraphDedup(docs, "doc_id", "text")
+        .select(col("doc_id"), col("text_dedup"), col("n_removed"))
+        .localCheckpoint()
+      // accounting: every non-whitespace instance beyond its paragraph's
+      // single keeper is removed, exactly
+      val inst = docs.select(posexplode(split(col("text"), "\n\n"))
+          .as(Seq("p", "seg")))
+        .where(trim(col("seg")) =!= "")
+      val instances = inst.count()
+      val distinct = inst.select("seg").distinct().count()
+      val removed = once.agg(sum(col("n_removed"))).head().getLong(0)
+      assert(removed == instances - distinct,
+        s"seed $seed: removed $removed != $instances - $distinct")
+      // idempotence: the output is a fixed point
+      val twice = DedupOps.paragraphDedup(
+        once.select(col("doc_id"), col("text_dedup").as("text")),
+        "doc_id", "text")
+      assert(twice.agg(sum(col("n_removed"))).head().getLong(0) == 0L,
+        s"seed $seed: second pass must remove nothing")
+    }
+  }
+
   test("paragraph store: against-store dedup equals batch paragraphDedup " +
        "over (landed ++ batch); appends make batch 2 catch batch-1 " +
        "survivors; idempotent; delimiter drift refuses") {
