@@ -1435,12 +1435,13 @@ object DedupOps {
    * reassembles byte-identically (its rebuild is skipped entirely).
    *
    * 100 TB shape: bodies never shuffle. The instance table carries
-   * `(xxhash64(paragraph), id, position)` — 24-ish bytes/paragraph — into
-   * one `min(struct(id, pos))` aggregation (partial-aggregable map-side)
-   * and one equi-join back on the hash; the per-document drop LIST
-   * (positions only, ints) is the only thing grouped to the document,
-   * then the rebuild is a map-side native codegen positional filter over
-   * the original text ([[org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions.dropSegmentsByIndex]]
+   * `(xxhash64(paragraph), id, position)` — 24-ish bytes/paragraph —
+   * through ONE exchange on the hash into a per-hash `row_number`
+   * window (ordered `(id, pos)` — rank 1 is the keeper, everything else
+   * drops); the per-document drop LIST (positions only, ints) is the
+   * only thing grouped to the document, then the rebuild is a map-side
+   * native codegen positional filter over the original text
+   * ([[org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions.dropSegmentsByIndex]]
    * — no interpreted lambda, no body regroup). Hash-keyed like exact
    * dedup's digests: a 64-bit collision (birthday-bounded at ~1e10
    * distinct paragraphs) can wrongly drop a collider — the standard
@@ -1453,16 +1454,26 @@ object DedupOps {
                      out: String = "text_dedup"): DataFrame = {
     require(delimiter.nonEmpty, "delimiter must be non-empty")
     val inst = paragraphInstances(df, idCol, textCol, delimiter)
-    val keeper = inst
-      .groupBy(col("para_hash"))
-      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
-    // non-keeper instances; documents with nothing to drop contribute none
+    // rank instances within their paragraph: rank 1 = the keeper. A
+    // window over the hash beats the earlier min-struct-agg + self-join
+    // (review r10): same single exchange on para_hash, no join back
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("para_hash")).orderBy(col(idCol), col("__pos"))
     val dropInst = inst
-      .join(keeper, Seq("para_hash"))
-      .where(struct(col(idCol), col("__pos")) =!= col("__keep"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
       .select(col(idCol), col("__pos"))
     excisePositions(df, idCol, textCol, delimiter, out, dropInst)
   }
+
+  /** The paragraph-dedup family's internal column names — refuse an id
+    * column that would resolve ambiguously deep in the plan (the
+    * [[requireIdColFree]] convention). */
+  private def requireParaIdColFree(idCol: String): Unit =
+    require(!Set("para_hash", "__pos", "__seg", "__rn", "__seen",
+        "src_batch").contains(idCol),
+      s"idCol '$idCol' collides with a paragraph-dedup internal column — " +
+        "rename it first")
 
   /** The paragraph-instance table shared by the dedup-family heads:
     * `(idCol, __pos, para_hash)` — hash + coordinates only, paragraph
@@ -1471,12 +1482,26 @@ object DedupOps {
   private def paragraphInstances(df: DataFrame, idCol: String,
                                  textCol: String,
                                  delimiter: String): DataFrame = {
+    requireParaIdColFree(idCol)
     val delimLit = java.util.regex.Pattern.quote(delimiter)
     df.select(col(idCol),
         posexplode(split(col(textCol), delimLit)).as(Seq("__pos", "__seg")))
       .where(trim(col("__seg")) =!= "")
       .select(col(idCol), col("__pos"),
         xxhash64(col("__seg")).as("para_hash"))
+  }
+
+  /** Distinct paragraph hashes of a corpus/batch — the land/append
+    * staging shared with [[paragraphInstances]]'s rule (same split, same
+    * whitespace exclusion, same hash: the store's identity definition
+    * lives in ONE place). */
+  private def paragraphHashes(df: DataFrame, textCol: String,
+                              delimiter: String): DataFrame = {
+    val delimLit = java.util.regex.Pattern.quote(delimiter)
+    df.select(explode(split(col(textCol), delimLit)).as("__seg"))
+      .where(trim(col("__seg")) =!= "")
+      .select(xxhash64(col("__seg")).as("para_hash"))
+      .distinct()
   }
 
   /** Shared rebuild tail of the paragraph-dedup family: fold the dropped
@@ -1511,12 +1536,16 @@ object DedupOps {
    * Land the distinct-paragraph-hash STORE that makes [[paragraphDedup]]
    * incremental — the Dolma operating shape: yesterday's corpus owns its
    * paragraphs, and today's batch only needs to know WHICH hashes exist,
-   * not where. The store is one bucketed column of `xxhash64` longs
-   * (8 B/distinct paragraph — a 10^10-paragraph corpus stores ~80 GB,
-   * 0.1% of its text), so probes are a bucketed equi-join that never
-   * rereads or reshuffles the landed corpus. The delimiter is pinned in
-   * a meta table (the [[landNearDupIndex]] rule: probes accept no
-   * parameter the store already owns). Idempotent per session via
+   * not where. The store is a bucketed table of `(para_hash: xxhash64
+   * long, src_batch: long)` — ~16 B/distinct paragraph, still ~0.1% of
+   * text bytes — so probes are a bucketed equi-join that never rereads
+   * or reshuffles the landed corpus. `src_batch` records WHICH append
+   * introduced each hash (-1 for the land): probing with `excludeBatch`
+   * masks a batch's own appends, which is what makes a streaming replay
+   * re-deliver byte-identical documents (see
+   * [[graft.streaming.StreamOps.paragraphDedupBatch]]). The delimiter is
+   * pinned in a meta table (the [[landNearDupIndex]] rule: probes accept
+   * no parameter the store already owns). Idempotent per session via
    * [[graft.sources.BucketedLand.landOnce]];
    * [[graft.sources.BucketedLand.compactTable]] on `<name>_paras`
    * collapses append history.
@@ -1540,12 +1569,8 @@ object DedupOps {
           s"requested ${delimiter.map(_.toInt).mkString("[", ",", "]")}; " +
           "drop the store tables or land under another name")
     }
-    val delimLit = java.util.regex.Pattern.quote(delimiter)
-    val hashes = reference
-      .select(explode(split(col(refTextCol), delimLit)).as("__seg"))
-      .where(trim(col("__seg")) =!= "")
-      .select(xxhash64(col("__seg")).as("para_hash"))
-      .distinct()
+    val hashes = paragraphHashes(reference, refTextCol, delimiter)
+      .withColumn("src_batch", lit(-1L))
     graft.sources.BucketedLand.landOnce(hashes, s"${name}_paras",
       "para_hash", Seq("para_hash"), buckets, path.map(p => s"${p}_paras"))
     ()
@@ -1554,16 +1579,29 @@ object DedupOps {
   /**
    * [[paragraphDedup]] against a landed [[landParagraphStore]]: excise
    * every paragraph the STORE already owns, and apply the first-
-   * occurrence rule WITHIN the incoming batch to the rest — so the
-   * result is exactly what [[paragraphDedup]] over (landed corpus ++
-   * batch) would emit for the batch's documents, without touching the
-   * landed corpus. One left join of the instance table (ints only)
-   * against the bucketed hash store — the store side never shuffles —
-   * then the shared min-struct/rebuild tail. Adds `out` + `n_removed`.
+   * occurrence rule WITHIN the incoming batch to the rest. This is
+   * ARRIVAL-ORDER first occurrence — the store wins over any batch
+   * instance regardless of id values (the landed corpus arrived first),
+   * and equals one-shot [[paragraphDedup]] over (landed ++ batch)
+   * exactly when the landed ids sort before the batch's (the spec pins
+   * that case); with interleaved ids the one-shot op would instead
+   * crown the smallest id, which is NOT the incremental semantics.
+   *
+   * One left join of the instance table (ints only) against the
+   * bucketed hash store — the store side never shuffles — then a single
+   * per-hash `row_number` window ranks batch-fresh instances in the
+   * same pass (store-seen instances drop outright; fresh rank > 1
+   * drop), feeding the shared rebuild tail. Adds `out` + `n_removed`.
+   *
+   * `excludeBatch`: ignore store rows whose `src_batch` equals the
+   * given id — the replay mask ([[appendParagraphStore]]'s tag): a
+   * re-run of micro-batch n probes the store AS IT WAS before n's own
+   * append, so its delivery is byte-identical across retries.
    */
   def paragraphDedupAgainstStore(df: DataFrame, idCol: String,
                                  textCol: String, name: String,
-                                 out: String = "text_dedup"): DataFrame = {
+                                 out: String = "text_dedup",
+                                 excludeBatch: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     require(spark.catalog.tableExists(s"${name}_meta"),
       s"no paragraph store '$name' in the session catalog — run " +
@@ -1571,23 +1609,27 @@ object DedupOps {
     val delimiter = spark.table(s"${name}_meta").head()
       .getAs[String]("delimiter")
     val inst = paragraphInstances(df, idCol, textCol, delimiter)
+    val store0 = spark.table(s"${name}_paras")
+    val store = excludeBatch.fold(store0)(b =>
+      store0.where(col("src_batch") =!= lit(b)))
     val marked = inst.join(
-        spark.table(s"${name}_paras").withColumn("__seen", lit(true)),
+        store.select(col("para_hash"), lit(true).as("__seen")),
         Seq("para_hash"), "left")
       .observe(obsName(ObservedMetrics.ParagraphMetrics),
         count(lit(1)).as("instances"),
         count(col("__seen")).as("store_hits"))
-    val seenDrops = marked.where(col("__seen"))
+    // one pass: all instances of a hash share the same __seen (it is a
+    // property of the hash), so store-owned hashes drop every instance
+    // and fresh hashes drop everything past their rank-1 keeper — no
+    // keeper aggregation, no self-join, no triple re-derivation of the
+    // probe subtree (review r10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("para_hash")).orderBy(col(idCol), col("__pos"))
+    val dropInst = marked
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__seen") || col("__rn") > 1)
       .select(col(idCol), col("__pos"))
-    val fresh = marked.where(col("__seen").isNull)
-      .select(col("para_hash"), col(idCol), col("__pos"))
-    val keeper = fresh.groupBy(col("para_hash"))
-      .agg(min(struct(col(idCol), col("__pos"))).as("__keep"))
-    val freshDrops = fresh.join(keeper, Seq("para_hash"))
-      .where(struct(col(idCol), col("__pos")) =!= col("__keep"))
-      .select(col(idCol), col("__pos"))
-    excisePositions(df, idCol, textCol, delimiter, out,
-      seenDrops.union(freshDrops))
+    excisePositions(df, idCol, textCol, delimiter, out, dropInst)
   }
 
   /**
@@ -1597,13 +1639,15 @@ object DedupOps {
    * ([[paragraphDedupAgainstStore]]'s `out` column), so only paragraphs
    * that actually shipped gain ownership. Anti-join idempotent: hashes
    * already stored append nothing, so a crashed-and-retried batch
-   * converges. The batch's new hashes pin via `localCheckpoint` BEFORE
-   * the mutating append (the append-protocol rule: inserts invalidate
-   * cached plans over the target). Returns the number of new distinct
-   * paragraphs stored.
+   * converges — and because the retry's inserts carry the SAME
+   * `batchId` tag, a replayed probe excluding that tag sees the store
+   * exactly as the first attempt did, partial crash or not. The batch's
+   * new hashes pin via `localCheckpoint` BEFORE the mutating append
+   * (the append-protocol rule: inserts invalidate cached plans over the
+   * target). Returns the number of new distinct paragraphs stored.
    */
   def appendParagraphStore(accepted: DataFrame, textCol: String,
-                           name: String): Long = {
+                           name: String, batchId: Long = -1L): Long = {
     val spark = accepted.sparkSession
     require(spark.catalog.tableExists(s"${name}_paras"),
       s"no paragraph store '$name' in the session catalog — run " +
@@ -1615,13 +1659,9 @@ object DedupOps {
         s"${name}_paras"))
       .bucketSpec.getOrElse(throw new IllegalStateException(
         s"appendParagraphStore('$name'): store table is not bucketed"))
-    val delimLit = java.util.regex.Pattern.quote(delimiter)
-    val fresh = accepted
-      .select(explode(split(col(textCol), delimLit)).as("__seg"))
-      .where(trim(col("__seg")) =!= "")
-      .select(xxhash64(col("__seg")).as("para_hash"))
-      .distinct()
+    val fresh = paragraphHashes(accepted, textCol, delimiter)
       .join(spark.table(s"${name}_paras"), Seq("para_hash"), "left_anti")
+      .withColumn("src_batch", lit(batchId))
       .localCheckpoint()
     val n = fresh.count()
     if (n > 0) {

@@ -1509,7 +1509,9 @@ object TextOps {
    * micro-units (`floor(x * 1e6 + 0.5)` — exact in IEEE doubles for
    * |x| < ~4.5e9) BEFORE any aggregation, so every sum is an exact long
    * and no float accumulation order exists; means and the shrunk score
-   * use BIGINT floor division. `shrunk_micro =
+   * use BIGINT `DIV` — TRUNCATING division (toward zero), matching
+   * DuckDB `//` exactly, which for negative-sum domains rounds the
+   * micro-mean toward zero rather than down. `shrunk_micro =
    * (sum_micro + pseudoCount * global_mean_micro) DIV (n + pseudoCount)`
    * with `global_mean_micro = total_sum DIV total_docs`. Long-overflow
    * headroom: sums cap at rows × |metric|×1e6 — at 1e9 docs keep the

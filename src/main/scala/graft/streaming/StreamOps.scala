@@ -1100,12 +1100,19 @@ object StreamOps {
    * pins first (the against-store plan references it from the instance
    * explode AND the rebuild join); the deduped result pins BEFORE the
    * append mutates the very `_paras` table the probe plan reads; the
-   * SINK runs before the append, so a paragraph gains store ownership
-   * only through an attempt that already delivered its document — a
-   * replayed batch re-probes an effectively-unchanged store (the append
-   * is idempotent per hash) and re-delivers the same rows, the standard
-   * at-least-once contract. `compactEvery = n` collapses the append
-   * file history every n-th batch, after the sink.
+   * SINK runs before the append. Replay is BYTE-IDENTICAL, not merely
+   * at-least-once: unlike the whole-document index path (where a replay
+   * after a successful append simply drops already-delivered docs), an
+   * excision op re-delivering against its own appends would ship
+   * over-excised (often empty) documents — so the probe masks the
+   * store's `src_batch == batchId` rows
+   * ([[graft.ops.DedupOps.paragraphDedupAgainstStore]] `excludeBatch`)
+   * and a re-run of micro-batch n sees the store exactly as attempt one
+   * did, whether the crash hit before, during, or after n's append
+   * (the append retry re-tags the same hashes). Relies on Structured
+   * Streaming's guarantee that a failed batch replays under the SAME id
+   * before any later batch starts. `compactEvery = n` collapses the
+   * append file history every n-th batch, after the sink.
    */
   def paragraphDedupBatch(idCol: String, textCol: String, name: String,
                           out: String = "text_dedup",
@@ -1116,10 +1123,10 @@ object StreamOps {
     (batch: DataFrame, batchId: Long) => {
       val pinned = batch.localCheckpoint()
       val deduped = D.paragraphDedupAgainstStore(pinned, idCol, textCol,
-          name, out)
+          name, out, excludeBatch = Some(batchId))
         .localCheckpoint()
       sink(deduped, batchId)
-      if (appendAccepted) D.appendParagraphStore(deduped, out, name)
+      if (appendAccepted) D.appendParagraphStore(deduped, out, name, batchId)
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
         graft.sources.BucketedLand.compactTable(batch.sparkSession,
           s"${name}_paras")

@@ -675,6 +675,28 @@ class StreamingSpec extends SparkTestBase {
         "doc_id", "text", store)
         .select("text_dedup").head().getString(0)
       assert(again == "ZETA", s"got '$again'")
+      // TRUE REPLAY: re-run batch 0 under its original id AFTER its
+      // appends are in the store. The src_batch mask must reproduce the
+      // first attempt's delivery byte-identically — without it, GAMMA
+      // (appended by batch 0 itself) would be excised from doc 10 and
+      // the replay would ship a gutted document
+      val replayed =
+        scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      val replayBody = StreamOps.paragraphDedupBatch("doc_id", "text",
+        store) { (df, _) =>
+          replayed ++= df.select("doc_id", "text_dedup", "n_removed")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        }
+      replayBody(Seq((10L, "BETA\n\nGAMMA"), (11L, "GAMMA\n\nDELTA"))
+        .toDF("doc_id", "text"), 0L)
+      assert(replayed.toSet == Set((10L, "GAMMA", 1L), (11L, "DELTA", 1L)),
+        s"replay must be byte-identical: $replayed")
+      // and the replayed append converged: batch-1's DELTA ownership by
+      // batch 0 is unchanged (still exactly one row per hash)
+      spark.catalog.refreshTable(s"${store}_paras")
+      val dup = spark.table(s"${store}_paras").groupBy("para_hash")
+        .count().filter(col("count") > 1).count()
+      assert(dup == 0L, "replayed append must not duplicate store rows")
     } finally Seq("_meta", "_paras").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $store$s"))
   }
