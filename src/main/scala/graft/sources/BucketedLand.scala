@@ -94,26 +94,42 @@ object BucketedLand {
    * the original and `ALTER TABLE RENAME` the side table over it (catalog
    * move); external tables move the side DIRECTORY onto the original path
    * and re-register the table at its unchanged location. At every step at
-   * least one complete on-disk copy of the data exists — a crash loses at
-   * most catalog metadata, recoverable by re-issuing the registration (or
-   * simply re-running compaction, which clears a stale side table first).
-   * The swap itself is the standard non-transactional-metastore window:
-   * a concurrent reader in ANOTHER session can observe the table briefly
-   * absent from the catalog; run compaction from the session that owns
-   * the index (the [[graft.streaming.StreamOps.dedupAgainstIndexBatch]]
-   * `compactEvery` placement), as with any such metastore.
+   * least one complete on-disk copy of the data exists — PROVIDED the
+   * filesystem renames directories atomically (HDFS/posix; on a
+   * copy+delete object store a failed rename can leave the copy split —
+   * there, prefer re-landing from upstream over in-place compaction). A
+   * crash loses at most catalog metadata: before the original's DROP a
+   * re-run of compaction recovers (it clears the stale side table
+   * first); after the DROP, re-issue the registration by hand (the data
+   * sits complete at the original or side location — a re-RUN cannot,
+   * since the target name no longer resolves). Custom catalog metadata
+   * (COMMENT, user TBLPROPERTIES) does not survive the swap — the
+   * engine's index tables carry none; preserve any before compacting a
+   * table that does. The swap itself is the standard
+   * non-transactional-metastore window: a concurrent reader in ANOTHER
+   * session can observe the table briefly absent from the catalog; run
+   * compaction from the session that owns the index (the
+   * [[graft.streaming.StreamOps.dedupAgainstIndexBatch]] `compactEvery`
+   * placement), as with any such metastore. In-process, compactions
+   * serialize on a JVM-wide lock (two concurrent swaps would also race
+   * the forced-bucketed-scan conf save/restore).
    *
    * Returns (filesBefore, filesAfter) parquet data-file counts for
    * observability; `filesAfter <= numBuckets` on success.
    */
   def compactTable(spark: org.apache.spark.sql.SparkSession,
-                   table: String): (Long, Long) = {
+                   table: String): (Long, Long) = compactLock.synchronized {
+    requireSinglePart(table)
     val meta = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
       s"compactTable('$table'): table is not bucketed — " +
         "compactPartitionedTable handles partitioned tables; for plain " +
         "tables just rewrite"))
+    require(meta.partitionColumnNames.isEmpty,
+      s"compactTable('$table'): table is bucketed AND partitioned — this " +
+        "rewrite would drop the partition layout; compaction for the " +
+        "combined layout is not implemented")
     val bCols = spec.bucketColumnNames
     val sortCols = spec.sortColumnNames
     // FORCE the bucketed scan for the rewrite. With auto-bucketed-scan on
@@ -128,19 +144,34 @@ object BucketedLand {
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val autoPrev = spark.conf.getOption(autoKey)
     spark.conf.set(autoKey, "false")
-    try rewriteViaSideTable(spark, table, meta) { (live, w) =>
+    try rewriteViaSideTable(spark, table, meta) { live =>
       val aligned = live.repartition(spec.numBuckets,
         bCols.map(org.apache.spark.sql.functions.col): _*)
       val w0 = aligned.write.mode("errorifexists")
         .bucketBy(spec.numBuckets, bCols.head, bCols.tail: _*)
       val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
                else w0
-      w(w1.format("parquet"))
+      w1.format("parquet")
     } finally autoPrev match {
       case Some(v) => spark.conf.set(autoKey, v)
       case None    => spark.conf.unset(autoKey)
     }
   }
+
+  /** The side name, backticked DDL, and getTableMetadata must all resolve
+    * the SAME identifier — multipart names would diverge (spark.table
+    * parses the dot, TableIdentifier does not). */
+  private def requireSinglePart(table: String): Unit =
+    require(!table.contains('.') && !table.contains('`'),
+      s"compaction: '$table' must be a single-part table name in the " +
+        "current database — USE the database first")
+
+  /** Compactions serialize JVM-wide: a second concurrent swap would race
+    * the side-table names AND the forced-scan conf save/restore (the
+    * second caller would snapshot the first's override as the value to
+    * "restore", pinning the session config wrong forever). Compaction is
+    * a rare maintenance step; serializing it is the correct shape. */
+  private val compactLock = new Object
 
   /**
    * [[compactTable]] for a PARTITIONED (not bucketed) table — the ANN
@@ -152,18 +183,24 @@ object BucketedLand {
    * file per partition value. Returns (filesBefore, filesAfter).
    */
   def compactPartitionedTable(spark: org.apache.spark.sql.SparkSession,
-                              table: String): (Long, Long) = {
+                              table: String): (Long, Long) =
+    compactLock.synchronized {
+    requireSinglePart(table)
     val meta = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))
     require(meta.partitionColumnNames.nonEmpty,
       s"compactPartitionedTable('$table'): table is not partitioned — " +
         "use compactTable for bucketed tables")
+    require(meta.bucketSpec.isEmpty,
+      s"compactPartitionedTable('$table'): table is partitioned AND " +
+        "bucketed — this rewrite would drop the bucket spec; compaction " +
+        "for the combined layout is not implemented")
     val partCols = meta.partitionColumnNames
-    rewriteViaSideTable(spark, table, meta) { (live, w) =>
-      w(live.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+    rewriteViaSideTable(spark, table, meta) { live =>
+      live.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
         .write.mode("errorifexists")
         .partitionBy(partCols: _*)
-        .format("parquet"))
+        .format("parquet")
     }
   }
 
@@ -185,15 +222,15 @@ object BucketedLand {
 
   /** The shared side-table-swap scaffolding of the two compaction
     * variants (see [[compactTable]]'s durability contract). `body` writes
-    * the compacted rows: it receives the LIVE table frame and a callback
-    * that lands the prepared writer as the side table (managed, or at the
-    * side path for external originals). */
+    * the compacted rows: it receives the LIVE table frame and returns the
+    * prepared writer, which the scaffold lands as the side table
+    * (managed, or at the side path for external originals). */
   private def rewriteViaSideTable(
       spark: org.apache.spark.sql.SparkSession, table: String,
       meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)(
-      body: (org.apache.spark.sql.DataFrame,
-             org.apache.spark.sql.DataFrameWriter[
-               org.apache.spark.sql.Row] => Unit) => Unit): (Long, Long) = {
+      body: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrameWriter[
+              org.apache.spark.sql.Row]): (Long, Long) = {
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val external = meta.tableType ==
@@ -201,14 +238,29 @@ object BucketedLand {
     val side = s"${table}__compact"
     val sideLoc = new org.apache.hadoop.fs.Path(
       loc.getParent, loc.getName + "__compact")
-    // clear leftovers of a crashed earlier compaction attempt
-    spark.sql(s"DROP TABLE IF EXISTS `$side`")
+    // clear leftovers of a crashed earlier compaction attempt — but only
+    // what LOOKS like a leftover: a genuine one is schema-identical to
+    // the target (same rows, same rewrite), so an unrelated user table
+    // that happens to be named `<table>__compact` refuses loudly instead
+    // of being silently destroyed
+    if (spark.catalog.tableExists(side)) {
+      val sideSchema = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(side)).schema
+        .fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+      val wantSchema =
+        meta.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+      if (sideSchema != wantSchema) throw new IllegalStateException(
+        s"compaction of '$table': a table named '$side' exists with a " +
+          s"DIFFERENT schema — it does not look like a crashed " +
+          "compaction's leftover; drop or rename it yourself first")
+      spark.sql(s"DROP TABLE `$side`")
+    }
     if (fs.exists(sideLoc)) fs.delete(sideLoc, true)
     val before = parquetFileCount(spark, loc)
     // 1. side write, reading the live table — original untouched on failure
-    body(spark.table(table), w =>
-      (if (external) w.option("path", sideLoc.toString) else w)
-        .saveAsTable(side))
+    val w = body(spark.table(table))
+    (if (external) w.option("path", sideLoc.toString) else w)
+      .saveAsTable(side)
     // 2. swap
     if (external) {
       // catalog-only drop (external), move the compacted directory onto
@@ -221,8 +273,10 @@ object BucketedLand {
       spark.sql(s"DROP TABLE `$table`")
       if (fs.exists(loc)) fs.delete(loc, true)
       if (!fs.rename(sideLoc, loc)) throw new IllegalStateException(
-        s"compaction of '$table': rename $sideLoc -> $loc failed; data is " +
-          s"intact at $sideLoc — re-register manually or re-run compaction")
+        s"compaction of '$table': rename $sideLoc -> $loc failed — on an " +
+          "atomic-rename filesystem the data is intact at the side " +
+          "location; on a copy+delete object store the copy may be SPLIT " +
+          "across both paths — inspect before re-registering either")
       spark.sql(s"DROP TABLE `$side`")
       spark.sessionState.catalog.createTable(
         sideMeta.copy(

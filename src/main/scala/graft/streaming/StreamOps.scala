@@ -1035,9 +1035,9 @@ object StreamOps {
    * [[graft.ops.DedupOps.compactNearDupIndex]] after the append on every
    * n-th batch (batchId % n == n - 1) — between batches, never
    * concurrently with a probe, and AFTER the sink so a compaction crash
-   * can only lose file-layout work, never delivered rows (see
-   * compactTable's crash note: re-land from upstream if it dies
-   * mid-rewrite). 0 disables.
+   * can only lose file-layout or catalog work, never data or delivered
+   * rows (compactTable's side-table-swap contract: the original stays
+   * intact until a complete compacted copy exists). 0 disables.
    */
   def dedupAgainstIndexBatch(idCol: String, textCol: String, name: String,
                              threshold: Double = 0.7, maxRefBucket: Int = 0,

@@ -2096,6 +2096,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(DedupOps.appendNearDupIndex(accP, "text", idx) == 1L)
   }
 
+  test("compaction guards: bucketed+partitioned layouts refuse (both " +
+       "entry points), a schema-mismatched __compact name collision " +
+       "refuses instead of deleting, multipart names refuse") {
+    import graft.sources.BucketedLand
+    val both = "graft_compact_guard_both"
+    val plainT = "graft_compact_guard_plain"
+    Seq(both, plainT, s"${plainT}__compact")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Seq((1L, "a", 1), (2L, "b", 2)).toDF("k", "p", "v")
+        .write.partitionBy("p").bucketBy(4, "k").sortBy("k")
+        .format("parquet").saveAsTable(both)
+      val e1 = intercept[IllegalArgumentException] {
+        BucketedLand.compactTable(spark, both)
+      }
+      assert(e1.getMessage.contains("bucketed AND partitioned"))
+      val e2 = intercept[IllegalArgumentException] {
+        BucketedLand.compactPartitionedTable(spark, both)
+      }
+      assert(e2.getMessage.contains("partitioned AND bucketed"))
+      // unrelated table squatting on the side name: refuse, don't delete
+      Seq((1L, 1)).toDF("k", "v")
+        .write.bucketBy(4, "k").sortBy("k").format("parquet")
+        .saveAsTable(plainT)
+      Seq(("not", "related")).toDF("x", "y")
+        .write.format("parquet").saveAsTable(s"${plainT}__compact")
+      val e3 = intercept[IllegalStateException] {
+        BucketedLand.compactTable(spark, plainT)
+      }
+      assert(e3.getMessage.contains("DIFFERENT schema"))
+      assert(spark.table(s"${plainT}__compact").count() == 1L,
+        "the colliding table must survive untouched")
+      intercept[IllegalArgumentException] {
+        BucketedLand.compactTable(spark, s"default.$plainT")
+      }
+    } finally Seq(both, plainT, s"${plainT}__compact")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("text ops do not clobber a pre-existing __tok column") {
     val d = Seq((0L, "the quick brown fox", "USER DATA"))
       .toDF("doc_id", "text", "__tok")
