@@ -707,13 +707,20 @@ object OracleSqlGen {
     * `corp(doc_id, text)` CTE already in scope, emits a `hashed(doc_id,
     * clen, ch)` CTE — one row per chunk with its code-point length and
     * md5-31 content hash. Replays `graftdedup.GraftCdcKernel` exactly:
-    * window-16 polynomial hash mod 2^31 (31^16 mod 2^31 = 1353309697;
+    * sliding `windowLen`-code-point polynomial hash mod 2^31 (eviction
+    * constant 31^windowLen mod 2^31 computed here from the same rule;
     * two's-complement `&` makes the eviction subtraction exact on both
     * engines), cut at len >= minLen with low maskBits zero, forced cut at
     * maxLen, final partial chunk closes at text end. Shared by the
-    * q148/q149 oracles so the recurrence lives in one place. */
-  def cdcWalkCtes(minLen: Int, maskBits: Int, maxLen: Int): String = {
+    * q148/q149 oracles so the recurrence lives in one place.
+    * `windowLen` must match the kernel call being replayed (default 16,
+    * the engine default) — the eviction offset and 31^W constant are
+    * derived from it, so a mismatched window silently diverges. */
+  def cdcWalkCtes(minLen: Int, maskBits: Int, maxLen: Int,
+                  windowLen: Int = 16): String = {
     val mask = (1 << maskBits) - 1
+    require(windowLen >= 1, s"cdcWalkCtes: windowLen >= 1, got $windowLen")
+    val pow = (1 to windowLen).foldLeft(1L)((a, _) => (a * 31L) & 0x7fffffffL)
     s"""walk AS (
        |  SELECT doc_id, text, 0 AS pos, CAST(0 AS BIGINT) AS h,
        |    0 AS last_b, false AS is_b
@@ -728,10 +735,11 @@ object OracleSqlGen {
        |        OR (pos + 1 - last_b) >= $maxLen) AS bnd
        |    FROM (
        |      SELECT doc_id, text, pos, last_b,
-       |        CASE WHEN pos >= 16
+       |        CASE WHEN pos >= $windowLen
        |          THEN ((h * 31 + ord(substr(text, pos + 1, 1))
-       |                 - ((CAST(ord(substr(text, pos - 15, 1)) AS BIGINT)
-       |                     * 1353309697) & 2147483647)) & 2147483647)
+       |                 - ((CAST(ord(substr(text, pos - ${windowLen - 1}, 1))
+       |                       AS BIGINT)
+       |                     * $pow) & 2147483647)) & 2147483647)
        |          ELSE ((h * 31 + ord(substr(text, pos + 1, 1)))
        |                & 2147483647)
        |        END AS nh
@@ -762,13 +770,14 @@ object OracleSqlGen {
   }
 
   /** q148: CDC chunk sharing between originals and front-edited copies. */
-  def cdcChunksSql(minLen: Int, maskBits: Int, maxLen: Int): String =
+  def cdcChunksSql(minLen: Int, maskBits: Int, maxLen: Int,
+                   windowLen: Int = 16): String =
     s"""WITH RECURSIVE corp AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
        |  UNION ALL
        |  SELECT doc_id + 1000000, 'zq inserted preamble token ' || text
        |  FROM documents WHERE doc_id < 100
-       |), ${cdcWalkCtes(minLen, maskBits, maxLen)},
+       |), ${cdcWalkCtes(minLen, maskBits, maxLen, windowLen)},
        |orig AS (
        |  SELECT DISTINCT doc_id AS orig_id, ch FROM hashed
        |  WHERE doc_id < 1000000
@@ -791,7 +800,8 @@ object OracleSqlGen {
     * versions (the q84 corpusDiff construction: every-7th doc removed,
     * every-5th edited, 15 appended). Distinct-chunk accounting: a chunk
     * hash already in v1's store costs nothing to store for v2. */
-  def cdcDeltaSql(minLen: Int, maskBits: Int, maxLen: Int): String =
+  def cdcDeltaSql(minLen: Int, maskBits: Int, maxLen: Int,
+                  windowLen: Int = 16): String =
     s"""WITH RECURSIVE corp AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -803,7 +813,7 @@ object OracleSqlGen {
        |  SELECT doc_id + 3000000 AS doc_id,
        |    translate(text, 'aeiou', 'xyzvw') AS text
        |  FROM documents WHERE doc_id < 15
-       |), ${cdcWalkCtes(minLen, maskBits, maxLen)},
+       |), ${cdcWalkCtes(minLen, maskBits, maxLen, windowLen)},
        |flags AS (
        |  SELECT ch, max(clen) AS clen,
        |    max(CASE WHEN doc_id < 2000000 THEN 1 ELSE 0 END) AS in1,

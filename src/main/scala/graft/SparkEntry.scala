@@ -4521,15 +4521,27 @@ object SparkEntry {
       // ordered CASE; concat_ws skips the NULL legs exactly like
       // array_join over the concat-of-empty-arrays form; counts CAST
       // BIGINT (the q89 HUGEINT lesson)
-      """WITH f AS (
+      """WITH tk AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN length(body) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(body, '[ \t\n\r\f]+'))
+        |    END AS ntok,
+        |    CASE WHEN length(body) = 0 THEN 0
+        |         ELSE length(list_distinct(
+        |           regexp_split_to_array(body, '[ \t\n\r\f]+')))
+        |    END AS ndis
+        |  FROM (SELECT doc_id, text, lang,
+        |          regexp_replace(text, '^[ \t\n\r\f]+|[ \t\n\r\f]+$',
+        |            '', 'g') AS body
+        |        FROM documents)
+        |), f AS (
         |  SELECT doc_id,
         |    NOT coalesce(length(text) >= 150, FALSE) AS f0,
-        |    NOT coalesce(length(string_split(text, ' ')) >= 25, FALSE) AS f1,
-        |    NOT coalesce(
-        |      CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |        / length(string_split(text, ' ')) >= 0.32, FALSE) AS f2,
+        |    NOT coalesce(ntok >= 25, FALSE) AS f1,
+        |    NOT coalesce(CASE WHEN ntok > 0
+        |      THEN CAST(ndis AS DOUBLE) / ntok >= 0.32 END, FALSE) AS f2,
         |    NOT coalesce(lang IN ('en'), FALSE) AS f3
-        |  FROM documents)
+        |  FROM tk)
         |SELECT doc_id, NOT (f0 OR f1 OR f2 OR f3) AS kept,
         |  CASE WHEN f0 THEN 'min_chars' WHEN f1 THEN 'min_tokens'
         |       WHEN f2 THEN 'diversity' WHEN f3 THEN 'lang' END AS fail_first,
@@ -4548,15 +4560,27 @@ object SparkEntry {
       // sequential-funnel replay: first-fail index once, per-rule first-
       // fail + independent sums in ONE aggregate CTE, k rows via UNION ALL
       // with n_in unwound cumulatively; every sum CAST BIGINT
-      """WITH f AS (
+      """WITH tk AS (
+        |  SELECT text, lang,
+        |    CASE WHEN length(body) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(body, '[ \t\n\r\f]+'))
+        |    END AS ntok,
+        |    CASE WHEN length(body) = 0 THEN 0
+        |         ELSE length(list_distinct(
+        |           regexp_split_to_array(body, '[ \t\n\r\f]+')))
+        |    END AS ndis
+        |  FROM (SELECT text, lang,
+        |          regexp_replace(text, '^[ \t\n\r\f]+|[ \t\n\r\f]+$',
+        |            '', 'g') AS body
+        |        FROM documents)
+        |), f AS (
         |  SELECT
         |    NOT coalesce(length(text) >= 150, FALSE) AS f0,
-        |    NOT coalesce(length(string_split(text, ' ')) >= 25, FALSE) AS f1,
-        |    NOT coalesce(
-        |      CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |        / length(string_split(text, ' ')) >= 0.32, FALSE) AS f2,
+        |    NOT coalesce(ntok >= 25, FALSE) AS f1,
+        |    NOT coalesce(CASE WHEN ntok > 0
+        |      THEN CAST(ndis AS DOUBLE) / ntok >= 0.32 END, FALSE) AS f2,
         |    NOT coalesce(lang IN ('en'), FALSE) AS f3
-        |  FROM documents),
+        |  FROM tk),
         |x AS (
         |  SELECT CASE WHEN f0 THEN 0 WHEN f1 THEN 1 WHEN f2 THEN 2
         |              WHEN f3 THEN 3 END AS ff, f0, f1, f2, f3 FROM f),

@@ -51,16 +51,16 @@ object GateOps {
   def gate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     checkRules(df, rules)
     val fails = rules.map { case (_, p) => !coalesce(p, lit(false)) }
-    val failFirst = rules.zip(fails).foldRight(lit(null).cast(StringType)) {
-      case (((name, _), f), acc) => when(f, lit(name)).otherwise(acc)
-    }
     val emptyArr = array().cast(ArrayType(StringType, containsNull = false))
     val failedArr = concat(rules.zip(fails).map { case ((name, _), f) =>
       when(f, array(lit(name))).otherwise(emptyArr)
     }: _*)
     df.withColumn("failed_rules", failedArr)
       .withColumn("kept", size(col("failed_rules")) === 0)
-      .withColumn("fail_first", failFirst)
+      // failed_rules is already in declaration order, so the funnel
+      // attribution is just its head (null when kept) — one place owns
+      // the NULL-as-failure convention instead of a second CASE chain
+      .withColumn("fail_first", get(col("failed_rules"), lit(0)))
       .withColumn("n_failed", size(col("failed_rules")).cast(LongType))
   }
 
@@ -125,10 +125,14 @@ object GateOps {
 
   /**
    * [[gate]] plus the funnel counts as a `Dataset.observe` metric — the
-   * STREAMING funnel: in a `writeStream` the per-batch drop-by-rule
-   * counts arrive at a `StreamingQueryListener` (or
-   * `QueryExecutionListener` in batch) on rows already flowing, zero
-   * extra jobs and no second aggregation pass. Counts are accumulator
+   * STREAMING funnel: in a `writeStream` the per-batch counts arrive at
+   * a `StreamingQueryListener` (or `QueryExecutionListener` in batch) on
+   * rows already flowing, zero extra jobs and no second aggregation
+   * pass. The metric carries `total`, `kept`, and per-rule INDEPENDENT
+   * failure counts (a doc failing two rules counts in both) — total
+   * minus kept is the dropped count; first-fail funnel attribution
+   * needs [[gateFunnel]], it cannot be reconstructed from these sums
+   * when rules overlap. Counts are accumulator
    * semantics: per executed query, exact below any shuffle boundary
    * (see the [[graft.ops.DedupOps.ObservedMetrics]] caveats on limited
    * executions).
@@ -157,13 +161,24 @@ object GateOps {
                         keepLangs: Seq[String] = Seq("en"))
       : Seq[(String, Column)] = {
     val t = col(textCol)
-    val tok = split(t, " ")
+    // WHITESPACE tokenization (the C4/Gopher convention — newline/tab
+    // separated text must count as many tokens, runs of spaces must not
+    // mint empty ones): strip edge whitespace, split on runs. Explicit
+    // [ \t\n\r\f] class because Java's \s and RE2's \s disagree on \x0B —
+    // this one replays identically in any engine.
+    val ws = "[ \\t\\n\\r\\f]"
+    val body = regexp_replace(t, s"^$ws+|$ws+$$", "")
+    val tok = split(body, s"$ws+")
+    // all-whitespace/empty text splits to [""] — count it as 0 tokens
+    val nTok = when(length(body) === 0, lit(0)).otherwise(size(tok))
     Seq(
       "min_chars" -> (length(t) >= minChars),
-      "min_tokens" -> (size(tok) >= minTokens),
+      "min_tokens" -> (nTok >= minTokens),
+      // guarded ratio: 0 tokens -> NULL -> fail-closed (and never a
+      // float division by zero, which ANSI float math turns into Inf)
       "diversity" ->
-        (size(array_distinct(tok)).cast(DoubleType) /
-          size(tok).cast(DoubleType) >= minDistinctRatio),
+        when(nTok > 0, size(array_distinct(tok)).cast(DoubleType) /
+          nTok.cast(DoubleType) >= minDistinctRatio),
       "lang" -> col(langCol).isInCollection(keepLangs))
   }
 }

@@ -8,7 +8,6 @@ package org.apache.spark.sql.catalyst.expressions.graftdedup
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -41,16 +40,22 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object GraftCdcKernel {
   /** Exclusive end offsets (code points) of each chunk; empty for empty
-    * text. The final partial chunk always closes at the text end. */
+    * text. The final partial chunk always closes at the text end.
+    * Hot-path shape: one primitive int buffer grown geometrically, no
+    * per-boundary boxing, and `UnsafeArrayData.fromPrimitiveArray` so the
+    * result is built in a single copy (the boxed `GenericArrayData(Any*)`
+    * route re-copies through the catch-all Seq constructor). */
   def boundaries(text: UTF8String, minLen: Int, maskBits: Int,
-                 maxLen: Int, windowLen: Int): GenericArrayData = {
+                 maxLen: Int, windowLen: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
     val s = text.toString
     val mask = (1 << maskBits) - 1
     var pow = 1L // 31^windowLen mod 2^31
     var w = 0
     while (w < windowLen) { pow = (pow * 31L) & 0x7fffffffL; w += 1 }
     val ring = new Array[Int](windowLen)
-    val out = new java.util.ArrayList[Any]()
+    var out = new Array[Int](16)
+    var m = 0
     var h = 0L
     var lastB = 0
     var cp = 0          // code-point index
@@ -68,12 +73,17 @@ object GraftCdcKernel {
       cp += 1
       val len = cp - lastB
       if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
-        out.add(cp)
+        if (m == out.length) out = java.util.Arrays.copyOf(out, m << 1)
+        out(m) = cp; m += 1
         lastB = cp
       }
     }
-    if (lastB < cp) out.add(cp)
-    new GenericArrayData(out.toArray)
+    if (lastB < cp) {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, m + 1)
+      out(m) = cp; m += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
   }
 }
 
