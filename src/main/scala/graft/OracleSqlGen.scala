@@ -769,6 +769,55 @@ object OracleSqlGen {
        |)""".stripMargin
   }
 
+  /** DSIR score replay (q161/q162): hashed unigram+bigram buckets
+    * (md5-31 % dim, the q64 family; bigrams via the q105 adjacent-pair
+    * pattern), per-side counts split on `doc_id % targetMod`, DENSE
+    * ratio spine over range(dim) so unseen buckets go through the row
+    * path, each side's ln fixed to integer micro-nats BEFORE the
+    * difference (alpha = 1.0, the engine default). Emits a
+    * `scored(doc_id, n_features, logw_micro)` CTE. */
+  def dsirScoreCtes(dim: Int, targetMod: Int): String =
+    s"""tokarr AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id, unnest(toks) AS f FROM tokarr
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS f
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks) - 1)) AS i FROM tokarr)
+       |), fb AS (
+       |  SELECT doc_id, (('0x' || substr(md5(f), 1, 16))::UBIGINT
+       |    & 2147483647::UBIGINT)::BIGINT % $dim AS bucket
+       |  FROM feats
+       |), tc AS (
+       |  SELECT bucket, count(*) AS ct FROM fb
+       |  WHERE doc_id % $targetMod = 0 GROUP BY bucket
+       |), rc AS (
+       |  SELECT bucket, count(*) AS cr FROM fb
+       |  WHERE doc_id % $targetMod <> 0 GROUP BY bucket
+       |), tot AS (
+       |  SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS nt,
+       |         (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rc) AS nr
+       |), ratio AS (
+       |  SELECT s.range AS bucket,
+       |    CAST(floor(ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + 1.0 * $dim))
+       |      * 1000000.0 + 0.5) AS BIGINT)
+       |    - CAST(floor(ln((coalesce(r.cr, 0) + 1.0) / (tot.nr + 1.0 * $dim))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS lru
+       |  FROM range(0, $dim) s
+       |  LEFT JOIN tc t ON t.bucket = s.range
+       |  LEFT JOIN rc r ON r.bucket = s.range
+       |  CROSS JOIN tot
+       |), scored AS (
+       |  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+       |    CAST(sum(ratio.lru) AS BIGINT) AS logw_micro
+       |  FROM fb JOIN ratio USING (bucket)
+       |  GROUP BY fb.doc_id
+       |)""".stripMargin
+
   /** q148: CDC chunk sharing between originals and front-edited copies. */
   def cdcChunksSql(minLen: Int, maskBits: Int, maxLen: Int,
                    windowLen: Int = 16): String =

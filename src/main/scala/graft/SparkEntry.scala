@@ -1324,6 +1324,36 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "q161_dsir_scores" -> ((s: SparkSession, dir: String) => {
+      // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+      // distributions over a target slice vs the raw remainder, per-doc
+      // logw_micro = exact integer sum of per-side micro-nat log probs.
+      // dim kept small (1024) so the oracle's dense bucket spine is cheap
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val model = TextOps.trainDsir(d.filter(col("doc_id") % 11 === 0),
+        d.filter(col("doc_id") % 11 =!= 0), "text", dim = 1024)
+      TextOps.dsirScore(d, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q162_dsir_resample" -> ((s: SparkSession, dir: String) => {
+      // the resampling half of DSIR: Gumbel top-k per shard over the raw
+      // pool's importance weights — sampling ∝ w decided wholly in log
+      // space (integer micro-nats + quantized Gumbel noise), per-shard
+      // top-k as the scale-safe global sample
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val model = TextOps.trainDsir(d.filter(col("doc_id") % 11 === 0),
+        d.filter(col("doc_id") % 11 =!= 0), "text", dim = 1024)
+      val pool = TextOps.dsirScore(d.filter(col("doc_id") % 11 =!= 0),
+        "doc_id", "text", model)
+      val sharded = graft.ops.SampleOps.assignShards(pool, "doc_id", 4)
+      graft.ops.SampleOps.gumbelTopKPerGroup(sharded, "shard", "doc_id",
+          "logw_micro", 25)
+        .select(col("shard").cast(LongType), col("sample_rank"),
+          col("doc_id"), col("logw_micro"))
+        .orderBy(col("shard"), col("sample_rank"))
+    }),
+
     "q151_quality_gate" -> ((s: SparkSession, dir: String) => {
       // the per-document filter report (C4/Gopher/FineWeb release
       // convention): kept verdict, first-failing rule (funnel
@@ -2604,6 +2634,41 @@ object SparkEntry {
         "FROM bucketed GROUP BY bucket ORDER BY bucket"),
 
     "q85_ngram_lm_indexed" -> NgramLmOracleSql,
+
+    "q161_dsir_scores" ->
+      // OracleSqlGen.dsirScoreCtes replays the hashed-ngram ratio model:
+      // per-side ln fixed to micro-nats before differencing, logw is an
+      // exact integer sum (any order); sums CAST BIGINT (HUGEINT rule)
+      (s"WITH ${OracleSqlGen.dsirScoreCtes(1024, 11)}\n" +
+        "SELECT doc_id, n_features, logw_micro FROM scored ORDER BY doc_id"),
+
+    "q162_dsir_resample" ->
+      // Gumbel top-k replay: shard + noise from the named md5-31 salts,
+      // rank = logw_micro + quantized Gumbel, ties to doc_id — the same
+      // integer total order the engine window uses
+      (s"WITH ${OracleSqlGen.dsirScoreCtes(1024, 11)},\n" +
+        """pool AS (
+          |  SELECT * FROM scored WHERE doc_id % 11 <> 0
+          |), rk AS (
+          |  SELECT doc_id, logw_micro,
+          |    (('0x' || substr(md5('graft-shard:' || CAST(doc_id AS VARCHAR)),
+          |      1, 16))::UBIGINT & 2147483647::UBIGINT)::BIGINT % 4 AS shard,
+          |    logw_micro + CAST(floor(-ln(-ln(
+          |      ((('0x' || substr(md5('graft-gumbel:'
+          |            || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+          |        & 2147483647::UBIGINT)::BIGINT + 1.0) / 2147483649.0))
+          |      * 1000000.0 + 0.5) AS BIGINT) AS r
+          |  FROM pool
+          |), ranked AS (
+          |  SELECT shard, doc_id, logw_micro,
+          |    row_number() OVER (PARTITION BY shard ORDER BY r DESC, doc_id)
+          |      AS sample_rank
+          |  FROM rk
+          |)
+          |SELECT shard, CAST(sample_rank AS BIGINT) AS sample_rank,
+          |  doc_id, logw_micro
+          |FROM ranked WHERE sample_rank <= 25
+          |ORDER BY shard, sample_rank""".stripMargin),
 
 
     "q81_duplicate_spans" -> (DuplicateSpanCtes +

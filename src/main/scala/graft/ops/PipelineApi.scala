@@ -407,6 +407,21 @@ object pipeline {
         TextOps.cdcDeltaReport(df, newer, idCol, textCol, minLen, maskBits,
           maxLen, windowLen)
 
+      def trainDsir(raw: DataFrame, textCol: String = "text",
+                    dim: Int = 1 << 16, alpha: Double = 1.0,
+                    cache: Boolean = true): TextOps.DsirModel =
+        TextOps.trainDsir(df, raw, textCol, dim, alpha, cache)
+
+      def dsirScore(model: TextOps.DsirModel, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+        TextOps.dsirScore(df, idCol, textCol, model)
+
+      def gumbelTopKPerGroup(groupCol: String, keyCol: String,
+                             weightMicroCol: String, k: Int,
+                             salt: String = "graft-gumbel"): DataFrame =
+        SampleOps.gumbelTopKPerGroup(df, groupCol, keyCol, weightMicroCol,
+          k, salt)
+
       def rateSpikesAgainstBaseline(baseline: DataFrame,
                                     tsCol: String = "ts",
                                     typeCol: String = "event_type",

@@ -410,6 +410,47 @@ object SampleOps {
   }
 
   /**
+   * Deterministic GUMBEL top-k per group — weighted sampling without
+   * replacement ∝ `exp(weight_micro / 1e6)`, decided entirely in LOG
+   * space (Gumbel-max: rank by `log w + g`, `g = −ln(−ln(u))` with the
+   * md5-31 deterministic uniform). The log-space sibling of
+   * [[weightedTopKPerGroup]]: A-ES needs the weight as a positive double,
+   * which dies when the weight IS a log (a DSIR `logw_micro` spans
+   * thousands of nats — `exp` overflows any double). Both the weight and
+   * the quantized Gumbel noise are integer micro-nats, so the rank order
+   * is a total order any engine reproduces (ties on the sum break to the
+   * key). Same WindowGroupLimit shape as [[capPerGroup]]/q116 — the
+   * top-k maintenance runs below the sort, no group ever materializes.
+   * For a global budget over a huge corpus, group by [[assignShards]]
+   * shards and take `k = budget / nShards` per shard (ranks are iid
+   * across shards, so per-shard top-k is the scale-safe global sample).
+   * Null weights never qualify (a doc that could not be scored must not
+   * win a sampling slot).
+   */
+  def gumbelTopKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                         weightMicroCol: String, k: Int,
+                         salt: String = "graft-gumbel"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rk = TextOps.tempName(df, "__gumbel_r")
+    // u in (0, 1) strictly: (h + 1) / (2^31 + 1) over h in [0, 2^31 - 1]
+    // (u = 1 would send the Gumbel to +inf)
+    val u = (keyHash(col(keyCol), salt).cast("double") + 1.0) /
+      (DedupOps.P31 + 2).toDouble
+    val g = -org.apache.spark.sql.functions.log(
+      -org.apache.spark.sql.functions.log(u))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(rk).desc, col(keyCol))
+    df.filter(col(weightMicroCol).isNotNull)
+      .withColumn(rk, col(weightMicroCol).cast("long") +
+        org.apache.spark.sql.functions.floor(g * 1e6 + 0.5).cast("long"))
+      .withColumn("sample_rank",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop(rk)
+  }
+
+  /**
    * Deterministic sequence PACKING: group consecutive docs (in `orderCol`
    * order within each `splitCol` partition) into packs of at most `budget`
    * tokens — the pretraining step that concatenates documents into

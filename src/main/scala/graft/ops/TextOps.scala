@@ -615,6 +615,114 @@ object TextOps {
   }
 
   /**
+   * A trained DSIR importance model ([[trainDsir]]): hashed-ngram
+   * log-probability ratios between a TARGET corpus (what you want more
+   * of) and a RAW corpus (what you are selecting from), plus the totals
+   * the smoothing used. `ratios` is DENSE — exactly `dim` rows, one per
+   * bucket — so scoring never needs a driver-computed unseen-bucket
+   * default (a literal the engines could constant-fold differently);
+   * every ratio flows through the row path in both engines.
+   */
+  final case class DsirModel(dim: Int, alpha: Double, nTarget: Long,
+                             nRaw: Long, ratios: DataFrame) {
+    /** Release the cached ratio table (no-op for `cache = false`). */
+    def unpersist(): Unit = { ratios.unpersist(); () }
+  }
+
+  /** Hashed DSIR features of a text column: unigrams plus adjacent-token
+    * bigrams, bucketed by the engine-portable md5-31 hash mod `dim` (the
+    * q64 hash family). Null/empty text yields no features. */
+  private def dsirFeatureBuckets(textCol: String, dim: Int): Column = {
+    val X = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+    val toks = tokens(col(textCol))
+    val bis = when(size(toks) >= 2,
+      transform(sequence(lit(2), size(toks)),
+        i => concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))))
+      .otherwise(array().cast(ArrayType(StringType, containsNull = false)))
+    transform(concat(toks, bis), f => X.md5Hash31(f) % dim)
+  }
+
+  /**
+   * Train a DSIR importance model (Xie et al. 2023, arXiv:2302.03169
+   * "Data Selection for Language Models via Importance Resampling"):
+   * estimate bag-of-hashed-ngram feature distributions — unigrams +
+   * adjacent bigrams hashed into `dim` buckets — over a target and a raw
+   * corpus, and keep per-bucket add-alpha-smoothed log-probability
+   * ratios. A document's importance weight under the model is
+   * `log w(x) = Σ_f c_f(x) · (ln p_target(f) − ln p_raw(f))` —
+   * computed by [[dsirScore]], resampled by
+   * [[SampleOps.gumbelTopKPerGroup]].
+   *
+   * Exactness: each side's `ln p` is fixed to integer MICRO-NATS
+   * independently (`floor(ln(p)·1e6 + 0.5)`, the q83 rule) and the
+   * ratio is a difference of those integers, so scoring sums are exact
+   * integer arithmetic in any order on any engine. Scale shape: feature
+   * buckets explode map-side and partial-aggregate before ONE shuffle
+   * bounded by `dim` rows per side; the only driver scalars are the two
+   * feature totals; the ratio table is `dim` rows (KBs) and broadcasts
+   * into scoring. Bodies never shuffle.
+   */
+  def trainDsir(target: DataFrame, raw: DataFrame, textCol: String,
+                dim: Int = 1 << 16, alpha: Double = 1.0,
+                cache: Boolean = true): DsirModel = {
+    require(dim >= 2 && dim <= (1 << 24),
+      s"dim must be in [2, 2^24], got $dim")
+    require(alpha > 0 && java.lang.Double.isFinite(alpha),
+      s"alpha must be positive and finite, got $alpha")
+    val spark = target.sparkSession
+    def counts(df: DataFrame, as: String) = df
+      .select(explode(dsirFeatureBuckets(textCol, dim)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val t = counts(target, "__ct")
+    val r = counts(raw, "__cr")
+    val spine = spark.range(dim).select(col("id").as("bucket"))
+    val dense = spine
+      .join(t, Seq("bucket"), "left").join(r, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val tot = dense.agg(sum(col("__ct")), sum(col("__cr"))).head()
+    val (nT, nR) = (tot.getLong(0), tot.getLong(1))
+    def lnMicro(cnt: Column, total: Long): Column =
+      floor(log((cnt.cast(DoubleType) + lit(alpha)) /
+        lit(total + alpha * dim)) * lit(1e6) + lit(0.5)).cast(LongType)
+    val ratiosPlain = dense.select(col("bucket"),
+      (lnMicro(col("__ct"), nT) - lnMicro(col("__cr"), nR))
+        .as("log_ratio_micro"))
+    val ratios = if (cache)
+      ratiosPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ratiosPlain
+    DsirModel(dim, alpha, nT, nR, ratios)
+  }
+
+  /**
+   * Score documents under a trained [[DsirModel]]: `logw_micro` is the
+   * exact integer micro-nat sum of the per-feature log ratios (positive
+   * = the document looks more like the target corpus than the raw one),
+   * `n_features` the feature count. Documents with no features (null or
+   * token-free text) emit no row. Map-side explode, a broadcast join on
+   * the dim-bounded ratio table, one partial-aggregable sum per doc —
+   * text never shuffles. Feed the result to
+   * [[SampleOps.gumbelTopKPerGroup]] with `logw_micro` as the weight for
+   * importance RESAMPLING (sampling ∝ w needs log-space machinery:
+   * document weights span thousands of nats, so `exp(logw)` overflows
+   * any double).
+   */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                model: DsirModel): DataFrame = {
+    require(!Set("bucket", "log_ratio_micro", "n_features", "logw_micro")
+        .contains(idCol),
+      s"idCol '$idCol' collides with a dsirScore internal/output column")
+    docs
+      .select(col(idCol),
+        explode(dsirFeatureBuckets(textCol, model.dim)).as("bucket"))
+      .join(broadcast(model.ratios), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("log_ratio_micro")).as("logw_micro"))
+  }
+
+  /**
    * Train a BPE subword tokenizer IN-ENGINE (Sennrich et al. 2016,
    * arXiv:1508.07909): ONE distributed pass builds the word-frequency
    * table (the classic BPE insight — merges depend only on word counts,
