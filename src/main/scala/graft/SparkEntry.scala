@@ -359,6 +359,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q163_ann_join" -> ((s: SparkSession, dir: String) => {
+      // the TWO-SIDED IVF join: the whole (offset-id) corpus queries the
+      // corpus — neither side broadcasts; probe cells come from the
+      // map-side multi-probe kernel, the only big op is one cell-key
+      // equi-join. Every query's identical twin must surface at rank 1
+      val e = t(s, dir, "embeddings")
+      val q = e.select((col("vec_id") + 1000000).as("vec_id"),
+        col("embedding"))
+      SimOps.ivfJoinTopK(q, e, "vec_id", "embedding", k = 3, nCells = 16,
+          nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q77_hamming_near_dup" -> ((s: SparkSession, dir: String) => {
       // batch banded Hamming dedup over a 64-bit sketch — the operator
       // behind image near-dup (dHash) and batch SimHash dedup; oracle-able
@@ -2949,6 +2962,57 @@ object SparkEntry {
     // same oracle as q42 by contract: the landed-index path must be
     // row-identical to the direct ivfTopK call (the q74/q75 rule)
     "q76_ann_ivf_indexed" -> IvfOracleSql,
+
+    "q163_ann_join" ->
+      // q42's IVF oracle reshaped for the two-sided join: probes come
+      // from the offset-id copy of the corpus (every query has an exact
+      // twin -> rank 1 at cos 1.0), corpus cells and probe ranking use
+      // the identical fold and (score DESC, cent_id) tie-break the
+      // multi-probe kernel replays
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16
+        |), assign AS (
+        |  SELECT e.vec_id, e.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(e.v, c.cv)
+        |             / (sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS rn
+        |  FROM e CROSS JOIN c
+        |), cell AS (
+        |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
+        |), probes AS (
+        |  SELECT q.vec_id + 1000000 AS query_id, q.v AS qv,
+        |    c.cent_id AS cl,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(q.v, q.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(q.v, c.cv)
+        |             / (sqrt(list_inner_product(q.v, q.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS prn
+        |  FROM e q CROSS JOIN c
+        |), scored AS (
+        |  SELECT p.query_id, ce.vec_id AS neighbor_id,
+        |    round(CASE WHEN sqrt(list_inner_product(p.qv, p.qv))
+        |                    * sqrt(list_inner_product(ce.v, ce.v)) > 0
+        |      THEN list_inner_product(p.qv, ce.v)
+        |           / (sqrt(list_inner_product(p.qv, p.qv))
+        |              * sqrt(list_inner_product(ce.v, ce.v)))
+        |      ELSE 0.0 END, 6) AS cos_sim
+        |  FROM probes p JOIN cell ce ON ce.cl = p.cl
+        |  WHERE p.prn <= 4 AND ce.vec_id <> p.query_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q25_near_dup_pairs" -> OracleSqlGen.nearDupPairsSql,
     "q74_near_dedup_against" -> OracleSqlGen.nearDedupAgainstSql(64, 16),

@@ -407,6 +407,13 @@ object pipeline {
         TextOps.cdcDeltaReport(df, newer, idCol, textCol, minLen, maskBits,
           maxLen, windowLen)
 
+      def ivfJoinTopK(corpus: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding", k: Int = 5,
+                      nCells: Int = 16, nProbe: Int = 4,
+                      maxCell: Int = 0): DataFrame =
+        SimOps.ivfJoinTopK(df, corpus, idCol, vecCol, k, nCells, nProbe,
+          maxCell = maxCell)
+
       def trainDsir(raw: DataFrame, textCol: String = "text",
                     dim: Int = 1 << 16, alpha: Double = 1.0,
                     cache: Boolean = true): TextOps.DsirModel =

@@ -629,6 +629,71 @@ object SimOps {
   }
 
   /**
+   * TWO-SIDED IVF ANN join — top-k cosine neighbors from `corpus` for
+   * EVERY row of a `queries` side that is itself corpus-scale, so neither
+   * side can broadcast (the gap [[ivfTopK]] leaves: its probe list rides a
+   * broadcast, capping the query side at driver memory). The retrieval
+   * shape behind embedding-space corpus alignment, dataset-vs-dataset
+   * contamination checks, and batch hard-negative mining over encoders.
+   *
+   * Plan: one shared codebook (from the corpus side); corpus rows get
+   * their argmax cell map-side (`ivf_cell`), query rows get their
+   * `nProbe` probe cells map-side via the MULTI-PROBE kernel
+   * (`ivf_cells` — no crossJoin, no window: a constant nProbe-way
+   * explode), and the only corpus-scale operation is ONE equi-join on the
+   * int cell key — shuffle-partitionable on both sides, never a
+   * broadcast, never all-pairs. Candidates per query ≈ nProbe · n/nCells;
+   * `maxCell > 0` caps pathological hub cells (with the shared observe
+   * metrics), and AQE's skew split handles moderate imbalance. The
+   * per-query top-k window is bounded by that candidate count. Probe
+   * rows carry their vector through the constant-factor explosion (the
+   * ids-only rule targets data-dependent explosions; re-joining vectors
+   * here would cost a second corpus-scale shuffle for a 4× dodge).
+   *
+   * Row-identical to [[ivfTopK]] at equal parameters when the query side
+   * happens to be small (probe position 0 of `ivf_cells` IS `ivf_cell`,
+   * same fold, same tie-breaks) — spec-pinned.
+   */
+  def ivfJoinTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int = 5, nCells: Int = 16,
+                  nProbe: Int = 4, trainCodebook: Boolean = false,
+                  lloydIters: Int = 5, trainSample: Int = 4096,
+                  maxCell: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val A = org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+    val cents = resolveCodebook(corpus, idCol, vecCol, nCells, trainCodebook,
+      lloydIters, trainSample, "ivfJoinTopK")
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", A.ivfCell(col("__cv"), cents.toSeq))
+    val capped =
+      if (maxCell <= 0) assigned
+      else {
+        val w = Window.partitionBy(col("__cell"))
+        assigned.withColumn("__cn", count(lit(1)).over(w))
+          .observe(DedupOps.obsName(DedupOps.ObservedMetrics.LshBucketMetrics),
+            max(col("__cn")).as("max_bucket_width"),
+            sum(when(col("__cn") > maxCell, 1L).otherwise(0L))
+              .as("band_rows_capped"))
+          .filter(col("__cn") <= maxCell).drop("__cn")
+      }
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(A.ivfCells(col(vecCol), cents.toSeq, nProbe)).as("__cell"))
+    val scored = capped.join(probes, "__cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupCandidateMetrics),
+        count(lit(1)).as("candidate_pairs"))
+      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /**
    * LSH-bucketed approximate top-k: candidates share the query's bucket
    * (equi-join on the sketch — at 1e9 rows this is a hash join on a long,
    * never a cross join). Recall is tunable via plane count; with r planes

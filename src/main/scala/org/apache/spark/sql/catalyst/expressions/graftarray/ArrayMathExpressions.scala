@@ -630,6 +630,134 @@ case class IvfCellExpr(child: Expression, centIds: Seq[Long],
     copy(child = newChild)
 }
 
+/**
+ * Multi-probe IVF cell assignment: the `nProbe` codebook centroids with the
+ * highest cosine to the input vector, ordered by (score desc, codebook
+ * position asc) — [[IvfCellExpr]]'s argmax repeated `nProbe` times with the
+ * identical arithmetic and tie-break, so probe list position 0 always
+ * equals `ivf_cell`. This is the MAP-SIDE probe selection the two-sided
+ * ANN join needs: a huge query side gets its probe cells at scan speed,
+ * where the broadcast-codebook crossJoin + window that [[graft.ops.SimOps
+ * .ivfTopK]] uses would shuffle queries × nCells rows. Same null and
+ * dim-mismatch rules as [[IvfCellExpr]].
+ */
+case class IvfCellsExpr(child: Expression, centIds: Seq[Long],
+                        cents: Seq[Seq[Double]], nProbe: Int)
+    extends UnaryExpression {
+
+  require(centIds.nonEmpty && centIds.length == cents.length,
+    "codebook ids and centroids must align and be non-empty")
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // null on a null vector ELEMENT (the IvfCellExpr janino hazard note)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Long] = centIds.toArray
+  @transient private lazy val normArr: Array[Double] = centArr.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+  private val probeCount = math.min(nProbe, centIds.length)
+
+  /** Scores every centroid with IvfCellExpr's fold, then selects
+    * `probeCount` cells by repeated strict-max scans in codebook order —
+    * equivalent to sorting by (score desc, position asc). */
+  def probeCells(vv: Array[Double], n: Int): Array[Long] = {
+    val scores = new Array[Double](centArr.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += vv(i) * vv(i); i += 1 }
+    val vn = math.sqrt(s)
+    var c = 0
+    while (c < centArr.length) {
+      val cent = centArr(c)
+      var score = 0.0
+      if (cent.length == n) {
+        var d = 0.0
+        i = 0
+        while (i < n) { d += vv(i) * cent(i); i += 1 }
+        val nn = vn * normArr(c)
+        score = if (nn > 0) d / nn else 0.0
+      }
+      scores(c) = score
+      c += 1
+    }
+    val taken = new Array[Boolean](centArr.length)
+    val out = new Array[Long](probeCount)
+    var p = 0
+    while (p < probeCount) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      c = 0
+      while (c < centArr.length) {
+        if (!taken(c) && scores(c) > bestScore) { best = c; bestScore = scores(c) }
+        c += 1
+      }
+      taken(best) = true
+      out(p) = idArr(best)
+      p += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val vv = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      vv(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(probeCells(vv, n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    // the selection loop is shared with eval via a reference to THIS
+    // expression (the scoring fold must stay in one place); the per-row
+    // work is the same vv extraction either way
+    val selfRef = ctx.addReferenceObj("ivfCellsExpr", this,
+      classOf[IvfCellsExpr].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val vv = ctx.freshName("vv")
+      s"""
+         |final int $n = $v.numElements();
+         |final double[] $vv = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $vv[$i] = (double) $v.$get($i);
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($selfRef.probeCells($vv, $n));
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayMathExpressions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -685,4 +813,12 @@ object ArrayMathExpressions {
     ExpressionUtils.column(
       IvfCellExpr(ExpressionUtils.expression(vec),
         cents.map(_._1), cents.map(_._2.toSeq)))
+
+  /** Column-API form: codegen'd MULTI-PROBE cell list (`array<long>` of
+    * the nProbe best cells, score desc / codebook order on ties). */
+  def ivfCells(vec: Column, cents: Seq[(Long, Array[Double])],
+               nProbe: Int): Column =
+    ExpressionUtils.column(
+      IvfCellsExpr(ExpressionUtils.expression(vec),
+        cents.map(_._1), cents.map(_._2.toSeq), nProbe))
 }

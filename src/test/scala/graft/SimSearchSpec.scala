@@ -492,4 +492,51 @@ class SimSearchSpec extends SparkTestBase {
       one.head.getLong(one.head.fieldIndex("margin_micro")) == 1000000L,
       one.toSeq.toString)
   }
+
+  test("ivfJoinTopK: row-identical to ivfTopK at equal parameters (the " +
+       "multi-probe kernel replays the crossJoin+window probe list), and " +
+       "the twin corpus surfaces itself at rank 1") {
+    val e = plantedCorpus.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val direct = rows(SimOps.ivfTopK(e, q, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4))
+    val joined = rows(SimOps.ivfJoinTopK(q, e, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4))
+    assert(joined == direct)
+    // a large query side: the whole corpus offset by 1e6 — every query's
+    // exact twin is in its argmax cell (probe 0), so rank 1 at cos 1.0
+    val offs = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val twins = SimOps.ivfJoinTopK(offs, e, "vec_id", "embedding",
+        k = 1, nCells = 16, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(twins.size == plantedCorpus.size)
+    plantedCorpus.foreach { case (id, _) =>
+      assert(twins(id + 1000000L) == ((id, 1.0)),
+        s"query ${id + 1000000L}: ${twins(id + 1000000L)}")
+    }
+  }
+
+  test("ivfJoinTopK: maxCell caps hub cells (capped corpus rows leave the " +
+       "candidate flow) and null-element vectors emit no probes") {
+    val e = plantedCorpus.take(64).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val qn = Seq((5000L, Seq[java.lang.Double](null, 1.0) ++
+        Seq.fill[java.lang.Double](dim - 2)(0.0)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    assert(SimOps.ivfJoinTopK(qn, e, "vec_id", "embedding", k = 3).count() == 0)
+    // with maxCell = 0 rows survive in every cell; an absurd cap of 1
+    // can only shrink the result (cells hold > 1 vector here)
+    val q = e.filter(col("vec_id") < 4)
+    val unc = SimOps.ivfJoinTopK(q, e, "vec_id", "embedding", k = 5).count()
+    val cap = SimOps.ivfJoinTopK(q, e, "vec_id", "embedding", k = 5,
+      maxCell = 1).count()
+    assert(cap < unc, s"cap $cap !< uncapped $unc")
+  }
 }
