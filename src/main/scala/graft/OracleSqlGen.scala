@@ -292,6 +292,70 @@ object OracleSqlGen {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /**
+   * q164: banded margin-mutual mining — the q129 mutual+margin tail
+   * computed over banded-LSH candidates instead of the cross product
+   * (band b's planes from seed 42+b, matching
+   * `SimOps.marginMutualMatchesBanded`). Left = even vec_ids, right =
+   * odd; neighborhood sums/ranks run over the CANDIDATE set, exactly as
+   * the engine's shared tail does.
+   */
+  def marginBandedSql(bands: Int, nPlanes: Int, k: Int,
+                      minMarginMicro: Long): String = {
+    val perBand = (0 until bands).map { b =>
+      "  " + bucketSql(SimOps.hyperplanes(nPlanes, 64, 42L + b), band = Some(b))
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |), sk AS (
+       |$perBand
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS tgt_id
+       |  FROM sk a JOIN sk b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+       |), p AS (
+       |  SELECT cd.src_id, cd.tgt_id,
+       |    (CASE WHEN sqrt(list_inner_product(l.v, l.v))
+       |               * sqrt(list_inner_product(r.v, r.v)) > 0
+       |      THEN list_inner_product(l.v, r.v)
+       |           / (sqrt(list_inner_product(l.v, l.v))
+       |              * sqrt(list_inner_product(r.v, r.v)))
+       |      ELSE 0.0 END) AS c
+       |  FROM cand cd
+       |  JOIN e l ON l.vec_id = cd.src_id
+       |  JOIN e r ON r.vec_id = cd.tgt_id
+       |), pm AS (
+       |  SELECT src_id, tgt_id, c,
+       |    CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS cm
+       |  FROM p
+       |), ranked AS (
+       |  SELECT src_id, tgt_id, c, cm,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rf,
+       |    row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS rb
+       |  FROM pm
+       |), sl AS (
+       |  SELECT src_id, CAST(sum(cm) AS BIGINT) AS s_l,
+       |    CAST(count(*) AS BIGINT) AS n_l
+       |  FROM ranked WHERE rf <= $k GROUP BY src_id
+       |), sr AS (
+       |  SELECT tgt_id, CAST(sum(cm) AS BIGINT) AS s_r,
+       |    CAST(count(*) AS BIGINT) AS n_r
+       |  FROM ranked WHERE rb <= $k GROUP BY tgt_id
+       |), m AS (
+       |  SELECT kk.src_id, kk.tgt_id, kk.cm AS cos_micro,
+       |    CASE WHEN (s_l * n_r + s_r * n_l) > 0
+       |      THEN CAST((kk.cm * 2 * n_l * n_r * 1000000)
+       |                // (s_l * n_r + s_r * n_l) AS BIGINT)
+       |      ELSE 0 END AS margin_micro
+       |  FROM ranked kk JOIN sl USING (src_id) JOIN sr USING (tgt_id)
+       |  WHERE kk.rf = 1 AND kk.rb = 1
+       |)
+       |SELECT src_id, tgt_id, cos_micro, margin_micro
+       |FROM m WHERE margin_micro >= $minMarginMicro
+       |ORDER BY src_id, tgt_id""".stripMargin
+  }
+
   // --- lp_filter: Butterworth filtfilt as recursive-CTE recurrences -------
 
   /**

@@ -1068,6 +1068,19 @@ object SparkEntry {
         .orderBy(col("src_id"))
     }),
 
+    "q164_margin_banded" -> ((s: SparkSession, dir: String) => {
+      // q129's mining rule on the SCALE path: banded-LSH candidates (one
+      // (band, bucket) equi-join, no cross product) feeding the shared
+      // mutual+margin tail — the 1e9 x 1e9 composition, oracle-verified
+      val e = t(s, dir, "embeddings")
+      graft.ops.SimOps.marginMutualMatchesBanded(
+          e.filter(pmod(col("vec_id"), lit(2L)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2L)) === 1),
+          "vec_id", "embedding", k = 4, minMarginMicro = 1000000L,
+          nPlanes = 12, bands = 8)
+        .orderBy(col("src_id"), col("tgt_id"))
+    }),
+
     "q130_distinctive_terms" -> ((s: SparkSession, dir: String) => {
       // c-TF-IDF: what vocabulary distinguishes each source — group-df
       // idf in integer micro-nats times integer tf, top 10 per source;
@@ -4228,6 +4241,11 @@ object SparkEntry {
         |)
         |SELECT src_id, tgt_id, cos_micro, margin_micro
         |FROM m WHERE margin_micro >= 1000000 ORDER BY src_id""".stripMargin,
+
+    "q164_margin_banded" ->
+      // banded candidates (planes from the shared Scala constants) + the
+      // q129 tail over candidates only — one arithmetic definition
+      OracleSqlGen.marginBandedSql(8, 12, 4, 1000000L),
 
     "q130_distinctive_terms" ->
       // same tokenizer, same micro-nat idf quantization, same rank rule

@@ -407,6 +407,16 @@ object pipeline {
         TextOps.cdcDeltaReport(df, newer, idCol, textCol, minLen, maskBits,
           maxLen, windowLen)
 
+      def marginMutualMatchesBanded(right: DataFrame,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding",
+                                    k: Int = 4,
+                                    minMarginMicro: Long = 1000000L,
+                                    nPlanes: Int = 12, bands: Int = 8,
+                                    maxBucket: Int = 0): DataFrame =
+        SimOps.marginMutualMatchesBanded(df, right, idCol, vecCol, k,
+          minMarginMicro, nPlanes, bands, maxBucket = maxBucket)
+
       def ivfJoinTopK(corpus: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding", k: Int = 5,
                       nCells: Int = 16, nProbe: Int = 4,

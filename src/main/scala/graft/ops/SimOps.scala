@@ -557,6 +557,14 @@ object SimOps {
     val pairs = l.crossJoin(broadcast(r))
       .select(col("src_id"), col("tgt_id"), c.as("__c"),
         floor(c * 1000000d + lit(0.5)).as("__cm"))
+    mutualMarginTail(pairs, k, minMarginMicro)
+  }
+
+  /** The mutual-best + ratio-margin tail shared by [[marginMutualMatches]]
+    * (all pairs) and [[marginMutualMatchesBanded]] (LSH candidates):
+    * consumes `(src_id, tgt_id, __c, __cm)` scored pairs. */
+  private def mutualMarginTail(pairs: DataFrame, k: Int,
+                               minMarginMicro: Long): DataFrame = {
     val wF = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src_id")).orderBy(col("__c").desc, col("tgt_id"))
     val wB = org.apache.spark.sql.expressions.Window
@@ -585,6 +593,69 @@ object SimOps {
       .filter(col("margin_micro") >= minMarginMicro)
       .select(col("src_id"), col("tgt_id"), col("__cm").as("cos_micro"),
         col("margin_micro"))
+  }
+
+  /**
+   * The SCALE path of [[marginMutualMatches]] — two corpus-sized sides,
+   * neither broadcastable: candidates come from the banded sign-sketch
+   * machinery (both sides sketch map-side, ONE equi-join on the
+   * (band, bucket) key — never a cross product), the mutual+margin tail
+   * is the shared implementation, so candidate generation is the ONLY
+   * difference from the brute op. This is the composition the q129
+   * scaling adjudication names as the 10^9×10^9 design.
+   *
+   * Approximation is two-sided, and margins drift BOTH ways versus
+   * brute: neighborhood averages run over recalled candidates, a SUBSET
+   * of the true top-k — missing mid-cosine neighbors shrinks the
+   * denominator (margin reads higher), while an under-FILLED
+   * neighborhood that recalled only the best partner averages over
+   * fewer, higher cosines (margin reads lower). Pairs whose true best
+   * partner was not recalled can also pass mutual-best. Tune recall
+   * with bands × planes exactly as in [[embeddingNearDupPairs]];
+   * `maxBucket > 0` drops hot sketch buckets from BOTH sides (hub
+   * regions, the observe-metrics cap).
+   */
+  def marginMutualMatchesBanded(left: DataFrame, right: DataFrame,
+                                idCol: String, vecCol: String,
+                                k: Int = 4, minMarginMicro: Long = 1000000L,
+                                nPlanes: Int = 12, bands: Int = 8,
+                                seed: Long = 42L,
+                                maxBucket: Int = 0): DataFrame = {
+    require(k >= 1, s"marginMutualMatchesBanded: k must be >= 1, got $k")
+    require(bands >= 1 && nPlanes >= 1,
+      s"need bands >= 1 and nPlanes >= 1, got ($bands, $nPlanes)")
+    val A = org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+    val l = left.select(col(idCol).cast(LongType).as("src_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__lv"))
+      .filter(col("src_id").isNotNull && col("__lv").isNotNull)
+    val r = right.select(col(idCol).cast(LongType).as("tgt_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__rv"))
+      .filter(col("tgt_id").isNotNull && col("__rv").isNotNull)
+    val dim = l.select(size(col("__lv"))).first().getInt(0)
+    val planeSets = (0 until bands).map(b => hyperplanes(nPlanes, dim, seed + b))
+    def sketchSide(df: DataFrame, id: String, vec: String) = {
+      val s = df.select(col(id),
+        posexplode(A.bandedSignSketch(col(vec), planeSets))
+          .as(Seq("__band", "__bucket")))
+      if (maxBucket <= 0) s
+      else {
+        val w = Window.partitionBy(col("__band"), col("__bucket"))
+        s.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      }
+    }
+    // ids only through the explosion (the nearDuplicatePairs rule);
+    // a pair colliding in several bands scores once
+    val cand = sketchSide(l, "src_id", "__lv")
+      .join(sketchSide(r, "tgt_id", "__rv"), Seq("__band", "__bucket"))
+      .select(col("src_id"), col("tgt_id")).distinct()
+      .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupCandidateMetrics),
+        count(lit(1)).as("candidate_pairs"))
+    val c = cosine(col("__lv"), col("__rv"))
+    val pairs = cand.join(l, "src_id").join(r, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), c.as("__c"),
+        floor(c * 1000000d + lit(0.5)).as("__cm"))
+    mutualMarginTail(pairs, k, minMarginMicro)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -493,6 +493,38 @@ class SimSearchSpec extends SparkTestBase {
       one.toSeq.toString)
   }
 
+  test("marginMutualMatchesBanded recovers >= 90% of the brute matcher's " +
+       "planted mutual pairs (margins drift both ways over candidate " +
+       "subsets — asserted only over the emit threshold)") {
+    // plantedCorpus pairs are (2i, 2i+1) at cos >= 0.955 — even left,
+    // odd right, mutual best of each other by construction
+    val e = plantedCorpus.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val left = e.filter(col("vec_id") % 2 === 0)
+    val right = e.filter(col("vec_id") % 2 === 1)
+    val brute = SimOps.marginMutualMatches(left, right, "vec_id",
+        "embedding", k = 4, minMarginMicro = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val planted = brute.keySet.filter { case (a, b) => b == a + 1 && a < 300 }
+    assert(planted.size >= 140, s"brute found only ${planted.size} planted")
+    val banded = SimOps.marginMutualMatchesBanded(left, right, "vec_id",
+        "embedding", k = 4, minMarginMicro = 1000000L,
+        nPlanes = 12, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val recalled = planted.count(banded.contains)
+    assert(recalled >= (planted.size * 9) / 10,
+      s"banded recalled $recalled of ${planted.size} planted mutual pairs")
+    // margins drift both ways over candidate subsets (an under-filled
+    // neighborhood averages fewer, higher cosines) — but every emitted
+    // pair cleared the same integer threshold, and planted pairs stay
+    // in the same ballpark as brute (within 2x either way)
+    planted.filter(banded.contains).foreach { p =>
+      assert(banded(p) >= 1000000L)
+      assert(banded(p) <= brute(p) * 2 && brute(p) <= banded(p) * 2,
+        s"pair $p: banded margin ${banded(p)} vs brute ${brute(p)}")
+    }
+  }
+
   test("ivfJoinTopK: row-identical to ivfTopK at equal parameters (the " +
        "multi-probe kernel replays the crossJoin+window probe list), and " +
        "the twin corpus surfaces itself at rank 1") {
