@@ -1003,6 +1003,21 @@ object OracleSqlGen {
        |SELECT id AS doc_id, comp AS canonical_id FROM comp
        |ORDER BY doc_id""".stripMargin
 
+  /** q167: leakage-free split — [[canonicalMappingSql]]'s component
+    * closure left-joined back to the corpus, then the q45 md5-31 split
+    * gate keyed on COALESCE(canonical, own id). Shares every constant
+    * with the canonical-mapping chain so the two queries pin the same
+    * clusters. */
+  def leakageFreeSplitSql(nSplits: Int): String =
+    s"""WITH RECURSIVE $corpusSql, ${minhashChain(64, 16, 3)},
+       |${componentClosure(0.5)}
+       |SELECT c.doc_id,
+       |  (('0x' || substr(md5('graft:' ||
+       |      CAST(COALESCE(k.comp, c.doc_id) AS VARCHAR)), 1, 16))::UBIGINT
+       |    & 2147483647::UBIGINT)::BIGINT % $nSplits AS split
+       |FROM corpus c LEFT JOIN comp k ON k.id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   /** q123: cluster-size histogram — q118's component closure, rolled up
     * to (cluster_size, n_clusters). Shares every constant with
     * [[canonicalMappingSql]] so the two queries pin the same chain. */

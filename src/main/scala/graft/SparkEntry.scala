@@ -1380,6 +1380,35 @@ object SparkEntry {
         .orderBy(col("shard"), col("sample_rank"))
     }),
 
+    "q165_dsir_indexed" -> ((s: SparkSession, dir: String) => {
+      // q161's steady-state shape: the ratio table lands ONCE as a
+      // bucketed catalog table with meta-pinned (dim, alpha) and every
+      // batch scores against it — row-identical to the direct path, so
+      // this runs q161's oracle (the q75/q85 convention)
+      val idx = "graft_q165_" + math.abs(dir.hashCode).toString
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextOps.landDsir(d.filter(col("doc_id") % 11 === 0),
+        d.filter(col("doc_id") % 11 =!= 0), "text", idx, dim = 1024,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_bucketed/$idx"))
+      TextOps.dsirScoreIndexed(d, "doc_id", "text", idx)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q166_unimax_budgets" -> ((s: SparkSession, dir: String) => {
+      // UniMax (arXiv:2304.09151) over the corpus's per-language char
+      // counts: budget = 1.4x total chars, cap = 2 epochs — at sf0.01 the
+      // two smallest languages cap and the other three split the freed
+      // budget (+remainder), so the oracle exercises BOTH branches of the
+      // closed-form water-filling. The one-row total collect is bounded
+      // by construction (the resampleToMixtureTokens convention).
+      val counts = t(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(coalesce(col("n_chars"), lit(0L))).as("n_chars_total"))
+      val total = counts.agg(sum(col("n_chars_total"))).head().getLong(0)
+      graft.ops.SampleOps.unimaxBudgets(counts, "lang", "n_chars_total",
+        totalBudget = total * 14L / 10L, maxEpochsMicro = 2000000L)
+        .orderBy(col("lang"))
+    }),
+
     "q151_quality_gate" -> ((s: SparkSession, dir: String) => {
       // the per-document filter report (C4/Gopher/FineWeb release
       // convention): kept verdict, first-failing rule (funnel
@@ -1699,6 +1728,41 @@ object SparkEntry {
       DedupOps.canonicalMapping(d.unionByName(perturbed), "doc_id", "text",
           numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 100)
         .orderBy(col("doc_id"))
+    }),
+
+    "q167_leakage_free_split" -> ((s: SparkSession, dir: String) => {
+      // leakage-free train/eval split over q118's planted-twin corpus:
+      // every doc takes the hash split of its near-dup CANONICAL, so the
+      // 50 perturbed twins provably land in the same split as their
+      // originals (the oracle checks every assignment, which pins that
+      // property row-for-row)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perturbed = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" perturbed tail token")).as("text"))
+      val corpus = d.unionByName(perturbed)
+      val canon = DedupOps.canonicalMapping(corpus, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 100)
+      graft.ops.SampleOps.leakageFreeSplit(corpus, "doc_id", canon,
+          nSplits = 10)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q168_length_batches" -> ((s: SparkSession, dir: String) => {
+      // length-bucketed batching + the padding-waste ledger: per (tier,
+      // batch), rows, the batch's pad-to length, and the pad tokens the
+      // loader would burn — the report that decides tier boundaries.
+      // Bodies never enter: ids + lengths only
+      val b = graft.ops.SampleOps.lengthBucketBatches(
+        t(s, dir, "documents"), "doc_id", "n_chars",
+        boundaries = Seq(150L, 300L, 450L), batchSize = 8)
+      b.groupBy(col("bucket"), col("batch_id"))
+        .agg(count(lit(1)).as("n_rows"), max(col("len")).as("max_len"),
+          sum(col("len")).as("sum_len"))
+        .select(col("bucket"), col("batch_id"), col("n_rows"), col("max_len"),
+          (col("n_rows") * col("max_len") - col("sum_len")).as("pad_tokens"))
+        .orderBy(col("bucket"), col("batch_id"))
     }),
 
     "q116_weighted_topk" -> ((s: SparkSession, dir: String) => {
@@ -2668,6 +2732,60 @@ object SparkEntry {
       (s"WITH ${OracleSqlGen.dsirScoreCtes(1024, 11)}\n" +
         "SELECT doc_id, n_features, logw_micro FROM scored ORDER BY doc_id"),
 
+    "q165_dsir_indexed" ->
+      // the landed path is row-identical to q161 by construction (same
+      // feature expression, same ratio arithmetic, the model just rides
+      // a bucketed catalog table) — same oracle
+      (s"WITH ${OracleSqlGen.dsirScoreCtes(1024, 11)}\n" +
+        "SELECT doc_id, n_features, logw_micro FROM scored ORDER BY doc_id"),
+
+    "q166_unimax_budgets" ->
+      // closed-form UniMax water-filling replayed term for term: the
+      // capped prefix on the (cap, lang)-ascending order, then the floor
+      // split + remainder among the uncapped. All non-negative integers,
+      // so DuckDB's // (floor) == Spark's div (trunc); epochs is the one
+      // double division of two exact longs
+      """WITH counts AS (
+        |  SELECT lang, CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang
+        |), params AS (
+        |  SELECT CAST((SUM(n_tokens) * 14) // 10 AS BIGINT) AS b FROM counts
+        |), pos AS (
+        |  SELECT lang, n_tokens,
+        |    CAST((n_tokens // 1000000) * 2000000
+        |      + ((n_tokens % 1000000) * 2000000) // 1000000 AS BIGINT) AS cap_tokens
+        |  FROM counts WHERE n_tokens > 0
+        |), ranked AS (
+        |  SELECT lang, n_tokens, cap_tokens,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS i,
+        |    CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS ng
+        |  FROM pos
+        |), flagged AS (
+        |  SELECT r.*, (r.cap_tokens * (r.ng - r.i + 1) + r.pre <= p.b) AS is_capped, p.b AS b
+        |  FROM ranked r CROSS JOIN params p
+        |), uranked AS (
+        |  SELECT *, CAST(SUM(CASE WHEN is_capped THEN 0 ELSE 1 END) OVER
+        |    (ORDER BY cap_tokens, lang
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ur
+        |  FROM flagged
+        |), stats AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN is_capped THEN cap_tokens END), 0) AS BIGINT) AS capped_sum,
+        |         CAST(SUM(CASE WHEN is_capped THEN 0 ELSE 1 END) AS BIGINT) AS k
+        |  FROM uranked
+        |), alloc AS (
+        |  SELECT u.lang, u.n_tokens, u.cap_tokens, u.is_capped,
+        |    CAST(CASE WHEN u.is_capped THEN u.cap_tokens
+        |      ELSE (u.b - s.capped_sum) // s.k
+        |        + (CASE WHEN u.ur <= (u.b - s.capped_sum) % s.k THEN 1 ELSE 0 END)
+        |      END AS BIGINT) AS budget_tokens
+        |  FROM uranked u CROSS JOIN stats s
+        |)
+        |SELECT lang, n_tokens, cap_tokens, is_capped, budget_tokens,
+        |  CAST(budget_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+        |FROM alloc ORDER BY lang""".stripMargin,
+
     "q162_dsir_resample" ->
       // Gumbel top-k replay: shard + noise from the named md5-31 salts,
       // rank = logw_micro + quantized Gumbel, ties to doc_id — the same
@@ -3034,6 +3152,36 @@ object SparkEntry {
     "q26_near_dedup"     -> OracleSqlGen.nearDedupSql,
     "q48_near_dedup_cc"  -> OracleSqlGen.nearDedupConnectedSql,
     "q118_canonical_mapping" -> OracleSqlGen.canonicalMappingSql,
+
+    "q167_leakage_free_split" -> OracleSqlGen.leakageFreeSplitSql(10),
+
+    "q168_length_batches" ->
+      // hash-order + row_number + floor-div batch chunking replayed; the
+      // pad ledger is integer arithmetic (DuckDB's SUM widens to HUGEINT
+      // — CAST back per the portability whitelist)
+      """WITH base AS (
+        |  SELECT doc_id, GREATEST(COALESCE(n_chars, 0), 0) AS len,
+        |    (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT AS h
+        |  FROM documents
+        |), tiers AS (
+        |  SELECT doc_id, len, h,
+        |    CASE WHEN len < 150 THEN 0 WHEN len < 300 THEN 1
+        |         WHEN len < 450 THEN 2 ELSE 3 END AS bucket
+        |  FROM base
+        |), rn AS (
+        |  SELECT bucket, len,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS r
+        |  FROM tiers
+        |), batches AS (
+        |  SELECT bucket, CAST((r - 1) // 8 AS BIGINT) AS batch_id, len FROM rn
+        |)
+        |SELECT bucket, batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MAX(len) AS BIGINT) AS max_len,
+        |  CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS pad_tokens
+        |FROM batches GROUP BY bucket, batch_id
+        |ORDER BY bucket, batch_id""".stripMargin,
     "q30_ann_lsh"        -> OracleSqlGen.annLshSql,
     "q91_random_projection" -> OracleSqlGen.randomProjectionSql(outDim = 16, dim = 64),
     "q92_ann_projected"  -> OracleSqlGen.annProjectedSql(outDim = 16, dim = 64, k = 5),

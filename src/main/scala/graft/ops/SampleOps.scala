@@ -592,4 +592,166 @@ object SampleOps {
       .filter(col("change").isNotNull)
       .select(col(idCol), col("change"))
   }
+
+  /**
+   * LENGTH-BUCKETED BATCHING: group rows into fixed-size batches WITHIN
+   * length tiers — the padding-minimization move every tokenize-and-pad
+   * training/inference loader applies (batching a 10-token doc with a
+   * 4000-token doc pays 3990 pad positions per row; batching within tiers
+   * bounds per-row waste by the tier width). Bucket = index of the first
+   * boundary strictly greater than the length (lengths >= the last
+   * boundary take bucket `boundaries.size`); within a bucket rows order
+   * by (md5-31 hash, id) and chunk into `batchSize` batches — batch
+   * roster, order, and position are a pure function of (salt, id), so
+   * any engine, rerun, or cluster layout loads the identical batches.
+   * Null/negative lengths coalesce to 0 (bucket 0).
+   *
+   * Scale shape: the projection drops bodies BEFORE the one row_number
+   * window per bucket partition (ids + lengths sort, the
+   * [[deterministicShuffle]] cost class); a hot bucket is one partition —
+   * split tiers further if one tier dominates the corpus. Downstream
+   * per-batch stats partial-aggregate on (bucket, batch_id).
+   *
+   * Output: (idCol, len, bucket, batch_id, batch_pos).
+   */
+  def lengthBucketBatches(df: DataFrame, idCol: String, lenCol: String,
+                          boundaries: Seq[Long], batchSize: Int,
+                          salt: String = "graft"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+        boundaries.distinct.size == boundaries.size,
+      s"boundaries must be strictly ascending, got $boundaries")
+    require(!Set("len", "bucket", "batch_id", "batch_pos").contains(idCol),
+      s"idCol '$idCol' collides with a lengthBucketBatches output column")
+    import org.apache.spark.sql.expressions.Window
+    val len = greatest(coalesce(col(lenCol).cast("long"), lit(0L)), lit(0L))
+    val bucket = boundaries.zipWithIndex
+      .foldRight(lit(boundaries.size): Column) { case ((b, i), acc) =>
+        when(col("len") < b, lit(i)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(keyHash(col(idCol), salt), col(idCol))
+    df.select(col(idCol), len.as("len"))
+      .withColumn("bucket", bucket)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(__rn - 1) div $batchSize"))
+      .withColumn("batch_pos", pmod(col("__rn") - 1, lit(batchSize)))
+      .drop("__rn")
+  }
+
+  /**
+   * LEAKAGE-FREE train/eval split: assign every document the hash split
+   * of its near-dup cluster CANONICAL rather than of its own id, so two
+   * near-duplicate documents can never straddle a train/eval boundary —
+   * the split-contamination failure mode plain id-keyed splits have on
+   * crawled corpora (the same page under two URLs lands in train AND
+   * test, inflating eval). `canonicalMap` is the
+   * [[graft.ops.DedupOps.canonicalMapping]] output (idCol, canonical_id);
+   * docs in no duplicate cluster keep their own id as the split key, so
+   * on a dup-free corpus this IS [[hashSplit]].
+   *
+   * Scale shape: one left equi-join on the id (the map is bounded by
+   * duplicate-cluster MEMBERSHIP, typically a small fraction of the
+   * corpus — size-based broadcast selection applies; worst case one
+   * id-keyed shuffle, the dedup-impact join shape), then the map-side
+   * md5-31 split gate on the coalesced key. Membership is a pure
+   * function of (salt, canonical id): re-splitting after an incremental
+   * re-crawl keeps every surviving cluster in its split.
+   */
+  def leakageFreeSplit(df: DataFrame, idCol: String, canonicalMap: DataFrame,
+                       nSplits: Int, salt: String = "graft"): DataFrame = {
+    require(nSplits >= 2, s"nSplits must be >= 2, got $nSplits")
+    require(canonicalMap.columns.contains("canonical_id"),
+      "canonicalMap must carry a canonical_id column " +
+        "(the canonicalMapping output)")
+    require(!df.columns.contains("canonical_id") && idCol != "split",
+      "df must not already carry canonical_id / idCol must not be 'split'")
+    val m = canonicalMap.select(col(idCol), col("canonical_id"))
+    df.join(m, Seq(idCol), "left")
+      .withColumn("split",
+        splitId(coalesce(col("canonical_id"), col(idCol)), nSplits, salt))
+      .drop("canonical_id")
+  }
+
+  /**
+   * UniMax budget allocation (Chung et al., ICLR 2023, arXiv:2304.09151):
+   * split a total training budget (tokens/characters) across groups
+   * (languages, domains) as UNIFORMLY as possible subject to a per-group
+   * repetition cap — every group receives the equal share unless that
+   * would repeat its data more than `maxEpochsMicro`/1e6 epochs, in which
+   * case it is capped at `cap_i = floor(n_i * maxEpochs)` and the freed
+   * budget re-splits among the rest. This is the sampling rule multilingual
+   * pretraining uses instead of temperature sampling
+   * ([[temperatureSampleByHash]]) when low-resource groups must not be
+   * over-epoched.
+   *
+   * The paper's iterative water-filling has a CLOSED FORM on the
+   * (cap, group)-ascending total order: group i (1-based rank) is capped
+   * iff `cap_i * (N - i + 1) + Σ_{j<i} cap_j <= B` — the LHS−RHS gap is
+   * non-decreasing along the sorted order (caps ascend while the budget
+   * shrinks by exactly the granted caps), so the capped groups are a
+   * PREFIX and one window pass decides them all. The remaining budget
+   * floor-splits among the k uncapped groups; the remainder `R mod k`
+   * goes one token each to the first uncapped groups in the same order.
+   * Every step is integer arithmetic (the cap is the overflow-safe exact
+   * `floor(n*m/1e6) = (n div 1e6)*m + ((n mod 1e6)*m) div 1e6`), so any
+   * engine replays the allocation bit-for-bit; the reported `epochs` is
+   * one double division of the two integers (IEEE-exact in any engine).
+   *
+   * Scale shape: `counts` is the PER-GROUP table (one row per language /
+   * domain — the user's one corpus-sized agg lives upstream), so the
+   * unpartitioned windows here sort thousands of rows on one task, never
+   * corpus rows. Zero/negative/null-token groups take no budget and emit
+   * no row. Bounds: caps must keep `cap_i * N` inside a long — holds
+   * through ~1e13-token groups at 1e5 groups.
+   *
+   * Output: (groupCol, n_tokens, cap_tokens, is_capped, budget_tokens,
+   * epochs).
+   */
+  def unimaxBudgets(counts: DataFrame, groupCol: String, tokensCol: String,
+                    totalBudget: Long, maxEpochsMicro: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    require(maxEpochsMicro > 0,
+      s"maxEpochsMicro must be positive, got $maxEpochsMicro")
+    require(!Set("n_tokens", "cap_tokens", "is_capped", "budget_tokens",
+        "epochs").contains(groupCol),
+      s"groupCol '$groupCol' collides with a unimaxBudgets output column — " +
+        "rename it first")
+    import org.apache.spark.sql.expressions.Window
+    val base = counts
+      .select(col(groupCol),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cap_tokens",
+        expr(s"(n_tokens div 1000000) * $maxEpochsMicro + " +
+          s"((n_tokens % 1000000) * $maxEpochsMicro) div 1000000"))
+    val asc = Window.orderBy(col("cap_tokens"), col(groupCol))
+    val nG = base.agg(count(lit(1)).as("__ng"))
+    val flagged = base
+      .withColumn("__i", row_number().over(asc))
+      .withColumn("__pre", coalesce(sum(col("cap_tokens")).over(
+        asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(nG)) // one-row aggregate broadcast
+      .withColumn("is_capped",
+        col("cap_tokens") * (col("__ng") - col("__i") + 1) + col("__pre") <=
+          lit(totalBudget))
+      // rank among the uncapped, same total order (remainder distribution)
+      .withColumn("__ur", sum(when(col("is_capped"), 0L).otherwise(1L))
+        .over(asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stats = flagged.agg(
+      coalesce(sum(when(col("is_capped"), col("cap_tokens"))), lit(0L))
+        .as("__capped_sum"),
+      sum(when(col("is_capped"), 0L).otherwise(1L)).as("__k"))
+    flagged.crossJoin(broadcast(stats)) // one-row aggregate broadcast
+      .withColumn("__r", lit(totalBudget) - col("__capped_sum"))
+      .withColumn("budget_tokens",
+        when(col("is_capped"), col("cap_tokens"))
+          // the otherwise-branch only evaluates on uncapped rows => __k >= 1
+          .otherwise(expr("__r div __k") +
+            when(col("__ur") <= expr("__r % __k"), lit(1L)).otherwise(lit(0L))))
+      .withColumn("epochs",
+        col("budget_tokens").cast("double") / col("n_tokens").cast("double"))
+      .select(col(groupCol), col("n_tokens"), col("cap_tokens"),
+        col("is_capped"), col("budget_tokens"), col("epochs"))
+  }
 }

@@ -723,6 +723,67 @@ object TextOps {
   }
 
   /**
+   * Land a trained DSIR model as catalog tables — train-once /
+   * score-many, the [[landNgramLm]] move for the importance model (a
+   * target distribution is estimated once per curation campaign and
+   * scores every crawl batch after). Two tables:
+   *
+   *  - `<name>_ratios` (bucket, log_ratio_micro), BUCKETED by bucket:
+   *    all `dim` rows, dense;
+   *  - `<name>_meta` (dim, alpha, n_target, n_raw): parameter pinning,
+   *    landed FIRST — scoring accepts NO model parameters (the q75
+   *    meta-table rule), so training under one (dim, alpha) and scoring
+   *    under another is unrepresentable.
+   */
+  def landDsir(target: DataFrame, raw: DataFrame, textCol: String,
+               name: String, dim: Int = 1 << 16, alpha: Double = 1.0,
+               buckets: Int = 8, path: Option[String] = None): Unit = {
+    val spark = target.sparkSession
+    val metaTbl = s"${name}_meta"
+    val metaExists = spark.catalog.tableExists(metaTbl)
+    if (metaExists) {
+      val m = spark.table(metaTbl).head()
+      require(m.getAs[Int]("dim") == dim && m.getAs[Double]("alpha") == alpha,
+        s"landDsir('$name'): existing model has (dim, alpha) = " +
+        s"(${m.getAs[Int]("dim")}, ${m.getAs[Double]("alpha")}) != " +
+        s"requested ($dim, $alpha); drop the tables or land another name")
+    }
+    // data table lands OUTSIDE the meta gate (landOnce self-checks), so a
+    // crash between the meta write and the ratios landing self-heals —
+    // the landNgramLm shape
+    if (!metaExists || !spark.catalog.tableExists(s"${name}_ratios")) {
+      val model = trainDsir(target, raw, textCol, dim, alpha, cache = true)
+      try {
+        if (!metaExists) {
+          import spark.implicits._
+          val w = Seq((model.dim, model.alpha, model.nTarget, model.nRaw))
+            .toDF("dim", "alpha", "n_target", "n_raw")
+            .write.mode("overwrite").format("parquet")
+          path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
+        }
+        graft.sources.BucketedLand.landOnce(model.ratios, s"${name}_ratios",
+          "bucket", Seq("bucket"), buckets, path.map(p => s"${p}_ratios"))
+      } finally model.unpersist()
+    }
+  }
+
+  /** Score against a landed [[landDsir]] model: (dim, alpha, totals) come
+    * from the meta table, ratios from the bucketed table — row-identical
+    * to [[dsirScore]] with the in-session model (same feature expression,
+    * same join+sum pipeline, one source of truth). */
+  def dsirScoreIndexed(docs: DataFrame, idCol: String, textCol: String,
+                       name: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"no DSIR model '$name' in the session catalog — run landDsir first")
+    val m = spark.table(s"${name}_meta").head()
+    val model = DsirModel(m.getAs[Int]("dim"), m.getAs[Double]("alpha"),
+      m.getAs[Long]("n_target"), m.getAs[Long]("n_raw"),
+      spark.table(s"${name}_ratios"))
+    dsirScore(docs, idCol, textCol, model)
+  }
+
+  /**
    * Train a BPE subword tokenizer IN-ENGINE (Sennrich et al. 2016,
    * arXiv:1508.07909): ONE distributed pass builds the word-frequency
    * table (the classic BPE insight — merges depend only on word counts,

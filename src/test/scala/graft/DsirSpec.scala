@@ -93,6 +93,47 @@ class DsirSpec extends SparkTestBase {
     assert(engine0 == g0, s"engine $engine0 != replay $g0")
   }
 
+  test("landDsir: indexed scoring is row-identical to the in-session " +
+       "model; re-landing under different (dim, alpha) refuses") {
+    val idx = "graft_dsir_spec_idx"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    try {
+      TextOps.landDsir(targetDocs, poolDocs, "text", idx, dim = 1 << 10,
+        path = Some(s"$tmp/$idx"))
+      val direct = TextOps.dsirScore(poolDocs, "doc_id", "text",
+        TextOps.trainDsir(targetDocs, poolDocs, "text", dim = 1 << 10,
+          cache = false))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val indexed = TextOps.dsirScoreIndexed(poolDocs, "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(direct == indexed && direct.nonEmpty,
+        s"landed-model scoring must be row-identical: $direct vs $indexed")
+      // parameter drift is unrepresentable: dim and alpha both pin
+      val errDim = intercept[IllegalArgumentException] {
+        TextOps.landDsir(targetDocs, poolDocs, "text", idx, dim = 1 << 11,
+          path = Some(s"$tmp/$idx"))
+      }
+      assert(errDim.getMessage.contains("dim, alpha"))
+      val errAlpha = intercept[IllegalArgumentException] {
+        TextOps.landDsir(targetDocs, poolDocs, "text", idx, dim = 1 << 10,
+          alpha = 0.5, path = Some(s"$tmp/$idx"))
+      }
+      assert(errAlpha.getMessage.contains("dim, alpha"))
+      // idempotent re-land with the SAME params is the no-op path
+      TextOps.landDsir(targetDocs, poolDocs, "text", idx, dim = 1 << 10,
+        path = Some(s"$tmp/$idx"))
+      // scoring without a landed model refuses loudly
+      val errMissing = intercept[IllegalArgumentException] {
+        TextOps.dsirScoreIndexed(poolDocs, "doc_id", "text", "graft_dsir_nope")
+      }
+      assert(errMissing.getMessage.contains("landDsir"))
+    } finally {
+      Seq("_meta", "_ratios").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS $idx$s")
+      }
+    }
+  }
+
   test("resampling favors high-importance docs: with uniform weights the " +
        "sample is the pure hash draw; adding weight shifts mass") {
     val uni = (0L until 200L).map(i => (0L, i, 0L)).toDF("grp", "key", "w")

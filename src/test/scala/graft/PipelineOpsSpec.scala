@@ -316,6 +316,70 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(other != s1, "salt had no effect")
   }
 
+  test("leakageFreeSplit: cluster members take their canonical's split, " +
+       "unclustered docs degrade to hashSplit") {
+    val d = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val canon = Seq((50L, 1L), (51L, 1L), (1L, 1L), (70L, 2L), (2L, 2L))
+      .toDF("doc_id", "canonical_id")
+    val got = graft.ops.SampleOps.leakageFreeSplit(d, "doc_id", canon, 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("split")).toMap
+    val plain = graft.ops.SampleOps.hashSplit(d, "doc_id", 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("split")).toMap
+    // the whole cluster rides canonical 1's own-id split
+    assert(got(50L) == plain(1L) && got(51L) == plain(1L) && got(1L) == plain(1L))
+    assert(got(70L) == plain(2L) && got(2L) == plain(2L))
+    // everyone else is the plain hash split; empty map == hashSplit exactly
+    assert((got -- Seq(50L, 51L, 1L, 70L, 2L)) == (plain -- Seq(50L, 51L, 1L, 70L, 2L)))
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "canonical_id")
+    val viaEmpty = graft.ops.SampleOps.leakageFreeSplit(d, "doc_id", empty, 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("split")).toMap
+    assert(viaEmpty == plain)
+    intercept[IllegalArgumentException] {
+      graft.ops.SampleOps.leakageFreeSplit(d, "doc_id",
+        canon.withColumnRenamed("canonical_id", "c"), 10)
+    }
+  }
+
+  test("lengthBucketBatches: boundary edges, full-then-remainder chunking, " +
+       "partitioning invariance, salt redraws the roster") {
+    // edges: < boundary stays below it; null/negative coalesce to 0
+    val edges = Seq((1L, Some(149L)), (2L, Some(150L)), (3L, Some(299L)),
+      (4L, Some(300L)), (5L, Some(449L)), (6L, Some(450L)),
+      (7L, None: Option[Long]), (8L, Some(-3L)))
+      .toDF("doc_id", "n")
+    val tiers = graft.ops.SampleOps.lengthBucketBatches(edges, "doc_id", "n",
+        Seq(150L, 300L, 450L), 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(tiers == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2,
+      6L -> 3, 7L -> 0, 8L -> 0), s"got $tiers")
+    // 19 same-tier rows at batchSize 8 -> batches of 8, 8, 3; positions 0..7
+    val uni = (0L until 19L).map(i => (i, 10L)).toDF("doc_id", "n")
+    val got = graft.ops.SampleOps.lengthBucketBatches(uni, "doc_id", "n",
+      Seq(100L), 8).collect()
+    val sizes = got.groupBy(_.getAs[Long]("batch_id")).view
+      .mapValues(_.length).toMap
+    assert(sizes == Map(0L -> 8, 1L -> 8, 2L -> 3), s"got $sizes")
+    assert(got.filter(_.getAs[Long]("batch_id") == 0L)
+      .map(_.getAs[Int]("batch_pos")).sorted.toSeq == (0 until 8))
+    // pure function of (salt, id): layout-invariant, salt-sensitive
+    val a = got.map(r => r.getLong(0) -> ((r.getAs[Long]("batch_id"),
+      r.getAs[Int]("batch_pos")))).toMap
+    val b = graft.ops.SampleOps.lengthBucketBatches(uni.repartition(7),
+      "doc_id", "n", Seq(100L), 8)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("batch_id"),
+        r.getAs[Int]("batch_pos")))).toMap
+    assert(a == b)
+    val c = graft.ops.SampleOps.lengthBucketBatches(uni, "doc_id", "n",
+        Seq(100L), 8, salt = "other")
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("batch_id"),
+        r.getAs[Int]("batch_pos")))).toMap
+    assert(a != c, "salt had no effect on the roster")
+    intercept[IllegalArgumentException] {
+      graft.ops.SampleOps.lengthBucketBatches(uni, "doc_id", "n",
+        Seq(300L, 150L), 8)
+    }
+  }
+
   test("curriculumOrder: threshold tiers (at-threshold promotes), null " +
        "scores sort last with null tier, schedule is tier-then-hash, " +
        "and the plan has no window") {
