@@ -1749,6 +1749,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q169_threshold_sweep" -> ((s: SparkSession, dir: String) => {
+      // the keep-curve over DSIR importance: which logw cutoff keeps how
+      // many documents/features — q161's scored table swept over five
+      // candidate cutoffs in ONE corpus pass (vs re-filtering per
+      // candidate); empty top tiers still emit their spine row
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val model = TextOps.trainDsir(d.filter(col("doc_id") % 11 === 0),
+        d.filter(col("doc_id") % 11 =!= 0), "text", dim = 1024)
+      val scored = TextOps.dsirScore(d, "doc_id", "text", model)
+      graft.ops.GateOps.thresholdSweep(scored, "logw_micro", "n_features",
+        Seq(-20000000L, -10000000L, -5000000L, 0L, 5000000L))
+    }),
+
     "q168_length_batches" -> ((s: SparkSession, dir: String) => {
       // length-bucketed batching + the padding-waste ledger: per (tier,
       // batch), rows, the batch's pad-to length, and the pad tokens the
@@ -3154,6 +3167,51 @@ object SparkEntry {
     "q118_canonical_mapping" -> OracleSqlGen.canonicalMappingSql,
 
     "q167_leakage_free_split" -> OracleSqlGen.leakageFreeSplitSql(10),
+
+    "q169_threshold_sweep" ->
+      // the q161 score chain feeding the sweep replay: tier CASE (highest
+      // cleared cutoff), VALUES spine so empty tiers emit, suffix-window
+      // cumulative mass, BIGINT floor-div ppm of the WHOLE scored input
+      (s"WITH ${OracleSqlGen.dsirScoreCtes(1024, 11)}, sw_tiered AS (\n" +
+        """  SELECT CASE WHEN logw_micro >= 5000000 THEN 4
+          |              WHEN logw_micro >= 0 THEN 3
+          |              WHEN logw_micro >= -5000000 THEN 2
+          |              WHEN logw_micro >= -10000000 THEN 1
+          |              WHEN logw_micro >= -20000000 THEN 0
+          |              ELSE -1 END AS tier,
+          |         n_features
+          |  FROM scored
+          |), sw_per_tier AS (
+          |  SELECT tier, CAST(COUNT(*) AS BIGINT) AS docs,
+          |         CAST(SUM(n_features) AS BIGINT) AS toks
+          |  FROM sw_tiered GROUP BY tier
+          |), sw_tot AS (
+          |  SELECT CAST(COALESCE(SUM(docs), 0) AS BIGINT) AS td,
+          |         CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS tt
+          |  FROM sw_per_tier
+          |), sw_spine AS (
+          |  SELECT * FROM (VALUES
+          |    (0, CAST(-20000000 AS BIGINT)), (1, CAST(-10000000 AS BIGINT)),
+          |    (2, CAST(-5000000 AS BIGINT)), (3, CAST(0 AS BIGINT)),
+          |    (4, CAST(5000000 AS BIGINT))) v(tier, cutoff)
+          |), sw_joined AS (
+          |  SELECT s.tier, s.cutoff, COALESCE(p.docs, 0) AS docs,
+          |         COALESCE(p.toks, 0) AS toks
+          |  FROM sw_spine s LEFT JOIN sw_per_tier p ON p.tier = s.tier
+          |), sw_kept AS (
+          |  SELECT cutoff,
+          |    CAST(SUM(docs) OVER (ORDER BY tier
+          |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS kept_docs,
+          |    CAST(SUM(toks) OVER (ORDER BY tier
+          |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS kept_tokens
+          |  FROM sw_joined
+          |)
+          |SELECT cutoff, kept_docs, kept_tokens,
+          |  CAST(CASE WHEN (SELECT td FROM sw_tot) > 0
+          |    THEN (kept_docs * 1000000) // (SELECT td FROM sw_tot) ELSE 0 END AS BIGINT) AS kept_docs_ppm,
+          |  CAST(CASE WHEN (SELECT tt FROM sw_tot) > 0
+          |    THEN (kept_tokens * 1000000) // (SELECT tt FROM sw_tot) ELSE 0 END AS BIGINT) AS kept_tokens_ppm
+          |FROM sw_kept ORDER BY cutoff""".stripMargin),
 
     "q168_length_batches" ->
       // hash-order + row_number + floor-div batch chunking replayed; the

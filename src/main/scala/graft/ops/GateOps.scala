@@ -181,4 +181,64 @@ object GateOps {
           nTok.cast(DoubleType) >= minDistinctRatio),
       "lang" -> col(langCol).isInCollection(keepLangs))
   }
+
+  /**
+   * THRESHOLD SWEEP: the keep-curve decision table for a scalar quality /
+   * importance score — for each candidate cutoff, how many documents and
+   * tokens survive `score >= cutoff`, as counts and corpus ppm. This is
+   * the table a curation campaign reads to pick its FineWeb-Edu-style
+   * classifier threshold (or a DSIR importance cutoff) BEFORE committing
+   * to the filter, instead of re-running the corpus once per candidate.
+   *
+   * One corpus pass regardless of how many cutoffs: each row maps to the
+   * HIGHEST cutoff it clears (a literal CASE chain inside codegen; null
+   * scores clear none, the gate convention), one tier-keyed aggregation,
+   * then a descending cumulative sum over the CUTOFF SPINE (every cutoff
+   * emits a row even when its tier is empty — the bindata empty-bin rule)
+   * turns per-tier mass into at-or-above-cutoff mass. Totals include the
+   * below-all-cutoffs tier, so ppm is of the WHOLE input. All integer;
+   * ppm is BIGINT floor division (bounds: kept_tokens < 2^63/1e6 ≈ 9e12
+   * — quantize coarser above that).
+   *
+   * Output: (cutoff, kept_docs, kept_tokens, kept_docs_ppm,
+   * kept_tokens_ppm), one row per cutoff, ascending.
+   */
+  def thresholdSweep(df: DataFrame, scoreCol: String, tokensCol: String,
+                     cutoffs: Seq[Long]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs == cutoffs.sorted &&
+        cutoffs.distinct.size == cutoffs.size,
+      s"cutoffs must be non-empty and strictly ascending, got $cutoffs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = greatest(coalesce(col(tokensCol).cast("long"), lit(0L)), lit(0L))
+    // highest cleared cutoff wins (outermost CASE arm); nulls fall to -1
+    val tier = cutoffs.zipWithIndex.foldLeft(lit(-1): Column) {
+      case (acc, (c, i)) => when(col(scoreCol) >= c, lit(i)).otherwise(acc)
+    }
+    val perTier = df.select(tier.as("tier"), tok.as("__tok"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("__docs"), sum(col("__tok")).as("__toks"))
+    // totals BEFORE the spine join (the -1 tier must count toward ppm)
+    val totals = perTier.agg(
+      coalesce(sum(col("__docs")), lit(0L)).as("__td"),
+      coalesce(sum(col("__toks")), lit(0L)).as("__tt"))
+    val spine = cutoffs.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("tier", "cutoff")
+    val fromHere = Window.orderBy(col("tier"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(perTier, Seq("tier"), "left")
+      .withColumn("kept_docs",
+        sum(coalesce(col("__docs"), lit(0L))).over(fromHere))
+      .withColumn("kept_tokens",
+        sum(coalesce(col("__toks"), lit(0L))).over(fromHere))
+      .crossJoin(broadcast(totals)) // one-row aggregate broadcast
+      .withColumn("kept_docs_ppm", when(col("__td") > 0,
+        expr("(kept_docs * 1000000) div __td")).otherwise(lit(0L)))
+      .withColumn("kept_tokens_ppm", when(col("__tt") > 0,
+        expr("(kept_tokens * 1000000) div __tt")).otherwise(lit(0L)))
+      .select(col("cutoff"), col("kept_docs"), col("kept_tokens"),
+        col("kept_docs_ppm"), col("kept_tokens_ppm"))
+      .orderBy(col("cutoff"))
+  }
 }

@@ -137,4 +137,30 @@ class GateOpsSpec extends SparkTestBase {
     val funnel = GateOps.gateFunnel(big, rules)
     assert(funnel.count() == 4L)
   }
+
+  test("thresholdSweep: hand-computed keep curve, nulls clear nothing, " +
+       "empty tiers emit spine rows, ppm is of the whole input") {
+    import spark.implicits._
+    val d = Seq((None: Option[Long], 3L), (Some(-10L), 3L), (Some(0L), 3L),
+      (Some(5L), 3L), (Some(5L), 3L), (Some(20L), 3L))
+      .toDF("score", "n_tok")
+    val got = GateOps.thresholdSweep(d, "score", "n_tok", Seq(0L, 10L, 100L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // totals: 6 docs / 18 tokens. >=0: 4 docs 12 tok; >=10: 1 doc 3 tok;
+    // >=100: the empty tier still emits
+    assert(got == Map(
+      0L -> ((4L, 12L, 666666L, 666666L)),
+      10L -> ((1L, 3L, 166666L, 166666L)),
+      100L -> ((0L, 0L, 0L, 0L))), s"got $got")
+    // one corpus pass is invariant to layout
+    val re = GateOps.thresholdSweep(d.repartition(5), "score", "n_tok",
+        Seq(0L, 10L, 100L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(re == got)
+    intercept[IllegalArgumentException] {
+      GateOps.thresholdSweep(d, "score", "n_tok", Seq(10L, 0L))
+    }
+  }
 }
