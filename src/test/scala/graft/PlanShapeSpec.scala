@@ -458,4 +458,38 @@ class PlanShapeSpec extends SparkTestBase {
       plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("wave-8 plan shapes: length batching prunes bodies and reuses its " +
+       "bucket exchange; leakage split joins broadcast; sweep aggregates " +
+       "the corpus once") {
+    val docsPq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // q168 shape: the (bucket, batch_id) agg's clustering is SATISFIED by
+    // the window's hashpartitioning(bucket) (subset rule) — one corpus
+    // exchange total, and the text column never reaches the scan
+    val ledger = graft.ops.SampleOps.lengthBucketBatches(docsPq, "doc_id",
+        "n_chars", Seq(150L, 300L, 450L), 8)
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"), max(col("len")).as("max_len"))
+    val lPlan = ledger.queryExecution.executedPlan.toString
+    assert(countOccurrences(lPlan, "Exchange hashpartitioning") == 1, lPlan)
+    assert(!lPlan.contains("text#"), s"body column reached the plan:\n$lPlan")
+    assert(!lPlan.contains("ScalaUDF"), lPlan)
+    // q167 shape: the cluster map is the small side — broadcast join, and
+    // the split gate itself is a projection (no exchange after the join)
+    val canon = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "canonical_id")
+    val split = graft.ops.SampleOps.leakageFreeSplit(
+      docsPq.select(col("doc_id"), col("text")), "doc_id", canon, 10)
+    val sPlan = split.queryExecution.executedPlan.toString
+    assert(sPlan.contains("BroadcastHashJoin"), sPlan)
+    assert(!sPlan.contains("Exchange hashpartitioning"), sPlan)
+    // q169 shape: one corpus-keyed exchange (the tier agg) — the spine
+    // window and ppm division ride tiny frames
+    val sweep = graft.ops.GateOps.thresholdSweep(
+      docsPq.select(col("doc_id"), col("n_chars")), "n_chars", "n_chars",
+      Seq(100L, 300L))
+    sweep.collect() // AQE final plan
+    val wPlan = sweep.queryExecution.executedPlan.toString
+    assert(!wPlan.contains("ScalaUDF"), wPlan)
+    assert(!wPlan.contains("text#"), wPlan)
+  }
 }
