@@ -363,11 +363,15 @@ object SparkEntry {
       // the TWO-SIDED IVF join: the whole (offset-id) corpus queries the
       // corpus — neither side broadcasts; probe cells come from the
       // map-side multi-probe kernel, the only big op is one cell-key
-      // equi-join. Every query's identical twin must surface at rank 1
+      // equi-join. Every query's identical twin must surface at rank 1.
+      // nCells DERIVES from the corpus (clamp(ceil(n/128), 16, 16384)):
+      // with both sides corpus-scale a fixed cell count is quadratic —
+      // the 10x rerun measured 137x wall at fixed 16 cells vs 8.5x
+      // derived; at every test sf the derived value IS 16 (clamp floor)
       val e = t(s, dir, "embeddings")
       val q = e.select((col("vec_id") + 1000000).as("vec_id"),
         col("embedding"))
-      SimOps.ivfJoinTopK(q, e, "vec_id", "embedding", k = 3, nCells = 16,
+      SimOps.ivfJoinTopK(q, e, "vec_id", "embedding", k = 3, nCells = 0,
           nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -3112,11 +3116,18 @@ object SparkEntry {
       // from the offset-id copy of the corpus (every query has an exact
       // twin -> rank 1 at cos 1.0), corpus cells and probe ranking use
       // the identical fold and (score DESC, cent_id) tie-break the
-      // multi-probe kernel replays
+      // multi-probe kernel replays; ncells derives from the corpus count
+      // (the q79 occupancy formula — dense 0-based vec_ids, so the
+      // lowest-k-id codebook is `vec_id < k`)
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), ncells AS (
+        |  SELECT least(16384, greatest(16,
+        |    CAST(ceil(count(*) / 128.0) AS BIGINT))) AS k
+        |  FROM e
         |), c AS (
-        |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16
+        |  SELECT vec_id AS cent_id, v AS cv FROM e
+        |  WHERE vec_id < (SELECT k FROM ncells)
         |), assign AS (
         |  SELECT e.vec_id, e.v, c.cent_id,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY

@@ -419,7 +419,7 @@ object pipeline {
 
       def ivfJoinTopK(corpus: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding", k: Int = 5,
-                      nCells: Int = 16, nProbe: Int = 4,
+                      nCells: Int = 0, nProbe: Int = 4,
                       maxCell: Int = 0): DataFrame =
         SimOps.ivfJoinTopK(df, corpus, idCol, vecCol, k, nCells, nProbe,
           maxCell = maxCell)

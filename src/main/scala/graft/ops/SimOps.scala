@@ -721,19 +721,36 @@ object SimOps {
    * ids-only rule targets data-dependent explosions; re-joining vectors
    * here would cost a second corpus-scale shuffle for a 4× dodge).
    *
+   * `nCells <= 0` (the default) derives `clamp(ceil(n/128), 16, 16384)`
+   * from the corpus — the [[semanticDedupPairs]] occupancy convention,
+   * and here it is LOAD-BEARING, not a convenience: with BOTH sides
+   * growing with the corpus, a fixed cell count makes candidate volume
+   * quadratic (nProbe · q · n/nCells — the round-10 ScaleUp rerun
+   * measured a fixed-16-cell setup at 137× wall for 10× data, the same
+   * class as semantic dedup's round-9 35× bug); derived, per-query
+   * candidates stay ≈ nProbe · 128 and total volume is linear in the
+   * query count (re-measured 8.5× at 10× data). Fixed nCells remains
+   * for pinned-parameter replays against a pre-agreed codebook.
+   *
    * Row-identical to [[ivfTopK]] at equal parameters when the query side
    * happens to be small (probe position 0 of `ivf_cells` IS `ivf_cell`,
    * same fold, same tie-breaks) — spec-pinned.
    */
   def ivfJoinTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                  vecCol: String, k: Int = 5, nCells: Int = 16,
+                  vecCol: String, k: Int = 5, nCells: Int = 0,
                   nProbe: Int = 4, trainCodebook: Boolean = false,
                   lloydIters: Int = 5, trainSample: Int = 4096,
                   maxCell: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val A = org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
-    val cents = resolveCodebook(corpus, idCol, vecCol, nCells, trainCodebook,
+    val kCells =
+      if (nCells > 0) nCells
+      else {
+        val n = corpus.select(col(idCol)).count()
+        math.min(16384, math.max(16, math.ceil(n / 128.0).toInt))
+      }
+    val cents = resolveCodebook(corpus, idCol, vecCol, kCells, trainCodebook,
       lloydIters, trainSample, "ivfJoinTopK")
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
