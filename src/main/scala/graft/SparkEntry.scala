@@ -42,6 +42,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q04_join_enrich")(spark, "/root/testdata/sf0.001")
 
+  /** q170's mixture weights; the integer strides derive ONCE here and feed
+    * BOTH the query and its oracle (the shared-constants rule). */
+  private val q170Weights: Map[String, Double] =
+    Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
+  private lazy val q170Strides: Seq[(String, Long)] =
+    graft.ops.SampleOps.interleaveStrides(q170Weights)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- relational core --------------------------------------------------
@@ -1753,6 +1760,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q170_mixture_interleave" -> ((s: SparkSession, dir: String) => {
+      // the loader-order half of mixture sampling: a 4:2:1:1 blend over
+      // four sources as one deterministic virtual-time schedule — over
+      // any window of the vtime order, src0 contributes ~2x src1 and
+      // ~4x src2/src3; unweighted sources ship nothing
+      graft.ops.SampleOps.mixtureInterleave(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", q170Weights)
+        .select(col("doc_id"), col("source"), col("src_pos"), col("vtime"))
+        .orderBy(col("vtime"), col("source"), col("src_pos"))
+    }),
+
     "q169_threshold_sweep" -> ((s: SparkSession, dir: String) => {
       // the keep-curve over DSIR importance: which logw cutoff keeps how
       // many documents/features — q161's scored table swept over five
@@ -3178,6 +3197,26 @@ object SparkEntry {
     "q118_canonical_mapping" -> OracleSqlGen.canonicalMappingSql,
 
     "q167_leakage_free_split" -> OracleSqlGen.leakageFreeSplitSql(10),
+
+    "q170_mixture_interleave" ->
+      // per-source md5-31 rank x the SAME integer stride literals the
+      // engine embeds (q170Strides — one derivation feeds both sides);
+      // vtime is BIGINT x INT, no float crosses engines
+      (s"""WITH w AS (
+        |  SELECT doc_id, source,
+        |    (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      & 2147483647::UBIGINT)::BIGINT AS h
+        |  FROM documents
+        |  WHERE source IN (${q170Strides.map(s => s"'${s._1}'").mkString(", ")})
+        |), pos AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS src_pos
+        |  FROM w
+        |)
+        |SELECT doc_id, source, src_pos,
+        |  CAST(src_pos * (CASE source ${q170Strides.map { case (s, st) =>
+             s"WHEN '$s' THEN $st" }.mkString(" ")} END) AS BIGINT) AS vtime
+        |FROM pos ORDER BY vtime, source, src_pos""".stripMargin),
 
     "q169_threshold_sweep" ->
       // the q161 score chain feeding the sweep replay: tier CASE (highest

@@ -593,6 +593,66 @@ object SampleOps {
       .select(col(idCol), col("change"))
   }
 
+  /** The per-source integer virtual-time strides of [[mixtureInterleave]],
+    * exposed so an oracle can embed the IDENTICAL literals (the
+    * OracleSqlGen shared-constants rule). stride_s = max(1,
+    * round(1e6 · W / w_s)) — computed once driver-side; zero/negative
+    * weights drop their source. */
+  def interleaveStrides(weights: Map[String, Double]): Seq[(String, Long)] = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (s, w) =>
+      require(!w.isNaN && !w.isInfinite, s"weight for '$s' must be finite") }
+    val total = weights.values.filter(_ > 0.0).sum
+    require(total > 0.0, "at least one weight must be positive")
+    weights.toSeq.sortBy(_._1).collect { case (s, w) if w > 0.0 =>
+      s -> math.max(1L, math.round(1e6 * total / w))
+    }
+  }
+
+  /**
+   * DETERMINISTIC MIXTURE INTERLEAVE: the loader-order half of mixture
+   * sampling — [[resampleToMixture]] decides how MUCH of each source
+   * ships; this decides in WHAT ORDER, so a sequential consumer (a
+   * trainer streaming shards) sees sources blended at their weights over
+   * every window of the stream instead of clumped source-by-source.
+   * Each row gets a VIRTUAL TIME `vtime = src_pos · stride(source)`
+   * (the leaky-bucket schedule: stride ∝ 1/weight, so per unit vtime
+   * source s contributes ∝ w_s rows); `src_pos` is the row's rank within
+   * its source under the (md5-31(salt:key), key) order — the
+   * [[deterministicShuffle]] permutation per source. Sorting by
+   * (vtime, source, src_pos) is therefore a pure integer function of
+   * (salt, key, source): any engine, rerun, or layout produces the
+   * identical loader order, and a new salt redraws the within-source
+   * permutations without touching the blend.
+   *
+   * Strides are computed ONCE driver-side ([[interleaveStrides]]) and
+   * embedded as literals — no float arithmetic crosses engines. Rows
+   * from unweighted (or non-positive-weight) sources are excluded, the
+   * [[resampleToMixture]] convention.
+   *
+   * Scale shape: ONE per-source window (rank over ids — bodies ride the
+   * projection untouched); the global order is the consumer's
+   * range-partitioned sort on the emitted `vtime`, never a
+   * single-partition row_number. Bounds: `src_pos · stride < 2^63` —
+   * holds through ~1e9 rows/source at weight ratios ≤ 1e3.
+   */
+  def mixtureInterleave(df: DataFrame, keyCol: String, sourceCol: String,
+                        weights: Map[String, Double],
+                        salt: String = "graft"): DataFrame = {
+    require(!df.columns.contains("src_pos") && !df.columns.contains("vtime"),
+      "df must not already carry src_pos / vtime columns")
+    val strides = interleaveStrides(weights)
+    val strideCol = strides.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, st)) => when(col(sourceCol) === s, lit(st)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(keyHash(col(keyCol), salt), col(keyCol))
+    df.filter(col(sourceCol).isin(strides.map(_._1): _*))
+      .withColumn("src_pos", row_number().over(w).cast("long"))
+      .withColumn("vtime", col("src_pos") * strideCol)
+  }
+
   /**
    * LENGTH-BUCKETED BATCHING: group rows into fixed-size batches WITHIN
    * length tiers — the padding-minimization move every tokenize-and-pad

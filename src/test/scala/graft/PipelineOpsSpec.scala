@@ -340,6 +340,37 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("mixtureInterleave: strides invert weights, any vtime prefix blends " +
+       "at the weights, unweighted sources ship nothing, layout-invariant") {
+    val strides = graft.ops.SampleOps.interleaveStrides(
+      Map("a" -> 4.0, "b" -> 2.0, "c" -> 1.0, "d" -> 1.0, "z" -> 0.0))
+    assert(strides == Seq("a" -> 2000000L, "b" -> 4000000L,
+      "c" -> 8000000L, "d" -> 8000000L), s"got $strides")
+    val rows = (0L until 160L).map(i =>
+      (i, Seq("a", "b", "c", "d", "x")(
+        (i % 5).toInt))).toDF("doc_id", "source")
+    val out = graft.ops.SampleOps.mixtureInterleave(rows, "doc_id", "source",
+      Map("a" -> 4.0, "b" -> 2.0, "c" -> 1.0, "d" -> 1.0))
+    val got = out.collect()
+    assert(!got.exists(_.getString(1) == "x"), "unweighted source shipped")
+    // leaky-bucket exactness: rows with vtime <= T are floor(T/stride_s)
+    // per source (schedule positions stride, 2*stride, ...)
+    val pre = got.filter(_.getAs[Long]("vtime") <= 8000000L)
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(pre == Map("a" -> 4, "b" -> 2, "c" -> 1, "d" -> 1), s"got $pre")
+    // pure function of (salt, key, source): layout cannot move a row
+    val a = got.map(r => r.getLong(0) -> ((r.getAs[Long]("src_pos"),
+      r.getAs[Long]("vtime")))).toMap
+    val b = graft.ops.SampleOps.mixtureInterleave(rows.repartition(7),
+        "doc_id", "source", Map("a" -> 4.0, "b" -> 2.0, "c" -> 1.0, "d" -> 1.0))
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("src_pos"),
+        r.getAs[Long]("vtime")))).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      graft.ops.SampleOps.interleaveStrides(Map("a" -> 0.0))
+    }
+  }
+
   test("lengthBucketBatches: boundary edges, full-then-remainder chunking, " +
        "partitioning invariance, salt redraws the roster") {
     // edges: < boundary stays below it; null/negative coalesce to 0
