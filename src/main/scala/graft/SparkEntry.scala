@@ -49,6 +49,50 @@ object SparkEntry {
   private lazy val q170Strides: Seq[(String, Long)] =
     graft.ops.SampleOps.interleaveStrides(q170Weights)
 
+  /** Shared CTE chain of the q166/q171 UniMax oracles: per-language char
+    * counts, budget = 1.4x total, 2-epoch caps, the capped-prefix closed
+    * form, floor split + remainder -> `alloc (lang, n_tokens, cap_tokens,
+    * is_capped, budget_tokens)`. One chain feeds both oracles so the two
+    * queries pin the same allocation. */
+  private val unimaxCtes: String =
+    """counts AS (
+      |  SELECT lang, CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang
+      |), params AS (
+      |  SELECT CAST((SUM(n_tokens) * 14) // 10 AS BIGINT) AS b FROM counts
+      |), pos AS (
+      |  SELECT lang, n_tokens,
+      |    CAST((n_tokens // 1000000) * 2000000
+      |      + ((n_tokens % 1000000) * 2000000) // 1000000 AS BIGINT) AS cap_tokens
+      |  FROM counts WHERE n_tokens > 0
+      |), ranked AS (
+      |  SELECT lang, n_tokens, cap_tokens,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS i,
+      |    CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS ng
+      |  FROM pos
+      |), flagged AS (
+      |  SELECT r.*, (r.cap_tokens * (r.ng - r.i + 1) + r.pre <= p.b) AS is_capped, p.b AS b
+      |  FROM ranked r CROSS JOIN params p
+      |), uranked AS (
+      |  SELECT *, CAST(SUM(CASE WHEN is_capped THEN 0 ELSE 1 END) OVER
+      |    (ORDER BY cap_tokens, lang
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ur
+      |  FROM flagged
+      |), stats AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN is_capped THEN cap_tokens END), 0) AS BIGINT) AS capped_sum,
+      |         CAST(SUM(CASE WHEN is_capped THEN 0 ELSE 1 END) AS BIGINT) AS k
+      |  FROM uranked
+      |), alloc AS (
+      |  SELECT u.lang, u.n_tokens, u.cap_tokens, u.is_capped,
+      |    CAST(CASE WHEN u.is_capped THEN u.cap_tokens
+      |      ELSE (u.b - s.capped_sum) // s.k
+      |        + (CASE WHEN u.ur <= (u.b - s.capped_sum) % s.k THEN 1 ELSE 0 END)
+      |      END AS BIGINT) AS budget_tokens
+      |  FROM uranked u CROSS JOIN stats s
+      |)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- relational core --------------------------------------------------
@@ -1760,6 +1804,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q171_unimax_resample" -> ((s: SparkSession, dir: String) => {
+      // the execution half of q166: UniMax decides per-language token
+      // budgets, the md5-31 hash gate ships them — capped languages thin
+      // to ~2 epochs' worth, uncapped ones to their equal share; a budget
+      // bump would only ADD docs (hash-threshold monotonicity)
+      val d = t(s, dir, "documents")
+      val counts = d.groupBy(col("lang"))
+        .agg(sum(coalesce(col("n_chars"), lit(0L))).as("n_chars_total"))
+      val total = counts.agg(sum(col("n_chars_total"))).head().getLong(0)
+      val budgets = graft.ops.SampleOps.unimaxBudgets(counts, "lang",
+        "n_chars_total", totalBudget = total * 14L / 10L,
+        maxEpochsMicro = 2000000L)
+      graft.ops.SampleOps.sampleToBudgets(
+          d.select(col("doc_id"), col("lang")), "doc_id", "lang", budgets)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q170_mixture_interleave" -> ((s: SparkSession, dir: String) => {
       // the loader-order half of mixture sampling: a 4:2:1:1 blend over
       // four sources as one deterministic virtual-time schedule — over
@@ -2781,46 +2843,26 @@ object SparkEntry {
       // split + remainder among the uncapped. All non-negative integers,
       // so DuckDB's // (floor) == Spark's div (trunc); epochs is the one
       // double division of two exact longs
-      """WITH counts AS (
-        |  SELECT lang, CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY lang
-        |), params AS (
-        |  SELECT CAST((SUM(n_tokens) * 14) // 10 AS BIGINT) AS b FROM counts
-        |), pos AS (
-        |  SELECT lang, n_tokens,
-        |    CAST((n_tokens // 1000000) * 2000000
-        |      + ((n_tokens % 1000000) * 2000000) // 1000000 AS BIGINT) AS cap_tokens
-        |  FROM counts WHERE n_tokens > 0
-        |), ranked AS (
-        |  SELECT lang, n_tokens, cap_tokens,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS i,
-        |    CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, lang
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre,
-        |    CAST(COUNT(*) OVER () AS BIGINT) AS ng
-        |  FROM pos
-        |), flagged AS (
-        |  SELECT r.*, (r.cap_tokens * (r.ng - r.i + 1) + r.pre <= p.b) AS is_capped, p.b AS b
-        |  FROM ranked r CROSS JOIN params p
-        |), uranked AS (
-        |  SELECT *, CAST(SUM(CASE WHEN is_capped THEN 0 ELSE 1 END) OVER
-        |    (ORDER BY cap_tokens, lang
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ur
-        |  FROM flagged
-        |), stats AS (
-        |  SELECT CAST(COALESCE(SUM(CASE WHEN is_capped THEN cap_tokens END), 0) AS BIGINT) AS capped_sum,
-        |         CAST(SUM(CASE WHEN is_capped THEN 0 ELSE 1 END) AS BIGINT) AS k
-        |  FROM uranked
-        |), alloc AS (
-        |  SELECT u.lang, u.n_tokens, u.cap_tokens, u.is_capped,
-        |    CAST(CASE WHEN u.is_capped THEN u.cap_tokens
-        |      ELSE (u.b - s.capped_sum) // s.k
-        |        + (CASE WHEN u.ur <= (u.b - s.capped_sum) % s.k THEN 1 ELSE 0 END)
-        |      END AS BIGINT) AS budget_tokens
-        |  FROM uranked u CROSS JOIN stats s
-        |)
-        |SELECT lang, n_tokens, cap_tokens, is_capped, budget_tokens,
-        |  CAST(budget_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
-        |FROM alloc ORDER BY lang""".stripMargin,
+      (s"WITH $unimaxCtes\n" +
+        """SELECT lang, n_tokens, cap_tokens, is_capped, budget_tokens,
+          |  CAST(budget_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+          |FROM alloc ORDER BY lang""".stripMargin),
+
+    "q171_unimax_resample" ->
+      // the q166 allocation chain driving the md5-31 hash gate: cut =
+      // floor(min(1, budget/n) * 2^31) per language (2147483648.0 stays a
+      // double literal - int32 would overflow), membership replayed per doc
+      (s"WITH $unimaxCtes, gate AS (\n" +
+        """  SELECT lang, CAST(floor(least(1.0,
+          |    CAST(budget_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          |    * 2147483648.0) AS BIGINT) AS cut
+          |  FROM alloc
+          |)
+          |SELECT d.doc_id, d.lang
+          |FROM documents d JOIN gate g ON g.lang = d.lang
+          |WHERE (('0x' || substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+          |        & 2147483647::UBIGINT)::BIGINT < g.cut
+          |ORDER BY d.doc_id""".stripMargin),
 
     "q162_dsir_resample" ->
       // Gumbel top-k replay: shard + noise from the named md5-31 salts,

@@ -593,6 +593,41 @@ object SampleOps {
       .select(col(idCol), col("change"))
   }
 
+  /**
+   * Sample each group down to a TOKEN BUDGET decided elsewhere (the
+   * execution half of [[unimaxBudgets]]: UniMax decides how many tokens
+   * each language may contribute, this gate ships them). `budgets` is a
+   * per-group table carrying (groupCol, n_tokens, budget_tokens) — the
+   * unimaxBudgets output schema; each group keeps rows whose md5-31 hash
+   * clears `floor((budget/n) · 2^31)`, so expected kept tokens ≈ the
+   * budget (keep decisions are length-independent) and membership is a
+   * pure function of (salt, key) — re-runs, engines, and layouts agree,
+   * and a budget increase only ADDS documents (hash-threshold
+   * monotonicity: the incremental-sampling property).
+   *
+   * The rate is `budget/n` — one IEEE-exact double division of two
+   * longs ([[temperatureSampleByHash]]'s convention) — computed IN-PLAN
+   * from the broadcast budgets table, never a driver map; groups with
+   * budget >= n keep everything (rate clamps to 1).
+   *
+   * Scale shape: one broadcast join (budgets = groups-sized) + the
+   * map-side hash gate; the corpus never shuffles.
+   */
+  def sampleToBudgets(df: DataFrame, keyCol: String, groupCol: String,
+                      budgets: DataFrame, salt: String = "graft"): DataFrame = {
+    Seq("n_tokens", "budget_tokens").foreach { c =>
+      require(budgets.columns.contains(c),
+        s"budgets must carry '$c' (the unimaxBudgets output schema)")
+    }
+    val cuts = budgets.select(col(groupCol),
+      floor(least(lit(1.0),
+          col("budget_tokens").cast("double") / col("n_tokens").cast("double"))
+        * lit((DedupOps.P31 + 1).toDouble)).cast("long").as("__cut"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .filter(keyHash(col(keyCol), salt) < col("__cut"))
+      .drop("__cut")
+  }
+
   /** The per-source integer virtual-time strides of [[mixtureInterleave]],
     * exposed so an oracle can embed the IDENTICAL literals (the
     * OracleSqlGen shared-constants rule). stride_s = max(1,

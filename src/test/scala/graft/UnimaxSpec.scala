@@ -56,6 +56,28 @@ class UnimaxSpec extends SparkTestBase {
     assert(got.getLong(2) == 4L, s"cap was ${got.getLong(2)}")
   }
 
+  test("sampleToBudgets: rate ~ budget/n, full keep at budget >= n, " +
+       "budget bumps only ADD docs (hash monotonicity), schema enforced") {
+    val docs = (0L until 2000L).map(i => (i, if (i < 1000) "g1" else "g2"))
+      .toDF("doc_id", "grp")
+    def budgets(b1: Long) = Seq(("g1", 1000L, b1), ("g2", 1000L, 1500L))
+      .toDF("grp", "n_tokens", "budget_tokens")
+    val half = SampleOps.sampleToBudgets(docs, "doc_id", "grp", budgets(500L))
+      .collect().map(_.getLong(1)).toSet
+    val g1 = half.count(_ < 1000L)
+    assert(g1 > 380 && g1 < 620, s"g1 rate off: $g1/1000")
+    // budget >= n keeps the whole group (rate clamps to 1)
+    assert(half.count(_ >= 1000L) == 1000, "g2 must keep everything")
+    // monotonicity: the 500-budget sample is a subset of the 800-budget one
+    val more = SampleOps.sampleToBudgets(docs, "doc_id", "grp", budgets(800L))
+      .collect().map(_.getLong(1)).toSet
+    assert(half.subsetOf(more), "raising a budget must only add documents")
+    intercept[IllegalArgumentException] {
+      SampleOps.sampleToBudgets(docs, "doc_id", "grp",
+        budgets(500L).withColumnRenamed("budget_tokens", "b"))
+    }
+  }
+
   test("allocation is invariant under input partitioning and epochs is " +
        "the exact double ratio") {
     val a = alloc(150L)
