@@ -449,6 +449,40 @@ object pipeline {
         EventOps.rateSpikesAgainstBaseline(df, baseline, tsCol, typeCol,
           valueCol, widthSeconds, hopSeconds, zThreshold)
 
+      def dsirScoreIndexed(name: String, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+        TextOps.dsirScoreIndexed(df, idCol, textCol, name)
+
+      def unimaxBudgets(groupCol: String, tokensCol: String,
+                        totalBudget: Long, maxEpochsMicro: Long): DataFrame =
+        SampleOps.unimaxBudgets(df, groupCol, tokensCol, totalBudget,
+          maxEpochsMicro)
+
+      def sampleToBudgets(keyCol: String, groupCol: String,
+                          budgets: DataFrame,
+                          salt: String = "graft"): DataFrame =
+        SampleOps.sampleToBudgets(df, keyCol, groupCol, budgets, salt)
+
+      def leakageFreeSplit(canonicalMap: DataFrame, nSplits: Int,
+                           idCol: String = "doc_id",
+                           salt: String = "graft"): DataFrame =
+        SampleOps.leakageFreeSplit(df, idCol, canonicalMap, nSplits, salt)
+
+      def lengthBucketBatches(lenCol: String, boundaries: Seq[Long],
+                              batchSize: Int, idCol: String = "doc_id",
+                              salt: String = "graft"): DataFrame =
+        SampleOps.lengthBucketBatches(df, idCol, lenCol, boundaries,
+          batchSize, salt)
+
+      def mixtureInterleave(sourceCol: String, weights: Map[String, Double],
+                            keyCol: String = "doc_id",
+                            salt: String = "graft"): DataFrame =
+        SampleOps.mixtureInterleave(df, keyCol, sourceCol, weights, salt)
+
+      def thresholdSweep(scoreCol: String, tokensCol: String,
+                         cutoffs: Seq[Long]): DataFrame =
+        GateOps.thresholdSweep(df, scoreCol, tokensCol, cutoffs)
+
       def gate(rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
         GateOps.gate(df, rules)
 

@@ -358,4 +358,37 @@ class FluentApiSpec extends SparkTestBase {
     } finally Seq("_meta", "_paras").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS $store$s"))
   }
+
+  test("wave-8 fluent wrappers delegate exactly: unimax -> budget gate, " +
+       "leakage split, length batches, interleave, sweep") {
+    import spark.implicits._
+    import graft.ops.pipeline.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"g${i % 2}", 10L + i))
+      .toDF("doc_id", "grp", "n_tok")
+    val counts = docs.groupBy(col("grp"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tok")).as("toks"))
+    val budgets = counts.unimaxBudgets("grp", "toks", 500L, 2000000L)
+    assert(budgets.collect().toSet ==
+      graft.ops.SampleOps.unimaxBudgets(counts, "grp", "toks", 500L,
+        2000000L).collect().toSet)
+    assert(docs.sampleToBudgets("doc_id", "grp", budgets).collect().toSet ==
+      graft.ops.SampleOps.sampleToBudgets(docs, "doc_id", "grp", budgets)
+        .collect().toSet)
+    val canon = Seq((3L, 1L)).toDF("doc_id", "canonical_id")
+    assert(docs.leakageFreeSplit(canon, 10).collect().toSet ==
+      graft.ops.SampleOps.leakageFreeSplit(docs, "doc_id", canon, 10)
+        .collect().toSet)
+    assert(docs.lengthBucketBatches("n_tok", Seq(30L), 8).collect().toSet ==
+      graft.ops.SampleOps.lengthBucketBatches(docs, "doc_id", "n_tok",
+        Seq(30L), 8).collect().toSet)
+    val w = Map("g0" -> 2.0, "g1" -> 1.0)
+    assert(docs.mixtureInterleave("grp", w).collect().toSet ==
+      graft.ops.SampleOps.mixtureInterleave(docs, "doc_id", "grp", w)
+        .collect().toSet)
+    assert(docs.thresholdSweep("n_tok", "n_tok", Seq(20L, 40L))
+        .collect().toSet ==
+      graft.ops.GateOps.thresholdSweep(docs, "n_tok", "n_tok",
+        Seq(20L, 40L)).collect().toSet)
+  }
 }
