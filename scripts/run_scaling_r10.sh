@@ -19,7 +19,8 @@ run() {
   local tag="$1"; shift
   echo "[scaling] $(date +%H:%M:%S) start $tag"
   java $JAVA_OPTS -cp "$CP" "$@" > "$OUT/$tag.log" 2>&1
-  echo "[scaling] $(date +%H:%M:%S) done $tag rc=$?"
+  local rc=$?
+  echo "[scaling] $(date +%H:%M:%S) done $tag rc=$rc"
 }
 
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_REPS=3 \

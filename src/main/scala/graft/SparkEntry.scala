@@ -417,7 +417,7 @@ object SparkEntry {
       // equi-join. Every query's identical twin must surface at rank 1.
       // nCells DERIVES from the corpus (clamp(ceil(n/128), 16, 16384)):
       // with both sides corpus-scale a fixed cell count is quadratic —
-      // the 10x rerun measured 137x wall at fixed 16 cells vs 8.5x
+      // the 10x rerun measured 137x wall at fixed 16 cells vs 7.1x
       // derived; at every test sf the derived value IS 16 (clamp floor)
       val e = t(s, dir, "embeddings")
       val q = e.select((col("vec_id") + 1000000).as("vec_id"),

@@ -608,10 +608,17 @@ object SampleOps {
    * The rate is `budget/n` — one IEEE-exact double division of two
    * longs ([[temperatureSampleByHash]]'s convention) — computed IN-PLAN
    * from the broadcast budgets table, never a driver map; groups with
-   * budget >= n keep everything (rate clamps to 1).
+   * budget >= n keep everything (rate clamps to 1). A null budget or a
+   * non-positive token count gates its group CLOSED (cut 0 — the gate
+   * fail-safe convention: a group whose allocation could not be computed
+   * must not silently ship in full), and groups absent from `budgets`
+   * drop entirely (inner join). `budgets` must be one row per group —
+   * the [[unimaxBudgets]] output shape; duplicate group rows would fan
+   * out the join.
    *
    * Scale shape: one broadcast join (budgets = groups-sized) + the
-   * map-side hash gate; the corpus never shuffles.
+   * map-side hash gate; the corpus never shuffles. Output keeps `df`'s
+   * column order (the sibling hash gates' pure-filter contract).
    */
   def sampleToBudgets(df: DataFrame, keyCol: String, groupCol: String,
                       budgets: DataFrame, salt: String = "graft"): DataFrame = {
@@ -620,12 +627,14 @@ object SampleOps {
         s"budgets must carry '$c' (the unimaxBudgets output schema)")
     }
     val cuts = budgets.select(col(groupCol),
-      floor(least(lit(1.0),
-          col("budget_tokens").cast("double") / col("n_tokens").cast("double"))
-        * lit((DedupOps.P31 + 1).toDouble)).cast("long").as("__cut"))
+      when(col("budget_tokens").isNull || coalesce(col("n_tokens"), lit(0L)) <= 0,
+          lit(0L))
+        .otherwise(floor(least(lit(1.0),
+            col("budget_tokens").cast("double") / col("n_tokens").cast("double"))
+          * lit((DedupOps.P31 + 1).toDouble)).cast("long")).as("__cut"))
     df.join(broadcast(cuts), Seq(groupCol))
       .filter(keyHash(col(keyCol), salt) < col("__cut"))
-      .drop("__cut")
+      .select(df.columns.map(col): _*)
   }
 
   /** The per-source integer virtual-time strides of [[mixtureInterleave]],

@@ -729,8 +729,11 @@ object SimOps {
    * measured a fixed-16-cell setup at 137× wall for 10× data, the same
    * class as semantic dedup's round-9 35× bug); derived, per-query
    * candidates stay ≈ nProbe · 128 and total volume is linear in the
-   * query count (re-measured 8.5× at 10× data). Fixed nCells remains
-   * for pinned-parameter replays against a pre-agreed codebook.
+   * query count (re-measured 7.1× at 10× data). Fixed nCells remains
+   * for pinned-parameter replays against a pre-agreed codebook. The
+   * derive runs one count() job at CONSTRUCTION time (the
+   * resolveCodebook-collect convention) — re-executing the corpus
+   * lineage; persist an expensive corpus before calling.
    *
    * Row-identical to [[ivfTopK]] at equal parameters when the query side
    * happens to be small (probe position 0 of `ivf_cells` IS `ivf_cell`,

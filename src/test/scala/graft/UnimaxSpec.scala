@@ -62,16 +62,23 @@ class UnimaxSpec extends SparkTestBase {
       .toDF("doc_id", "grp")
     def budgets(b1: Long) = Seq(("g1", 1000L, b1), ("g2", 1000L, 1500L))
       .toDF("grp", "n_tokens", "budget_tokens")
-    val half = SampleOps.sampleToBudgets(docs, "doc_id", "grp", budgets(500L))
-      .collect().map(_.getLong(1)).toSet
+    val out = SampleOps.sampleToBudgets(docs, "doc_id", "grp", budgets(500L))
+    // pure-filter contract: input column order preserved
+    assert(out.columns.toSeq == Seq("doc_id", "grp"))
+    val half = out.collect().map(_.getLong(0)).toSet
     val g1 = half.count(_ < 1000L)
     assert(g1 > 380 && g1 < 620, s"g1 rate off: $g1/1000")
     // budget >= n keeps the whole group (rate clamps to 1)
     assert(half.count(_ >= 1000L) == 1000, "g2 must keep everything")
     // monotonicity: the 500-budget sample is a subset of the 800-budget one
     val more = SampleOps.sampleToBudgets(docs, "doc_id", "grp", budgets(800L))
-      .collect().map(_.getLong(1)).toSet
+      .collect().map(_.getLong(0)).toSet
     assert(half.subsetOf(more), "raising a budget must only add documents")
+    // fail-closed: a null budget or a zero token count gates the group OFF
+    val broken = Seq(("g1", 1000L, None: Option[Long]), ("g2", 0L, Some(900L)))
+      .toDF("grp", "n_tokens", "budget_tokens")
+    assert(SampleOps.sampleToBudgets(docs, "doc_id", "grp", broken).count() == 0L,
+      "null budget / zero tokens must ship nothing, not everything")
     intercept[IllegalArgumentException] {
       SampleOps.sampleToBudgets(docs, "doc_id", "grp",
         budgets(500L).withColumnRenamed("budget_tokens", "b"))
