@@ -1091,4 +1091,52 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("dsirScoreIndexed scores a stream against the landed model, " +
+       "row-identical to the batch path (stateless: explode + broadcast " +
+       "ratio join + per-doc sum inside one micro-batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val idx = "graft_stream_dsir_idx"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdsir").toString
+    val target = Seq((1L, "simmer the garlic butter sauce"),
+      (2L, "bake the cake with sugar and flour")).toDF("doc_id", "text")
+    val raw = Seq((10L, "the court held the contract void"),
+      (11L, "whisk butter sugar into the batter")).toDF("doc_id", "text")
+    try {
+      graft.ops.TextOps.landDsir(target, raw, "text", idx, dim = 256,
+        path = Some(s"$tmp/$idx"))
+      val input = MemoryStream[(Long, String)]
+      // the per-doc feature sum is an aggregation, so the streaming shape
+      // is foreachBatch (a document arrives whole within one micro-batch
+      // — the q143/q159 ingest convention), scoring each batch against
+      // the landed model with the IDENTICAL batch operator
+      val results = scala.collection.mutable.Set[(Long, Long, Long)]()
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          results ++= graft.ops.TextOps
+            .dsirScoreIndexed(bdf, "doc_id", "text", idx)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          ()
+        }
+        .start()
+      try {
+        val batchDocs = Seq((20L, "simmer butter sauce with garlic"),
+          (21L, "statutory damages under contract law"))
+        input.addData(batchDocs: _*)
+        q.processAllAvailable()
+        val got = results.toSet
+        val batch = graft.ops.TextOps.dsirScoreIndexed(
+            batchDocs.toDF("doc_id", "text"), "doc_id", "text", idx)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == batch && got.nonEmpty,
+          s"stream $got != batch $batch")
+        // the importance model separates the streams' domains
+        val byId = got.map(t => t._1 -> t._3).toMap
+        assert(byId(20L) > byId(21L), s"cooking doc must outscore legal: $byId")
+      } finally q.stop()
+    } finally Seq("_meta", "_ratios").foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS $idx$s")
+    }
+  }
 }
