@@ -1057,10 +1057,46 @@ object OracleSqlGen {
     * Every value is an exact integer in a double (quantize/floor rules
     * identical to [[graft.ops.SimOps.kmeansAssignInt]]), so no summation
     * order or tie can drift between engines. */
-  def kmeansIntSql(k: Int, iters: Int, scale: Int): String = {
-    def distExpr(qc: String, cv: String): String =
-      s"(list_inner_product($qc, $qc) - 2*list_inner_product($qc, $cv)" +
-        s" + list_inner_product($cv, $cv))"
+  def kmeansIntSql(k: Int, iters: Int, scale: Int): String =
+    s"""${kmeansIntChain(k, iters, scale)}, fin AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ${kmeansDistExpr("q", "cv")}, cid) AS rn
+       |  FROM q CROSS JOIN c$iters
+       |)
+       |SELECT vec_id, cid AS cluster_id FROM fin WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
+  /** q172: [[kmeansIntSql]]'s chain + the per-cluster prototypicality
+    * rank on the exact integer distance (ties by id) — the engine's
+    * `prototypeSelect` replayed through the SAME Lloyd CTEs. */
+  def prototypeSelectSql(k: Int, iters: Int, scale: Int, perCluster: Int,
+                         keepClosest: Boolean): String = {
+    val dir = if (keepClosest) "ASC" else "DESC"
+    s"""${kmeansIntChain(k, iters, scale)}, fin AS (
+       |  SELECT vec_id, cid, CAST(d AS BIGINT) AS dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |  FROM (SELECT vec_id, cid, ${kmeansDistExpr("q", "cv")} AS d
+       |        FROM q CROSS JOIN c$iters)
+       |), assigned AS (
+       |  SELECT vec_id, cid AS cluster_id, dist FROM fin WHERE rn = 1
+       |), pranked AS (
+       |  SELECT vec_id, cluster_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY dist $dir, vec_id) AS BIGINT) AS proto_rank
+       |  FROM assigned
+       |)
+       |SELECT vec_id, cluster_id, dist, proto_rank FROM pranked
+       |WHERE proto_rank <= $perCluster
+       |ORDER BY cluster_id, proto_rank""".stripMargin
+  }
+
+  private def kmeansDistExpr(qc: String, cv: String): String =
+    s"(list_inner_product($qc, $qc) - 2*list_inner_product($qc, $cv)" +
+      s" + list_inner_product($cv, $cv))"
+
+  private def kmeansIntChain(k: Int, iters: Int, scale: Int): String = {
+    def distExpr(qc: String, cv: String): String = kmeansDistExpr(qc, cv)
     val sb = new StringBuilder
     sb.append(
       s"""WITH q AS (
@@ -1095,15 +1131,6 @@ object OracleSqlGen {
            |  ) n USING (cid)
            |)""".stripMargin)
     }
-    sb.append(
-      s""", fin AS (
-         |  SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ${distExpr("q", "cv")}, cid) AS rn
-         |  FROM q CROSS JOIN c$iters
-         |)
-         |SELECT vec_id, cid AS cluster_id FROM fin WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin)
     sb.toString
   }
 

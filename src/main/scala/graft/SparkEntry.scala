@@ -1111,6 +1111,16 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q172_prototypes" -> ((s: SparkSession, dir: String) => {
+      // prototypicality selection (SSL-prune / D4): the q128 integer
+      // Lloyd clusters, then the 5 most-central vectors per cluster by
+      // exact integer distance — the curated-exemplar read; flip
+      // keepClosest for the paper's keep-hard-examples pruning rule
+      graft.ops.SimOps.prototypeSelect(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 3, perCluster = 5)
+        .orderBy(col("cluster_id"), col("proto_rank"))
+    }),
+
     "q129_margin_matches" -> ((s: SparkSession, dir: String) => {
       // bitext-style mining between the even- and odd-id halves: mutual
       // best cosine match + ratio margin over both 4-NN neighborhoods,
@@ -4493,6 +4503,9 @@ object SparkEntry {
         |ORDER BY c.n_rows DESC, c.token""".stripMargin,
 
     "q128_kmeans" -> OracleSqlGen.kmeansIntSql(k = 8, iters = 3, scale = 1000),
+
+    "q172_prototypes" -> OracleSqlGen.prototypeSelectSql(k = 8, iters = 3,
+      scale = 1000, perCluster = 5, keepClosest = true),
 
     "q129_margin_matches" ->
       // raw-double cosine for ranking (same IEEE fold), micro-int sums

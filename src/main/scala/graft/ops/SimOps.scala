@@ -398,7 +398,16 @@ object SimOps {
    * the centroids as literals into whole-stage codegen.
    */
   def kmeansAssignInt(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+                      k: Int, iters: Int, scale: Int = 1000): DataFrame =
+    kmeansAssignCore(corpus, idCol, vecCol, k, iters, scale,
+      withDist = false)
+
+  /** [[kmeansAssignInt]] plus the exact integer distance to the final
+    * centroid (`dist` LONG) — the prototypicality signal
+    * [[prototypeSelect]] ranks on. Same recurrence, same ties. */
+  private def kmeansAssignCore(corpus: DataFrame, idCol: String,
+                               vecCol: String, k: Int, iters: Int,
+                               scale: Int, withDist: Boolean): DataFrame = {
     require(k >= 1, s"kmeansAssignInt: k must be >= 1, got $k")
     require(iters >= 0, s"kmeansAssignInt: iters must be >= 0, got $iters")
     require(scale >= 1 && scale <= 1000000,
@@ -430,16 +439,17 @@ object SimOps {
           s"${maxAbs * maxAbs * maxDim} exceeds 2^53 — distances would " +
           s"lose integer exactness; lower `scale` (=$scale) or normalize " +
           s"the vectors first")
-      def assignCol(cs: Array[Array[Double]]): Column = {
+      def distArr(cs: Array[Array[Double]]): Column = {
         val dists: Array[Column] = cs.map { c =>
           val cc = c.map(x => x * x).sum // exact integer-valued double
           val cLit = array(c.map(lit(_)): _*)
           dot(col("__q"), col("__q")) - lit(2.0) * dot(col("__q"), cLit) + lit(cc)
         }
-        val arr = array(dists.toIndexedSeq: _*)
-        // first position of the min -> lowest centroid id on ties
-        (array_position(arr, array_min(arr)) - 1).cast(LongType)
+        array(dists.toIndexedSeq: _*)
       }
+      def assignCol(cs: Array[Array[Double]]): Column =
+        // first position of the min -> lowest centroid id on ties
+        (array_position(distArr(cs), array_min(distArr(cs))) - 1).cast(LongType)
       for (_ <- 1 to iters) {
         val stats = q.select(assignCol(cents).as("__cl"),
             posexplode(col("__q")).as(Seq("__dim", "__v")))
@@ -459,10 +469,49 @@ object SimOps {
         }
         cents = next
       }
-      q.select(col("vec_id"), assignCol(cents).as("cluster_id"))
-        // materialize before unpersist (caller gets a plain result)
-        .localCheckpoint()
+      val out =
+        if (withDist)
+          q.select(col("vec_id"), assignCol(cents).as("cluster_id"),
+            array_min(distArr(cents)).cast(LongType).as("dist"))
+        else q.select(col("vec_id"), assignCol(cents).as("cluster_id"))
+      // materialize before unpersist (caller gets a plain result)
+      out.localCheckpoint()
     } finally q.unpersist()
+  }
+
+  /**
+   * PROTOTYPICALITY SELECTION (Sorscher et al. 2022 "Beyond neural
+   * scaling laws" self-supervised pruning; D4's dedup-then-prune stage):
+   * cluster the corpus with the integer-exact Lloyd recurrence
+   * ([[kmeansAssignInt]]), rank every vector within its cluster by exact
+   * integer distance to the final centroid, and keep the `perCluster`
+   * most prototypical (`keepClosest = true` — cluster cores, the
+   * curated-exemplar read) or least prototypical (`keepClosest = false` —
+   * the paper's keep-HARD-examples rule for abundant data). Rank ties
+   * break by id, so membership is a pure integer function of the corpus —
+   * engine-replayable end to end through the q128 oracle chain.
+   *
+   * Shape: the kmeans passes (per-iteration shuffle = k × dim rows) + ONE
+   * per-cluster top-k window over (id, cluster, dist) rows — Spark
+   * rewrites the rank filter into WindowGroupLimit, so hot clusters
+   * stream through per-partition heaps (the ANN top-k pushdown). Bodies/
+   * vectors never enter the window.
+   *
+   * Output: (vec_id, cluster_id, dist, proto_rank), `proto_rank <=
+   * perCluster`.
+   */
+  def prototypeSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int, perCluster: Int,
+                      keepClosest: Boolean = true,
+                      scale: Int = 1000): DataFrame = {
+    require(perCluster >= 1,
+      s"prototypeSelect: perCluster must be >= 1, got $perCluster")
+    val assigned = kmeansAssignCore(corpus, idCol, vecCol, k, iters, scale,
+      withDist = true)
+    val ord = if (keepClosest) col("dist").asc else col("dist").desc
+    val w = Window.partitionBy(col("cluster_id")).orderBy(ord, col("vec_id"))
+    assigned.withColumn("proto_rank", row_number().over(w).cast(LongType))
+      .filter(col("proto_rank") <= perCluster)
   }
 
   /**

@@ -459,6 +459,48 @@ class SimSearchSpec extends SparkTestBase {
     }
   }
 
+  test("prototypeSelect: per-cluster cores by exact integer distance, " +
+       "keepClosest=false flips to the hard-example rule, assignment " +
+       "matches kmeansAssignInt row-for-row") {
+    import spark.implicits._
+    def pt(base: Double, jitter: Double) = Array(base + jitter, base - jitter)
+    val blobA = Seq(0L) ++ (2L to 10L)
+    val blobB = Seq(1L) ++ (11L to 19L)
+    val rows =
+      blobA.zipWithIndex.map { case (id, i) =>
+        (id, pt(0.1, 0.001 * i).map(_.toFloat)) } ++
+      blobB.zipWithIndex.map { case (id, i) =>
+        (id, pt(0.9, 0.001 * i).map(_.toFloat)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val proto = SimOps.prototypeSelect(df, "vec_id", "embedding",
+      k = 2, iters = 3, perCluster = 3)
+    val got = proto.collect()
+    // 3 per cluster, ranks 1..3, dists non-decreasing within cluster
+    assert(got.length == 6)
+    got.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+      val d = byRank.map(_.getLong(2))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b }, d.toSeq)
+    }
+    // assignment identical to the public kmeans (same recurrence)
+    val assign = SimOps.kmeansAssignInt(df, "vec_id", "embedding", 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(assign(r.getLong(0)) == r.getLong(1)))
+    // hard-example rule: the farthest members, disjoint ranks from cores
+    val hard = SimOps.prototypeSelect(df, "vec_id", "embedding",
+        k = 2, iters = 3, perCluster = 3, keepClosest = false)
+      .collect()
+    assert(hard.length == 6)
+    hard.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val d = rs.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(d.zip(d.tail).forall { case (a, b) => a >= b }, d.toSeq)
+    }
+    // with a big perCluster everything survives (rank never exceeds size)
+    assert(SimOps.prototypeSelect(df, "vec_id", "embedding", 2, 3, 100)
+      .count() == 20L)
+  }
+
   test("marginMutualMatches: mutual-best pairs only (one-directional " +
        "best is dropped), margin over the threshold, and an impossible " +
        "threshold empties the result") {
