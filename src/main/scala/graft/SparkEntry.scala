@@ -1111,6 +1111,24 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q173_semantic_decontam" -> ((s: SparkSession, dir: String) => {
+      // SEMANTIC decontamination — the embedding leg of the q46/q54
+      // n-gram/bloom trio: flag train vectors whose cosine to any eval
+      // item clears 0.999. Planted eval = exact twins of every 17th
+      // train vector, so the flags are exactly the twins (cos 1.0);
+      // rides the two-sided IVF join (derived cells), so BOTH sides may
+      // be corpus-scale
+      val e = t(s, dir, "embeddings")
+      val eval = e.filter(pmod(col("vec_id"), lit(17L)) === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      SimOps.ivfJoinTopK(eval, e, "vec_id", "embedding", k = 1,
+          nCells = 0, nProbe = 4)
+        .filter(col("cos_sim") >= 0.999)
+        .select(col("neighbor_id").as("train_id"),
+          (col("query_id") - 1000000).as("eval_id"), col("cos_sim"))
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     "q172_prototypes" -> ((s: SparkSession, dir: String) => {
       // prototypicality selection (SSL-prune / D4): the q128 integer
       // Lloyd clusters, then the 5 most-central vectors per cluster by
@@ -3181,6 +3199,62 @@ object SparkEntry {
     // same oracle as q42 by contract: the landed-index path must be
     // row-identical to the direct ivfTopK call (the q74/q75 rule)
     "q76_ann_ivf_indexed" -> IvfOracleSql,
+
+    "q173_semantic_decontam" ->
+      // the q163 chain with the probe side filtered to the planted eval
+      // twins (vec_id % 17 = 0, offset 1e6), k = 1, then the 0.999 gate —
+      // same fold, same tie-breaks, same derived cell count
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), ncells AS (
+        |  SELECT least(16384, greatest(16,
+        |    CAST(ceil(count(*) / 128.0) AS BIGINT))) AS k
+        |  FROM e
+        |), c AS (
+        |  SELECT vec_id AS cent_id, v AS cv FROM e
+        |  WHERE vec_id < (SELECT k FROM ncells)
+        |), assign AS (
+        |  SELECT e.vec_id, e.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(e.v, c.cv)
+        |             / (sqrt(list_inner_product(e.v, e.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS rn
+        |  FROM e CROSS JOIN c
+        |), cell AS (
+        |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
+        |), probes AS (
+        |  SELECT q.vec_id + 1000000 AS query_id, q.v AS qv,
+        |    c.cent_id AS cl,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CASE WHEN sqrt(list_inner_product(q.v, q.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+        |        THEN list_inner_product(q.v, c.cv)
+        |             / (sqrt(list_inner_product(q.v, q.v))
+        |                * sqrt(list_inner_product(c.cv, c.cv)))
+        |        ELSE 0.0 END DESC, c.cent_id) AS prn
+        |  FROM e q CROSS JOIN c
+        |  WHERE q.vec_id % 17 = 0
+        |), scored AS (
+        |  SELECT p.query_id, ce.vec_id AS neighbor_id,
+        |    round(CASE WHEN sqrt(list_inner_product(p.qv, p.qv))
+        |                    * sqrt(list_inner_product(ce.v, ce.v)) > 0
+        |      THEN list_inner_product(p.qv, ce.v)
+        |           / (sqrt(list_inner_product(p.qv, p.qv))
+        |              * sqrt(list_inner_product(ce.v, ce.v)))
+        |      ELSE 0.0 END, 6) AS cos_sim
+        |  FROM probes p JOIN cell ce ON ce.cl = p.cl
+        |  WHERE p.prn <= 4 AND ce.vec_id <> p.query_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT neighbor_id AS train_id, query_id - 1000000 AS eval_id, cos_sim
+        |FROM ranked WHERE rank <= 1 AND cos_sim >= 0.999
+        |ORDER BY train_id, eval_id""".stripMargin,
 
     "q163_ann_join" ->
       // q42's IVF oracle reshaped for the two-sided join: probes come
