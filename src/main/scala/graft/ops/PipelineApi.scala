@@ -453,6 +453,14 @@ object pipeline {
                            textCol: String = "text"): DataFrame =
         TextOps.dsirScoreIndexed(df, idCol, textCol, name)
 
+      def prototypeSelect(k: Int, iters: Int, perCluster: Int,
+                          keepClosest: Boolean = true,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          scale: Int = 1000): DataFrame =
+        SimOps.prototypeSelect(df, idCol, vecCol, k, iters, perCluster,
+          keepClosest, scale)
+
       def unimaxBudgets(groupCol: String, tokensCol: String,
                         totalBudget: Long, maxEpochsMicro: Long): DataFrame =
         SampleOps.unimaxBudgets(df, groupCol, tokensCol, totalBudget,

@@ -390,5 +390,12 @@ class FluentApiSpec extends SparkTestBase {
         .collect().toSet ==
       graft.ops.GateOps.thresholdSweep(docs, "n_tok", "n_tok",
         Seq(20L, 40L)).collect().toSet)
+    val emb8 = (0L until 8L)
+      .map(i => (i, Array((i % 2).toFloat, 1.0f - (i % 2))))
+      .toDF("vec_id", "embedding")
+    assert(emb8.prototypeSelect(k = 2, iters = 1, perCluster = 2)
+        .collect().toSet ==
+      graft.ops.SimOps.prototypeSelect(emb8, "vec_id", "embedding",
+        2, 1, 2).collect().toSet)
   }
 }
