@@ -631,16 +631,15 @@ object TextOps {
 
   /** Hashed DSIR features of a text column: unigrams plus adjacent-token
     * bigrams, bucketed by the engine-portable md5-31 hash mod `dim` (the
-    * q64 hash family). Null/empty text yields no features. */
-  private def dsirFeatureBuckets(textCol: String, dim: Int): Column = {
-    val X = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
-    val toks = tokens(col(textCol))
-    val bis = when(size(toks) >= 2,
-      transform(sequence(lit(2), size(toks)),
-        i => concat_ws(" ", element_at(toks, i - 1), element_at(toks, i))))
-      .otherwise(array().cast(ArrayType(StringType, containsNull = false)))
-    transform(concat(toks, bis), f => X.md5Hash31(f) % dim)
-  }
+    * q64 hash family). Null/empty text yields no features. One native
+    * codegen kernel (graftdedup.DsirBucketsExpr) — the original
+    * interpreted `transform`+`element_at` lambda chain dominated the DSIR
+    * family's wall time (per-element Catalyst lambdas are banned from hot
+    * paths for exactly this reason; DsirKernelSpec pins bucket-stream
+    * identity against a driver-side replay). */
+  private def dsirFeatureBuckets(textCol: String, dim: Int): Column =
+    org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
+      .dsirBuckets(tokens(col(textCol)), dim)
 
   /**
    * Train a DSIR importance model (Xie et al. 2023, arXiv:2302.03169

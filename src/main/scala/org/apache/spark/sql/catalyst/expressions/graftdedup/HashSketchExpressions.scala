@@ -84,6 +84,32 @@ object GraftHashKernels {
     new GenericArrayData(out)
   }
 
+  /** DSIR feature-bucket stream: md5-31 mod `dim` of every unigram plus
+    * every adjacent-token bigram ("a b"), unigrams first — one pass, no
+    * per-element lambda (the interpreted `transform` chain this replaces
+    * dominated the DSIR family's wall time). Token arrays are null-free
+    * by construction (the tokens() splitter); n tokens yield `2n - 1`
+    * buckets (n >= 1), an empty array yields an empty array. */
+  def dsirBuckets(tokens: ArrayData, dim: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](2 * n - 1)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < n) {
+      out(i) = md5Hash31(tokens.getUTF8String(i)) % dim
+      i += 1
+    }
+    i = 1
+    while (i < n) {
+      val bi = UTF8String.concat(tokens.getUTF8String(i - 1), sep,
+        tokens.getUTF8String(i))
+      out(n + i - 1) = md5Hash31(bi) % dim
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sparse hashing-trick term frequencies: `(bucket, tf)` structs for the
     * NON-ZERO buckets only, sorted by bucket. Bucket ids are identical to
     * [[hashingTf]] (md5-31 mod `dim`), but work is O(tokens) and memory
@@ -429,6 +455,32 @@ case class ShingleHashSetExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.shingleHashSet($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<string> -> array<bigint>` DSIR unigram+bigram feature buckets
+  * (see [[GraftHashKernels.dsirBuckets]]); codegen'd one-pass kernel. */
+case class DsirBucketsExpr(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dsir_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    GraftHashKernels.dsirBuckets(tokens.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.dsirBuckets($c, $dim)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -948,6 +1000,10 @@ object HashSketchExpressions {
   /** Column-API form: codegen'd hashing-trick TF vector of width `dim`. */
   def hashingTf(tokens: Column, dim: Int): Column =
     ExpressionUtils.column(HashingTfExpr(ExpressionUtils.expression(tokens), dim))
+
+  /** Column-API form: codegen'd DSIR unigram+bigram feature buckets. */
+  def dsirBuckets(tokens: Column, dim: Int): Column =
+    ExpressionUtils.column(DsirBucketsExpr(ExpressionUtils.expression(tokens), dim))
 
   /** Column-API form: codegen'd SPARSE hashing-trick TF — non-zero
     * `(bucket, tf)` structs only; the scale-safe form for large `dim`. */

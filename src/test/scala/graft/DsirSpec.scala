@@ -93,6 +93,29 @@ class DsirSpec extends SparkTestBase {
     assert(engine0 == g0, s"engine $engine0 != replay $g0")
   }
 
+  test("native DSIR bucket kernel: stream replays driver-side md5-31 " +
+       "(unigrams then bigrams), singleton and empty inputs") {
+    val X = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions
+    val dim = 977
+    val got = Seq(Tuple1("alpha beta gamma"), Tuple1("solo"), Tuple1(""))
+      .toDF("text")
+      .select(X.dsirBuckets(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), "\\s+"), dim).as("b"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h31(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      val hex = d.take(8).map("%02x".format(_)).mkString
+      (java.lang.Long.parseUnsignedLong(hex, 16) & 2147483647L) % dim
+    }
+    assert(got(0) == Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma")
+      .map(h31), s"got ${got(0)}")
+    assert(got(1) == Seq(h31("solo")), s"got ${got(1)}")
+    // split("") yields [""] — one empty-string unigram, no bigrams
+    assert(got(2) == Seq(h31("")), s"got ${got(2)}")
+  }
+
   test("landDsir: indexed scoring is row-identical to the in-session " +
        "model; re-landing under different (dim, alpha) refuses") {
     val idx = "graft_dsir_spec_idx"
