@@ -473,14 +473,13 @@ object TextOps {
     require(n >= 2, s"n must be >= 2 (unigrams have no context), got $n")
     val X = org.apache.spark.sql.catalyst.expressions.graftdedup.HashSketchExpressions
     val toksC = tokens(col(textCol))
+    // one native codegen kernel per row (graftdedup.NgramPairsExpr); the
+    // interpreted transform/slice/array_join lambda chain this replaced
+    // dominated the LM family's wall time (the DSIR-kernel lesson)
     val pairs = corpus
       .select(toksC.as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(explode(transform(sequence(lit(n), size(col("__t"))),
-        i => struct(
-          X.md5Hash31(array_join(slice(col("__t"), i - (n - 1), lit(n - 1)), " "))
-            .as("ctx_h"),
-          X.md5Hash31(element_at(col("__t"), i)).as("tok_h")))).as("__g"))
+      .select(explode(X.ngramPairs(col("__t"), n)).as("__g"))
       .select(col("__g.ctx_h").as("ctx_h"), col("__g.tok_h").as("tok_h"))
     val gramsPlain = pairs.groupBy(col("ctx_h"), col("tok_h"))
       .agg(count(lit(1)).as("cnt"))
@@ -527,11 +526,8 @@ object TextOps {
     val pos = docs
       .select(col(idCol), toksC.as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col(idCol), explode(transform(sequence(lit(n), size(col("__t"))),
-        i => struct(
-          X.md5Hash31(array_join(slice(col("__t"), i - (n - 1), lit(n - 1)), " "))
-            .as("ctx_h"),
-          X.md5Hash31(element_at(col("__t"), i)).as("tok_h")))).as("__g"))
+      // the same native kernel as training (one derivation, one hot path)
+      .select(col(idCol), explode(X.ngramPairs(col("__t"), n)).as("__g"))
       .select(col(idCol), col("__g.ctx_h").as("ctx_h"), col("__g.tok_h").as("tok_h"))
     val logp = log(
       (coalesce(col("cnt"), lit(0L)).cast(DoubleType) + lit(alpha)) /

@@ -110,6 +110,34 @@ object GraftHashKernels {
     new GenericArrayData(out)
   }
 
+  /** N-gram LM (context, token) hash pairs: for every position with a
+    * full (n-1)-token context, `(md5-31(ctx joined by " "), md5-31(tok))`
+    * — one pass, no per-element lambda (the interpreted
+    * `transform(sequence)/slice/array_join` chain this replaces dominated
+    * the LM family's wall time, the DSIR-kernel lesson). Fewer than n
+    * tokens yield an empty array. */
+  def ngramPairs(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](len - n + 1)
+    var i = n - 1
+    while (i < len) {
+      val parts = new Array[UTF8String](2 * (n - 1) - 1)
+      var j = 0
+      while (j < n - 1) {
+        parts(2 * j) = tokens.getUTF8String(i - (n - 1) + j)
+        if (j < n - 2) parts(2 * j + 1) = sep
+        j += 1
+      }
+      val ctx = UTF8String.concat(parts: _*)
+      out(i - (n - 1)) = new GenericInternalRow(Array[Any](
+        md5Hash31(ctx), md5Hash31(tokens.getUTF8String(i))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sparse hashing-trick term frequencies: `(bucket, tf)` structs for the
     * NON-ZERO buckets only, sorted by bucket. Bucket ids are identical to
     * [[hashingTf]] (md5-31 mod `dim`), but work is O(tokens) and memory
@@ -455,6 +483,37 @@ case class ShingleHashSetExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.shingleHashSet($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<string> -> array<struct<ctx_h:bigint, tok_h:bigint>>` n-gram LM
+  * (context, token) hash pairs (see [[GraftHashKernels.ngramPairs]]);
+  * codegen'd one-pass kernel. */
+case class NgramPairsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"n must be >= 2, got $n")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ctx_h", LongType, nullable = false),
+      StructField("tok_h", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    GraftHashKernels.ngramPairs(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftHashKernels.getClass.getName.stripSuffix("$")}.ngramPairs($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1004,6 +1063,10 @@ object HashSketchExpressions {
   /** Column-API form: codegen'd DSIR unigram+bigram feature buckets. */
   def dsirBuckets(tokens: Column, dim: Int): Column =
     ExpressionUtils.column(DsirBucketsExpr(ExpressionUtils.expression(tokens), dim))
+
+  /** Column-API form: codegen'd n-gram LM (ctx_h, tok_h) pairs. */
+  def ngramPairs(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(NgramPairsExpr(ExpressionUtils.expression(tokens), n))
 
   /** Column-API form: codegen'd SPARSE hashing-trick TF — non-zero
     * `(bucket, tf)` structs only; the scale-safe form for large `dim`. */
