@@ -2028,9 +2028,12 @@ object DedupOps {
     val withT =
       if (tokenStorage == org.apache.spark.storage.StorageLevel.NONE) staged
       else staged.persist(tokenStorage)
+    // native positional k-gram hash kernel (graftdedup.GramXxHashesExpr):
+    // the interpreted transform/slice/array_join lambda this replaced ran
+    // per position per row (the DSIR-kernel lesson)
     val grams = withT.select(col(idCol),
-        posexplode(transform(sequence(lit(1), n - k + 1),
-          i => xxhash64(array_join(slice(toks, i, lit(k)), " "))))
+        posexplode(org.apache.spark.sql.catalyst.expressions.graftdedup
+          .HashSketchExpressions.gramXxHashes(toks, k))
           .as(Seq("__p0", "__gh")))
       .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__gh"))
     val dupGrams = grams.groupBy(col("__gh"))

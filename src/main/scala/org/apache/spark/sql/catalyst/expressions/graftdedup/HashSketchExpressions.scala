@@ -404,6 +404,38 @@ object GraftShingleKernel {
 
   private val Space = UTF8String.fromString(" ")
 
+  /** duplicateSpans' positional k-gram hash stream: xxhash64(seed 42 —
+    * Spark's `xxhash64()` default, the q81 oracle family) of every
+    * k-token gram joined by " ", one entry per position IN ORDER (no
+    * dedupe — the spans machinery consumes positions; [[shingles]]'
+    * LinkedHashSet would collapse repeats). Fewer than k tokens yield an
+    * empty array. Null elements map to "" (the array_join form it
+    * replaces SKIPS them — parity holds because the offset tokenizer
+    * never emits null tokens). */
+  def gramXxHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < k) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[UTF8String](len)
+    var e = 0
+    while (e < len) {
+      val t = tokens.getUTF8String(e)
+      toks(e) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      e += 1
+    }
+    val out = new Array[Long](len - k + 1)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= len - k) {
+      var j = 0
+      while (j < k) { parts(j) = toks(i + j); j += 1 }
+      val g = UTF8String.concatWs(Space, parts: _*)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(g, org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def shingles(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()
     // extract every token ONCE (getUTF8String re-materializes a view per
@@ -435,6 +467,32 @@ object GraftShingleKernel {
       new GenericArrayData(out)
     }
   }
+}
+
+/** `array<string> -> array<bigint>` positional k-gram xxhash64 stream
+  * (see [[GraftShingleKernel.gramXxHashes]]); codegen'd one-pass kernel. */
+case class GramXxHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_xxhashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    GraftShingleKernel.gramXxHashes(tokens.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${GraftShingleKernel.getClass.getName.stripSuffix("$")}.gramXxHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Native shingling expression (see [[GraftShingleKernel]]). */
@@ -1067,6 +1125,10 @@ object HashSketchExpressions {
   /** Column-API form: codegen'd n-gram LM (ctx_h, tok_h) pairs. */
   def ngramPairs(tokens: Column, n: Int): Column =
     ExpressionUtils.column(NgramPairsExpr(ExpressionUtils.expression(tokens), n))
+
+  /** Column-API form: codegen'd positional k-gram xxhash64 stream. */
+  def gramXxHashes(tokens: Column, k: Int): Column =
+    ExpressionUtils.column(GramXxHashesExpr(ExpressionUtils.expression(tokens), k))
 
   /** Column-API form: codegen'd SPARSE hashing-trick TF — non-zero
     * `(bucket, tf)` structs only; the scale-safe form for large `dim`. */
