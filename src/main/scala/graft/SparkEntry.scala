@@ -46,6 +46,11 @@ object SparkEntry {
     * BOTH the query and its oracle (the shared-constants rule). */
   private val q170Weights: Map[String, Double] =
     Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
+
+  /** q174's blocklist; the compiled pattern derives ONCE
+    * (TextOps.blocklistPattern) and feeds BOTH the query and its oracle. */
+  private val q174Phrases: Seq[String] =
+    Seq("slow scan", "big table", "merge batch")
   private lazy val q170Strides: Seq[(String, Long)] =
     graft.ops.SampleOps.interleaveStrides(q170Weights)
 
@@ -1832,6 +1837,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q174_blocklist_gate" -> ((s: SparkSession, dir: String) => {
+      // the C4 blocklist step: per-doc hits of any blocked phrase (one
+      // compiled word-boundary alternation, RE2-and-Java-portable so the
+      // oracle runs the IDENTICAL pattern text) + the hits==0 keep verdict
+      t(s, dir, "documents").select(col("doc_id"),
+          TextOps.blocklistHits(col("text"), q174Phrases)
+            .as("blocklist_hits"))
+        .withColumn("kept", col("blocklist_hits") === 0)
+        .orderBy(col("doc_id"))
+    }),
+
     "q171_unimax_resample" -> ((s: SparkSession, dir: String) => {
       // the execution half of q166: UniMax decides per-language token
       // budgets, the md5-31 hash gate ships them — capped languages thin
@@ -3323,6 +3339,18 @@ object SparkEntry {
     "q118_canonical_mapping" -> OracleSqlGen.canonicalMappingSql,
 
     "q167_leakage_free_split" -> OracleSqlGen.leakageFreeSplitSql(10),
+
+    "q174_blocklist_gate" ->
+      // DuckDB runs the IDENTICAL pattern text (TextOps.blocklistPattern —
+      // RE2∩Java syntax only); len(regexp_extract_all) = Spark's
+      // regexp_count (both leftmost-first, non-overlapping)
+      (s"""SELECT doc_id,
+        |  CAST(COALESCE(len(regexp_extract_all(text,
+        |    '${graft.ops.TextOps.blocklistPattern(q174Phrases)}')), 0) AS BIGINT)
+        |    AS blocklist_hits,
+        |  COALESCE(len(regexp_extract_all(text,
+        |    '${graft.ops.TextOps.blocklistPattern(q174Phrases)}')), 0) = 0 AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     "q170_mixture_interleave" ->
       // per-source md5-31 rank x the SAME integer stride literals the

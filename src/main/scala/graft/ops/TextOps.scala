@@ -1240,6 +1240,57 @@ object TextOps {
      regexp_count(afterIp, lit(PhoneRe)).cast(LongType))
   }
 
+  // --- blocklist gate (C4-style bad-phrase filtering) ----------------------
+
+  /** RE2-portable literal escaping: backslash the metacharacters BOTH
+    * regex engines recognize, and only those — `Pattern.quote`'s \Q..\E
+    * is Java-only (RE2 rejects it), and escaping ordinary letters (`\q`)
+    * is an RE2 error. */
+  private def re2Quote(s: String): String =
+    s.flatMap(c =>
+      if ("\\.^$*+?()[]{}|".indexOf(c) >= 0) s"\\$c" else c.toString)
+
+  /** The compiled blocklist pattern [[blocklistHits]] counts — exposed so
+    * an oracle (or an external auditor) uses the IDENTICAL regex text.
+    * Word boundaries attach PER PHRASE EDGE and only where the edge is a
+    * word character — `\b` after a trailing ')' (between two non-word
+    * chars) can never match, so "c++ (fast)" would silently never fire
+    * under a blanket `\b(...)\b`. */
+  def blocklistPattern(phrases: Seq[String],
+                       caseInsensitive: Boolean = true): String = {
+    require(phrases.nonEmpty, "blocklist must be non-empty")
+    require(phrases.forall(_.trim.nonEmpty), "blocklist phrases must be non-blank")
+    def wordChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+    val alts = phrases.map { p =>
+      val lead = if (wordChar(p.head)) "\\b" else ""
+      val tail = if (wordChar(p.last)) "\\b" else ""
+      s"$lead${re2Quote(p)}$tail"
+    }
+    val flags = if (caseInsensitive) "(?i)" else ""
+    s"$flags(?:${alts.mkString("|")})"
+  }
+
+  /**
+   * C4-style BLOCKLIST signal: occurrences of ANY blocklist phrase
+   * (word-boundary, literal word sequences, case-insensitive by default)
+   * — the "List of Dirty, Naughty …"-list filtering step every web-corpus
+   * release applies (C4 drops any page with a single hit; softer
+   * pipelines threshold on density). ONE compiled alternation evaluated
+   * by codegen'd `regexp_count` at scan speed, map-side, no shuffle;
+   * the pattern uses only RE2∩Java syntax (`\b`, `(?:…)`, `(?i)`,
+   * backslash-escaped metacharacters), so a DuckDB oracle replays the
+   * IDENTICAL pattern text — [[blocklistPattern]] is the shared constant.
+   * Null text counts 0. Gate with `hits == 0` (the C4 rule) or feed the
+   * count into [[graft.ops.GateOps.gate]] rules / [[qualityScore]]
+   * composition.
+   */
+  def blocklistHits(text: Column, phrases: Seq[String],
+                    caseInsensitive: Boolean = true): Column =
+    coalesce(regexp_count(text, lit(blocklistPattern(phrases, caseInsensitive))),
+      lit(0)).cast(LongType)
+
   // --- repetition signals (Gopher-style quality rules) --------------------
 
   /** Highest single-token frequency in the array (native one-pass codegen

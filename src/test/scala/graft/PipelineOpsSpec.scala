@@ -340,6 +340,35 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("blocklistHits: word-boundary literal phrases, case-insensitive, " +
+       "metacharacters escaped RE2-portably, null text counts zero") {
+    val phrases = Seq("bad word", "c++ (fast)", "spam")
+    val d = Seq(
+      (1L, Some("a BAD Word here and spam twice spam")),
+      (2L, Some("badword spamming windows")), // no boundary matches
+      (3L, Some("we love c++ (fast) builds")),
+      (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        graft.ops.TextOps.blocklistHits(col("text"), phrases).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 1L, 4L -> 0L), s"got $got")
+    // case-sensitive mode: the uppercased phrase no longer matches
+    val cs = d.select(col("doc_id"),
+        graft.ops.TextOps.blocklistHits(col("text"), phrases,
+          caseInsensitive = false).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cs(1L) == 2L, s"got $cs") // 'BAD Word' out, two 'spam' stay
+    // the exposed pattern is what the engine ran; escaping is RE2-legal,
+    // and boundaries attach only at word-char edges (trailing ')' gets
+    // none — a blanket \b would make that phrase unmatchable)
+    val p = graft.ops.TextOps.blocklistPattern(phrases)
+    assert(p.contains("\\bc\\+\\+ \\(fast\\)|") && p.startsWith("(?i)(?:\\b"), p)
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.blocklistPattern(Seq.empty)
+    }
+  }
+
   test("mixtureInterleave: strides invert weights, any vtime prefix blends " +
        "at the weights, unweighted sources ship nothing, layout-invariant") {
     val strides = graft.ops.SampleOps.interleaveStrides(
