@@ -51,6 +51,62 @@ object SparkEntry {
     * (TextOps.blocklistPattern) and feeds BOTH the query and its oracle. */
   private val q174Phrases: Seq[String] =
     Seq("slow scan", "big table", "merge batch")
+
+  /** Shared q163/q173 two-sided-IVF oracle chain (derived cell count,
+    * argmax cells, 4-way multi-probe ranks, rounded cosine, per-query
+    * rank) — ONE builder parameterized by the probe-side filter, so the
+    * two oracles cannot diverge on the fold / tie-breaks / derive
+    * formula (the q163 cell-count fix would otherwise need manual
+    * mirroring into q173). */
+  private def ivfJoinOracleCtes(probeWhere: String): String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), ncells AS (
+      |  SELECT least(16384, greatest(16,
+      |    CAST(ceil(count(*) / 128.0) AS BIGINT))) AS k
+      |  FROM e
+      |), c AS (
+      |  SELECT vec_id AS cent_id, v AS cv FROM e
+      |  WHERE vec_id < (SELECT k FROM ncells)
+      |), assign AS (
+      |  SELECT e.vec_id, e.v, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      CASE WHEN sqrt(list_inner_product(e.v, e.v))
+      |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+      |        THEN list_inner_product(e.v, c.cv)
+      |             / (sqrt(list_inner_product(e.v, e.v))
+      |                * sqrt(list_inner_product(c.cv, c.cv)))
+      |        ELSE 0.0 END DESC, c.cent_id) AS rn
+      |  FROM e CROSS JOIN c
+      |), cell AS (
+      |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
+      |), probes AS (
+      |  SELECT q.vec_id + 1000000 AS query_id, q.v AS qv,
+      |    c.cent_id AS cl,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      CASE WHEN sqrt(list_inner_product(q.v, q.v))
+      |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+      |        THEN list_inner_product(q.v, c.cv)
+      |             / (sqrt(list_inner_product(q.v, q.v))
+      |                * sqrt(list_inner_product(c.cv, c.cv)))
+      |        ELSE 0.0 END DESC, c.cent_id) AS prn
+      |  FROM e q CROSS JOIN c
+      |  $probeWhere
+      |), scored AS (
+      |  SELECT p.query_id, ce.vec_id AS neighbor_id,
+      |    round(CASE WHEN sqrt(list_inner_product(p.qv, p.qv))
+      |                    * sqrt(list_inner_product(ce.v, ce.v)) > 0
+      |      THEN list_inner_product(p.qv, ce.v)
+      |           / (sqrt(list_inner_product(p.qv, p.qv))
+      |              * sqrt(list_inner_product(ce.v, ce.v)))
+      |      ELSE 0.0 END, 6) AS cos_sim
+      |  FROM probes p JOIN cell ce ON ce.cl = p.cl
+      |  WHERE p.prn <= 4 AND ce.vec_id <> p.query_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored
+      |)""".stripMargin
   private lazy val q170Strides: Seq[(String, Long)] =
     graft.ops.SampleOps.interleaveStrides(q170Weights)
 
@@ -3217,118 +3273,21 @@ object SparkEntry {
     "q76_ann_ivf_indexed" -> IvfOracleSql,
 
     "q173_semantic_decontam" ->
-      // the q163 chain with the probe side filtered to the planted eval
-      // twins (vec_id % 17 = 0, offset 1e6), k = 1, then the 0.999 gate —
-      // same fold, same tie-breaks, same derived cell count
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), ncells AS (
-        |  SELECT least(16384, greatest(16,
-        |    CAST(ceil(count(*) / 128.0) AS BIGINT))) AS k
-        |  FROM e
-        |), c AS (
-        |  SELECT vec_id AS cent_id, v AS cv FROM e
-        |  WHERE vec_id < (SELECT k FROM ncells)
-        |), assign AS (
-        |  SELECT e.vec_id, e.v, c.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      CASE WHEN sqrt(list_inner_product(e.v, e.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
-        |        THEN list_inner_product(e.v, c.cv)
-        |             / (sqrt(list_inner_product(e.v, e.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)))
-        |        ELSE 0.0 END DESC, c.cent_id) AS rn
-        |  FROM e CROSS JOIN c
-        |), cell AS (
-        |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
-        |), probes AS (
-        |  SELECT q.vec_id + 1000000 AS query_id, q.v AS qv,
-        |    c.cent_id AS cl,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      CASE WHEN sqrt(list_inner_product(q.v, q.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
-        |        THEN list_inner_product(q.v, c.cv)
-        |             / (sqrt(list_inner_product(q.v, q.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)))
-        |        ELSE 0.0 END DESC, c.cent_id) AS prn
-        |  FROM e q CROSS JOIN c
-        |  WHERE q.vec_id % 17 = 0
-        |), scored AS (
-        |  SELECT p.query_id, ce.vec_id AS neighbor_id,
-        |    round(CASE WHEN sqrt(list_inner_product(p.qv, p.qv))
-        |                    * sqrt(list_inner_product(ce.v, ce.v)) > 0
-        |      THEN list_inner_product(p.qv, ce.v)
-        |           / (sqrt(list_inner_product(p.qv, p.qv))
-        |              * sqrt(list_inner_product(ce.v, ce.v)))
-        |      ELSE 0.0 END, 6) AS cos_sim
-        |  FROM probes p JOIN cell ce ON ce.cl = p.cl
-        |  WHERE p.prn <= 4 AND ce.vec_id <> p.query_id
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
-        |  FROM scored
-        |)
-        |SELECT neighbor_id AS train_id, query_id - 1000000 AS eval_id, cos_sim
-        |FROM ranked WHERE rank <= 1 AND cos_sim >= 0.999
-        |ORDER BY train_id, eval_id""".stripMargin,
+      // the shared ivfJoinOracleCtes chain with the probe side filtered
+      // to the planted eval twins (vec_id % 17 = 0, offset 1e6), k = 1,
+      // then the 0.999 gate - same fold, tie-breaks, derived cell count
+      (ivfJoinOracleCtes("WHERE q.vec_id % 17 = 0") + "\n" +
+        """SELECT neighbor_id AS train_id, query_id - 1000000 AS eval_id, cos_sim
+          |FROM ranked WHERE rank <= 1 AND cos_sim >= 0.999
+          |ORDER BY train_id, eval_id""".stripMargin),
 
     "q163_ann_join" ->
-      // q42's IVF oracle reshaped for the two-sided join: probes come
-      // from the offset-id copy of the corpus (every query has an exact
-      // twin -> rank 1 at cos 1.0), corpus cells and probe ranking use
-      // the identical fold and (score DESC, cent_id) tie-break the
-      // multi-probe kernel replays; ncells derives from the corpus count
-      // (the q79 occupancy formula — dense 0-based vec_ids, so the
-      // lowest-k-id codebook is `vec_id < k`)
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), ncells AS (
-        |  SELECT least(16384, greatest(16,
-        |    CAST(ceil(count(*) / 128.0) AS BIGINT))) AS k
-        |  FROM e
-        |), c AS (
-        |  SELECT vec_id AS cent_id, v AS cv FROM e
-        |  WHERE vec_id < (SELECT k FROM ncells)
-        |), assign AS (
-        |  SELECT e.vec_id, e.v, c.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      CASE WHEN sqrt(list_inner_product(e.v, e.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
-        |        THEN list_inner_product(e.v, c.cv)
-        |             / (sqrt(list_inner_product(e.v, e.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)))
-        |        ELSE 0.0 END DESC, c.cent_id) AS rn
-        |  FROM e CROSS JOIN c
-        |), cell AS (
-        |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
-        |), probes AS (
-        |  SELECT q.vec_id + 1000000 AS query_id, q.v AS qv,
-        |    c.cent_id AS cl,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      CASE WHEN sqrt(list_inner_product(q.v, q.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
-        |        THEN list_inner_product(q.v, c.cv)
-        |             / (sqrt(list_inner_product(q.v, q.v))
-        |                * sqrt(list_inner_product(c.cv, c.cv)))
-        |        ELSE 0.0 END DESC, c.cent_id) AS prn
-        |  FROM e q CROSS JOIN c
-        |), scored AS (
-        |  SELECT p.query_id, ce.vec_id AS neighbor_id,
-        |    round(CASE WHEN sqrt(list_inner_product(p.qv, p.qv))
-        |                    * sqrt(list_inner_product(ce.v, ce.v)) > 0
-        |      THEN list_inner_product(p.qv, ce.v)
-        |           / (sqrt(list_inner_product(p.qv, p.qv))
-        |              * sqrt(list_inner_product(ce.v, ce.v)))
-        |      ELSE 0.0 END, 6) AS cos_sim
-        |  FROM probes p JOIN cell ce ON ce.cl = p.cl
-        |  WHERE p.prn <= 4 AND ce.vec_id <> p.query_id
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      // q42's IVF oracle reshaped for the two-sided join via the shared
+      // ivfJoinOracleCtes chain (probes = the offset-id copy of the whole
+      // corpus — every query's exact twin surfaces at rank 1, cos 1.0)
+      (ivfJoinOracleCtes("") + "\n" +
+        """SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     "q25_near_dup_pairs" -> OracleSqlGen.nearDupPairsSql,
     "q74_near_dedup_against" -> OracleSqlGen.nearDedupAgainstSql(64, 16),
@@ -3342,14 +3301,17 @@ object SparkEntry {
 
     "q174_blocklist_gate" ->
       // DuckDB runs the IDENTICAL pattern text (TextOps.blocklistPattern —
-      // RE2∩Java syntax only); len(regexp_extract_all) = Spark's
-      // regexp_count (both leftmost-first, non-overlapping)
+      // RE2∩Java syntax, ASCII phrases enforced; portable on the ASCII
+      // corpus, see the scaladoc's measured Unicode caveats);
+      // len(regexp_extract_all) = Spark's regexp_count (both
+      // leftmost-first, non-overlapping). Single quotes SQL-escape ('')
+      // so a future apostrophe phrase cannot break the literal
       (s"""SELECT doc_id,
         |  CAST(COALESCE(len(regexp_extract_all(text,
-        |    '${graft.ops.TextOps.blocklistPattern(q174Phrases)}')), 0) AS BIGINT)
+        |    '${graft.ops.TextOps.blocklistPattern(q174Phrases).replace("'", "''")}')), 0) AS BIGINT)
         |    AS blocklist_hits,
         |  COALESCE(len(regexp_extract_all(text,
-        |    '${graft.ops.TextOps.blocklistPattern(q174Phrases)}')), 0) = 0 AS kept
+        |    '${graft.ops.TextOps.blocklistPattern(q174Phrases).replace("'", "''")}')), 0) = 0 AS kept
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     "q170_mixture_interleave" ->

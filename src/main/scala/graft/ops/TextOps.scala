@@ -1255,11 +1255,23 @@ object TextOps {
     * Word boundaries attach PER PHRASE EDGE and only where the edge is a
     * word character — `\b` after a trailing ')' (between two non-word
     * chars) can never match, so "c++ (fast)" would silently never fire
-    * under a blanket `\b(...)\b`. */
+    * under a blanket `\b(...)\b`.
+    *
+    * PORTABILITY SCOPE (measured, both engines): phrases must be ASCII
+    * (enforced) and cross-engine bit-exactness holds for ASCII text.
+    * Java's `\b` is Unicode-word-aware while RE2's is ASCII ("éspam"
+    * blocks the boundary in Java only), and inline `(?i)` case-folds
+    * Unicode in RE2 but ASCII-only in Java ("ſcan" folds to "scan" in
+    * RE2 only) — on non-ASCII text the ENGINE's (Java) semantics apply
+    * and a DuckDB replay is approximate near non-ASCII letters. */
   def blocklistPattern(phrases: Seq[String],
                        caseInsensitive: Boolean = true): String = {
     require(phrases.nonEmpty, "blocklist must be non-empty")
     require(phrases.forall(_.trim.nonEmpty), "blocklist phrases must be non-blank")
+    require(phrases.forall(_.forall(_ < 128)),
+      "blocklist phrases must be ASCII — Java and RE2 disagree on Unicode " +
+        "case folding and \\b word characters, so a non-ASCII phrase is " +
+        "not engine-portable")
     def wordChar(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_'

@@ -24,6 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object GraftHashKernels {
 
+  /** Static " " separator — per-row fromString allocation is exactly the
+    * garbage these kernels exist to avoid. */
+  private val SpaceSep = UTF8String.fromString(" ")
+
   private val md5Local: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
@@ -94,7 +98,7 @@ object GraftHashKernels {
     val n = tokens.numElements()
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](2 * n - 1)
-    val sep = UTF8String.fromString(" ")
+    val sep = SpaceSep // static — no per-row garbage on the corpus scan
     var i = 0
     while (i < n) {
       out(i) = md5Hash31(tokens.getUTF8String(i)) % dim
@@ -119,15 +123,17 @@ object GraftHashKernels {
   def ngramPairs(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
-    val sep = UTF8String.fromString(" ")
     val out = new Array[Any](len - n + 1)
+    // hoisted and reused across positions (concat copies bytes out);
+    // the constant separator slots fill once
+    val parts = new Array[UTF8String](2 * (n - 1) - 1)
+    var s = 1
+    while (s < parts.length) { parts(s) = SpaceSep; s += 2 }
     var i = n - 1
     while (i < len) {
-      val parts = new Array[UTF8String](2 * (n - 1) - 1)
       var j = 0
       while (j < n - 1) {
         parts(2 * j) = tokens.getUTF8String(i - (n - 1) + j)
-        if (j < n - 2) parts(2 * j + 1) = sep
         j += 1
       }
       val ctx = UTF8String.concat(parts: _*)
