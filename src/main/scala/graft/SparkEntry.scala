@@ -1893,6 +1893,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q175_jsonl_ingest" -> ((s: SparkSession, dir: String) => {
+      // the export->ingest round-trip with a POISONED drop: documents
+      // export as JSONL shards, three planted bad lines (truncated JSON,
+      // non-JSON text, a type-mismatched field) join the drop, and the
+      // quarantining reader must hand back EXACTLY the original rows
+      // (the oracle is the source table — any swallowed good row or
+      // null-filled bad row breaks the hash) with exactly the 3 poisons
+      // quarantined (required loudly)
+      import org.apache.spark.sql.types._
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_jsonl/" +
+        math.abs(dir.hashCode).toString
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").json(tmp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "zz_poison.json"),
+        ("""{"doc_id": 99999, "text": "trunc""" + "\n" +
+          "this line is not json at all\n" +
+          """{"doc_id": "notanumber", "text": "x", "lang": "en", "source": "s", "n_chars": 1}""" + "\n")
+          .getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val (good, quarantine, release) =
+        graft.sources.IngestOps.readJsonlQuarantine(s, tmp, schema)
+      val nQ = quarantine.count()
+      require(nQ == 3, s"expected exactly the 3 planted poisons, got $nQ")
+      val out = good.select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+      release() // good re-parses uncached; quarantine is already counted
+      out
+    }),
+
     "q174_blocklist_gate" -> ((s: SparkSession, dir: String) => {
       // the C4 blocklist step: per-doc hits of any blocked phrase (one
       // compiled word-boundary alternation, RE2-and-Java-portable so the
@@ -3298,6 +3332,13 @@ object SparkEntry {
     "q118_canonical_mapping" -> OracleSqlGen.canonicalMappingSql,
 
     "q167_leakage_free_split" -> OracleSqlGen.leakageFreeSplitSql(10),
+
+    "q175_jsonl_ingest" ->
+      // lossless round-trip proof: the quarantining reader's good rows
+      // must equal the SOURCE table bit-for-bit (a swallowed good row or
+      // a null-filled poison both break the compare); the 3-poison
+      // quarantine count is required in-query
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id",
 
     "q174_blocklist_gate" ->
       // DuckDB runs the IDENTICAL pattern text (TextOps.blocklistPattern —

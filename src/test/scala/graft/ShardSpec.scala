@@ -97,4 +97,40 @@ class ShardSpec extends SparkTestBase {
     assert(m.head.getAs[Long]("min_key") == 0L)
     assert(m.head.getAs[Long]("max_key") == 199L)
   }
+
+  test("readJsonlQuarantine: good rows round-trip losslessly, malformed " +
+       "and type-mismatched lines quarantine as their raw text, schema " +
+       "guard refuses a corrupt-col collision") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    corpus.write.mode("overwrite").json(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "zz_poison.json"),
+      ("{\"doc_id\": 1, \"text\": \"trunc\n" +
+        "not json\n" +
+        "{\"doc_id\": \"NaN\", \"text\": \"x\", \"n_tokens\": 2}\n")
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_tokens", LongType)))
+    val (good, quarantine, release) =
+      graft.sources.IngestOps.readJsonlQuarantine(spark, dir, schema)
+    try {
+      val q = quarantine.collect().map(_.getString(0))
+      assert(q.length == 3, s"got ${q.toSeq}")
+      assert(q.exists(_.contains("not json")) &&
+        q.exists(_.contains("NaN")) && q.exists(_.contains("trunc")),
+        s"raw lines must surface verbatim: ${q.toSeq}")
+      val got = good.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = corpus.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want, "round-trip must be lossless")
+      assert(good.columns.toSeq == Seq("doc_id", "text", "n_tokens"))
+    } finally release()
+    intercept[IllegalArgumentException] {
+      graft.sources.IngestOps.readJsonlQuarantine(spark, dir,
+        schema.add("_corrupt_record", StringType))
+    }
+  }
 }
