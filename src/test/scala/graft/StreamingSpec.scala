@@ -1092,6 +1092,50 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming JSONL ingest quarantines poisons per micro-batch: good " +
+       "rows flow, raw bad lines surface, later drops keep the split") {
+    import org.apache.spark.sql.types._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_jsonl_stream").toString
+    Files.write(Paths.get(dir, "drop1.json"),
+      ("{\"doc_id\": 1, \"text\": \"alpha\"}\n" +
+        "not json\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // the batch reader's PERMISSIVE + corrupt-column contract drops into
+    // readStream unchanged; the good/quarantine split runs inside each
+    // micro-batch (foreachBatch, the ingest convention — the corrupt
+    // column is filterable there because the batch frame is concrete)
+    val full = schema.add("_corrupt_record", StringType)
+    val good = scala.collection.mutable.Set[(Long, String)]()
+    val bad = scala.collection.mutable.Set[String]()
+    val q = spark.readStream.schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cached = bdf.persist()
+        good ++= cached.filter(col("_corrupt_record").isNull)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        bad ++= cached.filter(col("_corrupt_record").isNotNull)
+          .collect().map(_.getAs[String]("_corrupt_record"))
+        cached.unpersist(); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(good == Set((1L, "alpha")) && bad == Set("not json"),
+        s"good=$good bad=$bad")
+      Files.write(Paths.get(dir, "drop2.json"),
+        ("{\"doc_id\": 2, \"text\": \"beta\"}\n" +
+          "{\"doc_id\": \"oops\", \"text\": \"g\"}\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(good == Set((1L, "alpha"), (2L, "beta")), s"good=$good")
+      assert(bad.size == 2 && bad.exists(_.contains("oops")), s"bad=$bad")
+    } finally q.stop()
+  }
+
   test("dsirScoreIndexed scores a stream against the landed model, " +
        "row-identical to the batch path (stateless: explode + broadcast " +
        "ratio join + per-doc sum inside one micro-batch)") {
