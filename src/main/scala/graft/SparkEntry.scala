@@ -1893,6 +1893,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q176_data_card" -> ((s: SparkSession, dir: String) => {
+      // the per-source DATA CARD — the release table every model ships:
+      // docs, chars, mean length, exact-dup ppm (digest-keyed distinct:
+      // bodies never shuffle on the engine side), and the keep rate under
+      // a simple length+blocklist gate. One groupBy; every column integer
+      val d = t(s, dir, "documents")
+      val hits = TextOps.blocklistHits(col("text"), q174Phrases)
+      d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("n_chars_total"),
+          count_distinct(sha2(col("text"), 256)).as("distinct_texts"),
+          sum(when(coalesce(col("n_chars"), lit(0L)) >= 150 &&
+            hits === 0, 1L).otherwise(0L)).as("kept_docs"))
+        .select(col("source"), col("n_docs"), col("n_chars_total"),
+          expr("n_chars_total div n_docs").as("mean_chars"),
+          expr("((n_docs - distinct_texts) * 1000000) div n_docs")
+            .as("dup_ppm"),
+          expr("(kept_docs * 1000000) div n_docs").as("kept_ppm"))
+        .orderBy(col("source"))
+    }),
+
     "q175_jsonl_ingest" -> ((s: SparkSession, dir: String) => {
       // the export->ingest round-trip with a POISONED drop: documents
       // export as JSONL shards, three planted bad lines (truncated JSON,
@@ -3332,6 +3353,21 @@ object SparkEntry {
     "q118_canonical_mapping" -> OracleSqlGen.canonicalMappingSql,
 
     "q167_leakage_free_split" -> OracleSqlGen.leakageFreeSplitSql(10),
+
+    "q176_data_card" ->
+      // distinct-by-text in DuckDB == distinct-by-digest in the engine
+      // (same count, no raw-text shuffle Spark-side); the gate reuses the
+      // shared q174 pattern; all ratios BIGINT floor-div ppm
+      (s"""SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS n_chars_total,
+        |  CAST(SUM(COALESCE(n_chars, 0)) // COUNT(*) AS BIGINT) AS mean_chars,
+        |  CAST(((COUNT(*) - COUNT(DISTINCT text)) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm,
+        |  CAST((SUM(CASE WHEN COALESCE(n_chars, 0) >= 150
+        |    AND COALESCE(len(regexp_extract_all(text,
+        |      '${graft.ops.TextOps.blocklistPattern(q174Phrases).replace("'", "''")}')), 0) = 0
+        |    THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS kept_ppm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
     "q175_jsonl_ingest" ->
       // lossless round-trip proof: the quarantining reader's good rows
