@@ -181,16 +181,55 @@ object Cast {
       f => if (valueCols.contains(f.name)) f.copy(nullable = true) else f))
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
-    def keyOf(r: org.apache.spark.sql.Row): Double = r.get(ordIdx) match {
-      case null      => Double.NaN
-      case n: Number => n.doubleValue()
-      case other => throw new IllegalArgumentException(
-        s"despike: non-numeric order value $other")
+    // Sort parity with despikeWindowed's Window.orderBy(col(orderCol)):
+    // ascending NULLS FIRST over ANY orderable type — numerics (doubles
+    // with Spark's NaN-greatest / -0.0==0.0 rule), strings (UTF8 binary
+    // order, not UTF-16), timestamps/dates (Comparable). A stable
+    // TimSort keeps tie order deterministic.
+    val ordType = schema(ordIdx).dataType
+    val cmpNonNull: (Any, Any) => Int = ordType match {
+      case org.apache.spark.sql.types.DoubleType => (a, b) => {
+        val x = a.asInstanceOf[Number].doubleValue()
+        val y = b.asInstanceOf[Number].doubleValue()
+        if (x == y) 0 else java.lang.Double.compare(x, y)
+      }
+      case org.apache.spark.sql.types.FloatType => (a, b) => {
+        val x = a.asInstanceOf[Number].floatValue()
+        val y = b.asInstanceOf[Number].floatValue()
+        if (x == y) 0 else java.lang.Float.compare(x, y)
+      }
+      case org.apache.spark.sql.types.StringType => (a, b) =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String]))
+      case _ => (a, b) => a match {
+        case c: Comparable[_] => c.asInstanceOf[Comparable[Any]].compareTo(b)
+        case other => throw new IllegalArgumentException(
+          s"despike: unorderable order value $other (${ordType.catalogString})")
+      }
     }
-    df.groupByKey(r => String.valueOf(r.get(castIdx)))(
-        org.apache.spark.sql.Encoders.STRING)
+    val rowCmp = new java.util.Comparator[org.apache.spark.sql.Row]
+        with java.io.Serializable {
+      override def compare(r1: org.apache.spark.sql.Row,
+                           r2: org.apache.spark.sql.Row): Int = {
+        val a = r1.get(ordIdx); val b = r2.get(ordIdx)
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else cmpNonNull(a, b)
+      }
+    }
+    // collision-free group key: a NULL cast id must stay a distinct
+    // partition from the literal string "null" (despikeWindowed's
+    // partitionBy keeps them apart)
+    df.groupByKey { r =>
+        val v = r.get(castIdx)
+        if (v == null) "\u0000" else "v:" + v
+      }(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(keyOf)
+        val rows = it.toArray
+        java.util.Arrays.sort(rows, rowCmp)
         val n = rows.length
         val idx0 = math.max(0, n - block) // last full-window start (0-based)
         // forward-window mean/stddev_pop at every row of (v, vNull),

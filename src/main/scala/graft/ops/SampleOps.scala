@@ -125,9 +125,14 @@ object SampleOps {
       .withColumn("__cut",
         floor(col("__rate") * lit((DedupOps.P31 + 1).toDouble)).cast("long"))
       .select(col(groupCol), col("__cut"))
-    df.join(broadcast(cuts), Seq(groupCol))
+    // NULL-SAFE join: a null group is a real group (groupBy counted it),
+    // so it must meet its own computed cut rather than silently vanish
+    // through an equi-join; the final select restores df's column order
+    // (the join moved groupCol first), matching the other hash gates.
+    df.join(broadcast(cuts.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) <=> col("__g"))
       .filter(keyHash(col(keyCol), salt) < col("__cut"))
-      .drop("__cut")
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /**

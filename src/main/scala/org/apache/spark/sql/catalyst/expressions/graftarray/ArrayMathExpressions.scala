@@ -694,18 +694,28 @@ case class IvfCellsExpr(child: Expression, centIds: Seq[Long],
         val nn = vn * normArr(c)
         score = if (nn > 0) d / nn else 0.0
       }
-      scores(c) = score
+      // a non-finite query component makes score NaN for EVERY centroid;
+      // map NaN to -Inf so the selection ordering stays total and an all-NaN
+      // vector degrades to codebook-order cells (probe 0 == IvfCellExpr's
+      // best = 0 choice) instead of taken(-1) killing the task
+      scores(c) = if (java.lang.Double.isNaN(score)) Double.NegativeInfinity else score
       c += 1
     }
     val taken = new Array[Boolean](centArr.length)
     val out = new Array[Long](probeCount)
     var p = 0
     while (p < probeCount) {
+      // best starts at the first untaken cell (never -1): if every remaining
+      // score is NaN (a non-finite query component NaNs ALL scores), the
+      // strict > never fires and we must still pick a valid cell — matching
+      // IvfCellExpr's best = 0 degradation instead of throwing on taken(-1)
       var best = -1
       var bestScore = Double.NegativeInfinity
       c = 0
       while (c < centArr.length) {
-        if (!taken(c) && scores(c) > bestScore) { best = c; bestScore = scores(c) }
+        if (!taken(c)) {
+          if (best < 0 || scores(c) > bestScore) { best = c; bestScore = scores(c) }
+        }
         c += 1
       }
       taken(best) = true

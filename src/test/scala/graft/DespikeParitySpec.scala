@@ -57,4 +57,61 @@ class DespikeParitySpec extends SparkTestBase {
     assert(kern.exists(r => !r.isNullAt(2) && r.getDouble(2).isNaN),
       "NaN input must survive as NaN, not become null")
   }
+
+  test("kernel == windowed on degenerate keys: NULL order values sort " +
+       "FIRST (Window.orderBy default), and a NULL cast id stays a " +
+       "distinct partition from the literal string \"null\"") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // two casts that render identically under String.valueOf: null and "null"
+    val rows = (for {
+      castIdx <- 0 until 2
+      i       <- 0 until 60
+    } yield {
+      val cast: String = if (castIdx == 0) null else "null"
+      // a null order key every 13 rows — the windowed plan sorts these
+      // first within the cast; the kernel must agree
+      val ord: java.lang.Long = if (i % 13 == 5) null else i.toLong
+      val v = math.cos(i / 5.0) * (castIdx + 1) +
+        (if (i % 17 == 0) 300.0 else rnd.nextGaussian())
+      (cast, ord, v)
+    }).toDF("cast_id", "scan_order", "value")
+
+    def collect(d: org.apache.spark.sql.DataFrame) = d
+      .select("cast_id", "scan_order", "value")
+      .orderBy(asc_nulls_first("cast_id"), asc_nulls_first("scan_order"),
+        col("value"))
+      .collect().toSeq
+    val kern = collect(Cast.despike(rows, "cast_id", "scan_order",
+      Seq("value"), n1 = 2.0, n2 = 6.0, block = 8))
+    val wind = collect(Cast.despikeWindowed(rows, "cast_id", "scan_order",
+      Seq("value"), n1 = 2.0, n2 = 6.0, block = 8))
+    assert(kern == wind, s"degenerate-key parity broke:\n${
+      kern.zip(wind).filter(p => p._1 != p._2).take(5).mkString("\n")}")
+    assert(kern.exists(_.isNullAt(2)), "no spike was nulled")
+  }
+
+  test("kernel accepts a non-numeric (timestamp) order column and matches " +
+       "the windowed plan") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val rows = (for {
+      cast <- 0 until 3
+      i    <- 0 until 80
+    } yield {
+      val ts = new java.sql.Timestamp(base.getTime + i * 1000L)
+      val v  = math.sin(i / 9.0) + (if (i % 23 == 0) 150.0 else 0.0)
+      (cast.toLong, ts, v)
+    }).toDF("cast_id", "event_time", "value")
+
+    def collect(d: org.apache.spark.sql.DataFrame) = d
+      .select("cast_id", "event_time", "value")
+      .orderBy("cast_id", "event_time").collect().toSeq
+    val kern = collect(Cast.despike(rows, "cast_id", "event_time",
+      Seq("value"), n1 = 2.0, n2 = 6.0, block = 12))
+    val wind = collect(Cast.despikeWindowed(rows, "cast_id", "event_time",
+      Seq("value"), n1 = 2.0, n2 = 6.0, block = 12))
+    assert(kern == wind)
+    assert(kern.exists(_.isNullAt(2)), "no spike was nulled")
+  }
 }

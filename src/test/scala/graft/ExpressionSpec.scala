@@ -792,4 +792,36 @@ class ExpressionSpec extends SparkTestBase {
       "FROM kll_in WHERE v < 0").collect().head
     assert(empty.isNullAt(0), "empty sketch must read null")
   }
+
+  test("ivf_cells on a non-finite vector degrades to a valid probe list " +
+       "(codebook order) and agrees with ivf_cell at probe 0 — no " +
+       "taken(-1) task kill") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+    val cents = Seq(
+      10L -> Array(1.0, 0.0, 0.0),
+      20L -> Array(0.0, 1.0, 0.0),
+      30L -> Array(0.0, 0.0, 1.0))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    // row 0: an Inf component NaNs the cosine for EVERY centroid
+    // (d = Inf, norm = Inf, Inf/Inf = NaN); row 1: a plain vector as the
+    // sanity anchor that ordinary scoring still wins over the degradation
+    val rows = Seq(
+      org.apache.spark.sql.Row(0L, Seq(Double.PositiveInfinity, 1.0, 0.0)),
+      org.apache.spark.sql.Row(1L, Seq(0.1, 0.2, 5.0)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val got = df.select(col("id"),
+        ArrayMathExpressions.ivfCell(col("v"), cents).as("cell"),
+        ArrayMathExpressions.ivfCells(col("v"), cents, 2).as("cells"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2)))
+      .toMap
+    // non-finite vector: both ops pick codebook order, probe 0 == ivf_cell
+    assert(got(0L)._1 == 10L, s"ivf_cell on Inf vector: ${got(0L)._1}")
+    assert(got(0L)._2 == Seq(10L, 20L), s"ivf_cells on Inf vector: ${got(0L)._2}")
+    // normal vector: argmax centroid first, runner-up second
+    assert(got(1L)._1 == 30L && got(1L)._2.head == 30L && got(1L)._2.size == 2)
+  }
 }

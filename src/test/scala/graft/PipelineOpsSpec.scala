@@ -2862,4 +2862,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(again ==
       temp.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("temperatureSampleByHash: a NULL group is its own group (null-safe " +
+       "join, no silent row loss) and df's column order is preserved") {
+    import spark.implicits._
+    val df = ((0 until 400).map(i => (i.toLong, "big", i * 2)) ++
+      (400 until 500).map(i => (i.toLong, null: String, i * 2)))
+      .toDF("doc_id", "source", "extra")
+    val out = graft.ops.SampleOps.temperatureSampleByHash(
+      df, "doc_id", "source", alpha = 1.0, targetRows = 250)
+    // column order unchanged (the join used to move groupCol first)
+    assert(out.columns.toSeq == df.columns.toSeq)
+    val byG = out.groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)).orNull -> r.getLong(1)).toMap
+    // alpha=1 -> rate 0.5 for both; the null group must KEEP ~half its
+    // rows, not vanish through the equi-join
+    assert(byG.contains(null), s"null group vanished: $byG")
+    assert(math.abs(byG(null) - 50.0) < 30, byG.toString)
+    assert(math.abs(byG("big") - 200.0) < 60, byG.toString)
+  }
 }
