@@ -550,6 +550,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q86b_bpe_segment" -> ((s: SparkSession, dir: String) => {
+      // the ENCODE half of q86 made hash-verifiable: per-word
+      // segmentation under the FIXED well-formed merge list (see
+      // q86bMerges) for which applying each merge ONCE in rank order
+      // equals the kernel's repeated-min greedy — the property that lets
+      // the DuckDB oracle replay the identical segmentation as a chain
+      // of left-to-right replace() passes over paren-wrapped symbols.
+      // q86 (trained merges) keeps its golden check; this pins the
+      // shared BpeEncodeExpr kernel's VALUES end-to-end.
+      import org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+      val enc = TextKernelExpressions.bpeEncode(array(col("word")), q86bMerges)
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("word_pos", "word")))
+        .select(col("doc_id"), col("word_pos").cast(LongType).as("word_pos"),
+          col("word"),
+          array_join(enc, " ").as("subwords"),
+          size(enc).cast(LongType).as("n_subwords"))
+        .orderBy(col("doc_id"), col("word_pos"))
+    }),
+
     "q84_corpus_diff" -> ((s: SparkSession, dir: String) => {
       // snapshot audit between two corpus versions: every-7th doc removed,
       // every-5th edited, 15 new docs appended — unchanged ids emit no row
@@ -1923,8 +1944,13 @@ object SparkEntry {
       // null-filled bad row breaks the hash) with exactly the 3 poisons
       // quarantined (required loudly)
       import org.apache.spark.sql.types._
+      // path is unique per (testdata dir, JVM): two concurrent drivers
+      // pointed at the same dir write disjoint directories instead of
+      // racing one JSONL round-trip (the oracle reads only the query's
+      // OUTPUT, so the suffix changes nothing downstream)
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_jsonl/" +
-        math.abs(dir.hashCode).toString
+        math.abs(dir.hashCode).toString + "_" +
+        java.lang.ProcessHandle.current().pid().toString
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
@@ -2664,6 +2690,72 @@ object SparkEntry {
     * keys (q64's hash form), add-1 smoothing over the train vocabulary,
     * and per-position micro-nat flooring so the per-doc aggregation sums
     * INTEGERS — ln() ulp drift cannot reorder-diverge. */
+  /**
+   * q86b's FIXED merge list. Well-formed by construction, verified at
+   * first use: every component is a single code point, the `</w>`
+   * terminal, or the product of an EARLIER merge, and all products are
+   * distinct strings. Under exactly these conditions a newly created
+   * adjacent pair always contains the just-created symbol, whose own
+   * merges all rank LATER — so applying each merge once in rank order is
+   * provably identical to the kernel's repeated-lowest-rank greedy
+   * (BpeEncodeParitySpec pins the equivalence property on random words),
+   * and the DuckDB oracle can replay segmentation as a rank-ordered
+   * chain of left-to-right `replace()` passes.
+   */
+  private[graft] lazy val q86bMerges: Seq[(String, String)] = {
+    val merges = Seq(
+      "t" -> "h", "th" -> "e", "the" -> "</w>",
+      "i" -> "n", "in" -> "g", "ing" -> "</w>",
+      "a" -> "n", "an" -> "d", "and" -> "</w>",
+      "e" -> "r", "er" -> "</w>",
+      "o" -> "n", "r" -> "e", "o" -> "f", "of" -> "</w>",
+      "e" -> "d", "ed" -> "</w>",
+      "o" -> "u", "e" -> "n", "t" -> "o", "to" -> "</w>",
+      "e" -> "s", "es" -> "</w>",
+      "s" -> "</w>", "e" -> "</w>", "d" -> "</w>", "y" -> "</w>",
+      "t" -> "</w>", "a" -> "</w>", "o" -> "</w>",
+      "1" -> "0", "0" -> "0", "2" -> "0", "0" -> "</w>",
+      "c" -> "h", "s" -> "t", "q" -> "u", "l" -> "l",
+      "o" -> "r", "or" -> "</w>")
+    val products = scala.collection.mutable.Set[String]()
+    merges.foreach { case (l, r) =>
+      Seq(l, r).foreach(c => require(
+        c == "</w>" || c.codePointCount(0, c.length) == 1 || products.contains(c),
+        s"q86b merge component '$c' is neither a code point, </w>, nor an earlier product"))
+      val p = l + r
+      require(products.add(p), s"duplicate q86b merge product '$p'")
+    }
+    merges
+  }
+
+  /** q86b's oracle: DuckDB replays the BPE segmentation of every token
+    * as the rank-ordered replace chain over paren-wrapped symbols —
+    * `replace()` is left-to-right and non-overlapping in both engines,
+    * which is exactly the kernel's merge-all-occurrences pass; the
+    * wrapping makes pair patterns unambiguous (parens cannot occur
+    * inside a symbol: symbols are [a-z0-9] runs plus `</w>`). */
+  private def q86bOracleSql: String = {
+    val chain = q86bMerges.foldLeft(
+      """'(' || regexp_replace(word, '(.)', '(\1)', 'g') || '(</w>)'""") {
+      case (acc, (l, r)) => s"replace($acc, '($l)($r)', '($l$r)')"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word,
+       |    unnest(generate_series(0,
+       |      len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1)) AS word_pos
+       |  FROM documents
+       |), seg AS (
+       |  SELECT doc_id, word_pos, word,
+       |    $chain AS state
+       |  FROM toks
+       |)
+       |SELECT doc_id, word_pos, word,
+       |  array_to_string(regexp_extract_all(state, '[^()]+'), ' ') AS subwords,
+       |  CAST(len(regexp_extract_all(state, '[^()]+')) AS BIGINT) AS n_subwords
+       |FROM seg ORDER BY doc_id, word_pos""".stripMargin
+  }
+
   /** Winnowing CTE chain over source CTE `src`, names prefixed `p` —
     * q107's selection pipeline, reusable per side for the q108 overlap
     * join. Emits `<p>fp(doc_id, gram_hash)`. */
@@ -2977,6 +3069,8 @@ object SparkEntry {
         "FROM bucketed GROUP BY bucket ORDER BY bucket"),
 
     "q85_ngram_lm_indexed" -> NgramLmOracleSql,
+
+    "q86b_bpe_segment" -> q86bOracleSql,
 
     "q161_dsir_scores" ->
       // OracleSqlGen.dsirScoreCtes replays the hashed-ngram ratio model:

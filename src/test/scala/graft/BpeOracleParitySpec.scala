@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q86b's oracle replays BPE segmentation as a rank-ordered chain of
+  * left-to-right `replace()` passes over paren-wrapped symbols. That is
+  * only equal to the kernel's repeated-lowest-rank greedy when the merge
+  * list is WELL-FORMED (components are single code points, `</w>`, or
+  * earlier products; products distinct) — this spec pins the equivalence
+  * on the actual q86b list and on randomly GENERATED well-formed lists,
+  * so the oracle's validity is a tested property, not an argument in a
+  * comment. */
+class BpeOracleParitySpec extends SparkTestBase {
+
+  /** The oracle's exact algorithm, in Scala: wrap each code point,
+    * apply each merge once in rank order via literal left-to-right
+    * replace (Java String.replace == DuckDB replace: non-overlapping,
+    * scanning resumes after the replacement), unwrap. */
+  private def oracleSegment(word: String,
+                            merges: Seq[(String, String)]): Seq[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      sb.append('(').append(word.substring(i, i + cc)).append(')')
+      i += cc
+    }
+    sb.append("(</w>)")
+    var state = sb.toString
+    merges.foreach { case (l, r) =>
+      state = state.replace(s"($l)($r)", s"($l$r)")
+    }
+    state.substring(1, state.length - 1).split("\\)\\(").toSeq
+  }
+
+  private def kernelSegment(words: Seq[String],
+                            merges: Seq[(String, String)]): Seq[Seq[String]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.grafttext.TextKernelExpressions
+    words.zipWithIndex.map { case (w, i) => (i, w) }.toDF("i", "word")
+      .select(col("i"),
+        TextKernelExpressions.bpeEncode(array(col("word")), merges).as("seg"))
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[String](1).toSeq).toSeq
+  }
+
+  private def randomWords(rnd: scala.util.Random, n: Int): Seq[String] = {
+    // biased toward the merge-list alphabet so merges actually fire,
+    // including chain-prone shapes (repeats, th/the/ing clusters)
+    val frags = Seq("t", "h", "e", "i", "n", "g", "a", "d", "o", "r", "s",
+      "0", "1", "2", "l", "th", "the", "ing", "and", "to", "es", "00", "ll")
+    (0 until n).map { _ =>
+      val k = 1 + rnd.nextInt(6)
+      (0 until k).map(_ => frags(rnd.nextInt(frags.length))).mkString
+    }
+  }
+
+  test("q86b list: kernel repeated-min greedy == oracle in-order replace " +
+       "chain on random and adversarial words") {
+    val rnd = new scala.util.Random(86)
+    val words = (randomWords(rnd, 2000) ++ Seq(
+      "the", "thethe", "aaa", "0000", "100", "2000", "tototo", "ingesting",
+      "understanding", "q", "qu", "stress", "llll", "ororor", "eee",
+      "andand", "theses")).distinct
+    val kern = kernelSegment(words, SparkEntry.q86bMerges)
+    words.zip(kern).foreach { case (w, got) =>
+      val want = oracleSegment(w, SparkEntry.q86bMerges)
+      assert(got == want, s"word '$w': kernel $got != oracle $want")
+      // segmentation is a partition of the word + terminal
+      assert(got.mkString == w + "</w>", s"word '$w': not a partition: $got")
+    }
+  }
+
+  test("equivalence holds for randomly GENERATED well-formed merge lists " +
+       "(the property the q86b oracle rests on)") {
+    val rnd = new scala.util.Random(4242)
+    (0 until 5).foreach { trial =>
+      // grow a well-formed list: each merge pairs two existing symbols
+      // (chars, </w>, or earlier products), products kept distinct
+      val chars = "abc01".map(_.toString)
+      val symbols = scala.collection.mutable.ArrayBuffer[String](chars: _*)
+      symbols += "</w>"
+      val products = scala.collection.mutable.Set[String]()
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (merges.length < 30) {
+        val l = symbols(rnd.nextInt(symbols.length))
+        val r = symbols(rnd.nextInt(symbols.length))
+        val p = l + r
+        // </w> can only terminate: as a LEFT component it could glue two
+        // words' symbols in theory; the kernel never sees that (</w> is
+        // terminal) so exclude it from the generator too
+        if (l != "</w>" && !products.contains(p)) {
+          products += p; merges += ((l, r)); symbols += p
+        }
+      }
+      val words = (0 until 400).map { _ =>
+        val k = 1 + rnd.nextInt(10)
+        (0 until k).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      }.distinct
+      val kern = kernelSegment(words, merges.toSeq)
+      words.zip(kern).foreach { case (w, got) =>
+        val want = oracleSegment(w, merges.toSeq)
+        assert(got == want,
+          s"trial $trial word '$w' merges ${merges.toSeq}: $got != $want")
+      }
+    }
+  }
+
+  test("a NON-well-formed list is rejected by construction checks and " +
+       "does diverge (the guard is not vacuous)") {
+    // merges = [(ab,c), (a,b)]: rank 0's left component is rank 1's
+    // product — kernel merges (a,b) first then (ab,c); the in-order
+    // chain misses (ab,c) entirely
+    val bad = Seq("ab" -> "c", "a" -> "b")
+    val kern = kernelSegment(Seq("abc"), bad).head
+    val fold = oracleSegment("abc", bad)
+    assert(kern == Seq("abc", "</w>"))
+    assert(fold == Seq("ab", "c", "</w>"))
+    assert(kern != fold)
+    // and the q86b validator would refuse it
+    val products = scala.collection.mutable.Set[String]()
+    val wellFormed = bad.forall { case (l, r) =>
+      val ok = Seq(l, r).forall(c =>
+        c == "</w>" || c.codePointCount(0, c.length) == 1 || products.contains(c))
+      products += (l + r); ok
+    }
+    assert(!wellFormed)
+  }
+}
