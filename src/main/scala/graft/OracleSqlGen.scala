@@ -1196,4 +1196,154 @@ object OracleSqlGen {
        |       round(unnest(y), 6) AS value_smooth
        |FROM sm ORDER BY user_id, event_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q177-q179: the ANN recall contract. Ground truth = exact brute-force
+  // cosine top-k over the seeded 200-query sample (hash-ordered md5-31 of
+  // "graft:vec_id", ties by vec_id — the engine-portable sampling family);
+  // each oracle replays ONE approximate path's top-k with the same
+  // rounded-cosine ranking and counts the per-query intersection — an
+  // all-integer result, so the recall number itself is hash-verified, not
+  // just the plan shape.
+  // ---------------------------------------------------------------------
+
+  /** Shared CTE prefix: corpus `e`, seeded query sample `q`, exact
+    * ground-truth set `exactk` at `k`. */
+  private def recallPrefixSql(k: Int, nQueries: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), q AS (
+       |  SELECT vec_id, v FROM e
+       |  ORDER BY (('0x' || substr(md5('graft:' || CAST(vec_id AS VARCHAR)),
+       |      1, 16))::UBIGINT & 2147483647::UBIGINT)::BIGINT, vec_id
+       |  LIMIT $nQueries
+       |), exact AS (
+       |  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosineSqlFor("q", "e2")} DESC, e2.vec_id) AS rnk
+       |  FROM q JOIN e e2 ON e2.vec_id <> q.vec_id
+       |), exactk AS (
+       |  SELECT query_id, neighbor_id FROM exact WHERE rnk <= $k
+       |)""".stripMargin
+
+  /** Shared suffix: per-query hit counts over `exactk` vs `annk`,
+    * zero-filled so every sampled query emits a row. */
+  private val recallSuffixSql: String =
+    """SELECT q.vec_id AS query_id, CAST(coalesce(h.h, 0) AS BIGINT) AS hits
+      |FROM q LEFT JOIN (
+      |  SELECT x.query_id, count(*) AS h
+      |  FROM exactk x JOIN annk a
+      |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+      |  GROUP BY x.query_id
+      |) h ON h.query_id = q.vec_id
+      |ORDER BY query_id""".stripMargin
+
+  /** q177: recall of the IVF path (lowest-id codebook, argmax-cosine
+    * cells, nProbe probes) against exact top-k. */
+  def annRecallIvfSql(k: Int, nQueries: Int, nCells: Int, nProbe: Int): String =
+    s"""WITH ${recallPrefixSql(k, nQueries)}, c AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $nCells
+       |), assign AS (
+       |  SELECT e.vec_id, e.v, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      CASE WHEN sqrt(list_inner_product(e.v, e.v))
+       |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+       |        THEN list_inner_product(e.v, c.cv)
+       |             / (sqrt(list_inner_product(e.v, e.v))
+       |                * sqrt(list_inner_product(c.cv, c.cv)))
+       |        ELSE 0.0 END DESC, c.cent_id) AS rn
+       |  FROM e CROSS JOIN c
+       |), cell AS (
+       |  SELECT vec_id, v, cent_id AS cl FROM assign WHERE rn = 1
+       |), probes AS (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id AS cl,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      CASE WHEN sqrt(list_inner_product(q.v, q.v))
+       |                * sqrt(list_inner_product(c.cv, c.cv)) > 0
+       |        THEN list_inner_product(q.v, c.cv)
+       |             / (sqrt(list_inner_product(q.v, q.v))
+       |                * sqrt(list_inner_product(c.cv, c.cv)))
+       |        ELSE 0.0 END DESC, c.cent_id) AS prn
+       |  FROM q CROSS JOIN c
+       |), scoredann AS (
+       |  SELECT p.query_id, ce.vec_id AS neighbor_id,
+       |    round(CASE WHEN sqrt(list_inner_product(p.qv, p.qv))
+       |                    * sqrt(list_inner_product(ce.v, ce.v)) > 0
+       |      THEN list_inner_product(p.qv, ce.v)
+       |           / (sqrt(list_inner_product(p.qv, p.qv))
+       |              * sqrt(list_inner_product(ce.v, ce.v)))
+       |      ELSE 0.0 END, 6) AS cs
+       |  FROM probes p JOIN cell ce ON ce.cl = p.cl
+       |  WHERE p.prn <= $nProbe AND ce.vec_id <> p.query_id
+       |), annk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, neighbor_id) AS rnk
+       |    FROM scoredann
+       |  ) WHERE rnk <= $k
+       |)
+       |$recallSuffixSql""".stripMargin
+
+  /** q178: recall of the banded-LSH path (band b's planes from seed
+    * 42 + b, union of per-band collisions) against exact top-k. */
+  def annRecallLshSql(k: Int, nQueries: Int, bands: Int, nPlanes: Int): String = {
+    val perBand = (0 until bands).map { b =>
+      "  " + bucketSql(SimOps.hyperplanes(nPlanes, 64, 42L + b), band = Some(b))
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${recallPrefixSql(k, nQueries)}, sk AS (
+       |$perBand
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM sk a JOIN sk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id IN (SELECT vec_id FROM q)
+       |), scoredann AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosineSqlFor("qa", "cb")} AS cs
+       |  FROM cand
+       |  JOIN e qa ON qa.vec_id = cand.query_id
+       |  JOIN e cb ON cb.vec_id = cand.neighbor_id
+       |), annk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, neighbor_id) AS rnk
+       |    FROM scoredann
+       |  ) WHERE rnk <= $k
+       |)
+       |$recallSuffixSql""".stripMargin
+  }
+
+  /** q179: recall of the OPERATIONAL projection pattern — shortlist
+    * `shortK` in the projected space, exact rerank in the original space
+    * — against exact top-k in the original space. */
+  def annRecallProjectedSql(k: Int, nQueries: Int, outDim: Int, dim: Int,
+                            shortK: Int): String =
+    s"""WITH ${recallPrefixSql(k, nQueries)}, proj AS (
+       |  SELECT vec_id, list(ip ORDER BY j) AS v
+       |  FROM (${projRowsSql(outDim, dim)})
+       |  GROUP BY vec_id
+       |), qp AS (
+       |  SELECT p.vec_id, p.v FROM proj p JOIN q ON q.vec_id = p.vec_id
+       |), shortl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ${cosineSqlFor("a", "b")} AS cs,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosineSqlFor("a", "b")} DESC, b.vec_id) AS rnk
+       |    FROM qp a JOIN proj b ON b.vec_id <> a.vec_id
+       |  ) WHERE rnk <= $shortK
+       |), rer AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${cosineSqlFor("qo", "co")} AS cs
+       |  FROM shortl s
+       |  JOIN e qo ON qo.vec_id = s.query_id
+       |  JOIN e co ON co.vec_id = s.neighbor_id
+       |), annk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, neighbor_id) AS rnk
+       |    FROM rer
+       |  ) WHERE rnk <= $k
+       |)
+       |$recallSuffixSql""".stripMargin
 }

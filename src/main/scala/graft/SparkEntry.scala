@@ -488,6 +488,54 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q177_ann_recall_ivf" -> ((s: SparkSession, dir: String) => {
+      // the retrieval-QUALITY contract the plan-shape specs cannot pin:
+      // recall@10 of the IVF path (16 cells, 4 probes) against exact
+      // brute-force top-10 over the seeded 200-query sample — per-query
+      // intersection counts are exact integers (hash-verified), and the
+      // aggregate floor is required loudly at build time
+      val e = t(s, dir, "embeddings")
+      val qs = annRecallQueries(e)
+      annRecallHits(qs,
+        SimOps.cosineTopK(e, qs, "vec_id", "embedding", k = 10),
+        SimOps.ivfTopK(e, qs, "vec_id", "embedding", k = 10,
+          nCells = 16, nProbe = 4),
+        k = 10, floorPpm = annRecallFloorPpm("ivf"))
+    }),
+
+    "q178_ann_recall_lsh" -> ((s: SparkSession, dir: String) => {
+      // recall@10 of the banded-LSH path (3 bands x 6 planes) against
+      // exact top-10 — same seeded sample and floor contract as q177
+      val e = t(s, dir, "embeddings")
+      val qs = annRecallQueries(e)
+      annRecallHits(qs,
+        SimOps.cosineTopK(e, qs, "vec_id", "embedding", k = 10),
+        SimOps.lshCosineTopK(e, qs, "vec_id", "embedding", k = 10,
+          nPlanes = 4, bands = 8),
+        k = 10, floorPpm = annRecallFloorPpm("lsh"))
+    }),
+
+    "q179_ann_recall_projected" -> ((s: SparkSession, dir: String) => {
+      // recall@10 of the OPERATIONAL projection pattern — shortlist 50 in
+      // the 32-dim projected space, exact-rerank in the original 64-dim
+      // space — against brute-force top-10. Measures the shortlist's
+      // quality alone (ranking the survivors is exact), which is how a
+      // projected index is actually served; raw top-10-in-projected-space
+      // recall is noise-bound on isotropic embeddings and not a contract
+      // anyone deploys
+      val e = t(s, dir, "embeddings")
+      val qs = annRecallQueries(e)
+      val m = SimOps.projectionMatrix(outDim = 32, dim = 64)
+      val proj = e.select(col("vec_id"),
+        SimOps.randomProject(col("embedding"), m).as("embedding"))
+      val qsP = proj.join(qs.select(col("vec_id")), Seq("vec_id"))
+      val shortlist = SimOps.cosineTopK(proj, qsP, "vec_id", "embedding", k = 50)
+      annRecallHits(qs,
+        SimOps.cosineTopK(e, qs, "vec_id", "embedding", k = 10),
+        SimOps.rerankTopK(shortlist, e, qs, "vec_id", "embedding", k = 10),
+        k = 10, floorPpm = annRecallFloorPpm("projected"))
+    }),
+
     "q77_hamming_near_dup" -> ((s: SparkSession, dir: String) => {
       // batch banded Hamming dedup over a 64-bit sketch — the operator
       // behind image near-dup (dHash) and batch SimHash dedup; oracle-able
@@ -2691,6 +2739,51 @@ object SparkEntry {
     * and per-position micro-nat flooring so the per-doc aggregation sums
     * INTEGERS — ln() ulp drift cannot reorder-diverge. */
   /**
+   * q177-q179 recall contract: the seeded query sample (md5-31 hash order
+   * of "graft:vec_id", ties by vec_id — the engine-portable sampling
+   * family, so DuckDB draws the identical 200), capped at 200.
+   */
+  private def annRecallQueries(e: DataFrame): DataFrame = {
+    val h = org.apache.spark.sql.catalyst.expressions.graftdedup
+      .HashSketchExpressions.md5Hash31(
+        concat_ws(":", lit("graft"), col("vec_id").cast("string")))
+    e.orderBy(h.asc, col("vec_id").asc).limit(200)
+  }
+
+  /**
+   * Pinned integer recall floors (ppm of recall@10 over the seeded
+   * sample) per approximate path. Measured at sf0.001/0.01/0.1 and set
+   * ~10 recall points under the observed minimum, so a parameter or
+   * kernel regression that costs real retrieval quality fails the build
+   * loudly while corpus drift does not flap the gate.
+   */
+  private def annRecallFloorPpm(path: String): Long = path match {
+    case "ivf"       => 350000L // nCells=16, nProbe=4; measured 452500-496500
+    case "lsh"       => 550000L // bands=8, nPlanes=4; measured 655500-718500
+    case "projected" => 250000L // outDim 32, shortlist 50; measured 346500-567500
+    case other => throw new IllegalArgumentException(s"no recall floor for $other")
+  }
+
+  /** Per-query recall hits: |exact top-k ∩ ann top-k| with zero-fill, and
+    * the loud aggregate floor check. All-integer output — the recall
+    * number itself is DuckDB-hash-verified, not just the plan shape. */
+  private def annRecallHits(qs: DataFrame, exact: DataFrame, ann: DataFrame,
+                            k: Int, floorPpm: Long): DataFrame = {
+    val inter = exact.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val perQ = qs.select(col("vec_id").as("query_id"))
+      .join(inter, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+    val agg = perQ.agg(sum(col("hits")).as("h"), count(lit(1)).as("n")).head()
+    val ppm = agg.getLong(0) * 1000000L / (agg.getLong(1) * k)
+    require(ppm >= floorPpm,
+      s"ANN recall@$k = $ppm ppm under the pinned floor $floorPpm ppm")
+    perQ.orderBy(col("query_id"))
+  }
+
+  /**
    * q86b's FIXED merge list. Well-formed by construction, verified at
    * first use: every component is a single code point, the `</w>`
    * terminal, or the product of an EARLIER merge, and all products are
@@ -3071,6 +3164,16 @@ object SparkEntry {
     "q85_ngram_lm_indexed" -> NgramLmOracleSql,
 
     "q86b_bpe_segment" -> q86bOracleSql,
+
+    "q177_ann_recall_ivf" ->
+      OracleSqlGen.annRecallIvfSql(k = 10, nQueries = 200, nCells = 16, nProbe = 4),
+
+    "q178_ann_recall_lsh" ->
+      OracleSqlGen.annRecallLshSql(k = 10, nQueries = 200, bands = 8, nPlanes = 4),
+
+    "q179_ann_recall_projected" ->
+      OracleSqlGen.annRecallProjectedSql(k = 10, nQueries = 200, outDim = 32,
+        dim = 64, shortK = 50),
 
     "q161_dsir_scores" ->
       // OracleSqlGen.dsirScoreCtes replays the hashed-ngram ratio model:

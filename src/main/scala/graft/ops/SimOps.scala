@@ -73,6 +73,30 @@ object SimOps {
   }
 
   /**
+   * Exact cosine top-k over a PRE-SHORTLISTED candidate set — the rerank
+   * half of the project/quantize -> shortlist -> rerank ANN serving
+   * pattern: the cheap space proposes candidates, the original space
+   * disposes. `cands` carries (query_id, neighbor_id) ids only; vectors
+   * join back by id (the nearDuplicatePairs rule), queries broadcast.
+   * Same ranking contract as [[cosineTopK]] (rounded cosine desc, ties by
+   * neighbor id), so recall of shortlist->rerank against brute force
+   * measures the SHORTLIST's quality alone (q179's contract).
+   */
+  def rerankTopK(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = cands.select(col("query_id"), col("neighbor_id"))
+      .join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /**
    * [[cosineTopK]] over the INT8-QUANTIZED corpus: cosines are computed on
    * the quantization codes directly — the symmetric per-vector scale
    * cancels in the cosine ratio, so no dequantization multiply is needed
