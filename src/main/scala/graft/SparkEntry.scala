@@ -1819,6 +1819,76 @@ object SparkEntry {
         .orderBy(col("batch_id"), col("doc_id"))
     }),
 
+    "q180_watermark_replay" -> ((s: SparkSession, dir: String) => {
+      // the WATERMARK late-data contract on the REAL micro-batch engine
+      // (not a foreachBatch replay): a file-source stream (one parquet
+      // file per trigger, mod-time + name ordered) drives a watermarked
+      // 1-day windowed count through three batches. Batch 0 = the live
+      // head [Jan 25, Jan 30) plus a '__clock' row at Jan 31 00:00 that
+      // pins the watermark to exactly Jan 30 00:00 (24 h delay). Batch 1
+      // = the planted late rows: every event before Jan 25 (window end
+      // <= watermark -> the engine MUST drop them) and the whole Jan 30
+      // day (within horizon -> MUST keep). Batch 2 = a '__flush' anchor
+      // at Feb 10 that finalizes every data window. The append-mode
+      // output therefore equals the BATCH rule the drop semantics reduce
+      // to — counts over ts >= Jan 25 exactly — which is the oracle.
+      val base = s"${sys.props("java.io.tmpdir")}/graft_wm/" +
+        math.abs(dir.hashCode).toString + "_" +
+        java.lang.ProcessHandle.current().pid().toString
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(base))
+      val inDir = new java.io.File(s"$base/in")
+      inDir.mkdirs()
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"))
+      def plant(tsLit: String, tpe: String) =
+        s.range(1).select(to_timestamp(lit(tsLit)).as("ts"),
+          lit(tpe).as("event_type"))
+      val b0 = ev.filter(col("ts") >= lit("2024-01-25") &&
+          col("ts") < lit("2024-01-30"))
+        .unionByName(plant("2024-01-31 00:00:00", "__clock"))
+      // the late-event filter uses the PREVIOUS batch's committed
+      // watermark (SPARK-24634's two-phase rule: lateEvents wm lags
+      // eviction wm by one batch), so a spacer trigger must sit between
+      // the clock and the stragglers for the Jan 30 watermark to be the
+      // one the stragglers are judged against — with MemoryStream the
+      // automatic no-data batch provides this gap; a file source running
+      // back-to-back triggers does not
+      val b1 = plant("2024-01-31 00:00:00", "__clock")
+      val b2 = ev.filter(col("ts") < lit("2024-01-25"))
+        .unionByName(ev.filter(col("ts") >= lit("2024-01-30")))
+      val b3 = plant("2024-02-10 00:00:00", "__flush")
+      Seq(b0, b1, b2, b3).zipWithIndex.foreach { case (df, i) =>
+        val stage = s"$base/stage$i"
+        df.repartition(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val target = new java.io.File(inDir, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        target.setLastModified(60000L * (i + 1)): Unit
+      }
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("event_type", StringType)))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.getPath)
+      val agg = src.withWatermark("ts", "24 hours")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val qn = "graft_q180_sink_" + java.lang.Long.toHexString(
+        java.lang.System.nanoTime())
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .filter(!col("event_type").isin("__clock", "__flush"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     "q142_rate_spikes_landed" -> ((s: SparkSession, dir: String) => {
       // the PRODUCTION split of q138, and the batch-reconciliation form
       // of StreamOps.streamingRateSpikes (shared spikeJoin — the oracle
@@ -3164,6 +3234,18 @@ object SparkEntry {
     "q85_ngram_lm_indexed" -> NgramLmOracleSql,
 
     "q86b_bpe_segment" -> q86bOracleSql,
+
+    "q180_watermark_replay" ->
+      // the batch rule the streaming drop semantics reduce to: the
+      // beyond-watermark stragglers are EXACTLY ts < Jan 25 (batch 1
+      // arrives under a watermark pinned to Jan 30 by the batch-0 clock
+      // row), so kept rows are exactly ts >= Jan 25
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+        |  count(*) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q177_ann_recall_ivf" ->
       OracleSqlGen.annRecallIvfSql(k = 10, nQueries = 200, nCells = 16, nProbe = 4),

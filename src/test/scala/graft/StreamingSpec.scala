@@ -1183,4 +1183,50 @@ class StreamingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS $idx$s")
     }
   }
+
+  test("watermark late-data contract: a beyond-watermark straggler is " +
+       "dropped, a within-horizon late row is kept, and the stream " +
+       "equals the batch replay of the drop rule (q180's contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "24 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("wm_contract").start()
+    def day(d: Int, h: Int = 0) =
+      Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    try {
+      // batch 0: live head on day 25 + the clock row at day 31 00:00
+      // -> watermark after this batch = day 30 00:00 (24 h delay)
+      input.addData((day(25, 3), "a"), (day(25, 9), "a"), (day(25, 10), "b"),
+        (Timestamp.valueOf("2024-01-31 00:00:00"), "__clock"))
+      q.processAllAvailable()
+      // spacer: the LATE-event filter uses the PREVIOUS batch's committed
+      // watermark (SPARK-24634 two-phase rule) — processAllAvailable's
+      // automatic no-data batch usually provides the gap, but an explicit
+      // spacer removes the dependence on noDataMicroBatches being enabled
+      input.addData((Timestamp.valueOf("2024-01-31 00:00:00"), "__clock"))
+      q.processAllAvailable()
+      // next batch: one straggler on day 10 (window end Jan 11 <=
+      // watermark Jan 30 -> MUST drop) and one late-but-within row on
+      // day 30 (window end Jan 31 > watermark -> MUST keep)
+      input.addData((day(10, 5), "a"), (day(30, 7), "a"))
+      q.processAllAvailable()
+      // batch 2: flush anchor -> watermark Feb 9, all data windows final
+      input.addData((Timestamp.valueOf("2024-02-10 00:00:00"), "__flush"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT window.start, event_type, n FROM wm_contract
+          |WHERE event_type NOT IN ('__clock', '__flush')
+          |ORDER BY 1, 2""".stripMargin)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      // batch replay of the drop rule: everything except the straggler
+      assert(got == Seq(
+        (day(25), "a", 2L), (day(25), "b", 1L), (day(30), "a", 1L)),
+        s"got $got")
+    } finally q.stop()
+  }
 }
