@@ -414,22 +414,9 @@ object DedupOps {
     // its own values over tables landed with the old ones (the landOnce
     // spec guards can't catch that — bucket spec and schema are identical
     // for any k)
-    val metaTbl = s"${name}_meta"
-    if (!spark.catalog.tableExists(metaTbl)) {
-      import spark.implicits._
-      val w = Seq((numHashes, bands, shingleSize))
-        .toDF("num_hashes", "bands", "shingle_size")
-        .write.mode("overwrite").format("parquet")
-      path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
-    } else {
-      val m = spark.table(metaTbl).head()
-      val have = (m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"),
-        m.getAs[Int]("shingle_size"))
-      require(have == ((numHashes, bands, shingleSize)),
-        s"landNearDupIndex('$name'): existing index has (numHashes, bands, " +
-        s"shingleSize) = $have != requested ($numHashes, $bands, " +
-        s"$shingleSize); drop the index tables or land under another name")
-    }
+    graft.sources.IndexCatalog.pinMeta(spark, name, "landNearDupIndex",
+      path, Seq("num_hashes" -> numHashes, "bands" -> bands,
+        "shingle_size" -> shingleSize)): Unit
     val staged = reference
       .select(xxhash64(col(refTextCol)).as("__ref_id"),
         shingles(col(refTextCol), shingleSize).as("__sh"))
@@ -459,11 +446,10 @@ object DedupOps {
                             name: String, threshold: Double = 0.7,
                             maxRefBucket: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
+    requireIdColFree(idCol)
+    val m = graft.sources.IndexCatalog.requireMeta(spark, name,
       s"no near-dup index '$name' in the session catalog — run " +
       "landNearDupIndex first")
-    requireIdColFree(idCol)
-    val m = spark.table(s"${name}_meta").head()
     val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
       m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
     val incSh = df
@@ -504,11 +490,10 @@ object DedupOps {
                                  threshold: Double = 0.7,
                                  maxRefBucket: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
+    requireIdColFree(idCol)
+    val m = graft.sources.IndexCatalog.requireMeta(spark, name,
       s"no near-dup index '$name' in the session catalog — run " +
       "landNearDupIndex first")
-    requireIdColFree(idCol)
-    val m = spark.table(s"${name}_meta").head()
     val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
       m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
     val incSh = df
@@ -560,10 +545,9 @@ object DedupOps {
   def appendNearDupIndex(accepted: DataFrame, textCol: String,
                          name: String): Long = {
     val spark = accepted.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
+    val m = graft.sources.IndexCatalog.requireMeta(spark, name,
       s"no near-dup index '$name' in the session catalog — run " +
       "landNearDupIndex first")
-    val m = spark.table(s"${name}_meta").head()
     val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
       m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
     // append under the EXACT landed bucket spec (saveAsTable rejects a
@@ -1555,20 +1539,8 @@ object DedupOps {
                          buckets: Int = 8,
                          path: Option[String] = None): Unit = {
     val spark = reference.sparkSession
-    val metaTbl = s"${name}_meta"
-    if (!spark.catalog.tableExists(metaTbl)) {
-      import spark.implicits._
-      val w = Seq(Tuple1(delimiter)).toDF("delimiter")
-        .write.mode("overwrite").format("parquet")
-      path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
-    } else {
-      val have = spark.table(metaTbl).head().getAs[String]("delimiter")
-      require(have == delimiter,
-        s"landParagraphStore('$name'): existing store was landed with " +
-          s"delimiter ${have.map(_.toInt).mkString("[", ",", "]")} != " +
-          s"requested ${delimiter.map(_.toInt).mkString("[", ",", "]")}; " +
-          "drop the store tables or land under another name")
-    }
+    graft.sources.IndexCatalog.pinMeta(spark, name, "landParagraphStore",
+      path, Seq("delimiter" -> delimiter)): Unit
     val hashes = paragraphHashes(reference, refTextCol, delimiter)
       .withColumn("src_batch", lit(-1L))
     graft.sources.BucketedLand.landOnce(hashes, s"${name}_paras",
@@ -1603,10 +1575,9 @@ object DedupOps {
                                  out: String = "text_dedup",
                                  excludeBatch: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
+    val delimiter = graft.sources.IndexCatalog.requireMeta(spark, name,
       s"no paragraph store '$name' in the session catalog — run " +
         "landParagraphStore first")
-    val delimiter = spark.table(s"${name}_meta").head()
       .getAs[String]("delimiter")
     val inst = paragraphInstances(df, idCol, textCol, delimiter)
     val store0 = spark.table(s"${name}_paras")
@@ -1652,7 +1623,9 @@ object DedupOps {
     require(spark.catalog.tableExists(s"${name}_paras"),
       s"no paragraph store '$name' in the session catalog — run " +
         "landParagraphStore first")
-    val delimiter = spark.table(s"${name}_meta").head()
+    val delimiter = graft.sources.IndexCatalog.requireMeta(spark, name,
+      s"no paragraph store '$name' in the session catalog — run " +
+        "landParagraphStore first")
       .getAs[String]("delimiter")
     val spec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(

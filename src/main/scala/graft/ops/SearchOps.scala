@@ -263,8 +263,10 @@ object SearchOps {
     require(qidCol != "doc_id",
       "bm25AgainstIndexPerQuery: the landed doc id column is 'doc_id' — " +
         "name the query id column differently")
-    require(spark.catalog.tableExists(s"${name}_meta"),
-      s"no search index '$name' in the session catalog — run landSearchIndex first")
+    graft.sources.IndexCatalog.requireMeta(spark, name,
+      s"no search index '$name' in the session catalog — run landSearchIndex first"): Unit
+    graft.sources.IndexCatalog.checkPinned(spark, name, "bm25AgainstIndex",
+      Seq("analyzer" -> TextOps.analyzerId)): Unit
     val qterms = queries.select(col(qidCol),
       explode(array_distinct(TextOps.tokens(col(qtextCol)))).as("token"))
     val termList = qterms.select(col("token")).distinct()
@@ -323,15 +325,12 @@ object SearchOps {
     * consistent meta on the next call. */
   private def refreshMeta(spark: SparkSession, name: String,
                           path: Option[String]): Unit = {
-    import spark.implicits._
     val r = spark.table(s"${name}_docs")
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t"))
       .head()
-    val w = Seq((r.getAs[Long]("n"), r.getAs[Long]("t")))
-      .toDF("n_docs", "total_dl")
-      .write.mode("overwrite").format("parquet")
-    path.fold(w)(p => w.option("path", s"${p}_meta"))
-      .saveAsTable(s"${name}_meta")
+    graft.sources.IndexCatalog.writeMeta(spark, name, path,
+      Seq("analyzer" -> TextOps.analyzerId,
+        "n_docs" -> r.getAs[Long]("n"), "total_dl" -> r.getAs[Long]("t")))
   }
 
   /**
@@ -354,6 +353,8 @@ object SearchOps {
                       name: String, buckets: Int = 8,
                       path: Option[String] = None): Unit = {
     val spark = docs.sparkSession
+    graft.sources.IndexCatalog.checkPinned(spark, name, "landSearchIndex",
+      Seq("analyzer" -> TextOps.analyzerId)): Unit
     if (!spark.catalog.tableExists(s"${name}_meta")
         || !spark.catalog.tableExists(s"${name}_postings")
         || !spark.catalog.tableExists(s"${name}_docs")) {
@@ -386,6 +387,8 @@ object SearchOps {
     val spark = accepted.sparkSession
     require(spark.catalog.tableExists(s"${name}_docs"),
       s"no search index '$name' in the session catalog — run landSearchIndex first")
+    graft.sources.IndexCatalog.checkPinned(spark, name, "appendSearchIndex",
+      Seq("analyzer" -> TextOps.analyzerId)): Unit
     val spec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
         s"${name}_postings"))
@@ -445,8 +448,10 @@ object SearchOps {
                        k: Int = 10, k1: Double = 1.2,
                        b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25AgainstIndex: need at least one query term")
-    require(spark.catalog.tableExists(s"${name}_meta"),
-      s"no search index '$name' in the session catalog — run landSearchIndex first")
+    graft.sources.IndexCatalog.requireMeta(spark, name,
+      s"no search index '$name' in the session catalog — run landSearchIndex first"): Unit
+    graft.sources.IndexCatalog.checkPinned(spark, name, "bm25AgainstIndex",
+      Seq("analyzer" -> TextOps.analyzerId)): Unit
     val lowered = terms.map(_.toLowerCase)
     val stats = spark.table(s"${name}_meta")
       .select(col("n_docs").as("__n_docs"), col("total_dl").as("__total_dl"))

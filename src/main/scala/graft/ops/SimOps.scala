@@ -945,20 +945,8 @@ object SimOps {
                    trainSample: Int = 4096,
                    path: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
-    val metaTbl = s"${name}_meta"
-    if (!spark.catalog.tableExists(metaTbl)) {
-      import spark.implicits._
-      val w = Seq((nCells, trainCodebook)).toDF("n_cells", "trained")
-        .write.mode("overwrite").format("parquet")
-      path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
-    } else {
-      val m = spark.table(metaTbl).head()
-      val have = (m.getAs[Int]("n_cells"), m.getAs[Boolean]("trained"))
-      require(have == ((nCells, trainCodebook)),
-        s"landAnnIndex('$name'): existing index has (nCells, trained) = " +
-        s"$have != requested ($nCells, $trainCodebook); drop the index " +
-        "tables or land under another name")
-    }
+    graft.sources.IndexCatalog.pinMeta(spark, name, "landAnnIndex", path,
+      Seq("n_cells" -> nCells, "trained" -> trainCodebook)): Unit
     if (!spark.catalog.tableExists(s"${name}_centroids")) {
       val cents = resolveCodebook(corpus, idCol, vecCol, nCells, trainCodebook,
         lloydIters, trainSample, "landAnnIndex")
@@ -1013,8 +1001,8 @@ object SimOps {
   def appendAnnIndex(vectors: DataFrame, idCol: String, vecCol: String,
                      name: String): Long = {
     val spark = vectors.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
-      s"no ANN index '$name' in the session catalog — run landAnnIndex first")
+    graft.sources.IndexCatalog.requireMeta(spark, name,
+      s"no ANN index '$name' in the session catalog — run landAnnIndex first"): Unit
     require(spark.catalog.tableExists(s"${name}_cells"),
       s"appendAnnIndex('$name'): cells table missing — the land did not " +
         "complete; re-run landAnnIndex")
@@ -1065,8 +1053,8 @@ object SimOps {
                           name: String, k: Int = 5,
                           nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
-      s"no ANN index '$name' in the session catalog — run landAnnIndex first")
+    graft.sources.IndexCatalog.requireMeta(spark, name,
+      s"no ANN index '$name' in the session catalog — run landAnnIndex first"): Unit
     val cents = readAnnCentroids(spark, name)
     val centsDf = spark.createDataFrame(cents.toSeq.map {
       case (cid, cv) => (cid, cv.toSeq)

@@ -116,21 +116,8 @@ object SketchOps {
                     segment: String = "base",
                     path: Option[String] = None): Unit = {
     val spark = items.sparkSession
-    val metaTbl = s"${name}_meta"
-    if (!spark.catalog.tableExists(metaTbl)) {
-      import spark.implicits._
-      val w = Seq((depth, width, salt)).toDF("depth", "width", "salt")
-        .write.mode("overwrite").format("parquet")
-      path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
-    } else {
-      val m = spark.table(metaTbl).head()
-      val have = (m.getAs[Int]("depth"), m.getAs[Int]("width"),
-        m.getAs[String]("salt"))
-      require(have == ((depth, width, salt)),
-        s"landCmsSketch('$name'): existing sketch has (depth, width, salt)" +
-        s" = $have != requested ($depth, $width, $salt); drop the tables " +
-        "or land under another name")
-    }
+    graft.sources.IndexCatalog.pinMeta(spark, name, "landCmsSketch", path,
+      Seq("depth" -> depth, "width" -> width, "salt" -> salt)): Unit
     if (!spark.catalog.tableExists(s"${name}_counters")) {
       val seg = cmsSketch(items, keyCol, depth, width, salt)
         .select(lit(segment).as("segment"), col("cms_row"),
@@ -153,9 +140,8 @@ object SketchOps {
   def appendToCmsSketch(items: DataFrame, keyCol: String, name: String,
                         segmentId: String): Boolean = {
     val spark = items.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
+    val m = graft.sources.IndexCatalog.requireMeta(spark, name,
       s"no CMS sketch '$name' in the session catalog — run landCmsSketch first")
-    val m = spark.table(s"${name}_meta").head()
     val (depth, width, salt) = (m.getAs[Int]("depth"), m.getAs[Int]("width"),
       m.getAs[String]("salt"))
     val seen = spark.table(s"${name}_counters")
@@ -182,9 +168,8 @@ object SketchOps {
   def cmsEstimateAgainstSketch(probes: DataFrame, keyCol: String,
                                name: String): DataFrame = {
     val spark = probes.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
+    val m = graft.sources.IndexCatalog.requireMeta(spark, name,
       s"no CMS sketch '$name' in the session catalog — run landCmsSketch first")
-    val m = spark.table(s"${name}_meta").head()
     val merged = spark.table(s"${name}_counters")
       .groupBy(col("cms_row"), col("cms_bucket"))
       .agg(sum(col("cnt")).as("cnt"))

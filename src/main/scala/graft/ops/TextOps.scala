@@ -14,6 +14,13 @@ import org.apache.spark.sql.types._
  */
 object TextOps {
 
+  /** Identity of the [[tokens]] analyzer, pinned into every landed index
+    * whose postings derive from it (BM25's `_meta`): an index landed
+    * under one tokenizer version and probed under another is a silent
+    * relevance hole, so the version is checked, not assumed. Bump this
+    * when [[tokens]] semantics change. */
+  val analyzerId: String = "lower-alnum-v1"
+
   /** Lowercased alphanumeric tokens. `regexp_extract_all` of the token runs
     * is fully codegen'd; the equivalent `filter(split(...))` form pays an
     * interpreted per-element lambda for the empty-string filter. */
@@ -564,14 +571,8 @@ object TextOps {
                   n: Int = 3, buckets: Int = 8,
                   path: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
-    val metaTbl = s"${name}_meta"
-    val metaExists = spark.catalog.tableExists(metaTbl)
-    if (metaExists) {
-      val m = spark.table(metaTbl).head()
-      require(m.getAs[Int]("n") == n,
-        s"landNgramLm('$name'): existing model has n = ${m.getAs[Int]("n")} " +
-        s"!= requested $n; drop the model tables or land under another name")
-    }
+    val metaExists = graft.sources.IndexCatalog.checkPinned(spark, name,
+      "landNgramLm", Seq("n" -> n))
     // the data tables land OUTSIDE the meta gate (landOnce carries its own
     // tableExists check), so a crash between the meta write and the grams
     // landing self-heals on re-run instead of bricking the name — the
@@ -581,12 +582,9 @@ object TextOps {
         || !spark.catalog.tableExists(s"${name}_contexts")) {
       val lm = trainNgramLm(corpus, textCol, n, cache = true)
       try {
-        if (!metaExists) {
-          import spark.implicits._
-          val w = Seq((lm.n, lm.vocabSize)).toDF("n", "vocab_size")
-            .write.mode("overwrite").format("parquet")
-          path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
-        }
+        if (!metaExists)
+          graft.sources.IndexCatalog.writeMeta(spark, name, path,
+            Seq("n" -> lm.n, "vocab_size" -> lm.vocabSize))
         graft.sources.BucketedLand.landOnce(lm.grams, s"${name}_grams",
           "ctx_h", Seq("ctx_h", "tok_h"), buckets, path.map(p => s"${p}_grams"))
         graft.sources.BucketedLand.landOnce(lm.contexts, s"${name}_contexts",
@@ -602,9 +600,8 @@ object TextOps {
   def ngramLogProbScoreIndexed(docs: DataFrame, idCol: String, textCol: String,
                                name: String, alpha: Double = 1.0): DataFrame = {
     val spark = docs.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
+    val m = graft.sources.IndexCatalog.requireMeta(spark, name,
       s"no n-gram LM '$name' in the session catalog — run landNgramLm first")
-    val m = spark.table(s"${name}_meta").head()
     val lm = NgramLm(m.getAs[Int]("n"), m.getAs[Long]("vocab_size"),
       spark.table(s"${name}_grams"), spark.table(s"${name}_contexts"))
     ngramLogProbScore(docs, idCol, textCol, lm, alpha)
@@ -734,28 +731,18 @@ object TextOps {
                name: String, dim: Int = 1 << 16, alpha: Double = 1.0,
                buckets: Int = 8, path: Option[String] = None): Unit = {
     val spark = target.sparkSession
-    val metaTbl = s"${name}_meta"
-    val metaExists = spark.catalog.tableExists(metaTbl)
-    if (metaExists) {
-      val m = spark.table(metaTbl).head()
-      require(m.getAs[Int]("dim") == dim && m.getAs[Double]("alpha") == alpha,
-        s"landDsir('$name'): existing model has (dim, alpha) = " +
-        s"(${m.getAs[Int]("dim")}, ${m.getAs[Double]("alpha")}) != " +
-        s"requested ($dim, $alpha); drop the tables or land another name")
-    }
+    val metaExists = graft.sources.IndexCatalog.checkPinned(spark, name,
+      "landDsir", Seq("dim" -> dim, "alpha" -> alpha))
     // data table lands OUTSIDE the meta gate (landOnce self-checks), so a
     // crash between the meta write and the ratios landing self-heals —
     // the landNgramLm shape
     if (!metaExists || !spark.catalog.tableExists(s"${name}_ratios")) {
       val model = trainDsir(target, raw, textCol, dim, alpha, cache = true)
       try {
-        if (!metaExists) {
-          import spark.implicits._
-          val w = Seq((model.dim, model.alpha, model.nTarget, model.nRaw))
-            .toDF("dim", "alpha", "n_target", "n_raw")
-            .write.mode("overwrite").format("parquet")
-          path.fold(w)(p => w.option("path", s"${p}_meta")).saveAsTable(metaTbl)
-        }
+        if (!metaExists)
+          graft.sources.IndexCatalog.writeMeta(spark, name, path,
+            Seq("dim" -> model.dim, "alpha" -> model.alpha,
+              "n_target" -> model.nTarget, "n_raw" -> model.nRaw))
         graft.sources.BucketedLand.landOnce(model.ratios, s"${name}_ratios",
           "bucket", Seq("bucket"), buckets, path.map(p => s"${p}_ratios"))
       } finally model.unpersist()
@@ -769,9 +756,8 @@ object TextOps {
   def dsirScoreIndexed(docs: DataFrame, idCol: String, textCol: String,
                        name: String): DataFrame = {
     val spark = docs.sparkSession
-    require(spark.catalog.tableExists(s"${name}_meta"),
+    val m = graft.sources.IndexCatalog.requireMeta(spark, name,
       s"no DSIR model '$name' in the session catalog — run landDsir first")
-    val m = spark.table(s"${name}_meta").head()
     val model = DsirModel(m.getAs[Int]("dim"), m.getAs[Double]("alpha"),
       m.getAs[Long]("n_target"), m.getAs[Long]("n_raw"),
       spark.table(s"${name}_ratios"))

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * The shared landed-index LIFECYCLE every index family follows — near-dup
+ * index, paragraph store, BM25 search, IVF/ANN, n-gram LM, DSIR, CMS:
+ *
+ *  - **land-once**: data tables land through [[BucketedLand.landOnce]];
+ *    the single-row `<name>_meta` table pins the parameters the index was
+ *    built under;
+ *  - **meta-pin**: meta lands FIRST on a fresh land (the crash-retry
+ *    rule: a mid-landing crash followed by a retry with different
+ *    parameters must hit the parameter check, not stamp new values over
+ *    half-landed tables). Families whose meta carries DERIVED stats the
+ *    trained model produces (n-gram LM's vocab, DSIR's totals) check
+ *    first, then write meta before their data tables;
+ *  - **param-drift-refusal**: re-landing or probing under different
+ *    parameters throws — the q75 meta-table rule: query time accepts NO
+ *    sketch parameters, so land/probe drift is unrepresentable;
+ *  - **append**: appends re-read the pinned meta and extend the bucketed
+ *    data tables; derived stats (BM25's corpus totals) recompute from the
+ *    data tables so crashed appends self-heal.
+ *
+ * This object is the ONE implementation of the meta contract. Families
+ * keep their typed reads of family-specific columns; existence checks,
+ * meta writes, and drift errors all route through here — one error shape,
+ * one negative drift test per family (IndexCatalogSpec).
+ */
+object IndexCatalog {
+
+  private def metaTable(name: String) = s"${name}_meta"
+
+  private def typeOf(c: String, v: Any): DataType = v match {
+    case _: Int     => IntegerType
+    case _: Long    => LongType
+    case _: Double  => DoubleType
+    case _: Boolean => BooleanType
+    case _: String  => StringType
+    case other => throw new IllegalArgumentException(
+      s"IndexCatalog: unsupported meta value for '$c': $other")
+  }
+
+  /** True iff `<name>_meta` exists. When it does, every pinned (column,
+    * value) must equal the stored row — parameter drift refuses loudly,
+    * naming the family op. */
+  def checkPinned(spark: SparkSession, name: String, op: String,
+                  pinned: Seq[(String, Any)]): Boolean = {
+    val tbl = metaTable(name)
+    if (!spark.catalog.tableExists(tbl)) false
+    else {
+      val row = spark.table(tbl).head()
+      val have = pinned.map { case (c, _) => row.get(row.fieldIndex(c)) }
+      val want = pinned.map(_._2)
+      require(have == want,
+        s"$op('$name'): existing index has " +
+        s"(${pinned.map(_._1).mkString(", ")}) = (${have.mkString(", ")}) " +
+        s"!= requested (${want.mkString(", ")}); drop the index tables or " +
+        "land under another name")
+      true
+    }
+  }
+
+  /** Write the single-row meta table: pinned parameters plus any derived
+    * stats, in the given column order. */
+  def writeMeta(spark: SparkSession, name: String, path: Option[String],
+                cols: Seq[(String, Any)]): Unit = {
+    val schema = StructType(cols.map { case (c, v) =>
+      StructField(c, typeOf(c, v), nullable = false) })
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(Row.fromSeq(cols.map(_._2))),
+      schema)
+    val w = df.write.mode("overwrite").format("parquet")
+    path.fold(w)(p => w.option("path", s"${p}_meta"))
+      .saveAsTable(metaTable(name))
+  }
+
+  /** Meta-FIRST land-or-refuse — the default lifecycle for families whose
+    * meta is pure parameters. Returns true when the meta already existed
+    * (and matched). */
+  def pinMeta(spark: SparkSession, name: String, op: String,
+              path: Option[String], pinned: Seq[(String, Any)],
+              derived: Seq[(String, Any)] = Nil): Boolean = {
+    val existed = checkPinned(spark, name, op, pinned)
+    if (!existed) writeMeta(spark, name, path, pinned ++ derived)
+    existed
+  }
+
+  /** The landed-index existence gate, with the family's land-first hint.
+    * Returns the meta row for typed reads. */
+  def requireMeta(spark: SparkSession, name: String, hint: String): Row = {
+    require(spark.catalog.tableExists(metaTable(name)), hint)
+    spark.table(metaTable(name)).head()
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, SearchOps, SimOps, SketchOps, TextOps}
+
+/** One negative PARAMETER-DRIFT test per landed-index family, all driving
+  * the shared [[graft.sources.IndexCatalog]] contract: re-landing (or
+  * probing) under parameters different from the pinned `_meta` row must
+  * refuse loudly, and re-landing with the SAME parameters must be a
+  * no-op (land-once). */
+class IndexCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def drop(prefix: String, suffixes: String*): Unit =
+    suffixes.foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $prefix$sfx"))
+
+  private def docs() = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "pack my box with five dozen liquor jugs for the trip north"),
+    (3L, "sphinx of black quartz judge my vow before the winter ends"))
+    .toDF("doc_id", "text")
+
+  test("near-dup index: re-land with drifted (numHashes, bands) refuses") {
+    val name = "graft_icat_nd"
+    drop(name, "_meta", "_shingles", "_bands")
+    try {
+      DedupOps.landNearDupIndex(docs(), "text", name, numHashes = 16,
+        bands = 4)
+      // same params: land-once no-op
+      DedupOps.landNearDupIndex(docs(), "text", name, numHashes = 16,
+        bands = 4)
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.landNearDupIndex(docs(), "text", name, numHashes = 32,
+          bands = 8)
+      }
+      assert(e.getMessage.contains("!= requested") &&
+        e.getMessage.contains("landNearDupIndex"), e.getMessage)
+    } finally drop(name, "_meta", "_shingles", "_bands")
+  }
+
+  test("paragraph store: re-land with a drifted delimiter refuses") {
+    val name = "graft_icat_ps"
+    drop(name, "_meta", "_paras")
+    try {
+      DedupOps.landParagraphStore(docs(), "text", name, delimiter = "\n\n")
+      DedupOps.landParagraphStore(docs(), "text", name, delimiter = "\n\n")
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.landParagraphStore(docs(), "text", name, delimiter = "\n")
+      }
+      assert(e.getMessage.contains("!= requested") &&
+        e.getMessage.contains("landParagraphStore"), e.getMessage)
+    } finally drop(name, "_meta", "_paras")
+  }
+
+  test("ANN index: re-land with drifted nCells refuses") {
+    val name = "graft_icat_ann"
+    drop(name, "_meta", "_cells", "_centroids")
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 3.0 + d).toDouble)))
+      .toDF("vec_id", "embedding")
+    try {
+      SimOps.landAnnIndex(vecs, "vec_id", "embedding", name, nCells = 4)
+      SimOps.landAnnIndex(vecs, "vec_id", "embedding", name, nCells = 4)
+      val e = intercept[IllegalArgumentException] {
+        SimOps.landAnnIndex(vecs, "vec_id", "embedding", name, nCells = 8)
+      }
+      assert(e.getMessage.contains("!= requested") &&
+        e.getMessage.contains("landAnnIndex"), e.getMessage)
+    } finally drop(name, "_meta", "_cells", "_centroids")
+  }
+
+  test("n-gram LM: re-land with drifted n refuses (derived vocab_size is " +
+       "not part of the pin)") {
+    val name = "graft_icat_lm"
+    drop(name, "_meta", "_grams", "_contexts")
+    try {
+      TextOps.landNgramLm(docs(), "text", name, n = 2)
+      TextOps.landNgramLm(docs(), "text", name, n = 2)
+      val e = intercept[IllegalArgumentException] {
+        TextOps.landNgramLm(docs(), "text", name, n = 3)
+      }
+      assert(e.getMessage.contains("!= requested") &&
+        e.getMessage.contains("landNgramLm"), e.getMessage)
+    } finally drop(name, "_meta", "_grams", "_contexts")
+  }
+
+  test("DSIR model: re-land with drifted (dim, alpha) refuses") {
+    val name = "graft_icat_dsir"
+    drop(name, "_meta", "_ratios")
+    val target = docs().filter(col("doc_id") < 3)
+    val raw = docs()
+    try {
+      TextOps.landDsir(target, raw, "text", name, dim = 64, alpha = 1.0)
+      TextOps.landDsir(target, raw, "text", name, dim = 64, alpha = 1.0)
+      val e = intercept[IllegalArgumentException] {
+        TextOps.landDsir(target, raw, "text", name, dim = 128, alpha = 1.0)
+      }
+      assert(e.getMessage.contains("!= requested") &&
+        e.getMessage.contains("landDsir"), e.getMessage)
+      // alpha drift alone also refuses (Double-typed pin)
+      val e2 = intercept[IllegalArgumentException] {
+        TextOps.landDsir(target, raw, "text", name, dim = 64, alpha = 0.5)
+      }
+      assert(e2.getMessage.contains("!= requested"), e2.getMessage)
+    } finally drop(name, "_meta", "_ratios")
+  }
+
+  test("CMS sketch: re-land with a drifted salt refuses (String-typed pin)") {
+    val name = "graft_icat_cms"
+    drop(name, "_meta", "_counters")
+    val items = Seq.tabulate(50)(i => s"k${i % 7}").toDF("k")
+    try {
+      SketchOps.landCmsSketch(items, "k", name, depth = 3, width = 16)
+      SketchOps.landCmsSketch(items, "k", name, depth = 3, width = 16)
+      val e = intercept[IllegalArgumentException] {
+        SketchOps.landCmsSketch(items, "k", name, depth = 3, width = 16,
+          salt = "other-salt")
+      }
+      assert(e.getMessage.contains("!= requested") &&
+        e.getMessage.contains("landCmsSketch"), e.getMessage)
+    } finally drop(name, "_meta", "_counters")
+  }
+
+  test("BM25 search index: probing under a different analyzer version " +
+       "refuses (the postings are tokenizer-versioned)") {
+    val name = "graft_icat_bm25"
+    drop(name, "_meta", "_postings", "_docs")
+    try {
+      SearchOps.landSearchIndex(docs(), "doc_id", "text", name)
+      // happy path: current analyzer probes fine
+      assert(SearchOps.bm25AgainstIndex(spark, name, Seq("fox")).count() >= 1)
+      // simulate an index landed by an older library version: rewrite the
+      // meta row with a stale analyzer id
+      graft.sources.IndexCatalog.writeMeta(spark, name, None,
+        Seq("analyzer" -> "lower-alnum-v0", "n_docs" -> 3L,
+          "total_dl" -> 30L))
+      val e = intercept[IllegalArgumentException] {
+        SearchOps.bm25AgainstIndex(spark, name, Seq("fox"))
+      }
+      assert(e.getMessage.contains("!= requested") &&
+        e.getMessage.contains("analyzer"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        SearchOps.appendSearchIndex(docs(), "doc_id", "text", name)
+      }
+      assert(e2.getMessage.contains("analyzer"), e2.getMessage)
+    } finally drop(name, "_meta", "_postings", "_docs")
+  }
+}

@@ -1160,7 +1160,8 @@ class PipelineOpsSpec extends SparkTestBase {
       val err = intercept[IllegalArgumentException] {
         TextOps.landNgramLm(train, "text", idx, n = 4, path = Some(s"$tmp/$idx"))
       }
-      assert(err.getMessage.contains("n ="))
+      assert(err.getMessage.contains("(n)") &&
+        err.getMessage.contains("!= requested"), err.getMessage)
       // idempotent re-land with the SAME n is the no-op path
       TextOps.landNgramLm(train, "text", idx, n = 3, path = Some(s"$tmp/$idx"))
     } finally {

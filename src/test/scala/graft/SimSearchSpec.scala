@@ -273,7 +273,8 @@ class SimSearchSpec extends SparkTestBase {
         SimOps.landAnnIndex(e, "vec_id", "embedding", idx, nCells = 4,
           path = Some(s"$tmp/$idx"))
       }
-      assert(err.getMessage.contains("nCells"))
+      assert(err.getMessage.contains("n_cells") &&
+        err.getMessage.contains("!= requested"), err.getMessage)
       // re-landing with the SAME parameters is the idempotent no-op path
       SimOps.landAnnIndex(e, "vec_id", "embedding", idx, nCells = 8,
         path = Some(s"$tmp/$idx"))
