@@ -231,7 +231,12 @@ object SparkEntry {
     }),
 
     "q09_despike" -> ((s: SparkSession, dir: String) => {
-      Cast.despike(t(s, dir, "events"), "user_id", "event_id", Seq("value"),
+      // prune BEFORE the kernel: flatMapGroups is opaque to Catalyst, so
+      // unused columns (props is a fat string) would ride the shuffle and
+      // the external-Row encode — measured 0.74 s vs 1.1 s at 10x sf0.1
+      Cast.despike(t(s, dir, "events")
+            .select(col("user_id"), col("event_id"), col("value")),
+          "user_id", "event_id", Seq("value"),
           n1 = 2.0, n2 = 20.0, block = 16)
         .select(col("user_id"), col("event_id"), col("value").as("value_despiked"))
         .orderBy(col("user_id"), col("event_id"))

@@ -157,7 +157,36 @@ object Cast {
    */
   def despike(df: DataFrame, castCol: String, orderCol: String,
               valueCols: Seq[String], n1: Double = 2.0, n2: Double = 20.0,
-              block: Int = 100): DataFrame = {
+              block: Int = 100, channelGroups: Int = 1): DataFrame = {
+    // Caller note: flatMapGroups is opaque to Catalyst — prune df to the
+    // columns you need BEFORE calling, or every unused column rides the
+    // shuffle and the external-Row encode.
+    //
+    // channelGroups > 1 subdivides the work key to (cast, channel-group):
+    // the two-pass recurrence is per-channel independent, so each group's
+    // kernel output is bit-identical to the single-group run; results
+    // join back on (castCol, orderCol) — REQUIRES that pair to be unique
+    // per row (scan/line numbers are, by parse-time construction). Use
+    // when casts x channels >> casts ~ cores (the 26-channel QC chain on
+    // 4 casts: 4 tasks ride 4 of 32 cores without it).
+    if (channelGroups > 1 && valueCols.length > 1) {
+      val g = math.min(channelGroups, valueCols.length)
+      val groups = valueCols.zipWithIndex.groupBy(_._2 % g).toSeq
+        .sortBy(_._1).map(_._2.map(_._1))
+      val keyCols = Seq(castCol, orderCol)
+      // snapshot the input ONCE: each group's skinny kernel and the
+      // scaffold would otherwise re-evaluate the full upstream lineage
+      // (for the ctd source: a per-group re-parse — measured 2.8x SLOWER
+      // than single-group without this)
+      val src = df.localCheckpoint()
+      val parts = groups.map { gc =>
+        despike(src.select((keyCols ++ gc).map(col): _*), castCol, orderCol,
+          gc, n1, n2, block)
+      }
+      val scaffold = src.drop(valueCols: _*)
+      val joined = parts.foldLeft(scaffold)((acc, p) => acc.join(p, keyCols))
+      return joined.select(df.columns.map(col).toIndexedSeq: _*)
+    }
     // Execution strategy: a per-cast SEQUENTIAL kernel (the SeqOps
     // pattern), not a window plan. The sliding-frame rolling stats are
     // O(rows x block) arithmetic either way, but WindowExec re-aggregates
@@ -284,7 +313,7 @@ object Cast {
           }
           flagged
         }
-        val dropMask: Array[Array[Boolean]] = valIdx.map { vi =>
+        def channelMask(vi: Int): Array[Boolean] = {
           val x  = new Array[Double](n)
           val xN = new Array[Boolean](n)
           var i = 0
@@ -308,6 +337,21 @@ object Cast {
           }
           pass(c, cN, x, xN, n2)
         }
+        // channels are independent: compute them on the shared ForkJoin
+        // pool when the per-cast work is heavy enough to amortize the
+        // fork (wide casts on few cores — the 26-channel QC chain; the
+        // pool is bounded by core count JVM-wide, so under many
+        // concurrent tasks this degrades to the sequential loop).
+        // Bit-parity is untouched: each channel's arithmetic is
+        // self-contained and lands in its own dropMask slot.
+        val dropMask: Array[Array[Boolean]] =
+          if (valIdx.length > 1 && n.toLong * valIdx.length * block > (1L << 22)
+              && !"false".equals(System.getProperty("graft.despike.parallel"))) {
+            val out = new Array[Array[Boolean]](valIdx.length)
+            java.util.stream.IntStream.range(0, valIdx.length).parallel()
+              .forEach(k => out(k) = channelMask(valIdx(k)))
+            out
+          } else valIdx.map(channelMask)
         rows.iterator.zipWithIndex.map { case (r, i) =>
           val cells = Array.tabulate[Any](schema.length)(r.get)
           var vc = 0
