@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
  *    pattern a repeat execution on a cluster would see);
  *  - an explicit System.gc() after the warmup pass so the first timed slot
  *    doesn't pay for the warmup's accumulated garbage;
- *  - each query timed `SPARK_GRAFT_REPS` times (default 3) and reported as
+ *  - each query timed `SPARK_GRAFT_REPS` times (default 5) and reported as
  *    the MEDIAN, with reps interleaved ROUND-ROBIN across the suite
  *    (pass 1 runs every query, then pass 2, ...): this box is a VM whose
  *    host occasionally steals CPU in multi-second bursts, and back-to-back
@@ -32,7 +32,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps  = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // reps default 5 (VERDICT r10 #3): the one-JVM suite grew past 180
+    // timed entries and 3-sample medians inflated ~1.27x vs clean runs —
+    // 5 round-robin samples with a forced GC between passes keeps the
+    // median robust to steal bursts and allocation pressure
+    val reps  = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -162,9 +166,15 @@ object Bench {
     // don't let warmup-pass garbage land in the first timed slot
     System.gc()
 
-    // round-robin passes: each query's reps are a full suite apart
+    // round-robin passes: each query's reps are a full suite apart; a
+    // forced GC between passes stops pass N's garbage from landing in
+    // pass N+1's first timed slots (the r10 driver-median inflation)
     val passes: Seq[Map[String, Either[String, Double]]] =
-      (1 to reps).map(_ => names.map(n => n -> runOnce(n)).toMap)
+      (1 to reps).map { _ =>
+        val pass = names.map(n => n -> runOnce(n)).toMap
+        System.gc()
+        pass
+      }
     def median(name: String): Either[String, Double] = {
       val runs = passes.map(_(name))
       runs.collectFirst { case Left(m) => Left(m) }.getOrElse {

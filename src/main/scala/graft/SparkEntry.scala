@@ -1881,6 +1881,11 @@ object SparkEntry {
       val agg = src.withWatermark("ts", "24 hours")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"))
+      // drop stale sinks from earlier invocations in this session (bench
+      // reps would otherwise accumulate one memory table per rep)
+      s.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_q180_sink_"))
+        .foreach(v => s.catalog.dropTempView(v))
       val qn = "graft_q180_sink_" + java.lang.Long.toHexString(
         java.lang.System.nanoTime())
       val q = agg.writeStream.outputMode("append").format("memory")
