@@ -1314,10 +1314,12 @@ object OracleSqlGen {
   }
 
   /** q179: recall of the OPERATIONAL projection pattern — shortlist
-    * `shortK` in the projected space, exact rerank in the original space
-    * — against exact top-k in the original space. */
-  def annRecallProjectedSql(k: Int, nQueries: Int, outDim: Int, dim: Int,
-                            shortK: Int): String =
+    * clamp(ceil(n/40), 50, 4096) in the projected space (DERIVED from
+    * corpus size, the q163 candidate-bounding rule: a fixed shortlist of
+    * a growing corpus decays below any recall floor), exact rerank in
+    * the original space — against exact top-k in the original space. */
+  def annRecallProjectedSql(k: Int, nQueries: Int, outDim: Int,
+                            dim: Int): String =
     s"""WITH ${recallPrefixSql(k, nQueries)}, proj AS (
        |  SELECT vec_id, list(ip ORDER BY j) AS v
        |  FROM (${projRowsSql(outDim, dim)})
@@ -1331,7 +1333,8 @@ object OracleSqlGen {
        |      row_number() OVER (PARTITION BY a.vec_id
        |        ORDER BY ${cosineSqlFor("a", "b")} DESC, b.vec_id) AS rnk
        |    FROM qp a JOIN proj b ON b.vec_id <> a.vec_id
-       |  ) WHERE rnk <= $shortK
+       |  ) WHERE rnk <= (SELECT greatest(50, least(4096,
+       |      CAST(ceil(count(*) / 40.0) AS BIGINT))) FROM e)
        |), rer AS (
        |  SELECT s.query_id, s.neighbor_id,
        |    ${cosineSqlFor("qo", "co")} AS cs

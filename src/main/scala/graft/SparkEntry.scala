@@ -534,7 +534,16 @@ object SparkEntry {
       val proj = e.select(col("vec_id"),
         SimOps.randomProject(col("embedding"), m).as("embedding"))
       val qsP = proj.join(qs.select(col("vec_id")), Seq("vec_id"))
-      val shortlist = SimOps.cosineTopK(proj, qsP, "vec_id", "embedding", k = 50)
+      // the shortlist DERIVES from corpus size (the q163 candidate-
+      // bounding rule, recall-flavored: a fixed 50 of a 10x corpus
+      // measured 18% — under the floor — because the noise band holds
+      // more competitors as n grows; clamp(ceil(n/40), 50, 4096) keeps
+      // the shortlist a ~2.5% corpus slice, floor at the test sfs)
+      val nCorpus = e.count()
+      val shortK = math.max(50L, math.min(4096L,
+        math.ceil(nCorpus / 40.0).toLong)).toInt
+      val shortlist = SimOps.cosineTopK(proj, qsP, "vec_id", "embedding",
+        k = shortK)
       annRecallHits(qs,
         SimOps.cosineTopK(e, qs, "vec_id", "embedding", k = 10),
         SimOps.rerankTopK(shortlist, e, qs, "vec_id", "embedding", k = 10),
@@ -3265,7 +3274,7 @@ object SparkEntry {
 
     "q179_ann_recall_projected" ->
       OracleSqlGen.annRecallProjectedSql(k = 10, nQueries = 200, outDim = 32,
-        dim = 64, shortK = 50),
+        dim = 64),
 
     "q161_dsir_scores" ->
       // OracleSqlGen.dsirScoreCtes replays the hashed-ngram ratio model:
