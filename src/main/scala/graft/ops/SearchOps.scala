@@ -263,10 +263,9 @@ object SearchOps {
     require(qidCol != "doc_id",
       "bm25AgainstIndexPerQuery: the landed doc id column is 'doc_id' — " +
         "name the query id column differently")
-    graft.sources.IndexCatalog.requireMeta(spark, name,
-      s"no search index '$name' in the session catalog — run landSearchIndex first"): Unit
-    graft.sources.IndexCatalog.checkPinned(spark, name, "bm25AgainstIndex",
-      Seq("analyzer" -> TextOps.analyzerId)): Unit
+    graft.sources.IndexCatalog.requirePinned(spark, name,
+      s"no search index '$name' in the session catalog — run landSearchIndex first",
+      "bm25AgainstIndex", Seq("analyzer" -> TextOps.analyzerId)): Unit
     val qterms = queries.select(col(qidCol),
       explode(array_distinct(TextOps.tokens(col(qtextCol)))).as("token"))
     val termList = qterms.select(col("token")).distinct()
@@ -448,10 +447,9 @@ object SearchOps {
                        k: Int = 10, k1: Double = 1.2,
                        b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25AgainstIndex: need at least one query term")
-    graft.sources.IndexCatalog.requireMeta(spark, name,
-      s"no search index '$name' in the session catalog — run landSearchIndex first"): Unit
-    graft.sources.IndexCatalog.checkPinned(spark, name, "bm25AgainstIndex",
-      Seq("analyzer" -> TextOps.analyzerId)): Unit
+    graft.sources.IndexCatalog.requirePinned(spark, name,
+      s"no search index '$name' in the session catalog — run landSearchIndex first",
+      "bm25AgainstIndex", Seq("analyzer" -> TextOps.analyzerId)): Unit
     val lowered = terms.map(_.toLowerCase)
     val stats = spark.table(s"${name}_meta")
       .select(col("n_docs").as("__n_docs"), col("total_dl").as("__total_dl"))

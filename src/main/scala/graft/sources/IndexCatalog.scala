@@ -93,4 +93,20 @@ object IndexCatalog {
     require(spark.catalog.tableExists(metaTable(name)), hint)
     spark.table(metaTable(name)).head()
   }
+
+  /** Existence gate + pinned-parameter check in ONE meta read (probe-path
+    * form: requireMeta followed by checkPinned would scan the meta table
+    * twice per query). Returns the meta row for typed reads. */
+  def requirePinned(spark: SparkSession, name: String, hint: String,
+                    op: String, pinned: Seq[(String, Any)]): Row = {
+    val row = requireMeta(spark, name, hint)
+    val have = pinned.map { case (c, _) => row.get(row.fieldIndex(c)) }
+    val want = pinned.map(_._2)
+    require(have == want,
+      s"$op('$name'): existing index has " +
+      s"(${pinned.map(_._1).mkString(", ")}) = (${have.mkString(", ")}) " +
+      s"!= requested (${want.mkString(", ")}); drop the index tables or " +
+      "land under another name")
+    row
+  }
 }
