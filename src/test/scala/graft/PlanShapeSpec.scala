@@ -492,4 +492,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!wPlan.contains("ScalaUDF"), wPlan)
     assert(!wPlan.contains("text#"), wPlan)
   }
+
+  test("wave-9 plan shapes (recall contract): the only cross product is " +
+       "the contract's brute-force ground truth; the ANN sides broadcast " +
+       "their query/probe frames; rerank joins are broadcast; no UDFs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.orderBy(col("vec_id")).limit(20)
+    // exact ground truth: the deliberate broadcast crossJoin (the q29
+    // contract anchor) + the per-query top-k below the sort
+    val exact = graft.ops.SimOps.cosineTopK(emb, qs, "vec_id", "embedding",
+      k = 10)
+    val ePlan = exact.queryExecution.executedPlan.toString
+    assert(ePlan.contains("BroadcastNestedLoopJoin"), ePlan)
+    assert(ePlan.contains("WindowGroupLimit"), ePlan)
+    assert(!ePlan.contains("ScalaUDF"), ePlan)
+    // the IVF path: the corpus-side join is a broadcast HASH join on the
+    // int cell key; the only nested-loop is the documented tiny
+    // queries x codebook probe crossJoin (broadcast, nCells rows)
+    val ivf = graft.ops.SimOps.ivfTopK(emb, qs, "vec_id", "embedding",
+      k = 10, nCells = 8, nProbe = 2)
+    val iPlan = ivf.queryExecution.executedPlan.toString
+    assert(iPlan.contains("BroadcastHashJoin [__cell"), iPlan)
+    assert(countOccurrences(iPlan, "BroadcastNestedLoopJoin") == 1, iPlan)
+    assert(!iPlan.contains("ScalaUDF"), iPlan)
+    // rerank: ids-only candidates join vectors back by id — broadcast
+    // queries, hash join to the corpus, top-k below the sort
+    // snapshot the candidate ids so the rerank plan is judged on its own
+    // joins, not the candidate source's internal probe crossJoin
+    val rer = graft.ops.SimOps.rerankTopK(
+      ivf.select(col("query_id"), col("neighbor_id")).localCheckpoint(),
+      emb, qs, "vec_id", "embedding", k = 5)
+    val rPlan = rer.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("BroadcastNestedLoopJoin"), rPlan)
+    assert(rPlan.contains("WindowGroupLimit"), rPlan)
+    assert(!rPlan.contains("ScalaUDF"), rPlan)
+  }
 }
