@@ -105,6 +105,82 @@ class BpeOracleParitySpec extends SparkTestBase {
     }
   }
 
+  /** An obviously-correct O(rounds x corpus-symbols) reference trainer:
+    * recount EVERY pair from scratch each round, pick max count with
+    * ties to the lexicographically smallest (left, right), merge all
+    * occurrences left-to-right. No heap, no incremental updates — the
+    * structure the incremental trainer must agree with. */
+  private def naiveTrain(words: Seq[(String, Long)],
+                         numMerges: Int): Seq[(String, String)] = {
+    var vocab: Seq[(Seq[String], Long)] = words.map { case (w, c) =>
+      (w.map(_.toString).toSeq :+ "</w>", c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        vocab = vocab.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var p = 0
+          while (p < syms.length) {
+            if (p < syms.length - 1 && syms(p) == best._1 &&
+                syms(p + 1) == best._2) { out += syms(p) + syms(p + 1); p += 2 }
+            else { out += syms(p); p += 1 }
+          }
+          (out.toSeq, c)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("incremental heap trainer == naive recount-everything trainer on " +
+       "random corpora and on real sf0.001 documents") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val rnd = new scala.util.Random(99)
+    // random ASCII-word corpora with heavy repetition so merges chain deep
+    (0 until 3).foreach { trial =>
+      val frags = Seq("th", "the", "ing", "and", "ab", "ba", "x", "0", "10")
+      val words = (0 until 120).map { _ =>
+        (0 until (1 + rnd.nextInt(4)))
+          .map(_ => frags(rnd.nextInt(frags.length))).mkString
+      }
+      val weighted = words.groupBy(identity).toSeq
+        .map { case (w, g) => (w, g.size.toLong * (1 + rnd.nextInt(5))) }
+      val corpus = weighted.flatMap { case (w, c) =>
+        Seq.fill(c.toInt)(w)
+      }.mkString(" ")
+      val got = TextOps.trainBpeMerges(Seq(corpus).toDF("text"), "text",
+        numMerges = 60)
+      // the engine tokenizer lowercases + splits [a-z0-9]+: our corpus is
+      // already in that alphabet, so word counts match the naive input
+      val want = naiveTrain(weighted, 60)
+      assert(got == want, s"trial $trial:\n got $got\nwant $want")
+    }
+    // the real corpus: merge lists agree on actual document text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(120)
+    val words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = TextOps.trainBpeMerges(docs, "text", numMerges = 120)
+    val want = naiveTrain(words, 120)
+    assert(got == want,
+      s"real-corpus divergence at ${got.zip(want).indexWhere(p => p._1 != p._2)}")
+  }
+
   test("a NON-well-formed list is rejected by construction checks and " +
        "does diverge (the guard is not vacuous)") {
     // merges = [(ab,c), (a,b)]: rank 0's left component is rank 1's
