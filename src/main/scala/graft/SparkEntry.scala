@@ -509,8 +509,9 @@ object SparkEntry {
     }),
 
     "q178_ann_recall_lsh" -> ((s: SparkSession, dir: String) => {
-      // recall@10 of the banded-LSH path (3 bands x 6 planes) against
-      // exact top-10 — same seeded sample and floor contract as q177
+      // recall@10 of the banded-LSH path (8 bands x 4 planes — the same
+      // pair the DuckDB oracle embeds) against exact top-10 — same seeded
+      // sample and floor contract as q177
       val e = t(s, dir, "embeddings")
       val qs = annRecallQueries(e)
       annRecallHits(qs,
@@ -1885,34 +1886,31 @@ object SparkEntry {
       }
       val schema = StructType(Seq(StructField("ts", TimestampType),
         StructField("event_type", StringType)))
-      val src = s.readStream.schema(schema)
+      // state-store instances (and their per-batch checkpoint files)
+      // scale with shuffle partitions; a 4-trigger replay over one small
+      // table doesn't need 32 of them (measured 2x wall: 4.5 vs 8-12 s
+      // at sf0.1). The override lives in a DEDICATED newSession() — same
+      // SparkContext, isolated SQLConf — so a concurrently-planned query
+      // in the caller's session keeps its own partition count (a bare
+      // s.conf.set here would silently re-plan it under 8). The memory
+      // sink's temp view registers in this private session too, so bench
+      // reps don't accumulate sink tables in the caller's catalog. At
+      // cluster scale the count comes from the session, sized to the
+      // executor fleet.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val src = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir.getPath)
       val agg = src.withWatermark("ts", "24 hours")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      // drop stale sinks from earlier invocations in this session (bench
-      // reps would otherwise accumulate one memory table per rep)
-      s.catalog.listTables().collect()
-        .map(_.name).filter(_.startsWith("graft_q180_sink_"))
-        .foreach(v => s.catalog.dropTempView(v))
       val qn = "graft_q180_sink_" + java.lang.Long.toHexString(
         java.lang.System.nanoTime())
-      // state-store instances (and their per-batch checkpoint files)
-      // scale with shuffle partitions; a 4-trigger replay over one small
-      // table doesn't need 32 of them (measured 2x wall: 4.5 vs 8-12 s
-      // at sf0.1). Scoped + restored — at cluster scale the partition
-      // count comes from the session, sized to the executor fleet.
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      // the conf is read per micro-batch plan, so it stays set until the
-      // stream is fully drained and only then restores
-      try {
-        val q = agg.writeStream.outputMode("append").format("memory")
-          .queryName(qn)
-          .option("checkpointLocation", s"$base/ckpt").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-      s.table(qn)
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table(qn)
         .filter(!col("event_type").isin("__clock", "__flush"))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"))
@@ -3270,8 +3268,11 @@ object SparkEntry {
       // beyond-watermark stragglers are EXACTLY ts < Jan 25 (batch 1
       // arrives under a watermark pinned to Jan 30 by the batch-0 clock
       // row), so kept rows are exactly ts >= Jan 25
-      """SELECT date_trunc('day', ts) AS window_start, event_type,
-        |  count(*) AS n
+      // CAST: date_trunc('day', ts) returns DATE on some DuckDB versions
+      // (1.0.0) and TIMESTAMP on others; the engine emits TIMESTAMP, so
+      // pin the oracle's type explicitly
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
         |GROUP BY 1, 2

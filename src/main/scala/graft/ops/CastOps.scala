@@ -20,6 +20,27 @@ import org.apache.spark.sql.types.DoubleType
  */
 object Cast {
 
+  /** Input caches registered by `despike(channelGroups > 1)` — the
+    * MEMORY_AND_DISK snapshot that stops each channel group re-evaluating
+    * the upstream lineage. Blocks stay cached until released: a long-lived
+    * driver looping wide despikes (the QC-chain use case) calls
+    * [[releaseDespikeSnapshots]] after materializing each batch. */
+  private val despikeSnapshots =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist (non-blocking) every input cache registered by
+    * `despike(channelGroups > 1)` in this JVM so far; returns the count.
+    * Safe to call while results are still lazy — lineage is intact, a
+    * released block just recomputes if re-read. */
+  def releaseDespikeSnapshots(): Int = {
+    var n = 0
+    var d = despikeSnapshots.poll()
+    while (d != null) {
+      d.unpersist(blocking = false); n += 1; d = despikeSnapshots.poll()
+    }
+    n
+  }
+
   /** Rows with `pressure < 0` are above the waterline — drop them.
     * Reference: ctd/processing.py:21-25 (`remove_above_water`). */
   def removeAboveWater(df: DataFrame, pressure: String = "pressure"): DataFrame =
@@ -174,17 +195,33 @@ object Cast {
       val groups = valueCols.zipWithIndex.groupBy(_._2 % g).toSeq
         .sortBy(_._1).map(_._2.map(_._1))
       val keyCols = Seq(castCol, orderCol)
-      // snapshot the input ONCE: each group's skinny kernel and the
-      // scaffold would otherwise re-evaluate the full upstream lineage
-      // (for the ctd source: a per-group re-parse — measured 2.8x SLOWER
-      // than single-group without this)
-      val src = df.localCheckpoint()
+      // cache the input ONCE: each group's skinny kernel and the scaffold
+      // would otherwise re-evaluate the full upstream lineage (for the
+      // ctd source: a per-group re-parse — BenchDespikeWide A/B on the
+      // 4-cast 26-channel fixture: re-parse 6.6-6.9 s vs snapshot
+      // 5.3-5.5 s). MEMORY_AND_DISK, NOT localCheckpoint (same wall in
+      // the same A/B): a cache keeps lineage, so a lost executor
+      // recomputes the blocks instead of killing the job — the property
+      // that matters on a preemptible 1000-executor fleet. Blocks live
+      // until the caller releases them (see [[releaseDespikeSnapshots]]);
+      // a long-lived driver looping despike(channelGroups>1) should call
+      // it between batches.
+      val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      despikeSnapshots.add(src)
       val parts = groups.map { gc =>
         despike(src.select((keyCols ++ gc).map(col): _*), castCol, orderCol,
           gc, n1, n2, block)
       }
       val scaffold = src.drop(valueCols: _*)
-      val joined = parts.foldLeft(scaffold)((acc, p) => acc.join(p, keyCols))
+      // null-safe join keys (<=>): the single-group kernel keeps rows with
+      // a NULL cast id (the NUL-sentinel group) and NULL order values (nulls-
+      // first sort) — a plain equi-join would silently drop them here.
+      // (castCol, orderCol) uniqueness per row is still required.
+      val joined = parts.foldLeft(scaffold) { (acc, p) =>
+        val pr = keyCols.foldLeft(p)((d, k) => d.withColumnRenamed(k, s"__g_$k"))
+        acc.join(pr, keyCols.map(k => col(k) <=> col(s"__g_$k")).reduce(_ && _))
+          .drop(keyCols.map(k => s"__g_$k"): _*)
+      }
       return joined.select(df.columns.map(col).toIndexedSeq: _*)
     }
     // Execution strategy: a per-cast SEQUENTIAL kernel (the SeqOps
@@ -252,12 +289,13 @@ object Cast {
     // collision-free group key: a NULL cast id must stay a distinct
     // partition from the literal string "null" (despikeWindowed's
     // partitionBy keeps them apart)
+    val maxGroupRows = KernelGuard.maxGroupRows(df)
     df.groupByKey { r =>
         val v = r.get(castIdx)
         if (v == null) "\u0000" else "v:" + v
       }(org.apache.spark.sql.Encoders.STRING)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray
+      .flatMapGroups { (key, it) =>
+        val rows = KernelGuard.toArrayCapped(key, it, maxGroupRows, "despike")
         java.util.Arrays.sort(rows, rowCmp)
         val n = rows.length
         val idx0 = math.max(0, n - block) // last full-window start (0-based)

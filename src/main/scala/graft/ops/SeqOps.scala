@@ -43,9 +43,11 @@ object SeqOps {
     val ordIdx  = schema.fieldIndex(orderCol)
     val valIdx  = valueCols.map(schema.fieldIndex)
     implicit val enc = Encoders.row(schema)
+    val maxGroupRows = KernelGuard.maxGroupRows(df)
     df.groupByKey(r => String.valueOf(r.get(castIdx)))(Encoders.STRING)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(orderOf(_, ordIdx))
+      .flatMapGroups { (key, it) =>
+        val rows = KernelGuard.toArrayCapped(key, it, maxGroupRows, "perCastColumns")
+          .sortBy(orderOf(_, ordIdx))
         val replaced: Map[Int, Array[Double]] = valIdx.map { vi =>
           vi -> kernel(rows.map(numAt(_, vi)))
         }.toMap
@@ -99,9 +101,11 @@ object SeqOps {
       schema(castIdx) +: StructField(pressure, DoubleType) +:
         valueCols.map(StructField(_, DoubleType)))
     implicit val enc = Encoders.row(outSchema)
+    val maxGroupRows = KernelGuard.maxGroupRows(df)
     df.groupByKey(r => String.valueOf(r.get(castIdx)))(Encoders.STRING)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray.sortBy(orderOf(_, ordIdx))
+      .flatMapGroups { (key, it) =>
+        val rows = KernelGuard.toArrayCapped(key, it, maxGroupRows, "bindataInterpolate")
+          .sortBy(orderOf(_, ordIdx))
         if (rows.isEmpty) Iterator.empty
         else {
           val xs = rows.map(numAt(_, pIdx))

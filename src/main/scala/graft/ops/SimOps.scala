@@ -86,7 +86,10 @@ object SimOps {
                  idCol: String, vecCol: String, k: Int = 5): DataFrame = {
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = cands.select(col("query_id"), col("neighbor_id"))
+    // distinct: a proposer that emits the same (query, neighbor) pair
+    // twice (multi-probe IVF, overlapping LSH bands) must not let the
+    // duplicate occupy two of the k slots and crowd out a real neighbor
+    val scored = cands.select(col("query_id"), col("neighbor_id")).distinct()
       .join(qv, "query_id").join(cv, "neighbor_id")
       .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))

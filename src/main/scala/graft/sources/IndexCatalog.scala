@@ -27,10 +27,41 @@ import org.apache.spark.sql.types._
  * keep their typed reads of family-specific columns; existence checks,
  * meta writes, and drift errors all route through here — one error shape,
  * one negative drift test per family (IndexCatalogSpec).
+ *
+ * **Writer concurrency contract.** Landing an index name is SINGLE-WRITER:
+ * within one JVM, [[pinMeta]] serializes per index name (a striped lock
+ * closes the check-then-write race — two same-JVM sessions landing the
+ * same name see exactly one land and one drift/no-op, never interleaved
+ * meta writes). ACROSS JVMs the single-writer assumption is the operating
+ * contract, as with every non-transactional parquet catalog: two drivers
+ * landing the same index name concurrently can interleave `saveAsTable`
+ * overwrites. Probes are read-only and safe against a COMPLETED land at
+ * any concurrency. Crash safety (meta-first, retry-with-drift-refusal) is
+ * unchanged and orthogonal.
  */
 object IndexCatalog {
 
   private def metaTable(name: String) = s"${name}_meta"
+
+  // striped per-name lock for same-JVM land serialization (see scaladoc)
+  private val landLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(name: String): Object =
+    landLocks.computeIfAbsent(name, _ => new Object)
+
+  /** Typed read of the pinned columns with the drift error for a MISSING
+    * column: an index landed by an older build (meta row predating a newly
+    * pinned parameter) must fail as drift — naming the column and the
+    * rebuild path — not as a raw `fieldIndex` IllegalArgumentException. */
+  private def pinnedValues(row: Row, name: String, op: String,
+                           cols: Seq[String]): Seq[Any] = {
+    val missing = cols.filterNot(row.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"$op('$name'): existing index meta has no column(s) " +
+      s"${missing.mkString(", ")} (landed by an older build); drop the " +
+      "index tables or land under another name")
+    cols.map(c => row.get(row.fieldIndex(c)))
+  }
 
   private def typeOf(c: String, v: Any): DataType = v match {
     case _: Int     => IntegerType
@@ -51,7 +82,7 @@ object IndexCatalog {
     if (!spark.catalog.tableExists(tbl)) false
     else {
       val row = spark.table(tbl).head()
-      val have = pinned.map { case (c, _) => row.get(row.fieldIndex(c)) }
+      val have = pinnedValues(row, name, op, pinned.map(_._1))
       val want = pinned.map(_._2)
       require(have == want,
         s"$op('$name'): existing index has " +
@@ -81,11 +112,15 @@ object IndexCatalog {
     * (and matched). */
   def pinMeta(spark: SparkSession, name: String, op: String,
               path: Option[String], pinned: Seq[(String, Any)],
-              derived: Seq[(String, Any)] = Nil): Boolean = {
-    val existed = checkPinned(spark, name, op, pinned)
-    if (!existed) writeMeta(spark, name, path, pinned ++ derived)
-    existed
-  }
+              derived: Seq[(String, Any)] = Nil): Boolean =
+    // per-name lock: two same-JVM landers of one name serialize here, so
+    // the loser of the race sees the winner's meta and takes the normal
+    // existed/drift path instead of double-writing (scaladoc contract)
+    lockFor(name).synchronized {
+      val existed = checkPinned(spark, name, op, pinned)
+      if (!existed) writeMeta(spark, name, path, pinned ++ derived)
+      existed
+    }
 
   /** The landed-index existence gate, with the family's land-first hint.
     * Returns the meta row for typed reads. */
@@ -100,7 +135,7 @@ object IndexCatalog {
   def requirePinned(spark: SparkSession, name: String, hint: String,
                     op: String, pinned: Seq[(String, Any)]): Row = {
     val row = requireMeta(spark, name, hint)
-    val have = pinned.map { case (c, _) => row.get(row.fieldIndex(c)) }
+    val have = pinnedValues(row, name, op, pinned.map(_._1))
     val want = pinned.map(_._2)
     require(have == want,
       s"$op('$name'): existing index has " +

@@ -121,6 +121,62 @@ class DespikeParitySpec extends SparkTestBase {
       channelGroups = 3).columns.toSeq == rows.columns.toSeq)
   }
 
+  test("channelGroups > 1 keeps NULL cast-id and NULL order rows (null-safe " +
+       "join-back parity with the single-group kernel)") {
+    import spark.implicits._
+    val rows = (for {
+      cast <- Seq[java.lang.Long](null, 1L)
+      i    <- 0 until 40
+    } yield {
+      // one NULL order value per cast (pair uniqueness holds)
+      val ord: java.lang.Long = if (i == 7) null else i.toLong
+      def ch(k: Int): java.lang.Double =
+        if ((i + k) % 13 == 0) 300.0 + k else math.cos(i / (3.0 + k))
+      (cast, ord, ch(0), ch(1), ch(2), ch(3))
+    }).toDF("cast_id", "scan_order", "c0", "c1", "c2", "c3")
+    val cols = Seq("c0", "c1", "c2", "c3")
+    def collect(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy(asc_nulls_first("cast_id"), asc_nulls_first("scan_order"))
+      .collect().toSeq
+    val one = collect(Cast.despike(rows, "cast_id", "scan_order", cols,
+      n1 = 2.0, n2 = 6.0, block = 8))
+    val grouped = collect(Cast.despike(rows, "cast_id", "scan_order", cols,
+      n1 = 2.0, n2 = 6.0, block = 8, channelGroups = 2))
+    assert(grouped.length == 80, s"null-key rows dropped: ${grouped.length}")
+    assert(grouped == one)
+  }
+
+  test("a group exceeding graft.kernel.maxGroupRows refuses loudly, naming " +
+       "the cast group (the one-cast-per-task OOM guard)") {
+    import spark.implicits._
+    val rows = (0 until 100).map(i => (1L, i.toLong, i.toDouble))
+      .toDF("cast_id", "scan_order", "value")
+    spark.conf.set(graft.ops.KernelGuard.ConfKey, "50")
+    try {
+      val e = intercept[Exception] {
+        Cast.despike(rows, "cast_id", "scan_order", Seq("value"),
+          block = 8).collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" ")
+      assert(msg.contains("maxGroupRows") && msg.contains("v:1"), msg)
+      // SeqOps kernels share the guard
+      val e2 = intercept[Exception] {
+        graft.ops.SeqOps.smooth(rows, "cast_id", "scan_order",
+          Seq("value"), 11, "hanning").collect()
+      }
+      val msg2 = Option(e2.getMessage).getOrElse("") +
+        Iterator.iterate(e2.getCause)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" ")
+      assert(msg2.contains("maxGroupRows"), msg2)
+      // happy path at the default cap: untouched
+      spark.conf.unset(graft.ops.KernelGuard.ConfKey)
+      assert(Cast.despike(rows, "cast_id", "scan_order", Seq("value"),
+        block = 8).count() == 100)
+    } finally spark.conf.unset(graft.ops.KernelGuard.ConfKey)
+  }
+
   test("kernel accepts a non-numeric (timestamp) order column and matches " +
        "the windowed plan") {
     import spark.implicits._

@@ -146,4 +146,54 @@ class IndexCatalogSpec extends SparkTestBase {
       assert(e2.getMessage.contains("analyzer"), e2.getMessage)
     } finally drop(name, "_meta", "_postings", "_docs")
   }
+
+  test("meta row MISSING a pinned column (index landed by an older build) " +
+       "refuses as drift, naming the column — not a raw fieldIndex error") {
+    val name = "graft_icat_oldmeta"
+    drop(name, "_meta", "_postings", "_docs")
+    try {
+      SearchOps.landSearchIndex(docs(), "doc_id", "text", name)
+      // simulate a pre-analyzer-pin build: meta row without the column
+      graft.sources.IndexCatalog.writeMeta(spark, name, None,
+        Seq("n_docs" -> 3L, "total_dl" -> 30L))
+      val e = intercept[IllegalArgumentException] {
+        SearchOps.bm25AgainstIndex(spark, name, Seq("fox"))
+      }
+      assert(e.getMessage.contains("has no column") &&
+        e.getMessage.contains("analyzer") &&
+        e.getMessage.contains("land under another name"), e.getMessage)
+    } finally drop(name, "_meta", "_postings", "_docs")
+  }
+
+  test("two same-JVM writers racing pinMeta on one name: exactly one lands, " +
+       "the other refuses with drift (the striped-lock contract)") {
+    val name = "graft_icat_race"
+    drop(name, "_meta")
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      def land(n: Int): Future[Either[Throwable, Boolean]] = Future {
+        gate.await()
+        try Right(graft.sources.IndexCatalog.pinMeta(spark, name,
+          "raceTest", None, Seq("param" -> n)))
+        catch { case t: Throwable => Left(t) }
+      }
+      val results = Await.result(
+        Future.sequence(Seq(land(1), land(2))), 120.seconds)
+      val wins = results.collect { case Right(existed) => existed }
+      val errs = results.collect { case Left(t) => t }
+      // one writer lands fresh (existed=false); the other must NOT
+      // interleave a second meta write — it either sees drift (param
+      // mismatch error) or, had params matched, existed=true
+      assert(wins == Seq(false) && errs.length == 1,
+        s"race outcome: wins=$wins errs=${errs.map(_.getMessage)}")
+      assert(errs.head.getMessage.contains("!= requested"),
+        errs.head.getMessage)
+      // the surviving meta row is internally consistent (single winner)
+      val row = spark.table(s"${name}_meta").head()
+      assert(Seq(1, 2).contains(row.getInt(row.fieldIndex("param"))))
+    } finally drop(name, "_meta")
+  }
 }
