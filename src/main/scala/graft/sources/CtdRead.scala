@@ -15,6 +15,11 @@ object CtdRead {
     spark.read.format("ctd").option("ftype", ftype).load(path)
 
   def cnv(spark: SparkSession, path: String): DataFrame = read(spark, "cnv", path)
+  /** Explicit multi-file read — for mixed directories (e.g. CTD/ holds both
+    * .cnv.gz casts and their .ros bottle logs, which share cast ids and
+    * scan_order ranges) pass the exact file list instead of the dir. */
+  def cnv(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.format("ctd").option("ftype", "cnv").load(paths: _*)
   def btl(spark: SparkSession, path: String): DataFrame = read(spark, "btl", path)
   def edf(spark: SparkSession, path: String): DataFrame = read(spark, "edf", path)
   def fsi(spark: SparkSession, path: String): DataFrame = read(spark, "fsi", path)
@@ -25,6 +30,11 @@ object CtdRead {
   /** Per-cast metadata view: one row per file. */
   def casts(spark: SparkSession, ftype: String, path: String): DataFrame =
     spark.read.format("ctd").option("ftype", ftype).option("view", "meta").load(path)
+
+  /** Metadata view over an explicit file list (see multi-file [[cnv]]). */
+  def casts(spark: SparkSession, ftype: String, paths: Seq[String]): DataFrame =
+    spark.read.format("ctd").option("ftype", ftype).option("view", "meta")
+      .load(paths: _*)
 
   /** Typed metadata view — the one fixed-schema table in the engine, so it
     * gets a `Dataset[CastMetaRow]` (SURVEY §1.4: typed only where the schema
