@@ -37,6 +37,10 @@ object Bench {
     // 5 round-robin samples with a forced GC between passes keeps the
     // median robust to steal bursts and allocation pressure
     val reps  = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
+    // SPARK_GRAFT_GC=0 disables the forced GC between passes — the r10
+    // protocol, kept reproducible so protocol-vs-code drift stays
+    // adjudicable (VERDICT r11 task #3)
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -164,7 +168,7 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_WARM").contains("head")) runOnce(names.head)
     else names.foreach(runOnce)
     // don't let warmup-pass garbage land in the first timed slot
-    System.gc()
+    if (gcBetween) System.gc()
 
     // round-robin passes: each query's reps are a full suite apart; a
     // forced GC between passes stops pass N's garbage from landing in
@@ -172,7 +176,7 @@ object Bench {
     val passes: Seq[Map[String, Either[String, Double]]] =
       (1 to reps).map { _ =>
         val pass = names.map(n => n -> runOnce(n)).toMap
-        System.gc()
+        if (gcBetween) System.gc()
         pass
       }
     def median(name: String): Either[String, Double] = {
