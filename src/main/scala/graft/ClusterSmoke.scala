@@ -38,7 +38,17 @@ object ClusterSmoke {
     "q76_ann_ivf_indexed",
     "q99_bm25_indexed",
     "q143_stream_ingest_replay",
-    "q174_blocklist_gate")
+    "q174_blocklist_gate",
+    // round-12 widening: TypedImperativeAggregate buffers (CMS,
+    // Misra-Gries) serialize across the wire here; PageRank exercises the
+    // iterative Snapshots.truncateLineage path; multimodal runs the JDK
+    // codec kernels inside executor JVMs; DSIR ships its ratio model as a
+    // codegen reference object
+    "q111_cms_heavy_hitters",
+    "q127_heavy_hitters",
+    "q112_pagerank",
+    "q34_multimodal",
+    "q161_dsir_scores")
 
   /** Canonical row-set digest: every column stringified, rows sorted —
     * both passes collect() into THIS driver JVM, so string rendering is

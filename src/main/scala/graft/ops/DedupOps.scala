@@ -787,7 +787,9 @@ object DedupOps {
    * near-dup pairs — proportional to the duplicate count, orders of
    * magnitude smaller than the corpus) and runs until labels stop changing
    * or `maxIter` rounds, i.e. O(component diameter) rounds. Lineage is cut
-   * per round with `localCheckpoint` so the plan doesn't grow exponentially.
+   * per round with `Snapshots.truncateLineage` (reliable checkpoint when a
+   * checkpoint dir is set, local otherwise) so the plan doesn't grow
+   * exponentially.
    * Duplicate clusters in real corpora are shallow (boilerplate fans, not
    * long chains), so this converges in a handful of rounds; for
    * pathological chain diameters use [[connectedStars]] — identical labels
@@ -809,12 +811,12 @@ object DedupOps {
     * throwing — the hook "auto" escalation builds on. */
   private def connectedMinLabelsOpt(pairs: DataFrame, maxIter: Int): Option[DataFrame] = {
     // both directions once: neighbor-min is a plain groupBy over edges
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    val edges = Snapshots.truncateLineage(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = Snapshots.truncateLineage(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -822,10 +824,10 @@ object DedupOps {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+      val next = Snapshots.truncateLineage(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")))
       val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") < col("prev")).limit(1).count()
       labels = next
@@ -845,17 +847,18 @@ object DedupOps {
    *
    * Each round is two groupBy-min + join passes over the current edge set
    * (which only ever references ids, never payloads); lineage is cut per
-   * round with `localCheckpoint`. At the fixpoint the edge set is a union
+   * round with `Snapshots.truncateLineage`. At the fixpoint the edge set is a union
    * of stars whose centers are the component minima, so the label of a
    * non-center node is its single remaining neighbor.
    */
   def connectedStars(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
-      .distinct().localCheckpoint()
-    var edges = pairs
+    val nodes = Snapshots.truncateLineage(
+      pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .distinct())
+    var edges = Snapshots.truncateLineage(pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
     // convergence probe = ONE aggregation per round over the (distinct)
     // edge set: (count, sum of xxhash64(u,v) as decimal — ANSI-safe, no
     // wrap — and bit_xor of the same hashes). Two independent 64-bit
@@ -889,9 +892,9 @@ object DedupOps {
       val oriented = large.select(
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       val minsS = oriented.groupBy("u").agg(min(col("v")).as("m"))
-      val next = oriented.join(minsS, "u")
+      val next = Snapshots.truncateLineage(oriented.join(minsS, "u")
         .select(explode(array(col("u"), col("v"))).as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+        .filter(col("u") =!= col("v")).distinct())
       val nextSum = checksum(next)
       converged = nextSum == prevSum
       edges = next

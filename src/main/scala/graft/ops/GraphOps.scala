@@ -85,8 +85,10 @@ object GraphOps {
             .as("rank_u"))
       // rank's lineage grows by a join+agg per superstep; truncate it
       // periodically so deep iteration counts don't build an unbounded
-      // plan (the materialized vector is only |V| rows of 16 bytes)
-      if (i % 8 == 0 && i < iters) rank = rank.localCheckpoint()
+      // plan (the materialized vector is only |V| rows of 16 bytes).
+      // Snapshots.truncateLineage: reliable checkpoint when the session
+      // has a checkpoint dir (preemptible-fleet mode), local otherwise
+      if (i % 8 == 0 && i < iters) rank = Snapshots.truncateLineage(rank)
     }
     rank.select(col("node"), col("rank_u"))
   }

@@ -71,4 +71,43 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got.length == 4 && got.distinct.length == 1, got.toSeq)
     assert(got.head == 250000000000L)
   }
+
+  test("iterative snapshots take the RELIABLE checkpoint path when a " +
+       "checkpoint dir is set, with identical results (preemptible-fleet " +
+       "mode of Snapshots.truncateLineage)") {
+    val e = (0L until 40L).map(i => (i, (i * 7 + 3) % 40)) ++
+      Seq((0L, 1L), (1L, 2L))
+    val edf = e.toDF("s", "d")
+    val plain = GraphOps.pageRank(edf, "s", "d", iters = 20)
+      .orderBy("node").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = GraphOps.pageRank(edf, "s", "d", iters = 20)
+        .orderBy("node").collect().toSeq
+      assert(reliable == plain)
+      // the reliable path actually wrote checkpoint data
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, s"no checkpoint data in $dir")
+      // connected components under a checkpoint dir too (both variants)
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      for (cc <- Seq(
+        graft.ops.DedupOps.connectedMinLabels(pairs),
+        graft.ops.DedupOps.connectedStars(pairs))) {
+        val comps = cc.orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(comps ==
+          Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)), comps)
+      }
+    } finally {
+      // Option(null) = None inside setCheckpointDir — clears the shared
+      // session's dir so later suites stay on the local path
+      spark.sparkContext.setCheckpointDir(null)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
