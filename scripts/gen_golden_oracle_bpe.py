@@ -13,8 +13,9 @@ kernel except the published BPE contract:
   * merge step: highest pair count, ties to the lexicographically
     smallest (left, right);
   * encode: repeatedly merge ALL left-to-right non-overlapping
-    occurrences of the lowest-rank adjacent pair (rank = merge order,
-    first rank wins for a duplicated concatenation).
+    occurrences of the lowest-rank adjacent pair (rank = merge order;
+    the engine keys ranks by left + NUL + right, which tuple keys
+    replicate exactly — no concatenation ambiguity).
 
 Output parquet rows are keyed by a corpus fingerprint
 (count:total_text_chars) so ONE committed file serves every driver SF:
@@ -66,8 +67,8 @@ def train(word_counts, num_merges):
 
 def encoder(merges):
     ranks = {}
-    for i, (l, r) in enumerate(merges):
-        ranks.setdefault(l + r, i)
+    for i, pair in enumerate(merges):
+        ranks.setdefault(pair, i)
     cache = {}
 
     def n_subwords(word):
@@ -75,14 +76,14 @@ def encoder(merges):
             return cache[word]
         syms = list(word) + ["</w>"]
         while len(syms) > 1:
-            best = min((ranks.get(syms[j] + syms[j + 1], BIG)
+            best = min((ranks.get((syms[j], syms[j + 1]), BIG)
                         for j in range(len(syms) - 1)), default=BIG)
             if best == BIG:
                 break
             out, p = [], 0
             while p < len(syms):
                 if (p < len(syms) - 1
-                        and ranks.get(syms[p] + syms[p + 1], BIG) == best):
+                        and ranks.get((syms[p], syms[p + 1]), BIG) == best):
                     out.append(syms[p] + syms[p + 1])
                     p += 2
                 else:

@@ -442,7 +442,7 @@ object EventOps {
     // prefix disambiguates a NULL key from the literal string "null"
     // (the classic dirty-data artifact) — they must fold as two series
     df.groupByKey(r =>
-        if (r.isNullAt(keyIdx)) " " else "v" + String.valueOf(r.get(keyIdx)))(
+        if (r.isNullAt(keyIdx)) "\u0000" else "v" + String.valueOf(r.get(keyIdx)))(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(r => (asLong(r.get(tsIdx)), asLong(r.get(tieIdx))))
