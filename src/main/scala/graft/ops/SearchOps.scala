@@ -352,6 +352,7 @@ object SearchOps {
                       name: String, buckets: Int = 8,
                       path: Option[String] = None): Unit = {
     val spark = docs.sparkSession
+    graft.sources.IndexCatalog.withLandLock(name) {
     graft.sources.IndexCatalog.checkPinned(spark, name, "landSearchIndex",
       Seq("analyzer" -> TextOps.analyzerId)): Unit
     if (!spark.catalog.tableExists(s"${name}_meta")
@@ -366,6 +367,7 @@ object SearchOps {
         s"${name}_docs", "doc_id", Seq("doc_id"), buckets,
         path.map(p => s"${p}_docs"))
       refreshMeta(spark, name, path)
+    }
     }
   }
 

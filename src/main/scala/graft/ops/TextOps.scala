@@ -571,6 +571,7 @@ object TextOps {
                   n: Int = 3, buckets: Int = 8,
                   path: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
+    graft.sources.IndexCatalog.withLandLock(name) {
     val metaExists = graft.sources.IndexCatalog.checkPinned(spark, name,
       "landNgramLm", Seq("n" -> n))
     // the data tables land OUTSIDE the meta gate (landOnce carries its own
@@ -590,6 +591,7 @@ object TextOps {
         graft.sources.BucketedLand.landOnce(lm.contexts, s"${name}_contexts",
           "ctx_h", Seq("ctx_h"), buckets, path.map(p => s"${p}_contexts"))
       } finally lm.unpersist()
+    }
     }
   }
 
@@ -731,6 +733,7 @@ object TextOps {
                name: String, dim: Int = 1 << 16, alpha: Double = 1.0,
                buckets: Int = 8, path: Option[String] = None): Unit = {
     val spark = target.sparkSession
+    graft.sources.IndexCatalog.withLandLock(name) {
     val metaExists = graft.sources.IndexCatalog.checkPinned(spark, name,
       "landDsir", Seq("dim" -> dim, "alpha" -> alpha))
     // data table lands OUTSIDE the meta gate (landOnce self-checks), so a
@@ -746,6 +749,7 @@ object TextOps {
         graft.sources.BucketedLand.landOnce(model.ratios, s"${name}_ratios",
           "bucket", Seq("bucket"), buckets, path.map(p => s"${p}_ratios"))
       } finally model.unpersist()
+    }
     }
   }
 

@@ -49,6 +49,15 @@ object IndexCatalog {
   private def lockFor(name: String): Object =
     landLocks.computeIfAbsent(name, _ => new Object)
 
+  /** Run a land body under the index name's stripe — for families whose
+    * land is check-then-train-then-write (n-gram LM, DSIR, BM25: the
+    * derived stats only exist after training, so they cannot route the
+    * whole land through [[pinMeta]]). Same lock pinMeta takes, so a
+    * pinMeta lander and a withLandLock lander of one name also serialize
+    * against each other. */
+  def withLandLock[T](name: String)(body: => T): T =
+    lockFor(name).synchronized(body)
+
   /** Typed read of the pinned columns with the drift error for a MISSING
     * column: an index landed by an older build (meta row predating a newly
     * pinned parameter) must fail as drift — naming the column and the
