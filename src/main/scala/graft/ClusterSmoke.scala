@@ -24,6 +24,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  * Prints one JSON line: {"metric":"cluster_smoke","all_match":bool,...}.
  * Run: sbt "runMain graft.ClusterSmoke [sfDir]"; ClusterModeSpec forks it.
+ *
+ * Launch with an ENUMERATED classpath (sbt runMain, or the spec's fork of
+ * the test JVM's java.class.path). A `-cp dir:/opt/spark/jars/STAR`
+ * wildcard launch passes the literal wildcard through to
+ * spark.executor.extraClassPath, and the executor then holds the
+ * distribution jars twice at different classloader positions — lambdas
+ * deserialize against the wrong scala-library and every task dies with
+ * "cannot assign instance of java.lang.invoke.SerializedLambda"
+ * (measured; the same queries pass with the enumerated classpath).
  */
 object ClusterSmoke {
 
