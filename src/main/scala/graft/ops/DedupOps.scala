@@ -824,13 +824,17 @@ object DedupOps {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
-      val next = Snapshots.truncateLineage(
+      // the convergence flag rides the SAME materialization the round
+      // snapshots anyway (prev comp is right there in the join) — the old
+      // shape paid a second labels-join + count job per round just to
+      // re-derive it
+      val nextFlagged = Snapshots.truncateLineage(
         labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")))
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).limit(1).count()
-      labels = next
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+            (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("__changed")))
+      val changed = nextFlagged.filter(col("__changed")).limit(1).count()
+      labels = nextFlagged.drop("__changed")
       converged = changed == 0
       iter += 1
     }
