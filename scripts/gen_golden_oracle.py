@@ -262,9 +262,7 @@ df38 = pd.DataFrame({
 stats = []
 for stat, fn in (("avg", "mean"), ("sdev", lambda x: x.std(ddof=1)),
                  ("min", "min"), ("max", "max")):
-    agg = df38.groupby("nbf").agg(fn) if not callable(fn) else \
-        df38.groupby("nbf").agg(fn)
-    agg = agg.reset_index()
+    agg = df38.groupby("nbf").agg(fn).reset_index()
     agg["Statistic"] = stat
     stats.append(agg)
 st = pd.concat(stats, ignore_index=True).sort_values(

@@ -37,9 +37,11 @@ object Bench {
     // 5 round-robin samples with a forced GC between passes keeps the
     // median robust to steal bursts and allocation pressure
     val reps  = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
-    // SPARK_GRAFT_GC=0 disables the forced GC between passes — the r10
-    // protocol, kept reproducible so protocol-vs-code drift stays
-    // adjudicable (VERDICT r11 task #3)
+    // SPARK_GRAFT_GC=0 disables the forced GC BETWEEN timed passes — the
+    // r10 protocol, kept reproducible so protocol-vs-code drift stays
+    // adjudicable (VERDICT r11 task #3). The post-warmup GC below stays
+    // unconditional: the r10 protocol had it too, and without it the
+    // warmup pass's garbage lands in the first timed slot of every query.
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -168,7 +170,8 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_WARM").contains("head")) runOnce(names.head)
     else names.foreach(runOnce)
     // don't let warmup-pass garbage land in the first timed slot
-    if (gcBetween) System.gc()
+    // (unconditional: every protocol generation included this GC)
+    System.gc()
 
     // round-robin passes: each query's reps are a full suite apart; a
     // forced GC between passes stops pass N's garbage from landing in

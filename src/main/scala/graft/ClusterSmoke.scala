@@ -106,6 +106,8 @@ object ClusterSmoke {
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       })
     }.toMap
+    out.collect { case (n, Left(err)) =>
+      System.err.println(s"[cluster-smoke:$tag] $n FAILED: $err") }
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -116,13 +118,25 @@ object ClusterSmoke {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cluster = runPass("local-cluster[2,2,2048]", "cluster", sfDir)
     val local = runPass("local[4]", "local", sfDir)
+    // full JSON string escape — exception messages carry newlines and
+    // backslashes (multi-line AnalysisException), and the spec's
+    // single-line metric contract must survive them
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val per = Queries.map { q =>
       (cluster(q), local(q)) match {
         case (Right((cr, ch)), Right((lr, lh))) =>
           q -> (if (cr == lr && ch == lh) s"""{"match":true,"rows":$cr}"""
                 else s"""{"match":false,"cluster_rows":$cr,"local_rows":$lr}""")
-        case (Left(e), _) => q -> s"""{"match":false,"cluster_err":"${e.replace("\"", "'")}"}"""
-        case (_, Left(e)) => q -> s"""{"match":false,"local_err":"${e.replace("\"", "'")}"}"""
+        case (Left(e), _) => q -> s"""{"match":false,"cluster_err":${jq(e)}}"""
+        case (_, Left(e)) => q -> s"""{"match":false,"local_err":${jq(e)}}"""
       }
     }
     val allMatch = per.forall(_._2.startsWith("""{"match":true"""))

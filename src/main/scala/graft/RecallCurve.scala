@@ -26,12 +26,10 @@ import graft.ops.SimOps
  */
 object RecallCurve {
 
-  private def seededQueries(e: DataFrame): DataFrame = {
-    val h = org.apache.spark.sql.catalyst.expressions.graftdedup
-      .HashSketchExpressions.md5Hash31(
-        concat_ws(":", lit("graft"), col("vec_id").cast("string")))
-    e.orderBy(h.asc, col("vec_id").asc).limit(200)
-  }
+  // the contract queries' seeding, REUSED (not re-derived): if q177-q179's
+  // sample ever changes, this curve follows automatically
+  private def seededQueries(e: DataFrame): DataFrame =
+    SparkEntry.annRecallQueries(e)
 
   private def recallPpm(exact: DataFrame, ann: DataFrame, qs: DataFrame,
                         k: Int): Long = {
@@ -82,7 +80,7 @@ object RecallCurve {
     def record(path: String, param: String, r: (Long, Double)): Unit = {
       points += s"""{"path":"$path","param":"$param","recall_ppm":${r._1},""" +
         s""""wall_s":${math.round(r._2 * 1000) / 1000.0}}"""
-      System.err.println(s"[recall_curve] $path $param -> ${r._1} ppm, ${r._2}%.2f s")
+      System.err.println(f"[recall_curve] $path $param -> ${r._1} ppm, ${r._2}%.2f s")
     }
 
     for (nProbe <- Seq(1, 4, 8))

@@ -2850,7 +2850,7 @@ object SparkEntry {
    * of "graft:vec_id", ties by vec_id — the engine-portable sampling
    * family, so DuckDB draws the identical 200), capped at 200.
    */
-  private def annRecallQueries(e: DataFrame): DataFrame = {
+  private[graft] def annRecallQueries(e: DataFrame): DataFrame = {
     val h = org.apache.spark.sql.catalyst.expressions.graftdedup
       .HashSketchExpressions.md5Hash31(
         concat_ws(":", lit("graft"), col("vec_id").cast("string")))
@@ -3232,8 +3232,14 @@ object SparkEntry {
     * every value produced by the unmodified reference package running over
     * its own fixtures; DuckDB reads them via read_parquet so the driver
     * hash-anchors the reader queries like every SQL-expressible one.
-    * Absolute path — the driver's DuckDB process owes us no cwd. */
-  private val goldenDir = "/root/repo/golden_oracle"
+    * Resolution: the CURRENT checkout's copy when Verify runs from a repo
+    * root (so a worktree tests its own golden files, never a stale main
+    * checkout's), absolutized at VERIFY time because the driver's DuckDB
+    * process owes us no cwd; /root/repo fallback otherwise. */
+  private val goldenDir = {
+    val local = new java.io.File("golden_oracle")
+    if (local.isDirectory) local.getAbsolutePath else "/root/repo/golden_oracle"
+  }
 
   def oracleSql: Map[String, String] = Map(
 

@@ -22,21 +22,29 @@ object Cast {
 
   /** Input caches registered by `despike(channelGroups > 1)` — the
     * MEMORY_AND_DISK snapshot that stops each channel group re-evaluating
-    * the upstream lineage. Blocks stay cached until released: a long-lived
-    * driver looping wide despikes (the QC-chain use case) calls
-    * [[releaseDespikeSnapshots]] after materializing each batch. */
+    * the upstream lineage. Held as WEAK references: once a caller drops
+    * its result (and thus the snapshot's RDD becomes unreachable), the
+    * ContextCleaner reclaims the blocks exactly as it did for the old
+    * localCheckpoint — the registry must not pin storage for the session
+    * lifetime. A long-lived driver looping wide despikes can ALSO release
+    * eagerly via [[releaseDespikeSnapshots]] after materializing each
+    * batch. */
   private val despikeSnapshots =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[DataFrame]]()
 
-  /** Unpersist (non-blocking) every input cache registered by
-    * `despike(channelGroups > 1)` in this JVM so far; returns the count.
-    * Safe to call while results are still lazy — lineage is intact, a
-    * released block just recomputes if re-read. */
+  /** Unpersist (non-blocking) every still-reachable input cache registered
+    * by `despike(channelGroups > 1)` in this JVM; returns the count.
+    * JVM-global by design — call between batches, not while a concurrent
+    * query still reads a snapshot (lineage is intact either way, so a
+    * too-early release only costs a recompute, never correctness). */
   def releaseDespikeSnapshots(): Int = {
     var n = 0
-    var d = despikeSnapshots.poll()
-    while (d != null) {
-      d.unpersist(blocking = false); n += 1; d = despikeSnapshots.poll()
+    var ref = despikeSnapshots.poll()
+    while (ref != null) {
+      val d = ref.get()
+      if (d != null) { d.unpersist(blocking = false); n += 1 }
+      ref = despikeSnapshots.poll()
     }
     n
   }
@@ -207,7 +215,7 @@ object Cast {
       // a long-lived driver looping despike(channelGroups>1) should call
       // it between batches.
       val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      despikeSnapshots.add(src)
+      despikeSnapshots.add(new java.lang.ref.WeakReference(src))
       val parts = groups.map { gc =>
         despike(src.select((keyCols ++ gc).map(col): _*), castCol, orderCol,
           gc, n1, n2, block)

@@ -19,6 +19,15 @@ import org.apache.spark.sql.DataFrame
  * Callers that snapshot purely as a CACHE over intact lineage (despike's
  * input snapshot) should use `persist(MEMORY_AND_DISK)` instead — that
  * path recomputes on loss with no checkpoint dir needed.
+ *
+ * **Checkpoint-file retention.** Non-streaming checkpoint files are NOT
+ * deleted by default; an iterative loop checkpointing once per round
+ * would otherwise accumulate one full materialization per round on the
+ * checkpoint filesystem for the application's life. Cluster deployments
+ * that set a checkpoint dir should also set
+ * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so each
+ * round's files are reclaimed when its RDD goes out of scope (i.e. the
+ * next round replaces it).
  */
 object Snapshots {
   /** Eager snapshot that truncates lineage; reliable when a checkpoint
