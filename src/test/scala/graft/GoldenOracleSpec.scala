@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Guards the COMMITTED golden-oracle artifacts (golden_oracle/, round 12)
+ * against silent drift:
+ *
+ *  - q86's corpus-fingerprint index must cover every driver SF: the
+ *    oracle SQL selects rows WHERE corpus_key = count:sum(length(text))
+ *    computed over the live documents table, so a regenerated testdata
+ *    drop (new content, new fingerprint) would silently select ZERO rows
+ *    and fail the driver gate late. This spec computes the same
+ *    fingerprint with Spark and fails at `sbt test` time instead, naming
+ *    the regeneration script.
+ *  - the 7 reference-executed files must exist, read, and be non-empty.
+ */
+class GoldenOracleSpec extends SparkTestBase {
+
+  private val goldenDir = "golden_oracle"
+
+  test("q86 oracle parquet covers the corpus fingerprint of every driver " +
+       "SF (count:sum(length(text)) — the oracle SQL's selection key)") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
+      "driver testdata unavailable")
+    val golden = spark.read.parquet(s"$goldenDir/q86_bpe_tokenize.parquet")
+      .groupBy(col("corpus_key")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val d = spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
+      val r = d.agg(count(lit(1)).as("c"), sum(length(col("text"))).as("l")).head()
+      val key = s"${r.getLong(0)}:${r.getLong(1)}"
+      assert(golden.contains(key),
+        s"sf$sf documents fingerprint $key has no rows in the committed " +
+        s"q86 golden parquet (keys: ${golden.keys.mkString(", ")}) — the " +
+        "testdata changed; regenerate with scripts/gen_golden_oracle_bpe.py")
+      assert(golden(key) == r.getLong(0),
+        s"sf$sf: golden has ${golden(key)} rows for $key, corpus has " +
+        s"${r.getLong(0)} docs")
+    }
+  }
+
+  test("the 7 reference-executed golden files exist, read, and are non-empty") {
+    val expected = Map(
+      "q16_cnv_read" -> 199L, "q17_casts_meta" -> 2L,
+      "q18_rosette_golden" -> 12L, "q19_btl_read" -> 48L,
+      "q20_multiformat_read" -> 4L, "q37_section" -> 56L,
+      "q38_bottle_stats" -> 48L)
+    expected.foreach { case (name, rows) =>
+      val n = spark.read.parquet(s"$goldenDir/$name.parquet").count()
+      assert(n == rows, s"$name.parquet has $n rows, expected $rows — " +
+        "regenerate with scripts/gen_golden_oracle.py and re-verify")
+    }
+  }
+}
