@@ -275,4 +275,38 @@ write("q38_bottle_stats", {
     "cond": st["cond"].to_numpy(dtype=float),
 })
 
+# -------------------------------------------------------------- q181 ----
+# Full QC chain, REFERENCE-EXECUTED (VERDICT r12 task #2): for each of the
+# four real .cnv.gz casts run the reference's own processing functions
+#     despike(n1=2, n2=20, block=100) -> press_check -> split()[down]
+#     -> bindata(delta=1.0, method="average")
+# over EVERY channel (DataFrame.apply semantics, ctd/processing.py:38-194),
+# then melt to long (cast_id, pressure-bin-mid, channel, value). This
+# anchors the engine's §2.5 chain COMPOSITION end-to-end to the reference's
+# numpy/pandas values — r10 proved shape parity (2,916 binned rows), this
+# pins the values. The only data-prep divergence replayed is the engine's
+# documented bad_flag -> null masking (none of these four casts actually
+# contains its sentinel, so masking is a no-op here either way).
+q181_frames = []
+for path in sorted(glob.glob(f"{DATA}/CTD/*.cnv.gz")):
+    c = ctd.from_cnv(path)
+    name = engine_name(c._metadata["name"])
+    c = mask_bad(c, bad_flag_of(path))
+    c = ctd.processing.despike(c, n1=2, n2=20, block=100)
+    c = ctd.processing.press_check(c)
+    down, _up = ctd.processing.split(c)
+    binned = ctd.processing.bindata(down, delta=1.0, method="average")
+    melted = binned.reset_index(names="pressure").melt(
+        id_vars="pressure", var_name="channel", value_name="value")
+    melted.insert(0, "cast_id", name)
+    q181_frames.append(melted)
+q181 = pd.concat(q181_frames, ignore_index=True).sort_values(
+    ["cast_id", "pressure", "channel"], kind="stable")
+write("q181_qc_chain", {
+    "cast_id": q181["cast_id"].tolist(),
+    "pressure": q181["pressure"].to_numpy(dtype=float),
+    "channel": q181["channel"].tolist(),
+    "value": q181["value"].to_numpy(dtype=float),
+})
+
 print("done ->", OUT)

@@ -63,9 +63,20 @@ object ClusterSmoke {
     * both passes collect() into THIS driver JVM, so string rendering is
     * identical and any difference is a value difference. */
   private def canon(df: DataFrame): (Long, String) = {
+    // Map values render with unspecified entry order — sort entries so a
+    // MapType column can never produce a spurious cross-pass mismatch.
+    def render(v: Any): String = v match {
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => s"${render(k)}->${render(x)}" }.toSeq.sorted
+          .mkString("{", ",", "}")
+      case s: scala.collection.Seq[_] =>
+        s.map(render).mkString("[", ",", "]")
+      case a: Array[_] => a.map(render).mkString("[", ",", "]")
+      case other => String.valueOf(other)
+    }
     val rows = df.collect()
     val strs = rows.map { r =>
-      (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|")
+      (0 until r.length).map(i => render(r.get(i))).mkString("|")
     }.sorted
     val md = java.security.MessageDigest.getInstance("SHA-256")
     strs.foreach(s => md.update((s + "\n").getBytes("UTF-8")))

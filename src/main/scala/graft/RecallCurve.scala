@@ -59,7 +59,7 @@ object RecallCurve {
     val nCorpus = e.count()
     val qs = seededQueries(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    qs.count(): Unit
+    val nQueries = qs.count()
     val exact = SimOps.cosineTopK(e, qs, "vec_id", "embedding", k = k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     exact.count(): Unit
@@ -109,7 +109,7 @@ object RecallCurve {
     }
 
     println(s"""{"metric":"recall_curve","sf_dir":"$sfDir","n_corpus":$nCorpus,""" +
-      s""""n_queries":200,"k":$k,"points":[${points.mkString(",")}]}""")
+      s""""n_queries":$nQueries,"k":$k,"points":[${points.mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -32,6 +32,14 @@ object SparkEntry {
   private def fixtures: String =
     sys.env.getOrElse("GRAFT_FIXTURES", "/root/repo/src/test/resources/ctd-data")
 
+  /** q181's anchored channel set: the continuously-varying sensor channels
+    * of the 4-cast fixture, where the despike threshold is numerically
+    * well-posed and engine/reference values are bit-identical (see the
+    * q181 query comment for why the step-quantized channels are out). */
+  private[graft] val qcChainChannels: Seq[String] = Seq(
+    "c0S/m", "dz/dtM", "pla", "sbeox0Mm/Kg", "sbeox1Mm/Kg", "scan",
+    "sva", "t090C", "t190C", "timeS", "tsa", "v5", "wetCDOM")
+
   /** SUM(CAST(x AS DECIMAL(s))) back as the exact nearest double. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
@@ -1926,6 +1934,56 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q181_qc_chain_golden" -> ((s: SparkSession, _: String) => {
+      // The §2.5 composition end-to-end against REFERENCE-EXECUTED parquet
+      // (scripts/gen_golden_oracle.py q181 section): the full QC chain
+      //   ctd source -> despike(2,20,100) -> pressCheck -> split.down
+      //   -> bindataAverage(1.0)
+      // over the four real .cnv.gz casts — graft.BenchChain's workload —
+      // melted to long (cast_id, bin-mid pressure, channel, value).
+      // Despike runs over ALL double channels (the flags interact with
+      // nothing, but this keeps the chain the reference's df.apply shape);
+      // the ANCHORED channels are the numerically well-posed subset: on
+      // continuously-varying sensor channels the engine's flags and bin
+      // means are BIT-identical to the reference's numpy (both sides sum
+      // sequentially in file order). The excluded channels (altimeter,
+      // raw voltages, PAR, lat/lon, oxygen-saturation, bottle/pump flags)
+      // are step-quantized: many points sit exactly AT the |x-mean| =
+      // n*std threshold, where the flag is decided by summation-order
+      // noise (numpy pairwise vs Spark recurrences) — not a portable
+      // contract in either direction; measured: thousands of flag flips
+      // there vs ZERO on the anchored set.
+      // Quantization: floor(value*1e5 + 1/pi) in DOUBLE arithmetic on both
+      // sides. Not round(): Spark HALF_UP vs DuckDB differ on exact
+      // halves. Not +0.5 either: the sensor data is decimal-quantized, so
+      // bin means land EXACTLY on .5 boundaries where pandas' Kahan group
+      // mean and the engine's plain-sum mean differ by 1 ULP (192 of
+      // 37,908 cells measured). The irrational offset puts the boundary
+      // where no decimal-quantized mean can sit: measured min distance to
+      // a boundary is 1.1e-4 grid units (1.1e-9 absolute) vs ~1e-13 ULP
+      // noise — GoldenChainSpec guards that margin on the committed
+      // parquet.
+      val files = new java.io.File(s"$fixtures/CTD").listFiles()
+        .filter(_.getName.endsWith(".cnv.gz")).map(_.getPath).sorted
+      val base = s.read.format("ctd").option("ftype", "cnv")
+        .load(files.toIndexedSeq: _*)
+      val valueCols = base.schema.fields.collect {
+        case f if f.dataType == DoubleType && f.name != "pressure" => f.name
+      }.toSeq
+      val d  = Cast.despike(base, "cast_id", "scan_order", valueCols,
+        n1 = 2.0, n2 = 20.0, block = 100)
+      val pc = Cast.pressCheck(d, "cast_id", "scan_order", valueCols)
+      val dn = Cast.split(pc, "cast_id", "scan_order")
+        .filter(col("direction") === "down")
+      val binned = Cast.bindataAverage(dn, "cast_id", "scan_order",
+        valueCols, delta = 1.0, keepEmpty = true)
+      binned.unpivot(Array(col("cast_id"), col("pressure")),
+          qcChainChannels.map(col).toArray, "channel", "value")
+        .select(col("cast_id"), col("pressure"), col("channel"),
+          floor(col("value") * lit(1e5) + lit(0.31830988618)).as("value_q5"))
+        .orderBy(col("cast_id"), col("pressure"), col("channel"))
+    }),
+
     "q142_rate_spikes_landed" -> ((s: SparkSession, dir: String) => {
       // the PRODUCTION split of q138, and the batch-reconciliation form
       // of StreamOps.streamingRateSpikes (shared spikeJoin — the oracle
@@ -3235,10 +3293,19 @@ object SparkEntry {
     * Resolution: the CURRENT checkout's copy when Verify runs from a repo
     * root (so a worktree tests its own golden files, never a stale main
     * checkout's), absolutized at VERIFY time because the driver's DuckDB
-    * process owes us no cwd; /root/repo fallback otherwise. */
-  private val goldenDir = {
-    val local = new java.io.File("golden_oracle")
-    if (local.isDirectory) local.getAbsolutePath else "/root/repo/golden_oracle"
+    * process owes us no cwd; `GRAFT_GOLDEN_DIR` overrides for deployments
+    * whose cwd is not a repo root. No silent machine-specific fallback —
+    * a missing dir fails loudly here rather than hash-red 40 queries
+    * against another checkout's stale artifacts. */
+  private lazy val goldenDir = {
+    val fromEnv = sys.env.get("GRAFT_GOLDEN_DIR")
+      .orElse(sys.props.get("graft.golden.dir"))
+    val dir = fromEnv.map(new java.io.File(_))
+      .getOrElse(new java.io.File("golden_oracle"))
+    require(dir.isDirectory,
+      s"golden_oracle dir not found at '${dir.getAbsolutePath}' — run from " +
+        "the repo root or set GRAFT_GOLDEN_DIR / -Dgraft.golden.dir")
+    dir.getAbsolutePath
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3345,6 +3412,22 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q181_qc_chain_golden" ->
+      // reference-EXECUTED full QC chain (despike -> press_check ->
+      // split.down -> bindata) over the 4 real casts; values computed by
+      // the unmodified reference package (scripts/gen_golden_oracle.py
+      // q181 section). floor(v*1e5 + 1/pi) in double arithmetic matches
+      // the engine's quantization bit-for-bit: the irrational offset
+      // keeps the boundary away from the exact-half decimal means where
+      // the two sides' doubles differ by 1 ULP (see the query comment).
+      // The channel list mirrors SparkEntry.qcChainChannels.
+      s"""SELECT cast_id, pressure, channel,
+         |  CAST(floor(value * 1e5 + 0.31830988618) AS BIGINT) AS value_q5
+         |FROM read_parquet('$goldenDir/q181_qc_chain.parquet')
+         |WHERE channel IN ('c0S/m','dz/dtM','pla','sbeox0Mm/Kg',
+         |  'sbeox1Mm/Kg','scan','sva','t090C','t190C','timeS','tsa',
+         |  'v5','wetCDOM')""".stripMargin,
 
     "q177_ann_recall_ivf" ->
       OracleSqlGen.annRecallIvfSql(k = 10, nQueries = 200, nCells = 16, nProbe = 4),

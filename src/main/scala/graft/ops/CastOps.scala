@@ -22,29 +22,30 @@ object Cast {
 
   /** Input caches registered by `despike(channelGroups > 1)` — the
     * MEMORY_AND_DISK snapshot that stops each channel group re-evaluating
-    * the upstream lineage. Held as WEAK references: once a caller drops
-    * its result (and thus the snapshot's RDD becomes unreachable), the
-    * ContextCleaner reclaims the blocks exactly as it did for the old
-    * localCheckpoint — the registry must not pin storage for the session
-    * lifetime. A long-lived driver looping wide despikes can ALSO release
-    * eagerly via [[releaseDespikeSnapshots]] after materializing each
-    * batch. */
+    * the upstream lineage. Held as STRONG references: Spark's CacheManager
+    * already pins the cached plan and its blocks until `unpersist` is
+    * called (ContextCleaner reclaims GC'd raw RDDs / localCheckpoints, NOT
+    * Dataset.persist entries), so a weak reference here would be cleared
+    * by the first GC after despike returns and the blocks would leak for
+    * the session lifetime with no handle left to release them. The queue
+    * pins nothing the CacheManager doesn't already pin; the release path
+    * below is the ONLY way these blocks are freed, so a long-lived driver
+    * looping wide despikes must call [[releaseDespikeSnapshots]] after
+    * materializing each batch. */
   private val despikeSnapshots =
-    new java.util.concurrent.ConcurrentLinkedQueue[
-      java.lang.ref.WeakReference[DataFrame]]()
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Unpersist (non-blocking) every still-reachable input cache registered
-    * by `despike(channelGroups > 1)` in this JVM; returns the count.
+  /** Unpersist (non-blocking) every input cache registered by
+    * `despike(channelGroups > 1)` in this JVM; returns the count.
     * JVM-global by design — call between batches, not while a concurrent
     * query still reads a snapshot (lineage is intact either way, so a
     * too-early release only costs a recompute, never correctness). */
   def releaseDespikeSnapshots(): Int = {
     var n = 0
-    var ref = despikeSnapshots.poll()
-    while (ref != null) {
-      val d = ref.get()
-      if (d != null) { d.unpersist(blocking = false); n += 1 }
-      ref = despikeSnapshots.poll()
+    var d = despikeSnapshots.poll()
+    while (d != null) {
+      d.unpersist(blocking = false); n += 1
+      d = despikeSnapshots.poll()
     }
     n
   }
@@ -215,7 +216,7 @@ object Cast {
       // a long-lived driver looping despike(channelGroups>1) should call
       // it between batches.
       val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      despikeSnapshots.add(new java.lang.ref.WeakReference(src))
+      despikeSnapshots.add(src)
       val parts = groups.map { gc =>
         despike(src.select((keyCols ++ gc).map(col): _*), castCol, orderCol,
           gc, n1, n2, block)
