@@ -502,6 +502,17 @@ object Parsers {
       while (!text.contains("*END*") && text.length > prev) {
         prev = text.length
         cap *= 4
+        // a marker-less multi-GB junk file must not escalate into a
+        // whole-file driver read at PLANNING time — same cap (and same
+        // loud error) as the data-path guard; onCorrupt=skip's planning
+        // catch composes here like any other unreadable header
+        if (cap.toLong > RawFile.defaultMaxFileBytes)
+          throw new IllegalStateException(
+            s"$path: no *END* header marker within " +
+              s"${RawFile.defaultMaxFileBytes} bytes — malformed header or " +
+              s"not a $ftype file; raise -D${RawFile.MaxBytesProp} if the " +
+              "header is genuinely that large, or drop the file with " +
+              "onCorrupt=skip")
         text = RawFile.headText(path, cap)
       }
     }

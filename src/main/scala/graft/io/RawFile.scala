@@ -60,11 +60,34 @@ object RawFile {
     new BufferedInputStream(p.getFileSystem(HadoopConfBridge.conf()).open(p))
   }
 
-  private def readAll(in: InputStream): Array[Byte] = {
+  /** JVM-wide default for the decompressed-size cap below (`-D` knob for
+    * non-DSv2 call sites; the ctd source's `maxFileBytes` option overrides
+    * per-read). 256 MiB: ~10^4x the documented cast size, far under a
+    * task's heap share. */
+  val MaxBytesProp = "graft.read.maxFileBytes"
+  def defaultMaxFileBytes: Long =
+    sys.props.get(MaxBytesProp).map(_.toLong).getOrElse(1L << 28)
+
+  private def readAll(in: InputStream, path: String, maxBytes: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream(1 << 16)
     val buf = new Array[Byte](1 << 16)
     var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      // The whole-file readers materialize the decompressed file in-task
+      // (the reference's read.py:64-92 contract is whole-file by design).
+      // Without this cap a multi-GB stray file in a glob — or a zip bomb —
+      // OOMs the executor with a generic heap error naming nothing (the
+      // KernelGuard failure mode, at the I/O layer). Loud and configurable
+      // instead; composes with onCorrupt=skip, whose dead-letter path
+      // catches this like any other per-file parse failure.
+      if (out.size().toLong + n > maxBytes)
+        throw new IllegalStateException(
+          s"$path decompresses past the per-file cap of $maxBytes bytes — " +
+            s"raise it with .option(\"maxFileBytes\", n) on the ctd source " +
+            s"or -D$MaxBytesProp=n, or drop the file with onCorrupt=skip")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
     out.toByteArray
   }
 
@@ -182,10 +205,11 @@ object RawFile {
     } finally in.close()
   }
 
-  /** Raw decompressed bytes of a file on any supported filesystem. */
-  def bytes(path: String): Array[Byte] = {
+  /** Raw decompressed bytes of a file on any supported filesystem, capped
+    * at `maxBytes` (loud error naming the file and the knobs past it). */
+  def bytes(path: String, maxBytes: Long = defaultMaxFileBytes): Array[Byte] = {
     val in = openDecompressed(path)
-    try readAll(in) finally in.close()
+    try readAll(in, path, maxBytes) finally in.close()
   }
 
   /** Decode bytes: BOM-sniffed UTF-8 / UTF-16LE / UTF-16BE, else strict

@@ -63,7 +63,8 @@ object CtdDataSource {
   final case class Conf(ftype: String, view: String, files: Seq[String],
                         rawPaths: Seq[String],
                         allowOutOfOrder: Boolean = false,
-                        onCorrupt: String = "fail") {
+                        onCorrupt: String = "fail",
+                        maxFileBytes: Long = graft.io.RawFile.defaultMaxFileBytes) {
     /** Re-list the raw paths — the micro-batch stream discovers files that
       * arrived after planning. */
     def listNow(): Seq[String] = rawPaths.flatMap(expand).sorted
@@ -80,10 +81,17 @@ object CtdDataSource {
     val onCorrupt = options.getOrDefault("onCorrupt", "fail").toLowerCase
     require(onCorrupt == "fail" || onCorrupt == "skip",
       s"onCorrupt must be 'fail' or 'skip', got '$onCorrupt'")
+    // per-file decompressed-size cap (captured at PLAN time so executors
+    // see the reader's setting, not their own JVM's): a stray multi-GB
+    // file must fail loudly naming itself, not OOM a task (VERDICT r12
+    // "What's wrong" #2)
+    val maxBytes = Option(options.get("maxFileBytes")).map(_.toLong)
+      .getOrElse(graft.io.RawFile.defaultMaxFileBytes)
+    require(maxBytes > 0, s"maxFileBytes must be > 0, got $maxBytes")
     val paths = Option(options.get("paths")).map(parseJsonPaths)
       .orElse(Option(options.get("path")).map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException("ctd source requires a load path"))
-    Conf(ftype, view, paths.flatMap(expand), paths, ooo, onCorrupt)
+    Conf(ftype, view, paths.flatMap(expand), paths, ooo, onCorrupt, maxBytes)
   }
 
   private def parseJsonPaths(json: String): Seq[String] =
@@ -130,12 +138,14 @@ object CtdDataSource {
     StructField("header", StringType),
     StructField("config", StringType)))
 
-  private[sources] def parseFile(ftype: String, path: String): ParsedCast =
-    Parsers.parse(ftype, path, RawFile.decode(RawFile.bytes(path)))
+  private[sources] def parseFile(ftype: String, path: String,
+                                 maxBytes: Long = RawFile.defaultMaxFileBytes): ParsedCast =
+    Parsers.parse(ftype, path, RawFile.decode(RawFile.bytes(path, maxBytes)))
 
   private[sources] def parseFilePruned(ftype: String, path: String,
-                                       needed: String => Boolean): ParsedCast =
-    Parsers.parse(ftype, path, RawFile.decode(RawFile.bytes(path)), needed)
+                                       needed: String => Boolean,
+                                       maxBytes: Long = RawFile.defaultMaxFileBytes): ParsedCast =
+    Parsers.parse(ftype, path, RawFile.decode(RawFile.bytes(path, maxBytes)), needed)
 
   /** Synthetic column names; a file channel with the same name (CNV files DO
     * have a `scan` channel — hence `scan_order` for the parse ordinal) gets a
@@ -258,7 +268,7 @@ final case class CtdScan(conf: CtdDataSource.Conf, fullSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     CtdReaderFactory(conf.ftype, conf.view, required, filters,
-      skipCorrupt = conf.onCorrupt == "skip")
+      skipCorrupt = conf.onCorrupt == "skip", maxFileBytes = conf.maxFileBytes)
 
   // surfaces onCorrupt=skip drops as a per-scan SQL metric (UI + listener
   // visible) instead of only executor-log warnings (ADVICE r6)
@@ -518,7 +528,7 @@ final class CtdMicroBatchStream(conf: CtdDataSource.Conf,
     // same corrupt-file contract as the batch scan: a poisoned upload must
     // not wedge every retry of the micro-batch
     CtdReaderFactory(conf.ftype, conf.view, required, filters,
-      skipCorrupt = conf.onCorrupt == "skip")
+      skipCorrupt = conf.onCorrupt == "skip", maxFileBytes = conf.maxFileBytes)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -528,11 +538,13 @@ final case class CtdInputPartition(path: String) extends InputPartition
 
 final case class CtdReaderFactory(ftype: String, view: String,
                                   required: StructType, filters: Array[Filter],
-                                  skipCorrupt: Boolean = false)
+                                  skipCorrupt: Boolean = false,
+                                  maxFileBytes: Long = graft.io.RawFile.defaultMaxFileBytes)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[CtdInputPartition].path
-    new CtdPartitionReader(ftype, view, path, required, filters, skipCorrupt)
+    new CtdPartitionReader(ftype, view, path, required, filters, skipCorrupt,
+      maxFileBytes)
   }
 }
 
@@ -570,7 +582,8 @@ private object CtdFilters {
 
 final class CtdPartitionReader(ftype: String, view: String, path: String,
                                required: StructType, filters: Array[Filter],
-                               skipCorrupt: Boolean = false)
+                               skipCorrupt: Boolean = false,
+                               maxFileBytes: Long = graft.io.RawFile.defaultMaxFileBytes)
     extends PartitionReader[InternalRow] {
 
   /** Parser-space names the parse must materialize: the projection plus
@@ -586,7 +599,8 @@ final class CtdPartitionReader(ftype: String, view: String, path: String,
   }
 
   private lazy val parsed: ParsedCast =
-    CtdDataSource.parseFilePruned(ftype, path, neededNames.contains)
+    CtdDataSource.parseFilePruned(ftype, path, neededNames.contains,
+      maxFileBytes)
 
   private var skippedFiles = 0L
 

@@ -171,4 +171,48 @@ class CtdSourceSpec extends SparkTestBase {
         .option("onCorrupt", "skip").load(allBad.toString).count()
     }
   }
+
+  test("maxFileBytes: an oversize file fails loudly naming itself and the " +
+       "knob; onCorrupt=skip dead-letters it; normal files unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-oversize")
+    val good = dir.resolve("a_good.cnv")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dataDir/CTD_with_sigma_e00.cnv"), good)
+    // a "giant" cast: the good header + data rows padded past the cap —
+    // planning (capped header read) succeeds, the data parse must refuse
+    val headerAndData = new String(java.nio.file.Files.readAllBytes(good),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val dataLine = headerAndData.linesIterator
+      .dropWhile(!_.contains("*END*")).drop(1).next()
+    val big = new StringBuilder(headerAndData)
+    while (big.length < (1 << 21)) big.append(dataLine).append('\n')
+    java.nio.file.Files.write(dir.resolve("b_giant.cnv"),
+      big.toString.getBytes("UTF-8"))
+
+    def read(opts: Map[String, String]) = {
+      var r = spark.read.format("ctd").option("ftype", "cnv")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(dir.toString)
+    }
+    // loud failure names the file and the knobs
+    val e = intercept[org.apache.spark.SparkException] {
+      read(Map("maxFileBytes" -> (1 << 20).toString)).count()
+    }
+    val msg = e.getCause match { case null => e.getMessage
+                                 case c => c.getMessage }
+    assert(msg.contains("b_giant.cnv") && msg.contains("maxFileBytes"),
+      s"expected the cap error to name the file and the knob, got: $msg")
+    // dead-letter composition: skip drops exactly the oversize file (the
+    // two files share a header-derived cast_id, so count rows: the good
+    // cast alone is 199)
+    val keptRows = read(Map("maxFileBytes" -> (1 << 20).toString,
+        "onCorrupt" -> "skip")).count()
+    assert(keptRows == 199, s"skip mode kept $keptRows rows")
+    // no cap option: both files read (the default cap is 256 MiB)
+    assert(read(Map.empty).count() > 199)
+    // bad value rejected up front
+    intercept[IllegalArgumentException] {
+      read(Map("maxFileBytes" -> "0")).count()
+    }
+  }
 }

@@ -1202,6 +1202,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(TextOps.trainBpeMerges(corpus, "text", numMerges = 4) == merges)
   }
 
+  test("trainBpeMerges: maxWords truncation keeps the top-frequency cut " +
+       "deterministically and trains on exactly maxWords words") {
+    import spark.implicits._
+    // maxWords + 1 = 4 distinct words; 'dd' is the least frequent and the
+    // lexicographic loser among the count-1 ties -> it is the word cut
+    val corpus = Seq("aa aa aa", "bb bb", "cc", "dd").toDF("text")
+    // full vocab trains (a,a) first at count 3+... ; with maxWords=3 the
+    // result must equal training on the corpus WITHOUT 'dd'
+    val truncated = TextOps.trainBpeMerges(corpus, "text", numMerges = 3,
+      maxWords = 3)
+    val without = TextOps.trainBpeMerges(
+      Seq("aa aa aa", "bb bb", "cc").toDF("text"), "text", numMerges = 3)
+    assert(truncated == without,
+      s"truncated=$truncated without-dd=$without")
+    // tie order: counts desc then word asc — with maxWords=3 the kept
+    // count-1 word is 'cc' (asc before 'dd'), so no merge ever touches a
+    // 'd' symbol
+    def touchesD(ms: Seq[(String, String)]) =
+      ms.exists { case (l, r) => l.contains("d") || r.contains("d") }
+    assert(!touchesD(truncated), s"truncated=$truncated")
+    // the un-truncated run still sees 'dd' (enough merges to exhaust)
+    val full = TextOps.trainBpeMerges(corpus, "text", numMerges = 12)
+    assert(touchesD(full), s"full=$full")
+  }
+
   test("weightedSampleByHash: weight 1 keeps all, 0/null keep none, kept " +
        "set is monotone in the weight") {
     import spark.implicits._
