@@ -153,10 +153,54 @@ object Bench {
         steadyPs, path = Some(s"$tmp/graft_bucketed/$steadyPs"))
     }
 
+    // IN-SESSION CONTROL SLICE (VERDICT r12 task #6): three pure-Spark
+    // workloads that touch NO graft code — their wall depends only on the
+    // box and the pinned Spark build, so they measure host speed inside
+    // every bench run. They ride the same warmup + round-robin machinery
+    // (interleaved with the suite, which is the point: a steal burst hits
+    // them with the same probability as any engine query). Cross-round
+    // comparisons divide per-query engine medians by control_ratio before
+    // claiming regression/win; |ratio-1| > ~0.2 means the box differs
+    // materially from the r13 calibration and absolute cross-round deltas
+    // are meaningless (BENCH_NOTES_r12.md §3: the r10 binary measured
+    // 1.48x its own record on a hot box). Disable with SPARK_GRAFT_CONTROL=0.
+    // Pinned reference values: the MIN observed across two r13 calibration
+    // runs (reps=5, forced GC; load 3-9 during calibration, so min
+    // approximates the clean box) — a clean box reads ratio ~1.0-1.1, a
+    // steal-storm window reads 1.5+. Recalibrate only with a reason, in
+    // BENCH_NOTES of the round that does.
+    val controlRef = Map(
+      "ctrl_agg" -> 0.559, "ctrl_join" -> 1.599, "ctrl_window" -> 0.948)
+    val controlOn = sys.env.getOrElse("SPARK_GRAFT_CONTROL", "1") != "0"
+    val controlEntries: Seq[(String, () => Unit)] = if (!controlOn) Seq.empty
+    else {
+      import spark.implicits._
+      Seq(
+        "ctrl_agg" -> (() => noop(
+          spark.range(0L, 60000000L, 1L, 32)
+            .groupBy((col("id") % 9973).as("k"))
+            .agg(sum(col("id")).as("s"), count(lit(1)).as("n"),
+              avg((col("id") % 1000).cast("double")).as("a")))),
+        "ctrl_join" -> (() => noop(
+          spark.range(0L, 8000000L, 1L, 32)
+            .select(col("id").as("k"), (col("id") * 7 % 1000003).as("v"))
+            .join(spark.range(0L, 8000000L, 1L, 32)
+              .select((col("id") * 3 % 8000000).as("k"),
+                col("id").as("w")), Seq("k"))
+            .groupBy(col("k") % 101).agg(sum(col("v") + col("w"))))),
+        "ctrl_window" -> (() => noop(
+          spark.range(0L, 12000000L, 1L, 32)
+            .select((col("id") % 4096).as("g"), col("id").as("x"))
+            .withColumn("r", org.apache.spark.sql.functions.sum(col("x"))
+              .over(org.apache.spark.sql.expressions.Window
+                .partitionBy(col("g")).orderBy(col("x"))
+                .rowsBetween(-10, 0))))))
+    }
+
     val runners: Map[String, () => Unit] =
       SparkEntry.queries.map { case (n, fn) =>
         n -> (() => noop(fn(spark, sfDir)))
-      } ++ phaseEntries
+      } ++ phaseEntries ++ controlEntries
     def runOnce(name: String): Either[String, Double] = timed(runners(name))
 
     // SPARK_GRAFT_ONLY=q25_near_dup_pairs,q74_... restricts the suite —
@@ -164,8 +208,11 @@ object Bench {
     // full-suite wall clock (driver runs always leave it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // controls run regardless of SPARK_GRAFT_ONLY (a targeted scaling run
+    // needs the box reading MOST — that's when cross-run ratios get read)
     val names = (SparkEntry.queries.keys.toSeq ++ phaseEntries.map(_._1))
-      .sorted.filter(n => only.forall(_.contains(n)))
+      .sorted.filter(n => only.forall(_.contains(n))) ++
+      controlEntries.map(_._1)
     if (names.exists(_.endsWith("_probe"))) landSteady()
     if (sys.env.get("SPARK_GRAFT_WARM").contains("head")) runOnce(names.head)
     else names.foreach(runOnce)
@@ -190,9 +237,18 @@ object Bench {
       }
     }
 
-    val results = names.map(n => n -> median(n))
+    val allResults = names.map(n => n -> median(n))
+    val (ctrlResults, results) = allResults.partition(_._1.startsWith("ctrl_"))
     val timings = results.collect { case (n, Right(s)) => n -> s }
     val errors  = results.collect { case (n, Left(m)) => n -> m }
+    // control ratio: today's box speed vs the pinned r13 calibration —
+    // the in-session normalizer for any cross-round comparison
+    val ctrlTimes = ctrlResults.collect { case (n, Right(s)) => n -> s }
+    val ctrlRatio: Option[Double] =
+      if (ctrlTimes.size == controlRef.size) {
+        val rs = ctrlTimes.map { case (n, s) => s / controlRef(n) }
+        Some(rs.sorted.apply(rs.length / 2))
+      } else None
     // per-query min/med/max across the reps (VERDICT r4 #6): lets a reader
     // separate CPU-steal spikes (max >> med, min ~ med) from real
     // regressions (min shifts) without rerunning the suite
@@ -212,7 +268,14 @@ object Bench {
       s"""${q(k)}:{"min":$mn,"med":$md,"max":$mx}"""
     }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"n_queries":${names.length},"n_failed":${errors.length},"reps":$reps,"sf":${q(sfDir)}}"""
+    val ctrl =
+      if (ctrlTimes.isEmpty) "null"
+      else {
+        val ct = ctrlTimes.map { case (k, v) => s"${q(k)}:$v" }.mkString(",")
+        val cr = ctrlRatio.map(r => f"$r%.4f").getOrElse("null")
+        s"""{$ct,"control_ratio":$cr}"""
+      }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"control":$ctrl,"n_queries":${results.length},"n_failed":${errors.length},"reps":$reps,"sf":${q(sfDir)}}"""
     println(json)
     // Also persist to a file: the stdout line is the last thing a long sbt
     // log prints and has been lost to driver tail-capture truncation
