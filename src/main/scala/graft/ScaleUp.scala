@@ -120,12 +120,25 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // Scaled FACT tables must not collapse into one parquet file: the
+    // source sf dirs are single-file, the copy-explode preserves the scan's
+    // 1-partition layout, and the write then emits ONE file regardless of
+    // factor — at 100x that single file serializes every map-side phase of
+    // the measured queries into one task (measured r13: q163's IVF cell
+    // assignment + window partial ran as one 700 s task while 31 cores
+    // idled, inflating the decade-2 wall ratios to ~13x). A genuinely
+    // 100x-bigger corpus arrives in ~100x the files; mirror that — factor
+    // files per table, so per-FILE size stays the source's and scan
+    // parallelism grows with the data exactly as it would in production.
+    def wr(df: DataFrame, t: String, nFiles: Int = factor): Unit =
+      df.repartition(nFiles).write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
     val copyIdx = explode(sequence(lit(0L), lit(factor - 1L), lit(1L)))
 
-    // dims pass through unchanged
-    Seq("region", "nation", "supplier", "part").foreach(t => wr(rd(t), t))
+    // dims pass through unchanged (and stay single-file: they are the
+    // broadcast-able side at any scale — that is the point of them)
+    Seq("region", "nation", "supplier", "part").foreach(t =>
+      wr(rd(t), t, nFiles = 1))
 
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1L
