@@ -67,6 +67,18 @@ def main():
         with open(os.path.join(OUT, f + ".json")) as fh:
             bench[tag] = json.load(fh)
 
+    # the single-file-layout control runs (the r13 layout adjudication):
+    # same binary, same corpus CONTENT, but ScaleUp's pre-fix one-file-
+    # per-table output — scan parallelism 1, so every map-side phase
+    # serializes. Kept in the JSON as the measured cost of a degenerate
+    # file layout at scale.
+    singlefile = {}
+    for tag, f in [("x10", "bench_sfx10"), ("x100", "bench_sfx100")]:
+        p = os.path.join(OUT + "_singlefile", f + ".json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                singlefile[tag] = json.load(fh)
+
     entries = {}
     for q, (table, attribution) in TABLES.items():
         med = {t: bench[t]["queries"].get(q) for t in SCALES}
@@ -83,6 +95,10 @@ def main():
             e["ratio_10x"] = round(med["x10"] / med["sf0.1"], 2)
             e["ratio_100x"] = round(med["x100"] / med["sf0.1"], 2)
             e["decade2"] = round(med["x100"] / med["x10"], 2)
+        for tag, b in singlefile.items():
+            v = b["queries"].get(q)
+            if v is not None:
+                e[f"med_s_{tag}_singlefile_layout"] = v
         entries[q] = e
 
     controls = {t: bench[t].get("control", {}).get("control_ratio")
@@ -98,7 +114,9 @@ def main():
     recall_points = rc.get("points", [])
     for p in recall_points:
         key = FLOORS.get(p["path"])
-        if key and p["param"] == key[0]:
+        # param match is substring: the curve labels the projected point
+        # "shortlist=n/40(4096)" while the floor key is "n/40"
+        if key and key[0] in p["param"]:
             ok = p["recall_ppm"] >= key[1]
             floor_detail[f'{p["path"]}({p["param"]})'] = {
                 "recall_ppm": p["recall_ppm"], "floor_ppm": key[1],
