@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/**
+ * Leaf-scan parallelism audit — the productized form of the round-13
+ * scaling lesson: a plan can be perfectly shuffle-parallel and still
+ * serialize, because scan parallelism is an INPUT the storage layout
+ * grants, not something any downstream operator can recover. The first
+ * shuffle sits downstream of the damage; every map-side phase (parse,
+ * kernel expressions, broadcast-join probes, partial window/top-k) runs
+ * on however many splits actually PRODUCE rows. Measured: one 6 MB
+ * single-file embeddings table at the 100× scale put q163's whole map
+ * side — IVF cell assignment plus the partial WindowGroupLimit — into
+ * ONE 700 s task while 31 cores idled; the same data in 100 files reads
+ * 32.7 s.
+ *
+ * The scan RDD's partition count is NOT the right signal: Spark
+ * byte-range-splits large files, but a parquet file is effectively
+ * unsplittable below its row-group size, so a 20 MB one-row-group file
+ * plans 4 "splits" of which 3 emit zero rows (measured in
+ * PlanAuditSpec). The audit therefore reads the parquet FOOTERS
+ * (driver-side, a few KB each, capped — listing already happened at
+ * planning time) and reports `rowGroups`: the true upper bound on
+ * row-producing tasks is `min(plannedSplits, rowGroups)`.
+ *
+ * [[scans]] lists every file-source / DSv2 leaf with files, bytes,
+ * planned splits, and row groups; [[serialScanHazards]] turns that into
+ * loud advisory strings when the effective parallelism is a small
+ * fraction of the session's cores while the leaf carries non-trivial
+ * bytes. Byte floor deliberately LOW (4 MiB): the 100× incident file
+ * was 6 MB compressed — per-row compute, not I/O volume, is what a
+ * serial scan multiplies. Advisory, not a gate: a dimension table
+ * SHOULD be one small file (that is what makes it broadcast-able).
+ */
+object PlanAudit {
+
+  /** Footers read per leaf, at most: beyond this many files the file
+    * count alone already exceeds any sane parallelism floor. */
+  private val FooterCap = 64
+
+  /** One leaf scan. `splits` = the scan RDD's partition count (what the
+    * scheduler sees); `rowGroups` = total parquet row groups across the
+    * leaf's files (-1 when unknown: non-parquet, DSv2, or more files
+    * than [[FooterCap]]); `effectiveSplits` = the audit's bound on tasks
+    * that can actually produce rows. */
+  final case class ScanInfo(relation: String, files: Long, bytes: Long,
+                            splits: Int, rowGroups: Long) {
+    def effectiveSplits: Long =
+      if (rowGroups >= 0) math.min(splits.toLong, rowGroups)
+      else math.min(splits.toLong, math.max(files, 1L))
+  }
+
+  /** Every file-source / DSv2 leaf of `df`'s physical plan (pre-AQE —
+    * AQE re-plans exchanges, never leaf scans). Job-free: the listing
+    * happened at planning time, footer reads are driver-side. */
+  def scans(df: DataFrame): Seq[ScanInfo] =
+    df.queryExecution.sparkPlan.collectLeaves().flatMap {
+      case f: FileSourceScanExec =>
+        val listing = f.selectedPartitions
+        val rel = f.relation.location.rootPaths.mkString(",")
+        val paths = listing.toPartitionArray.iterator
+          .map(_.filePath.toPath).toSet
+        val rowGroups =
+          if (paths.size > FooterCap ||
+              !paths.forall(_.getName.endsWith(".parquet"))) -1L
+          else {
+            val conf = df.sparkSession.sessionState
+              .newHadoopConf()
+            try paths.iterator.map { p =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(p, conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getFooter.getBlocks.size.toLong finally r.close()
+            }.sum
+            catch { case _: Exception => -1L } // advisory: never throw
+          }
+        Some(ScanInfo(rel, listing.totalNumberOfFiles,
+          listing.totalFileSize, f.inputRDD.getNumPartitions, rowGroups))
+      case b: BatchScanExec =>
+        // DSv2 (e.g. the ctd reader): one InputPartition per planned
+        // split; sources report no uniform byte/row-group statistic
+        Some(ScanInfo(b.scan.description(), b.inputPartitions.size.toLong,
+          -1L, b.inputPartitions.size, -1L))
+      case _ => None
+    }
+
+  /**
+   * Advisory strings for leaves that will serialize map-side work:
+   * `effectiveSplits < minSplits` while `bytes >= minBytes` (DSv2
+   * leaves with unknown bytes are flagged on splits alone when they
+   * plan exactly 1). Defaults: `minSplits` = a quarter of the session's
+   * default parallelism (a scan feeding under a quarter of the cores
+   * starves the map side even before skew), `minBytes` = 4 MiB (see
+   * class doc — the measured incident file was 6 MB). Empty = no
+   * hazard.
+   */
+  def serialScanHazards(df: DataFrame, minSplits: Int = -1,
+                        minBytes: Long = 4L << 20): Seq[String] = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val floor = if (minSplits > 0) minSplits else math.max(2, cores / 4)
+    scans(df).flatMap {
+      case s @ ScanInfo(rel, files, bytes, splits, rowGroups)
+          if bytes >= minBytes && s.effectiveSplits < floor =>
+        Some(s"serial scan: $rel lists $files file(s) / $bytes bytes, " +
+          s"plans $splits split(s), but only ${s.effectiveSplits} can " +
+          s"produce rows (${if (rowGroups >= 0) s"$rowGroups parquet row " +
+            "group(s)" else "file-count bound"}) on a $cores-core " +
+          "session — map-side phases (parse, kernels, broadcast probes, " +
+          "partial windows) serialize here and no downstream shuffle can " +
+          "recover the lost parallelism; rewrite the table in more files " +
+          "(or smaller row groups) if this leaf is not a broadcast-side " +
+          "dim")
+      case ScanInfo(rel, _, -1L, 1, _) =>
+        Some(s"serial scan: DSv2 leaf $rel planned exactly 1 input " +
+          "partition — whole-source work runs in one task")
+      case _ => None
+    }
+  }
+}
