@@ -48,9 +48,12 @@ object PlanAudit {
     * that can actually produce rows. */
   final case class ScanInfo(relation: String, files: Long, bytes: Long,
                             splits: Int, rowGroups: Long) {
-    def effectiveSplits: Long =
-      if (rowGroups >= 0) math.min(splits.toLong, rowGroups)
-      else math.min(splits.toLong, math.max(files, 1L))
+    def effectiveSplits: Long = {
+      val planned = if (splits >= 0) splits.toLong else Long.MaxValue
+      if (rowGroups >= 0) math.min(planned, rowGroups)
+      else if (files >= 0) math.min(planned, math.max(files, 1L))
+      else -1L // fully unknown (DPP leaf) — never flagged
+    }
   }
 
   /** Every file-source / DSv2 leaf of `df`'s physical plan (pre-AQE —
@@ -59,26 +62,40 @@ object PlanAudit {
   def scans(df: DataFrame): Seq[ScanInfo] =
     df.queryExecution.sparkPlan.collectLeaves().flatMap {
       case f: FileSourceScanExec =>
-        val listing = f.selectedPartitions
         val rel = f.relation.location.rootPaths.mkString(",")
-        val paths = listing.toPartitionArray.iterator
-          .map(_.filePath.toPath).toSet
-        val rowGroups =
-          if (paths.size > FooterCap ||
-              !paths.forall(_.getName.endsWith(".parquet"))) -1L
-          else {
-            val conf = df.sparkSession.sessionState
-              .newHadoopConf()
-            try paths.iterator.map { p =>
-              val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(p, conf)
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-              try r.getFooter.getBlocks.size.toLong finally r.close()
-            }.sum
-            catch { case _: Exception => -1L } // advisory: never throw
-          }
-        Some(ScanInfo(rel, listing.totalNumberOfFiles,
-          listing.totalFileSize, f.inputRDD.getNumPartitions, rowGroups))
+        // A scan whose partition filters carry a DynamicPruning subquery
+        // (DPP — e.g. a partitioned ANN cells table joined through its
+        // probe list) cannot list or build its RDD before execution:
+        // both throw INTERNAL_ERROR "Cannot evaluate expression:
+        // dynamicpruning#N". The audit is advisory and pre-execution by
+        // contract, so such leaves degrade to an all-unknown row instead
+        // of failing the caller (measured on q76/q153's landed-ANN
+        // probes).
+        try {
+          val listing = f.selectedPartitions
+          val paths = listing.toPartitionArray.iterator
+            .map(_.filePath.toPath).toSet
+          val rowGroups =
+            if (paths.size > FooterCap ||
+                !paths.forall(_.getName.endsWith(".parquet"))) -1L
+            else {
+              val conf = df.sparkSession.sessionState
+                .newHadoopConf()
+              try paths.iterator.map { p =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(p, conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getFooter.getBlocks.size.toLong finally r.close()
+              }.sum
+              catch { case _: Exception => -1L } // advisory: never throw
+            }
+          val splits =
+            try f.inputRDD.getNumPartitions catch { case _: Exception => -1 }
+          Some(ScanInfo(rel, listing.totalNumberOfFiles,
+            listing.totalFileSize, splits, rowGroups))
+        } catch { case _: Exception =>
+          Some(ScanInfo(rel, -1L, -1L, -1, -1L))
+        }
       case b: BatchScanExec =>
         // DSv2 (e.g. the ctd reader): one InputPartition per planned
         // split; sources report no uniform byte/row-group statistic

@@ -74,6 +74,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(before == after, "PlanAudit ran a job")
   }
 
+  test("a leaf behind a DynamicPruning subquery degrades to an unknown " +
+       "row instead of throwing") {
+    // partitioned fact + selective dim join -> the optimizer injects a
+    // dynamicpruning#N partition filter; listing or building that scan's
+    // RDD before execution throws INTERNAL_ERROR (measured on the landed
+    // ANN probes q76/q153), and the audit must absorb it
+    val dir = s"$root/dpp"
+    spark.range(0L, 20000L)
+      .select(col("id"), (col("id") % 16).as("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.range(0L, 16L).select(col("id").as("part"),
+      col("id").as("w")).filter(col("w") < 2)
+    val joined = fact.join(dim, "part")
+    val hasDpp = joined.queryExecution.sparkPlan.toString
+      .contains("dynamicpruning")
+    assume(hasDpp, "planner did not inject DPP on this Spark build")
+    val infos = PlanAudit.scans(joined)
+    assert(infos.nonEmpty)
+    // no exception, and the DPP leaf reports unknowns, never a hazard
+    val unknown = infos.filter(_.files == -1L)
+    assert(unknown.forall(_.effectiveSplits == -1L), infos.mkString("; "))
+    assert(PlanAudit.serialScanHazards(joined)
+      .forall(!_.contains("-1 file")), "unknown leaf was flagged")
+  }
+
   test("the ctd DSv2 leaf reports one partition per file") {
     val cnv = spark.read.format("ctd").option("ftype", "cnv")
       .load(s"$dataDir/CTD/g01l01s01.cnv.gz")
