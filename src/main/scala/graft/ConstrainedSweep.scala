@@ -88,9 +88,13 @@ object ConstrainedSweep {
     val baseline: Map[String, (Long, Long, Long)] = args.drop(2).headOption
       .map { p =>
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
-        // minimal parse of this main's own output: "name":{"rows":N,"sum":S,"xor":X...}
+        // minimal parse of this main's own output:
+        // "name":{"rows":N,"sum":S,"xor":X,"secs":...} — the trailing
+        // ,"secs" is part of the pattern on purpose: error rows emit
+        // rows:-1/sum:0/xor:0 WITHOUT it, and must not be ingested as
+        // baseline digests
         val re = ("\"(q[^\"]+)\":\\{\"rows\":(-?\\d+),\"sum\":(-?\\d+)," +
-          "\"xor\":(-?\\d+)").r
+          "\"xor\":(-?\\d+),\"secs\"").r
         re.findAllMatchIn(txt).map(m =>
           m.group(1) -> ((m.group(2).toLong, m.group(3).toLong,
             m.group(4).toLong))).toMap

@@ -47,11 +47,17 @@ object PlanAudit {
     * than [[FooterCap]]); `effectiveSplits` = the audit's bound on tasks
     * that can actually produce rows. */
   final case class ScanInfo(relation: String, files: Long, bytes: Long,
-                            splits: Int, rowGroups: Long) {
+                            splits: Int, rowGroups: Long,
+                            parquet: Boolean) {
     def effectiveSplits: Long = {
       val planned = if (splits >= 0) splits.toLong else Long.MaxValue
       if (rowGroups >= 0) math.min(planned, rowGroups)
-      else if (files >= 0) math.min(planned, math.max(files, 1L))
+      else if (parquet && files >= 0)
+        // parquet with uncounted footers (file count over the cap): each
+        // file grants at least one row group, and byte-range splits past
+        // the file count cannot be trusted to produce rows
+        math.min(planned, math.max(files, 1L))
+      else if (files >= 0) planned // splittable formats: trust the plan
       else -1L // fully unknown (DPP leaf) — never flagged
     }
   }
@@ -73,11 +79,21 @@ object PlanAudit {
         // probes).
         try {
           val listing = f.selectedPartitions
-          val paths = listing.toPartitionArray.iterator
-            .map(_.filePath.toPath).toSet
+          // cheap cap check BEFORE materializing the file array — a
+          // million-file listing should not allocate a path set just to
+          // learn the cap excludes it
+          val overCap = listing.totalNumberOfFiles > FooterCap
+          val paths =
+            if (overCap) Set.empty[org.apache.hadoop.fs.Path]
+            else listing.toPartitionArray.iterator
+              .map(_.filePath.toPath).toSet
+          val isParquet = overCap || // over-cap leaves assumed parquet:
+            // the conservative (files-bound) fallback is correct for
+            // parquet and merely pessimistic otherwise, and a >64-file
+            // leaf clears any sane floor regardless
+            paths.forall(_.getName.endsWith(".parquet"))
           val rowGroups =
-            if (paths.size > FooterCap ||
-                !paths.forall(_.getName.endsWith(".parquet"))) -1L
+            if (overCap || !isParquet) -1L
             else {
               val conf = df.sparkSession.sessionState
                 .newHadoopConf()
@@ -92,15 +108,15 @@ object PlanAudit {
           val splits =
             try f.inputRDD.getNumPartitions catch { case _: Exception => -1 }
           Some(ScanInfo(rel, listing.totalNumberOfFiles,
-            listing.totalFileSize, splits, rowGroups))
+            listing.totalFileSize, splits, rowGroups, isParquet))
         } catch { case _: Exception =>
-          Some(ScanInfo(rel, -1L, -1L, -1, -1L))
+          Some(ScanInfo(rel, -1L, -1L, -1, -1L, parquet = false))
         }
       case b: BatchScanExec =>
         // DSv2 (e.g. the ctd reader): one InputPartition per planned
         // split; sources report no uniform byte/row-group statistic
         Some(ScanInfo(b.scan.description(), b.inputPartitions.size.toLong,
-          -1L, b.inputPartitions.size, -1L))
+          -1L, b.inputPartitions.size, -1L, parquet = false))
       case _ => None
     }
 
@@ -119,7 +135,7 @@ object PlanAudit {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val floor = if (minSplits > 0) minSplits else math.max(2, cores / 4)
     scans(df).flatMap {
-      case s @ ScanInfo(rel, files, bytes, splits, rowGroups)
+      case s @ ScanInfo(rel, files, bytes, splits, rowGroups, _)
           if bytes >= minBytes && s.effectiveSplits < floor =>
         Some(s"serial scan: $rel lists $files file(s) / $bytes bytes, " +
           s"plans $splits split(s), but only ${s.effectiveSplits} can " +
@@ -130,7 +146,7 @@ object PlanAudit {
           "recover the lost parallelism; rewrite the table in more files " +
           "(or smaller row groups) if this leaf is not a broadcast-side " +
           "dim")
-      case ScanInfo(rel, _, -1L, 1, _) =>
+      case ScanInfo(rel, _, -1L, 1, _, _) =>
         Some(s"serial scan: DSv2 leaf $rel planned exactly 1 input " +
           "partition — whole-source work runs in one task")
       case _ => None

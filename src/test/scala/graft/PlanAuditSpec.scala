@@ -74,6 +74,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(before == after, "PlanAudit ran a job")
   }
 
+  test("a big single CSV file is NOT flagged — byte-range splits of a " +
+       "splittable format all produce rows") {
+    val dir = s"$root/csv"
+    spark.range(0L, 300000L).select(col("id"),
+      concat(md5(col("id").cast("string")),
+        md5(concat(lit("y"), col("id").cast("string")))).as("s"))
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val df = spark.read.option("header", "true").csv(dir)
+    val info = PlanAudit.scans(df).head
+    assert(!info.parquet && info.files == 1L && info.bytes > (4L << 20),
+      info.toString)
+    // Spark byte-range-splits the csv; unlike the one-row-group parquet
+    // case every split yields rows, so effective = planned and no flag
+    assert(info.splits > 1 && info.effectiveSplits == info.splits.toLong,
+      info.toString)
+    assert(PlanAudit.serialScanHazards(df).isEmpty)
+  }
+
   test("a leaf behind a DynamicPruning subquery degrades to an unknown " +
        "row instead of throwing") {
     // partitioned fact + selective dim join -> the optimizer injects a
