@@ -53,6 +53,26 @@ TABLES = {
 FLOORS = {"ivf": ("nProbe=4", 350000), "lsh": ("bands=8", 550000),
           "projected": ("n/40", 250000)}
 
+# broader operator families measured at the same three scales
+# (/tmp/scaling_r13_extra, benches bench_{sf01,x10,x100}[b].json) — not
+# candidate-bounded, but the decade-2 column is cheap insurance against
+# any hidden super-linearity
+EXTRA_TABLES = {
+    "q09_despike": ("events",
+        "sequential per-cast kernel, linear per row"),
+    "q112_pagerank": ("events",
+        "iterative fixed-point; per step only the 16 B/node rank vector "
+        "reshuffles"),
+    "q146_temperature_sample": ("documents",
+        "two group aggs + map-side hash gate; near-flat"),
+    "q86b_bpe_segment": ("documents",
+        "per-word explode + native kernel, linear in corpus bytes"),
+    "q88_sessions": ("events", "one-exchange session labeling"),
+    "q12_dedup_exact": ("documents",
+        "digest-keyed groupBy; bodies never shuffle"),
+    "q31_langid": ("documents", "map-side native kernel, zero shuffle"),
+}
+
 
 def rows(root, table):
     p = os.path.join(root, f"{table}.parquet")
@@ -101,6 +121,38 @@ def main():
                 e[f"med_s_{tag}_singlefile_layout"] = v
         entries[q] = e
 
+    # extra operator families, if their targeted runs exist
+    extra_entries = {}
+    extra_controls = {}
+    xdir = OUT + "_extra"
+    if os.path.isdir(xdir):
+        xb = {}
+        for tag, names in [("sf0.1", ("bench_sf01", "bench_sf01b")),
+                           ("x10", ("bench_x10", "bench_x10b")),
+                           ("x100", ("bench_x100", "bench_x100b"))]:
+            xb[tag] = {"queries": {}, "control": {}}
+            for n in names:
+                p = os.path.join(xdir, n + ".json")
+                if os.path.exists(p):
+                    with open(p) as fh:
+                        j = json.load(fh)
+                    xb[tag]["queries"].update(j["queries"])
+                    xb[tag].setdefault("controls", []).append(
+                        j.get("control", {}).get("control_ratio"))
+        extra_controls = {t: xb[t].get("controls") for t in xb}
+        for q, (table, attribution) in EXTRA_TABLES.items():
+            med = {t: xb[t]["queries"].get(q) for t in SCALES}
+            if any(v is None for v in med.values()):
+                continue
+            nrows = {t: rows(d, table) for t, d in SCALES.items()}
+            extra_entries[q] = {
+                "table": table, "rows": nrows, "med_s": med,
+                "ratio_10x": round(med["x10"] / med["sf0.1"], 2),
+                "ratio_100x": round(med["x100"] / med["sf0.1"], 2),
+                "decade2": round(med["x100"] / med["x10"], 2),
+                "attribution": attribution,
+            }
+
     controls = {t: bench[t].get("control", {}).get("control_ratio")
                 for t in SCALES}
 
@@ -129,6 +181,8 @@ def main():
         "scales": {t: {"dir": d} for t, d in SCALES.items()},
         "control_ratio_per_run": controls,
         "queries": entries,
+        "extra_families": extra_entries,
+        "extra_control_ratio_per_run": extra_controls,
         "recall_curve_x100": {
             "n_corpus": rc.get("n_corpus"),
             "n_queries": rc.get("n_queries"),
