@@ -28,11 +28,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // opt-in layout advisories (SPARK_GRAFT_SCAN_AUDIT=1): print
+    // PlanAudit.serialScanHazards per query before executing it —
+    // planning-only, so the correctness run is unchanged; off by default
+    // to keep the driver's stderr contract stable
+    val audit = sys.env.get("SPARK_GRAFT_SCAN_AUDIT").contains("1")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        if (audit) graft.ops.PlanAudit.serialScanHazards(df)
+          .foreach(h => System.err.println(s"[verify:audit] $name $h"))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
