@@ -42,4 +42,5 @@ java $ADD_OPENS $COMMON -Xmx4g -Djava.io.tmpdir="$OUT/tmpB" \
 rcB=$?
 echo "[sweep] $(date +%H:%M:%S) pass B rc=$rcB"
 [ $rcA -eq 0 ] && [ $rcB -eq 0 ] && echo "[sweep] GREEN" || echo "[sweep] RED"
-exit $((rcA + rcB))
+# boolean combine, not arithmetic: rcA+rcB wraps mod 256 (128+128 -> 0)
+exit $(( rcA != 0 || rcB != 0 ))

@@ -52,11 +52,62 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // PER-QUERY TASK-TIME STATS (VERDICT r13 #1): wall clock alone cannot
+    // see skew — a hot key that serializes one task shows up as a fat
+    // max/median TASK ratio long before it dominates a 32-core wall.
+    // SPARK_GRAFT_TASKSTATS=1 installs a listener that buckets every task
+    // duration into the currently-running query's slot; after each timed
+    // thunk the listener bus is drained (reflection on the private
+    // listenerBus accessor, stable-count fallback) so the longest task's
+    // end event is counted.
+    val taskStatsOn = sys.env.get("SPARK_GRAFT_TASKSTATS").contains("1")
+    val taskBuf = new scala.collection.mutable.ArrayBuffer[Double]
+    if (taskStatsOn) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskBuf.synchronized {
+            if (te.taskInfo != null) taskBuf += te.taskInfo.duration / 1e3
+          }
+      })
+    def drainListenerBus(): Unit = {
+      val sc = spark.sparkContext
+      val drained = try {
+        val m = sc.getClass.getMethods.find(_.getName == "listenerBus")
+        m.exists { acc =>
+          val bus = acc.invoke(sc)
+          bus.getClass.getMethods
+            .find(x => x.getName == "waitUntilEmpty" &&
+              x.getParameterCount == 0)
+            .exists { w => w.invoke(bus); true }
+        }
+      } catch { case _: Exception => false }
+      if (!drained) { // fallback: poll until the buffer count is stable
+        var last = -1; var same = 0
+        while (same < 2) {
+          val n = taskBuf.synchronized(taskBuf.length)
+          if (n == last) same += 1 else { same = 0; last = n }
+          Thread.sleep(50)
+        }
+      }
+    }
+    /** (nTasks, medianSecs, maxSecs) of the tasks run by one thunk. */
+    final case class TaskStats(n: Int, med: Double, max: Double)
+    var lastTaskStats: Option[TaskStats] = None
     def timed(thunk: () => Unit): Either[String, Double] =
       try {
+        if (taskStatsOn) taskBuf.synchronized(taskBuf.clear())
         val t0 = System.nanoTime()
         thunk()
-        Right((System.nanoTime() - t0) / 1e9)
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (taskStatsOn) {
+          drainListenerBus()
+          val ts = taskBuf.synchronized(taskBuf.toVector).sorted
+          lastTaskStats =
+            if (ts.isEmpty) None
+            else Some(TaskStats(ts.length, ts(ts.length / 2), ts.last))
+        }
+        Right(wall)
       } catch {
         case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))

@@ -58,7 +58,12 @@ object ConstrainedSweep {
       }
       coalesce(rendered, lit("NULL"))
     }
-    val h = xxhash64(concat_ws("", cols.toIndexedSeq: _*))
+    // Separator is U+0002 (written as an escape on purpose — a raw
+    // control byte here renders invisibly and a reformat could silently
+    // turn it into "" and reintroduce boundary-shift digest collisions):
+    // a char that cannot appear in rendered values, so adjacent columns
+    // cannot alias across the boundary.
+    val h = xxhash64(concat_ws("\u0002", cols.toIndexedSeq: _*))
     val r = df.select(h.as("h"))
       .agg(count(lit(1)).as("n"),
         // sum(long) would widen to overflow-checked; wrap explicitly by
@@ -93,7 +98,9 @@ object ConstrainedSweep {
         // ,"secs" is part of the pattern on purpose: error rows emit
         // rows:-1/sum:0/xor:0 WITHOUT it, and must not be ingested as
         // baseline digests
-        val re = ("\"(q[^\"]+)\":\\{\"rows\":(-?\\d+),\"sum\":(-?\\d+)," +
+        // no leading-'q' anchor: a differently named future query must
+        // not silently escape the drift + baseline_missing gates
+        val re = ("\"([^\"]+)\":\\{\"rows\":(-?\\d+),\"sum\":(-?\\d+)," +
           "\"xor\":(-?\\d+),\"secs\"").r
         re.findAllMatchIn(txt).map(m =>
           m.group(1) -> ((m.group(2).toLong, m.group(3).toLong,
@@ -157,7 +164,11 @@ object ConstrainedSweep {
     val perQuery = results.map { case (name, res, secs, drift) =>
       val body = res match {
         case Right((n, s, x)) =>
-          s""""rows":$n,"sum":$s,"xor":$x,"secs":${f"$secs%.3f"}""" +
+          // Locale.ROOT: the f-interpolator is locale-sensitive and a
+          // comma-decimal locale would emit invalid JSON
+          s""""rows":$n,"sum":$s,"xor":$x,"secs":${
+            String.format(java.util.Locale.ROOT, "%.3f",
+              Double.box(secs))}""" +
             drift.map(d => s""","drift":${jq(d)}""").getOrElse("")
         case Left(e) => s""""rows":-1,"sum":0,"xor":0,"err":${jq(e)}"""
       }

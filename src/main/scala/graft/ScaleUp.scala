@@ -105,9 +105,101 @@ object ScaleUp {
         col("__tagged").as("text") +: others: _*)
   }
 
+  // ------------------------------------------------------------------
+  // Skew injectors (round-14, VERDICT r13 #1): the decade corpora above
+  // are TAG-DISJOINT UNIFORM copies — ground truth scales linearly, but
+  // no hot key does, so the engine's skew defenses (maxBucket, maxCell,
+  // saltedJoin, AQE skew-join) had never been exercised at scale. Each
+  // injector plants one adversarial hot spot, deterministically (no
+  // RNG — hash-of-id keyed), AFTER the copy-scaling transforms, so the
+  // hot mass grows linearly with the factor exactly like a production
+  // pathology (boilerplate pages, hub embeddings, a bot user) would.
+  // Skew corpora are BENCH-ONLY: they change query results by design.
+  // ------------------------------------------------------------------
+
+  /** One fixed boilerplate page (~70 words — enough 3-shingle mass to
+    * dominate any MinHash signature). Every boilerplate doc is
+    * byte-identical, so they all share one exact-hash key, one MinHash
+    * signature, and one LSH bucket per band: the hottest bucket grows as
+    * 1% of the corpus. */
+  val BoilerplateText: String =
+    ("all rights reserved this page is provided for informational " +
+      "purposes only and is subject to change without notice please " +
+      "review the terms of service and the privacy policy before using " +
+      "this site the content on this page may not be reproduced " +
+      "distributed transmitted cached or otherwise used except with the " +
+      "prior written permission of the publisher contact support for " +
+      "questions about your account subscription billing or any other " +
+      "inquiry thank you for visiting and have a nice day")
+
+  /** Docs with `doc_id % everyN == 7` become the shared boilerplate page
+    * (null texts stay null — they carry no shingle mass either way). */
+  def injectBoilerplateDocs(docs: DataFrame, everyN: Int = 100): DataFrame =
+    docs
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(everyN.toLong)) === 7L &&
+          col("text").isNotNull, lit(BoilerplateText))
+          .otherwise(col("text")))
+      .withColumn("n_chars",
+        if (docs.columns.contains("n_chars"))
+          length(col("text")).cast("long") else lit(null))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+
+  /** Vectors with `vec_id % everyN == 7` collapse into one hub region:
+    * a fixed direction (`sin(i)` per component) plus a tiny
+    * hash-of-(id,dim) jitter, so hub vectors are pairwise cos ≈ 1 but
+    * not byte-identical. Every hub vector lands in the SAME IVF cell /
+    * LSH hyperplane bucket — the `maxCell` adversary. */
+  def injectHubEmbeddings(emb: DataFrame, everyN: Int = 100): DataFrame = {
+    val dimC = size(col("embedding"))
+    val hub = zip_with(
+      transform(sequence(lit(1), dimC), i => sin(i.cast("double"))),
+      transform(sequence(lit(1), dimC), i =>
+        (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("double")
+          / lit(1000.0) - lit(0.5)) * lit(0.002)),
+      (h, j) => (h + j).cast("float"))
+    emb.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(everyN.toLong)) === 7L &&
+        col("embedding").isNotNull, hub)
+        .otherwise(col("embedding")))
+  }
+
+  /** Events get a Zipf-ish user domain plus one bot user: 1/`hotEvery`
+    * of rows collapse onto user 0, the rest remap log-uniformly over
+    * [1, nUsers) (rank-r mass ~ 1/(r ln N) — a discrete Zipf(1) tail).
+    * Hash-of-event_id keyed, so the remap is deterministic and
+    * factor-stable. */
+  def injectEventSkew(ev: DataFrame, nUsers: Long,
+                      hotEvery: Int = 10): DataFrame = {
+    require(nUsers >= 2, s"need >= 2 users, got $nUsers")
+    val u = (pmod(xxhash64(col("event_id")), lit(1000000L)).cast("double")
+      + lit(0.5)) / lit(1000000.0)
+    val zipf = floor(exp(u * lit(math.log(nUsers.toDouble)))).cast("long")
+    ev.withColumn("user_id",
+      when(col("user_id").isNull, col("user_id"))
+        .when(pmod(xxhash64(col("event_id"), lit(42)),
+          lit(hotEvery.toLong)) === 0L, lit(0L))
+        .otherwise(zipf))
+  }
+
+  /** 1/`hotEvery` of lineitem rows collapse onto one hot order key (the
+    * smallest existing key, so the join stays total) — the AQE
+    * skew-join / saltedJoin adversary on the fact-fact axis. */
+  def injectHotOrderKey(li: DataFrame, hotKey: Long,
+                        hotEvery: Int = 50): DataFrame =
+    li.withColumn("l_orderkey",
+      when(pmod(xxhash64(col("l_orderkey"), lit(7)),
+        lit(hotEvery.toLong)) === 0L, lit(hotKey))
+        .otherwise(col("l_orderkey")))
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
-    val Array(src, dst, factorS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcDir> <dstDir> <factor> [skew]")
+    val Array(src, dst, factorS) = args.take(3)
+    val skew = args.length == 4 && {
+      require(args(3) == "skew", s"unknown mode '${args(3)}' (want: skew)")
+      true
+    }
     val factor = factorS.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = SparkSession.builder()
@@ -156,20 +248,28 @@ object ScaleUp {
       .withColumn("o_custkey", col("o_custkey") + col("__c") * custStride)
       .drop("__c"), "orders")
 
-    wr(rd("lineitem").withColumn("__c", copyIdx)
+    val liScaled = rd("lineitem").withColumn("__c", copyIdx)
       .withColumn("l_orderkey", col("l_orderkey") + col("__c") * ordStride)
-      .drop("__c"), "lineitem")
+      .drop("__c")
+    wr(if (skew) {
+      val hotKey = ord.agg(min(col("o_orderkey"))).head().getLong(0)
+      injectHotOrderKey(liScaled, hotKey)
+    } else liScaled, "lineitem")
 
     val ev = rd("events")
     val evStride = maxOf(ev, "event_id")
     val userStride = maxOf(ev, "user_id")
-    wr(ev.withColumn("__c", copyIdx)
+    val evScaled = ev.withColumn("__c", copyIdx)
       .withColumn("event_id", col("event_id") + col("__c") * evStride)
       .withColumn("user_id", col("user_id") + col("__c") * userStride)
-      .drop("__c"), "events")
+      .drop("__c")
+    wr(if (skew) injectEventSkew(evScaled, nUsers = userStride * factor)
+       else evScaled, "events")
 
     val spliceObs = Observation("scaleup-docs")
-    wr(scaleDocuments(rd("documents"), factor, Some(spliceObs)), "documents")
+    val docsScaled = scaleDocuments(rd("documents"), factor, Some(spliceObs))
+    wr(if (skew) injectBoilerplateDocs(docsScaled) else docsScaled,
+      "documents")
     val nullCopies =
       spliceObs.get.getOrElse("null_text_copy_rows", 0L) match {
         case null => 0L
@@ -180,14 +280,28 @@ object ScaleUp {
     val vecStride = maxOf(emb, "vec_id")
     val dimC = size(col("embedding"))
     val rot = pmod(col("__c"), dimC.cast("long")).cast("int")
-    wr(emb.withColumn("__c", copyIdx)
+    val embScaled = emb.withColumn("__c", copyIdx)
       .withColumn("embedding", when(rot === 0, col("embedding")).otherwise(
         concat(slice(col("embedding"), rot + 1, dimC - rot),
           slice(col("embedding"), lit(1), rot))))
       .withColumn("vec_id", col("vec_id") + col("__c") * vecStride)
-      .drop("__c"), "embeddings")
+      .drop("__c")
+    wr(if (skew) injectHubEmbeddings(embScaled) else embScaled, "embeddings")
 
-    println(s"""{"scaleup":"done","src":"$src","dst":"$dst","factor":$factor,"null_text_copy_rows":$nullCopies}""")
+    val skewCounts =
+      if (!skew) ""
+      else {
+        // read back what landed — the skew section of the scaling record
+        // wants the actual hot-mass sizes, not the intended ones
+        val nBoiler = spark.read.parquet(s"$dst/documents.parquet")
+          .filter(col("text") === BoilerplateText).count()
+        val nHub = spark.read.parquet(s"$dst/embeddings.parquet")
+          .filter(pmod(col("vec_id"), lit(100L)) === 7L).count()
+        val nHot = spark.read.parquet(s"$dst/events.parquet")
+          .filter(col("user_id") === 0L).count()
+        s""","skew":true,"boilerplate_docs":$nBoiler,"hub_vectors":$nHub,"hot_user_events":$nHot"""
+      }
+    println(s"""{"scaleup":"done","src":"$src","dst":"$dst","factor":$factor,"null_text_copy_rows":$nullCopies$skewCounts}""")
     spark.stop()
   }
 }

@@ -37,8 +37,14 @@ object Verify {
       if (only.isEmpty || only.contains(name))
       try {
         val df = fn(spark, sfDir)
-        if (audit) graft.ops.PlanAudit.serialScanHazards(df)
+        // audit is advisory by contract — an audit-time exception must
+        // not mark the query failed or skip its verify output
+        if (audit) try graft.ops.PlanAudit.serialScanHazards(df)
           .foreach(h => System.err.println(s"[verify:audit] $name $h"))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify:audit] $name audit error: " +
+            e.getMessage)
+        }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -114,9 +114,17 @@ object PlanAudit {
         }
       case b: BatchScanExec =>
         // DSv2 (e.g. the ctd reader): one InputPartition per planned
-        // split; sources report no uniform byte/row-group statistic
-        Some(ScanInfo(b.scan.description(), b.inputPartitions.size.toLong,
-          -1L, b.inputPartitions.size, -1L, parquet = false))
+        // split; sources report no uniform byte/row-group statistic.
+        // inputPartitions can throw for runtime-filtered scans (the
+        // FileSourceScanExec DPP hazard has a DSv2 twin) — advisory
+        // contract says degrade, never throw.
+        try Some(ScanInfo(b.scan.description(),
+          b.inputPartitions.size.toLong, -1L, b.inputPartitions.size,
+          -1L, parquet = false))
+        catch { case _: Exception =>
+          Some(ScanInfo(b.scan.description(), -1L, -1L, -1, -1L,
+            parquet = false))
+        }
       case _ => None
     }
 
@@ -146,7 +154,12 @@ object PlanAudit {
           "recover the lost parallelism; rewrite the table in more files " +
           "(or smaller row groups) if this leaf is not a broadcast-side " +
           "dim")
-      case ScanInfo(rel, _, -1L, 1, _, _) =>
+      case ScanInfo(rel, _, -1L, 1, _, _)
+          // A ctd leaf plans one partition per file, so 1 partition just
+          // means a 1-file read — inherently serial, not a layout hazard;
+          // flagging every tiny instrument file trains users to ignore
+          // the advisories that matter (ADVICE r13).
+          if !rel.matches("(?s)ctd ftype=.*files=1 .*") =>
         Some(s"serial scan: DSv2 leaf $rel planned exactly 1 input " +
           "partition — whole-source work runs in one task")
       case _ => None
