@@ -248,10 +248,116 @@ object Bench {
                 .rowsBetween(-10, 0))))))
     }
 
+    // SKEW SUITE (VERDICT r13 #1, bench-only, SPARK_GRAFT_SKEW=1): the
+    // cap-guarded forms of every skew-defended op, meant to run against a
+    // `ScaleUp ... skew` corpus (1% boilerplate docs, a hub embedding
+    // region, a 10%-of-events bot user, a hot lineitem order key, a Zipf
+    // user domain). The contract queries can't carry the caps (their
+    // oracles pin cap-free results), so these entries exist to measure
+    // that maxBucket/maxCell/saltedJoin/AQE keep wall AND max-task time
+    // bounded when the data is adversarial. Each returns the DataFrame so
+    // the audit/noop plumbing below is shared with the contract queries.
+    val skewOn = sys.env.get("SPARK_GRAFT_SKEW").contains("1")
+    val skewEntries: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      if (!skewOn) Seq.empty
+      else {
+        def docsFull = spark.read.parquet(s"$sfDir/documents.parquet")
+        def events = spark.read.parquet(s"$sfDir/events.parquet")
+        def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        def ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        val S = graft.ops.SimOps
+        Seq(
+          // hottest LSH bucket = the 1% boilerplate mass; maxBucket=100
+          // (q25's production setting) must drop it from candidate gen
+          "skew_near_dup_capped" -> (() =>
+            D.nearDuplicatePairs(docs, "doc_id", "text", numHashes = 64,
+              bands = 16, threshold = 0.5, maxBucket = 100)),
+          // two-sided IVF with a 1%-of-corpus hub cell; maxCell=512 caps
+          // the quadratic within-cell candidate block
+          "skew_ivf_join_capped" -> (() => {
+            val e = emb
+            val qs = e.select((col("vec_id") + 1000000).as("vec_id"),
+              col("embedding"))
+            S.ivfJoinTopK(qs, e, "vec_id", "embedding", k = 3, nCells = 0,
+              nProbe = 4, maxCell = 512)
+          }),
+          "skew_semantic_capped" -> (() =>
+            S.semanticDedupPairs(emb, "vec_id", "embedding",
+              threshold = 0.9, nCells = 0, maxCell = 512)),
+          // per-user windows with one user holding ~10% of all events —
+          // the hot partition no cap defends; measured, not asserted
+          "skew_sessionize" -> (() =>
+            graft.ops.EventOps.sessionize(events, "user_id", "ts",
+              "event_id", gapSeconds = 1800)),
+          // the same hot-user join, undefended (AQE skew-split is the
+          // only mitigation) vs salted via the profiler's own factors
+          "skew_plain_join_hotuser" -> (() => {
+            val dim = events.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("u_n"), sum(col("value")).as("u_total"))
+            events.join(dim, "user_id").groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("u_n")).as("s"))
+          }),
+          "skew_salted_join" -> (() => {
+            val dim = events.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("u_n"), sum(col("value")).as("u_total"))
+            val hot = graft.ops.StatsOps.keySkewProfile(events, "user_id",
+                k = 5, nPartitions = 32)
+              .select(col("key_value"), col("salt_factor")).collect()
+              .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+            graft.ops.JoinOps.saltedJoin(events, dim, "user_id",
+                "event_id", hot)
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("u_n")).as("s"))
+          }),
+          // fact-fact join with a hot order key (1/50 of lineitem rows);
+          // AQE's OptimizeSkewedJoin is the defense under measurement
+          "skew_fact_join" -> (() =>
+            li.join(ord, col("l_orderkey") === col("o_orderkey"))
+              .groupBy(col("o_orderpriority"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("l_extendedprice")).as("rev"))),
+          // 1% of the corpus shares one sha2 key: partial aggregation
+          // must absorb the hot group map-side
+          "skew_exact_dedup" -> (() =>
+            D.exactDedup(docsFull, "doc_id", "text")),
+          // the boilerplate page is also the hottest paragraph hash
+          "skew_paragraph_dedup" -> (() =>
+            D.paragraphDedup(docsFull.select(col("doc_id"), col("text")),
+              "doc_id", "text")))
+      }
+
+    // SCAN-LAYOUT GATE (VERDICT r13 #7): SPARK_GRAFT_SCAN_AUDIT=1 prints
+    // PlanAudit advisories per query; =fail additionally exits non-zero
+    // when any query's plan has a serial-scan hazard (effective splits
+    // below a quarter of the cores on a >4 MiB leaf) — so the r13
+    // single-file-corpus incident can never silently recur in a scaling
+    // round. Audit runs once per query (planning-only, footer reads are
+    // driver-side KBs) on its first build.
+    val auditMode = sys.env.getOrElse("SPARK_GRAFT_SCAN_AUDIT", "")
+    val audited = scala.collection.mutable.Set[String]()
+    val auditHazards =
+      scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    def auditOnce(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      if (auditMode.nonEmpty && !audited.contains(name)) {
+        audited += name
+        try {
+          val hz = graft.ops.PlanAudit.serialScanHazards(df)
+          if (hz.nonEmpty) {
+            auditHazards(name) = hz
+            hz.foreach(h => System.err.println(s"[bench:audit] $name $h"))
+          }
+        } catch { case e: Exception =>
+          System.err.println(s"[bench:audit] $name audit error: " +
+            e.getMessage)
+        }
+      }
+
     val runners: Map[String, () => Unit] =
-      SparkEntry.queries.map { case (n, fn) =>
-        n -> (() => noop(fn(spark, sfDir)))
-      } ++ phaseEntries ++ controlEntries
+      (SparkEntry.queries.toSeq.map { case (n, fn) =>
+        n -> (() => { val df = fn(spark, sfDir); auditOnce(n, df); noop(df) })
+      } ++ skewEntries.map { case (n, build) =>
+        n -> (() => { val df = build(); auditOnce(n, df); noop(df) })
+      }).toMap ++ phaseEntries ++ controlEntries
     def runOnce(name: String): Either[String, Double] = timed(runners(name))
 
     // SPARK_GRAFT_ONLY=q25_near_dup_pairs,q74_... restricts the suite —
@@ -261,7 +367,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // controls run regardless of SPARK_GRAFT_ONLY (a targeted scaling run
     // needs the box reading MOST — that's when cross-run ratios get read)
-    val names = (SparkEntry.queries.keys.toSeq ++ phaseEntries.map(_._1))
+    val names = (SparkEntry.queries.keys.toSeq ++ phaseEntries.map(_._1) ++
+      skewEntries.map(_._1))
       .sorted.filter(n => only.forall(_.contains(n))) ++
       controlEntries.map(_._1)
     if (names.exists(_.endsWith("_probe"))) landSteady()
@@ -274,11 +381,17 @@ object Bench {
     // round-robin passes: each query's reps are a full suite apart; a
     // forced GC between passes stops pass N's garbage from landing in
     // pass N+1's first timed slots (the r10 driver-median inflation)
+    val taskPasses =
+      scala.collection.mutable.ArrayBuffer[Map[String, TaskStats]]()
     val passes: Seq[Map[String, Either[String, Double]]] =
       (1 to reps).map { _ =>
-        val pass = names.map(n => n -> runOnce(n)).toMap
+        val triples = names.map { n =>
+          val r = runOnce(n); (n, r, lastTaskStats)
+        }
+        taskPasses += triples.collect { case (n, _, Some(ts)) => n -> ts }
+          .toMap
         if (gcBetween) System.gc()
-        pass
+        triples.map(t => t._1 -> t._2).toMap
       }
     def median(name: String): Either[String, Double] = {
       val runs = passes.map(_(name))
@@ -326,7 +439,32 @@ object Bench {
         val cr = ctrlRatio.map(r => f"$r%.4f").getOrElse("null")
         s"""{$ct,"control_ratio":$cr}"""
       }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"control":$ctrl,"n_queries":${results.length},"n_failed":${errors.length},"reps":$reps,"sf":${q(sfDir)}}"""
+    // task stats of the pass that produced the reported (median) wall —
+    // max/med is the skew signal: a hot key serializes one task long
+    // before it moves a 32-core wall clock
+    val taskJson =
+      if (!taskStatsOn) ""
+      else {
+        val entries = names.flatMap { n =>
+          median(n).toOption.flatMap { mw =>
+            val idx = passes.indexWhere(_.get(n).contains(Right(mw)))
+            if (idx < 0) None
+            else taskPasses(idx).get(n).map { ts =>
+              s"""${q(n)}:{"n_tasks":${ts.n},"task_med":${ts.med},"task_max":${ts.max}}"""
+            }
+          }
+        }
+        s""","tasks":{${entries.mkString(",")}}"""
+      }
+    val hazardJson =
+      if (auditMode.isEmpty) ""
+      else {
+        val entries = auditHazards.map { case (n, hz) =>
+          s"${q(n)}:[${hz.map(q).mkString(",")}]"
+        }
+        s""","scan_hazards":{${entries.mkString(",")}}"""
+      }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"control":$ctrl$taskJson$hazardJson,"n_queries":${results.length},"n_failed":${errors.length},"reps":$reps,"sf":${q(sfDir)}}"""
     println(json)
     // Also persist to a file: the stdout line is the last thing a long sbt
     // log prints and has been lost to driver tail-capture truncation
@@ -340,5 +478,13 @@ object Bench {
       System.err.println(s"bench: could not write target/bench.json: $e")
     }
     spark.stop()
+    // the scan-layout gate (=fail): exit AFTER the JSON lands so the
+    // failing run still leaves its evidence on disk
+    if (auditMode == "fail" && auditHazards.nonEmpty) {
+      System.err.println(s"bench: SPARK_GRAFT_SCAN_AUDIT=fail — " +
+        s"${auditHazards.size} quer${if (auditHazards.size == 1) "y has"
+          else "ies have"} serial-scan hazards (see scan_hazards)")
+      sys.exit(2)
+    }
   }
 }
