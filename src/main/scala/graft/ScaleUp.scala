@@ -137,7 +137,9 @@ object ScaleUp {
   def injectBoilerplateDocs(docs: DataFrame, everyN: Int = 100): DataFrame =
     docs
       .withColumn("text",
-        when(pmod(col("doc_id"), lit(everyN.toLong)) === 7L &&
+        // phase 7 % everyN, not a bare 7: pmod(id, n) < n, so a literal
+        // phase above everyN-1 would silently select nothing
+        when(pmod(col("doc_id"), lit(everyN.toLong)) === lit(7L % everyN) &&
           col("text").isNotNull, lit(BoilerplateText))
           .otherwise(col("text")))
       .withColumn("n_chars",
@@ -145,12 +147,24 @@ object ScaleUp {
           length(col("text")).cast("long") else lit(null))
       .select(docs.columns.map(col).toIndexedSeq: _*)
 
-  /** Vectors with `vec_id % everyN == 7` collapse into one hub region:
-    * a fixed direction (`sin(i)` per component) plus a tiny
-    * hash-of-(id,dim) jitter, so hub vectors are pairwise cos ≈ 1 but
-    * not byte-identical. Every hub vector lands in the SAME IVF cell /
-    * LSH hyperplane bucket — the `maxCell` adversary. */
-  def injectHubEmbeddings(emb: DataFrame, everyN: Int = 100): DataFrame = {
+  /** Vectors with `vec_id >= minId && vec_id % everyN == 7 % everyN`
+    * collapse into one hub region: a fixed direction (`sin(i)` per
+    * component) plus a tiny hash-of-(id,dim) jitter, so hub vectors are
+    * pairwise cos ≈ 1 but not byte-identical.
+    *
+    * `minId` matters: the IVF paths sample centroids from the lowest
+    * ids, and a hub interleaved uniformly with the centroid sample
+    * plants ~`nCells/everyN` near-identical centroids — argmax
+    * assignment then SPLITS the hub mass evenly across them at ~128
+    * rows/cell, defusing the adversary by construction (a genuinely
+    * useful property of corpus-sampled centroids, but not what a skew
+    * test wants). A production hot region arrives in an ingest batch
+    * with high ids, outside any centroid prefix — `minId` above the
+    * cell count reproduces that: zero hub centroids, every hub row
+    * argmaxes into ONE cold cell, and that cell is the `maxCell`
+    * adversary. */
+  def injectHubEmbeddings(emb: DataFrame, everyN: Int = 50,
+                          minId: Long = 0L): DataFrame = {
     val dimC = size(col("embedding"))
     val hub = zip_with(
       transform(sequence(lit(1), dimC), i => sin(i.cast("double"))),
@@ -159,7 +173,8 @@ object ScaleUp {
           / lit(1000.0) - lit(0.5)) * lit(0.002)),
       (h, j) => (h + j).cast("float"))
     emb.withColumn("embedding",
-      when(pmod(col("vec_id"), lit(everyN.toLong)) === 7L &&
+      when(col("vec_id") >= lit(minId) &&
+        pmod(col("vec_id"), lit(everyN.toLong)) === lit(7L % everyN) &&
         col("embedding").isNotNull, hub)
         .otherwise(col("embedding")))
   }
@@ -286,7 +301,14 @@ object ScaleUp {
           slice(col("embedding"), lit(1), rot))))
       .withColumn("vec_id", col("vec_id") + col("__c") * vecStride)
       .drop("__c")
-    wr(if (skew) injectHubEmbeddings(embScaled) else embScaled, "embeddings")
+    // hub = the TOP HALF of the id space at 1-in-50 (1% overall): above
+    // any derived centroid prefix, so the hub mass argmaxes into one cell
+    // (see injectHubEmbeddings doc) — everyN=50 keeps the corpus-wide
+    // hub fraction at the same 1% as the boilerplate docs
+    val hubMinId = vecStride * factor / 2
+    wr(if (skew) injectHubEmbeddings(embScaled, everyN = 50,
+         minId = hubMinId)
+       else embScaled, "embeddings")
 
     val skewCounts =
       if (!skew) ""
@@ -296,7 +318,8 @@ object ScaleUp {
         val nBoiler = spark.read.parquet(s"$dst/documents.parquet")
           .filter(col("text") === BoilerplateText).count()
         val nHub = spark.read.parquet(s"$dst/embeddings.parquet")
-          .filter(pmod(col("vec_id"), lit(100L)) === 7L).count()
+          .filter(col("vec_id") >= lit(hubMinId) &&
+            pmod(col("vec_id"), lit(50L)) === 7L).count()
         val nHot = spark.read.parquet(s"$dst/events.parquet")
           .filter(col("user_id") === 0L).count()
         s""","skew":true,"boilerplate_docs":$nBoiler,"hub_vectors":$nHub,"hot_user_events":$nHot"""
