@@ -40,6 +40,53 @@ object SparkEntry {
     "c0S/m", "dz/dtM", "pla", "sbeox0Mm/Kg", "sbeox1Mm/Kg", "scan",
     "sva", "t090C", "t190C", "timeS", "tsa", "v5", "wetCDOM")
 
+  /** The full §2.5 QC chain (ctd source → despike(2,20,100) →
+    * pressCheck → split.down → bindataAverage(1.0)) over the four real
+    * .cnv.gz casts, plus the despiked channel list — ONE builder shared
+    * by q181 and q181b so the two anchors cannot diverge on the chain
+    * itself. */
+  private def qcChainBinned(s: SparkSession): (DataFrame, Seq[String]) = {
+    val files = new java.io.File(s"$fixtures/CTD").listFiles()
+      .filter(_.getName.endsWith(".cnv.gz")).map(_.getPath).sorted
+    val base0 = s.read.format("ctd").option("ftype", "cnv")
+      .load(files.toIndexedSeq: _*)
+    // the engine types bpos as int and pumps/flag as boolean (intended
+    // semantics, Parsers.scala:87); the reference's df.apply chain runs
+    // them as float64 — cast them up so the anchor covers EVERY channel
+    // the reference processes (booleans become exact 0.0/1.0, integer
+    // sums are FP-exact, so the cast costs no fidelity)
+    val keys = Set("pressure", "cast_id", "scan_order")
+    val upCast = base0.schema.fields.collect {
+      case f if !keys(f.name) &&
+        (f.dataType == IntegerType || f.dataType == BooleanType) => f.name
+    }.toSeq
+    val base1 = upCast.foldLeft(base0)((df, c) =>
+      df.withColumn(c, col(c).cast(DoubleType)))
+    // flag wart-replay (anchor layer only, like the mask_bad replay): the
+    // reference builds its frame from split STRINGS and `astype(bool)`
+    // (read.py:427-435), so any present token — including the literal
+    // "0.000e+00" every row of these casts carries — is truthy True, and
+    // only short rows (None-padded trailing columns) read False. The
+    // engine parses the VALUE (flag := token != 0, Parsers.scala:87); the
+    // reference's behavior reduces to presence, which maps exactly onto
+    // the engine's null-for-missing: non-null -> 1.0, null -> 0.0.
+    val base =
+      if (base1.columns.contains("flag"))
+        base1.withColumn("flag",
+          when(col("flag").isNotNull, lit(1.0)).otherwise(lit(0.0)))
+      else base1
+    val valueCols = base.schema.fields.collect {
+      case f if f.dataType == DoubleType && f.name != "pressure" => f.name
+    }.toSeq
+    val d  = Cast.despike(base, "cast_id", "scan_order", valueCols,
+      n1 = 2.0, n2 = 20.0, block = 100)
+    val pc = Cast.pressCheck(d, "cast_id", "scan_order", valueCols)
+    val dn = Cast.split(pc, "cast_id", "scan_order")
+      .filter(col("direction") === "down")
+    (Cast.bindataAverage(dn, "cast_id", "scan_order", valueCols,
+      delta = 1.0, keepEmpty = true), valueCols)
+  }
+
   /** SUM(CAST(x AS DECIMAL(s))) back as the exact nearest double. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
@@ -1963,22 +2010,42 @@ object SparkEntry {
       // a boundary is 1.1e-4 grid units (1.1e-9 absolute) vs ~1e-13 ULP
       // noise — GoldenChainSpec guards that margin on the committed
       // parquet.
-      val files = new java.io.File(s"$fixtures/CTD").listFiles()
-        .filter(_.getName.endsWith(".cnv.gz")).map(_.getPath).sorted
-      val base = s.read.format("ctd").option("ftype", "cnv")
-        .load(files.toIndexedSeq: _*)
-      val valueCols = base.schema.fields.collect {
-        case f if f.dataType == DoubleType && f.name != "pressure" => f.name
-      }.toSeq
-      val d  = Cast.despike(base, "cast_id", "scan_order", valueCols,
-        n1 = 2.0, n2 = 20.0, block = 100)
-      val pc = Cast.pressCheck(d, "cast_id", "scan_order", valueCols)
-      val dn = Cast.split(pc, "cast_id", "scan_order")
-        .filter(col("direction") === "down")
-      val binned = Cast.bindataAverage(dn, "cast_id", "scan_order",
-        valueCols, delta = 1.0, keepEmpty = true)
+      val (binned, _) = qcChainBinned(s)
       binned.unpivot(Array(col("cast_id"), col("pressure")),
           qcChainChannels.map(col).toArray, "channel", "value")
+        .select(col("cast_id"), col("pressure"), col("channel"),
+          floor(col("value") * lit(1e5) + lit(0.31830988618)).as("value_q5"))
+        .orderBy(col("cast_id"), col("pressure"), col("channel"))
+    }),
+
+    "q181b_qc_chain_full" -> ((s: SparkSession, _: String) => {
+      // The OTHER half of the q181 anchor (VERDICT r13 #2): the 16
+      // step-quantized channels (altimeter, raw voltages, PAR, lat/lon,
+      // oxygen saturation, bottle/pump/flag columns) that q181 documents
+      // out — so ALL 29 reference channels are now hash-anchored.
+      // On these channels many points sit exactly AT the despike
+      // |x - mean| = n*std threshold, where the keep/flag decision is
+      // made by summation-order FP noise (numpy pairwise vs the engine's
+      // sequential recurrence) — a knife-edge neither side can claim to
+      // own. Rather than abandon the channels, the divergence is
+      // ENUMERATED: golden_oracle/q181b_flips.parquet commits the exact
+      // (cast_id, pressure*2, channel) cells whose binned value differs
+      // from the reference under the q181 quantization (regenerate with
+      // scripts/gen_q181b_flips.py after any despike/bindata change);
+      // both the engine and the oracle anti-join that list, so every
+      // OTHER cell of all 26 channels is hash-anchored. GoldenChainSpec
+      // pins the flip budget (count + confinement to the step-quantized
+      // channels), so the excluded set cannot silently grow.
+      val (binned, valueCols) = qcChainBinned(s)
+      val excludedChannels = valueCols.filterNot(qcChainChannels.contains)
+      val flips = s.read.parquet(s"$goldenDir/q181b_flips.parquet")
+      binned.unpivot(Array(col("cast_id"), col("pressure")),
+          excludedChannels.map(col).toArray, "channel", "value")
+        // pressure*2 is exact in FP (delta-1.0 bin mids are x.5 steps) —
+        // the integer join key both engines agree on
+        .withColumn("pressure_k2", (col("pressure") * 2).cast("long"))
+        .join(broadcast(flips), Seq("cast_id", "pressure_k2", "channel"),
+          "left_anti")
         .select(col("cast_id"), col("pressure"), col("channel"),
           floor(col("value") * lit(1e5) + lit(0.31830988618)).as("value_q5"))
         .orderBy(col("cast_id"), col("pressure"), col("channel"))
@@ -3429,6 +3496,24 @@ object SparkEntry {
          |  'sbeox1Mm/Kg','scan','sva','t090C','t190C','timeS','tsa',
          |  'v5','wetCDOM')""".stripMargin,
 
+    "q181b_qc_chain_full" ->
+      // the complement of q181's channel set: the step-quantized
+      // channels, hash-anchored to the SAME reference-executed parquet
+      // minus the 86 enumerated knife-edge cells both sides anti-join
+      // (golden_oracle/q181b_flips.parquet — 0.18% of the 46,656 cells;
+      // regenerate with scripts/gen_q181b_flips.py after any
+      // despike/bindata change). Same quantization contract as q181.
+      s"""SELECT g.cast_id, g.pressure, g.channel,
+         |  CAST(floor(g.value * 1e5 + 0.31830988618) AS BIGINT) AS value_q5
+         |FROM read_parquet('$goldenDir/q181_qc_chain.parquet') g
+         |WHERE g.channel NOT IN ('c0S/m','dz/dtM','pla','sbeox0Mm/Kg',
+         |  'sbeox1Mm/Kg','scan','sva','t090C','t190C','timeS','tsa',
+         |  'v5','wetCDOM')
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM read_parquet('$goldenDir/q181b_flips.parquet') f
+         |    WHERE f.cast_id = g.cast_id AND f.channel = g.channel
+         |      AND f.pressure_k2 = CAST(g.pressure * 2 AS BIGINT))""".stripMargin,
+
     "q177_ann_recall_ivf" ->
       OracleSqlGen.annRecallIvfSql(k = 10, nQueries = 200, nCells = 16, nProbe = 4),
 
@@ -3651,7 +3736,10 @@ object SparkEntry {
     "q09_despike" ->
       """WITH s1 AS (
         |  SELECT user_id u, event_id i, value x,
-        |    avg(value) OVER wf AS m, stddev_pop(value) OVER wf AS s,
+        |    CASE WHEN min(value) OVER wf = max(value) OVER wf
+        |         THEN min(value) OVER wf ELSE avg(value) OVER wf END AS m,
+        |    CASE WHEN min(value) OVER wf = max(value) OVER wf
+        |         THEN 0.0 ELSE stddev_pop(value) OVER wf END AS s,
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
         |    count(*) OVER (PARTITION BY user_id) AS n
         |  FROM events
@@ -3671,7 +3759,10 @@ object SparkEntry {
         |  FROM s3
         |), t1 AS (
         |  SELECT u, i, x,
-        |    avg(x1) OVER wf AS m, stddev_pop(x1) OVER wf AS s,
+        |    CASE WHEN min(x1) OVER wf = max(x1) OVER wf
+        |         THEN min(x1) OVER wf ELSE avg(x1) OVER wf END AS m,
+        |    CASE WHEN min(x1) OVER wf = max(x1) OVER wf
+        |         THEN 0.0 ELSE stddev_pop(x1) OVER wf END AS s,
         |    row_number() OVER (PARTITION BY u ORDER BY i) AS rn,
         |    count(*) OVER (PARTITION BY u) AS n
         |  FROM p1

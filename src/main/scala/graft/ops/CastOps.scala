@@ -321,6 +321,8 @@ object Cast {
             val end = math.min(i + block, n)
             var cnt = 0L; var sum = 0.0
             var aAvg = 0.0; var aM2 = 0.0
+            var lo = Double.NaN; var hi = Double.NaN
+            var sawNaN = false
             var j = i
             while (j < end) {
               if (!vNull(j)) {
@@ -331,10 +333,31 @@ object Cast {
                 val deltaN = delta / cnt
                 aAvg += deltaN
                 aM2  += delta * (delta - deltaN)
+                if (x != x) sawNaN = true
+                else if (cnt == 1 || lo != lo) { lo = x; hi = x }
+                else { if (x < lo) lo = x; if (x > hi) hi = x }
               }
               j += 1
             }
+            // sawNaN disables the guard for parity with the windowed
+            // form, where max() returns NaN (NaN sorts greatest) and the
+            // lo===hi test goes false on any NaN-containing window
             if (cnt == 0) empty(i) = true
+            else if (!sawNaN && lo == hi) {
+              // EXACTLY-CONSTANT window (r14): the recurrences above give
+              // mean = c +- rounding and a variance that can cancel to 0,
+              // so |c - mean| lands at ~1e-14 > n*0 and a whole constant
+              // plateau gets flagged — 6,513 binned cells of the q181b
+              // step-quantized channels, measured. The reference's numpy
+              // two-pass never flags a constant window (its residual is
+              // |d| and its threshold n*|d| with n>=1, for whatever
+              // rounding d its pairwise mean commits), so the exact
+              // mean = c, std = 0 here reproduces the reference decision
+              // for every in-window point (0 > 0 false -> keep) and for
+              // any realistic out-of-window point (both sides flag
+              // anything differing from c by more than ~2 ulp).
+              m(i) = lo; s(i) = 0.0
+            }
             else { m(i) = sum / cnt; s(i) = math.sqrt(aM2 / cnt) }
             i += 1
           }
@@ -432,8 +455,18 @@ object Cast {
     def pass(d: DataFrame, items: Seq[(String, String, String)],
              n: Double): DataFrame = {
       val statCols = items.flatMap { case (src, _, _) =>
-        Seq(avg(col(src)).over(wFwd).as(s"__m_$src"),
-          stddev_pop(col(src)).over(wFwd).as(s"__s_$src"))
+        // EXACTLY-CONSTANT window guard (r14, mirrors the kernel): the
+        // agg recurrences put the mean a few ulp off the constant and
+        // can cancel the variance to 0, flagging whole plateaus the
+        // reference keeps; min==max detects the constant window (NaN
+        // windows stay on the raw path: max() returns NaN there) and
+        // substitutes the exact mean / zero std
+        Seq(when(min(col(src)).over(wFwd) === max(col(src)).over(wFwd),
+              min(col(src)).over(wFwd))
+            .otherwise(avg(col(src)).over(wFwd)).as(s"__m_$src"),
+          when(min(col(src)).over(wFwd) === max(col(src)).over(wFwd),
+              lit(0.0))
+            .otherwise(stddev_pop(col(src)).over(wFwd)).as(s"__s_$src"))
       } ++ Seq(row_number().over(wOrd).as("__rn"),
         count(lit(1)).over(wAll).as("__n"))
       val d1 = d.select(col("*") +: statCols: _*)

@@ -845,10 +845,26 @@ object SimOps {
               .as("band_rows_capped"))
           .filter(col("__cn") <= maxCell).drop("__cn")
       }
+    // PROBE-SALT (r14 skew finding): maxCell bounds the corpus side, but
+    // the JOIN key can still run hot from the probe side — a hub of
+    // near-identical queries all probes the SAME nProbe cells, so those
+    // cell keys carry queries x cellWidth candidates in one shuffle
+    // partition (measured on the 100x skew corpus: one 42.7 s task vs a
+    // 0.97 s median, 44x, with the hub cell itself already capped). The
+    // salt splits every cell key 8 ways: corpus rows key on
+    // (cell, hash(id) % 8), probes replicate over all 8 salts — each
+    // (query, neighbor) pair still meets exactly once, so the result is
+    // row-identical; probe volume (queries x nProbe x 8) stays trivial
+    // next to the candidate volume the join emits either way.
+    val probeSalt = 8
+    val cappedS = capped.withColumn("__psalt",
+      pmod(xxhash64(col("neighbor_id")), lit(probeSalt.toLong)))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         explode(A.ivfCells(col(vecCol), cents.toSeq, nProbe)).as("__cell"))
-    val scored = capped.join(probes, "__cell")
+      .withColumn("__psalt",
+        explode(sequence(lit(0L), lit(probeSalt - 1L), lit(1L))))
+    val scored = cappedS.join(probes, Seq("__cell", "__psalt"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupCandidateMetrics),
         count(lit(1)).as("candidate_pairs"))

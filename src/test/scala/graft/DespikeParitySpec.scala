@@ -58,6 +58,38 @@ class DespikeParitySpec extends SparkTestBase {
       "NaN input must survive as NaN, not become null")
   }
 
+  test("an exactly-constant plateau is never flagged (r14 guard), spikes " +
+       "next to it still are, and kernel == windowed on the guard path") {
+    import spark.implicits._
+    // 60-row plateau at a value with no exact double representation
+    // (98.58 — the q181b altM case), then a varying tail with one wild
+    // spike. Pre-guard, the recurrence mean sat ~1e-14 off the constant
+    // while the variance cancelled to 0, so the WHOLE plateau flagged
+    // (6,513 binned cells of the step-quantized channels, measured).
+    val rows = (0 until 120).map { i =>
+      val v: java.lang.Double =
+        if (i < 60) 98.58
+        else if (i == 90) 5000.0                 // wild spike
+        else 98.0 + math.sin(i / 5.0)            // varying tail
+      (1L, i.toLong, v)
+    }
+    val df = rows.toDF("cast_id", "scan_order", "value")
+    val kern = Cast.despike(df, "cast_id", "scan_order", Seq("value"),
+        n1 = 2.0, n2 = 6.0, block = 16)
+      .orderBy("scan_order").collect()
+    val wind = Cast.despikeWindowed(df, "cast_id", "scan_order",
+        Seq("value"), n1 = 2.0, n2 = 6.0, block = 16)
+      .orderBy("scan_order").collect()
+    (0 until 120).foreach { i =>
+      assert(kern(i).isNullAt(2) == wind(i).isNullAt(2),
+        s"kernel/windowed disagree at row $i")
+      if (i < 60) assert(!kern(i).isNullAt(2) &&
+        kern(i).getDouble(2) == 98.58,
+        s"plateau row $i must survive despike, got ${kern(i).get(2)}")
+    }
+    assert(kern(90).isNullAt(2), "the wild spike must still flag")
+  }
+
   test("kernel == windowed on degenerate keys: NULL order values sort " +
        "FIRST (Window.orderBy default), and a NULL cast id stays a " +
        "distinct partition from the literal string \"null\"") {
