@@ -857,8 +857,19 @@ object SimOps {
     // row-identical; probe volume (queries x nProbe x 8) stays trivial
     // next to the candidate volume the join emits either way.
     val probeSalt = 8
+    // EXPLICIT-COUNT repartition on the join key (r14 skew finding #2):
+    // AQE coalesces the join's shuffle partitions by INPUT bytes — a few
+    // hundred MB of packed vectors — blind to the candidate fan-out
+    // (queries x cellWidth rows) and the per-candidate 64-dim cosine
+    // that stage pays. Measured on the 10x skew corpus: the whole
+    // join+cosine stage coalesced to 4 tasks of 8.5 s median while 28
+    // cores idled. An explicit numPartitions is the one shape AQE never
+    // coalesces below; sessionState's numShufflePartitions is the knob
+    // the user already sizes to the cluster.
+    val nOut = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val cappedS = capped.withColumn("__psalt",
-      pmod(xxhash64(col("neighbor_id")), lit(probeSalt.toLong)))
+        pmod(xxhash64(col("neighbor_id")), lit(probeSalt.toLong)))
+      .repartition(nOut, col("__cell"), col("__psalt"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         explode(A.ivfCells(col(vecCol), cents.toSeq, nProbe)).as("__cell"))
@@ -1270,6 +1281,14 @@ object SimOps {
       .filter(col("id_a") < col("id_b"))
       .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupCandidateMetrics),
         count(lit(1)).as("candidate_pairs"))
+      // EXPLICIT-COUNT repartition (r14, see ivfJoinTopK): the candidate
+      // pairs are 16-byte rows, so AQE coalesces the downstream
+      // cosine-verify stage to a handful of tasks by bytes while each
+      // row pays a 64-dim cosine; the explicit width pins the verify
+      // stage to the user-sized shuffle parallelism. Narrow-row shuffle,
+      // negligible bytes.
+      .repartition(vecs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"), col("id_b"))
     val result = candidates
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")

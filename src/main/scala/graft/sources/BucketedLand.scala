@@ -90,29 +90,39 @@ object BucketedLand {
    * rows are first written as `<table>__compact` (reading the LIVE table —
    * a failure anywhere in the write leaves the original fully intact, and
    * task retries after executor loss re-read durable table files, never a
-   * session-storage pin), and only then swapped in: managed tables drop
-   * the original and `ALTER TABLE RENAME` the side table over it (catalog
-   * move); external tables move the side DIRECTORY onto the original path
-   * and re-register the table at its unchanged location. At every step at
-   * least one complete on-disk copy of the data exists — PROVIDED the
-   * filesystem renames directories atomically (HDFS/posix; on a
-   * copy+delete object store a failed rename can leave the copy split —
-   * there, prefer re-landing from upstream over in-place compaction). A
-   * crash loses at most catalog metadata: before the original's DROP a
-   * re-run of compaction recovers (it clears the stale side table
-   * first); after the DROP, re-issue the registration by hand (the data
-   * sits complete at the original or side location — a re-RUN cannot,
-   * since the target name no longer resolves). Custom catalog metadata
-   * (COMMENT, user TBLPROPERTIES) does not survive the swap — the
-   * engine's index tables carry none; preserve any before compacting a
-   * table that does. The swap itself is the standard
-   * non-transactional-metastore window: a concurrent reader in ANOTHER
-   * session can observe the table briefly absent from the catalog; run
-   * compaction from the session that owns the index (the
-   * [[graft.streaming.StreamOps.dedupAgainstIndexBatch]] `compactEvery`
-   * placement), as with any such metastore. In-process, compactions
-   * serialize on a JVM-wide lock (two concurrent swaps would also race
-   * the forced-bucketed-scan conf save/restore).
+   * session-storage pin), and only then swapped in. Managed tables (r14):
+   * the live table renames aside to `<table>__retired` and the side
+   * table renames into place — two pure-catalog renames, the old DATA
+   * FILES survive untouched until the retired copy is reclaimed at the
+   * START of the next compaction, one full maintenance cycle of grace.
+   * External tables move the side DIRECTORY onto the original path and
+   * re-register the table at its unchanged location (the external
+   * contract pins the path, so no grace copy is possible there). At
+   * every step at least one complete on-disk copy of the data exists —
+   * PROVIDED the filesystem renames directories atomically (HDFS/posix;
+   * on a copy+delete object store a failed rename can leave the copy
+   * split — there, prefer re-landing from upstream over in-place
+   * compaction). Crash recovery: a re-run of compaction self-heals every
+   * managed crash window (stale side tables are cleared at entry; a
+   * crash between the two renames is finished by [[recoverCrashedSwap]]);
+   * only the external directory-move window still needs hand
+   * re-registration. Custom catalog metadata (COMMENT, user
+   * TBLPROPERTIES) does not survive the swap — the engine's index tables
+   * carry none; preserve any before compacting a table that does.
+   *
+   * Reader contract during a swap (ReadWhileWriteSpec pins it): a probe
+   * that RESOLVES before the swap reads the retired copy's files, which
+   * the grace window keeps alive — its result is the complete PRE-state;
+   * a probe resolving after gets the complete POST-state; never a mix.
+   * Two residual races remain inherent to a non-transactional catalog
+   * over plain parquet: the instant between the two renames (name
+   * briefly unresolvable — same-session, microseconds) and a scan task
+   * opening a managed file path mid-directory-move. Both surface as
+   * loud transient errors, never as wrong rows — a long-running probe
+   * service retries them (the spec's probe wrapper shows the shape), as
+   * with any such metastore. In-process, compactions serialize on a
+   * JVM-wide lock (two concurrent swaps would also race the
+   * forced-bucketed-scan conf save/restore).
    *
    * Returns (filesBefore, filesAfter) parquet data-file counts for
    * observability; `filesAfter <= numBuckets` on success.
@@ -120,6 +130,7 @@ object BucketedLand {
   def compactTable(spark: org.apache.spark.sql.SparkSession,
                    table: String): (Long, Long) = compactLock.synchronized {
     requireSinglePart(table)
+    recoverCrashedSwap(spark, table)
     val meta = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
@@ -158,6 +169,22 @@ object BucketedLand {
     }
   }
 
+  /** Finish a swap a crash interrupted between the two managed renames:
+    * the live name is missing while both the retired copy and the
+    * compacted side table exist — rename the side table into place (the
+    * retired copy stays for the normal grace-window cleanup). Before the
+    * r14 double-rename this crash window required hand re-registration;
+    * now a re-run of compaction self-heals. */
+  private def recoverCrashedSwap(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val side = s"${table}__compact"
+    val retired = s"${table}__retired"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(side) &&
+        spark.catalog.tableExists(retired))
+      spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
+  }
+
   /** The side name, backticked DDL, and getTableMetadata must all resolve
     * the SAME identifier — multipart names would diverge (spark.table
     * parses the dot, TableIdentifier does not). */
@@ -186,6 +213,7 @@ object BucketedLand {
                               table: String): (Long, Long) =
     compactLock.synchronized {
     requireSinglePart(table)
+    recoverCrashedSwap(spark, table)
     val meta = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))
     require(meta.partitionColumnNames.nonEmpty,
@@ -286,9 +314,24 @@ object BucketedLand {
       if (meta.partitionColumnNames.nonEmpty)
         spark.sql(s"ALTER TABLE `$table` RECOVER PARTITIONS")
     } else {
-      // managed: drop deletes the old directory, rename moves the side
-      // table's warehouse directory into place
-      spark.sql(s"DROP TABLE `$table`")
+      // managed: DOUBLE RENAME with a retired-copy grace window (r14,
+      // VERDICT #5) instead of the old DROP+RENAME. The previous shape
+      // deleted the live data files first, so (a) a reader resolving the
+      // name between the two catalog ops saw the table missing, and (b)
+      // an in-flight scan of the old files died mid-job. Now the live
+      // table renames aside to `<table>__retired` (files preserved), the
+      // side table renames into place, and the retired copy is dropped
+      // at the START of the NEXT compaction — one full maintenance cycle
+      // of grace for any straggler reader. The not-resolvable window
+      // shrinks to the instant between two pure-catalog renames (and a
+      // crash there is auto-recovered at next compaction entry by
+      // [[recoverCrashedSwap]]). Cost: one extra on-disk copy of the
+      // index between compactions — the right trade for a maintenance
+      // path readers never coordinate with.
+      val retired = s"${table}__retired"
+      if (spark.catalog.tableExists(retired))
+        spark.sql(s"DROP TABLE `$retired`")
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$retired`")
       spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
     }
     (before, parquetFileCount(spark,
