@@ -61,13 +61,14 @@ object Bench {
     // listenerBus accessor, stable-count fallback) so the longest task's
     // end event is counted.
     val taskStatsOn = sys.env.get("SPARK_GRAFT_TASKSTATS").contains("1")
-    val taskBuf = new scala.collection.mutable.ArrayBuffer[Double]
+    val taskBuf = new scala.collection.mutable.ArrayBuffer[(Int, Double)]
     if (taskStatsOn) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           taskBuf.synchronized {
-            if (te.taskInfo != null) taskBuf += te.taskInfo.duration / 1e3
+            if (te.taskInfo != null)
+              taskBuf += ((te.stageId, te.taskInfo.duration / 1e3))
           }
       })
     def drainListenerBus(): Unit = {
@@ -91,8 +92,14 @@ object Bench {
         }
       }
     }
-    /** (nTasks, medianSecs, maxSecs) of the tasks run by one thunk. */
-    final case class TaskStats(n: Int, med: Double, max: Double)
+    /** Task stats of one thunk. `stageSkew` is the SKEW signal: the worst
+      * per-STAGE max/median task ratio over stages with >= 4 tasks — a
+      * fat-but-uniform stage (every task 30 s) is heavy, not skewed, and
+      * must not read as a hot key the way a cross-stage max/med would
+      * make it (measured: the 100x ivf join's 32 uniform 28 s verify
+      * tasks read 40x against the all-stage median of its small stages). */
+    final case class TaskStats(n: Int, med: Double, max: Double,
+                               stageSkew: Double)
     var lastTaskStats: Option[TaskStats] = None
     def timed(thunk: () => Unit): Either[String, Double] =
       try {
@@ -102,10 +109,19 @@ object Bench {
         val wall = (System.nanoTime() - t0) / 1e9
         if (taskStatsOn) {
           drainListenerBus()
-          val ts = taskBuf.synchronized(taskBuf.toVector).sorted
+          val all = taskBuf.synchronized(taskBuf.toVector)
+          val ts = all.map(_._2).sorted
+          val skew = all.groupBy(_._1).values
+            .filter(_.size >= 4)
+            .map { g =>
+              val s = g.map(_._2).sorted
+              val med = s(s.length / 2)
+              if (med > 0.05) s.last / med else 1.0 // sub-50ms stages: noise
+            }
+            .foldLeft(1.0)(math.max)
           lastTaskStats =
             if (ts.isEmpty) None
-            else Some(TaskStats(ts.length, ts(ts.length / 2), ts.last))
+            else Some(TaskStats(ts.length, ts(ts.length / 2), ts.last, skew))
         }
         Right(wall)
       } catch {
@@ -450,7 +466,9 @@ object Bench {
             val idx = passes.indexWhere(_.get(n).contains(Right(mw)))
             if (idx < 0) None
             else taskPasses(idx).get(n).map { ts =>
-              s"""${q(n)}:{"n_tasks":${ts.n},"task_med":${ts.med},"task_max":${ts.max}}"""
+              s"""${q(n)}:{"n_tasks":${ts.n},"task_med":${ts.med},""" +
+                s""""task_max":${ts.max},"stage_skew":${
+                  math.round(ts.stageSkew * 100) / 100.0}}"""
             }
           }
         }
