@@ -119,9 +119,20 @@ object ChaosStream {
     qa.processAllAvailable(); qa.stop()
     val refRows = readOut(dir("outA"))
 
-    // ---- chaos run: kill mid-batch, restart from the same checkpoint ----
+    // ---- chaos run: kill the executor JVMs while a mid-stream batch is
+    // in flight. Spark's recovery can take either of two shapes, both of
+    // which must converge: (a) executor-loss task failures do not count
+    // toward spark.task.maxFailures, so the standalone master relaunches
+    // executors, the in-flight batch RETRIES on them (reloading RocksDB
+    // state from the checkpoint), and the query self-heals without
+    // failing; (b) the loss surfaces as a query failure (e.g. the kill
+    // lands inside a commit window), and the query restarts from the
+    // same checkpoint. `injected` means: executors verifiably died while
+    // the final commit did not yet exist.
     var injected = false
+    var queryFailed = false
     var attempts = 0
+    val lastCommit = Slices + 2 - 1 // batch ids 0..5
     while (!injected && attempts < 3) {
       attempts += 1
       Seq("ckptB", "outB").foreach { d =>
@@ -129,14 +140,19 @@ object ChaosStream {
           new java.io.File(base, d))
       }
       val commits0 = new java.io.File(dir("ckptB"), "commits/0")
+      val commitsLast = new java.io.File(dir("ckptB"), s"commits/$lastCommit")
+      @volatile var killedMidStream = false
       val killer = new Thread(() => {
         val deadline = System.nanoTime() + 120L * 1000000000L
         while (!commits0.exists() && System.nanoTime() < deadline)
           Thread.sleep(10)
-        if (commits0.exists()) {
-          Thread.sleep(120) // batch 1 takes the wire
+        if (commits0.exists() && !commitsLast.exists()) {
+          Thread.sleep(50) // the next batch takes the wire
+          val stillRunning = !commitsLast.exists()
           val k = killExecutors()
-          System.err.println(s"[chaos-stream] attempt $attempts killed $k")
+          killedMidStream = stillRunning && k > 0
+          System.err.println(s"[chaos-stream] attempt $attempts killed $k " +
+            s"executor JVMs midStream=$killedMidStream")
         }
       })
       killer.setDaemon(true); killer.start()
@@ -144,16 +160,22 @@ object ChaosStream {
       try {
         qb.processAllAvailable()
         qb.stop()
-        System.err.println(s"[chaos-stream] attempt $attempts: stream " +
-          "finished before the kill bit — retrying")
-        killer.join(1000)
+        killer.join(2000)
+        if (killedMidStream) {
+          injected = true
+          System.err.println(s"[chaos-stream] attempt $attempts: kill " +
+            "landed mid-stream and the query SELF-HEALED on relaunched " +
+            "executors")
+        } else System.err.println(s"[chaos-stream] attempt $attempts: " +
+          "stream finished before the kill bit — retrying")
       } catch {
         case e: Throwable =>
-          injected = true
+          killer.join(2000)
+          injected = killedMidStream
+          queryFailed = true
           System.err.println(s"[chaos-stream] attempt $attempts: query " +
-            s"failed as intended: ${e.getClass.getSimpleName}")
+            s"failed (${e.getClass.getSimpleName}); injected=$injected")
           try qb.stop() catch { case _: Throwable => }
-          killer.join(1000)
           Thread.sleep(3000) // standalone master relaunches executors
       }
     }
@@ -162,8 +184,10 @@ object ChaosStream {
     var restartRows = -1L
     var matrixOk = false
     if (injected) {
-      val qr = startQuery(dir("ckptB"), dir("outB"))
-      qr.processAllAvailable(); qr.stop()
+      if (queryFailed) { // recovery path (b): restart from the checkpoint
+        val qr = startQuery(dir("ckptB"), dir("outB"))
+        qr.processAllAvailable(); qr.stop()
+      }
       val got = readOut(dir("outB"))
       restartRows = got.size.toLong
       val outputOk = got == refRows && got.nonEmpty
@@ -187,7 +211,8 @@ object ChaosStream {
     }
 
     println(s"""{"metric":"chaos_stream","injected":$injected,""" +
-      s""""attempts":$attempts,"ref_rows":${refRows.size},""" +
+      s""""attempts":$attempts,"query_failed":$queryFailed,""" +
+      s""""ref_rows":${refRows.size},""" +
       s""""restart_rows":$restartRows,"matrix_ok":$matrixOk,""" +
       s""""converged":$converged}""")
     spark.stop()

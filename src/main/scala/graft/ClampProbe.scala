@@ -44,8 +44,7 @@ object ClampProbe {
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = e.count()
-    val derivedCells =
-      math.min(16384, math.max(16, math.ceil(n / 128.0).toInt))
+    val derivedCells = SimOps.derivedCells(n)
 
     // fixed ~8k-query sample regardless of corpus size, so the measured
     // candidates-per-query isolates the per-query cost curve (a corpus-

@@ -100,8 +100,12 @@ object RecallCurve {
     proj.count(): Unit
     val qsP = proj.join(qs.select(col("vec_id")), Seq("vec_id"))
     for (div <- Seq(80, 40, 20)) {
-      val shortK = math.max(50L, math.min(4096L,
-        math.ceil(nCorpus.toDouble / div).toLong)).toInt
+      // div=40 IS SimOps.derivedShortlist (the q179 derive, clamp
+      // included); 80/20 bracket it with the same clamp bounds
+      val shortK =
+        if (div == 40) SimOps.derivedShortlist(nCorpus)
+        else math.max(50L, math.min(4096L,
+          math.ceil(nCorpus.toDouble / div).toLong)).toInt
       record("projected", s"shortlist=n/$div($shortK)", timedPpm(() =>
         SimOps.rerankTopK(
           SimOps.cosineTopK(proj, qsP, "vec_id", "embedding", k = shortK),

@@ -595,9 +595,7 @@ object SparkEntry {
       // measured 18% — under the floor — because the noise band holds
       // more competitors as n grows; clamp(ceil(n/40), 50, 4096) keeps
       // the shortlist a ~2.5% corpus slice, floor at the test sfs)
-      val nCorpus = e.count()
-      val shortK = math.max(50L, math.min(4096L,
-        math.ceil(nCorpus / 40.0).toLong)).toInt
+      val shortK = SimOps.derivedShortlist(e.count())
       val shortlist = SimOps.cosineTopK(proj, qsP, "vec_id", "embedding",
         k = shortK)
       annRecallHits(qs,

@@ -21,6 +21,32 @@ import org.apache.spark.sql.types._
  */
 object SimOps {
 
+  /**
+   * The derived-parameter formulas, centralized (r14 — ClampEnvelopeSpec
+   * pins the arithmetic and the documented operating envelopes; the
+   * DuckDB oracles embed the same expressions via OracleSqlGen /
+   * SparkEntry, so these constants are load-bearing on both sides).
+   *
+   * [[derivedCells]] — IVF cell count: `clamp(ceil(n/128), 16, 16384)`.
+   * Tracks ~128-row occupancy so two-sided candidate volume stays linear
+   * in the query count. The 16384 ceiling (binds above n = 2,097,152)
+   * bounds the driver-side codebook collect AND the per-row argmax cost;
+   * past it, candidates/query grow ∝ n/16384 again — measured envelope
+   * in BENCH_SCALING_r14.json (clamp probe section).
+   *
+   * [[derivedShortlist]] — projected-rerank shortlist:
+   * `clamp(ceil(n/40), 50, 4096)`. A ~2.5% corpus slice; the 4096
+   * ceiling (binds above n = 163,840) bounds the exact-rerank cost, and
+   * past it the slice fraction shrinks so recall decays slowly —
+   * measured trajectory in the same record.
+   */
+  def derivedCells(n: Long): Int =
+    math.min(16384, math.max(16, math.ceil(n / 128.0).toInt))
+
+  /** See [[derivedCells]]. */
+  def derivedShortlist(n: Long): Int =
+    math.max(50, math.min(4096, math.ceil(n / 40.0).toInt))
+
   /** Double-precision dot product of two array columns. Native codegen
     * expression — the `aggregate(zip_with(...))` higher-order form is
     * interpreted per element (~100x slower at embedding dims) but folds in
@@ -825,10 +851,7 @@ object SimOps {
     val A = org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
     val kCells =
       if (nCells > 0) nCells
-      else {
-        val n = corpus.select(col(idCol)).count()
-        math.min(16384, math.max(16, math.ceil(n / 128.0).toInt))
-      }
+      else derivedCells(corpus.select(col(idCol)).count())
     val cents = resolveCodebook(corpus, idCol, vecCol, kCells, trainCodebook,
       lloydIters, trainSample, "ivfJoinTopK")
     val assigned = corpus
@@ -1252,10 +1275,7 @@ object SimOps {
       else staged.persist(vecStorage)
     val k =
       if (nCells > 0) nCells
-      else {
-        val n = vecs.count()
-        math.min(16384, math.max(16, math.ceil(n / 128.0).toInt))
-      }
+      else derivedCells(vecs.count())
     val cents = resolveCodebook(vecs, idCol, vecCol, k, trainCodebook,
       lloydIters, trainSample, "semanticDedupPairs")
     val assigned = vecs
