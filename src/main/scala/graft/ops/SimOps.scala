@@ -30,15 +30,21 @@ object SimOps {
    * [[derivedCells]] — IVF cell count: `clamp(ceil(n/128), 16, 16384)`.
    * Tracks ~128-row occupancy so two-sided candidate volume stays linear
    * in the query count. The 16384 ceiling (binds above n = 2,097,152)
-   * bounds the driver-side codebook collect AND the per-row argmax cost;
-   * past it, candidates/query grow ∝ n/16384 again — measured envelope
-   * in BENCH_SCALING_r14.json (clamp probe section).
+   * bounds the driver-side codebook collect AND the per-row argmax cost.
+   * MEASURED envelope (BENCH_SCALING_r14.json clamp section):
+   * candidates/query flat at ~nProbe*128 through n = 2.05M (518 -> 525),
+   * then doubling per corpus doubling past the clamp (550 at 2.2M,
+   * 1,043 at 4.2M) — beyond ~2M vectors, raise the ceiling only with a
+   * trained/partitioned codebook (per-row assignment is n*nCells*dim,
+   * the binding cost there), or accept the linear growth.
    *
    * [[derivedShortlist]] — projected-rerank shortlist:
    * `clamp(ceil(n/40), 50, 4096)`. A ~2.5% corpus slice; the 4096
-   * ceiling (binds above n = 163,840) bounds the exact-rerank cost, and
-   * past it the slice fraction shrinks so recall decays slowly —
-   * measured trajectory in the same record.
+   * ceiling (binds above n = 163,840) bounds the exact-rerank cost.
+   * MEASURED: recall@10 holds 696k-782k ppm from 120k through 800k
+   * vectors (5x past the clamp, slice fraction down to 0.5%) against
+   * the 250k-ppm pinned floor — safe to at least n = 800k; re-measure
+   * before relying on the point past 1M.
    */
   def derivedCells(n: Long): Int =
     math.min(16384, math.max(16, math.ceil(n / 128.0).toInt))
