@@ -331,6 +331,17 @@ object BucketedLand {
       val retired = s"${table}__retired"
       if (spark.catalog.tableExists(retired))
         spark.sql(s"DROP TABLE `$retired`")
+      // a previous SESSION's grace copy can survive as an orphan
+      // DIRECTORY: the in-memory catalog died with its JVM but the
+      // warehouse path persists, and the rename below refuses with
+      // LOCATION_ALREADY_EXISTS. It can only be a dead grace copy (the
+      // live catalog entry was just handled above), so reclaim it.
+      val retiredLoc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          TableIdentifier(retired)))
+      val wfs = retiredLoc.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (wfs.exists(retiredLoc)) wfs.delete(retiredLoc, true)
       spark.sql(s"ALTER TABLE `$table` RENAME TO `$retired`")
       spark.sql(s"ALTER TABLE `$side` RENAME TO `$table`")
     }
