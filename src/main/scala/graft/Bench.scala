@@ -301,10 +301,16 @@ object Bench {
             S.semanticDedupPairs(emb, "vec_id", "embedding",
               threshold = 0.9, nCells = 0, maxCell = 512)),
           // per-user windows with one user holding ~10% of all events —
-          // the hot partition no cap defends; measured, not asserted
+          // the hot partition the plain op cannot defend; measured, and
+          // paired with the r14 skew-bounded sibling below
           "skew_sessionize" -> (() =>
             graft.ops.EventOps.sessionize(events, "user_id", "ts",
               "event_id", gapSeconds = 1800)),
+          // bit-identical output, (user, hour-bucket) partitions — the
+          // bot user splits across its active hours
+          "skew_sessionize_bucketed" -> (() =>
+            graft.ops.EventOps.sessionizeBucketed(events, "user_id", "ts",
+              "event_id", gapSeconds = 1800, bucketSeconds = 3600)),
           // the same hot-user join, undefended (AQE skew-split is the
           // only mitigation) vs salted via the profiler's own factors
           "skew_plain_join_hotuser" -> (() => {

@@ -975,6 +975,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q182_sessionize_bucketed" -> ((s: SparkSession, dir: String) => {
+      // the skew-bounded sibling (r14): BIT-IDENTICAL output to q90 by
+      // contract (SessionizeParitySpec pins it), but the event-side
+      // windows partition on (user, hour-bucket) with a session-level
+      // boundary fixup, so a bot user holding 10% of all events — the
+      // r14 skew record's one >3x per-stage task skew, on q90's
+      // whole-user partition — splits across its active hours. Shares
+      // q90's oracle verbatim: same semantics IS the contract.
+      graft.ops.EventOps.sessionizeBucketed(t(s, dir, "events"),
+          "user_id", "ts", "event_id", gapSeconds = 1800,
+          bucketSeconds = 3600)
+        .select(col("event_id"), col("user_id"), col("session_seq"),
+          col("session_id"))
+        .orderBy(col("event_id"))
+    }),
+
     "q93_shard_manifest" -> ((s: SparkSession, dir: String) => {
       // corpus-landing audit: deterministic hash shards + a per-shard
       // manifest (counts, token sums, order-independent key checksum) —
@@ -3373,6 +3389,34 @@ object SparkEntry {
     dir.getAbsolutePath
   }
 
+  /** q90/q182's shared oracle: the lag/running-sum replay of the
+    * sessionize semantics (one text, two implementations). */
+  private val SessionizeOracleSql: String =
+      // q88's lag/running-sum replay, kept per-row: seq is 0-based,
+      // session_id = 'user:seq'; ties break by event_id exactly as the
+      // Spark window's orderBy does. seq is CAST to BIGINT because
+      // DuckDB's windowed sum(INT) widens to HUGEINT (int128) — a
+      // non-portable result type (see q89 note).
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |), f AS (
+        |  SELECT event_id, user_id, us,
+        |    CASE WHEN user_id IS NULL OR us IS NULL THEN 0
+        |         WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us NULLS LAST, event_id)
+        |), s AS (
+        |  SELECT event_id, user_id, us,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us NULLS LAST, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS seq
+        |  FROM f
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN user_id IS NOT NULL AND us IS NOT NULL THEN seq END AS session_seq,
+        |  CASE WHEN user_id IS NOT NULL AND us IS NOT NULL
+        |       THEN CAST(user_id AS VARCHAR) || ':' || CAST(seq AS VARCHAR) END AS session_id
+        |FROM s ORDER BY event_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // ---- reference-generated golden anchors (r12, VERDICT task #2) ------
@@ -4820,31 +4864,13 @@ object SparkEntry {
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "q90_sessionize" ->
-      // q88's lag/running-sum replay, kept per-row: seq is 0-based,
-      // session_id = 'user:seq'; ties break by event_id exactly as the
-      // Spark window's orderBy does. seq is CAST to BIGINT because
-      // DuckDB's windowed sum(INT) widens to HUGEINT (int128) — a
-      // non-portable result type (see q89 note).
-      """WITH e AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
-        |), f AS (
-        |  SELECT event_id, user_id, us,
-        |    CASE WHEN user_id IS NULL OR us IS NULL THEN 0
-        |         WHEN lag(us) OVER w IS NULL
-        |              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us NULLS LAST, event_id)
-        |), s AS (
-        |  SELECT event_id, user_id, us,
-        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us NULLS LAST, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS seq
-        |  FROM f
-        |)
-        |SELECT event_id, user_id,
-        |  CASE WHEN user_id IS NOT NULL AND us IS NOT NULL THEN seq END AS session_seq,
-        |  CASE WHEN user_id IS NOT NULL AND us IS NOT NULL
-        |       THEN CAST(user_id AS VARCHAR) || ':' || CAST(seq AS VARCHAR) END AS session_id
-        |FROM s ORDER BY event_id""".stripMargin,
+    "q90_sessionize" -> SessionizeOracleSql,
+
+    // same SQL verbatim: q182 is the skew-bounded implementation of the
+    // SAME semantics — one oracle text makes divergence unrepresentable
+    "q182_sessionize_bucketed" -> SessionizeOracleSql,
+
+    
 
     "q96_funnel" ->
       // chained per-user min-ts CTEs: step k's completion = earliest step-k

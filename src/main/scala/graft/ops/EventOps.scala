@@ -78,6 +78,91 @@ object EventOps {
   }
 
   /**
+   * Skew-bounded sessionize (r14): output BIT-IDENTICAL to [[sessionize]]
+   * — same rows, same zero-based `session_seq`, same `"user:seq"`
+   * `session_id` — but no partition ever holds more than one user's
+   * events within one `bucketSeconds` window. [[sessionize]] puts a
+   * user's ENTIRE history in one window partition; the r14 skew campaign
+   * measured a bot user holding 10% of all events as the record's worst
+   * per-stage task skew (3.33×), and at petabyte scale that partition is
+   * a straggler or an OOM. This variant is the scale path:
+   *
+   *  1. label sessions WITHIN (user, floor(ts / bucket)) partitions —
+   *     the hot user splits across its active buckets;
+   *  2. fix up sessions that cross bucket boundaries on a SESSION-LEVEL
+   *     table (one row per (user, bucket): first/last event time, local
+   *     session count — thousands of times smaller than the events): a
+   *     bucket's first session merges into the previous bucket's last
+   *     iff their actual timestamps sit within the gap (bucket width
+   *     never decides a split — only real gaps do), and a running sum of
+   *     per-bucket contributed sessions renumbers globally;
+   *  3. join the (base, merge) pair back on (user, bucket) — bounded
+   *     fan-in by construction.
+   *
+   * Session semantics are [[sessionize]]'s exactly: splits only at
+   * `diff > gap`, ties break by `idCol`, null user/timestamp rows keep
+   * null outputs. `bucketSeconds` trades partition bound against
+   * session-table size; any positive value is CORRECT (a session may
+   * span any number of buckets — the merge chain renumbers through all
+   * of them), the default of one day suits event streams with
+   * minutes-scale gaps. SessionizeParitySpec pins bit-parity on random,
+   * hot-user, tie-heavy, null-carrying, and multi-bucket-spanning data.
+   */
+  def sessionizeBucketed(df: DataFrame, userCol: String, tsCol: String,
+                         idCol: String, gapSeconds: Long,
+                         bucketSeconds: Long = 86400L): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    require(bucketSeconds > 0,
+      s"bucketSeconds must be positive, got $bucketSeconds")
+    val gapUs = gapSeconds * 1000000L
+    val bUs = bucketSeconds * 1000000L
+    val us = micros(col(tsCol))
+    val live = col(userCol).isNotNull && col(tsCol).isNotNull
+    val b  = TextOps.tempName(df, "__sb_bucket")
+    val nf = TextOps.tempName(df, "__sb_new")
+    val ls = TextOps.tempName(df, "__sb_local")
+    val order = Seq(us.asc_nulls_last, col(idCol).asc_nulls_last)
+    val wLag = Window.partitionBy(col(userCol), col(b)).orderBy(order: _*)
+    val wRun = Window.partitionBy(col(userCol), col(b)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(us, 1).over(wLag)
+    val flagged = df
+      .withColumn(b, when(live, floor(us / lit(bUs))))
+      .withColumn(nf,
+        when(!live, lit(0L))
+          .when(prev.isNull || (us - prev) > gapUs, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn(ls, when(live, sum(col(nf)).over(wRun)))
+    // session-level fixup: one row per (user, bucket)
+    val stats = flagged.filter(live)
+      .groupBy(col(userCol).as("__sb_u"), col(b).as("__sb_b"))
+      .agg(min(us).as("__sb_first"), max(us).as("__sb_last"),
+        max(col(ls)).as("__sb_n"))
+    val wB = Window.partitionBy(col("__sb_u")).orderBy(col("__sb_b"))
+    val fixup = stats
+      // merge iff the REAL timestamps at the boundary sit within the gap
+      // (lag null on the user's first bucket -> null <= -> otherwise 0)
+      .withColumn("__sb_merge",
+        when(col("__sb_first") - lag(col("__sb_last"), 1).over(wB)
+          <= gapUs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__sb_base",
+        coalesce(sum(col("__sb_n") - col("__sb_merge"))
+          .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__sb_u"), col("__sb_b"), col("__sb_base"),
+        col("__sb_merge"))
+    flagged
+      .join(fixup, col(userCol) <=> col("__sb_u") &&
+        col(b) <=> col("__sb_b"), "left")
+      .withColumn("session_seq",
+        when(live,
+          col("__sb_base") + col(ls) - col("__sb_merge") - 1L))
+      .withColumn("session_id",
+        when(live, concat_ws(":", col(userCol).cast("string"),
+          col("session_seq").cast("string"))))
+      .drop(nf, ls, b, "__sb_u", "__sb_b", "__sb_base", "__sb_merge")
+  }
+
+  /**
    * Per-session aggregation via Spark's native `session_window`: one row
    * per (user, session) with `session_start` (first event), `session_end`
    * (last event + gap, the half-open window bound Spark reports),
