@@ -24,7 +24,7 @@ rm -rf "$SNAP"; mkdir -p "$SNAP"
 cp -r target/scala-2.13/classes/* "$SNAP/"
 CP="$SNAP:/opt/spark/jars/*"
 
-SKEWQ="skew_near_dup_capped,skew_ivf_join_capped,skew_semantic_capped,skew_sessionize,skew_plain_join_hotuser,skew_salted_join,skew_fact_join,skew_exact_dedup,skew_paragraph_dedup"
+SKEWQ="skew_near_dup_capped,skew_ivf_join_capped,skew_semantic_capped,skew_sessionize,skew_sessionize_bucketed,skew_plain_join_hotuser,skew_salted_join,skew_fact_join,skew_exact_dedup,skew_paragraph_dedup"
 
 run() {
   local tag="$1"; local klass="$2"; shift 2
@@ -45,13 +45,13 @@ echo "[scaling] $(date +%H:%M:%S) sfs100 rc=$?"
 
 COMMON_ENV="SPARK_GRAFT_SKEW=1 SPARK_GRAFT_TASKSTATS=1 SPARK_GRAFT_ONLY=$SKEWQ"
 
-run bench_sfs1 graft.Bench env $COMMON_ENV SPARK_GRAFT_SCAN_AUDIT=1 \
+run bench_sfs1_c graft.Bench env $COMMON_ENV SPARK_GRAFT_SCAN_AUDIT=1 \
   SPARK_GRAFT_SF_DIR=/tmp/sfs1 SPARK_GRAFT_REPS=3 \
-  SPARK_GRAFT_BENCH_OUT="$OUT/bench_sfs1.json"
-run bench_sfs10 graft.Bench env $COMMON_ENV SPARK_GRAFT_SCAN_AUDIT=fail \
+  SPARK_GRAFT_BENCH_OUT="$OUT/bench_sfs1_c.json"
+run bench_sfs10_c graft.Bench env $COMMON_ENV SPARK_GRAFT_SCAN_AUDIT=fail \
   SPARK_GRAFT_SF_DIR=/tmp/sfs10 SPARK_GRAFT_REPS=3 \
-  SPARK_GRAFT_BENCH_OUT="$OUT/bench_sfs10.json"
-run bench_sfs100 graft.Bench env $COMMON_ENV SPARK_GRAFT_SCAN_AUDIT=fail \
+  SPARK_GRAFT_BENCH_OUT="$OUT/bench_sfs10_c.json"
+run bench_sfs100_c graft.Bench env $COMMON_ENV SPARK_GRAFT_SCAN_AUDIT=fail \
   SPARK_GRAFT_SF_DIR=/tmp/sfs100 SPARK_GRAFT_REPS=2 \
-  SPARK_GRAFT_BENCH_OUT="$OUT/bench_sfs100.json"
+  SPARK_GRAFT_BENCH_OUT="$OUT/bench_sfs100_c.json"
 echo "[scaling] all done"
