@@ -40,15 +40,17 @@ for f in 60 82 100 200 400; do
   SPARK_GRAFT_SF_DIR="/tmp/embn_$f" \
   java $JAVA_OPTS -cp "$CP" graft.RecallCurve \
     > "$OUT/recall_f$f.log" 2>&1
+  rc=$?  # capture the java exit BEFORE the tail redirect (ADVICE r14)
   tail -1 "$OUT/recall_f$f.log" > "$OUT/recall_f$f.json"
-  echo "[clamp] $(date +%H:%M:%S) recall f=$f rc=$?"
+  echo "[clamp] $(date +%H:%M:%S) recall f=$f rc=$rc"
 done
 
 echo "[clamp] $(date +%H:%M:%S) cells (ClampProbe)"
 for f in 500 1024 1100 2100; do
   java $JAVA_OPTS -cp "$CP" graft.ClampProbe "/tmp/embn_$f" \
     > "$OUT/cells_f$f.log" 2>&1
+  rc=$?
   tail -1 "$OUT/cells_f$f.log" > "$OUT/cells_f$f.json"
-  echo "[clamp] $(date +%H:%M:%S) cells f=$f rc=$?"
+  echo "[clamp] $(date +%H:%M:%S) cells f=$f rc=$rc"
 done
 echo "[clamp] all done"

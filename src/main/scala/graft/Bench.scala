@@ -83,12 +83,15 @@ object Bench {
             .exists { w => w.invoke(bus); true }
         }
       } catch { case _: Exception => false }
-      if (!drained) { // fallback: poll until the buffer count is stable
-        var last = -1; var same = 0
-        while (same < 2) {
+      if (!drained) { // fallback: poll until the buffer count is stable.
+        // Quiet window 250 ms x 4, bounded at 5 s (ADVICE r14): two 50 ms
+        // polls could return while straggler task-end events were still
+        // queued, leaking them into the NEXT query's cleared buffer.
+        var last = -1; var same = 0; var waited = 0L
+        while (same < 4 && waited < 5000L) {
           val n = taskBuf.synchronized(taskBuf.length)
           if (n == last) same += 1 else { same = 0; last = n }
-          Thread.sleep(50)
+          Thread.sleep(250); waited += 250L
         }
       }
     }
@@ -103,6 +106,9 @@ object Bench {
     var lastTaskStats: Option[TaskStats] = None
     def timed(thunk: () => Unit): Either[String, Double] =
       try {
+        // clear the PREVIOUS thunk's stats up front (ADVICE r14): an
+        // errored query must not carry the prior query's task stats
+        lastTaskStats = None
         if (taskStatsOn) taskBuf.synchronized(taskBuf.clear())
         val t0 = System.nanoTime()
         thunk()

@@ -118,9 +118,24 @@ object EventOps {
     val bUs = bucketSeconds * 1000000L
     val us = micros(col(tsCol))
     val live = col(userCol).isNotNull && col(tsCol).isNotNull
-    val b  = TextOps.tempName(df, "__sb_bucket")
-    val nf = TextOps.tempName(df, "__sb_new")
-    val ls = TextOps.tempName(df, "__sb_local")
+    // EVERY temp — event-side and fixup-side — is derived off the input's
+    // namespace (ADVICE r14): a user column literally named "__sb_u" etc.
+    // would otherwise hit an ambiguous-reference AnalysisException in the
+    // join condition and the final drop would delete the user's column.
+    var picked = Set.empty[String]
+    def pick(base: String): String = {
+      val existing = df.columns.toSet ++ picked
+      var n = base; var i = 0
+      while (existing.contains(n)) { i += 1; n = s"$base$i" }
+      picked += n; n
+    }
+    val b  = pick("__sb_bucket")
+    val nf = pick("__sb_new")
+    val ls = pick("__sb_local")
+    val fU = pick("__sb_u"); val fB = pick("__sb_b")
+    val fFirst = pick("__sb_first"); val fLast = pick("__sb_last")
+    val fN = pick("__sb_n"); val fMerge = pick("__sb_merge")
+    val fBase = pick("__sb_base")
     val order = Seq(us.asc_nulls_last, col(idCol).asc_nulls_last)
     val wLag = Window.partitionBy(col(userCol), col(b)).orderBy(order: _*)
     val wRun = Window.partitionBy(col(userCol), col(b)).orderBy(order: _*)
@@ -135,31 +150,30 @@ object EventOps {
       .withColumn(ls, when(live, sum(col(nf)).over(wRun)))
     // session-level fixup: one row per (user, bucket)
     val stats = flagged.filter(live)
-      .groupBy(col(userCol).as("__sb_u"), col(b).as("__sb_b"))
-      .agg(min(us).as("__sb_first"), max(us).as("__sb_last"),
-        max(col(ls)).as("__sb_n"))
-    val wB = Window.partitionBy(col("__sb_u")).orderBy(col("__sb_b"))
+      .groupBy(col(userCol).as(fU), col(b).as(fB))
+      .agg(min(us).as(fFirst), max(us).as(fLast),
+        max(col(ls)).as(fN))
+    val wB = Window.partitionBy(col(fU)).orderBy(col(fB))
     val fixup = stats
       // merge iff the REAL timestamps at the boundary sit within the gap
       // (lag null on the user's first bucket -> null <= -> otherwise 0)
-      .withColumn("__sb_merge",
-        when(col("__sb_first") - lag(col("__sb_last"), 1).over(wB)
+      .withColumn(fMerge,
+        when(col(fFirst) - lag(col(fLast), 1).over(wB)
           <= gapUs, lit(1L)).otherwise(lit(0L)))
-      .withColumn("__sb_base",
-        coalesce(sum(col("__sb_n") - col("__sb_merge"))
+      .withColumn(fBase,
+        coalesce(sum(col(fN) - col(fMerge))
           .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__sb_u"), col("__sb_b"), col("__sb_base"),
-        col("__sb_merge"))
+      .select(col(fU), col(fB), col(fBase), col(fMerge))
     flagged
-      .join(fixup, col(userCol) <=> col("__sb_u") &&
-        col(b) <=> col("__sb_b"), "left")
+      .join(fixup, col(userCol) <=> col(fU) &&
+        col(b) <=> col(fB), "left")
       .withColumn("session_seq",
         when(live,
-          col("__sb_base") + col(ls) - col("__sb_merge") - 1L))
+          col(fBase) + col(ls) - col(fMerge) - 1L))
       .withColumn("session_id",
         when(live, concat_ws(":", col(userCol).cast("string"),
           col("session_seq").cast("string"))))
-      .drop(nf, ls, b, "__sb_u", "__sb_b", "__sb_base", "__sb_merge")
+      .drop(nf, ls, b, fU, fB, fBase, fMerge)
   }
 
   /**

@@ -111,9 +111,14 @@ object BucketedLand {
    * carry none; preserve any before compacting a table that does.
    *
    * Reader contract during a swap (ReadWhileWriteSpec pins it): a probe
-   * that RESOLVES before the swap reads the retired copy's files, which
-   * the grace window keeps alive — its result is the complete PRE-state;
-   * a probe resolving after gets the complete POST-state; never a mix.
+   * that RESOLVES before the swap either completes before the directory
+   * move (complete PRE-state) or fails loudly with FileNotFound when the
+   * rename moves the managed directory out from under its listed paths
+   * — the retired grace copy aids RECOVERABILITY (a complete old copy
+   * stays on disk for one maintenance cycle), it does not serve stale
+   * path lists; a probe resolving after the swap gets the complete
+   * POST-state. The guarantees are exactly two: never a mixed result,
+   * and never data loss.
    * Two residual races remain inherent to a non-transactional catalog
    * over plain parquet: the instant between the two renames (name
    * briefly unresolvable — same-session, microseconds) and a scan task
