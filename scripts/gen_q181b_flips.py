@@ -1,31 +1,28 @@
 #!/usr/bin/env python3
-"""Regenerate golden_oracle/q181b_flips.parquet — the enumerated
-knife-edge cells of the q181b anchor.
+"""Verify the q181b anchor has ZERO knife-edge flips (r15 contract).
 
-q181b hash-anchors the 16 step-quantized QC-chain channels (the ones
-q181 documents out) against the reference-executed golden parquet. On
-those channels a residual set of binned cells sits on an FP knife edge
-at the despike |x - mean| = n*std threshold, where numpy's pairwise
-summation and the engine's sequential recurrences legitimately disagree
-by 1 ulp — the flag, and with it the bin mean, is decided by summation
-order. Neither side owns that decision, so the divergent cells are
-ENUMERATED here and anti-joined by BOTH the engine query and the DuckDB
-oracle; everything else is hash-anchored. (The constant-plateau class
-that used to dominate this list — 6,513 cells — was a real engine
-defect, fixed in r14 by the exactly-constant-window guard in
-CastOps.despike; what remains is genuine summation-order noise:
-86 cells, 0.18%.)
+History: q181b hash-anchors the 16 step-quantized QC-chain channels
+against the reference-executed golden parquet. Through r14 a residual
+set of binned cells sat on an FP knife edge at the despike
+|x - mean| = n*std threshold (numpy pairwise summation vs the engine's
+Spark-recurrence arithmetic disagreeing by 1 ulp) and was ENUMERATED
+here as an anti-joined flip list (86 cells after the r14 plateau fix).
+r15 retired the list: the QC chain's despike now runs refExact —
+graft.dsp.NumpyPairwise replays the reference's numpy.ma reductions
+(fill-zero pairwise sums, two-pass variance, the masked-slot/tail
+data-leak warts) bit-for-bit — so EVERY cell matches and neither the
+engine query nor the oracle anti-joins anything.
 
 Run from the repo root AFTER any despike/bindata/reader change:
 
     python3 scripts/gen_q181b_flips.py
 
 The script (1) writes an EMPTY flip list, (2) runs graft.Verify for
-q181b only (so the dump carries every cell), (3) diffs the dump against
+q181b only, (3) diffs the dump against
 golden_oracle/q181_qc_chain.parquet under the q181 quantization, and
-(4) writes the divergent (cast_id, pressure*2, channel) keys back. It
-refuses to finish if the flip fraction exceeds 1% — a budget that large
-means a behavioral regression, not knife-edge noise.
+(4) FAILS if ANY cell diverges — a non-empty flip set now means an
+engine regression (the committed q181b_flips.parquet must stay empty;
+GoldenOracleSpec pins that).
 """
 import glob
 import os
@@ -94,14 +91,15 @@ def main() -> None:
     fl = m[bad].sort_values(["cast_id", "pressure_k2", "channel"])
     frac = len(fl) / len(m)
     print(f"flips: {len(fl)} of {len(m)} cells ({frac:.2%})")
-    print(fl.groupby("channel").size().sort_values(ascending=False)
-          .to_string())
-    if frac > 0.01:
-        raise SystemExit("flip fraction exceeds the 1% knife-edge budget — "
-                         "this is a behavioral regression; fix the engine "
-                         "instead of committing a bigger exclusion list")
+    if len(fl):
+        print(fl.groupby("channel").size().sort_values(ascending=False)
+              .to_string())
+        raise SystemExit("q181b has divergent cells — since r15 the "
+                         "refExact despike makes every cell bit-exact, so "
+                         "ANY flip is an engine regression; fix the engine "
+                         "(the committed flip list stays empty)")
     write_flips(fl)
-    print(f"wrote {len(fl)} flips -> {FLIPS}")
+    print(f"verified 0 flips; {FLIPS} stays empty")
 
 
 if __name__ == "__main__":

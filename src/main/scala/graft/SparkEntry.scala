@@ -78,8 +78,12 @@ object SparkEntry {
     val valueCols = base.schema.fields.collect {
       case f if f.dataType == DoubleType && f.name != "pressure" => f.name
     }.toSeq
+    // refExact (r15): rolling stats in the reference's own numpy.ma
+    // arithmetic, so the knife-edge |x-mean| = n*std flag decisions land
+    // bit-for-bit where the reference landed them — this is what retires
+    // the q181b flip list (0 excluded cells; gen_q181b_flips.py verifies)
     val d  = Cast.despike(base, "cast_id", "scan_order", valueCols,
-      n1 = 2.0, n2 = 20.0, block = 100)
+      n1 = 2.0, n2 = 20.0, block = 100, refExact = true)
     val pc = Cast.pressCheck(d, "cast_id", "scan_order", valueCols)
     val dn = Cast.split(pc, "cast_id", "scan_order")
       .filter(col("direction") === "down")
@@ -2003,17 +2007,13 @@ object SparkEntry {
       // over the four real .cnv.gz casts — graft.BenchChain's workload —
       // melted to long (cast_id, bin-mid pressure, channel, value).
       // Despike runs over ALL double channels (the flags interact with
-      // nothing, but this keeps the chain the reference's df.apply shape);
-      // the ANCHORED channels are the numerically well-posed subset: on
-      // continuously-varying sensor channels the engine's flags and bin
-      // means are BIT-identical to the reference's numpy (both sides sum
-      // sequentially in file order). The excluded channels (altimeter,
-      // raw voltages, PAR, lat/lon, oxygen-saturation, bottle/pump flags)
-      // are step-quantized: many points sit exactly AT the |x-mean| =
-      // n*std threshold, where the flag is decided by summation-order
-      // noise (numpy pairwise vs Spark recurrences) — not a portable
-      // contract in either direction; measured: thousands of flag flips
-      // there vs ZERO on the anchored set.
+      // nothing, but this keeps the chain the reference's df.apply
+      // shape) in refExact mode (r15): the rolling stats replay the
+      // reference's numpy.ma arithmetic bit-for-bit (dsp.NumpyPairwise),
+      // so engine flags and bin means match the reference on EVERY
+      // channel — this query anchors the 13 continuously-varying sensor
+      // channels, q181b anchors the 16 step-quantized ones, with no
+      // excluded cells anywhere.
       // Quantization: floor(value*1e5 + 1/pi) in DOUBLE arithmetic on both
       // sides. Not round(): Spark HALF_UP vs DuckDB differ on exact
       // halves. Not +0.5 either: the sensor data is decimal-quantized, so
@@ -2039,27 +2039,19 @@ object SparkEntry {
       // out — so ALL 29 reference channels are now hash-anchored.
       // On these channels many points sit exactly AT the despike
       // |x - mean| = n*std threshold, where the keep/flag decision is
-      // made by summation-order FP noise (numpy pairwise vs the engine's
-      // sequential recurrence) — a knife-edge neither side can claim to
-      // own. Rather than abandon the channels, the divergence is
-      // ENUMERATED: golden_oracle/q181b_flips.parquet commits the exact
-      // (cast_id, pressure*2, channel) cells whose binned value differs
-      // from the reference under the q181 quantization (regenerate with
-      // scripts/gen_q181b_flips.py after any despike/bindata change);
-      // both the engine and the oracle anti-join that list, so every
-      // OTHER cell of all 26 channels is hash-anchored. GoldenChainSpec
-      // pins the flip budget (count + confinement to the step-quantized
-      // channels), so the excluded set cannot silently grow.
+      // made by summation-order ulps. r14 ENUMERATED the 86 divergent
+      // cells as an anti-joined flip list; r15 RETIRED it: the chain's
+      // despike runs refExact — the reference's own numpy.ma arithmetic
+      // (pairwise sums, fill-zero masking, the masked-slot/tail
+      // data-leak warts; see CastOps.despike and dsp.NumpyPairwise) —
+      // so EVERY one of the 46,656 cells matches the reference-executed
+      // golden bit-for-bit with no exclusion (gen_q181b_flips.py
+      // verifies 0 flips; GoldenOracleSpec pins the committed list
+      // empty).
       val (binned, valueCols) = qcChainBinned(s)
       val excludedChannels = valueCols.filterNot(qcChainChannels.contains)
-      val flips = s.read.parquet(s"$goldenDir/q181b_flips.parquet")
       binned.unpivot(Array(col("cast_id"), col("pressure")),
           excludedChannels.map(col).toArray, "channel", "value")
-        // pressure*2 is exact in FP (delta-1.0 bin mids are x.5 steps) —
-        // the integer join key both engines agree on
-        .withColumn("pressure_k2", (col("pressure") * 2).cast("long"))
-        .join(broadcast(flips), Seq("cast_id", "pressure_k2", "channel"),
-          "left_anti")
         .select(col("cast_id"), col("pressure"), col("channel"),
           floor(col("value") * lit(1e5) + lit(0.31830988618)).as("value_q5"))
         .orderBy(col("cast_id"), col("pressure"), col("channel"))
@@ -3540,21 +3532,17 @@ object SparkEntry {
 
     "q181b_qc_chain_full" ->
       // the complement of q181's channel set: the step-quantized
-      // channels, hash-anchored to the SAME reference-executed parquet
-      // minus the 86 enumerated knife-edge cells both sides anti-join
-      // (golden_oracle/q181b_flips.parquet — 0.18% of the 46,656 cells;
-      // regenerate with scripts/gen_q181b_flips.py after any
-      // despike/bindata change). Same quantization contract as q181.
+      // channels, hash-anchored to the SAME reference-executed parquet —
+      // ALL cells, no exclusion (the r14 flip list is retired: the
+      // chain's refExact despike lands every knife-edge decision where
+      // the reference's numpy did; gen_q181b_flips.py verifies 0 flips).
+      // Same quantization contract as q181.
       s"""SELECT g.cast_id, g.pressure, g.channel,
          |  CAST(floor(g.value * 1e5 + 0.31830988618) AS BIGINT) AS value_q5
          |FROM read_parquet('$goldenDir/q181_qc_chain.parquet') g
          |WHERE g.channel NOT IN ('c0S/m','dz/dtM','pla','sbeox0Mm/Kg',
          |  'sbeox1Mm/Kg','scan','sva','t090C','t190C','timeS','tsa',
-         |  'v5','wetCDOM')
-         |  AND NOT EXISTS (
-         |    SELECT 1 FROM read_parquet('$goldenDir/q181b_flips.parquet') f
-         |    WHERE f.cast_id = g.cast_id AND f.channel = g.channel
-         |      AND f.pressure_k2 = CAST(g.pressure * 2 AS BIGINT))""".stripMargin,
+         |  'v5','wetCDOM')""".stripMargin,
 
     "q177_ann_recall_ivf" ->
       OracleSqlGen.annRecallIvfSql(k = 10, nQueries = 200, nCells = 16, nProbe = 4),

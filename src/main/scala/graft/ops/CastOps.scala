@@ -184,10 +184,26 @@ object Cast {
    *
    * Divergence: a cast SHORTER than `block` crashes the reference (negative
    * stride-tricks shape); here it degrades to partial-window stats.
+   *
+   * `refExact = true` (r15) swaps the rolling mean/std arithmetic for a
+   * BIT-exact replica of the reference's `numpy.ma` reductions
+   * ([[graft.dsp.NumpyPairwise]]): fill-zero pairwise summation over the
+   * full window, two-pass variance, non-finite values masked like
+   * `masked_invalid`. On step-quantized channels many points sit exactly
+   * AT the `|x - mean| = n*std` threshold, where the keep/flag decision is
+   * made by summation-order ulps — refExact makes the engine land every
+   * one of those decisions where the reference landed it (this is what
+   * lets q181b hash-anchor all 46,656 QC-chain cells with no exclusion
+   * list). The DEFAULT (false) keeps the Spark-recurrence arithmetic that
+   * `despikeWindowed`/DespikeParitySpec and the q09 DuckDB oracle replay:
+   * refExact's pairwise trees are not expressible as a Spark window plan
+   * or portable SQL, so the declarative siblings pin the default path and
+   * the reference-executed golden parquet pins the refExact path.
    */
   def despike(df: DataFrame, castCol: String, orderCol: String,
               valueCols: Seq[String], n1: Double = 2.0, n2: Double = 20.0,
-              block: Int = 100, channelGroups: Int = 1): DataFrame = {
+              block: Int = 100, channelGroups: Int = 1,
+              refExact: Boolean = false): DataFrame = {
     // Caller note: flatMapGroups is opaque to Catalyst — prune df to the
     // columns you need BEFORE calling, or every unused column rides the
     // shuffle and the external-Row encode.
@@ -219,7 +235,7 @@ object Cast {
       despikeSnapshots.add(src)
       val parts = groups.map { gc =>
         despike(src.select((keyCols ++ gc).map(col): _*), castCol, orderCol,
-          gc, n1, n2, block)
+          gc, n1, n2, block, refExact = refExact)
       }
       val scaffold = src.drop(valueCols: _*)
       // null-safe join keys (<=>): the single-group kernel keeps rows with
@@ -363,21 +379,71 @@ object Cast {
           }
           (m, s, empty)
         }
+        // refExact stats: numpy.ma masked_invalid(rolling).mean/std —
+        // masked = null OR non-finite (numpy masks NaN and +-inf), every
+        // reduction a fill-zero pairwise sum over the full window. No
+        // constant-plateau guard here: with the reference's own
+        // arithmetic the plateau decisions fall out correct by
+        // construction (the r14 guard compensated for the recurrence
+        // arithmetic, which this path does not use).
+        def statsNumpy(v: Array[Double], vNull: Array[Boolean])
+            : (Array[Double], Array[Double], Array[Boolean]) = {
+          val m = new Array[Double](n)
+          val s = new Array[Double](n)
+          val empty = new Array[Boolean](n)
+          val statMask = new Array[Boolean](n)
+          var t = 0
+          while (t < n) {
+            statMask(t) = vNull(t) || !java.lang.Double.isFinite(v(t))
+            t += 1
+          }
+          val scratch = new Array[Double](math.min(block, math.max(n, 1)))
+          var i = 0
+          while (i < n) {
+            val len = math.min(i + block, n) - i
+            val (mm, ss, cnt) =
+              graft.dsp.NumpyPairwise.maMeanStd(v, statMask, i, len, scratch)
+            if (cnt == 0) empty(i) = true
+            else { m(i) = mm; s(i) = ss }
+            i += 1
+          }
+          (m, s, empty)
+        }
         // one pass: stats of (sv, svNull), flag ORIGINAL (fv, fvNull)
         // values beyond nMul*std -> null; tail rows (past the last full
         // window start) reuse the stats at idx0
         def pass(sv: Array[Double], svNull: Array[Boolean],
                  fv: Array[Double], fvNull: Array[Boolean],
                  nMul: Double): Array[Boolean] = {
-          val (m, s, empty) = stats(sv, svNull)
+          val (m, s, empty) =
+            if (refExact) statsNumpy(sv, svNull) else stats(sv, svNull)
           val flagged = new Array[Boolean](n)
           var i = 0
           while (i < n) {
             if (!fvNull(i)) {
               val k = if (i > idx0) idx0 else i
-              // NaN stats compare false -> never flags (Spark `when`)
-              if (!empty(k) && math.abs(fv(i) - m(k)) > nMul * s(k))
-                flagged(i) = true
+              val flagIt =
+                if (!empty(k)) math.abs(fv(i) - m(k)) > nMul * s(k)
+                else if (!refExact) false
+                // NaN stats compare false -> never flags (Spark `when`)
+                else if (i > idx0)
+                  // refExact FULLY-MASKED TAIL wart (processing.py:158):
+                  // np.tile(std[-1]) of a masked slot tiles the ma.masked
+                  // CONSTANT (data 0.0) and np.r_ drops the mask, so tail
+                  // rows compare against mean=0, threshold=0 — every
+                  // non-zero value flags. Verified value-identical to the
+                  // reference on all 4x29 fixture series.
+                  math.abs(fv(i) - 0.0) > 0.0
+                else
+                  // refExact FULLY-MASKED BODY slot: np.r_ mask-loss leaks
+                  // the slot's DATA — ma.mean leaves 0.0, and `n * ma.std`
+                  // fills masked slots with multiply's identity 1.0, so
+                  // the threshold is literally nMul. Pass 2 compares the
+                  // ORIGINAL value, so a 100-row pass-1 flag run makes
+                  // its originals face |x| > nMul here (the oxsat/oxsol
+                  // cells of the old flip list).
+                  math.abs(fv(i) - 0.0) > nMul
+              if (flagIt) flagged(i) = true
             }
             i += 1
           }

@@ -77,33 +77,20 @@ class GoldenOracleSpec extends SparkTestBase {
       "different offset or investigate the generator")
   }
 
-  test("q181b flip list stays inside the knife-edge budget and the " +
-       "step-quantized channels") {
-    // the enumerated divergence cells both sides of q181b anti-join:
-    // they must stay FEW (a growing list means a behavioral regression
-    // hiding behind the exclusion machinery, not summation-order noise —
-    // gen_q181b_flips.py refuses above 1%, this pins the committed
-    // artifact harder at the measured 86 + headroom) and must never name
-    // an ANCHORED channel (those are bit-exact by contract).
+  test("q181b flip list is EMPTY — the refExact despike leaves no " +
+       "knife-edge exclusions (r15 contract)") {
+    // Through r14 this artifact enumerated the summation-order knife-edge
+    // cells both sides of q181b anti-joined (86 after the plateau fix).
+    // r15 retired it: the QC chain's despike replays the reference's
+    // numpy.ma arithmetic bit-for-bit (CastOps.despike refExact +
+    // dsp.NumpyPairwise), so all 46,656 cells anchor with NO exclusion.
+    // The committed file stays as the zero-row proof; any growth means an
+    // engine regression (gen_q181b_flips.py fails loudly on >0 flips).
     val flips = spark.read.parquet(s"$goldenDir/q181b_flips.parquet")
     val n = flips.count()
-    assert(n <= 120L, s"q181b flip list has $n cells (> 120 budget) — " +
-      "regenerating grew the knife-edge set; investigate the despike/" +
-      "bindata change instead of committing it")
-    val chans = flips.select(col("channel")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val anchored = SparkEntry.qcChainChannels.toSet
-    assert(chans.intersect(anchored).isEmpty,
-      s"flip list names anchored channels: ${chans.intersect(anchored)}")
-    // every flip key must point at a real golden grid cell — a stale key
-    // (e.g. after a fixture change) would silently exclude nothing
-    val g = spark.read.parquet(s"$goldenDir/q181_qc_chain.parquet")
-      .select(col("cast_id"),
-        (col("pressure") * 2).cast("long").as("pressure_k2"), col("channel"))
-    val dangling = flips.join(g, Seq("cast_id", "pressure_k2", "channel"),
-      "left_anti").count()
-    assert(dangling == 0L, s"$dangling flip keys match no golden cell — " +
-      "regenerate with scripts/gen_q181b_flips.py")
+    assert(n == 0L, s"q181b flip list has $n cells — since r15 it must be " +
+      "EMPTY (refExact despike is bit-exact); a non-empty regeneration " +
+      "means the engine regressed, fix that instead of committing it")
   }
 
   test("q181 anchored channels cover exactly SparkEntry.qcChainChannels " +
