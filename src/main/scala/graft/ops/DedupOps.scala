@@ -550,6 +550,11 @@ object DedupOps {
       "landNearDupIndex first")
     val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
       m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
+    // cross-application writer lease on the index family (r15): two
+    // drivers appending this name, or an append racing another driver's
+    // compaction, serialize at the warehouse filesystem — the JVM-local
+    // land locks cannot see a second application
+    graft.sources.WriterLease.withWriterLease(spark, name) {
     // append under the EXACT landed bucket spec (saveAsTable rejects a
     // mismatch, but reading it from the catalog makes drift unrepresentable)
     val spec = spark.sessionState.catalog
@@ -598,6 +603,7 @@ object DedupOps {
         .format("parquet").saveAsTable(s"${name}_shingles")
     }
     n
+    }
   }
 
   /**
@@ -612,9 +618,15 @@ object DedupOps {
    */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                           name: String): Map[String, (Long, Long)] =
-    Seq(s"${name}_shingles", s"${name}_bands").map { t =>
-      t -> graft.sources.BucketedLand.compactTable(spark, t)
-    }.toMap
+    // FAMILY lease first (append/compaction cross-application exclusion),
+    // then compactTable's own per-table lease nests inside — the
+    // family -> table order every family helper uses (WriterLease
+    // scaladoc), so the acquisition graph stays acyclic
+    graft.sources.WriterLease.withWriterLease(spark, name) {
+      Seq(s"${name}_shingles", s"${name}_bands").map { t =>
+        t -> graft.sources.BucketedLand.compactTable(spark, t)
+      }.toMap
+    }
 
   /** Mersenne prime 2^31 - 1: the MinHash permutation modulus. Keeping every
     * operand under 2^31 makes `a*h + b` fit in 63 bits, so the identical
@@ -1634,6 +1646,9 @@ object DedupOps {
       s"no paragraph store '$name' in the session catalog — run " +
         "landParagraphStore first")
       .getAs[String]("delimiter")
+    // cross-application writer lease on the store family (r15; see
+    // appendNearDupIndex)
+    graft.sources.WriterLease.withWriterLease(spark, name) {
     val spec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
         s"${name}_paras"))
@@ -1651,6 +1666,7 @@ object DedupOps {
         .format("parquet").saveAsTable(s"${name}_paras")
     }
     n
+    }
   }
 
   /**

@@ -390,6 +390,9 @@ object SearchOps {
       s"no search index '$name' in the session catalog — run landSearchIndex first")
     graft.sources.IndexCatalog.checkPinned(spark, name, "appendSearchIndex",
       Seq("analyzer" -> TextOps.analyzerId)): Unit
+    // cross-application writer lease on the index family (r15; see
+    // appendNearDupIndex)
+    graft.sources.WriterLease.withWriterLease(spark, name) {
     val spec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
         s"${name}_postings"))
@@ -421,6 +424,7 @@ object SearchOps {
     // append and a previous refresh
     refreshMeta(spark, name, path)
     n
+    }
   }
 
   /**
@@ -434,9 +438,13 @@ object SearchOps {
    */
   def compactSearchIndex(spark: SparkSession,
                          name: String): Map[String, (Long, Long)] =
-    Seq(s"${name}_postings", s"${name}_docs").map { t =>
-      t -> graft.sources.BucketedLand.compactTable(spark, t)
-    }.toMap
+    // family lease outside, compactTable's table lease nests inside
+    // (family -> table order; WriterLease scaladoc)
+    graft.sources.WriterLease.withWriterLease(spark, name) {
+      Seq(s"${name}_postings", s"${name}_docs").map { t =>
+        t -> graft.sources.BucketedLand.compactTable(spark, t)
+      }.toMap
+    }
 
   /** BM25 against a landed [[landSearchIndex]]: corpus stats from the meta
     * table, postings pruned to the query terms by bucket, document

@@ -1066,6 +1066,9 @@ object SimOps {
       s"appendAnnIndex('$name'): cells table missing — the land did not " +
         "complete; re-run landAnnIndex")
     val cents = readAnnCentroids(spark, name)
+    // cross-application writer lease on the index family (r15; see
+    // DedupOps.appendNearDupIndex)
+    graft.sources.WriterLease.withWriterLease(spark, name) {
     val staged = vectors
       .select(col(idCol).cast(LongType).as("__ann_id"),
         col(vecCol).as("__ann_vec"))
@@ -1082,6 +1085,7 @@ object SimOps {
         .saveAsTable(s"${name}_cells")
     }
     n
+    }
   }
 
   /** Collapse the ANN cells table's append file history to one file per
@@ -1090,7 +1094,11 @@ object SimOps {
     * Row-preserving. Returns (filesBefore, filesAfter). */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
                       name: String): (Long, Long) =
-    graft.sources.BucketedLand.compactPartitionedTable(spark, s"${name}_cells")
+    // family lease outside, the table lease nests inside (family -> table
+    // order; WriterLease scaladoc)
+    graft.sources.WriterLease.withWriterLease(spark, name) {
+      graft.sources.BucketedLand.compactPartitionedTable(spark, s"${name}_cells")
+    }
 
   private def readAnnCentroids(spark: org.apache.spark.sql.SparkSession,
                                name: String): Array[(Long, Array[Double])] =

@@ -144,16 +144,21 @@ object SketchOps {
       s"no CMS sketch '$name' in the session catalog — run landCmsSketch first")
     val (depth, width, salt) = (m.getAs[Int]("depth"), m.getAs[Int]("width"),
       m.getAs[String]("salt"))
-    val seen = spark.table(s"${name}_counters")
-      .filter(col("segment") === segmentId).limit(1).count() > 0
-    if (seen) false
-    else {
-      cmsSketch(items, keyCol, depth, width, salt)
-        .select(lit(segmentId).as("segment"), col("cms_row"),
-          col("cms_bucket"), col("cnt"))
-        .write.mode("append").format("parquet")
-        .saveAsTable(s"${name}_counters")
-      true
+    // cross-application writer lease: the seen-check + append must be
+    // one unit or two drivers ingesting the same segment double-count
+    // (r15; see DedupOps.appendNearDupIndex)
+    graft.sources.WriterLease.withWriterLease(spark, name) {
+      val seen = spark.table(s"${name}_counters")
+        .filter(col("segment") === segmentId).limit(1).count() > 0
+      if (seen) false
+      else {
+        cmsSketch(items, keyCol, depth, width, salt)
+          .select(lit(segmentId).as("segment"), col("cms_row"),
+            col("cms_bucket"), col("cnt"))
+          .write.mode("append").format("parquet")
+          .saveAsTable(s"${name}_counters")
+        true
+      }
     }
   }
 

@@ -35,12 +35,19 @@ object BucketedLand {
       // the corpus (8 suffices for the bench tables; a 100 TB land wants
       // hundreds to low thousands of buckets, which this same line then
       // turns into exactly that many write tasks and files).
-      val w = df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
-        .write.mode("overwrite")
-        .bucketBy(buckets, bucketCol)
-        .sortBy(sortCols.head, sortCols.tail: _*)
-        .format("parquet")
-      path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+      // fresh write under the table's cross-application writer lease:
+      // two drivers sharing a warehouse can both see "not registered" in
+      // their own in-memory catalogs; the lease serializes the overwrite
+      // so the directory is never written by two jobs at once (last
+      // completed land wins whole, never a mix)
+      WriterLease.withWriterLease(spark, table) {
+        val w = df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+          .write.mode("overwrite")
+          .bucketBy(buckets, bucketCol)
+          .sortBy(sortCols.head, sortCols.tail: _*)
+          .format("parquet")
+        path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+      }
     } else {
       // A pre-existing table is only served if it actually provides the
       // clustered distribution the caller asked for — a stale or
@@ -134,6 +141,7 @@ object BucketedLand {
    */
   def compactTable(spark: org.apache.spark.sql.SparkSession,
                    table: String): (Long, Long) = compactLock.synchronized {
+    WriterLease.withWriterLease(spark, table) {
     requireSinglePart(table)
     recoverCrashedSwap(spark, table)
     val meta = spark.sessionState.catalog
@@ -171,6 +179,7 @@ object BucketedLand {
     } finally autoPrev match {
       case Some(v) => spark.conf.set(autoKey, v)
       case None    => spark.conf.unset(autoKey)
+    }
     }
   }
 
@@ -217,6 +226,7 @@ object BucketedLand {
   def compactPartitionedTable(spark: org.apache.spark.sql.SparkSession,
                               table: String): (Long, Long) =
     compactLock.synchronized {
+    WriterLease.withWriterLease(spark, table) {
     requireSinglePart(table)
     recoverCrashedSwap(spark, table)
     val meta = spark.sessionState.catalog
@@ -234,6 +244,7 @@ object BucketedLand {
         .write.mode("errorifexists")
         .partitionBy(partCols: _*)
         .format("parquet")
+    }
     }
   }
 
@@ -339,8 +350,13 @@ object BucketedLand {
       // a previous SESSION's grace copy can survive as an orphan
       // DIRECTORY: the in-memory catalog died with its JVM but the
       // warehouse path persists, and the rename below refuses with
-      // LOCATION_ALREADY_EXISTS. It can only be a dead grace copy (the
-      // live catalog entry was just handled above), so reclaim it.
+      // LOCATION_ALREADY_EXISTS. Reclaiming it raw is safe because this
+      // whole swap holds the table's cross-application [[WriterLease]]
+      // (ADVICE r14): no OTHER driver can be mid-compaction on this
+      // table family, so a directory at the retired path with no catalog
+      // entry in this session is provably a dead session's grace copy —
+      // not a live copy or in-flight rename target of a concurrent
+      // writer.
       val retiredLoc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(
           TableIdentifier(retired)))

@@ -28,16 +28,19 @@ import org.apache.spark.sql.types._
  * meta writes, and drift errors all route through here — one error shape,
  * one negative drift test per family (IndexCatalogSpec).
  *
- * **Writer concurrency contract.** Landing an index name is SINGLE-WRITER:
- * within one JVM, [[pinMeta]] serializes per index name (a striped lock
- * closes the check-then-write race — two same-JVM sessions landing the
- * same name see exactly one land and one drift/no-op, never interleaved
- * meta writes). ACROSS JVMs the single-writer assumption is the operating
- * contract, as with every non-transactional parquet catalog: two drivers
- * landing the same index name concurrently can interleave `saveAsTable`
- * overwrites. Probes are read-only and safe against a COMPLETED land at
- * any concurrency. Crash safety (meta-first, retry-with-drift-refusal) is
- * unchanged and orthogonal.
+ * **Writer concurrency contract.** Landing an index name is SINGLE-WRITER
+ * at two levels: within one JVM, [[pinMeta]] serializes per index name (a
+ * striped lock closes the check-then-write race — two same-JVM sessions
+ * landing the same name see exactly one land and one drift/no-op, never
+ * interleaved meta writes); ACROSS applications sharing a warehouse, the
+ * mutating paths — `landOnce`'s fresh write, every family `append*`, and
+ * the compactions — hold the filesystem [[WriterLease]] for the index
+ * family (r15): a second driver's append/compaction waits its turn or
+ * refuses loudly, and a dead holder's lease is broken after heartbeat
+ * staleness (WriterLeaseSpec races two real JVMs to pin no-lost-update /
+ * no-mixed-state). Probes are read-only, never touch the lease, and are
+ * safe against a COMPLETED land at any concurrency. Crash safety
+ * (meta-first, retry-with-drift-refusal) is unchanged and orthogonal.
  */
 object IndexCatalog {
 

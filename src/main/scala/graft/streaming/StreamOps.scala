@@ -1128,8 +1128,14 @@ object StreamOps {
       sink(deduped, batchId)
       if (appendAccepted) D.appendParagraphStore(deduped, out, name, batchId)
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-        graft.sources.BucketedLand.compactTable(batch.sparkSession,
-          s"${name}_paras")
+        // FAMILY lease around the table compaction (family -> table
+        // order): appendParagraphStore holds the family lease, so a
+        // second application's append and this compaction exclude each
+        // other — table-lease-only here would let them interleave
+        graft.sources.WriterLease.withWriterLease(batch.sparkSession, name) {
+          graft.sources.BucketedLand.compactTable(batch.sparkSession,
+            s"${name}_paras")
+        }
         ()
       }
     }
