@@ -1095,39 +1095,103 @@ object OracleSqlGen {
     s"(list_inner_product($qc, $qc) - 2*list_inner_product($qc, $cv)" +
       s" + list_inner_product($cv, $cv))"
 
-  private def kmeansIntChain(k: Int, iters: Int, scale: Int): String = {
-    def distExpr(qc: String, cv: String): String = kmeansDistExpr(qc, cv)
+  /** The integer-Lloyd CTE chain. `p` prefixes every CTE name so the
+    * chain can compose with other CTE families (the trained-IVF recall
+    * oracle's prefix "k" — its recallPrefixSql already owns `q`/`e`);
+    * the default "" keeps q128/q172 byte-identical. Emits `WITH ${p}q
+    * AS (...) ... ${p}c$iters`. */
+  private def kmeansIntChain(k: Int, iters: Int, scale: Int,
+                             p: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH q AS (
+      s"""WITH ${p}q AS (
          |  SELECT vec_id,
          |    list_transform(CAST(embedding AS DOUBLE[]),
          |      x -> floor(x * $scale + 0.5)) AS q
          |  FROM embeddings WHERE embedding IS NOT NULL
-         |), c0 AS (
+         |), ${p}c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
          |    q AS cv
-         |  FROM q ORDER BY vec_id LIMIT $k
+         |  FROM ${p}q ORDER BY vec_id LIMIT $k
          |)""".stripMargin)
-    for (i <- 1 to iters) {
-      val prev = s"c${i - 1}"
+    sb.append(kmeansIntIterations(iters, p))
+    sb.toString
+  }
+
+  /** [[kmeansIntChain]] with MAXIMIN (farthest-point) init instead of the
+    * k lowest ids — the trained-IVF codebook's init
+    * ([[graft.ops.SimOps.ivfTopK]] intLloydIters): seed = lowest vec_id,
+    * then k-1 steps each taking the corpus argmax of
+    * min-distance-to-chosen (exact integers; ORDER BY dm DESC, vec_id =
+    * the engine's tie-to-lowest-id). Cell id = pick order. */
+  private def kmeansIntChainMaximin(k: Int, iters: Int, scale: Int,
+                                    p: String): String = {
+    val sb = new StringBuilder
+    // every chained CTE is MATERIALIZED: d_j and m_j are each referenced
+    // twice downstream, so DuckDB's default CTE INLINING doubles the
+    // expansion per step — 2^k re-scans of the corpus ("Too many open
+    // files" at k=16, measured); materialization makes each step one scan
+    sb.append(
+      s"""WITH ${p}q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> floor(x * $scale + 0.5)) AS q
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), ${p}m0 AS MATERIALIZED (
+         |  SELECT vec_id, q AS cv FROM ${p}q ORDER BY vec_id LIMIT 1
+         |)""".stripMargin)
+    for (j <- 1 until k) {
+      val dprev = if (j == 1)
+        s"""SELECT z.vec_id, z.q,
+           |    ${kmeansDistExpr("z.q", "m.cv")} AS dm
+           |  FROM ${p}q z CROSS JOIN ${p}m0 m""".stripMargin
+      else
+        s"""SELECT z.vec_id, z.q,
+           |    least(z.dm, ${kmeansDistExpr("z.q", "m.cv")}) AS dm
+           |  FROM ${p}d${j - 1} z CROSS JOIN ${p}m${j - 1} m""".stripMargin
       sb.append(
-        s""", a$i AS (
+        s""", ${p}d$j AS MATERIALIZED (
+           |  $dprev
+           |), ${p}m$j AS MATERIALIZED (
+           |  SELECT vec_id, q AS cv FROM ${p}d$j
+           |  ORDER BY dm DESC, vec_id LIMIT 1
+           |)""".stripMargin)
+    }
+    val union = (0 until k).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS cid, cv FROM ${p}m$j")
+      .mkString("\n  UNION ALL ")
+    sb.append(
+      s""", ${p}c0 AS (
+         |  $union
+         |)""".stripMargin)
+    sb.append(kmeansIntIterations(iters, p))
+    sb.toString
+  }
+
+  /** The shared unrolled Lloyd iterations `${p}a$i/${p}u$i/${p}c$i` over
+    * an init CTE `${p}c0`. */
+  private def kmeansIntIterations(iters: Int, p: String): String = {
+    def distExpr(qc: String, cv: String): String = kmeansDistExpr(qc, cv)
+    val sb = new StringBuilder
+    for (i <- 1 to iters) {
+      val prev = s"${p}c${i - 1}"
+      sb.append(
+        s""", ${p}a$i AS (
            |  SELECT vec_id, q, cid,
            |    row_number() OVER (PARTITION BY vec_id
            |      ORDER BY ${distExpr("q", "cv")}, cid) AS rn
-           |  FROM q CROSS JOIN $prev
-           |), u$i AS (
+           |  FROM ${p}q CROSS JOIN $prev
+           |), ${p}u$i AS (
            |  SELECT cid, dim, floor(sum(v) / count(*)) AS cv_d
            |  FROM (
            |    SELECT cid, unnest(q) AS v,
            |      unnest(generate_series(1, len(q))) - 1 AS dim
-           |    FROM a$i WHERE rn = 1
+           |    FROM ${p}a$i WHERE rn = 1
            |  ) GROUP BY cid, dim
-           |), c$i AS (
+           |), ${p}c$i AS (
            |  SELECT $prev.cid, COALESCE(n.cv, $prev.cv) AS cv
            |  FROM $prev LEFT JOIN (
-           |    SELECT cid, list(cv_d ORDER BY dim) AS cv FROM u$i GROUP BY cid
+           |    SELECT cid, list(cv_d ORDER BY dim) AS cv FROM ${p}u$i GROUP BY cid
            |  ) n USING (cid)
            |)""".stripMargin)
     }
@@ -1275,6 +1339,46 @@ object OracleSqlGen {
        |      ELSE 0.0 END, 6) AS cs
        |  FROM probes p JOIN cell ce ON ce.cl = p.cl
        |  WHERE p.prn <= $nProbe AND ce.vec_id <> p.query_id
+       |), annk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, neighbor_id) AS rnk
+       |    FROM scoredann
+       |  ) WHERE rnk <= $k
+       |)
+       |$recallSuffixSql""".stripMargin
+
+  /** q177 (r15): recall of the TRAINED-codebook IVF path — cells from the
+    * q128 integer-exact Lloyd recurrence (unrolled via [[kmeansIntChain]]
+    * under prefix "k"; its own `q`/`e` names are taken by the recall
+    * prefix), corpus assignment and probe selection by the same exact
+    * integer L2 distance (ORDER BY dist, cid = the engine's first-min
+    * tie), candidate ranking by cosine on the ORIGINAL vectors — against
+    * exact top-k. */
+  def annRecallIvfTrainedSql(k: Int, nQueries: Int, nCells: Int, nProbe: Int,
+                             iters: Int, scale: Int): String =
+    s"""WITH ${recallPrefixSql(k, nQueries)},
+       |${kmeansIntChainMaximin(nCells, iters, scale, p = "k").stripPrefix("WITH ")},
+       |cfin AS (
+       |  SELECT cid, cv FROM kc$iters
+       |), kassign AS (
+       |  SELECT kq.vec_id, cfin.cid,
+       |    row_number() OVER (PARTITION BY kq.vec_id
+       |      ORDER BY ${kmeansDistExpr("kq.q", "cfin.cv")}, cfin.cid) AS rn
+       |  FROM kq CROSS JOIN cfin
+       |), cell AS (
+       |  SELECT vec_id, cid AS cl FROM kassign WHERE rn = 1
+       |), probes AS (
+       |  SELECT a.vec_id AS query_id, a.cid AS cl
+       |  FROM kassign a JOIN q ON q.vec_id = a.vec_id
+       |  WHERE a.rn <= $nProbe
+       |), scoredann AS (
+       |  SELECT p.query_id, m.vec_id AS neighbor_id,
+       |    round(${cosineSqlFor("qo", "co")}, 6) AS cs
+       |  FROM probes p
+       |  JOIN cell m ON m.cl = p.cl AND m.vec_id <> p.query_id
+       |  JOIN e qo ON qo.vec_id = p.query_id
+       |  JOIN e co ON co.vec_id = m.vec_id
        |), annk AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id

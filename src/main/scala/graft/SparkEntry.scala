@@ -557,13 +557,18 @@ object SparkEntry {
       // recall@10 of the IVF path (16 cells, 4 probes) against exact
       // brute-force top-10 over the seeded 200-query sample — per-query
       // intersection counts are exact integers (hash-verified), and the
-      // aggregate floor is required loudly at build time
+      // aggregate floor is required loudly at build time.
+      // r15: the codebook is TRAINED with the q128 integer-exact Lloyd
+      // recurrence (5 iterations, scale 1000) instead of the 16 lowest-id
+      // seed vectors — measured recall ~0.56-0.60 vs the seed codebook's
+      // ~0.48-0.50 at the SAME nProbe, and still bit-replayable by the
+      // DuckDB oracle (annRecallIvfTrainedSql unrolls the iterations)
       val e = t(s, dir, "embeddings")
       val qs = annRecallQueries(e)
       annRecallHits(qs,
         SimOps.cosineTopK(e, qs, "vec_id", "embedding", k = 10),
         SimOps.ivfTopK(e, qs, "vec_id", "embedding", k = 10,
-          nCells = 16, nProbe = 4),
+          nCells = 16, nProbe = 4, intLloydIters = 5),
         k = 10, floorPpm = annRecallFloorPpm("ivf"))
     }),
 
@@ -2996,7 +3001,10 @@ object SparkEntry {
    * loudly while corpus drift does not flap the gate.
    */
   private def annRecallFloorPpm(path: String): Long = path match {
-    case "ivf"       => 350000L // nCells=16, nProbe=4; measured 452500-496500
+    case "ivf"       => 450000L // 16 int-Lloyd cells, nProbe=4; r15 trained
+                                // codebook measured ~560000-600000 (was
+                                // 452500-496500 on the seed codebook at
+                                // floor 350000)
     case "lsh"       => 550000L // bands=8, nPlanes=4; measured 655500-718500
     case "projected" => 250000L // outDim 32, shortlist 50; measured 346500-567500
     case other => throw new IllegalArgumentException(s"no recall floor for $other")
@@ -3545,7 +3553,8 @@ object SparkEntry {
          |  'v5','wetCDOM')""".stripMargin,
 
     "q177_ann_recall_ivf" ->
-      OracleSqlGen.annRecallIvfSql(k = 10, nQueries = 200, nCells = 16, nProbe = 4),
+      OracleSqlGen.annRecallIvfTrainedSql(k = 10, nQueries = 200,
+        nCells = 16, nProbe = 4, iters = 5, scale = 1000),
 
     "q178_ann_recall_lsh" ->
       OracleSqlGen.annRecallLshSql(k = 10, nQueries = 200, bands = 8, nPlanes = 4),

@@ -471,71 +471,141 @@ object SimOps {
     require(iters >= 0, s"kmeansAssignInt: iters must be >= 0, got $iters")
     require(scale >= 1 && scale <= 1000000,
       s"kmeansAssignInt: scale must be in [1, 1e6], got $scale")
-    // Spark's floor(double) yields LONG; cast back — the values are the
-    // same exact integers either way, doubles keep the native dot applicable
-    val qcol = transform(col(vecCol).cast(ArrayType(DoubleType)),
-      x => floor(x * scale + lit(0.5)).cast(DoubleType))
     val q = corpus
-      .select(col(idCol).cast(LongType).as("vec_id"), qcol.as("__q"))
+      .select(col(idCol).cast(LongType).as("vec_id"),
+        intQuantCol(vecCol, scale).as("__q"))
       .filter(col("vec_id").isNotNull && col("__q").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cents: Array[Array[Double]] = q.orderBy(col("vec_id")).limit(k)
-        .collect().map(_.getSeq[Double](1).toArray)
-      require(cents.nonEmpty, "kmeansAssignInt: empty corpus")
-      // Exactness guard: "bit-exact integer arithmetic in doubles" only
-      // holds while every intermediate stays below 2^53. The largest dot
-      // intermediate is bounded by maxAbs^2 * dim (q.q); check it from
-      // one small agg on the already-persisted quantized frame instead of
-      // silently degrading to inexact doubles on large |x|*scale or dim.
-      val g = q.select(
-        max(array_max(transform(col("__q"), x => abs(x)))).as("__m"),
-        max(size(col("__q"))).as("__d")).head()
-      val maxAbs = g.getDouble(0)
-      val maxDim = g.getInt(1)
-      require(maxAbs * maxAbs * maxDim < math.pow(2, 53),
-        s"kmeansAssignInt: max|quantized value|^2 * dim = " +
-          s"${maxAbs * maxAbs * maxDim} exceeds 2^53 — distances would " +
-          s"lose integer exactness; lower `scale` (=$scale) or normalize " +
-          s"the vectors first")
-      def distArr(cs: Array[Array[Double]]): Column = {
-        val dists: Array[Column] = cs.map { c =>
-          val cc = c.map(x => x * x).sum // exact integer-valued double
-          val cLit = array(c.map(lit(_)): _*)
-          dot(col("__q"), col("__q")) - lit(2.0) * dot(col("__q"), cLit) + lit(cc)
-        }
-        array(dists.toIndexedSeq: _*)
-      }
-      def assignCol(cs: Array[Array[Double]]): Column =
-        // first position of the min -> lowest centroid id on ties
-        (array_position(distArr(cs), array_min(distArr(cs))) - 1).cast(LongType)
-      for (_ <- 1 to iters) {
-        val stats = q.select(assignCol(cents).as("__cl"),
-            posexplode(col("__q")).as(Seq("__dim", "__v")))
-          .groupBy(col("__cl"), col("__dim"))
-          .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
-          .collect()
-        val next = cents.map(_.clone())
-        stats.foreach { r =>
-          val cl = r.getLong(0).toInt
-          val d  = r.getInt(1)
-          // same 2^53 bound for the per-cluster dimension sums: |sum| <=
-          // maxAbs * n members, detectable post-hoc from the exact count
-          require(maxAbs * r.getLong(3) < math.pow(2, 53),
-            s"kmeansAssignInt: cluster $cl dim-sum bound " +
-              s"${maxAbs * r.getLong(3)} exceeds 2^53 — lower `scale`")
-          next(cl)(d) = math.floor(r.getDouble(2) / r.getLong(3))
-        }
-        cents = next
-      }
+      val maxAbs = intExactGuard(q, "__q", "kmeansAssignInt", scale)
+      val cents = trainIntCentroids(q, "__q", k, iters, maxAbs,
+        "kmeansAssignInt")
       val out =
         if (withDist)
-          q.select(col("vec_id"), assignCol(cents).as("cluster_id"),
-            array_min(distArr(cents)).cast(LongType).as("dist"))
-        else q.select(col("vec_id"), assignCol(cents).as("cluster_id"))
+          q.select(col("vec_id"),
+            intAssignCol(col("__q"), cents).as("cluster_id"),
+            array_min(intDistArr(col("__q"), cents)).cast(LongType).as("dist"))
+        else q.select(col("vec_id"),
+          intAssignCol(col("__q"), cents).as("cluster_id"))
       // materialize before unpersist (caller gets a plain result)
       out.localCheckpoint()
     } finally q.unpersist()
+  }
+
+  /** `floor(x*scale + 0.5)` quantization to integer-valued doubles — the
+    * engine-portable exactness trick every integer-Lloyd consumer shares.
+    * Spark's floor(double) yields LONG; cast back — the values are the
+    * same exact integers either way, doubles keep the native dot
+    * applicable. */
+  private def intQuantCol(vecCol: String, scale: Int): Column =
+    transform(col(vecCol).cast(ArrayType(DoubleType)),
+      x => floor(x * scale + lit(0.5)).cast(DoubleType))
+
+  /** Exactness guard: "bit-exact integer arithmetic in doubles" only
+    * holds while every intermediate stays below 2^53. The largest dot
+    * intermediate is bounded by maxAbs^2 * dim (q.q); check it from one
+    * small agg on the already-persisted quantized frame instead of
+    * silently degrading to inexact doubles on large |x|*scale or dim.
+    * Returns maxAbs for the per-cluster sum bound. */
+  private def intExactGuard(q: DataFrame, qCol: String, caller: String,
+                            scale: Int): Double = {
+    val g = q.select(
+      max(array_max(transform(col(qCol), x => abs(x)))).as("__m"),
+      max(size(col(qCol))).as("__d")).head()
+    require(!g.isNullAt(0), s"$caller: empty corpus")
+    val maxAbs = g.getDouble(0)
+    val maxDim = g.getInt(1)
+    require(maxAbs * maxAbs * maxDim < math.pow(2, 53),
+      s"$caller: max|quantized value|^2 * dim = " +
+        s"${maxAbs * maxAbs * maxDim} exceeds 2^53 — distances would " +
+        s"lose integer exactness; lower `scale` (=$scale) or normalize " +
+        s"the vectors first")
+    maxAbs
+  }
+
+  /** Exact integer L2 distances `q.q - 2 q.c + c.c` to every centroid
+    * (native codegen dot; centroids ride as literals). */
+  private def intDistArr(qc: Column, cs: Array[Array[Double]]): Column = {
+    val dists: Array[Column] = cs.map { c =>
+      val cc = c.map(x => x * x).sum // exact integer-valued double
+      val cLit = array(c.map(lit(_)): _*)
+      dot(qc, qc) - lit(2.0) * dot(qc, cLit) + lit(cc)
+    }
+    array(dists.toIndexedSeq: _*)
+  }
+
+  /** Argmin cell: first position of the min -> lowest centroid id on
+    * ties (the oracle's ORDER BY dist, cid). */
+  private def intAssignCol(qc: Column, cs: Array[Array[Double]]): Column =
+    (array_position(intDistArr(qc, cs), array_min(intDistArr(qc, cs))) - 1)
+      .cast(LongType)
+
+  /** The integer-exact Lloyd training loop over a persisted quantized
+    * frame `(vec_id, qCol)` — per-iteration one corpus-wide assignment
+    * map + one (cluster, dim)-keyed agg (shuffle bounded by k x dim),
+    * centroid update `floor(sum/count)`, empty clusters keep their
+    * previous centroid. Shared op-for-op by [[kmeansAssignInt]] (the
+    * q128 oracle chain, init = "lowid": quantized vectors of the k
+    * smallest ids) and the trained-IVF codebook ([[ivfTopK]]
+    * intLloydIters, init = "maximin": farthest-point seeding in the same
+    * exact integer distances — seed = lowest id, then k-1 corpus passes
+    * each taking the argmax of min-distance-to-chosen with ties to the
+    * lowest id; each pass is a TakeOrdered over (dist desc, id), so no
+    * global sort, but cost is k passes — the right init for COARSE
+    * codebooks (k ~ tens), not for k in the thousands where the float
+    * sampled trainer is the tool). Every init choice replays bit-for-bit
+    * in the oracle (kmeansIntChain / kmeansIntChainMaximin). */
+  private def trainIntCentroids(q: DataFrame, qCol: String, k: Int,
+                                iters: Int, maxAbs: Double, caller: String,
+                                init: String = "lowid")
+      : Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = init match {
+      case "lowid" =>
+        q.orderBy(col("vec_id")).limit(k)
+          .select(col(qCol)).collect().map(_.getSeq[Double](0).toArray)
+      case "maximin" =>
+        val first = q.orderBy(col("vec_id")).limit(1)
+          .select(col(qCol)).collect()
+        require(first.nonEmpty, s"$caller: empty corpus")
+        val chosen = scala.collection.mutable.ArrayBuffer(
+          first(0).getSeq[Double](0).toArray)
+        while (chosen.length < k) {
+          val dm = chosen.map { c =>
+            val cc = c.map(x => x * x).sum
+            val cLit = array(c.map(lit(_)): _*)
+            dot(col(qCol), col(qCol)) - lit(2.0) * dot(col(qCol), cLit) + lit(cc)
+          }.reduce(least(_, _))
+          val next = q.select(col("vec_id"), col(qCol))
+            .withColumn("__dm", dm)
+            .orderBy(col("__dm").desc, col("vec_id")).limit(1)
+            .select(col(qCol)).head()
+          chosen += next.getSeq[Double](0).toArray
+        }
+        chosen.toArray
+      case other => throw new IllegalArgumentException(
+        s"$caller: unknown centroid init '$other'")
+    }
+    require(cents.nonEmpty, s"$caller: empty corpus")
+    for (_ <- 1 to iters) {
+      val stats = q.select(intAssignCol(col(qCol), cents).as("__cl"),
+          posexplode(col(qCol)).as(Seq("__dim", "__v")))
+        .groupBy(col("__cl"), col("__dim"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        val cl = r.getLong(0).toInt
+        val d  = r.getInt(1)
+        // same 2^53 bound for the per-cluster dimension sums: |sum| <=
+        // maxAbs * n members, detectable post-hoc from the exact count
+        require(maxAbs * r.getLong(3) < math.pow(2, 53),
+          s"$caller: cluster $cl dim-sum bound " +
+            s"${maxAbs * r.getLong(3)} exceeds 2^53 — lower `scale`")
+        next(cl)(d) = math.floor(r.getDouble(2) / r.getLong(3))
+      }
+      cents = next
+    }
+    cents
   }
 
   /**
@@ -769,8 +839,25 @@ object SimOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, nCells: Int = 16,
               nProbe: Int = 4, trainCodebook: Boolean = false,
-              lloydIters: Int = 5, trainSample: Int = 4096): DataFrame = {
+              lloydIters: Int = 5, trainSample: Int = 4096,
+              intLloydIters: Int = 0, intScale: Int = 1000): DataFrame = {
     val spark = corpus.sparkSession
+    // TRAINED integer-Lloyd codebook (r15, VERDICT r14 #3): the q128
+    // integer-exact recurrence (shared trainIntCentroids — quantized
+    // vectors, exact L2 argmin, floor-mean updates) trains the cells over
+    // the FULL corpus, and cell assignment + probe selection use the same
+    // exact integer distances, so the whole codebook path is replayable
+    // bit-for-bit by the DuckDB oracle (OracleSqlGen.annRecallIvfTrainedSql
+    // unrolls the iterations as CTEs). Candidate RANKING stays cosine on
+    // the original vectors — unchanged tail, unchanged output shape.
+    // Measured on the recall contract (q177, 16 cells, 4 probes):
+    // ~0.56-0.60 recall@10 vs the seed codebook's ~0.48-0.50.
+    if (intLloydIters > 0) {
+      require(!trainCodebook,
+        "ivfTopK: pick ONE codebook mode (trainCodebook OR intLloydIters)")
+      return ivfTopKIntLloyd(corpus, queries, idCol, vecCol, k, nCells,
+        nProbe, intLloydIters, intScale)
+    }
     val cents = resolveCodebook(corpus, idCol, vecCol, nCells, trainCodebook,
       lloydIters, trainSample, "ivfTopK")
 
@@ -798,6 +885,54 @@ object SimOps {
       .select(col("query_id"), col("__qv"), col("__cent_id").as("__cell"))
 
     val scored = assigned.join(broadcast(probes), "__cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** [[ivfTopK]]'s trained-codebook body: integer-Lloyd cells, exact
+    * integer L2 assignment/probing, cosine ranking (see the dispatch
+    * comment in ivfTopK). */
+  private def ivfTopKIntLloyd(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, k: Int,
+                              nCells: Int, nProbe: Int, iters: Int,
+                              scale: Int): DataFrame = {
+    val q = corpus
+      .select(col(idCol).cast(LongType).as("vec_id"),
+        intQuantCol(vecCol, scale).as("__q"))
+      .filter(col("vec_id").isNotNull && col("__q").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = try {
+      val maxAbs = intExactGuard(q, "__q", "ivfTopK(intLloyd)", scale)
+      trainIntCentroids(q, "__q", nCells, iters, maxAbs, "ivfTopK(intLloyd)",
+        init = "maximin")
+    } finally q.unpersist()
+    // corpus side: map-side argmin-integer-distance cell (centroids ride
+    // as codegen literals; first-min tie = lowest cell id, the oracle's
+    // ORDER BY dist, cid)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell",
+        intAssignCol(intQuantCol("__cv", scale), cents))
+    // probe list: the query's nProbe nearest cells by the SAME exact
+    // integer distance — posexplode the per-cell distance array, rank
+    // (dist asc, cell asc)
+    val probesRanked = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        posexplode(intDistArr(intQuantCol("__qv", scale), cents))
+          .as(Seq("__cell", "__pdist")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__pdist").asc, col("__cell").asc)
+    val probeCells = probesRanked
+      .withColumn("__prn", row_number().over(wProbe))
+      .filter(col("__prn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cell").cast(LongType).as("__cell"))
+    val scored = assigned.join(broadcast(probeCells), "__cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id"))
