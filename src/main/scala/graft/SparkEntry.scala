@@ -1000,6 +1000,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q183_deflate_ratio" -> ((s: SparkSession, dir: String) => {
+      // the deflate compression-ratio quality signal (Gopher/DCLM-style:
+      // templated or repetitive docs compress far below prose), the one
+      // map-side text op that was spec-only through r14 (DuckDB has no
+      // deflate). Golden-anchored by the q86 pattern: an independent
+      // Python-zlib raw-deflate writes golden_oracle/q183_deflate.parquet
+      // keyed by corpus fingerprint (scripts/gen_golden_oracle_deflate.py);
+      // the oracle recomputes the same quantized ratio from it. The
+      // quantization (ratio computed FIRST, then *1e6, +0.5, floor) is
+      // mirrored operation-for-operation in the oracle SQL — identical
+      // IEEE ops on identical integers, so the hash is exact. Empty text
+      // short-circuits to ratio 1.0 on both sides.
+      t(s, dir, "documents").select(col("doc_id"),
+          floor(TextOps.compressionRatio(col("text")) * lit(1e6) + lit(0.5))
+            .cast(LongType).as("ratio_q6"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q93_shard_manifest" -> ((s: SparkSession, dir: String) => {
       // corpus-landing audit: deterministic hash shards + a per-shard
       // manifest (counts, token sums, order-independent key checksum) —
@@ -4866,6 +4884,25 @@ object SparkEntry {
     // same SQL verbatim: q182 is the skew-bounded implementation of the
     // SAME semantics — one oracle text makes divergence unrepresentable
     "q182_sessionize_bucketed" -> SessionizeOracleSql,
+
+    "q183_deflate_ratio" ->
+      // golden-anchored deflate lengths (independent Python zlib raw
+      // deflate, level 6 — byte-length-identical to JDK Deflater(6,true),
+      // measured); the ratio/quantization arithmetic mirrors the engine
+      // operation-for-operation on the same integers. corpus_key guards
+      // against serving another SF's rows (the q86 rule).
+      s"""SELECT d.doc_id,
+         |  CAST(floor(CASE WHEN strlen(d.text) = 0 THEN 1.0
+         |    ELSE CAST(g.deflate_len AS DOUBLE) / strlen(d.text)
+         |    END * 1e6 + 0.5) AS BIGINT) AS ratio_q6
+         |FROM documents d
+         |JOIN read_parquet('$goldenDir/q183_deflate.parquet') g
+         |  ON g.doc_id = d.doc_id
+         |WHERE g.corpus_key = (
+         |  SELECT CAST(count(*) AS VARCHAR) || ':' ||
+         |         CAST(CAST(sum(length(text)) AS BIGINT) AS VARCHAR)
+         |  FROM documents)
+         |ORDER BY d.doc_id""".stripMargin,
 
     
 
