@@ -43,13 +43,13 @@ object BenchChain {
         f.name != "pressure" => f.name
     }.toSeq
 
-    def chain(withLp: Boolean) = {
+    def chain(withLp: Boolean, refExact: Boolean = false) = {
       val base = read()
       val lp = if (withLp)
         graft.ops.SeqOps.lpFilter(base, "cast_id", "scan_order")
       else base
       val d  = CastOps.despike(lp, "cast_id", "scan_order", valueCols,
-        n1 = 2.0, n2 = 20.0, block = 100)
+        n1 = 2.0, n2 = 20.0, block = 100, refExact = refExact)
       val pc = CastOps.pressCheck(d, "cast_id", "scan_order", valueCols)
       val dn = CastOps.split(pc, "cast_id", "scan_order")
         .filter(col("direction") === "down")
@@ -60,19 +60,61 @@ object BenchChain {
     val rows = read().count()
     noop(chain(withLp = false)) // warm: JIT + codegen + parquet-free parse
     noop(chain(withLp = true))
+    noop(chain(withLp = false, refExact = true))
 
-    val t0 = System.nanoTime()
-    noop(chain(withLp = false))
-    val noLp = (System.nanoTime() - t0) / 1e9
+    def timed(mk: () => org.apache.spark.sql.DataFrame,
+              reps: Int = 3): Double = {
+      val ts = (1 to reps).map { _ =>
+        val t = System.nanoTime()
+        noop(mk())
+        (System.nanoTime() - t) / 1e9
+      }.sorted
+      ts(reps / 2)
+    }
 
-    val t1 = System.nanoTime()
-    noop(chain(withLp = true))
-    val withLp = (System.nanoTime() - t1) / 1e9
+    val noLp = timed(() => chain(withLp = false))
+    val refExactS = timed(() => chain(withLp = false, refExact = true))
+    val withLp = timed(() => chain(withLp = true))
+
+    // ---- PER-STAGE LEDGER (VERDICT r14 #7): cumulative prefixes of the
+    // refExact chain (the q181 anchor path) — each prefix re-executes its
+    // upstream, so successive DELTAS attribute wall to parse / despike
+    // kernel / pressCheck+split windows / bindata aggregation. Medians of
+    // 3; the prefixes pipeline inside one task per cast exactly like the
+    // full chain, so the deltas are honest attribution, not artifacts of
+    // materialization boundaries (noop sink throughout).
+    def prefix(stage: Int) = {
+      val base = read()
+      if (stage == 0) base
+      else {
+        val d = CastOps.despike(base, "cast_id", "scan_order", valueCols,
+          n1 = 2.0, n2 = 20.0, block = 100, refExact = true)
+        if (stage == 1) d
+        else {
+          val pc = CastOps.pressCheck(d, "cast_id", "scan_order", valueCols)
+          val dn = CastOps.split(pc, "cast_id", "scan_order")
+            .filter(col("direction") === "down")
+          if (stage == 2) dn
+          else CastOps.bindataAverage(dn, "cast_id", "scan_order",
+            valueCols, delta = 1.0)
+        }
+      }
+    }
+    noop(prefix(0)); noop(prefix(2)) // warm the prefix shapes
+    val cum = (0 to 3).map(s => timed(() => prefix(s)))
+    val ledger =
+      s""""ledger":{"parse_s":${cum(0)},""" +
+      s""""despike_s":${math.max(0.0, cum(1) - cum(0))},""" +
+      s""""press_split_s":${math.max(0.0, cum(2) - cum(1))},""" +
+      s""""bindata_s":${math.max(0.0, cum(3) - cum(2))},""" +
+      s""""cum_s":[${cum.mkString(",")}]}"""
 
     val outRows = chain(withLp = false).count()
     println(s"""{"metric":"engine_qc_chain","files":${files.length},""" +
       s""""rows":$rows,"out_rows":$outRows,"chain_s":$noLp,""" +
+      s""""chain_refexact_s":$refExactS,""" +
       s""""chain_with_lp_s":$withLp,"n_channels":${valueCols.length},""" +
+      s"""$ledger,""" +
       s""""steps":"despike(2,20,100)+pressCheck+split.down+bindata(1.0)"}""")
     spark.stop()
   }

@@ -208,15 +208,24 @@ object ScaleUp {
         .otherwise(col("l_orderkey")))
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || args.length == 4,
-      "usage: ScaleUp <srcDir> <dstDir> <factor> [skew]")
+    require(args.length >= 3 && args.length <= 5,
+      "usage: ScaleUp <srcDir> <dstDir> <factor> [skew] [only=t1,t2]")
     val Array(src, dst, factorS) = args.take(3)
-    val skew = args.length == 4 && {
-      require(args(3) == "skew", s"unknown mode '${args(3)}' (want: skew)")
-      true
-    }
+    val opts = args.drop(3)
+    val skew = opts.contains("skew")
+    // only=documents,embeddings (r15): scale JUST the named tables by
+    // `factor`; everything else passes through at factor 1 — the
+    // 1000x skew probes need 1000x documents/embeddings without
+    // manufacturing a 600M-row lineitem nobody measures
+    val only: Set[String] = opts.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").toSet)
+      .getOrElse(Set.empty)
+    opts.foreach(o => require(o == "skew" || o.startsWith("only="),
+      s"unknown option '$o' (want: skew, only=...)"))
     val factor = factorS.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
+    def ftab(t: String): Int =
+      if (only.isEmpty || only.contains(t)) factor else 1
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -237,10 +246,11 @@ object ScaleUp {
     // 100x-bigger corpus arrives in ~100x the files; mirror that — factor
     // files per table, so per-FILE size stays the source's and scan
     // parallelism grows with the data exactly as it would in production.
-    def wr(df: DataFrame, t: String, nFiles: Int = factor): Unit =
+    def wr(df: DataFrame, t: String, nFiles: Int): Unit =
       df.repartition(nFiles).write.mode("overwrite")
         .parquet(s"$dst/$t.parquet")
-    val copyIdx = explode(sequence(lit(0L), lit(factor - 1L), lit(1L)))
+    def copies(t: String): Column =
+      explode(sequence(lit(0L), lit(ftab(t) - 1L), lit(1L)))
 
     // dims pass through unchanged (and stay single-file: they are the
     // broadcast-able side at any scale — that is the point of them)
@@ -252,39 +262,41 @@ object ScaleUp {
 
     val cust = rd("customer")
     val custStride = maxOf(cust, "c_custkey")
-    wr(cust.withColumn("__c", copyIdx)
+    wr(cust.withColumn("__c", copies("customer"))
       .withColumn("c_custkey", col("c_custkey") + col("__c") * custStride)
-      .drop("__c"), "customer")
+      .drop("__c"), "customer", ftab("customer"))
 
     val ord = rd("orders")
     val ordStride = maxOf(ord, "o_orderkey")
-    wr(ord.withColumn("__c", copyIdx)
+    wr(ord.withColumn("__c", copies("orders"))
       .withColumn("o_orderkey", col("o_orderkey") + col("__c") * ordStride)
       .withColumn("o_custkey", col("o_custkey") + col("__c") * custStride)
-      .drop("__c"), "orders")
+      .drop("__c"), "orders", ftab("orders"))
 
-    val liScaled = rd("lineitem").withColumn("__c", copyIdx)
+    val liScaled = rd("lineitem").withColumn("__c", copies("lineitem"))
       .withColumn("l_orderkey", col("l_orderkey") + col("__c") * ordStride)
       .drop("__c")
     wr(if (skew) {
       val hotKey = ord.agg(min(col("o_orderkey"))).head().getLong(0)
       injectHotOrderKey(liScaled, hotKey)
-    } else liScaled, "lineitem")
+    } else liScaled, "lineitem", ftab("lineitem"))
 
     val ev = rd("events")
     val evStride = maxOf(ev, "event_id")
     val userStride = maxOf(ev, "user_id")
-    val evScaled = ev.withColumn("__c", copyIdx)
+    val evScaled = ev.withColumn("__c", copies("events"))
       .withColumn("event_id", col("event_id") + col("__c") * evStride)
       .withColumn("user_id", col("user_id") + col("__c") * userStride)
       .drop("__c")
-    wr(if (skew) injectEventSkew(evScaled, nUsers = userStride * factor)
-       else evScaled, "events")
+    wr(if (skew) injectEventSkew(evScaled,
+         nUsers = userStride * ftab("events"))
+       else evScaled, "events", ftab("events"))
 
     val spliceObs = Observation("scaleup-docs")
-    val docsScaled = scaleDocuments(rd("documents"), factor, Some(spliceObs))
+    val docsScaled = scaleDocuments(rd("documents"), ftab("documents"),
+      Some(spliceObs))
     wr(if (skew) injectBoilerplateDocs(docsScaled) else docsScaled,
-      "documents")
+      "documents", ftab("documents"))
     val nullCopies =
       spliceObs.get.getOrElse("null_text_copy_rows", 0L) match {
         case null => 0L
@@ -295,7 +307,7 @@ object ScaleUp {
     val vecStride = maxOf(emb, "vec_id")
     val dimC = size(col("embedding"))
     val rot = pmod(col("__c"), dimC.cast("long")).cast("int")
-    val embScaled = emb.withColumn("__c", copyIdx)
+    val embScaled = emb.withColumn("__c", copies("embeddings"))
       .withColumn("embedding", when(rot === 0, col("embedding")).otherwise(
         concat(slice(col("embedding"), rot + 1, dimC - rot),
           slice(col("embedding"), lit(1), rot))))
@@ -305,10 +317,10 @@ object ScaleUp {
     // any derived centroid prefix, so the hub mass argmaxes into one cell
     // (see injectHubEmbeddings doc) — everyN=50 keeps the corpus-wide
     // hub fraction at the same 1% as the boilerplate docs
-    val hubMinId = vecStride * factor / 2
+    val hubMinId = vecStride * ftab("embeddings") / 2
     wr(if (skew) injectHubEmbeddings(embScaled, everyN = 50,
          minId = hubMinId)
-       else embScaled, "embeddings")
+       else embScaled, "embeddings", ftab("embeddings"))
 
     val skewCounts =
       if (!skew) ""
