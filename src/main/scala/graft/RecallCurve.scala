@@ -13,7 +13,8 @@ import graft.ops.SimOps
  * wall-clock of the approximate leg, so a user can pick an operating
  * point from measured data instead of the single pinned one.
  *
- *   ivf:       nProbe in {1, 4, 8}            (nCells = 16, the q177 pin)
+ *   ivf:       nProbe in {1, 4, 8}            (nCells = 16, int-Lloyd
+ *              trained codebook — the q177 r15 operating point)
  *   lsh:       bands  in {4, 8, 16}           (nPlanes = 4, the q178 pin)
  *   projected: shortlist in {n/80, n/40, n/20} (outDim 32, q179 derives n/40)
  *
@@ -86,7 +87,7 @@ object RecallCurve {
     for (nProbe <- Seq(1, 4, 8))
       record("ivf", s"nProbe=$nProbe", timedPpm(() =>
         SimOps.ivfTopK(e, qs, "vec_id", "embedding", k = k,
-          nCells = 16, nProbe = nProbe)))
+          nCells = 16, nProbe = nProbe, intLloydIters = 5)))
 
     for (bands <- Seq(4, 8, 16))
       record("lsh", s"bands=$bands", timedPpm(() =>
