@@ -75,6 +75,37 @@ def chain(casts):
     return out
 
 
+def prefix(stage):
+    """Cumulative chain prefixes (stage 0 = parse only .. 3 = full chain),
+    mirroring graft.BenchChain's per-stage ledger: successive deltas
+    attribute wall to parse / despike / press_check+split / bindata."""
+    casts = load()
+    if stage == 0:
+        return casts
+    out = []
+    for c in casts:
+        c1 = ctd_proc.despike(c, n1=2, n2=20, block=100)
+        if stage == 1:
+            out.append(c1)
+            continue
+        c2 = ctd_proc.press_check(c1)
+        down, _up = ctd_proc.split(c2)
+        if stage == 2:
+            out.append(down)
+            continue
+        out.append(ctd_proc.bindata(down, delta=1.0))
+    return out
+
+
+def timed(fn, reps=3):
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return sorted(ts)[reps // 2]
+
+
 def main():
     casts = load()
     rows = sum(len(c) for c in casts)
@@ -85,10 +116,22 @@ def main():
     t1 = time.time()
     load()
     read_s = time.time() - t1          # warm re-read for context
+    # per-stage ledger (same cumulative-prefix method as the engine's
+    # BenchChain: each prefix re-runs its upstream, deltas are the stage
+    # attribution; medians of 3, warm from the passes above)
+    cum = [timed(lambda s=s: prefix(s)) for s in range(4)]
+    ledger = {
+        "parse_s": round(cum[0], 3),
+        "despike_s": round(max(0.0, cum[1] - cum[0]), 3),
+        "press_split_s": round(max(0.0, cum[2] - cum[1]), 3),
+        "bindata_s": round(max(0.0, cum[3] - cum[2]), 3),
+        "cum_s": [round(c, 3) for c in cum],
+    }
     print(json.dumps({
         "metric": "reference_qc_chain", "files": len(FILES), "rows": rows,
         "out_rows": sum(len(c) for c in res),
         "chain_s": round(chain_s, 3), "read_warm_s": round(read_s, 3),
+        "ledger": ledger,
         "steps": "despike(2,20,100)+press_check+split.down+bindata(1.0)",
         "lp_filter": "excluded (scipy absent; see header)"}))
 

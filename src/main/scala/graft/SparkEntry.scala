@@ -1018,6 +1018,86 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q184_kll_band_contract" -> ((s: SparkSession, dir: String) => {
+      // the KLL quantile sketch's contract as a hash-green row (the one
+      // sketch family still spec-only through r14). The DataSketches KLL
+      // estimate is run-randomized — compaction flips a real coin — so
+      // the row pins what IS deterministic: the exact positional rank
+      // band around each target rank, recomputed independently by the
+      // oracle from the raw table (real oracle work: n, band positions,
+      // band VALUES all hash-compared), plus the boolean that the merged
+      // sketch's estimate landed inside it. Band halfwidth 0.03 ≈ 2.26×
+      // the k=200 99%-confidence rank error (0.013295 per
+      // KllSketch.getNormalizedRankError — ~5.8σ), so the boolean is
+      // run-stable while still pinning the estimate to ±3% rank. The
+      // build exercises the full landed shape: per-(source, shard)
+      // sketches unioned, merged per source with no re-scan, read at 5
+      // ranks. Exact ground truth by per-group sort is the q177–q179
+      // recall-contract pattern — the audit query pays for exactness.
+      import s.implicits._
+      val pcts = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+        "p90" -> 0.9, "p99" -> 0.99)
+      val d = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val segs = (0 until 3).map(i => graft.ops.SketchOps.quantileSketches(
+        d.filter(pmod(col("doc_id"), lit(3L)) === i), "source", "n_chars"))
+      val est = graft.ops.SketchOps.mergedQuantiles(
+        segs.reduce(_ unionByName _), "source", pcts.map(_._2))
+      val estLong = est.select(col("source"), explode(map(
+        pcts.flatMap { case (lbl, _) => Seq(lit(lbl), col(lbl)) }: _*))
+        .as(Seq("pct", "est")))
+      val n = d.groupBy("source").agg(count(lit(1)).as("n_rows"))
+      // band positions: double arithmetic mirrored literal-for-literal in
+      // the oracle SQL (identical IEEE ops on identical ints, q183 rule)
+      val pos = n.crossJoin(pcts.toDF("pct", "p")).select(
+        col("source"), col("pct"), col("n_rows"),
+        greatest(lit(1L),
+          ceil((col("p") - lit(0.03)) * col("n_rows"))).as("lo_pos"),
+        least(col("n_rows"), greatest(lit(1L),
+          floor((col("p") + lit(0.03)) * col("n_rows")))).as("hi_pos"))
+      val ranked = d.select(col("source").as("__rs"), col("n_chars"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("__rs")).orderBy(col("n_chars"))))
+      pos
+        .join(ranked.select(col("__rs"), col("rn"),
+            col("n_chars").as("v_lo")),
+          col("__rs") === col("source") && col("rn") === col("lo_pos"))
+        .drop("__rs", "rn")
+        .join(ranked.select(col("__rs"), col("rn"),
+            col("n_chars").as("v_hi")),
+          col("__rs") === col("source") && col("rn") === col("hi_pos"))
+        .drop("__rs", "rn")
+        .join(estLong, Seq("source", "pct"))
+        .select(col("source"), col("pct"), col("n_rows"),
+          col("v_lo"), col("v_hi"),
+          (col("est") >= col("v_lo") && col("est") <= col("v_hi"))
+            .as("within_band"))
+        .orderBy(col("source"), col("pct"))
+    }),
+
+    "q185_hll_merge_contract" -> ((s: SparkSession, dir: String) => {
+      // the mergeable HLL distinct-token sketches' contract (q95's
+      // approx sibling, spec-only through r14): per-(source, shard)
+      // sketches merged per source must land within the lgK=12 error
+      // envelope of the EXACT per-source distinct count (relative σ =
+      // 1.04/√2¹² ≈ 1.63%; bound 0.05 ≈ 3σ). Unlike KLL, HLL state is a
+      // pure function of the input multiset (register max over hashes —
+      // no RNG, order-insensitive), so the boolean is exactly stable
+      // run-to-run; the exact count is the oracle's verifiable half.
+      val d = t(s, dir, "documents")
+      val segs = (0 until 3).map(i => TextOps.distinctTokenSketches(
+        d.filter(pmod(col("doc_id"), lit(3L)) === i), "source", "text"))
+      val est = TextOps.mergeDistinctSketches(
+          segs.reduce(_ unionByName _), "source")
+        .withColumnRenamed("n_distinct_tokens", "est")
+      TextOps.distinctTokens(d, "source", "text")
+        .join(est, "source")
+        .select(col("source"), col("n_distinct_tokens"),
+          (abs(col("est") / col("n_distinct_tokens") - lit(1.0))
+            <= lit(0.05)).as("within_bound"))
+        .orderBy(col("source"))
+    }),
+
     "q93_shard_manifest" -> ((s: SparkSession, dir: String) => {
       // corpus-landing audit: deterministic hash shards + a per-shard
       // manifest (counts, token sums, order-independent key checksum) —
@@ -4904,7 +4984,49 @@ object SparkEntry {
          |  FROM documents)
          |ORDER BY d.doc_id""".stripMargin,
 
-    
+    "q184_kll_band_contract" ->
+      // the deterministic half of the KLL contract recomputed from the
+      // raw table: per-source counts, rank-band positions (same double
+      // literals, same IEEE ops), and the band VALUES by positional sort
+      // — plus the constant the engine's boolean must equal. Ties in
+      // n_chars are position-safe: the value at a fixed sorted position
+      // is well-defined whatever order row_number breaks ties in.
+      """WITH d AS (
+        |  SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL
+        |), n AS (SELECT source, count(*) AS n_rows FROM d GROUP BY source),
+        |p AS (SELECT * FROM (VALUES
+        |  ('p25', CAST(0.25 AS DOUBLE)), ('p50', CAST(0.5 AS DOUBLE)),
+        |  ('p75', CAST(0.75 AS DOUBLE)), ('p90', CAST(0.9 AS DOUBLE)),
+        |  ('p99', CAST(0.99 AS DOUBLE))) AS t(pct, p)),
+        |pos AS (
+        |  SELECT n.source, p.pct, n.n_rows,
+        |    greatest(1, CAST(ceil((p.p - 0.03) * n.n_rows) AS BIGINT)) AS lo_pos,
+        |    least(n.n_rows, greatest(1,
+        |      CAST(floor((p.p + 0.03) * n.n_rows) AS BIGINT))) AS hi_pos
+        |  FROM n CROSS JOIN p
+        |), r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
+        |  FROM d
+        |)
+        |SELECT pos.source, pos.pct, pos.n_rows,
+        |  lo.n_chars AS v_lo, hi.n_chars AS v_hi, true AS within_band
+        |FROM pos
+        |JOIN r lo ON lo.source = pos.source AND lo.rn = pos.lo_pos
+        |JOIN r hi ON hi.source = pos.source AND hi.rn = pos.hi_pos
+        |ORDER BY pos.source, pos.pct""".stripMargin,
+
+    "q185_hll_merge_contract" ->
+      // q95's exact distinct per source (same tokenizer), plus the
+      // constant the engine's 3σ envelope boolean must equal
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents
+        |)
+        |SELECT source, count(DISTINCT token) AS n_distinct_tokens,
+        |  true AS within_bound
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     "q96_funnel" ->
       // chained per-user min-ts CTEs: step k's completion = earliest step-k

@@ -80,7 +80,19 @@ object KllExpressions {
       (c: Seq[Expression]) => { arity("kll_merge_agg", c, 1); KllMergeAgg(c(0)) }),
     (FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
-      (c: Seq[Expression]) => { arity("kll_quantile", c, 2); KllQuantile(c(0), c(1)) }))
+      (c: Seq[Expression]) => {
+        arity("kll_quantile", c, 2)
+        // SQL literals like 0.5 parse as DECIMAL(1,1) — admit any numeric
+        // rank at the SQL surface by casting up front (the expression
+        // itself still requires a strict double)
+        val rank = c(1).dataType match {
+          case DoubleType => c(1)
+          case _: NumericType =>
+            org.apache.spark.sql.catalyst.expressions.Cast(c(1), DoubleType)
+          case _ => c(1) // let checkInputDataTypes produce the typed error
+        }
+        KllQuantile(c(0), rank)
+      }))
 
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (ident, info, builder) =>

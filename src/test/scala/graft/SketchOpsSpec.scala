@@ -205,6 +205,39 @@ class SketchOpsSpec extends SparkTestBase {
       .head().getSeq[String](0)
     assert(viaSql.contains("a"))
   }
+
+  test("q184 KLL band contract: every (source, rank) row lands within " +
+       "its exact ±3%-rank band, bands are exact positional values, and " +
+       "n_rows is the exact per-source count") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q184_kll_band_contract")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val srcCount = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars").isNotNull)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == srcCount.size * 5, rows.length)
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"estimate outside band: $r")
+      assert(r.getLong(2) == srcCount(r.getString(0)), s"n_rows: $r")
+      assert(r.getLong(3) <= r.getLong(4), s"band inverted: $r")
+    }
+  }
+
+  test("q185 HLL merge contract: the merged estimate sits inside the 3σ " +
+       "envelope of the exact distinct count for every source, and the " +
+       "exact counts equal q95's") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q185_hll_merge_contract")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2), s"outside envelope: $r"))
+    val q95 = SparkEntry.queries("q95_distinct_tokens")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getLong(1) == q95(r.getString(0)), s"exact mismatch: $r"))
+  }
 }
 
 object SketchOpsSpecHelper {

@@ -137,6 +137,13 @@ class SqlSurfaceSpec extends SparkTestBase {
         "FROM sqlsurface_range").head().getDouble(0)
     assert(math.abs(med - 5000.0) < 300,
       s"KLL median of 0..10000 = $med, want ~5000")
+    // bare decimal literal (what users actually type): SQL parses 0.5 as
+    // DECIMAL(1,1); the registry builder must cast it up, not error
+    val medDec = spark.sql(
+      "SELECT kll_quantile(kll_sketch_agg(CAST(id AS DOUBLE), 200), 0.5) " +
+        "FROM sqlsurface_range").head().getDouble(0)
+    assert(math.abs(medDec - 5000.0) < 300,
+      s"KLL median via decimal-literal rank = $medDec, want ~5000")
     val hot = spark.sql(
       "SELECT mg_candidates_agg(CASE WHEN id % 2 = 0 THEN 'hot' " +
         "ELSE CAST(id AS STRING) END, 4) FROM sqlsurface_range")
