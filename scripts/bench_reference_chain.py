@@ -75,35 +75,28 @@ def chain(casts):
     return out
 
 
-def prefix(stage):
-    """Cumulative chain prefixes (stage 0 = parse only .. 3 = full chain),
-    mirroring graft.BenchChain's per-stage ledger: successive deltas
-    attribute wall to parse / despike / press_check+split / bindata."""
+def staged_pass():
+    """One full chain pass with INLINE per-stage accumulation — pandas is
+    eager, so each stage's wall is directly measurable inside the pass
+    (no prefix re-execution; the engine side needs cumulative prefixes
+    because Spark pipelines stages lazily). Returns per-stage seconds."""
+    t = {"parse_s": 0.0, "despike_s": 0.0, "press_split_s": 0.0,
+         "bindata_s": 0.0}
+    t0 = time.time()
     casts = load()
-    if stage == 0:
-        return casts
-    out = []
+    t["parse_s"] = time.time() - t0
     for c in casts:
+        t1 = time.time()
         c1 = ctd_proc.despike(c, n1=2, n2=20, block=100)
-        if stage == 1:
-            out.append(c1)
-            continue
+        t["despike_s"] += time.time() - t1
+        t2 = time.time()
         c2 = ctd_proc.press_check(c1)
         down, _up = ctd_proc.split(c2)
-        if stage == 2:
-            out.append(down)
-            continue
-        out.append(ctd_proc.bindata(down, delta=1.0))
-    return out
-
-
-def timed(fn, reps=3):
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        fn()
-        ts.append(time.time() - t0)
-    return sorted(ts)[reps // 2]
+        t["press_split_s"] += time.time() - t2
+        t3 = time.time()
+        ctd_proc.bindata(down, delta=1.0)
+        t["bindata_s"] += time.time() - t3
+    return t
 
 
 def main():
@@ -116,17 +109,13 @@ def main():
     t1 = time.time()
     load()
     read_s = time.time() - t1          # warm re-read for context
-    # per-stage ledger (same cumulative-prefix method as the engine's
-    # BenchChain: each prefix re-runs its upstream, deltas are the stage
-    # attribution; medians of 3, warm from the passes above)
-    cum = [timed(lambda s=s: prefix(s)) for s in range(4)]
-    ledger = {
-        "parse_s": round(cum[0], 3),
-        "despike_s": round(max(0.0, cum[1] - cum[0]), 3),
-        "press_split_s": round(max(0.0, cum[2] - cum[1]), 3),
-        "bindata_s": round(max(0.0, cum[3] - cum[2]), 3),
-        "cum_s": [round(c, 3) for c in cum],
-    }
+    # per-stage ledger: 3 inline-staged passes, per-stage MIN across
+    # passes — this VM's CPU-steal bursts only ADD time, so min is the
+    # burst-robust estimator (a median of 3 loses to one 50%-stolen rep,
+    # measured in the first r15 window: cum[2] > cum[3])
+    passes = [staged_pass() for _ in range(3)]
+    ledger = {k: round(min(p[k] for p in passes), 3) for k in passes[0]}
+    ledger["sum_s"] = round(sum(ledger.values()), 3)
     print(json.dumps({
         "metric": "reference_qc_chain", "files": len(FILES), "rows": rows,
         "out_rows": sum(len(c) for c in res),

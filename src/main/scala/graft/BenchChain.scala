@@ -79,10 +79,14 @@ object BenchChain {
     // ---- PER-STAGE LEDGER (VERDICT r14 #7): cumulative prefixes of the
     // refExact chain (the q181 anchor path) — each prefix re-executes its
     // upstream, so successive DELTAS attribute wall to parse / despike
-    // kernel / pressCheck+split windows / bindata aggregation. Medians of
-    // 3; the prefixes pipeline inside one task per cast exactly like the
-    // full chain, so the deltas are honest attribution, not artifacts of
-    // materialization boundaries (noop sink throughout).
+    // kernel / pressCheck+split windows / bindata aggregation. MIN of 5
+    // reps per prefix: this VM's CPU-steal bursts only ADD time, so min
+    // is the burst-robust estimator (the first r15 window measured a
+    // median-of-3 cum[2] ABOVE cum[3] — a physically impossible ordering
+    // a single 50%-stolen rep produces). The prefixes pipeline inside
+    // one task per cast exactly like the full chain, so the deltas are
+    // honest attribution, not artifacts of materialization boundaries
+    // (noop sink throughout).
     def prefix(stage: Int) = {
       val base = read()
       if (stage == 0) base
@@ -101,13 +105,24 @@ object BenchChain {
       }
     }
     noop(prefix(0)); noop(prefix(2)) // warm the prefix shapes
-    val cum = (0 to 3).map(s => timed(() => prefix(s)))
+    def minTimed(mk: () => org.apache.spark.sql.DataFrame,
+                 reps: Int = 5): Double =
+      (1 to reps).map { _ =>
+        val t = System.nanoTime()
+        noop(mk())
+        (System.nanoTime() - t) / 1e9
+      }.min
+    val cum0 = (0 to 3).map(s => minTimed(() => prefix(s)))
+    // enforce the physical ordering (each prefix strictly contains the
+    // previous); a residual inversion after min-of-5 is clamped and the
+    // raw mins stay in cum_s for the reader
+    val cum = cum0.scanLeft(0.0)(math.max).tail
     val ledger =
       s""""ledger":{"parse_s":${cum(0)},""" +
-      s""""despike_s":${math.max(0.0, cum(1) - cum(0))},""" +
-      s""""press_split_s":${math.max(0.0, cum(2) - cum(1))},""" +
-      s""""bindata_s":${math.max(0.0, cum(3) - cum(2))},""" +
-      s""""cum_s":[${cum.mkString(",")}]}"""
+      s""""despike_s":${cum(1) - cum(0)},""" +
+      s""""press_split_s":${cum(2) - cum(1)},""" +
+      s""""bindata_s":${cum(3) - cum(2)},""" +
+      s""""cum_s":[${cum0.mkString(",")}]}"""
 
     val outRows = chain(withLp = false).count()
     println(s"""{"metric":"engine_qc_chain","files":${files.length},""" +

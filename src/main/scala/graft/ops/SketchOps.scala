@@ -230,6 +230,91 @@ object SketchOps {
     }.drop("__merged")
   }
 
+  /**
+   * Land per-group KLL quantile sketches as a persisted SEGMENT table —
+   * the "land-once" shape [[quantileSketches]] advertises, with the same
+   * lifecycle contract as the CMS family ([[landCmsSketch]]): sketches
+   * land as bytes keyed by `(segment, group)`, ingest batches append NEW
+   * segments only ([[appendQuantileSketches]] — pure inserts, so a crash
+   * mid-append leaves the store readable and the retry completes the
+   * same segment), and any-rank percentile queries read the merged union
+   * with no data re-scan ([[quantilesAgainstSketches]]). Meta pins `k`
+   * and the group/value column names (the q75 drift rule: a re-land
+   * under different params refuses rather than silently mixing
+   * rank-error envelopes — DataSketches keeps the SMALLEST k among
+   * merged sketches, so one drifted segment would degrade every answer).
+   */
+  def landQuantileSketches(df: DataFrame, groupCol: String,
+                           valueCol: String, name: String, k: Int = 200,
+                           segment: String = "base",
+                           path: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    graft.sources.IndexCatalog.pinMeta(spark, name, "landQuantileSketches",
+      path, Seq("k" -> k, "group_col" -> groupCol,
+        "value_col" -> valueCol)): Unit
+    if (!spark.catalog.tableExists(s"${name}_qsketches")) {
+      val seg = quantileSketches(df, groupCol, valueCol, k)
+        .select(lit(segment).as("segment"), col(groupCol).as("grp"),
+          col("qsketch"))
+      val w = seg.write.mode("overwrite").format("parquet")
+      path.fold(w)(p => w.option("path", s"${p}_qsketches"))
+        .saveAsTable(s"${name}_qsketches")
+    }
+  }
+
+  /**
+   * Fold an ingest batch into a landed quantile-sketch store as a new
+   * SEGMENT. A `segmentId` already present is skipped and the call
+   * returns false — re-delivered batches cannot double-weight a rank
+   * distribution, the same idempotency-by-segment-id contract the CMS
+   * appends carry. Params (`k`, the column names) come from the meta
+   * table, never the call site. The seen-check + append runs under the
+   * cross-application [[graft.sources.WriterLease]] so two drivers
+   * ingesting the same segment cannot both insert it.
+   */
+  def appendQuantileSketches(df: DataFrame, name: String,
+                             segmentId: String): Boolean = {
+    val spark = df.sparkSession
+    val m = graft.sources.IndexCatalog.requireMeta(spark, name,
+      s"no quantile-sketch store '$name' in the session catalog — run " +
+      "landQuantileSketches first")
+    val (k, groupCol, valueCol) = (m.getAs[Int]("k"),
+      m.getAs[String]("group_col"), m.getAs[String]("value_col"))
+    graft.sources.WriterLease.withWriterLease(spark, name) {
+      val seen = spark.table(s"${name}_qsketches")
+        .filter(col("segment") === segmentId).limit(1).count() > 0
+      if (seen) false
+      else {
+        quantileSketches(df, groupCol, valueCol, k)
+          .select(lit(segmentId).as("segment"), col(groupCol).as("grp"),
+            col("qsketch"))
+          .write.mode("append").format("parquet")
+          .saveAsTable(s"${name}_qsketches")
+        true
+      }
+    }
+  }
+
+  /**
+   * Answer per-group percentiles from a landed store: union ALL landed
+   * segments' sketches through [[mergedQuantiles]] — kilobytes per
+   * (segment, group) reach the merge whatever the corpus size, and the
+   * answer reflects every fully-committed segment within the single-pass
+   * rank-error bound. Output group column carries the landed name from
+   * the meta table.
+   */
+  def quantilesAgainstSketches(spark: org.apache.spark.sql.SparkSession,
+                               name: String,
+                               percentiles: Seq[Double]): DataFrame = {
+    val m = graft.sources.IndexCatalog.requireMeta(spark, name,
+      s"no quantile-sketch store '$name' in the session catalog — run " +
+      "landQuantileSketches first")
+    val groupCol = m.getAs[String]("group_col")
+    mergedQuantiles(spark.table(s"${name}_qsketches")
+      .select(col("grp").as(groupCol), col("qsketch")),
+      groupCol, percentiles)
+  }
+
   // --- Misra-Gries heavy hitters: sketch narrows, exact verifies ----------
 
   private def Mg = org.apache.spark.sql.catalyst.expressions.graftsketch

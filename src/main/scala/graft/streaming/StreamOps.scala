@@ -1168,4 +1168,27 @@ object StreamOps {
         s"$segmentPrefix$batchId")
       ()
     }
+
+  /**
+   * Streaming QUANTILE maintenance — the KLL sibling of
+   * [[cmsUpdateBatch]]: a `foreachBatch` body that folds each
+   * micro-batch into a landed
+   * [[graft.ops.SketchOps.landQuantileSketches]] store as the segment
+   * `"<segmentPrefix><batchId>"`. The engine re-runs a failed
+   * micro-batch under the SAME batch id and
+   * [[graft.ops.SketchOps.appendQuantileSketches]] skips a segment
+   * already present, so each batch weights the rank distribution
+   * EXACTLY ONCE across crash/retry. Group/value columns and `k` come
+   * from the landed meta, so the stream cannot drift from the store it
+   * feeds. Percentile reads at any point
+   * ([[graft.ops.SketchOps.quantilesAgainstSketches]]) reflect every
+   * fully-committed batch.
+   */
+  def quantileUpdateBatch(name: String, segmentPrefix: String = "stream-")
+                         : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.ops.SketchOps.appendQuantileSketches(batch, name,
+        s"$segmentPrefix$batchId")
+      ()
+    }
 }

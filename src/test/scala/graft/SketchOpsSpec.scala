@@ -206,6 +206,36 @@ class SketchOpsSpec extends SparkTestBase {
     assert(viaSql.contains("a"))
   }
 
+  test("landed KLL store: land + segment append answers within rank " +
+       "tolerance; re-delivered segments are skipped; param drift is " +
+       "refused") {
+    val name = "graft_kll_spec_" + System.nanoTime()
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_bucketed/$name"
+    val base = (1 to 500).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val more = (501 to 1000).map(i => ("a", i.toDouble)).toDF("g", "v")
+    try {
+      SketchOps.landQuantileSketches(base, "g", "v", name, k = 200,
+        path = Some(tmp))
+      assert(SketchOps.appendQuantileSketches(more, name, "seg-1"))
+      // re-delivery of the same segment: skipped, store unchanged
+      assert(!SketchOps.appendQuantileSketches(more, name, "seg-1"))
+      assert(spark.table(s"${name}_qsketches").count() == 2)
+      val p50 = SketchOps.quantilesAgainstSketches(spark, name, Seq(0.5))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(p50("a") > 440 && p50("a") < 560,
+        s"merged p50 of 1..1000 = ${p50("a")}")
+      // drift refusal (the q75 rule): re-land under a different k
+      val ex = intercept[Exception] {
+        SketchOps.landQuantileSketches(base, "g", "v", name, k = 400,
+          path = Some(tmp))
+      }
+      assert(ex.getMessage.contains(name), ex.getMessage)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_meta")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_qsketches")
+    }
+  }
+
   test("q184 KLL band contract: every (source, rank) row lands within " +
        "its exact ±3%-rank band, bands are exact positional values, and " +
        "n_rows is the exact per-source count") {

@@ -174,6 +174,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("quantileUpdateBatch folds micro-batches into the landed KLL " +
+       "store as batch-id segments; a replayed batch id cannot " +
+       "double-weight the distribution") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val name = "graft_kll_stream_" + System.nanoTime()
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_bucketed/$name"
+    try {
+      graft.ops.SketchOps.landQuantileSketches(
+        (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "v"),
+        "g", "v", name, path = Some(tmp))
+      val input = MemoryStream[(String, Double)]
+      val q = input.toDF().toDF("g", "v").writeStream
+        .foreachBatch(StreamOps.quantileUpdateBatch(name))
+        .outputMode("append").start()
+      try {
+        input.addData((101 to 500).map(i => ("a", i.toDouble)): _*)
+        q.processAllAvailable()
+        input.addData((501 to 1000).map(i => ("a", i.toDouble)): _*)
+        q.processAllAvailable()
+        val segs = spark.table(s"${name}_qsketches").count()
+        assert(segs == 3, s"want base + 2 batch segments, got $segs")
+        val p50 = graft.ops.SketchOps.quantilesAgainstSketches(
+            spark, name, Seq(0.5))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(p50("a") > 440 && p50("a") < 560,
+          s"merged p50 of 1..1000 = ${p50("a")}")
+        // engine crash-replay of batch 0: same segment id -> skipped
+        StreamOps.quantileUpdateBatch(name)(
+          Seq(("a", 999999.0)).toDF("g", "v"), 0L)
+        assert(spark.table(s"${name}_qsketches").count() == segs,
+          "replayed batch id inserted a new segment")
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_meta")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_qsketches")
+    }
+  }
+
   test("streamingExactDedup drops repeated digests across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
