@@ -54,7 +54,7 @@ object BenchChain {
       val dn = CastOps.split(pc, "cast_id", "scan_order")
         .filter(col("direction") === "down")
       CastOps.bindataAverage(dn, "cast_id", "scan_order", valueCols,
-        delta = 1.0)
+        delta = 1.0, edgesViaWindow = true)
     }
 
     val rows = read().count()
@@ -100,7 +100,7 @@ object BenchChain {
             .filter(col("direction") === "down")
           if (stage == 2) dn
           else CastOps.bindataAverage(dn, "cast_id", "scan_order",
-            valueCols, delta = 1.0)
+            valueCols, delta = 1.0, edgesViaWindow = true)
         }
       }
     }

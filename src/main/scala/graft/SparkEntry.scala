@@ -87,8 +87,13 @@ object SparkEntry {
     val pc = Cast.pressCheck(d, "cast_id", "scan_order", valueCols)
     val dn = Cast.split(pc, "cast_id", "scan_order")
       .filter(col("direction") === "down")
+    // edgesViaWindow: the despike kernel blocks column pruning, so the
+    // default mode's separate edges aggregate would re-run parse+despike
+    // wholesale (measured: 4.5 s of the chain's 9.2 s at r15); the window
+    // mode derives the same edges from one upstream pass — bit-identical
+    // output (KernelSpec parity pin; q181/q181b goldens unchanged)
     (Cast.bindataAverage(dn, "cast_id", "scan_order", valueCols,
-      delta = 1.0, keepEmpty = true), valueCols)
+      delta = 1.0, keepEmpty = true, edgesViaWindow = true), valueCols)
   }
 
   /** SUM(CAST(x AS DECIMAL(s))) back as the exact nearest double. */

@@ -129,4 +129,44 @@ class KernelSpec extends SparkTestBase {
     assert(chained.count() > 0)
     assert(chained.columns.toSeq.contains("t090C"))
   }
+
+  test("bindataAverage edgesViaWindow parity: bit-identical to the " +
+       "rescan mode, including empty-bin spine rows and a cast whose " +
+       "every sample falls outside its bins") {
+    import spark.implicits._
+    // cast a: spiky real-ish profile with an empty bin gap; cast b: all
+    // samples share the leftmost edge (pressure == start is dropped by
+    // pd.cut right-closed semantics) -> zero surviving rows, spine kept
+    val rows =
+      Seq(("a", 1L, 0.3, 10.0), ("a", 2L, 1.2, 11.0), ("a", 3L, 1.9, 12.0),
+        ("a", 4L, 5.4, 13.0), ("a", 5L, 5.9, 14.0), ("a", 6L, 8.7, 15.0),
+        ("b", 1L, 2.0, 50.0), ("b", 2L, 2.0, 51.0), ("b", 3L, 6.0, 52.0))
+      .toDF("cast_id", "scan_order", "pressure", "t090C")
+      // b's edges: start=ceil(2.0)=2, end=floor(6.0)=6 -> 3 bins; the
+      // 2.0 rows sit ON start (dropped) and 6.0 has k=3 >= nbins=3
+    for (keepEmpty <- Seq(true, false)) {
+      val a = Cast.bindataAverage(rows, "cast_id", "scan_order",
+          Seq("t090C"), delta = 1.0, keepEmpty = keepEmpty)
+        .orderBy("cast_id", "pressure").collect().toSeq
+      val b = Cast.bindataAverage(rows, "cast_id", "scan_order",
+          Seq("t090C"), delta = 1.0, keepEmpty = keepEmpty,
+          edgesViaWindow = true)
+        .orderBy("cast_id", "pressure").collect().toSeq
+      assert(a == b, s"keepEmpty=$keepEmpty:\nrescan $a\nwindow $b")
+    }
+    // and on real data: the q181 anchor path's exact shape
+    val raw = CtdRead.cnv(spark, s"$dataDir/CTD-spiked-unfiltered.cnv.bz2")
+    val down = Cast.split(Cast.removeAboveWater(raw), "cast_id",
+        "scan_order")
+      .filter(col("direction") === "down")
+      .select(col("cast_id"), col("scan_order"), col("pressure"),
+        col("t090C"))
+    val r = Cast.bindataAverage(down, "cast_id", "scan_order",
+        Seq("t090C"), delta = 1.0)
+      .orderBy("cast_id", "pressure").collect().toSeq
+    val w = Cast.bindataAverage(down, "cast_id", "scan_order",
+        Seq("t090C"), delta = 1.0, edgesViaWindow = true)
+      .orderBy("cast_id", "pressure").collect().toSeq
+    assert(r == w)
+  }
 }
