@@ -58,27 +58,33 @@ object BenchChain {
     }
 
     val rows = read().count()
-    noop(chain(withLp = false)) // warm: JIT + codegen + parquet-free parse
-    noop(chain(withLp = true))
-    noop(chain(withLp = false, refExact = true))
 
-    // median AND min of the reps: this VM's CPU-steal bursts only ADD
-    // time, so when the two disagree the min is the machine number and
-    // the median carries the burst; both ship in the JSON so the reader
-    // adjudicates instead of trusting one estimator (BENCH_NOTES_r12 §3)
-    def timed(mk: () => org.apache.spark.sql.DataFrame,
-              reps: Int = 3): (Double, Double) = {
-      val ts = (1 to reps).map { _ =>
-        val t = System.nanoTime()
-        noop(mk())
-        (System.nanoTime() - t) / 1e9
-      }.sorted
-      (ts(reps / 2), ts.head)
-    }
-
-    val (noLp, noLpMin) = timed(() => chain(withLp = false))
-    val (refExactS, refExactMin) = timed(() => chain(withLp = false, refExact = true))
-    val (withLp, withLpMin) = timed(() => chain(withLp = true))
+    // INTERLEAVED reps (the graft.Bench protocol): sequential per-variant
+    // blocks confound JIT warm-up with the variant — four r15 windows
+    // measured the FIRST timed variant at 12.5-15.2 s and the LAST at
+    // 6.7-8.2 s whatever the variant order, while the fully-warm ledger
+    // prefixes ran the whole chain in 4.3 s. Two warm passes per shape,
+    // then round-robin reps; median AND min ship (steal only adds time,
+    // so min is the machine number when they disagree).
+    val variants = Seq(
+      "chain" -> (() => chain(withLp = false)),
+      "refexact" -> (() => chain(withLp = false, refExact = true)),
+      "with_lp" -> (() => chain(withLp = true)))
+    variants.foreach { case (_, mk) => noop(mk()); noop(mk()) }
+    val reps = 5
+    val samples: Map[String, Seq[Double]] =
+      (1 to reps).flatMap { _ =>
+        variants.map { case (name, mk) =>
+          val t = System.nanoTime()
+          noop(mk())
+          name -> (System.nanoTime() - t) / 1e9
+        }
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    def med(n: String): Double = samples(n)(reps / 2)
+    def mn(n: String): Double = samples(n).head
+    val (noLp, noLpMin) = (med("chain"), mn("chain"))
+    val (refExactS, refExactMin) = (med("refexact"), mn("refexact"))
+    val (withLp, withLpMin) = (med("with_lp"), mn("with_lp"))
 
     // ---- PER-STAGE LEDGER (VERDICT r14 #7): cumulative prefixes of the
     // refExact chain (the q181 anchor path) — each prefix re-executes its
