@@ -44,7 +44,9 @@ object ClampProbe {
       .select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = e.count()
-    val derivedCells = SimOps.derivedCells(n)
+    // the op under probe (ivfJoinTopK) derives via the r15 lifted-ceiling
+    // formula; report both it and the flat/landed one for the record
+    val derivedCells = SimOps.derivedCellsHier(n)
 
     // fixed ~8k-query sample regardless of corpus size, so the measured
     // candidates-per-query isolates the per-query cost curve (a corpus-
@@ -75,7 +77,9 @@ object ClampProbe {
     val twinPpm = rank1 * 1000000L / math.max(nQ, 1L)
 
     println(s"""{"metric":"clamp_probe","dir":"$dir","n":$n,""" +
-      s""""derived_cells":$derivedCells,"clamp_bound":${derivedCells == 16384},""" +
+      s""""derived_cells":$derivedCells,"clamp_bound":${derivedCells == (1 << 20)},""" +
+      s""""two_level":${derivedCells > SimOps.FlatAssignMaxCells},""" +
+      s""""derived_cells_flat":${SimOps.derivedCells(n)},""" +
       s""""n_queries":$nQ,"candidate_pairs":$candidates,""" +
       s""""candidates_per_query":${if (nQ > 0) candidates / nQ else -1},""" +
       s""""twin_rank1_ppm":$twinPpm,"wall_s":${math.round(wall * 100) / 100.0}}""")

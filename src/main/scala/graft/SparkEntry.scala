@@ -121,12 +121,16 @@ object SparkEntry {
     * rank) — ONE builder parameterized by the probe-side filter, so the
     * two oracles cannot diverge on the fold / tie-breaks / derive
     * formula (the q163 cell-count fix would otherwise need manual
-    * mirroring into q173). */
+    * mirroring into q173). The ncells CTE mirrors
+    * `SimOps.derivedCellsHier` (r15 lifted ceiling); the flat
+    * assignment this replay performs is the engine's path for every
+    * derived count <= FlatAssignMaxCells = 4096 — all oracle scales sit
+    * on the 16-cell floor, far below the two-level switch. */
   private def ivfJoinOracleCtes(probeWhere: String): String =
     s"""WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |), ncells AS (
-      |  SELECT least(16384, greatest(16,
+      |  SELECT least(1048576, greatest(16,
       |    CAST(ceil(count(*) / 128.0) AS BIGINT))) AS k
       |  FROM e
       |), c AS (
@@ -545,7 +549,8 @@ object SparkEntry {
       // corpus — neither side broadcasts; probe cells come from the
       // map-side multi-probe kernel, the only big op is one cell-key
       // equi-join. Every query's identical twin must surface at rank 1.
-      // nCells DERIVES from the corpus (clamp(ceil(n/128), 16, 16384)):
+      // nCells DERIVES from the corpus (derivedCellsHier: clamp
+      // (ceil(n/128), 16, 2^20), two-level assignment past 4096 cells):
       // with both sides corpus-scale a fixed cell count is quadratic —
       // the 10x rerun measured 137x wall at fixed 16 cells vs 7.1x
       // derived; at every test sf the derived value IS 16 (clamp floor)
@@ -646,9 +651,10 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val dups = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
-      // nCells <= 0: clamp(ceil(n/128), 16, 16384) cells — the linear-
-      // candidates scale default (fixed 16 cells measured 35x at 10x data);
-      // the oracle embeds the same formula as a subquery
+      // nCells <= 0: clamp(ceil(n/128), 16, 2^20) cells (derivedCellsHier,
+      // two-level assignment past 4096) — the linear-candidates scale
+      // default (fixed 16 cells measured 35x at 10x data); the oracle
+      // embeds the same formula as a subquery
       SimOps.semanticDedupPairs(e.unionByName(dups), "vec_id", "embedding",
           threshold = 0.9, nCells = 0)
         .orderBy(col("id_a"), col("id_b"))
@@ -2974,12 +2980,15 @@ object SparkEntry {
 
   /** Shared CTE prefix of the q79/q80 semantic-dedup oracles: q40's
     * planted-copies corpus, the data-derived codebook — the
-    * `clamp(ceil(n/128), 16, 16384)` LOWEST ids of the unioned corpus,
-    * the exact occupancy-targeting formula `semanticDedupPairs` derives
-    * for `nCells <= 0` (dense 0-based vec_ids, so lowest-k-ids == id < k)
+    * `clamp(ceil(n/128), 16, 2^20)` LOWEST ids of the unioned corpus
+    * (`SimOps.derivedCellsHier`, the r15 lifted ceiling), the exact
+    * occupancy-targeting formula `semanticDedupPairs` derives for
+    * `nCells <= 0` (dense 0-based vec_ids, so lowest-k-ids == id < k)
     * — argmax-cosine cell assignment, then within-cell pairs at cosine
     * >= 0.9. All folds are DOUBLE[] list_inner_product — bit-exact vs
-    * the native expressions. */
+    * the native expressions. The flat assignment replayed here is the
+    * engine's path for every derived count <= FlatAssignMaxCells; the
+    * oracle scales sit on the 16-cell floor. */
   private val SemanticDedupCtes: String =
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2987,7 +2996,7 @@ object SparkEntry {
         |  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id < 20
         |), ncells AS (
-        |  SELECT least(16384, greatest(16,
+        |  SELECT least(1048576, greatest(16,
         |    CAST(ceil(count(*) / 128.0) AS BIGINT))) AS k
         |  FROM base
         |), c AS (

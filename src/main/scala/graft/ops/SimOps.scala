@@ -36,7 +36,11 @@ object SimOps {
    * then doubling per corpus doubling past the clamp (550 at 2.2M,
    * 1,043 at 4.2M) — beyond ~2M vectors, raise the ceiling only with a
    * trained/partitioned codebook (per-row assignment is n*nCells*dim,
-   * the binding cost there), or accept the linear growth.
+   * the binding cost there), or accept the linear growth. r15 did
+   * exactly that for the in-memory join/dedup paths: they derive via
+   * [[derivedCellsHier]] and switch to two-level assignment past
+   * [[FlatAssignMaxCells]]; THIS formula remains the landed-index
+   * derivation (cell count = partition-directory layout there).
    *
    * [[derivedShortlist]] — projected-rerank shortlist:
    * `clamp(ceil(n/40), 50, 4096)`. A ~2.5% corpus slice; the 4096
@@ -52,6 +56,36 @@ object SimOps {
   /** See [[derivedCells]]. */
   def derivedShortlist(n: Long): Int =
     math.max(50, math.min(4096, math.ceil(n / 40.0).toInt))
+
+  /**
+   * Flat-assignment ceiling (r15). The r15 1000x third-decade run caught
+   * the cliff the [[derivedCells]] scaladoc predicted: per-row argmax
+   * assignment costs nCells*dim mult-adds, so with cells deriving as n/128
+   * the TOTAL assignment cost is quadratic in n — at 2M vectors
+   * (nCells ~ 15.8k) the skew ivf-join leg measured 27.6x wall for 10x
+   * data, with 8 MiB codebook task binaries, while candidate volume
+   * stayed linear as designed. Past this cell count the in-memory
+   * join/dedup paths switch to [[resolveAssigner]]'s TWO-LEVEL product
+   * assignment (inverted-multi-index structure, Babenko & Lempitsky:
+   * two half-dimension codebooks of ~sqrt(nCells) centroids; cell id =
+   * a1*k2 + a2), dropping per-row cost to ~sqrt(nCells)*dim and the
+   * codebook footprint to KBs. 4096 cells * 128 occupancy = the flat
+   * path binds exactly where r14's measured envelope was flat.
+   */
+  val FlatAssignMaxCells = 4096
+
+  /**
+   * Cell-count derivation for the two-level-capable in-memory paths
+   * ([[ivfJoinTopK]], [[semanticDedupPairs]], [[ivfTopK]]): same
+   * ~128-row-occupancy formula as [[derivedCells]], but the ceiling lifts
+   * to 2^20 (binds above n = 134,217,728) because two-level assignment
+   * keeps the per-row cost at ~sqrt(nCells)*dim and the codebook at
+   * 2*sqrt(nCells)*dim/2 doubles. Identical to [[derivedCells]] for every
+   * n <= 2,097,152; the landed-index family keeps the flat formula (its
+   * cell count is a partition-directory layout, bounded on purpose).
+   */
+  def derivedCellsHier(n: Long): Int =
+    math.min(1 << 20, math.max(16, math.ceil(n / 128.0).toInt))
 
   /** Double-precision dot product of two array columns. Native codegen
     * expression — the `aggregate(zip_with(...))` higher-order form is
@@ -353,6 +387,97 @@ object SimOps {
       case d: java.lang.Double => d.doubleValue()
       case n: Number           => n.doubleValue()
     }.toArray
+
+  /** Map-side cell machinery resolved once per operator call: `assign` is
+    * the per-row cell column, `probes(vec, nProbe)` the ranked probe-cell
+    * array column. */
+  private final case class CellAssigner(assign: Column => Column,
+                                        probes: (Column, Int) => Column)
+
+  /**
+   * Flat vs two-level cell assignment (r15, the 1000x-decade fix — see
+   * [[FlatAssignMaxCells]]).
+   *
+   * `kCells <= FlatAssignMaxCells`: the historical flat path, bit-identical
+   * to r14 — one codebook via [[resolveCodebook]], native argmax
+   * ([[org.apache.spark.sql.catalyst.expressions.graftarray
+   * .ArrayMathExpressions.ivfCell]]) and multi-probe kernel.
+   *
+   * Above it: TWO-LEVEL PRODUCT assignment. The vector splits into its
+   * first `ceil(dim/2)` and remaining components; each half gets its own
+   * codebook of `k1 = ceil(sqrt(kCells))` / `k2 = ceil(kCells/k1)`
+   * centroids built by the SAME [[resolveCodebook]] rule on the sliced
+   * column (lowest-id half-vectors, or maximin+Lloyd with
+   * `trainCodebook`), and the composed cell id is `a1*k2 + a2` — the
+   * existing native argmax runs twice over half-dim codebooks, so per-row
+   * cost is `(k1+k2)*dim/2 ~ sqrt(kCells)*dim` and both codebooks
+   * together are KBs where the flat codebook at 15.8k cells was 8 MiB of
+   * task binary. Probing composes the per-half multi-probe kernels: the
+   * top `p1 = ceil(sqrt(nProbe))` half-1 cells cross the top
+   * `p2 = ceil(nProbe/p1)` half-2 cells in (rank1, rank2) lexicographic
+   * order, sliced to exactly `nProbe` composed cells — a deterministic
+   * approximation of additive-distance multi-sequence probing (candidate
+   * volume per query is identical to the flat path's nProbe cells; the
+   * 1000x skew leg measures the recall/volume behavior). Null vector
+   * elements propagate to a null cell exactly as the flat path. Occupancy
+   * of the product grid is less even than a trained flat codebook's —
+   * `maxCell` and AQE's skew split remain the tail guards, measured by
+   * the same observe metrics.
+   *
+   * The DuckDB oracles replay the FLAT path only; every oracle-checked
+   * scale sits far below the threshold (driver SFs: n <= 2000). The
+   * two-level path is pinned by HierAssignSpec (forced via explicit
+   * nCells > FlatAssignMaxCells on a small corpus) and measured by the
+   * BENCH_SCALING 1000x legs.
+   */
+  private def resolveAssigner(corpus: DataFrame, idCol: String,
+                              vecCol: String, kCells: Int,
+                              trainCodebook: Boolean, lloydIters: Int,
+                              trainSample: Int, caller: String): CellAssigner = {
+    val A = org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+    if (kCells <= FlatAssignMaxCells) {
+      val cents = resolveCodebook(corpus, idCol, vecCol, kCells,
+        trainCodebook, lloydIters, trainSample, caller)
+      CellAssigner(
+        v => A.ivfCell(v, cents.toSeq),
+        (v, nProbe) => A.ivfCells(v, cents.toSeq, nProbe))
+    } else {
+      val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+      require(dim >= 2,
+        s"$caller: two-level assignment needs dim >= 2, got $dim")
+      val h1 = (dim + 1) / 2
+      val h2 = dim - h1
+      val k1 = math.ceil(math.sqrt(kCells.toDouble)).toInt
+      val k2 = math.ceil(kCells.toDouble / k1).toInt
+      // half codebooks renumber to positions 0..k-1: the composed id is
+      // positional arithmetic, not a corpus-id namespace
+      def halfCodebook(from: Int, len: Int, k: Int): Seq[(Long, Array[Double])] = {
+        val sliced = corpus.select(col(idCol),
+          slice(col(vecCol), from, len).as(vecCol))
+        resolveCodebook(sliced, idCol, vecCol, k, trainCodebook, lloydIters,
+          trainSample, s"$caller(two-level)")
+          .zipWithIndex.map { case ((_, c), i) => (i.toLong, c) }.toSeq
+      }
+      val cb1 = halfCodebook(1, h1, k1)
+      val cb2 = halfCodebook(h1 + 1, h2, k2)
+      def sliceA(v: Column) = slice(v, 1, h1)
+      def sliceB(v: Column) = slice(v, h1 + 1, h2)
+      CellAssigner(
+        v => A.ivfCell(sliceA(v), cb1) * lit(k2.toLong) +
+          A.ivfCell(sliceB(v), cb2),
+        (v, nProbe) => {
+          val p1 = math.ceil(math.sqrt(nProbe.toDouble)).toInt
+          val p2 = math.ceil(nProbe.toDouble / p1).toInt
+          // p1*p2 composed cells in (rank1, rank2) order; the lambda is
+          // interpreted per element but runs over ~nProbe values per row,
+          // not the codebook — negligible next to the half-dim argmaxes
+          val composed = flatten(transform(A.ivfCells(sliceA(v), cb1, p1),
+            x => transform(A.ivfCells(sliceB(v), cb2, p2),
+              y => x * lit(k2.toLong) + y)))
+          slice(composed, 1, nProbe)
+        })
+    }
+  }
 
   /**
    * Deterministic sampled k-means codebook (VERDICT r4 #2 / r5 #2): a
@@ -858,6 +983,28 @@ object SimOps {
       return ivfTopKIntLloyd(corpus, queries, idCol, vecCol, k, nCells,
         nProbe, intLloydIters, intScale)
     }
+    // r15: past FlatAssignMaxCells the flat corpus assignment
+    // (nCells*dim per row) and the queries x nCells probe crossJoin both
+    // stop scaling — route through the two-level assigner with map-side
+    // probe selection (same join tail, same tie-breaks)
+    if (nCells > FlatAssignMaxCells) {
+      val asg = resolveAssigner(corpus, idCol, vecCol, nCells,
+        trainCodebook, lloydIters, trainSample, "ivfTopK")
+      val assigned = corpus
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        .withColumn("__cell", asg.assign(col("__cv")))
+      val probes = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"),
+        explode(asg.probes(col(vecCol), nProbe)).as("__cell"))
+      val scored = assigned.join(broadcast(probes), "__cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      return scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+    }
     val cents = resolveCodebook(corpus, idCol, vecCol, nCells, trainCodebook,
       lloydIters, trainSample, "ivfTopK")
 
@@ -964,8 +1111,10 @@ object SimOps {
    * ids-only rule targets data-dependent explosions; re-joining vectors
    * here would cost a second corpus-scale shuffle for a 4× dodge).
    *
-   * `nCells <= 0` (the default) derives `clamp(ceil(n/128), 16, 16384)`
-   * from the corpus — the [[semanticDedupPairs]] occupancy convention,
+   * `nCells <= 0` (the default) derives [[derivedCellsHier]]
+   * (`clamp(ceil(n/128), 16, 2^20)`, two-level assignment past
+   * [[FlatAssignMaxCells]]) from the corpus — the
+   * [[semanticDedupPairs]] occupancy convention,
    * and here it is LOAD-BEARING, not a convenience: with BOTH sides
    * growing with the corpus, a fixed cell count makes candidate volume
    * quadratic (nProbe · q · n/nCells — the round-10 ScaleUp rerun
@@ -989,15 +1138,18 @@ object SimOps {
                   maxCell: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val A = org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+    // r15: derive with the LIFTED ceiling (two-level assignment past
+    // FlatAssignMaxCells keeps the per-row cost sqrt-bounded, so the
+    // cell count can keep tracking n/128 where the flat 16384 ceiling
+    // would have sent candidate volume quadratic — the 1000x-decade fix)
     val kCells =
       if (nCells > 0) nCells
-      else derivedCells(corpus.select(col(idCol)).count())
-    val cents = resolveCodebook(corpus, idCol, vecCol, kCells, trainCodebook,
+      else derivedCellsHier(corpus.select(col(idCol)).count())
+    val asg = resolveAssigner(corpus, idCol, vecCol, kCells, trainCodebook,
       lloydIters, trainSample, "ivfJoinTopK")
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cell", A.ivfCell(col("__cv"), cents.toSeq))
+      .withColumn("__cell", asg.assign(col("__cv")))
     val capped =
       if (maxCell <= 0) assigned
       else {
@@ -1036,7 +1188,7 @@ object SimOps {
       .repartition(nOut, col("__cell"), col("__psalt"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        explode(A.ivfCells(col(vecCol), cents.toSeq, nProbe)).as("__cell"))
+        explode(asg.probes(col(vecCol), nProbe)).as("__cell"))
       .withColumn("__psalt",
         explode(sequence(lit(0L), lit(probeSalt - 1L), lit(1L))))
     val scored = cappedS.join(probes, Seq("__cell", "__psalt"))
@@ -1375,11 +1527,12 @@ object SimOps {
    * volume is Σ_c n_c²/2, so `nCells` MUST scale with the corpus — a fixed
    * cell count turns this quadratic (measured: 35× wall at 10× data with
    * 16 cells). Pass `nCells <= 0` to derive `clamp(ceil(n/128), 16,
-   * 16384)` from the corpus (one count() job, the [[lshCosineTopK]]
-   * derive convention): expected occupancy ~128, candidate volume ~64·n —
-   * linear. The 16384 cap bounds the driver-side codebook collect; beyond
-   * ~2M vectors prefer `trainCodebook = true` (cells track cluster
-   * structure, occupancy stays balanced) plus `maxCell` for the tail.
+   * 2^20)` from the corpus ([[derivedCellsHier]]; one count() job, the
+   * [[lshCosineTopK]] derive convention): expected occupancy ~128,
+   * candidate volume ~64·n — linear. Past [[FlatAssignMaxCells]] cells
+   * the assignment runs two-level (see [[resolveAssigner]]), so the
+   * per-row cost stays sqrt-bounded; `trainCodebook = true` still buys
+   * recall on clustered corpora, plus `maxCell` for the tail.
    * `maxCell` drops cells wider than the cap from candidate generation
    * (0 = uncapped) — oversized cells are embedding-space boilerplate, the
    * same skew guard as the LSH paths' `maxBucket`, emitting the same
@@ -1422,15 +1575,16 @@ object SimOps {
     val vecs =
       if (vecStorage == org.apache.spark.storage.StorageLevel.NONE) staged
       else staged.persist(vecStorage)
+    // r15: lifted-ceiling derive + two-level assignment past
+    // FlatAssignMaxCells (see resolveAssigner — the 1000x-decade fix;
+    // identical to the r14 flat path at every cell count <= 4096)
     val k =
       if (nCells > 0) nCells
-      else derivedCells(vecs.count())
-    val cents = resolveCodebook(vecs, idCol, vecCol, k, trainCodebook,
+      else derivedCellsHier(vecs.count())
+    val asg = resolveAssigner(vecs, idCol, vecCol, k, trainCodebook,
       lloydIters, trainSample, "semanticDedupPairs")
     val assigned = vecs
-      .select(col(idCol),
-        org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
-          .ivfCell(col(vecCol), cents.toSeq).as("__cell"))
+      .select(col(idCol), asg.assign(col(vecCol)).as("__cell"))
     val capped =
       if (maxCell <= 0) assigned
       else {

@@ -57,6 +57,39 @@ class ClampEnvelopeSpec extends AnyFunSuite {
     assert(fracAt800k < fracAtClamp / 4.5)
   }
 
+  test("derivedCellsHier (r15): identical to derivedCells through the " +
+       "flat ceiling, keeps tracking n/128 to 2^20, two-level past 4096") {
+    // identical values everywhere the flat ceiling doesn't bind
+    Seq(0L, 2048L, 2049L, 20000L, 200000L, 524288L, 2097152L).foreach { n =>
+      assert(SimOps.derivedCellsHier(n) == SimOps.derivedCells(n),
+        s"hier/flat derive diverge below the flat ceiling at n=$n")
+    }
+    // the flat formula stops at 16384; the hier one keeps ~128 occupancy
+    assert(SimOps.derivedCells(4194304) == 16384)
+    assert(SimOps.derivedCellsHier(4194304) == 32768)
+    assert(SimOps.derivedCellsHier(134217728) == 1 << 20) // ceil == 2^20
+    assert(SimOps.derivedCellsHier(134217729) == 1 << 20) // ceiling binds
+    // occupancy stays ~128 two decades past the old flat cliff
+    Seq(4194304L, 41943040L, 134217728L).foreach { n =>
+      val occ = n.toDouble / SimOps.derivedCellsHier(n)
+      assert(occ <= 129.0, s"hier occupancy $occ at n=$n")
+    }
+    // the two-level switch sits exactly at the flat-assignment bound:
+    // 4096 cells * 128 occupancy = 524,288 rows — every oracle-checked
+    // scale (driver SFs: n <= 2000) is flat, bit-identical to r14
+    assert(SimOps.FlatAssignMaxCells == 4096)
+    assert(SimOps.derivedCellsHier(524288) == 4096)  // last flat derive
+    assert(SimOps.derivedCellsHier(524289) == 4097)  // first two-level
+    // the q163/q173/q79/q80 oracles embed least(1048576, greatest(16,
+    // ceil(n/128))); replay it against the engine formula
+    def oracleForm(n: Long): Long =
+      math.min(1048576L, math.max(16L, math.ceil(n / 128.0).toLong))
+    Seq(200L, 2000L, 2020L, 524288L, 2097152L, 134217729L).foreach { n =>
+      assert(oracleForm(n) == SimOps.derivedCellsHier(n).toLong,
+        s"oracle/engine cell derive diverge at n=$n")
+    }
+  }
+
   test("the q179 oracle's embedded shortlist formula equals " +
        "SimOps.derivedShortlist on the driver corpus sizes") {
     // the DuckDB oracle SQL embeds least(4096, greatest(50, ceil(n/40)));
