@@ -3134,11 +3134,27 @@ object SparkEntry {
     val perQ = qs.select(col("vec_id").as("query_id"))
       .join(inter, Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
-    val agg = perQ.agg(sum(col("hits")).as("h"), count(lit(1)).as("n")).head()
-    val ppm = agg.getLong(0) * 1000000L / (agg.getLong(1) * k)
-    require(ppm >= floorPpm,
-      s"ANN recall@$k = $ppm ppm under the pinned floor $floorPpm ppm")
-    perQ.orderBy(col("query_id"))
+    // SINGLE-EXECUTION floor gate (r15 optimization): the old shape ran
+    // `perQ.agg(...).head()` at construction — an eager action whose input
+    // is ALSO the returned frame's lineage (VERDICT r3 #5's antipattern),
+    // so every bench rep / verify pass executed the whole brute-force +
+    // ANN pipeline TWICE (measured: q177-q179 were 3 of the suite's 4 most
+    // expensive queries, ~2x their single-pass cost). The floor check now
+    // rides the plan itself: a global window totals the 200-row perQ frame
+    // (one tiny single-partition pass — the heavy lineage below it runs
+    // once), and assert_true raises the same loud message on violation —
+    // at first execution rather than at construction; rows are unchanged.
+    val wAll = Window.partitionBy()
+    val gated = perQ
+      .withColumn("__tot", sum(col("hits")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(assert_true(
+        col("__tot") * 1000000L >= lit(floorPpm) * col("__n") * k,
+        concat(lit(s"ANN recall@$k = "),
+          expr(s"__tot * 1000000 DIV (__n * $k)").cast(StringType),
+          lit(s" ppm under the pinned floor $floorPpm ppm"))).isNull)
+      .select(col("query_id"), col("hits"))
+    gated.orderBy(col("query_id"))
   }
 
   /**

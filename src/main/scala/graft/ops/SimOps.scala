@@ -119,6 +119,22 @@ object SimOps {
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
+  /** [[cosine]] with the norms PRE-FACTORED out of the pair loop: callers
+    * compute `norm(v)` ONCE per row on each side BEFORE the join/cross and
+    * pass the dot plus both norms here. Bit-identical to [[cosine]] — the
+    * same dot fold, the same sqrt over the same self-dot, the same product
+    * and zero-guard — but the per-PAIR arithmetic drops from three
+    * dim-length dots (+2 sqrt) to one: at a candidate stage of C pairs over
+    * corpus/query sides of n/q rows, norm work falls from 2C dots to n+q
+    * (a ~3x cut of the scoring stage's mult-adds, the guide §2.3 "don't
+    * recompute what a row already knows" shape). */
+  private[graft] def cosinePre(a: Column, b: Column, na: Column,
+                               nb: Column): Column = {
+    val d = dot(a, b)
+    val n = na * nb
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
   /**
    * Exact top-k cosine neighbors for each query row. `queries` should be
    * small (it is broadcast); ties break by neighbor id ascending. Self-match
@@ -126,11 +142,14 @@ object SimOps {
    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int = 5): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(cosinePre(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -150,14 +169,17 @@ object SimOps {
    */
   def rerankTopK(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int = 5): DataFrame = {
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
     // distinct: a proposer that emits the same (query, neighbor) pair
     // twice (multi-probe IVF, overlapping LSH bands) must not let the
     // duplicate occupy two of the k slots and crowd out a real neighbor
     val scored = cands.select(col("query_id"), col("neighbor_id")).distinct()
       .join(qv, "query_id").join(cv, "neighbor_id")
-      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(cosinePre(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -183,11 +205,13 @@ object SimOps {
     def codes(c: Column) =
       quantizeInt8(c).getField("q").cast(ArrayType(DoubleType))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      codes(col(vecCol)).as("__qv")))
+      codes(col(vecCol)).as("__qv")).withColumn("__qn", norm(col("__qv"))))
     val scored = corpus.select(col(idCol).as("neighbor_id"), codes(col(vecCol)).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(cosinePre(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -310,9 +334,12 @@ object SimOps {
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair colliding in k bands must verify once, not k times
     candidates
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
-      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
-      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 6))
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        norm(col(vecCol)).as("__na")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        norm(col(vecCol)).as("__nb")), "id_b")
+      .withColumn("cos_sim", round(cosinePre(col("__va"), col("__vb"),
+        col("__na"), col("__nb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
@@ -853,10 +880,12 @@ object SimOps {
     val l = left.select(col(idCol).cast(LongType).as("src_id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("__lv"))
       .filter(col("src_id").isNotNull && col("__lv").isNotNull)
+      .withColumn("__ln", norm(col("__lv")))
     val r = right.select(col(idCol).cast(LongType).as("tgt_id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("__rv"))
       .filter(col("tgt_id").isNotNull && col("__rv").isNotNull)
-    val c = cosine(col("__lv"), col("__rv"))
+      .withColumn("__rn", norm(col("__rv")))
+    val c = cosinePre(col("__lv"), col("__rv"), col("__ln"), col("__rn"))
     val pairs = l.crossJoin(broadcast(r))
       .select(col("src_id"), col("tgt_id"), c.as("__c"),
         floor(c * 1000000d + lit(0.5)).as("__cm"))
@@ -954,8 +983,10 @@ object SimOps {
       .select(col("src_id"), col("tgt_id")).distinct()
       .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupCandidateMetrics),
         count(lit(1)).as("candidate_pairs"))
-    val c = cosine(col("__lv"), col("__rv"))
-    val pairs = cand.join(l, "src_id").join(r, "tgt_id")
+    val c = cosinePre(col("__lv"), col("__rv"), col("__ln"), col("__rn"))
+    val pairs = cand
+      .join(l.withColumn("__ln", norm(col("__lv"))), "src_id")
+      .join(r.withColumn("__rn", norm(col("__rv"))), "tgt_id")
       .select(col("src_id"), col("tgt_id"), c.as("__c"),
         floor(c * 1000000d + lit(0.5)).as("__cm"))
     mutualMarginTail(pairs, k, minMarginMicro)
@@ -991,14 +1022,16 @@ object SimOps {
       val asg = resolveAssigner(corpus, idCol, vecCol, nCells,
         trainCodebook, lloydIters, trainSample, "ivfTopK")
       val assigned = corpus
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+          norm(col(vecCol)).as("__cn"))
         .withColumn("__cell", asg.assign(col("__cv")))
       val probes = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("__qv"),
+        col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
         explode(asg.probes(col(vecCol), nProbe)).as("__cell"))
       val scored = assigned.join(broadcast(probes), "__cell")
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+        .withColumn("cos_sim", round(cosinePre(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")), 6))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       return scored.withColumn("rank", row_number().over(w))
@@ -1013,7 +1046,8 @@ object SimOps {
     // VERDICT r5 #6); first-max tie-break = lowest centroid id, matching
     // the oracle's ORDER BY score DESC, cent_id, and every fold is the
     // same left-to-right double order as before, so q42 stays bit-exact
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
       .withColumn("__cell",
         org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
           .ivfCell(col("__cv"), cents.toSeq))
@@ -1022,18 +1056,21 @@ object SimOps {
     val centsDf = spark.createDataFrame(cents.toSeq.map {
       case (cid, cv) => (cid, cv.toSeq)
     }).toDF("__cent_id", "__centv")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__pscore").desc, col("__cent_id"))
     val probes = q.crossJoin(broadcast(centsDf))
       .withColumn("__pscore", cosine(col("__qv"), col("__centv")))
       .withColumn("__prn", row_number().over(wProbe))
       .filter(col("__prn") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("__cent_id").as("__cell"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__cent_id").as("__cell"))
 
     val scored = assigned.join(broadcast(probes), "__cell")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(cosinePre(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1062,7 +1099,8 @@ object SimOps {
     // as codegen literals; first-min tie = lowest cell id, the oracle's
     // ORDER BY dist, cid)
     val assigned = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
       .withColumn("__cell",
         intAssignCol(intQuantCol("__cv", scale), cents))
     // probe list: the query's nProbe nearest cells by the SAME exact
@@ -1078,10 +1116,12 @@ object SimOps {
     val probeCells = probesRanked
       .withColumn("__prn", row_number().over(wProbe))
       .filter(col("__prn") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("__cell").cast(LongType).as("__cell"))
+      .select(col("query_id"), col("__qv"), norm(col("__qv")).as("__qn"),
+        col("__cell").cast(LongType).as("__cell"))
     val scored = assigned.join(broadcast(probeCells), "__cell")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(cosinePre(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1148,7 +1188,8 @@ object SimOps {
     val asg = resolveAssigner(corpus, idCol, vecCol, kCells, trainCodebook,
       lloydIters, trainSample, "ivfJoinTopK")
     val assigned = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cvn"))
       .withColumn("__cell", asg.assign(col("__cv")))
     val capped =
       if (maxCell <= 0) assigned
@@ -1188,6 +1229,7 @@ object SimOps {
       .repartition(nOut, col("__cell"), col("__psalt"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qvn"),
         explode(asg.probes(col(vecCol), nProbe)).as("__cell"))
       .withColumn("__psalt",
         explode(sequence(lit(0L), lit(probeSalt - 1L), lit(1L))))
@@ -1195,7 +1237,8 @@ object SimOps {
       .filter(col("neighbor_id") =!= col("query_id"))
       .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupCandidateMetrics),
         count(lit(1)).as("candidate_pairs"))
-      .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cos_sim", round(cosinePre(col("__qv"), col("__cv"),
+        col("__qvn"), col("__cvn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1220,8 +1263,10 @@ object SimOps {
                     seed: Long = 42L, bands: Int = 1): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
     val scored =
       if (bands == 1) {
         // historical single-band plan: one bucket column, no explosion,
@@ -1231,7 +1276,8 @@ object SimOps {
         val q = broadcast(qv.withColumn("__bucket", signSketch(col("__qv"), planes)))
         c.join(q, "__bucket")
           .filter(col("neighbor_id") =!= col("query_id"))
-          .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+          .withColumn("cos_sim", round(cosinePre(col("__qv"), col("__cv"),
+            col("__qn"), col("__cn")), 6))
       } else {
         // banded: candidates carry IDS ONLY through the x-bands explosion
         // (vectors join back after the distinct — the nearDuplicatePairs
@@ -1248,7 +1294,8 @@ object SimOps {
           .select(col("query_id"), col("neighbor_id"))
           .distinct() // a pair colliding in several bands scores once
         cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
-          .withColumn("cos_sim", round(cosine(col("__qv"), col("__cv")), 6))
+          .withColumn("cos_sim", round(cosinePre(col("__qv"), col("__cv"),
+            col("__qn"), col("__cn")), 6))
       }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -1420,14 +1467,17 @@ object SimOps {
       .withColumn("__pscore", cosine(col("__qv"), col("__centv")))
       .withColumn("__prn", row_number().over(wProbe))
       .filter(col("__prn") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("__cent_id").as("__cell"))
+      .select(col("query_id"), col("__qv"), norm(col("__qv")).as("__qn"),
+        col("__cent_id").as("__cell"))
     val probedCells = probes.select(col("__cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val cells = spark.table(s"${name}_cells")
       .filter(col("__cell").isin(probedCells: _*))
+      .withColumn("__an", norm(col("__ann_vec")))
     val scored = cells.join(broadcast(probes), "__cell")
       .filter(col("__ann_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("__qv"), col("__ann_vec")), 6))
+      .withColumn("cos_sim", round(cosinePre(col("__qv"), col("__ann_vec"),
+        col("__qn"), col("__an")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("__ann_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1613,9 +1663,12 @@ object SimOps {
       .repartition(vecs.sparkSession.sessionState.conf.numShufflePartitions,
         col("id_a"), col("id_b"))
     val result = candidates
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
-      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
-      .withColumn("cos_sim", round(cosine(col("__va"), col("__vb")), 6))
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        norm(col(vecCol)).as("__na")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        norm(col(vecCol)).as("__nb")), "id_b")
+      .withColumn("cos_sim", round(cosinePre(col("__va"), col("__vb"),
+        col("__na"), col("__nb")), 6))
       .filter(col("cos_sim") >= threshold)
       .observe(DedupOps.obsName(DedupOps.ObservedMetrics.NearDupVerifiedMetrics),
         count(lit(1)).as("verified_pairs"))
