@@ -632,13 +632,14 @@ object SimOps {
       val maxAbs = intExactGuard(q, "__q", "kmeansAssignInt", scale)
       val cents = trainIntCentroids(q, "__q", k, iters, maxAbs,
         "kmeansAssignInt")
+      val qd = q.withColumn("__da", intDistArr(col("__q"), cents))
       val out =
         if (withDist)
-          q.select(col("vec_id"),
-            intAssignCol(col("__q"), cents).as("cluster_id"),
-            array_min(intDistArr(col("__q"), cents)).cast(LongType).as("dist"))
-        else q.select(col("vec_id"),
-          intAssignCol(col("__q"), cents).as("cluster_id"))
+          qd.select(col("vec_id"),
+            argminCell(col("__da")).as("cluster_id"),
+            array_min(col("__da")).cast(LongType).as("dist"))
+        else qd.select(col("vec_id"),
+          argminCell(col("__da")).as("cluster_id"))
       // materialize before unpersist (caller gets a plain result)
       out.localCheckpoint()
     } finally q.unpersist()
@@ -648,10 +649,13 @@ object SimOps {
     * engine-portable exactness trick every integer-Lloyd consumer shares.
     * Spark's floor(double) yields LONG; cast back — the values are the
     * same exact integers either way, doubles keep the native dot
-    * applicable. */
+    * applicable. r15 opt: native codegen expression instead of the
+    * interpreted `transform` lambda (HOFs run per-element on the
+    * interpreted path and break the surrounding whole-stage span); the
+    * double→long→double chain is reproduced bit-for-bit. */
   private def intQuantCol(vecCol: String, scale: Int): Column =
-    transform(col(vecCol).cast(ArrayType(DoubleType)),
-      x => floor(x * scale + lit(0.5)).cast(DoubleType))
+    org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+      .intQuantizeVec(col(vecCol).cast(ArrayType(DoubleType)), scale)
 
   /** Exactness guard: "bit-exact integer arithmetic in doubles" only
     * holds while every intermediate stays below 2^53. The largest dot
@@ -675,22 +679,24 @@ object SimOps {
     maxAbs
   }
 
-  /** Exact integer L2 distances `q.q - 2 q.c + c.c` to every centroid
-    * (native codegen dot; centroids ride as literals). */
-  private def intDistArr(qc: Column, cs: Array[Array[Double]]): Column = {
-    val dists: Array[Column] = cs.map { c =>
-      val cc = c.map(x => x * x).sum // exact integer-valued double
-      val cLit = array(c.map(lit(_)): _*)
-      dot(qc, qc) - lit(2.0) * dot(qc, cLit) + lit(cc)
-    }
-    array(dists.toIndexedSeq: _*)
-  }
+  /** Exact integer L2 distances `q.q - 2 q.c + c.c` to every centroid.
+    * r15 opt: native reference-object expression instead of the
+    * CreateArray-of-literal-folds form — identical arithmetic (same
+    * left-to-right folds, same `(qq - 2d) + cc` operand order, same
+    * null/dim-mismatch slots; IntLloydNativeSpec pins the parity), but
+    * the generated code TEXT no longer embeds the centroid values, so
+    * janino compiles the distance kernel ONCE per shape instead of
+    * re-compiling k x dim literals at every Lloyd pass of every query. */
+  private def intDistArr(qc: Column, cs: Array[Array[Double]]): Column =
+    org.apache.spark.sql.catalyst.expressions.graftarray.ArrayMathExpressions
+      .intL2Dists(qc, cs.toIndexedSeq)
 
-  /** Argmin cell: first position of the min -> lowest centroid id on
-    * ties (the oracle's ORDER BY dist, cid). */
-  private def intAssignCol(qc: Column, cs: Array[Array[Double]]): Column =
-    (array_position(intDistArr(qc, cs), array_min(intDistArr(qc, cs))) - 1)
-      .cast(LongType)
+  /** Argmin cell over a HOISTED distance-array column: first position of
+    * the min -> lowest centroid id on ties (the oracle's ORDER BY dist,
+    * cid). Call over a materialized `__da` column so the k-element array
+    * is built once per row and the argmin is a cheap builtin scan. */
+  private def argminCell(da: Column): Column =
+    (array_position(da, array_min(da)) - 1).cast(LongType)
 
   /** The integer-exact Lloyd training loop over a persisted quantized
     * frame `(vec_id, qCol)` — per-iteration one corpus-wide assignment
@@ -707,7 +713,7 @@ object SimOps {
     * codebooks (k ~ tens), not for k in the thousands where the float
     * sampled trainer is the tool). Every init choice replays bit-for-bit
     * in the oracle (kmeansIntChain / kmeansIntChainMaximin). */
-  private def trainIntCentroids(q: DataFrame, qCol: String, k: Int,
+  private[graft] def trainIntCentroids(q: DataFrame, qCol: String, k: Int,
                                 iters: Int, maxAbs: Double, caller: String,
                                 init: String = "lowid")
       : Array[Array[Double]] = {
@@ -721,17 +727,41 @@ object SimOps {
         require(first.nonEmpty, s"$caller: empty corpus")
         val chosen = scala.collection.mutable.ArrayBuffer(
           first(0).getSeq[Double](0).toArray)
-        while (chosen.length < k) {
-          val dm = chosen.map { c =>
-            val cc = c.map(x => x * x).sum
-            val cLit = array(c.map(lit(_)): _*)
-            dot(col(qCol), col(qCol)) - lit(2.0) * dot(col(qCol), cLit) + lit(cc)
-          }.reduce(least(_, _))
-          val next = q.select(col("vec_id"), col(qCol))
-            .withColumn("__dm", dm)
-            .orderBy(col("__dm").desc, col("vec_id")).limit(1)
-            .select(col(qCol)).head()
-          chosen += next.getSeq[Double](0).toArray
+        // r15 opt: INCREMENTAL min-distance — the original recomputed the
+        // distance to EVERY chosen centroid each pass (pass i paid i dots
+        // per row, O(k^2) total, with a literal expression tree that grew
+        // and janino-recompiled per pass). Here `__dm` rides as a cached
+        // column and each pass folds in ONLY the newest centroid:
+        // least(dm_prev, dist_new) builds the exact same left-nested
+        // least(least(d0, d1), d2)... chain over the exact same integer
+        // distances, so selection (and ties, via the identical
+        // (dm desc, vec_id) order) is bit-identical — IntLloydNativeSpec
+        // pins old-vs-new centroid equality. One TakeOrdered job per pass
+        // (it also materializes the pass's cache); constant-size plans.
+        def distTo(c: Array[Double]): Column =
+          element_at(intDistArr(col(qCol), Array(c)), 1)
+        if (k > 1) {
+          var dmF = q.select(col("vec_id"), col(qCol),
+              distTo(chosen(0)).as("__dm"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          var prevF: DataFrame = null
+          while (chosen.length < k) {
+            val next = dmF.orderBy(col("__dm").desc, col("vec_id")).limit(1)
+              .select(col(qCol)).head()
+            // dmF is fully materialized by the TakeOrdered above — its
+            // parent can go now without triggering recompute
+            if (prevF != null) { prevF.unpersist(); prevF = null }
+            val c = next.getSeq[Double](0).toArray
+            chosen += c
+            if (chosen.length < k) {
+              prevF = dmF
+              dmF = dmF.select(col("vec_id"), col(qCol),
+                  least(col("__dm"), distTo(c)).as("__dm"))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            }
+          }
+          if (prevF != null) prevF.unpersist()
+          dmF.unpersist()
         }
         chosen.toArray
       case other => throw new IllegalArgumentException(
@@ -739,21 +769,35 @@ object SimOps {
     }
     require(cents.nonEmpty, s"$caller: empty corpus")
     for (_ <- 1 to iters) {
-      val stats = q.select(intAssignCol(col(qCol), cents).as("__cl"),
-          posexplode(col(qCol)).as(Seq("__dim", "__v")))
-        .groupBy(col("__cl"), col("__dim"))
-        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      // r15 opt: one IntVecStatsAgg buffer update per row instead of
+      // posexplode'ing every vector into `dim` aggregation-input rows —
+      // the per-(cluster, dim) sums and counts are the exact same
+      // integers slot for slot (order-free because exact), so the
+      // recurrence and the oracle replay are untouched
+      val stats = q.withColumn("__da", intDistArr(col(qCol), cents))
+        .select(argminCell(col("__da")).as("__cl"), col(qCol).as("__vec"))
+        .groupBy(col("__cl"))
+        .agg(org.apache.spark.sql.catalyst.expressions.graftarray
+          .ArrayMathExpressions.intVecStats(col("__vec")).as("__st"))
         .collect()
       val next = cents.map(_.clone())
       stats.foreach { r =>
         val cl = r.getLong(0).toInt
-        val d  = r.getInt(1)
-        // same 2^53 bound for the per-cluster dimension sums: |sum| <=
-        // maxAbs * n members, detectable post-hoc from the exact count
-        require(maxAbs * r.getLong(3) < math.pow(2, 53),
-          s"$caller: cluster $cl dim-sum bound " +
-            s"${maxAbs * r.getLong(3)} exceeds 2^53 — lower `scale`")
-        next(cl)(d) = math.floor(r.getDouble(2) / r.getLong(3))
+        val st = r.getStruct(1)
+        val sums = st.getSeq[Double](0)
+        val nRows = st.getSeq[Long](1)
+        var d = 0
+        while (d < sums.length) {
+          if (nRows(d) > 0L) {
+            // same 2^53 bound for the per-cluster dimension sums: |sum| <=
+            // maxAbs * n members, detectable post-hoc from the exact count
+            require(maxAbs * nRows(d) < math.pow(2, 53),
+              s"$caller: cluster $cl dim-sum bound " +
+                s"${maxAbs * nRows(d)} exceeds 2^53 — lower `scale`")
+            next(cl)(d) = math.floor(sums(d) / nRows(d))
+          }
+          d += 1
+        }
       }
       cents = next
     }
@@ -818,8 +862,7 @@ object SimOps {
     require(hiP > 0 && hiP < 1, s"embeddingOutliers: hiP in (0,1), got $hiP")
     require(scale >= 1 && scale <= 1000000,
       s"embeddingOutliers: scale must be in [1, 1e6], got $scale")
-    val qcol = transform(col(vecCol).cast(ArrayType(DoubleType)),
-      x => floor(x * scale + lit(0.5)).cast(DoubleType))
+    val qcol = intQuantCol(vecCol, scale)
     val q = corpus.select(col(idCol), col(labelCol).as("__lbl"), qcol.as("__q"))
       .filter(col("__q").isNotNull)
     val cents = q
@@ -1101,8 +1144,9 @@ object SimOps {
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
-      .withColumn("__cell",
-        intAssignCol(intQuantCol("__cv", scale), cents))
+      .withColumn("__da", intDistArr(intQuantCol("__cv", scale), cents))
+      .withColumn("__cell", argminCell(col("__da")))
+      .drop("__da")
     // probe list: the query's nProbe nearest cells by the SAME exact
     // integer distance — posexplode the per-cell distance array, rank
     // (dist asc, cell asc)

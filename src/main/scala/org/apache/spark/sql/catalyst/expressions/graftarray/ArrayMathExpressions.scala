@@ -768,6 +768,310 @@ case class IvfCellsExpr(child: Expression, centIds: Seq[Long],
     copy(child = newChild)
 }
 
+/**
+ * Integer quantization to integer-valued doubles — the native codegen form
+ * of the engine-portable exactness trick `transform(cast(v as
+ * array<double>), x -> cast(floor(x * scale + 0.5) as double))` that every
+ * integer-Lloyd consumer shares (kmeansAssignInt / ivfTopK intLloyd /
+ * embeddingOutliers). Catalyst higher-order functions are interpreted per
+ * element and break the surrounding whole-stage codegen span; this
+ * expression reproduces the chain BIT-FOR-BIT — `x * (double) scale + 0.5`,
+ * `Math.floor` (NaN/±Inf propagate), the double→LONG cast saturation
+ * (`Long.Min/MaxValue` on overflow, 0 on NaN — Scala `.toLong` == the Java
+ * primitive cast), then back to double — while staying codegen-compiled.
+ * A null ELEMENT stays a null element (the lambda's null propagation); a
+ * null vector is null.
+ */
+case class IntQuantizeVecExpr(child: Expression, scale: Int)
+    extends UnaryExpression {
+
+  require(scale >= 1, s"int_quantize_vec: scale must be >= 1, got $scale")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "int_quantize_vec"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Shared by eval and generated code — one arithmetic path, no drift. */
+  def quantize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        out(i) = java.lang.Math.floor(x * scale + 0.5).toLong.toDouble
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("intQuantizeVecExpr", this,
+      classOf[IntQuantizeVecExpr].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $selfRef.quantize($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Exact integer squared-L2 distance ARRAY to every centroid of an
+ * integer-quantized codebook — the native reference-object form of the
+ * historical per-centroid literal fold
+ * `array( dot(q,q) - 2.0 * dot(q, c_0) + c_0.c_0, ... )` the int-Lloyd
+ * family built with `CreateArray` over `nCells x dim` literals. That
+ * literal form generates DIFFERENT code text at every Lloyd iteration of
+ * every query (fresh centroid values), so janino recompiled a growing
+ * generated class per pass; here the codebook rides via
+ * `ctx.addReferenceObj` and the code text is iteration-independent (the
+ * IvfCellExpr pattern, VERDICT r5 #6).
+ *
+ * Bit-parity contract with the literal fold (IntLloydNativeSpec):
+ *  - element c = `(dot(q,q) - 2.0 * dot(q,c)) + cc_c`, every dot a
+ *    left-to-right double fold, `cc_c` precomputed with the same fold —
+ *    identical operand order, identical IEEE results (and exact integers
+ *    whenever the caller's 2^53 guard holds);
+ *  - a null vector ELEMENT nulls every slot (dot(q,q) is null), a
+ *    dim-mismatched centroid nulls only its own slot (DotProductExpr's
+ *    length rule) — the output is an ARRAY WITH NULL SLOTS, never a null
+ *    array, exactly like CreateArray of nullable elements;
+ *  - even a NULL VECTOR yields the all-null-slot array, because
+ *    CreateArray itself is never null (IntLloydNativeSpec caught this:
+ *    nullSafeEval would have nulled the array and silently dropped
+ *    null-vector rows from posexplode'd probe lists).
+ * Downstream argmin/min stay the same `array_position`/`array_min`
+ * builtins over the (now hoisted) array column, so tie-breaks and
+ * null-skipping are untouched.
+ */
+case class IntL2DistsExpr(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(cents.nonEmpty, "codebook must be non-empty")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  // CreateArray semantics: the output array is NEVER null — a null input
+  // vector produces the all-null-slot array instead
+  override def nullable: Boolean = false
+  override def prettyName: String = "int_l2_dists"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  /** Same left-to-right fold as `c.map(x => x * x).sum`. */
+  @transient private lazy val ccArr: Array[Double] = centArr.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Shared by eval and generated code — one arithmetic path, no drift.
+    * `v == null` (a null input vector) yields the all-null-slot array. */
+  def distArray(v: ArrayData): ArrayData = {
+    val out = new Array[Any](centArr.length)
+    if (v != null) {
+      val n = v.numElements()
+      var hasNull = false
+      val vv = new Array[Double](n)
+      var i = 0
+      while (i < n && !hasNull) {
+        if (v.isNullAt(i)) hasNull = true
+        else { vv(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i); i += 1 }
+      }
+      if (!hasNull) {
+        var qq = 0.0
+        i = 0
+        while (i < n) { qq += vv(i) * vv(i); i += 1 }
+        var c = 0
+        while (c < centArr.length) {
+          val cent = centArr(c)
+          if (cent.length == n) {
+            var d = 0.0
+            i = 0
+            while (i < n) { d += vv(i) * cent(i); i += 1 }
+            out(c) = (qq - 2.0 * d) + ccArr(c)
+          }
+          c += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    distArray(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val selfRef = ctx.addReferenceObj("intL2DistsExpr", this,
+      classOf[IntL2DistsExpr].getName)
+    val c = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $arrCls ${ev.value} =
+          $selfRef.distArray(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Growable per-group vector-stats buffer for [[IntVecStatsAgg]]:
+  * `sums(d)` = Σ of the non-null elements at dim d, `rows(d)` = number of
+  * member vectors with length > d (null elements count — the exact
+  * semantics of `count(lit(1))` over the posexplode'd rows). */
+final class VecStatsBuffer(var sums: Array[Double], var rows: Array[Long]) {
+  def grow(n: Int): Unit = if (n > sums.length) {
+    sums = java.util.Arrays.copyOf(sums, n)
+    rows = java.util.Arrays.copyOf(rows, n)
+  }
+}
+
+/**
+ * Per-group elementwise vector sum + per-dim row counts — the aggregation
+ * the integer-Lloyd stats pass needs, WITHOUT the `posexplode` that blew
+ * every corpus row into `dim` aggregation-input rows (r15 opt: at
+ * embedding dims the explode multiplied map-side aggregation work 64×
+ * per Lloyd iteration; here each row is one buffer update of `dim`
+ * adds). Exactness: the callers aggregate integer-valued doubles under
+ * the 2^53 guard, so partial sums are exact integers and merge order
+ * cannot change the result — bit-identical to the (group, dim)-keyed
+ * `sum`/`count(lit(1))` it replaces, slot for slot:
+ *  - a null ELEMENT increments `rows(d)` but not `sums(d)` (count(lit(1))
+ *    counted the exploded null row; sum skipped it);
+ *  - a short vector simply contributes to fewer dims (posexplode emitted
+ *    fewer rows);
+ *  - a null/empty vector contributes nothing (posexplode emitted none);
+ *  - a dim whose every member element is null sums to 0.0 (matching
+ *    `Row.getDouble` on the null SQL sum the old collect produced).
+ * Output: `struct(sums array<double>, rows array<long>)`, arrays sized to
+ * the longest member vector.
+ */
+case class IntVecStatsAgg(child: Expression,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[VecStatsBuffer]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = "int_vec_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("sums", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("rows", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def createAggregationBuffer(): VecStatsBuffer =
+    new VecStatsBuffer(Array.emptyDoubleArray, Array.emptyLongArray)
+
+  override def update(buf: VecStatsBuffer,
+                      row: org.apache.spark.sql.catalyst.InternalRow): VecStatsBuffer = {
+    val v = child.eval(row)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      buf.grow(n)
+      var i = 0
+      while (i < n) {
+        buf.rows(i) += 1L
+        if (!a.isNullAt(i))
+          buf.sums(i) += (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: VecStatsBuffer, b: VecStatsBuffer): VecStatsBuffer = {
+    a.grow(b.sums.length)
+    var i = 0
+    while (i < b.sums.length) {
+      a.sums(i) += b.sums(i); a.rows(i) += b.rows(i); i += 1
+    }
+    a
+  }
+
+  override def eval(buf: VecStatsBuffer): Any =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          buf.sums.map(x => x: Any)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          buf.rows.map(x => x: Any))))
+
+  override def serialize(buf: VecStatsBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.sums.length)
+    var i = 0
+    while (i < buf.sums.length) { out.writeDouble(buf.sums(i)); i += 1 }
+    i = 0
+    while (i < buf.rows.length) { out.writeLong(buf.rows(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecStatsBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val sums = new Array[Double](n)
+    val rows = new Array[Long](n)
+    var i = 0
+    while (i < n) { sums(i) = in.readDouble(); i += 1 }
+    i = 0
+    while (i < n) { rows(i) = in.readLong(); i += 1 }
+    new VecStatsBuffer(sums, rows)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): IntVecStatsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): IntVecStatsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): IntVecStatsAgg =
+    copy(child = c)
+}
+
 object ArrayMathExpressions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -831,4 +1135,26 @@ object ArrayMathExpressions {
     ExpressionUtils.column(
       IvfCellsExpr(ExpressionUtils.expression(vec),
         cents.map(_._1), cents.map(_._2.toSeq), nProbe))
+
+  /** Column-API form: codegen'd integer quantization to integer-valued
+    * doubles (`floor(x * scale + 0.5)` via the double→long→double chain).
+    * Bit-identical to the interpreted `transform` lambda it replaces. */
+  def intQuantizeVec(vec: Column, scale: Int): Column =
+    ExpressionUtils.column(
+      IntQuantizeVecExpr(ExpressionUtils.expression(vec), scale))
+
+  /** Column-API form: codegen'd exact integer squared-L2 distance array to
+    * every codebook centroid. Centroids travel as a reference object, so
+    * generated code text is iteration-independent (janino cache hits
+    * across Lloyd passes). */
+  def intL2Dists(vec: Column, cents: Seq[Array[Double]]): Column =
+    ExpressionUtils.column(
+      IntL2DistsExpr(ExpressionUtils.expression(vec), cents.map(_.toSeq)))
+
+  /** Column-API form: per-group elementwise vector sums + per-dim row
+    * counts (`struct(sums, rows)`), replacing posexplode + (group, dim)
+    * sum/count for integer-exact Lloyd stats. */
+  def intVecStats(vec: Column): Column =
+    ExpressionUtils.column(
+      IntVecStatsAgg(ExpressionUtils.expression(vec)).toAggregateExpression())
 }
