@@ -484,14 +484,33 @@ object Cast {
             statMask(t) = vNull(t) || !java.lang.Double.isFinite(v(t))
             t += 1
           }
-          val scratch = new Array[Double](math.min(block, math.max(n, 1)))
+          // r16: scratch-free kernels (NumpyPairwise.maskedSum /
+          // maskedSqDevSum — the fill is inlined into the same pairwise
+          // tree, so every bit is unchanged; NumpyPairwiseSpec pins it),
+          // no boxed tuple per window, and the loop stops at idx0: pass()
+          // below never reads stats past the last full-window start (tail
+          // rows reuse the stats at idx0), so the shrinking tail windows
+          // were pure waste.
+          // the count slides: every window in [0, idx0] is full-length
+          // (len == block when n >= block; the single window when
+          // n < block), so cnt(i) = cnt(i-1) - unmasked(i-1) +
+          // unmasked(i+block-1) — an exact integer recurrence
           var i = 0
-          while (i < n) {
+          var cnt =
+            graft.dsp.NumpyPairwise.maskedCount(statMask, 0, math.min(block, n))
+          while (i <= idx0) {
             val len = math.min(i + block, n) - i
-            val (mm, ss, cnt) =
-              graft.dsp.NumpyPairwise.maMeanStd(v, statMask, i, len, scratch)
             if (cnt == 0) empty(i) = true
-            else { m(i) = mm; s(i) = ss }
+            else {
+              val mean =
+                graft.dsp.NumpyPairwise.maskedSum(v, statMask, i, len) * 1.0 / cnt
+              val variance = graft.dsp.NumpyPairwise
+                .maskedSqDevSum(v, statMask, i, len, mean) / cnt
+              m(i) = mean; s(i) = math.sqrt(variance)
+            }
+            if (i < idx0)
+              cnt = cnt - (if (statMask(i)) 0 else 1) +
+                (if (statMask(i + block)) 0 else 1)
             i += 1
           }
           (m, s, empty)

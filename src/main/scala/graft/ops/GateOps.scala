@@ -225,6 +225,9 @@ object GateOps {
       coalesce(sum(col("__toks")), lit(0L)).as("__tt"))
     val spine = cutoffs.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("tier", "cutoff")
+    // unpartitioned window is deliberate and row-bounded: it runs over the
+    // tier SPINE (one row per cutoff — parameter-sized, never data-sized),
+    // after the per-tier aggregation already collapsed the corpus
     val fromHere = Window.orderBy(col("tier"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     spine.join(perTier, Seq("tier"), "left")

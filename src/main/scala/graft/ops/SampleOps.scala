@@ -834,6 +834,10 @@ object SampleOps {
       .withColumn("cap_tokens",
         expr(s"(n_tokens div 1000000) * $maxEpochsMicro + " +
           s"((n_tokens % 1000000) * $maxEpochsMicro) div 1000000"))
+    // unpartitioned window is deliberate: `base` has one row per GROUP
+    // (language/domain — the unimax budget universe, 10^1-10^4 rows), not
+    // per document; the water-filling scan is inherently sequential over
+    // the sorted group list
     val asc = Window.orderBy(col("cap_tokens"), col(groupCol))
     val nG = base.agg(count(lit(1)).as("__ng"))
     val flagged = base

@@ -13,6 +13,167 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/**
+ * Compiled BPE merge table (r16 rewrite of the string-keyed form). The
+ * old kernel built a `left + NUL + right` String key for EVERY adjacent
+ * pair at EVERY merge round — O(word-length x rounds) string concats and
+ * hash-of-string probes per word, the dominant cost of q86/q86b. Here
+ * symbols are interned to dense int ids once at plan time, the pair
+ * lookup is an allocation-free open-addressed probe on the packed
+ * `(left << 32) | right` long, merge products are precomputed
+ * UTF8Strings, and — BPE being a pure function of the word — a bounded
+ * per-table memo makes repeated words (the Zipf bulk of any corpus) a
+ * single hash lookup, the standard tokenizer-cache design. The greedy
+ * itself is unchanged operation-for-operation: lowest-rank adjacent pair
+ * (first merge-list occurrence wins for duplicate pairs, as putIfAbsent
+ * did), merge ALL its non-overlapping occurrences left-to-right, repeat
+ * until no adjacent pair is in the table. BpeOracleParitySpec and the
+ * q41/q86/q86b oracles pin output equality.
+ */
+final class BpeTable(merges: Seq[(String, String)]) extends Serializable {
+  // symbol universe: every merge component and product, interned by
+  // string; ids are dense and >= 0
+  private val symId = new java.util.HashMap[String, Integer]()
+  private val symStrs = new java.util.ArrayList[String]()
+  private def intern(s: String): Int = {
+    val got = symId.get(s)
+    if (got != null) got.intValue()
+    else {
+      val id = symStrs.size()
+      symId.put(s, Integer.valueOf(id)); symStrs.add(s); id
+    }
+  }
+  // open-addressed pair table: key = (leftId << 32) | rightId (ids are
+  // non-negative, so key >= 0 and -1L is a safe empty sentinel); first
+  // insertion wins (the old putIfAbsent rule). Capacity is a power of
+  // two >= 4x entries — short probe chains.
+  private val cap: Int = {
+    var c = 8
+    while (c < math.max(8, merges.size * 4)) c <<= 1
+    c
+  }
+  private val keyArr = Array.fill[Long](cap)(-1L)
+  private val rankArr = new Array[Int](cap)
+  private val prodArr = new Array[Int](cap)
+  merges.zipWithIndex.foreach { case ((l, r), rank) =>
+    val key = (intern(l).toLong << 32) | (intern(r).toLong & 0xffffffffL)
+    val prod = intern(l + r)
+    var slot = java.lang.Long.hashCode(key) & (cap - 1)
+    var placed = false
+    while (!placed) {
+      if (keyArr(slot) == -1L) {
+        keyArr(slot) = key; rankArr(slot) = rank; prodArr(slot) = prod
+        placed = true
+      } else if (keyArr(slot) == key) placed = true // first wins
+      else slot = (slot + 1) & (cap - 1)
+    }
+  }
+  /** Probe slot for the pair key, or -1 when the pair is unmergeable. */
+  private def slotOf(a: Int, b: Int): Int = {
+    val key = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    var slot = java.lang.Long.hashCode(key) & (cap - 1)
+    while (true) {
+      val k = keyArr(slot)
+      if (k == key) return slot
+      if (k == -1L) return -1
+      slot = (slot + 1) & (cap - 1)
+    }
+    -1
+  }
+  private val symUtf8: Array[UTF8String] = {
+    val a = new Array[UTF8String](symStrs.size())
+    var i = 0
+    while (i < a.length) {
+      a(i) = UTF8String.fromString(symStrs.get(i)); i += 1
+    }
+    a
+  }
+  private val eowId: Int = {
+    val got = symId.get("</w>")
+    if (got != null) got.intValue() else -1
+  }
+  @transient private lazy val eowUtf8 = UTF8String.fromString("</w>")
+  // bounded pure-function memo: word -> segmentation, shared by every
+  // task thread running this plan. Insertion stops at the bound; the
+  // hot head of the Zipf distribution is cached long before that.
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[AnyRef]]()
+  private val memoMax = 1 << 17
+
+  /** Encode one word: code-point symbols + terminal `</w>`, the exact
+    * greedy of the old kernel, over int ids. */
+  private def compute(word: String): Array[AnyRef] = {
+    var cpCount = 0
+    var i = 0
+    while (i < word.length) {
+      i += Character.charCount(word.codePointAt(i)); cpCount += 1
+    }
+    var size = cpCount + 1
+    val ids = new Array[Int](size)
+    // raw UTF8 for symbols outside the merge universe — they can never
+    // merge and are emitted verbatim
+    val raw = new Array[AnyRef](size)
+    i = 0
+    var k = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      val s = word.substring(i, i + cc)
+      val got = symId.get(s)
+      if (got != null) ids(k) = got.intValue()
+      else { ids(k) = -1; raw(k) = UTF8String.fromString(s) }
+      i += cc; k += 1
+    }
+    ids(cpCount) = eowId
+    if (eowId < 0) raw(cpCount) = eowUtf8
+    var done = false
+    while (!done && size > 1) {
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < size - 1) {
+        if (ids(j) >= 0 && ids(j + 1) >= 0) {
+          val s = slotOf(ids(j), ids(j + 1))
+          if (s >= 0 && rankArr(s) < bestRank) bestRank = rankArr(s)
+        }
+        j += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        // merge all non-overlapping occurrences left-to-right, in place
+        var w = 0
+        var p = 0
+        while (p < size) {
+          var mergedHere = false
+          if (p < size - 1 && ids(p) >= 0 && ids(p + 1) >= 0) {
+            val s = slotOf(ids(p), ids(p + 1))
+            if (s >= 0 && rankArr(s) == bestRank) {
+              ids(w) = prodArr(s); raw(w) = null
+              p += 2; mergedHere = true
+            }
+          }
+          if (!mergedHere) { ids(w) = ids(p); raw(w) = raw(p); p += 1 }
+          w += 1
+        }
+        size = w
+      }
+    }
+    val out = new Array[AnyRef](size)
+    var m = 0
+    while (m < size) {
+      out(m) = if (ids(m) >= 0) symUtf8(ids(m)) else raw(m)
+      m += 1
+    }
+    out
+  }
+
+  def encodeWord(word: String): Array[AnyRef] = {
+    val hit = memo.get(word)
+    if (hit != null) return hit
+    val res = compute(word)
+    if (memo.size() < memoMax) memo.put(word, res)
+    res
+  }
+}
+
 /** Static kernels shared by eval and generated code. */
 object GraftTextKernels {
 
@@ -84,71 +245,17 @@ object GraftTextKernels {
     set
   }
 
-  /** Compiled BPE merge table: pair key `left + NUL + right` -> rank
-    * (lower = learned earlier). A space cannot appear inside a
-    * symbol (symbols derive from alnum tokenizer output plus the `</w>`
-    * marker), so the key is unambiguous. */
-  def toMergeRanks(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((l, r), i) =>
-      m.putIfAbsent(l + "\u0000" + r, Integer.valueOf(i))
-    }
-    m
-  }
-
-  /** BPE-encode one word: code-point symbols plus a terminal `</w>`, then
-    * repeatedly merge ALL occurrences (left to right) of the LOWEST-rank
-    * adjacent pair until no adjacent pair is in the table — the exact
-    * greedy the trainer used, so training-corpus words round-trip to
-    * their final training segmentation. */
-  private def bpeEncodeWord(word: String,
-                            ranks: java.util.HashMap[String, Integer],
-                            out: java.util.ArrayList[Any]): Unit = {
-    var syms = new java.util.ArrayList[String](word.length + 1)
-    var i = 0
-    while (i < word.length) {
-      val cp = word.codePointAt(i)
-      val cc = Character.charCount(cp)
-      syms.add(word.substring(i, i + cc))
-      i += cc
-    }
-    syms.add("</w>")
-    var done = false
-    while (!done && syms.size > 1) {
-      var bestRank = Int.MaxValue
-      var j = 0
-      while (j < syms.size - 1) {
-        val r = ranks.get(syms.get(j) + "\u0000" + syms.get(j + 1))
-        if (r != null && r < bestRank) bestRank = r
-        j += 1
-      }
-      if (bestRank == Int.MaxValue) done = true
-      else {
-        val merged = new java.util.ArrayList[String](syms.size)
-        var p = 0
-        while (p < syms.size) {
-          if (p < syms.size - 1 && {
-            val r = ranks.get(syms.get(p) + "\u0000" + syms.get(p + 1))
-            r != null && r.intValue() == bestRank
-          }) { merged.add(syms.get(p) + syms.get(p + 1)); p += 2 }
-          else { merged.add(syms.get(p)); p += 1 }
-        }
-        syms = merged
-      }
-    }
-    var k = 0
-    while (k < syms.size) { out.add(UTF8String.fromString(syms.get(k))); k += 1 }
-  }
-
   /** BPE-encode a token array into the flat subword stream. */
-  def bpeEncode(tokens: ArrayData,
-                ranks: java.util.HashMap[String, Integer]): ArrayData = {
+  def bpeEncode(tokens: ArrayData, table: BpeTable): ArrayData = {
     val out = new java.util.ArrayList[Any]()
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      if (!tokens.isNullAt(i))
-        bpeEncodeWord(tokens.getUTF8String(i).toString, ranks, out)
+      if (!tokens.isNullAt(i)) {
+        val segs = table.encodeWord(tokens.getUTF8String(i).toString)
+        var k = 0
+        while (k < segs.length) { out.add(segs(k)); k += 1 }
+      }
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -328,16 +435,16 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
       s"$prettyName requires array<string>, got ${t.catalogString}")
   }
 
-  @transient private lazy val ranks = GraftTextKernels.toMergeRanks(merges)
+  @transient private lazy val table = new BpeTable(merges)
 
   override protected def nullSafeEval(tokens: Any): Any =
-    GraftTextKernels.bpeEncode(tokens.asInstanceOf[ArrayData], ranks)
+    GraftTextKernels.bpeEncode(tokens.asInstanceOf[ArrayData], table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
-      classOf[java.util.HashMap[_, _]].getName)
+    val tableRef = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
     defineCodeGen(ctx, ev, c =>
-      s"${GraftTextKernels.getClass.getName.stripSuffix("$")}.bpeEncode($c, $ranksRef)")
+      s"${GraftTextKernels.getClass.getName.stripSuffix("$")}.bpeEncode($c, $tableRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -105,6 +105,23 @@ class BpeOracleParitySpec extends SparkTestBase {
     }
   }
 
+  test("r16 int-id table: memoized repeats, unknown symbols, and astral " +
+       "code points segment like the oracle") {
+    // repeated words exercise the BpeTable memo (same plan, same rows);
+    // 'q'/emoji exercise symbols outside the merge universe (can never
+    // merge, emitted verbatim — astral chars are one CODE POINT, two
+    // UTF-16 units, the off-by-one a char-indexed rewrite would hit)
+    val words = Seq("the", "the", "the", "qqq", "q0q", "a🎉b",
+      "🎉", "thethe", "the")
+    val kern = kernelSegment(words, SparkEntry.q86bMerges)
+    words.zip(kern).foreach { case (w, got) =>
+      val want = oracleSegment(w, SparkEntry.q86bMerges)
+      assert(got == want, s"word '$w': kernel $got != oracle $want")
+    }
+    // identical word -> identical segmentation across occurrences
+    assert(kern(0) == kern(1) && kern(1) == kern(2) && kern(2) == kern(8))
+  }
+
   /** An obviously-correct O(rounds x corpus-symbols) reference trainer:
     * recount EVERY pair from scratch each round, pick max count with
     * ties to the lexicographically smallest (left, right), merge all

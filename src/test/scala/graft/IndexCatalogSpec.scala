@@ -39,6 +39,36 @@ class IndexCatalogSpec extends SparkTestBase {
     } finally drop(name, "_meta", "_shingles", "_bands")
   }
 
+  test("r16 meta-row cache: writeMeta invalidates, external DROP + re-land " +
+       "is seen fresh, and the probe path returns the rewritten row") {
+    val name = "graft_icat_cache"
+    drop(name, "_meta")
+    try {
+      val C = graft.sources.IndexCatalog
+      C.pinMeta(spark, name, "cacheTest", None, Seq("k" -> 16))
+      // probe twice: second read comes from the cache, same row
+      val r1 = C.requireMeta(spark, name, "missing")
+      val r2 = C.requireMeta(spark, name, "missing")
+      assert(r1.getAs[Int]("k") == 16 && r2.getAs[Int]("k") == 16)
+      // a meta REWRITE (the BM25 refreshMeta shape) must invalidate: the
+      // next probe sees the new derived value, not the cached old row
+      C.writeMeta(spark, name, None, Seq("k" -> 16, "n_docs" -> 42L))
+      val r3 = C.requireMeta(spark, name, "missing")
+      assert(r3.getAs[Long]("n_docs") == 42L, s"stale cached meta: $r3")
+      // external DROP: existence stays catalog-authoritative — the probe
+      // refuses with the land-first hint despite the warm cache
+      drop(name, "_meta")
+      val e = intercept[IllegalArgumentException] {
+        C.requireMeta(spark, name, "land-first hint")
+      }
+      assert(e.getMessage.contains("land-first hint"))
+      // and a re-land after the DROP writes fresh meta (the
+      // ReadWhileWriteSpec cleanup-re-land pattern must not see a ghost)
+      assert(!C.pinMeta(spark, name, "cacheTest", None, Seq("k" -> 99)))
+      assert(C.requireMeta(spark, name, "missing").getAs[Int]("k") == 99)
+    } finally drop(name, "_meta")
+  }
+
   test("paragraph store: re-land with a drifted delimiter refuses") {
     val name = "graft_icat_ps"
     drop(name, "_meta", "_paras")

@@ -39,6 +39,54 @@ class NumpyPairwiseSpec extends SparkTestBase {
     }
   }
 
+  test("scratch-free maskedSum/maskedSqDevSum are bit-identical to the " +
+       "scratch-filled r15 algorithm on random windows at all offsets") {
+    // r16 moved the masked fill INTO the pairwise tree (no scratch array,
+    // no tuple); this pins the new kernels against the literal old
+    // algorithm — fill scratch (masked -> 0.0), sum(scratch) — element
+    // for element, across every length class (n<8, 8..128 with
+    // remainders, >128 recursion) and non-zero offsets.
+    val rng = new scala.util.Random(42)
+    val n = 700
+    val v = Array.fill(n)(rng.nextGaussian() match {
+      case x if rng.nextInt(40) == 0 => -0.0 // exercise the -0.0 + 0.0 rule
+      case x => math.floor(x * 1e4) / 1e4    // step-quantized, like sensors
+    })
+    val mask = Array.fill(n)(rng.nextInt(5) == 0)
+    val lens = Seq(1, 3, 7, 8, 9, 16, 33, 100, 127, 128, 129, 200, 389, 512)
+    for (len <- lens; off <- Seq(0, 1, 13, n - len)) {
+      val scratch = new Array[Double](len)
+      var j = 0
+      while (j < len) {
+        scratch(j) = if (mask(off + j)) 0.0 else v(off + j); j += 1
+      }
+      val oldSum = graft.dsp.NumpyPairwise.sum(scratch, 0, len)
+      val newSum = graft.dsp.NumpyPairwise.maskedSum(v, mask, off, len)
+      assert(java.lang.Double.doubleToRawLongBits(oldSum) ==
+        java.lang.Double.doubleToRawLongBits(newSum),
+        s"maskedSum off=$off len=$len: $newSum != $oldSum")
+      var cnt = 0
+      j = 0
+      while (j < len) { if (!mask(off + j)) cnt += 1; j += 1 }
+      assert(cnt == graft.dsp.NumpyPairwise.maskedCount(mask, off, len))
+      if (cnt > 0) {
+        val mean = oldSum * 1.0 / cnt
+        j = 0
+        while (j < len) {
+          if (mask(off + j)) scratch(j) = 0.0
+          else { val d = v(off + j) - mean; scratch(j) = d * d }
+          j += 1
+        }
+        val oldVar = graft.dsp.NumpyPairwise.sum(scratch, 0, len)
+        val newVar =
+          graft.dsp.NumpyPairwise.maskedSqDevSum(v, mask, off, len, mean)
+        assert(java.lang.Double.doubleToRawLongBits(oldVar) ==
+          java.lang.Double.doubleToRawLongBits(newVar),
+          s"maskedSqDevSum off=$off len=$len: $newVar != $oldVar")
+      }
+    }
+  }
+
   test("pairwise sum length classes agree with a compensated reference " +
        "within 1 ulp (sanity, not the bit contract)") {
     // the bit contract lives in the golden test above; this guards the
