@@ -664,10 +664,18 @@ object SimOps {
     * silently degrading to inexact doubles on large |x|*scale or dim.
     * Returns maxAbs for the per-cluster sum bound. */
   private def intExactGuard(q: DataFrame, qCol: String, caller: String,
-                            scale: Int): Double = {
+                            scale: Int): Double =
+    intExactGuardDims(q, qCol, caller, scale)._1
+
+  /** [[intExactGuard]] plus dim uniformity (min(size) == max(size)) from
+    * the SAME single agg job — the r16 top-M maximin needs it and a
+    * second head() per training would defeat the job-count point. */
+  private def intExactGuardDims(q: DataFrame, qCol: String, caller: String,
+                                scale: Int): (Double, Boolean) = {
     val g = q.select(
       max(array_max(transform(col(qCol), x => abs(x)))).as("__m"),
-      max(size(col(qCol))).as("__d")).head()
+      max(size(col(qCol))).as("__d"),
+      min(size(col(qCol))).as("__dmin")).head()
     require(!g.isNullAt(0), s"$caller: empty corpus")
     val maxAbs = g.getDouble(0)
     val maxDim = g.getInt(1)
@@ -676,7 +684,7 @@ object SimOps {
         s"${maxAbs * maxAbs * maxDim} exceeds 2^53 — distances would " +
         s"lose integer exactness; lower `scale` (=$scale) or normalize " +
         s"the vectors first")
-    maxAbs
+    (maxAbs, g.getInt(2) == maxDim)
   }
 
   /** Exact integer L2 distances `q.q - 2 q.c + c.c` to every centroid.
@@ -698,6 +706,180 @@ object SimOps {
   private def argminCell(da: Column): Column =
     (array_position(da, array_min(da)) - 1).cast(LongType)
 
+  /** The r15 incremental per-pass maximin seeding — k-1 sequential
+    * TakeOrdered corpus passes over a cached min-distance column. Kept
+    * verbatim as the semantics-defining path: [[maximinTopM]] must select
+    * the exact same sequence or fall back to this. Each pass folds in
+    * only the newest centroid: least(dm_prev, dist_new) builds the exact
+    * same left-nested least(least(d0, d1), d2)... chain over the exact
+    * same integer distances, so selection (and ties, via the identical
+    * (dm desc, vec_id) order) is bit-identical to the original O(k^2)
+    * form — IntLloydNativeSpec pins old-vs-new centroid equality. */
+  private[graft] def maximinPerPass(q: DataFrame, qCol: String, k: Int,
+                             seed0: Array[Double]): Array[Array[Double]] = {
+    val chosen = scala.collection.mutable.ArrayBuffer(seed0)
+    def distTo(c: Array[Double]): Column =
+      element_at(intDistArr(col(qCol), Array(c)), 1)
+    if (k > 1) {
+      var dmF = q.select(col("vec_id"), col(qCol),
+          distTo(chosen(0)).as("__dm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var prevF: DataFrame = null
+      while (chosen.length < k) {
+        val next = dmF.orderBy(col("__dm").desc, col("vec_id")).limit(1)
+          .select(col(qCol)).head()
+        // dmF is fully materialized by the TakeOrdered above — its
+        // parent can go now without triggering recompute
+        if (prevF != null) { prevF.unpersist(); prevF = null }
+        val c = next.getSeq[Double](0).toArray
+        chosen += c
+        if (chosen.length < k) {
+          prevF = dmF
+          dmF = dmF.select(col("vec_id"), col(qCol),
+              least(col("__dm"), distTo(c)).as("__dm"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+      }
+      if (prevF != null) prevF.unpersist()
+      dmF.unpersist()
+    }
+    chosen.toArray
+  }
+
+  /** r16 opt: BATCHED maximin seeding — selects as many centroids per
+    * corpus pass as can be PROVEN exact, instead of exactly one. Each
+    * pass is one TakeOrdered of the top-M rows by the current cached
+    * min-distance `__dm` (desc, vec_id asc — the per-pass ordering);
+    * the k-1 selections then refine driver-side over that candidate set
+    * with bit-identical arithmetic ([[intDistDriver]] reproduces
+    * IntL2DistsExpr.distArray's fold order operand for operand).
+    *
+    * Exactness: a row OUTSIDE the collected set had `__dm` <= the cut
+    * value t (the M-th collected distance) at collection time, and
+    * min-distances only shrink as the chosen set grows — so it can never
+    * strictly beat a refined candidate whose min-distance exceeds t.
+    * Within a pass the FIRST pick needs no guard (the refinement has not
+    * touched dm yet, so the scan winner IS the TakeOrdered's own top row
+    * — the true global argmax under the identical (dm desc, vec_id)
+    * order); every later pick requires the winner's refined min-distance
+    * STRICTLY > t (exact integers, so the comparison is reliable) or the
+    * batch ends and the next pass re-collects against the enlarged
+    * chosen set. >= 1 exact pick per pass means <= k-1 passes worst case
+    * (the degenerate all-duplicates corpus), typically 1-3. When a pass
+    * collects fewer than M usable rows the candidate set is COMPLETE
+    * (every row with a non-null distance is present; null-distance rows
+    * can never out-rank a non-null one under desc-nulls-last, and the
+    * caller's uniform-dim guard plus the 2^53 exactness guard — which
+    * rejects NaN/Inf corpora via maxAbs — mean no refinement distance
+    * ever goes null driver-side), so the rest of the selection is
+    * exhaustive-exact in this pass. If even the TOP row is null every
+    * row is null and the per-pass recurrence degenerates to re-picking
+    * that same lowest-id row; replicated directly.
+    *
+    * Per pass: 1 TakeOrdered job + one lazily-stacked dm update folding
+    * in the whole batch (least over array_min(dists to batch) — the same
+    * exact integers min-folded in a different, result-identical order).
+    * Memory: M x dim doubles on the driver (parameter-bounded).
+    * MaximinTopMSpec pins batched-vs-per-pass equality. */
+  private[graft] def maximinBatched(q: DataFrame, qCol: String, k: Int,
+                          seed0: Array[Double], caller: String)
+      : Array[Array[Double]] = {
+    val m = math.min(math.max(256 * k, 4096), 1 << 16)
+    def distsTo(cs: Array[Array[Double]]): Column =
+      array_min(intDistArr(col(qCol), cs))
+    val chosen = scala.collection.mutable.ArrayBuffer(seed0)
+    if (k <= 1) return chosen.toArray
+    var dmF = q.select(col("vec_id"), col(qCol),
+        distsTo(Array(seed0)).as("__dm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevF: DataFrame = null
+    while (chosen.length < k) {
+      val cand = dmF.orderBy(col("__dm").desc, col("vec_id")).limit(m)
+        .collect()
+      // dmF is fully materialized by the TakeOrdered; parent can go
+      if (prevF != null) { prevF.unpersist(); prevF = null }
+      require(cand.nonEmpty, s"$caller: empty corpus")
+      if (cand(0).isNullAt(2)) {
+        // every distance null (nulls sort last in desc): the per-pass
+        // recurrence re-picks this same lowest-id row each remaining pass
+        val v = cand(0).getSeq[Double](1).toArray
+        while (chosen.length < k) chosen += v
+      } else {
+        val nAll = cand.length
+        var n = nAll
+        while (n > 0 && cand(n - 1).isNullAt(2)) n -= 1 // null tail
+        val ids = new Array[Long](n)
+        val vecs = new Array[Array[Double]](n)
+        val dm = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          ids(i) = cand(i).getLong(0)
+          vecs(i) = cand(i).getSeq[Double](1).toArray
+          dm(i) = cand(i).getDouble(2)
+          i += 1
+        }
+        // complete: fewer than m rows collected, or a null made the cut —
+        // either way every non-null-distance row is in the set
+        val complete = nAll < m || n < nAll
+        val t = dm(n - 1)
+        val batch = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        var open = true
+        while (open && chosen.length < k) {
+          var best = 0
+          i = 1
+          while (i < n) {
+            if (dm(i) > dm(best) || (dm(i) == dm(best) && ids(i) < ids(best)))
+              best = i
+            i += 1
+          }
+          if (batch.nonEmpty && !complete && !(dm(best) > t)) {
+            open = false // unprovable pick: close the batch, re-collect
+          } else {
+            val c = vecs(best)
+            chosen += c
+            batch += c
+            if (chosen.length < k) {
+              var cc = 0.0
+              i = 0
+              while (i < c.length) { cc += c(i) * c(i); i += 1 }
+              i = 0
+              while (i < n) {
+                val d = intDistDriver(vecs(i), c, cc)
+                if (d < dm(i)) dm(i) = d
+                i += 1
+              }
+            }
+          }
+        }
+        if (chosen.length < k) {
+          prevF = dmF
+          dmF = dmF.select(col("vec_id"), col(qCol),
+              least(col("__dm"), distsTo(batch.toArray)).as("__dm"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+      }
+    }
+    if (prevF != null) prevF.unpersist()
+    dmF.unpersist()
+    chosen.toArray
+  }
+
+  /** Driver-side replica of IntL2DistsExpr.distArray's per-centroid
+    * arithmetic — same left-to-right qq fold, same dot fold, same
+    * `(qq - 2.0*d) + cc` operand order (cc folded like ccArr) — so the
+    * top-M refinement sees the exact same doubles the per-pass column
+    * would. MaximinTopMSpec pins the parity. */
+  private def intDistDriver(v: Array[Double], cent: Array[Double],
+                            cc: Double): Double = {
+    var qq = 0.0
+    var i = 0
+    while (i < v.length) { qq += v(i) * v(i); i += 1 }
+    var d = 0.0
+    i = 0
+    while (i < v.length) { d += v(i) * cent(i); i += 1 }
+    (qq - 2.0 * d) + cc
+  }
+
   /** The integer-exact Lloyd training loop over a persisted quantized
     * frame `(vec_id, qCol)` — per-iteration one corpus-wide assignment
     * map + one (cluster, dim)-keyed agg (shuffle bounded by k x dim),
@@ -715,7 +897,8 @@ object SimOps {
     * in the oracle (kmeansIntChain / kmeansIntChainMaximin). */
   private[graft] def trainIntCentroids(q: DataFrame, qCol: String, k: Int,
                                 iters: Int, maxAbs: Double, caller: String,
-                                init: String = "lowid")
+                                init: String = "lowid",
+                                uniformDim: Boolean = false)
       : Array[Array[Double]] = {
     var cents: Array[Array[Double]] = init match {
       case "lowid" =>
@@ -725,45 +908,14 @@ object SimOps {
         val first = q.orderBy(col("vec_id")).limit(1)
           .select(col(qCol)).collect()
         require(first.nonEmpty, s"$caller: empty corpus")
-        val chosen = scala.collection.mutable.ArrayBuffer(
-          first(0).getSeq[Double](0).toArray)
-        // r15 opt: INCREMENTAL min-distance — the original recomputed the
-        // distance to EVERY chosen centroid each pass (pass i paid i dots
-        // per row, O(k^2) total, with a literal expression tree that grew
-        // and janino-recompiled per pass). Here `__dm` rides as a cached
-        // column and each pass folds in ONLY the newest centroid:
-        // least(dm_prev, dist_new) builds the exact same left-nested
-        // least(least(d0, d1), d2)... chain over the exact same integer
-        // distances, so selection (and ties, via the identical
-        // (dm desc, vec_id) order) is bit-identical — IntLloydNativeSpec
-        // pins old-vs-new centroid equality. One TakeOrdered job per pass
-        // (it also materializes the pass's cache); constant-size plans.
-        def distTo(c: Array[Double]): Column =
-          element_at(intDistArr(col(qCol), Array(c)), 1)
-        if (k > 1) {
-          var dmF = q.select(col("vec_id"), col(qCol),
-              distTo(chosen(0)).as("__dm"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          var prevF: DataFrame = null
-          while (chosen.length < k) {
-            val next = dmF.orderBy(col("__dm").desc, col("vec_id")).limit(1)
-              .select(col(qCol)).head()
-            // dmF is fully materialized by the TakeOrdered above — its
-            // parent can go now without triggering recompute
-            if (prevF != null) { prevF.unpersist(); prevF = null }
-            val c = next.getSeq[Double](0).toArray
-            chosen += c
-            if (chosen.length < k) {
-              prevF = dmF
-              dmF = dmF.select(col("vec_id"), col(qCol),
-                  least(col("__dm"), distTo(c)).as("__dm"))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            }
-          }
-          if (prevF != null) prevF.unpersist()
-          dmF.unpersist()
-        }
-        chosen.toArray
+        val seed0 = first(0).getSeq[Double](0).toArray
+        // r16 opt: proof-carrying BATCHED selection — each corpus pass
+        // picks every centroid it can prove exact instead of one, so the
+        // k-1 sequential TakeOrdered jobs collapse to typically 1-3 — see
+        // [[maximinBatched]]. Ragged corpora (uniformDim false) stay on
+        // the per-pass path, whose null-slot semantics define the op.
+        if (uniformDim && k > 1) maximinBatched(q, qCol, k, seed0, caller)
+        else maximinPerPass(q, qCol, k, seed0)
       case other => throw new IllegalArgumentException(
         s"$caller: unknown centroid init '$other'")
     }
@@ -1134,9 +1286,10 @@ object SimOps {
       .filter(col("vec_id").isNotNull && col("__q").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = try {
-      val maxAbs = intExactGuard(q, "__q", "ivfTopK(intLloyd)", scale)
+      val (maxAbs, uniform) =
+        intExactGuardDims(q, "__q", "ivfTopK(intLloyd)", scale)
       trainIntCentroids(q, "__q", nCells, iters, maxAbs, "ivfTopK(intLloyd)",
-        init = "maximin")
+        init = "maximin", uniformDim = uniform)
     } finally q.unpersist()
     // corpus side: map-side argmin-integer-distance cell (centroids ride
     // as codegen literals; first-min tie = lowest cell id, the oracle's
