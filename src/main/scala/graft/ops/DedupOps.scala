@@ -1033,13 +1033,62 @@ object DedupOps {
   def canonicalMapping(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 64, bands: Int = 16,
                        shingleSize: Int = 3, threshold: Double = 0.7,
-                       maxBucket: Int = 0, maxIter: Int = 20): DataFrame = {
+                       maxBucket: Int = 0, maxIter: Int = 20,
+                       localPairLimit: Int = 1 << 20): DataFrame = {
     val (pairs, done) = nearDuplicatePairsWithHandle(df, idCol, textCol,
       numHashes, bands, shingleSize, threshold, maxBucket)
-    val materialized = pairs.localCheckpoint()
-    val labels = connectedMinLabelsOpt(materialized, maxIter).getOrElse(
-      connectedStars(materialized, maxIter.max(30)))
-    done()
+    // r16 opt: the same scale-adaptive closure nearDedupConnected /
+    // nearDedupKeepBest already use — the verified edge set is bounded by
+    // the DUPLICATE count, so when it fits on the driver a single collect
+    // + local min-union-find replaces the multi-round distributed
+    // min-label propagation (several jobs per round) AND makes the
+    // returned mapping a broadcast local relation, so consumers that read
+    // it more than once (the dedup-impact report) or join it (the
+    // leakage-free split) pay no recompute and no shuffle. The (id, comp)
+    // pair set is identical on both paths: min-union locally == min-label
+    // closure distributed (CanonicalMappingLocalSpec pins it).
+    val spark = df.sparkSession
+    val idType = df.schema(idCol).dataType
+    val idIsIntegral = idType match {
+      case LongType | IntegerType => true
+      case _ => false
+    }
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (idIsIntegral)
+        pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit(localPairLimit + 1).collect()
+      else Array.empty
+    val useLocal = idIsIntegral && probe.length <= localPairLimit
+    val labels: DataFrame =
+      if (useLocal) {
+        done()
+        val parent = collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val members = collection.mutable.Set.empty[Long]
+        probe.foreach { row =>
+          val (x, y) = (row.getLong(0), row.getLong(1))
+          members += x; members += y
+          val (a, b) = (find(x), find(y))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        import spark.implicits._
+        // broadcast: bounded by 2 * localPairLimit members
+        broadcast(members.toSeq.map(id => (id, find(id))).toDF("id", "comp")
+          .select(col("id").cast(idType).as("id"),
+            col("comp").cast(idType).as("comp")))
+      } else {
+        val materialized = pairs.localCheckpoint()
+        val l = connectedMinLabelsOpt(materialized, maxIter).getOrElse(
+          connectedStars(materialized, maxIter.max(30)))
+        done()
+        l
+      }
     labels.select(col("id").as(idCol), col("comp").as("canonical_id"))
   }
 
