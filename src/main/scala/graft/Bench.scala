@@ -386,7 +386,14 @@ object Bench {
       } ++ skewEntries.map { case (n, build) =>
         n -> (() => { val df = build(); auditOnce(n, df); noop(df) })
       }).toMap ++ phaseEntries ++ controlEntries
-    def runOnce(name: String): Either[String, Double] = timed(runners(name))
+    def runOnce(name: String): Either[String, Double] = {
+      // label jobs with the query name (guide §1) so an event-log run
+      // attributes every job to its query; set OUTSIDE the timed region
+      spark.sparkContext.setJobDescription(s"bench:$name")
+      val r = timed(runners(name))
+      spark.sparkContext.setJobDescription(null)
+      r
+    }
 
     // SPARK_GRAFT_ONLY=q25_near_dup_pairs,q74_... restricts the suite —
     // for targeted scaling datapoints on new queries without paying the

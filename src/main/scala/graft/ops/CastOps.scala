@@ -595,13 +595,24 @@ object Cast {
             out
           } else valIdx.map(channelMask)
         rows.iterator.zipWithIndex.map { case (r, i) =>
-          val cells = Array.tabulate[Any](schema.length)(r.get)
+          // r16: flags are sparse (a few thousand rows in a few hundred
+          // thousand) — rows with no flagged cell pass through as the
+          // ORIGINAL object instead of a cell-by-cell rebuild
+          var any = false
           var vc = 0
-          while (vc < valIdx.length) {
-            if (dropMask(vc)(i)) cells(valIdx(vc)) = null
-            vc += 1
+          while (vc < valIdx.length && !any) {
+            any = dropMask(vc)(i); vc += 1
           }
-          org.apache.spark.sql.Row.fromSeq(cells.toIndexedSeq)
+          if (!any) r
+          else {
+            val cells = Array.tabulate[Any](schema.length)(r.get)
+            vc = 0
+            while (vc < valIdx.length) {
+              if (dropMask(vc)(i)) cells(valIdx(vc)) = null
+              vc += 1
+            }
+            org.apache.spark.sql.Row.fromSeq(cells.toIndexedSeq)
+          }
         }
       }
   }

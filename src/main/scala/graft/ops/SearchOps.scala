@@ -263,9 +263,9 @@ object SearchOps {
     require(qidCol != "doc_id",
       "bm25AgainstIndexPerQuery: the landed doc id column is 'doc_id' — " +
         "name the query id column differently")
-    graft.sources.IndexCatalog.requirePinned(spark, name,
+    val mrow = graft.sources.IndexCatalog.requirePinned(spark, name,
       s"no search index '$name' in the session catalog — run landSearchIndex first",
-      "bm25AgainstIndex", Seq("analyzer" -> TextOps.analyzerId)): Unit
+      "bm25AgainstIndex", Seq("analyzer" -> TextOps.analyzerId))
     val qterms = queries.select(col(qidCol),
       explode(array_distinct(TextOps.tokens(col(qtextCol)))).as("token"))
     val termList = qterms.select(col("token")).distinct()
@@ -275,8 +275,13 @@ object SearchOps {
         s"bm25AgainstIndexPerQuery: query batch has more than " +
           s"$maxQueryTerms distinct terms — shard the query table or " +
           "raise maxQueryTerms")
-    val stats = spark.table(s"${name}_meta")
-      .select(col("n_docs").as("__n_docs"), col("total_dl").as("__total_dl"))
+    // r16: the corpus stats ride as literals from the requirePinned meta
+    // row (same cached read) instead of a one-row parquet scan subtree in
+    // every probe plan; appends rewrite meta via writeMeta, which
+    // invalidates the cache — same in-JVM coherence as the r16 meta cache
+    val stats = spark.range(1)
+      .select(lit(mrow.getAs[Long]("n_docs")).as("__n_docs"),
+        lit(mrow.getAs[Long]("total_dl")).as("__total_dl"))
     val pruned =
       if (termList.isEmpty) spark.table(s"${name}_postings").filter(lit(false))
       else spark.table(s"${name}_postings")
@@ -457,12 +462,15 @@ object SearchOps {
                        k: Int = 10, k1: Double = 1.2,
                        b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25AgainstIndex: need at least one query term")
-    graft.sources.IndexCatalog.requirePinned(spark, name,
+    val mrow = graft.sources.IndexCatalog.requirePinned(spark, name,
       s"no search index '$name' in the session catalog — run landSearchIndex first",
-      "bm25AgainstIndex", Seq("analyzer" -> TextOps.analyzerId)): Unit
+      "bm25AgainstIndex", Seq("analyzer" -> TextOps.analyzerId))
     val lowered = terms.map(_.toLowerCase)
-    val stats = spark.table(s"${name}_meta")
-      .select(col("n_docs").as("__n_docs"), col("total_dl").as("__total_dl"))
+    // r16: stats as literals from the cached meta row (see the per-query
+    // variant above for the coherence argument)
+    val stats = spark.range(1)
+      .select(lit(mrow.getAs[Long]("n_docs")).as("__n_docs"),
+        lit(mrow.getAs[Long]("total_dl")).as("__total_dl"))
     val post = spark.table(s"${name}_postings")
       .filter(col("token").isInCollection(lowered))
       .groupBy(col("token"), col("doc_id"))

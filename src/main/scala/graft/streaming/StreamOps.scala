@@ -1047,7 +1047,13 @@ object StreamOps {
                             (sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val D = graft.ops.DedupOps
     (batch: DataFrame, batchId: Long) => {
-      val m = batch.sparkSession.table(s"${name}_meta").head()
+      // r16: the pinned parameter row comes from the IndexCatalog cache
+      // (one head() job on the stream's FIRST batch, zero after) instead
+      // of a fresh meta-table scan job on EVERY micro-batch; appends that
+      // rewrite meta invalidate the cache in-JVM
+      val m = graft.sources.IndexCatalog.requireMeta(batch.sparkSession,
+        name, s"no near-dup index '$name' in the session catalog — run " +
+          "landNearDupIndex first")
       val (numHashes, bands, shingleSize) = (m.getAs[Int]("num_hashes"),
         m.getAs[Int]("bands"), m.getAs[Int]("shingle_size"))
       // PIN the micro-batch before fanning out: the body references `batch`
